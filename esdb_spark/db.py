@@ -1,0 +1,178 @@
+"""Read API — reference parity for `.esdb` query operators.
+
+Reference surface (/root/reference): ``Open`` (esdb.go:23-38), ``Find``
+(esdb.go:41-60), ``Db.Iterate`` (esdb.go:63-76), ``Space.Scan``
+(space.go:62-77), ``Space.ScanIndex`` (space.go:79-108),
+``Space.Iterate`` over groupings (space.go:45-60), early termination via
+Scanner callback (space.go:14), RevScanIndex (README.md:125, declared
+but unimplemented there — implemented here).
+
+Everything returns a *DataFrame* with the plan expressed declaratively
+so Catalyst provides what the reference hand-built:
+
+- space point lookup  → partition pruning on the ``space`` directory
+  (replaces the two-level SSTable offset chase, esdb.go:41-60);
+- grouping locality   → Parquet row-group min/max skipping on the
+  write-time sort (replaces contiguous block placement);
+- index scan          → pushed predicate on the ``indexes`` map
+  (replaces materialized pointer lists, index_block_writer.go);
+- LIMIT / callback-false → ``.limit(n)`` compiles to
+  TakeOrderedAndProject (true top-k: no global sort at scale).
+
+Ordering contract (SURVEY §2.4): every scan is
+``ORDER BY ts DESC, seq ASC`` — descending timestamp, ties broken by
+insertion order, matching the reference's stable reverse sort
+(event_block_writer.go:14-16, verified by example_test.go:96-102).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+
+from esdb_spark.schema import EVENTS_COLUMNS
+
+
+def _ordered(df: DataFrame, reverse: bool = False) -> DataFrame:
+    if reverse:
+        # Exact reversal of the canonical order.
+        return df.orderBy(F.col("ts").asc(), F.col("seq").desc())
+    return df.orderBy(F.col("ts").desc(), F.col("seq").asc())
+
+
+class Space:
+    """One space (top-level partition) of an archive.
+
+    Reference: space.go:16-24. Obtained via :meth:`Db.find`; a missing
+    space yields empty scans (reference Find returns nil → no events).
+    """
+
+    def __init__(self, db: "Db", space_id: str):
+        self._db = db
+        self.id = str(space_id)
+
+    @property
+    def _df(self) -> DataFrame:
+        # Equality on the partition column → Catalyst prunes to the one
+        # space directory, the moral equivalent of esdb.go:41-60.
+        return self._db.df.filter(F.col("space") == self.id)
+
+    def exists(self) -> bool:
+        return self._df.limit(1).count() > 0
+
+    def scan(self, grouping: str = "", limit: int | None = None) -> DataFrame:
+        """Events of one grouping, newest first (space.go:62-77)."""
+        df = _ordered(self._df.filter(F.col("grouping") == grouping))
+        return df.limit(limit) if limit is not None else df
+
+    def rev_scan(self, grouping: str = "", limit: int | None = None) -> DataFrame:
+        """Oldest-first grouping scan (README.md:125 parity)."""
+        df = _ordered(self._df.filter(F.col("grouping") == grouping), reverse=True)
+        return df.limit(limit) if limit is not None else df
+
+    def scan_index(
+        self, name: str, value: str, limit: int | None = None
+    ) -> DataFrame:
+        """Events matching secondary index ``name=value``, newest first
+        (space.go:79-108). Empty-string values are legal index values
+        (esdb_test.go fixtures); a missing key yields no match (map
+        access returns NULL which never equals anything).
+        """
+        df = _ordered(self._df.filter(F.col("indexes")[name] == value))
+        return df.limit(limit) if limit is not None else df
+
+    def rev_scan_index(
+        self, name: str, value: str, limit: int | None = None
+    ) -> DataFrame:
+        """Oldest-first index scan (README.md:125 parity)."""
+        df = _ordered(
+            self._df.filter(F.col("indexes")[name] == value), reverse=True
+        )
+        return df.limit(limit) if limit is not None else df
+
+    def iterate(self, process: Callable[[str], bool] | None = None):
+        """Enumerate groupings in ascending key order (space.go:45-60).
+
+        With a callback, mirrors the reference Scanner protocol (stop on
+        False); without, returns the sorted list.
+        """
+        names = [
+            r[0]
+            for r in self._df.select("grouping")
+            .distinct()
+            .orderBy("grouping")
+            .collect()
+        ]
+        if process is None:
+            return names
+        for name in names:
+            if not process(name):
+                break
+        return None
+
+    def scan_foreach(
+        self, scanner: Callable[[Row], bool], grouping: str = ""
+    ) -> None:
+        """Callback-style scan with early termination — the reference's
+        Scanner protocol (space.go:14,72). ``toLocalIterator`` streams
+        partitions incrementally so a False return stops fetching,
+        mirroring the reference's stop-mid-block behavior.
+        """
+        for row in self.scan(grouping).toLocalIterator():
+            if not scanner(row):
+                break
+
+    def scan_index_foreach(
+        self, name: str, value: str, scanner: Callable[[Row], bool]
+    ) -> None:
+        """Callback-style index scan (space.go:79-108 + Scanner)."""
+        for row in self.scan_index(name, value).toLocalIterator():
+            if not scanner(row):
+                break
+
+
+class Db:
+    """An opened archive (reference esdb.Open, esdb.go:23-38)."""
+
+    def __init__(self, spark: SparkSession, df: DataFrame, path: str | None = None):
+        self.spark = spark
+        self.df = df.select(*EVENTS_COLUMNS)
+        self.path = path
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "Db":
+        """Open an archive directory (errors if absent, like esdb.go:23-38)."""
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no esdb archive at {path}")
+        return cls(spark, spark.read.parquet(path), path=path)
+
+    @classmethod
+    def from_dataframe(cls, df: DataFrame) -> "Db":
+        """Wrap an in-memory events DataFrame (no files) — useful for
+        tests and for composing with other Spark pipelines."""
+        return cls(df.sparkSession, df)
+
+    def find(self, space_id: str) -> Space:
+        """Point-lookup a space (esdb.go:41-60). Always returns a Space;
+        a missing id scans empty (parity with nil-Find semantics)."""
+        return Space(self, space_id)
+
+    def spaces(self) -> list[str]:
+        """All space ids in ascending key order (esdb.go:63-76; SSTable
+        key order is bytewise ascending, sst/writer.go:48-50)."""
+        return [
+            r[0]
+            for r in self.df.select("space").distinct().orderBy("space").collect()
+        ]
+
+    def iterate(self, process: Callable[[Space], bool]) -> None:
+        """Callback enumeration of spaces in sorted order (esdb.go:63-76)."""
+        for sid in self.spaces():
+            if not process(self.find(sid)):
+                break
+
+    def close(self) -> None:
+        """No-op (reference closes the file handle, esdb.go:78-82;
+        DataFrames hold no open handles)."""

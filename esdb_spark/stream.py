@@ -1,0 +1,293 @@
+"""Append-able event streams — parity for the reference `stream` package.
+
+Reference surface (/root/reference/stream/): ``New``/``Open``
+(stream.go:45-72), ``Write`` (open_stream.go:52-105), ``First``
+(open_stream.go:107-115, closed_stream.go:52-67), ``ScanIndex``
+newest→oldest with continuation offsets (stream.go:74-90), ``Iterate``
+oldest→newest (stream.go:92-124), ``Close`` (open_stream.go:146-201),
+``Merge`` (merge.go:7-34).
+
+Spark mapping:
+
+- the on-disk backward-linked-list + tail-pointer machinery
+  (open_stream.go:52-105) exists only because the reference appends to
+  a flat file; in Spark the stream is an append-only Parquet dataset
+  and every index scan is a pushed predicate + ``ORDER BY seq DESC``;
+- the in-memory tail map (``tails[name:value] = offset``) becomes an
+  arg-max aggregate (``max_by(struct(*), seq)``), see :meth:`tails`;
+- continuation *offsets* (stream/event.go:23-25, opaque int64 file
+  positions) become keyset cursors on ``seq``: resume a newest→oldest
+  index scan with ``seq < cursor``, an oldest→newest iterate with
+  ``seq > cursor``. "Cursor is None" = exhausted, matching the
+  reference's 0-offset sentinel;
+- ``Close`` compacts the append log into sorted Parquet and drops a
+  marker, after which writes raise (closed_stream write test parity);
+  this mirrors the reference's open→closed lifecycle and is also the
+  small-files answer at scale;
+- crash recovery (open_stream.go:219-241) is subsumed by Parquet's
+  atomic task commits: a torn append simply never becomes a committed
+  file, so reopen sees exactly the committed prefix.
+
+The stream schema is (seq BIGINT, data STRING, indexes MAP) — the
+reference's stream events carry no timestamp; append order is the only
+time axis (stream/event.go).
+
+Scale note: ``write()`` per event means one small file per event —
+correct but only for tests. Real ingest goes through
+:meth:`append_dataframe` (micro-batch, e.g. from ``foreachBatch``) and
+periodic :meth:`compact`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Mapping
+
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F, types as T
+
+from esdb_spark.errors import DbExistsError, StreamClosedError
+
+STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("data", T.StringType(), True),
+        T.StructField("indexes", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+#: parity with the `closedESDBstream` footer magic (stream/stream.go:64-71)
+CLOSED_MARKER = "_ESDB_STREAM_CLOSED"
+
+
+class EventStream:
+    """One append-able event log (reference ``stream.Stream``)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._spark = spark
+        self._path = path
+        self._next_seq: int | None = None  # lazy, like open_stream.go:203-241
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @classmethod
+    def new(cls, spark: SparkSession, path: str) -> "EventStream":
+        """Create a new stream (stream.go:45-52; errors if exists)."""
+        if os.path.exists(path):
+            raise DbExistsError(f"stream already exists at {path}")
+        os.makedirs(path)
+        stream = cls(spark, path)
+        stream._next_seq = 0
+        return stream
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "EventStream":
+        """Open an existing stream; open vs closed is auto-detected from
+        the marker, like the footer sniff in stream.go:54-72."""
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no stream at {path}")
+        return cls(spark, path)
+
+    @property
+    def closed(self) -> bool:
+        return os.path.exists(os.path.join(self._path, CLOSED_MARKER))
+
+    # -- write path ----------------------------------------------------------
+
+    def write(self, data: str, indexes: Mapping[str, str] | None = None) -> int:
+        """Append one event; returns its seq (reference Write returns the
+        event's offset, open_stream.go:52-105). Test-scale only — real
+        ingest batches via :meth:`append_dataframe`."""
+        return self.write_batch([(data, indexes or {})])
+
+    def write_batch(
+        self, events: Iterable[tuple[str, Mapping[str, str]]]
+    ) -> int:
+        """Append a batch of (data, indexes) pairs; returns last seq."""
+        self._check_open()
+        start = self._seq_start()
+        rows = [
+            (start + i, data, dict(indexes or {}))
+            for i, (data, indexes) in enumerate(events)
+        ]
+        if not rows:
+            return start - 1
+        df = self._spark.createDataFrame(rows, schema=STREAM_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self._path)
+        self._next_seq = rows[-1][0] + 1
+        return rows[-1][0]
+
+    def append_dataframe(self, df: DataFrame) -> None:
+        """Micro-batch append (the ``foreachBatch`` target). ``df`` needs
+        (data, indexes); seq is assigned monotonically after the current
+        tail, preserving the batch's partition order."""
+        self._check_open()
+        start = self._seq_start()
+        out = df.select(
+            (F.monotonically_increasing_id() + F.lit(start)).alias("seq"),
+            "data",
+            "indexes",
+        )
+        # monotonically_increasing_id leaves gaps across partitions; gaps
+        # are fine (cursors are keyset predicates, not offsets) but order
+        # within the batch is preserved, which is what Iterate needs.
+        out.write.mode("append").parquet(self._path)
+        self._next_seq = None  # recompute from data next time
+
+    # -- read path -----------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        """The raw stream as a DataFrame (empty if nothing committed)."""
+        try:
+            return self._spark.read.schema(STREAM_SCHEMA).parquet(self._path)
+        except Exception:
+            return self._spark.createDataFrame([], schema=STREAM_SCHEMA)
+
+    def first(self, name: str, value: str) -> Row | None:
+        """Newest event carrying index name=value (reference First,
+        open_stream.go:107-115 — tail map lookup; closed_stream.go:52-67
+        — SSTable lookup). Arg-max on seq replaces both."""
+        rows = (
+            self.df.filter(F.col("indexes")[name] == value)
+            .orderBy(F.col("seq").desc())
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    def scan_index(
+        self, name: str, value: str, cursor: int | None = None
+    ) -> DataFrame:
+        """Newest→oldest over one index entry (stream.go:74-90). A
+        ``cursor`` (a previously-seen seq) resumes strictly after it."""
+        df = self.df.filter(F.col("indexes")[name] == value)
+        if cursor is not None:
+            df = df.filter(F.col("seq") < cursor)
+        return df.orderBy(F.col("seq").desc())
+
+    def iterate(self, cursor: int | None = None) -> DataFrame:
+        """Oldest→newest full-log scan (stream.go:92-124)."""
+        df = self.df
+        if cursor is not None:
+            df = df.filter(F.col("seq") > cursor)
+        return df.orderBy(F.col("seq").asc())
+
+    def scan_index_page(
+        self, name: str, value: str, cursor: int | None = None, limit: int = 100
+    ) -> tuple[list[Row], int | None]:
+        """One page of a newest→oldest index scan plus the continuation
+        cursor (None = exhausted — the reference's 0 offset,
+        stream/event.go:23-25)."""
+        rows = self.scan_index(name, value, cursor).limit(limit + 1).collect()
+        has_more = len(rows) > limit
+        rows = rows[:limit]
+        return rows, (rows[-1]["seq"] if has_more and rows else None)
+
+    def iterate_page(
+        self, cursor: int | None = None, limit: int = 100
+    ) -> tuple[list[Row], int | None]:
+        """One page of the oldest→newest log scan plus continuation.
+
+        Matches reference Iterate's returned resume offset
+        (stream.go:92-124): the cursor stays valid across appends, so it
+        is returned even at the current end of the log.
+        """
+        rows = self.iterate(cursor).limit(limit).collect()
+        if not rows:
+            return rows, cursor
+        return rows, rows[-1]["seq"]
+
+    def tails(self) -> DataFrame:
+        """Newest seq per (index name, value) — the reference's in-memory
+        tail map / closed-stream SSTable (open_stream.go:96-99) as an
+        aggregate: explode the map, arg-max by seq."""
+        exploded = self.df.select(
+            "seq", "data", F.explode_outer("indexes").alias("name", "value")
+        ).filter(F.col("name").isNotNull())
+        return exploded.groupBy("name", "value").agg(
+            F.max("seq").alias("seq"),
+            F.max_by("data", "seq").alias("data"),
+        )
+
+    # -- close / compact -------------------------------------------------------
+
+    def compact(self) -> None:
+        """Rewrite the append log as few sorted files (small-file
+        hygiene; the open→closed rewrite without sealing). The write to
+        the tmp dir materializes the snapshot while the source files are
+        still intact; then the directories swap atomically-enough for a
+        single-writer stream (the reference is single-writer too)."""
+        tmp = self._path + ".compact.tmp"
+        self.df.orderBy("seq").coalesce(1).write.mode("overwrite").parquet(tmp)
+        closed = self.closed
+        _replace_dir(tmp, self._path)
+        if closed:  # preserve the seal across the rewrite
+            self._touch_marker()
+
+    def close(self) -> None:
+        """Seal the stream (open_stream.go:146-201): compact to sorted
+        Parquet + drop the closed marker; later writes raise."""
+        if self.closed:
+            return
+        self.compact()
+        self._touch_marker()
+
+    # -- internals ---------------------------------------------------------
+
+    def _touch_marker(self) -> None:
+        with open(os.path.join(self._path, CLOSED_MARKER), "w") as fh:
+            fh.write("1")
+
+    def _check_open(self) -> None:
+        if self.closed:
+            # Parity: write-after-close errors (closed_stream_test.go:154-161).
+            raise StreamClosedError(f"stream at {self._path} is closed")
+
+    def _seq_start(self) -> int:
+        if self._next_seq is None:
+            # Reopen rebuild — the reference re-scans the log to find the
+            # tail (open_stream.go:203-241); we ask Parquet for max(seq).
+            row = self.df.agg(F.max("seq")).collect()[0]
+            self._next_seq = (row[0] + 1) if row[0] is not None else 0
+        return self._next_seq
+
+
+def merge_streams(
+    spark: SparkSession, destination: str, paths: list[str]
+) -> EventStream:
+    """Concatenate streams into a new *closed* stream (merge.go:7-34).
+
+    Order is stream order then per-stream append order — NOT
+    timestamp-interleaved (merge_stream_test.go:59): the reference
+    replays each source's Iterate into the destination sequentially.
+    seq is re-assigned densely across the concatenation.
+    """
+    dest = EventStream.new(spark, destination)
+    offset = 0
+    for path in paths:
+        src = EventStream.open(spark, path).iterate()
+        count = src.count()
+        if count:
+            renumbered = src.select(
+                (F.row_number().over(_seq_window()) + offset - 1).alias("seq"),
+                "data",
+                "indexes",
+            )
+            renumbered.write.mode("append").parquet(dest._path)
+            offset += count
+    dest._next_seq = offset
+    dest.close()
+    return dest
+
+
+def _seq_window():
+    from pyspark.sql import Window
+
+    return Window.orderBy(F.col("seq").asc())
+
+
+def _replace_dir(src: str, dst: str) -> None:
+    import shutil
+
+    shutil.rmtree(dst)
+    shutil.move(src, dst)

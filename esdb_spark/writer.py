@@ -1,0 +1,205 @@
+"""Batch archive writer — reference parity for the `.esdb` write path.
+
+Reference surface (/root/reference): ``New`` (writer.go:26-39, O_EXCL
+create), ``Add`` (writer.go:43-57), ``Flush`` (writer.go:62-68),
+``Write`` (writer.go:72-140). The reference buffers events per space in
+memory, stable-sorts ts-descending, packs 4KB snappy blocks and writes
+SSTable indexes. Here the *entire* physical layer is Parquet:
+
+- ``partitionBy("space")`` reproduces the space point-lookup layout
+  (two-level SSTable offsets → Hive partition pruning);
+- ``sortWithinPartitions(grouping, ts desc, seq asc)`` reproduces the
+  grouping-clustered, ts-desc stable order (event_block_writer.go:14-16)
+  so Parquet row-group min/max stats skip non-matching groupings;
+- snappy block compression is Parquet's default.
+
+Two ingest paths:
+
+- ``Writer.add(...)`` row-at-a-time buffering, mirroring the reference
+  API (the reference also buffers on the writing host). Good for tests
+  and small archives.
+- ``Writer.add_dataframe(df)`` / ``write_events(df, path)`` — the bulk
+  path for cluster-scale ingest: no driver materialization, the rows
+  stay distributed end-to-end. At 100 TB this is the only path; the
+  row API exists for API parity.
+
+Scale note (|space| cardinality): Hive partitioning is right while the
+number of distinct spaces is moderate (≤ ~10k). For millions of tiny
+spaces, pass ``layout="clustered"`` — a single non-partitioned dataset
+sorted by (space, grouping, ts desc) where row-group stats provide the
+pruning instead of directories (avoids the small-files problem).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from typing import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from esdb_spark.errors import DbExistsError, ImmutableError
+from esdb_spark.schema import EVENTS_COLUMNS, EVENTS_SCHEMA
+
+#: marker file written by ``Writer.write()``; its presence makes the
+#: archive immutable (parity with the reference's `written` flag,
+#: writer.go:44-46) and lets ``Db.open`` distinguish a finalized archive.
+WRITTEN_MARKER = "_ESDB_WRITTEN"
+
+
+def _to_ts(timestamp) -> _dt.datetime:
+    """Accept reference-style int epoch-seconds or datetime."""
+    if isinstance(timestamp, _dt.datetime):
+        return timestamp
+    return _dt.datetime.fromtimestamp(int(timestamp), tz=_dt.timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+def _is_written(path: str) -> bool:
+    return os.path.exists(os.path.join(path, WRITTEN_MARKER))
+
+
+class Writer:
+    """Write-once archive builder (reference ``esdb.New`` → ``Write``)."""
+
+    def __init__(self, spark: SparkSession, path: str, layout: str = "partitioned"):
+        if os.path.exists(path):
+            # Parity: reference New() is O_EXCL (writer.go:26-39).
+            raise DbExistsError(f"esdb archive already exists at {path}")
+        if layout not in ("partitioned", "clustered"):
+            raise ValueError(f"unknown layout {layout!r}")
+        self._spark = spark
+        self._path = path
+        self._layout = layout
+        self._rows: list[tuple] = []
+        self._bulk: list[DataFrame] = []
+        self._seq = 0
+        self._written = False
+        self._flushed_spaces: set[str] = set()
+
+    # -- ingest -----------------------------------------------------------
+
+    def add(
+        self,
+        space: str,
+        data: str,
+        timestamp,
+        grouping: str = "",
+        indexes: Mapping[str, str] | None = None,
+    ) -> None:
+        """Buffer one event (reference Add, writer.go:43-57)."""
+        self._check_mutable()
+        self._rows.append(
+            (
+                str(space),
+                grouping,
+                _to_ts(timestamp),
+                self._seq,
+                data,
+                dict(indexes or {}),
+            )
+        )
+        self._seq += 1
+
+    def add_dataframe(self, df: DataFrame, assign_seq: bool = True) -> None:
+        """Bulk-buffer a distributed DataFrame of events.
+
+        ``df`` must have columns (space, grouping, ts, data, indexes)
+        and optionally ``seq``. With ``assign_seq`` a monotone id is
+        assigned in the DataFrame's partition order (= file order for a
+        freshly-read source, matching the reference CSV loader's
+        insertion order, testdata/build.go:47-60).
+        """
+        self._check_mutable()
+        if assign_seq or "seq" not in df.columns:
+            df = df.withColumn("seq", F.monotonically_increasing_id())
+        self._bulk.append(df.select(*EVENTS_COLUMNS))
+
+    # -- output -----------------------------------------------------------
+
+    def flush(self, space: str) -> None:
+        """Write one space's buffered events now (reference Flush,
+        writer.go:62-68 — caps writer memory)."""
+        self._check_mutable()
+        keep, out = [], []
+        for row in self._rows:
+            (out if row[0] == str(space) else keep).append(row)
+        self._rows = keep
+        if out:
+            self._write_rows(out, mode="append")
+            self._flushed_spaces.add(str(space))
+
+    def write(self) -> None:
+        """Finalize the archive (reference Write, writer.go:72-140)."""
+        self._check_mutable()
+        mode = "append" if self._flushed_spaces else "errorifexists"
+        if self._rows or self._bulk or not self._flushed_spaces:
+            df = self._build_df()
+            self._write_df(df, mode=mode)
+        # Marker = the reference's footer: flips the archive immutable.
+        os.makedirs(self._path, exist_ok=True)
+        with open(os.path.join(self._path, WRITTEN_MARKER), "w") as fh:
+            fh.write("1")
+        self._rows, self._bulk = [], []
+        self._written = True
+
+    # -- internals ----------------------------------------------------------
+
+    def _check_mutable(self) -> None:
+        if self._written:
+            # Parity: "db already written" (writer.go:44-46).
+            raise ImmutableError("esdb archive already written")
+
+    def _build_df(self) -> DataFrame:
+        parts = list(self._bulk)
+        if self._rows or not parts:
+            parts.append(
+                self._spark.createDataFrame(self._rows, schema=EVENTS_SCHEMA)
+            )
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra)
+        return df
+
+    def _write_rows(self, rows: list[tuple], mode: str) -> None:
+        self._write_df(
+            self._spark.createDataFrame(rows, schema=EVENTS_SCHEMA), mode=mode
+        )
+
+    def _write_df(self, df: DataFrame, mode: str) -> None:
+        if self._layout == "partitioned":
+            # One file tree per space; within each partition the rows are
+            # clustered by grouping and sorted ts-desc/seq-asc so scans
+            # read them in emit order and row-group stats prune groupings.
+            (
+                df.repartition("space")
+                .sortWithinPartitions(
+                    "grouping", F.col("ts").desc(), F.col("seq").asc()
+                )
+                .write.mode(mode)
+                .partitionBy("space")
+                .parquet(self._path)
+            )
+        else:
+            # Clustered layout for very high |space| cardinality: range
+            # partition by (space, grouping) then sort; row-group min/max
+            # stats on `space` substitute for directory pruning.
+            (
+                df.repartitionByRange("space", "grouping")
+                .sortWithinPartitions(
+                    "space", "grouping", F.col("ts").desc(), F.col("seq").asc()
+                )
+                .write.mode(mode)
+                .parquet(self._path)
+            )
+
+
+def write_events(
+    df: DataFrame, path: str, layout: str = "partitioned", assign_seq: bool = False
+) -> None:
+    """One-shot bulk archive build from a distributed DataFrame."""
+    spark = df.sparkSession
+    writer = Writer(spark, path, layout=layout)
+    writer.add_dataframe(df, assign_seq=assign_seq)
+    writer.write()

@@ -1,0 +1,107 @@
+"""Writer invariants: write-once archives, immutability, flush, bulk
+ingest, big payloads. Mirrors /root/reference/writer_test.go:49-70,
+space_writer_test.go:12-21, esdb_test.go:112-154 (bigevent)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from esdb_spark import Db, DbExistsError, ImmutableError, Writer
+from esdb_spark.writer import write_events
+
+from conftest import build_activity_writer
+
+
+def test_no_overwrite(spark, tmp_path):
+    path = str(tmp_path / "db.esdb")
+    w = Writer(spark, path)
+    w.add("a", "1", 1)
+    w.write()
+    # writer_test.go:62-70 — creating over an existing archive errors
+    with pytest.raises(DbExistsError):
+        Writer(spark, path)
+
+
+def test_add_after_write_errors(spark, tmp_path):
+    path = str(tmp_path / "db.esdb")
+    w = Writer(spark, path)
+    w.add("a", "1", 1)
+    w.write()
+    # writer_test.go:49-60 — "db already written"
+    with pytest.raises(ImmutableError):
+        w.add("a", "2", 2)
+    with pytest.raises(ImmutableError):
+        w.write()
+
+
+def test_flush_then_write(spark, tmp_path):
+    # writer.go:62-68 — Flush writes one space early; Write finalizes.
+    path = str(tmp_path / "db.esdb")
+    w = Writer(spark, path)
+    w.add("a", "1", 2)
+    w.add("b", "2", 1)
+    w.flush("a")
+    w.add("a", "3", 3)
+    w.write()
+    db = Db.open(spark, path)
+    assert [r["data"] for r in db.find("a").scan("").collect()] == ["3", "1"]
+    assert [r["data"] for r in db.find("b").scan("").collect()] == ["2"]
+
+
+def test_open_missing_errors(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        Db.open(spark, str(tmp_path / "nope.esdb"))
+
+
+def test_big_event_roundtrip(spark, tmp_path):
+    # esdb_test.go:112-154 — 200 events, one ~7KB payload mid-stream,
+    # strictly decreasing ts so scan order == insertion order.
+    path = str(tmp_path / "big.esdb")
+    big = json.dumps({"k": "x" * 7000})
+    w = Writer(spark, path)
+    payloads = []
+    for i in range(200):
+        data = big if i == 100 else json.dumps({"i": i})
+        payloads.append(data)
+        w.add("a", data, 200 - i)
+    w.write()
+    db = Db.open(spark, path)
+    got = [r["data"] for r in db.find("a").scan("").collect()]
+    assert got == payloads  # byte-identical, in order
+
+
+def test_bulk_ingest_dataframe(spark, tmp_path):
+    # The cluster-scale path: events stay distributed end-to-end.
+    path = str(tmp_path / "bulk.esdb")
+    src = spark.range(100).select(
+        (F.col("id") % 4).cast("string").alias("space"),
+        F.lit("").alias("grouping"),
+        F.timestamp_seconds(F.lit(1403534919) + F.col("id")).alias("ts"),
+        F.col("id").alias("seq"),
+        F.col("id").cast("string").alias("data"),
+        F.create_map(F.lit("parity"), (F.col("id") % 2).cast("string")).alias(
+            "indexes"
+        ),
+    )
+    write_events(src, path)
+    db = Db.open(spark, path)
+    assert sorted(db.spaces()) == ["0", "1", "2", "3"]
+    rows = db.find("2").scan_index("parity", "0").collect()
+    assert [r["data"] for r in rows[:3]] == ["98", "94", "90"]  # ts desc
+
+
+def test_layout_clustered(spark, tmp_path):
+    # High-|space|-cardinality layout: no Hive partitions, sort-clustered.
+    path = str(tmp_path / "clustered.esdb")
+    w = Writer(spark, path, layout="clustered")
+    for i in range(20):
+        w.add(f"s{i % 5}", str(i), 100 - i, grouping="g")
+    w.write()
+    db = Db.open(spark, path)
+    assert [r["data"] for r in db.find("s1").scan("g").collect()] == [
+        "1",
+        "6",
+        "11",
+        "16",
+    ]
