@@ -1,0 +1,159 @@
+"""Text-analysis operators over document tables.
+
+All pure column expressions (JVM, codegen) — a 100 TB documents scan
+computes these in the same pass as the read, no shuffle, no Python.
+
+- :func:`with_token_stats` — token / char counts, approximate
+  BPE-style token estimate.
+- :func:`with_quality` — heuristic quality signals (length, punctuation
+  density, stopword ratio, alpha ratio) and a composite score, in the
+  spirit of the C4/Gopher quality heuristics.
+- :func:`with_language_guess` — tiny stopword-overlap language-ID
+  heuristic (deterministic; a placeholder for a real model, which would
+  run as a pandas_udf).
+- :func:`with_fingerprint` — md5 content fingerprint of the normalized
+  text + a 64-bit polynomial rolling hash over tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from esdb_spark.functions import tokens
+
+# Minimal stopword markers per language for the heuristic language ID.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une"],
+}
+
+_STOPWORDS_EN = _LANG_MARKERS["en"] + ["a", "with", "as", "on", "it", "by"]
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def approx_bpe_tokens(col) -> Column:
+    """BPE-ish token estimate without a tokenizer model: one token per
+    word piece of ≤4 chars plus one per non-space punctuation mark —
+    the standard ~4-chars-per-token rule of thumb, deterministic and
+    oracle-expressible."""
+    col = F.col(col) if isinstance(col, str) else col
+    word_chunks = F.aggregate(
+        tokens(col),
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"),
+    )
+    punct = F.length(F.regexp_replace(col, r"[\w\s]", ""))
+    return (word_chunks + punct).alias("approx_bpe_tokens")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    tok = tokens(text_col)
+    return (
+        df.withColumn("n_chars_calc", F.length(F.col(text_col)))
+        .withColumn("n_tokens", F.size(tok))
+        .withColumn(
+            "avg_token_len",
+            F.when(
+                F.size(tok) > 0,
+                F.aggregate(
+                    tok, F.lit(0), lambda acc, t: acc + F.length(t)
+                )
+                / F.size(tok),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("bpe_tokens_est", approx_bpe_tokens(text_col))
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality signals + composite score in [0, 1].
+
+    Signals (all cheap column exprs): length in a sane band, low
+    punctuation density, alphabetic character ratio, presence of common
+    stopwords (fluency proxy). Composite = mean of the four indicator
+    scores, rounded to 6 decimals for cross-engine comparability.
+    """
+    text = F.col(text_col)
+    tok = tokens(text_col)
+    n_chars = F.length(text)
+    punct_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", "")) / n_chars,
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / n_chars,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(tok, F.array(*[F.lit(w) for w in _STOPWORDS_EN]))
+    )
+    stopword_ratio = F.when(F.size(tok) > 0, stop_hits / F.size(tok)).otherwise(
+        F.lit(0.0)
+    )
+    length_ok = ((n_chars >= 50) & (n_chars <= 20000)).cast("double")
+    punct_ok = (punct_ratio <= 0.2).cast("double")
+    score = F.round(
+        (
+            length_ok
+            + punct_ok
+            + F.least(alpha_ratio * 1.25, F.lit(1.0))
+            + F.least(stopword_ratio * 10, F.lit(1.0))
+        )
+        / 4.0,
+        6,
+    )
+    return (
+        df.withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stopword_ratio, 6))
+        .withColumn("quality_score", score)
+    )
+
+
+def with_language_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Guess language by marker-stopword overlap; 'und' (undetermined)
+    when no marker hits. Deterministic tie-break: language order as
+    listed (en, de, es, fr)."""
+    tok = tokens(text_col)
+    scores = [
+        (
+            lang,
+            F.size(F.array_intersect(tok, F.array(*[F.lit(w) for w in words]))),
+        )
+        for lang, words in _LANG_MARKERS.items()
+    ]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # fold right-to-left so earlier languages win ties
+    for lang, s in reversed(scores):
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return df.withColumn("lang_guess", best)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: md5 of whitespace-normalized lowercase
+    text (cross-engine comparable) and a 64-bit polynomial rolling hash
+    over tokens (cheap streaming-friendly variant)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    # Polynomial hash kept modular (ANSI mode forbids silent wrap-around):
+    # acc stays < 2^57, the per-token term < 2^32, so acc*31 + term never
+    # overflows int64.
+    rolling = F.aggregate(
+        tokens(text_col),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(31).cast("bigint")
+            + F.pmod(F.xxhash64(t), F.lit(2 ** 32).cast("bigint")),
+            F.lit(2 ** 57).cast("bigint"),
+        ),
+    )
+    return df.withColumn("fingerprint_md5", F.md5(norm)).withColumn(
+        "fingerprint_rolling", rolling
+    )

@@ -26,6 +26,16 @@ def get_spark(
     default to ``local[N]`` with N from ``$SPARK_GRAFT_CPUS`` (driver
     contract) or all cores.
     """
+    # Python workers (pandas UDF / mapInPandas paths) import this package
+    # by module reference; make sure they can resolve it in local mode.
+    # On a real cluster the wheel ships via --py-files / pip instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"

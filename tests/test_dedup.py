@@ -1,0 +1,119 @@
+"""Dedup operator tests at sf0.001 + synthetic near-dup fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from esdb_spark.operators.dedup import (
+    dedup_embedding_cosine,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    minhash_jaccard_estimate,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away "
+    "into the deep green forest to find some food for the long winter"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("quick", "speedy")),  # near dup of 0
+        (3, "completely different text about spark sql engines and columnar storage formats"),
+        (4, "yet another unrelated document mentioning parquet files compression and statistics"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_keeps_smallest_id(docs):
+    out = dedup_exact(docs, ["text"], order_col="doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [0, 2, 3, 4]
+
+
+def test_dedup_exact_unordered(docs):
+    assert dedup_exact(docs, ["text"]).count() == 4
+
+
+def test_minhash_estimates_jaccard(docs):
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=128)
+    pairs = docs.selectExpr("doc_id as id_a").crossJoin(
+        docs.selectExpr("doc_id as id_b")
+    ).filter("id_a < id_b")
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_jaccard_estimate(sigs, pairs).collect()
+    }
+    assert est[(0, 1)] == 1.0  # identical docs
+    assert est[(0, 2)] > 0.5  # near dup
+    assert est[(0, 3)] < 0.2  # unrelated
+
+
+def test_lsh_finds_near_pairs(docs):
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=128)
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, bands=32).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+
+
+def test_dedup_minhash_lsh(docs):
+    out = dedup_minhash_lsh(docs, "text", "doc_id", threshold=0.5)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert 0 in kept and 1 not in kept and 2 not in kept
+    assert 3 in kept and 4 in kept
+
+
+def test_simhash_hamming(docs):
+    hashes = simhash(docs, "text", "doc_id")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(hashes, max_hamming=10).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical
+    assert (0, 2) in pairs  # near dup within 10 bits
+    out = dedup_simhash(docs, "text", "doc_id", max_hamming=10)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert 0 in kept and 1 not in kept
+
+
+def test_ngram_jaccard_exact(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.4).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_dedup_embedding_cosine(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # ~dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = dedup_embedding_cosine(df, "embedding", "vec_id", threshold=0.95)
+    assert sorted(r.vec_id for r in out.collect()) == [0, 2, 3]
+
+
+def test_dedup_real_documents(spark):
+    from esdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # all 500 texts are distinct → exact dedup is the identity
+    assert dedup_exact(docs, ["text"], order_col="doc_id").count() == docs.count()
+    # minhash runs end-to-end on real data and keeps a sane fraction
+    kept = dedup_minhash_lsh(
+        docs, "text", "doc_id", threshold=0.9, num_hashes=64, bands=16
+    ).count()
+    assert kept > 0.5 * docs.count()
