@@ -54,10 +54,16 @@ class Space:
         self.id = str(space_id)
 
     @property
-    def _df(self) -> DataFrame:
-        # Equality on the partition column → Catalyst prunes to the one
-        # space directory, the moral equivalent of esdb.go:41-60.
+    def df(self) -> DataFrame:
+        """All events of this space, unordered — the raw partition slice.
+        Equality on the partition column → Catalyst prunes to the one
+        space directory, the moral equivalent of esdb.go:41-60."""
         return self._db.df.filter(F.col("space") == self.id)
+
+    # internal alias kept for brevity in methods below
+    @property
+    def _df(self) -> DataFrame:
+        return self.df
 
     def exists(self) -> bool:
         return self._df.limit(1).count() > 0

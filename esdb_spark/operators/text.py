@@ -89,9 +89,9 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_chars > 0,
         F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / n_chars,
     ).otherwise(F.lit(0.0))
-    stop_hits = F.size(
-        F.array_intersect(tok, F.array(*[F.lit(w) for w in _STOPWORDS_EN]))
-    )
+    stops_arr = F.array(*[F.lit(w) for w in _STOPWORDS_EN])
+    # occurrence count (not distinct): every stopword token counts
+    stop_hits = F.size(F.filter(tok, lambda t: F.array_contains(stops_arr, t)))
     stopword_ratio = F.when(F.size(tok) > 0, stop_hits / F.size(tok)).otherwise(
         F.lit(0.0)
     )

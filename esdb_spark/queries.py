@@ -1,0 +1,814 @@
+"""The engine's query catalog — the driver correctness surface.
+
+Every entry pairs a Spark implementation (exercising the engine's API
+and operators) with an ANSI-SQL oracle DuckDB can run on the same
+parquet tables. Contract (driver): per query, row count + schema +
+order-insensitive value hash must match, with columns sorted by name —
+so every computed column is aliased identically on both sides.
+
+Cross-engine determinism rules applied throughout:
+
+- **Timestamps** are projected as ``epoch microseconds`` bigints
+  (``unix_micros`` / ``epoch_us``) — same integer on both engines; the
+  testdata carries no sub-microsecond components (verified).
+- **Money aggregates** are computed in DECIMAL (exact, order-free) and
+  cast to double at the end: identical bits on both engines. Raw
+  double columns are never summed (summation order would differ) —
+  except per-row arithmetic, which is a fixed IEEE expression.
+- **Per-row ratios** (int/int divisions) are bit-deterministic and left
+  unrounded.
+- **Top-k queries** always carry a total order (unique tiebreaker) so
+  LIMIT is deterministic.
+
+Queries marked ``oracle=None`` are genuinely non-SQL-expressible in
+DuckDB (xxhash64-based sketches); the driver records a rows-only check
+for those.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from esdb_spark.db import Db
+from esdb_spark.sources.tables import load_table
+
+
+class Q(NamedTuple):
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+def _events_as_esdb(spark: SparkSession, sf_dir: str) -> Db:
+    """Map the driver's events table onto the canonical esdb schema:
+    space=event_type, grouping=user_id, seq=event_id, data=props,
+    secondary index k = the JSON payload's "k" field (SURVEY §1.4)."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.col("event_type").alias("space"),
+        F.col("user_id").cast("string").alias("grouping"),
+        F.col("ts"),
+        F.col("event_id").alias("seq"),
+        F.col("props").alias("data"),
+        F.create_map(
+            F.lit("k"), F.get_json_object("props", "$.k")
+        ).alias("indexes"),
+    )
+    return Db.from_dataframe(df)
+
+
+def _scan_cols():
+    # built lazily: Column objects need an active SparkSession
+    return [
+        "space",
+        "grouping",
+        F.unix_micros("ts").alias("ts_us"),
+        "seq",
+        "data",
+    ]
+
+# DuckDB-side projection of the same esdb mapping.
+_ORACLE_EVENTS = """
+    SELECT event_type AS space,
+           CAST(user_id AS VARCHAR) AS grouping,
+           epoch_us(ts) AS ts_us,
+           event_id AS seq,
+           props AS data,
+           json_extract_string(props, '$.k') AS idx_k
+    FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity scans (BASELINE.md bench shapes 1-4 + enumerations)
+# ---------------------------------------------------------------------------
+
+def scan_latest_1(spark, sf_dir):
+    db = _events_as_esdb(spark, sf_dir)
+    return db.find("purchase").scan(grouping="12", limit=1).select(*_scan_cols())
+
+
+def scan_top500(spark, sf_dir):
+    db = _events_as_esdb(spark, sf_dir)
+    return db.find("view").scan(grouping="3", limit=500).select(*_scan_cols())
+
+
+def index_scan_latest_1(spark, sf_dir):
+    db = _events_as_esdb(spark, sf_dir)
+    return db.find("click").scan_index("k", "42", limit=1).select(*_scan_cols())
+
+
+def index_scan_top500(spark, sf_dir):
+    db = _events_as_esdb(spark, sf_dir)
+    return db.find("view").scan_index("k", "7", limit=500).select(*_scan_cols())
+
+
+def rev_scan_top100(spark, sf_dir):
+    db = _events_as_esdb(spark, sf_dir)
+    return db.find("error").rev_scan(grouping="0", limit=100).select(*_scan_cols())
+
+
+def space_enum(spark, sf_dir):
+    db = _events_as_esdb(spark, sf_dir)
+    return db.df.select("space").distinct().orderBy("space")
+
+
+def grouping_enum(spark, sf_dir):
+    db = _events_as_esdb(spark, sf_dir)
+    return (
+        db.find("purchase")
+        ._df.select("grouping")
+        .distinct()
+        .orderBy("grouping")
+    )
+
+
+def latest_per_grouping(spark, sf_dir):
+    """The stream-tails aggregate (SURVEY §2.3 #21): newest event per
+    (space, grouping) via arg-max."""
+    db = _events_as_esdb(spark, sf_dir)
+    w = Window.partitionBy("space", "grouping").orderBy(
+        F.col("ts").desc(), F.col("seq").asc()
+    )
+    return (
+        db.df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*_scan_cols())
+    )
+
+
+def cursor_page(spark, sf_dir):
+    """Keyset continuation (SURVEY §2.3 #24): resume a ts-desc scan of
+    space 'view' strictly after cursor (ts_us=1706000000000000, seq)."""
+    db = _events_as_esdb(spark, sf_dir)
+    cur_us = 1706000000000000
+    df = db.find("view")._df.filter(
+        (F.unix_micros("ts") < cur_us)
+    )
+    return (
+        df.orderBy(F.col("ts").desc(), F.col("seq").asc())
+        .limit(200)
+        .select(*_scan_cols())
+    )
+
+
+_PARITY_ORACLES = {
+    "scan_latest_1": f"""
+        SELECT space, grouping, ts_us, seq, data FROM ({_ORACLE_EVENTS})
+        WHERE space = 'purchase' AND grouping = '12'
+        ORDER BY ts_us DESC, seq ASC LIMIT 1
+    """,
+    "scan_top500": f"""
+        SELECT space, grouping, ts_us, seq, data FROM ({_ORACLE_EVENTS})
+        WHERE space = 'view' AND grouping = '3'
+        ORDER BY ts_us DESC, seq ASC LIMIT 500
+    """,
+    "index_scan_latest_1": f"""
+        SELECT space, grouping, ts_us, seq, data FROM ({_ORACLE_EVENTS})
+        WHERE space = 'click' AND idx_k = '42'
+        ORDER BY ts_us DESC, seq ASC LIMIT 1
+    """,
+    "index_scan_top500": f"""
+        SELECT space, grouping, ts_us, seq, data FROM ({_ORACLE_EVENTS})
+        WHERE space = 'view' AND idx_k = '7'
+        ORDER BY ts_us DESC, seq ASC LIMIT 500
+    """,
+    "rev_scan_top100": f"""
+        SELECT space, grouping, ts_us, seq, data FROM ({_ORACLE_EVENTS})
+        WHERE space = 'error' AND grouping = '0'
+        ORDER BY ts_us ASC, seq DESC LIMIT 100
+    """,
+    "space_enum": f"""
+        SELECT DISTINCT space FROM ({_ORACLE_EVENTS}) ORDER BY space
+    """,
+    "grouping_enum": f"""
+        SELECT DISTINCT grouping FROM ({_ORACLE_EVENTS})
+        WHERE space = 'purchase' ORDER BY grouping
+    """,
+    "latest_per_grouping": f"""
+        SELECT space, grouping, ts_us, seq, data FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY space, grouping
+                ORDER BY ts_us DESC, seq ASC) AS rn
+            FROM ({_ORACLE_EVENTS})
+        ) WHERE rn = 1
+    """,
+    "cursor_page": f"""
+        SELECT space, grouping, ts_us, seq, data FROM ({_ORACLE_EVENTS})
+        WHERE space = 'view' AND ts_us < 1706000000000000
+        ORDER BY ts_us DESC, seq ASC LIMIT 200
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Analytical queries (capability layer: joins/aggs/windows/setops —
+# SURVEY §2.6 "engine plan" column)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            ).cast("double").alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+                * (F.lit(1).cast("decimal(18,2)") + dec("l_tax"))
+            ).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top10_revenue(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_nation_revenue(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def top_parts_per_brand(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(dec("l_extendedprice")).cast("double").alias("part_revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("part_revenue").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        rev.withColumn("brand_rank", F.row_number().over(w))
+        .filter(F.col("brand_rank") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            "part_revenue",
+            F.col("brand_rank").cast("bigint").alias("brand_rank"),
+        )
+    )
+
+
+def customer_order_stats(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.max(
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            ).alias("last_order_us"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def rollup_status_priority(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def customers_without_orders(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def nations_customers_and_suppliers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    has_cust = c.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    has_supp = s.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return has_cust.intersect(has_supp).orderBy("nationkey")
+
+
+def sessionize_users(spark, sf_dir):
+    """Sessionization: a new session starts after a >30-minute gap.
+    lag + conditional cumulative sum — identical window SQL on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def event_value_pivot(spark, sf_dir):
+    """Manual pivot (portable): per-user event_type value totals in
+    exact decimal, cast to double."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    out = ev.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, dec)).cast("double").alias(f"sum_{t}")
+            for t in ["click", "view", "purchase", "signup", "error"]
+        ]
+    )
+    return out.orderBy("user_id")
+
+
+_ANALYTIC_ORACLES = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_top10_revenue": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+    "q5_nation_revenue": """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
+    """,
+    "top_parts_per_brand": """
+        SELECT p_brand, p_partkey, part_revenue, brand_rank FROM (
+            SELECT p_brand, p_partkey,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_revenue,
+                   row_number() OVER (PARTITION BY p_brand
+                       ORDER BY CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) DESC,
+                                p_partkey ASC) AS brand_rank
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand, p_partkey
+        ) WHERE brand_rank <= 3
+    """,
+    "customer_order_stats": """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               count(DISTINCT o_custkey) AS n_customers,
+               max(epoch_us(o_orderdate)) AS last_order_us,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "rollup_status_priority": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+    "customers_without_orders": """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "nations_customers_and_suppliers": """
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "sessionize_users": """
+        SELECT user_id,
+               sum(new_session) AS n_sessions,
+               count(*) AS n_events
+        FROM (
+            SELECT user_id,
+                   CASE WHEN prev_us IS NULL
+                             OR epoch_us(ts) - prev_us > 30*60*1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM (
+                SELECT user_id, ts,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS prev_us
+                FROM events
+            )
+        )
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "event_value_pivot": """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_click,
+               CAST(sum(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_view,
+               CAST(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_purchase,
+               CAST(sum(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_signup,
+               CAST(sum(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_error
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Pipeline operators (SURVEY §2.7): text analysis, dedup, similarity
+# ---------------------------------------------------------------------------
+
+# DuckDB token list matching esdb_spark.functions.tokens
+_TOK = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t != '')"
+)
+_STOPS = "['the','and','of','to','in','is','that','for','a','with','as','on','it','by']"
+
+
+def doc_token_stats(spark, sf_dir):
+    from esdb_spark.operators.text import with_token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_token_stats(docs, "text").select(
+        "doc_id",
+        F.col("n_chars_calc").cast("bigint").alias("n_chars_calc"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "avg_token_len",
+        F.col("bpe_tokens_est").cast("bigint").alias("bpe_tokens_est"),
+    )
+
+
+def doc_quality(spark, sf_dir):
+    from esdb_spark.operators.text import with_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_quality(docs, "text").select(
+        "doc_id", "punct_ratio", "alpha_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def doc_language_guess(spark, sf_dir):
+    from esdb_spark.operators.text import with_language_guess
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_language_guess(docs, "text")
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_guess")
+    )
+
+
+def doc_fingerprint(spark, sf_dir):
+    from esdb_spark.operators.text import with_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_fingerprint(docs, "text").select("doc_id", "fingerprint_md5")
+
+
+def dedup_events_exact(spark, sf_dir):
+    """Exact dedup on (user_id, event_type): keep the earliest event —
+    the deterministic-keeper dedup over a key with genuine duplicates."""
+    from esdb_spark.operators.dedup import dedup_exact
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    out = dedup_exact(
+        ev.withColumn("key", F.concat_ws("|", "user_id", "event_type")),
+        ["key"],
+        order_col=["ts", "event_id"],  # unique total order
+    )
+    return out.select("event_id", "user_id", "event_type").orderBy("event_id")
+
+
+def doc_unigram_jaccard_pairs(spark, sf_dir):
+    """Exact unigram-set Jaccard near-dup pairs (threshold 0.6) — the
+    SQL-verifiable oracle for the sketch-based dedups."""
+    from esdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(docs, "text", "doc_id", shingle_size=1, threshold=0.6)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 10 vectors. Output keeps
+    ids + rank (ints); the cosine itself is float and stays internal."""
+    from esdb_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return (
+        cosine_topk(emb, queries, "embedding", "vec_id", k=5)
+        .select(
+            "query_id", "id", F.col("rank").cast("bigint").alias("rank")
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def multimodal_features(spark, sf_dir):
+    """Media feature extraction over documents-as-binary — exercises
+    the Arrow mapInPandas plumbing; the fake decoder is deterministic
+    from the payload bytes, so even DuckDB can predict it (ASCII text)."""
+    from esdb_spark.operators.multimodal import extract_media_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return extract_media_features(media).select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "n_bytes",
+    ).orderBy("media_id")
+
+
+_PIPELINE_ORACLES = {
+    "doc_token_stats": f"""
+        SELECT doc_id,
+               length(text) AS n_chars_calc,
+               len(toks) AS n_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS avg_token_len,
+               CAST(list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS INT)))
+                    + length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS BIGINT) AS bpe_tokens_est
+        FROM (SELECT doc_id, text, {_TOK} AS toks FROM documents)
+        ORDER BY doc_id
+    """,
+    "doc_quality": f"""
+        WITH t AS (
+            SELECT doc_id, text, {_TOK} AS toks,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   len(list_filter({_TOK}, t -> list_contains({_STOPS}, t))) AS stop_hits
+            FROM documents
+        )
+        SELECT doc_id,
+               round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS punct_ratio,
+               round(CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS alpha_ratio,
+               round(CASE WHEN len(toks) > 0 THEN CAST(stop_hits AS DOUBLE)/len(toks) ELSE 0.0 END, 6) AS stopword_ratio,
+               round((
+                   CAST(n_chars BETWEEN 50 AND 20000 AS DOUBLE)
+                 + CAST((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) <= 0.2 AS DOUBLE)
+                 + least((CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars ELSE 0.0 END) * 1.25, 1.0)
+                 + least((CASE WHEN len(toks) > 0 THEN CAST(stop_hits AS DOUBLE)/len(toks) ELSE 0.0 END) * 10, 1.0)
+               ) / 4.0, 6) AS quality_score
+        FROM t ORDER BY doc_id
+    """,
+    "doc_language_guess": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOK} AS toks FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   len(list_intersect(toks, ['the','and','of','to','in','is','that','for'])) AS s_en,
+                   len(list_intersect(toks, ['der','die','und','das','ist','nicht','ein','zu'])) AS s_de,
+                   len(list_intersect(toks, ['el','la','de','que','y','los','en','un'])) AS s_es,
+                   len(list_intersect(toks, ['le','la','et','les','des','est','un','une'])) AS s_fr
+            FROM t
+        )
+        SELECT lang_guess, count(*) AS n_docs FROM (
+            SELECT CASE
+                WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_guess
+            FROM s
+        ) GROUP BY lang_guess ORDER BY lang_guess
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint_md5
+        FROM documents ORDER BY doc_id
+    """,
+    "dedup_events_exact": """
+        SELECT event_id, user_id, event_type FROM (
+            SELECT event_id, user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts ASC, event_id ASC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1 ORDER BY event_id
+    """,
+    "doc_unigram_jaccard_pairs": f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id AS id, unnest(list_distinct({_TOK})) AS shingle
+            FROM documents
+        ), sizes AS (
+            SELECT id, count(*) AS n FROM sh GROUP BY id
+        ), inter AS (
+            SELECT l.id AS id_a, r.id AS id_b, count(*) AS inter
+            FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.id < r.id
+            GROUP BY l.id, r.id
+        )
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.id = id_a
+        JOIN sizes nb ON nb.id = id_b
+        WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.6
+        ORDER BY id_a, id_b
+    """,
+    "similarity_topk": """
+        SELECT query_id, id, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                           c.vec_id ASC
+                   ) AS rank
+            FROM embeddings c
+            JOIN embeddings q ON q.vec_id < 10 AND c.vec_id != q.vec_id
+        ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    "multimodal_features": """
+        SELECT doc_id AS media_id,
+               CASE WHEN octet_length(encode(text)) > 0
+                    THEN 100 + ascii(substr(text, 1, 1)) % 156 ELSE 0 END AS width,
+               CASE WHEN octet_length(encode(text)) > 0
+                    THEN 100 + ascii(substr(text, length(text), 1)) % 156 ELSE 0 END AS height,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents ORDER BY media_id
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle: xxhash64-based sketches)
+# ---------------------------------------------------------------------------
+
+def dedup_minhash_docs(spark, sf_dir):
+    from esdb_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup_minhash_lsh(
+            docs, "text", "doc_id", threshold=0.8, num_hashes=128, bands=32
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def dedup_simhash_docs(spark, sf_dir):
+    from esdb_spark.operators.dedup import dedup_simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup_simhash(docs, "text", "doc_id", max_hamming=3)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def ann_topk_docs(spark, sf_dir):
+    from esdb_spark.operators.similarity import ann_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return (
+        ann_topk_lsh(emb, queries, "embedding", "vec_id", k=5, bits=4, rotations=8)
+        .select("query_id", "id", F.col("rank").cast("bigint").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def catalog() -> dict[str, Q]:
+    qs: dict[str, Q] = {}
+    for name, fn in [
+        ("scan_latest_1", scan_latest_1),
+        ("scan_top500", scan_top500),
+        ("index_scan_latest_1", index_scan_latest_1),
+        ("index_scan_top500", index_scan_top500),
+        ("rev_scan_top100", rev_scan_top100),
+        ("space_enum", space_enum),
+        ("grouping_enum", grouping_enum),
+        ("latest_per_grouping", latest_per_grouping),
+        ("cursor_page", cursor_page),
+    ]:
+        qs[name] = Q(fn, _PARITY_ORACLES[name])
+    for name, fn in [
+        ("q1_pricing_summary", q1_pricing_summary),
+        ("q3_top10_revenue", q3_top10_revenue),
+        ("q5_nation_revenue", q5_nation_revenue),
+        ("top_parts_per_brand", top_parts_per_brand),
+        ("customer_order_stats", customer_order_stats),
+        ("rollup_status_priority", rollup_status_priority),
+        ("customers_without_orders", customers_without_orders),
+        ("nations_customers_and_suppliers", nations_customers_and_suppliers),
+        ("sessionize_users", sessionize_users),
+        ("event_value_pivot", event_value_pivot),
+    ]:
+        qs[name] = Q(fn, _ANALYTIC_ORACLES[name])
+    for name, fn in [
+        ("doc_token_stats", doc_token_stats),
+        ("doc_quality", doc_quality),
+        ("doc_language_guess", doc_language_guess),
+        ("doc_fingerprint", doc_fingerprint),
+        ("dedup_events_exact", dedup_events_exact),
+        ("doc_unigram_jaccard_pairs", doc_unigram_jaccard_pairs),
+        ("similarity_topk", similarity_topk),
+        ("multimodal_features", multimodal_features),
+    ]:
+        qs[name] = Q(fn, _PIPELINE_ORACLES[name])
+    for name, fn in [
+        ("dedup_minhash_docs", dedup_minhash_docs),
+        ("dedup_simhash_docs", dedup_simhash_docs),
+        ("ann_topk_docs", ann_topk_docs),
+    ]:
+        qs[name] = Q(fn, None)
+    return qs

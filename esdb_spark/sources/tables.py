@@ -38,9 +38,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # to microsecond timestamps (divide by 1000, integer semantics).
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # integer division: float `/` would round at ~1e18 epoch-nanos
+            # (doubles carry 53 bits) and corrupt the microsecond digit
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,39 @@
+"""Every oracle-backed catalog query must hash-match DuckDB at sf0.01
+(the driver's correctness gate, run locally and stricter: exact float
+equality)."""
+
+import pytest
+
+from esdb_spark.queries import catalog
+from oracle_harness import compare, run_oracle
+
+SF_DIR = "/root/testdata/sf0.01"
+
+CATALOG = catalog()
+ORACLE_NAMES = [n for n, q in CATALOG.items() if q.oracle]
+ROWS_ONLY_NAMES = [n for n, q in CATALOG.items() if not q.oracle]
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, name):
+    q = CATALOG[name]
+    got = q.fn(spark, SF_DIR)
+    want = run_oracle(q.oracle, SF_DIR)
+    ok, msg = compare(got, want)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_queries_run(spark, name):
+    q = CATALOG[name]
+    df = q.fn(spark, SF_DIR)
+    assert df.count() >= 0  # runs, stable schema
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.queries().keys()) >= set(e.oracle_sql().keys())
