@@ -1,0 +1,74 @@
+"""Physical-plan inspection helpers — the engine's "did Catalyst do
+what we designed for" checks.
+
+Used by tests and by developers iterating on operators: a query that
+reads all columns for a two-column projection, misses a partition
+filter, or sorts globally where a top-k would do is a performance bug
+even when results are correct (the 100 TB design review in code form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The executed/physical plan as text (formatted explain)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def has_partition_pruning(df: DataFrame, column: str) -> bool:
+    """True when the scan carries a partition filter on ``column`` —
+    the Spark equivalent of the reference's space point-lookup skipping
+    all other spaces' bytes (esdb.go:41-60)."""
+    plan = physical_plan(df)
+    for line in plan.splitlines():
+        if "PartitionFilters" in line and column in line.split("PartitionFilters", 1)[1]:
+            return True
+    return False
+
+
+def has_pushed_filter(df: DataFrame, column: str) -> bool:
+    """True when a data filter on ``column`` is pushed into the parquet
+    scan (row-group/page skipping via min-max stats)."""
+    plan = physical_plan(df)
+    for line in plan.splitlines():
+        if "PushedFilters" in line and column in line.split("PushedFilters", 1)[1]:
+            return True
+    return False
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def has_top_k(df: DataFrame) -> bool:
+    """True when ORDER BY + LIMIT compiled to TakeOrderedAndProject —
+    a distributed top-k (per-partition heaps), not a global sort. This
+    is what makes `scan(..., limit=n)` O(n) per partition at 100 TB."""
+    return "TakeOrderedAndProject" in physical_plan(df)
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns actually read from parquet (column pruning check)."""
+    plan = physical_plan(df)
+    cols: list[str] = []
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            schema = line.split("ReadSchema:", 1)[1]
+            inside = schema[schema.find("<") + 1 : schema.rfind(">")]
+            for part in inside.split(","):
+                name = part.split(":")[0].strip()
+                if name:
+                    cols.append(name)
+    return cols
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of exchanges in the plan — the scale currency. Every one
+    is a full network/disk cycle of its input at 100 TB."""
+    return physical_plan(df).count("Exchange")

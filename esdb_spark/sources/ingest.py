@@ -1,0 +1,77 @@
+"""Bulk ingestion — reference parity for the CSV→esdb loader
+(/root/reference/testdata/build.go:24-91): reads a CSV, JSON-encodes
+each row as the event payload, maps columns onto space/grouping/index
+roles, bulk-writes the archive.
+
+The whole pipeline is one distributed plan: read → project → partition
+→ sorted write; nothing lands on the driver, so it scales to any CSV
+the cluster can read (the reference streams row-by-row through one
+process)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from esdb_spark.writer import write_events
+
+
+def events_from_columns(
+    df: DataFrame,
+    space_col: str,
+    ts_col: str,
+    grouping_col: str | None = None,
+    index_cols: list[str] | None = None,
+) -> DataFrame:
+    """Shape an arbitrary DataFrame into the canonical events schema.
+
+    - ``data`` = JSON of the full source row (build.go:59 marshals the
+      row struct);
+    - ``indexes`` = {col: value} for each index column (build.go:52-57:
+      visitor/city);
+    - ``seq`` = partition-ordered id (file order, the reference's
+      insertion order);
+    - ``ts`` accepts epoch seconds (int) or native timestamps.
+    """
+    index_cols = index_cols or []
+    ts = F.col(ts_col)
+    ts_type = dict(df.dtypes)[ts_col]
+    if ts_type in ("int", "bigint", "long", "double"):
+        ts = F.timestamp_seconds(F.col(ts_col).cast("long"))
+    index_entries: list = []
+    for col in index_cols:
+        index_entries.extend([F.lit(col), F.col(col).cast("string")])
+    return df.select(
+        F.col(space_col).cast("string").alias("space"),
+        (
+            F.col(grouping_col).cast("string") if grouping_col else F.lit("")
+        ).alias("grouping"),
+        ts.alias("ts"),
+        F.monotonically_increasing_id().alias("seq"),
+        F.to_json(F.struct(*df.columns)).alias("data"),
+        (
+            F.create_map(*index_entries) if index_entries else F.create_map()
+        ).alias("indexes"),
+    )
+
+
+def ingest_csv(
+    spark: SparkSession,
+    csv_path: str,
+    out_path: str,
+    space_col: str,
+    ts_col: str,
+    grouping_col: str | None = None,
+    index_cols: list[str] | None = None,
+    header: bool = True,
+    layout: str = "partitioned",
+) -> None:
+    """CSV → esdb archive (reference testdata/build.go `main`)."""
+    src = spark.read.csv(csv_path, header=header, inferSchema=True)
+    events = events_from_columns(
+        src,
+        space_col=space_col,
+        ts_col=ts_col,
+        grouping_col=grouping_col,
+        index_cols=index_cols,
+    )
+    write_events(events, out_path, layout=layout)

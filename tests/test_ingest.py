@@ -1,0 +1,48 @@
+"""CSV ingestion parity tests (reference testdata/build.go)."""
+
+import csv
+
+from esdb_spark import Db
+from esdb_spark.sources.ingest import ingest_csv
+
+
+def test_ingest_csv_visits_shape(spark, tmp_path):
+    # the reference fixture shape: type,host,city,visitor,timestamp
+    csv_path = str(tmp_path / "visits.csv")
+    rows = [
+        ("visit", "a.com", "ny", "v1@x.com", 1400000003),
+        ("visit", "a.com", "sf", "v2@x.com", 1400000001),
+        ("visit", "b.com", "ny", "v1@x.com", 1400000002),
+        ("click", "a.com", "la", "v3@x.com", 1400000004),
+    ]
+    with open(csv_path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["type", "host", "city", "visitor", "timestamp"])
+        w.writerows(rows)
+
+    out = str(tmp_path / "visits.esdb")
+    ingest_csv(
+        spark,
+        csv_path,
+        out,
+        space_col="type",
+        ts_col="timestamp",
+        grouping_col="host",
+        index_cols=["visitor", "city"],
+    )
+    db = Db.open(spark, out)
+    assert db.spaces() == ["click", "visit"]
+
+    # grouping scan: ts-desc within host a.com of space visit
+    got = db.find("visit").scan("a.com").collect()
+    assert [r["indexes"]["city"] for r in got] == ["ny", "sf"]
+
+    # secondary index scan across groupings
+    v1 = db.find("visit").scan_index("visitor", "v1@x.com").collect()
+    assert [r["grouping"] for r in v1] == ["a.com", "b.com"]  # ts desc
+
+    # payload is the JSON row (build.go:59)
+    import json
+
+    payload = json.loads(got[0]["data"])
+    assert payload["host"] == "a.com" and payload["city"] == "ny"

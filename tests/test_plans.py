@@ -1,0 +1,89 @@
+"""Plan-hygiene tests: the physical plans the 100 TB design depends on.
+Correct results with the wrong plan are failures here."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from esdb_spark import Db
+from esdb_spark.plans import (
+    has_broadcast_join,
+    has_partition_pruning,
+    has_pushed_filter,
+    has_top_k,
+    read_schema_columns,
+    shuffle_count,
+)
+from esdb_spark.sources.tables import load_table
+from esdb_spark.writer import write_events
+
+
+@pytest.fixture(scope="module")
+def archive(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "a.esdb")
+    src = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("space"),
+        (F.col("id") % 3).cast("string").alias("grouping"),
+        F.timestamp_seconds(F.lit(1400000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("seq"),
+        F.col("id").cast("string").alias("data"),
+        F.create_map(F.lit("p"), (F.col("id") % 2).cast("string")).alias(
+            "indexes"
+        ),
+    )
+    write_events(src, path)
+    return Db.open(spark, path)
+
+
+def test_space_lookup_prunes_partitions(archive):
+    df = archive.find("3").scan("1")
+    assert has_partition_pruning(df, "space")
+
+
+def test_grouping_filter_pushed(archive):
+    df = archive.find("3").scan("1")
+    assert has_pushed_filter(df, "grouping")
+
+
+def test_limit_compiles_to_top_k(archive):
+    # LIMIT after ORDER BY must be a distributed top-k, not a global
+    # sort — the early-termination parity (reference Scanner-false).
+    df = archive.find("3").scan("1", limit=5)
+    assert has_top_k(df)
+
+
+def test_column_pruning(archive):
+    df = archive.find("3").scan("1").select("data")
+    cols = read_schema_columns(df)
+    assert "data" in cols
+    assert "indexes" not in cols  # untouched column never read
+
+
+def test_broadcast_join_for_small_dim(spark):
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_name"
+    )
+    assert has_broadcast_join(joined)
+
+
+def test_catalog_scan_plans(spark):
+    """The headline reference-parity scans keep their efficient shape
+    on the real driver tables."""
+    from esdb_spark.queries import catalog
+
+    cat = catalog()
+    df = cat["scan_top500"].fn(spark, "/root/testdata/sf0.001")
+    assert has_top_k(df)
+    # event_type/user_id filters push into the parquet scan
+    assert has_pushed_filter(df, "event_type")
+    assert has_pushed_filter(df, "user_id")
+
+
+def test_single_shuffle_for_groupby(spark):
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    # one exchange for the final aggregation (partial aggs are map-side)
+    assert shuffle_count(agg) <= 1

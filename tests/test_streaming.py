@@ -1,0 +1,99 @@
+"""Structured Streaming integration tests (memory sink +
+processAllAvailable drive the queries synchronously)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from esdb_spark import EventStream
+from esdb_spark.sources.tables import load_table
+from esdb_spark.streaming import (
+    read_event_stream,
+    stream_into,
+    tails_query,
+    windowed_counts,
+)
+
+
+def test_tails_query_tracks_appends(spark, tmp_path):
+    path = str(tmp_path / "s.stream")
+    s = EventStream.new(spark, path)
+    s.write("v1", {"k": "a"})
+    src = read_event_stream(spark, path)
+    q = tails_query(src, query_name="t_tails")
+    try:
+        q.processAllAvailable()
+        t1 = {
+            (r["name"], r["value"]): r["data"]
+            for r in spark.sql("SELECT * FROM t_tails").collect()
+        }
+        assert t1[("k", "a")] == "v1"
+        # live update: a newer event moves the tail
+        s.write("v2", {"k": "a"})
+        q.processAllAvailable()
+        t2 = {
+            (r["name"], r["value"]): r["data"]
+            for r in spark.sql("SELECT * FROM t_tails").collect()
+        }
+        assert t2[("k", "a")] == "v2"
+    finally:
+        q.stop()
+
+
+def test_stream_into_appends(spark, tmp_path):
+    src_path = str(tmp_path / "src.stream")
+    dst_path = str(tmp_path / "dst.stream")
+    src_stream = EventStream.new(spark, src_path)
+    src_stream.write_batch([("a", {"x": "1"}), ("b", {"x": "2"})])
+    dst = EventStream.new(spark, dst_path)
+
+    q = stream_into(
+        read_event_stream(spark, src_path).select("data", "indexes"),
+        dst,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [r["data"] for r in dst.iterate().collect()] == ["a", "b"]
+    assert dst.first("x", "2")["data"] == "b"
+
+
+def test_windowed_counts_batch_semantics(spark):
+    # windowed agg used in batch mode for a deterministic check
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    )
+    assert out[0]["total"] == ev.count()
+
+
+def test_windowed_counts_streaming(spark, tmp_path):
+    # drive the watermarked streaming rollup over the real events table
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src_dir = str(tmp_path / "events_src")
+    ev.write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src_dir)
+    )
+    agg = windowed_counts(stream, window="1 day", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wc_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # append mode emits only watermark-closed windows; with one
+        # batch the final windows stay open, so assert the query ran
+        # and produced a valid (possibly partial) prefix
+        rows = spark.sql("SELECT * FROM wc_out").collect()
+        assert all(r["n"] > 0 for r in rows)
+    finally:
+        q.stop()
