@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "index_scan_top500",
     # tails + analytics
     "latest_per_grouping",
+    "asof_enrich",
     "q1_pricing_summary",
     "q3_top10_revenue",
     "q5_nation_revenue",
