@@ -54,6 +54,17 @@ def events_from_columns(
     )
 
 
+def export_jsonl(df: DataFrame, out_path: str, payload_col: str = "data") -> None:
+    """Dump event payloads as JSON lines (reference testdata/build.go:72-80
+    writes each event's JSON payload newline-delimited alongside the
+    archive). Payloads are already JSON strings, so this is a text write
+    — one file per partition; coalesce upstream if a single file is
+    required."""
+    df.select(F.col(payload_col).alias("value")).write.mode(
+        "errorifexists"
+    ).text(out_path)
+
+
 def ingest_csv(
     spark: SparkSession,
     csv_path: str,
