@@ -642,6 +642,57 @@ def similarity_topk(spark, sf_dir):
     )
 
 
+def doc_length_histogram(spark, sf_dir):
+    """Document length histogram in 100-char buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.floor(F.length("text") / 100).cast("bigint").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+def top_bigrams(spark, sf_dir):
+    """Top-20 word bigrams by occurrence (count desc, bigram asc)."""
+    from esdb_spark.functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    bigrams = F.when(
+        F.size(tok) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - 2),
+            lambda i: F.concat_ws(" ", F.slice(tok, i + 1, 2)),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+def event_type_stats(spark, sf_dir):
+    """Distinct users + exact value extremes per event type (value is a
+    raw double column: min/max are order-free and exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def multimodal_features(spark, sf_dir):
     """Media feature extraction over documents-as-binary — exercises
     the Arrow mapInPandas plumbing; the fake decoder is deterministic
@@ -764,6 +815,27 @@ _PIPELINE_ORACLES = {
             JOIN embeddings q ON q.vec_id < 10 AND c.vec_id != q.vec_id
         ) WHERE rank <= 5 ORDER BY query_id, rank
     """,
+    "doc_length_histogram": """
+        SELECT CAST(floor(length(text) / 100) AS BIGINT) AS bucket,
+               count(*) AS n_docs
+        FROM documents GROUP BY bucket ORDER BY bucket
+    """,
+    "top_bigrams": f"""
+        SELECT bigram, count(*) AS n FROM (
+            SELECT unnest(CASE WHEN len(toks) >= 2
+                THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+                ELSE [] END) AS bigram
+            FROM (SELECT {_TOK} AS toks FROM documents)
+        ) GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+    "event_type_stats": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "multimodal_features": """
         SELECT doc_id AS media_id,
                CASE WHEN octet_length(encode(text)) > 0
@@ -786,7 +858,7 @@ def dedup_minhash_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return (
         dedup_minhash_lsh(
-            docs, "text", "doc_id", threshold=0.8, num_hashes=128, bands=32
+            docs, "text", "doc_id", threshold=0.8, num_hashes=64, bands=16
         )
         .select("doc_id")
         .orderBy("doc_id")
@@ -855,6 +927,9 @@ def catalog() -> dict[str, Q]:
         ("doc_fingerprint", doc_fingerprint),
         ("dedup_events_exact", dedup_events_exact),
         ("doc_unigram_jaccard_pairs", doc_unigram_jaccard_pairs),
+        ("doc_length_histogram", doc_length_histogram),
+        ("top_bigrams", top_bigrams),
+        ("event_type_stats", event_type_stats),
         ("similarity_topk", similarity_topk),
         ("multimodal_features", multimodal_features),
     ]:
