@@ -70,12 +70,16 @@ class Space:
 
     def scan(self, grouping: str = "", limit: int | None = None) -> DataFrame:
         """Events of one grouping, newest first (space.go:62-77)."""
-        df = _ordered(self._df.filter(F.col("grouping") == grouping))
+        df = _ordered(self._df.filter(F.col("grouping") == grouping)).select(
+            *EVENTS_COLUMNS
+        )
         return df.limit(limit) if limit is not None else df
 
     def rev_scan(self, grouping: str = "", limit: int | None = None) -> DataFrame:
         """Oldest-first grouping scan (README.md:125 parity)."""
-        df = _ordered(self._df.filter(F.col("grouping") == grouping), reverse=True)
+        df = _ordered(
+            self._df.filter(F.col("grouping") == grouping), reverse=True
+        ).select(*EVENTS_COLUMNS)
         return df.limit(limit) if limit is not None else df
 
     def scan_index(
@@ -85,8 +89,16 @@ class Space:
         (space.go:79-108). Empty-string values are legal index values
         (esdb_test.go fixtures); a missing key yields no match (map
         access returns NULL which never equals anything).
+
+        When the archive materialized this index (Writer's
+        ``materialize_indexes``), the predicate runs on the plain
+        ``_idx_<name>`` column — pushed into the Parquet scan, so
+        row-groups without the value are skipped via dictionary/stats
+        instead of decoded and filtered (map-element predicates never
+        reach PushedFilters — the map stays for introspection only).
         """
-        df = _ordered(self._df.filter(F.col("indexes")[name] == value))
+        df = _ordered(self._df.filter(self._index_predicate(name, value)))
+        df = df.select(*[c for c in df.columns if not c.startswith("_idx_")])
         return df.limit(limit) if limit is not None else df
 
     def rev_scan_index(
@@ -94,9 +106,15 @@ class Space:
     ) -> DataFrame:
         """Oldest-first index scan (README.md:125 parity)."""
         df = _ordered(
-            self._df.filter(F.col("indexes")[name] == value), reverse=True
+            self._df.filter(self._index_predicate(name, value)), reverse=True
         )
+        df = df.select(*[c for c in df.columns if not c.startswith("_idx_")])
         return df.limit(limit) if limit is not None else df
+
+    def _index_predicate(self, name: str, value: str):
+        if f"_idx_{name}" in self._db.df.columns:
+            return F.col(f"_idx_{name}") == value
+        return F.col("indexes")[name] == value
 
     def iterate(self, process: Callable[[str], bool] | None = None):
         """Enumerate groupings in ascending key order (space.go:45-60).
@@ -144,7 +162,10 @@ class Db:
 
     def __init__(self, spark: SparkSession, df: DataFrame, path: str | None = None):
         self.spark = spark
-        self.df = df.select(*EVENTS_COLUMNS)
+        # keep materialized `_idx_<name>` columns (Writer option) — they
+        # carry real parquet pushdown for scan_index
+        extra = [c for c in df.columns if c.startswith("_idx_")]
+        self.df = df.select(*EVENTS_COLUMNS, *extra)
         self.path = path
 
     @classmethod

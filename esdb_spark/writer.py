@@ -63,7 +63,22 @@ def _is_written(path: str) -> bool:
 class Writer:
     """Write-once archive builder (reference ``esdb.New`` → ``Write``)."""
 
-    def __init__(self, spark: SparkSession, path: str, layout: str = "partitioned"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        layout: str = "partitioned",
+        materialize_indexes: list[str] | None = None,
+    ):
+        """``materialize_indexes``: secondary-index names to additionally
+        store as plain ``_idx_<name>`` columns. A predicate on a map
+        element (``indexes['city'] = 'x'``) is NOT pushed into the
+        Parquet scan (only IsNotNull reaches it — verified), so plain
+        index scans decode every row of the space. A materialized column
+        gets real pushdown + dictionary/row-group skipping — the Spark
+        equivalent of the reference's secondary index pointer lists
+        (index_block_writer.go). ``Space.scan_index`` uses the column
+        automatically when present."""
         if os.path.exists(path):
             # Parity: reference New() is O_EXCL (writer.go:26-39).
             raise DbExistsError(f"esdb archive already exists at {path}")
@@ -72,6 +87,7 @@ class Writer:
         self._spark = spark
         self._path = path
         self._layout = layout
+        self._materialize = list(materialize_indexes or [])
         self._rows: list[tuple] = []
         self._bulk: list[DataFrame] = []
         self._seq = 0
@@ -168,6 +184,8 @@ class Writer:
         )
 
     def _write_df(self, df: DataFrame, mode: str) -> None:
+        for name in self._materialize:
+            df = df.withColumn(f"_idx_{name}", F.col("indexes")[name])
         if self._layout == "partitioned":
             # One file tree per space; within each partition the rows are
             # clustered by grouping and sorted ts-desc/seq-asc so scans
@@ -196,10 +214,16 @@ class Writer:
 
 
 def write_events(
-    df: DataFrame, path: str, layout: str = "partitioned", assign_seq: bool = False
+    df: DataFrame,
+    path: str,
+    layout: str = "partitioned",
+    assign_seq: bool = False,
+    materialize_indexes: list[str] | None = None,
 ) -> None:
     """One-shot bulk archive build from a distributed DataFrame."""
     spark = df.sparkSession
-    writer = Writer(spark, path, layout=layout)
+    writer = Writer(
+        spark, path, layout=layout, materialize_indexes=materialize_indexes
+    )
     writer.add_dataframe(df, assign_seq=assign_seq)
     writer.write()
