@@ -31,6 +31,11 @@ def _ensure_conf(spark: SparkSession) -> None:
         spark.conf.set(
             "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
         )
+        # runtime-settable AQE knobs: coalesce tiny shuffles (dominant
+        # overhead at small SF), handle skew at large SF
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     except Exception:
         pass  # immutable conf in some deployments; loaders still work
     _ship_package(spark)
