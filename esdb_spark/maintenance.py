@@ -1,0 +1,83 @@
+"""Archive maintenance: statistics and compaction.
+
+The reference's per-space ``Flush`` (writer.go:62-68) maps to
+per-partition appends, which accumulate small files; the reference's
+own answer is the write-once finalize. At cluster scale the equivalent
+hygiene is periodic compaction (OPTIMIZE-style rewrite) — without it a
+100 TB archive of micro-appends collapses scan throughput (per-file
+open/footer costs dominate).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from esdb_spark.db import Db
+from esdb_spark.writer import WRITTEN_MARKER
+
+
+def archive_stats(db: Db):
+    """Per-space statistics: rows, groupings, ts range, file count.
+    The DataFrame half is one aggregation; file counts come from the
+    directory listing (the moral equivalent of reading the footer)."""
+    agg = (
+        db.df.groupBy("space")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("grouping").alias("n_groupings"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("space")
+    )
+    files: dict[str, int] = {}
+    if db.path and os.path.isdir(db.path):
+        for entry in os.listdir(db.path):
+            full = os.path.join(db.path, entry)
+            if os.path.isdir(full) and entry.startswith("space="):
+                space = entry.split("=", 1)[1]
+                files[space] = sum(
+                    1 for f in os.listdir(full) if f.endswith(".parquet")
+                )
+    rows = []
+    for r in agg.collect():
+        rows.append(
+            {
+                **r.asDict(),
+                "n_files": files.get(str(r["space"])),
+            }
+        )
+    return rows
+
+
+def compact_archive(db: Db, target_files_per_space: int = 1) -> Db:
+    """Rewrite the archive with few files per space, restoring the
+    write-time sort (grouping, ts desc, seq asc). Safe for the
+    write-once archive lifecycle: readers of the old Db handle should
+    re-open after compaction.
+
+    At cluster scale this is the OPTIMIZE job you run after heavy
+    `flush()` ingestion; locally it also heals the many-small-appends
+    pattern from row-at-a-time writers.
+    """
+    if db.path is None:
+        raise ValueError("cannot compact an in-memory Db")
+    spark = db.spark
+    tmp = db.path + ".compact.tmp"
+    (
+        db.df.repartition(target_files_per_space, "space")
+        .sortWithinPartitions("grouping", F.col("ts").desc(), F.col("seq").asc())
+        .write.mode("overwrite")
+        .partitionBy("space")
+        .parquet(tmp)
+    )
+    was_written = os.path.exists(os.path.join(db.path, WRITTEN_MARKER))
+    shutil.rmtree(db.path)
+    shutil.move(tmp, db.path)
+    if was_written:
+        with open(os.path.join(db.path, WRITTEN_MARKER), "w") as fh:
+            fh.write("1")
+    return Db.open(spark, db.path)

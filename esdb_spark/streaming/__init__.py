@@ -74,6 +74,87 @@ def tails_query(source: DataFrame, query_name: str = "tails"):
     )
 
 
+def sessionize_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+):
+    """Custom stateful operator: cross-batch sessionization via
+    ``applyInPandasWithState`` (the engine's example of a streaming
+    operator Spark's built-ins can't express — reference parity target
+    'custom stateful operators' in the north star).
+
+    Emits one row per *closed* session (a new event further than
+    ``gap_seconds`` after the previous one closes the open session).
+    The open session per key survives between micro-batches in the
+    state store: (start_us, last_us, n_events).
+
+    Returns the transformed streaming DataFrame; attach a sink and
+    start it from the caller.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("session_end_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state: "GroupState"):
+        (k,) = key
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+        closed = []
+        for pdf in pdfs:
+            ts_us = (
+                pd.to_datetime(pdf["_ts"]).astype("int64") // 1000
+            ).sort_values()
+            for t in ts_us:
+                t = int(t)
+                if last_us is None:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > gap_us:
+                    closed.append((k, start_us, last_us, n))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us = t
+                    n += 1
+        state.update((start_us, last_us, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["key", "session_start_us", "session_end_us", "n_events"],
+            )
+
+    prepared = events.select(
+        F.col(key_col).cast("long").alias("key"), F.col(ts_col).alias("_ts")
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_counts(
     events: DataFrame,
     ts_col: str = "ts",

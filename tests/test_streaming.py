@@ -97,3 +97,57 @@ def test_windowed_counts_streaming(spark, tmp_path):
         assert all(r["n"] > 0 for r in rows)
     finally:
         q.stop()
+
+
+def test_sessionize_stream_state_across_batches(spark, tmp_path):
+    """The open session must survive between micro-batches (state
+    store), and a later far-apart event must close it."""
+    import datetime as dt
+
+    from esdb_spark.streaming import sessionize_stream
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src_dir = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    def batch(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(
+            src_dir
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    # batch 1: two events 10 min apart (one open session)
+    batch(
+        [(1, t0), (1, t0 + dt.timedelta(minutes=10))],
+        "overwrite",
+    )
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM sessions_out").count() == 0  # still open
+
+        # batch 2: event 2h later → closes the first session
+        batch([(1, t0 + dt.timedelta(hours=2))], "append")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sessions_out").collect()
+        assert len(rows) == 1
+        session = rows[0]
+        assert session["n_events"] == 2
+        assert session["session_end_us"] - session["session_start_us"] == 600 * 1_000_000
+    finally:
+        q.stop()
