@@ -69,6 +69,8 @@ def read_schema_columns(df: DataFrame) -> list[str]:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchanges in the plan — the scale currency. Every one
-    is a full network/disk cycle of its input at 100 TB."""
-    return physical_plan(df).count("Exchange")
+    """Number of *shuffle* exchanges in the plan — the scale currency:
+    every one is a full network/disk cycle of its input at 100 TB.
+    Broadcast exchanges are excluded (they move only the small side)."""
+    plan = physical_plan(df)
+    return plan.count("Exchange") - plan.count("BroadcastExchange")

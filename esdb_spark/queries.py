@@ -344,6 +344,18 @@ def rollup_status_priority(spark, sf_dir):
     )
 
 
+def cube_status_priority(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
 def customers_without_orders(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -492,6 +504,12 @@ _ANALYTIC_ORACLES = {
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+    "cube_status_priority": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
     """,
     "customers_without_orders": """
@@ -913,6 +931,7 @@ def catalog() -> dict[str, Q]:
         ("top_parts_per_brand", top_parts_per_brand),
         ("customer_order_stats", customer_order_stats),
         ("rollup_status_priority", rollup_status_priority),
+        ("cube_status_priority", cube_status_priority),
         ("customers_without_orders", customers_without_orders),
         ("nations_customers_and_suppliers", nations_customers_and_suppliers),
         ("sessionize_users", sessionize_users),
