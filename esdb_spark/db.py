@@ -35,6 +35,13 @@ from pyspark.sql import DataFrame, Row, SparkSession, functions as F
 from esdb_spark.schema import EVENTS_COLUMNS
 
 
+def _unescape_partition(value: str) -> str:
+    """Hive partition dirs percent-escape special chars."""
+    from urllib.parse import unquote
+
+    return unquote(value)
+
+
 def _ordered(df: DataFrame, reverse: bool = False) -> DataFrame:
     if reverse:
         # Exact reversal of the canonical order.
@@ -188,11 +195,45 @@ class Db:
 
     def spaces(self) -> list[str]:
         """All space ids in ascending key order (esdb.go:63-76; SSTable
-        key order is bytewise ascending, sst/writer.go:48-50)."""
+        key order is bytewise ascending, sst/writer.go:48-50).
+
+        For a Hive-partitioned archive this is a directory listing —
+        O(|spaces|) metadata, no data scan (the reference reads the
+        footer SSTable; scanning 100 TB to enumerate partitions would
+        be absurd). Falls back to a distinct scan for in-memory /
+        clustered-layout archives."""
+        if self.path and os.path.isdir(self.path):
+            names = []
+            for entry in os.listdir(self.path):
+                if entry.startswith("space=") and os.path.isdir(
+                    os.path.join(self.path, entry)
+                ):
+                    names.append(_unescape_partition(entry.split("=", 1)[1]))
+            if names:
+                return sorted(names)
         return [
             r[0]
             for r in self.df.select("space").distinct().orderBy("space").collect()
         ]
+
+    def scan_index_all(
+        self, name: str, value: str, limit: int | None = None
+    ) -> DataFrame:
+        """Cross-space index scan — a capability the reference lacks
+        (its indexes live inside one space; querying all spaces means
+        opening each). One declarative plan over every partition,
+        ordered ts-desc/seq-asc."""
+        pred = (
+            (F.col(f"_idx_{name}") == value)
+            if f"_idx_{name}" in self.df.columns
+            else (F.col("indexes")[name] == value)
+        )
+        df = (
+            self.df.filter(pred)
+            .orderBy(F.col("ts").desc(), F.col("seq").asc())
+            .select(*EVENTS_COLUMNS)
+        )
+        return df.limit(limit) if limit is not None else df
 
     def iterate(self, process: Callable[[Space], bool]) -> None:
         """Callback enumeration of spaces in sorted order (esdb.go:63-76)."""

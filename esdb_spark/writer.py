@@ -128,6 +128,15 @@ class Writer:
         insertion order, testdata/build.go:47-60).
         """
         self._check_mutable()
+        required = {"space", "grouping", "ts", "data", "indexes"}
+        missing = required - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"events DataFrame is missing columns {sorted(missing)}; "
+                f"expected {sorted(required)} (+ optional seq). "
+                "Use esdb_spark.sources.ingest.events_from_columns to shape "
+                "arbitrary inputs."
+            )
         if assign_seq or "seq" not in df.columns:
             df = df.withColumn("seq", F.monotonically_increasing_id())
         self._bulk.append(df.select(*EVENTS_COLUMNS))

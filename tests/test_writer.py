@@ -105,3 +105,26 @@ def test_layout_clustered(spark, tmp_path):
         "11",
         "16",
     ]
+
+
+def test_add_dataframe_validates_columns(spark, tmp_path):
+    w = Writer(spark, str(tmp_path / "v.esdb"))
+    bad = spark.range(3).select(F.col("id").alias("space"))
+    with pytest.raises(ValueError, match="missing columns"):
+        w.add_dataframe(bad)
+
+
+def test_scan_index_all_and_spaces_listing(spark, tmp_path):
+    path = str(tmp_path / "all.esdb")
+    w = Writer(spark, path)
+    w.add("s1", "a", 3, indexes={"u": "x"})
+    w.add("s2", "b", 5, indexes={"u": "x"})
+    w.add("s1", "c", 4, indexes={"u": "y"})
+    w.write()
+    db = Db.open(spark, path)
+    # directory-listing path
+    assert db.spaces() == ["s1", "s2"]
+    # cross-space index scan, ts desc
+    got = [r["data"] for r in db.scan_index_all("u", "x").collect()]
+    assert got == ["b", "a"]
+    assert db.scan_index_all("u", "zz").count() == 0
