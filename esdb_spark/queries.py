@@ -398,6 +398,49 @@ def sessionize_users(spark, sf_dir):
     )
 
 
+def median_value_by_type(spark, sf_dir):
+    """Exact interpolated median per event type (percentile /
+    quantile_cont agree bit-for-bit — verified)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.percentile("value", 0.5).alias("median_value"))
+        .orderBy("event_type")
+    )
+
+
+def orders_by_month(spark, sf_dir):
+    """Date-function coverage: orders and exact revenue per month."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.unix_micros(
+                F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+            ).alias("month_us")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("month_us")
+    )
+
+
+def customer_name_parse(spark, sf_dir):
+    """String-function coverage: split/cast/substring/case over
+    customer names ('Customer#000000042')."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.split(F.col("c_name"), "#")[1].cast("bigint").alias("name_num"),
+            F.upper(F.substring("c_mktsegment", 1, 3)).alias("seg3"),
+            F.length("c_name").cast("bigint").alias("name_len"),
+            F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+                "seg_nation"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 def asof_enrich(spark, sf_dir):
     """As-of enrichment: each event gets the user's most recent order
     at-or-before the event time (ties on order date broken by max
@@ -542,6 +585,23 @@ _ANALYTIC_ORACLES = {
             )
         )
         GROUP BY user_id ORDER BY user_id
+    """,
+    "median_value_by_type": """
+        SELECT event_type, quantile_cont(value, 0.5) AS median_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "orders_by_month": """
+        SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+               count(*) AS n_orders
+        FROM orders GROUP BY month_us ORDER BY month_us
+    """,
+    "customer_name_parse": """
+        SELECT c_custkey,
+               CAST(str_split(c_name, '#')[2] AS BIGINT) AS name_num,
+               upper(substr(c_mktsegment, 1, 3)) AS seg3,
+               length(c_name) AS name_len,
+               c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS seg_nation
+        FROM customer ORDER BY c_custkey
     """,
     "asof_enrich": """
         SELECT event_id, user_id, epoch_us(ts) AS ts_us, o_orderkey AS o_orderkey_r
@@ -937,6 +997,9 @@ def catalog() -> dict[str, Q]:
         ("sessionize_users", sessionize_users),
         ("asof_enrich", asof_enrich),
         ("event_value_pivot", event_value_pivot),
+        ("median_value_by_type", median_value_by_type),
+        ("orders_by_month", orders_by_month),
+        ("customer_name_parse", customer_name_parse),
     ]:
         qs[name] = Q(fn, _ANALYTIC_ORACLES[name])
     for name, fn in [
