@@ -954,6 +954,24 @@ def dedup_simhash_docs(spark, sf_dir):
     )
 
 
+def linear_fit_per_type(spark, sf_dir):
+    """Per-event-type least-squares trend of value over time — the
+    grouped-map (applyInPandas) operator. Rows-only: the float sums are
+    engine-specific."""
+    from esdb_spark.operators.grouped import linear_fit_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        linear_fit_per_group(
+            ev.select("event_type", F.unix_micros("ts").alias("t"), "value"),
+            "event_type",
+            "t",
+            "value",
+        )
+        .orderBy("key")
+    )
+
+
 def ann_topk_docs(spark, sf_dir):
     from esdb_spark.operators.similarity import ann_topk_lsh
 
@@ -1020,6 +1038,7 @@ def catalog() -> dict[str, Q]:
         ("dedup_minhash_docs", dedup_minhash_docs),
         ("dedup_simhash_docs", dedup_simhash_docs),
         ("ann_topk_docs", ann_topk_docs),
+        ("linear_fit_per_type", linear_fit_per_type),
     ]:
         qs[name] = Q(fn, None)
     return qs

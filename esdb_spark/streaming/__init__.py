@@ -155,6 +155,21 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop events whose ``key_cols`` were seen
+    within the watermark horizon. State is bounded by the watermark
+    (dropDuplicatesWithinWatermark), so it runs forever — the streaming
+    face of operators/dedup.dedup_exact."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def windowed_counts(
     events: DataFrame,
     ts_col: str = "ts",

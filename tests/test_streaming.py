@@ -151,3 +151,47 @@ def test_sessionize_stream_state_across_batches(spark, tmp_path):
         assert session["session_end_us"] - session["session_start_us"] == 600 * 1_000_000
     finally:
         q.stop()
+
+
+def test_dedup_stream(spark, tmp_path):
+    import datetime as dt
+
+    from esdb_spark.streaming import dedup_stream
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "dd_src")
+    spark.createDataFrame(
+        [
+            (1, "click", t0),
+            (1, "click", t0 + dt.timedelta(minutes=1)),  # dup within horizon
+            (2, "view", t0),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = dedup_stream(stream, ["user_id", "event_type"], watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT user_id, event_type FROM dd_out").collect()
+        assert sorted((r.user_id, r.event_type) for r in rows) == [
+            (1, "click"),
+            (2, "view"),
+        ]
+    finally:
+        q.stop()
