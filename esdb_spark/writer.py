@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import os
-from typing import Iterable, Mapping
+from typing import Mapping
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
