@@ -42,9 +42,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
 
+    # In local mode the driver JVM is the only executor; the 1g default
+    # heap is far too small for multi-GB shuffles. Honors an explicit
+    # $SPARK_DRIVER_MEMORY; ignored when a JVM is already running.
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "24g")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
