@@ -122,6 +122,86 @@ def hyperplane_buckets(
     )
 
 
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus with k-means, search
+    only the ``n_probe`` nearest centroids per query, exact-cosine
+    re-rank within the probed cells.
+
+    The index-build (k-means fit) is the pay-once step; at query time
+    the corpus side is an equi-join on centroid id — each query touches
+    ~``n_probe / n_centroids`` of the corpus. Deterministic via the
+    k-means seed. Recall/latency tune with (n_centroids, n_probe):
+    n_probe = n_centroids degenerates to brute force.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from esdb_spark.functions import cosine
+
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    c_feat = c.withColumn(
+        "features", array_to_vector(F.transform("vec", lambda x: x.cast("double")))
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(c_feat)
+    assigned = model.transform(c_feat).select(
+        "id", "vec", F.col("prediction").alias("cell")
+    )
+
+    # centroid table is tiny: broadcast to score query→cell distances
+    centroids = [
+        (int(i), [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    q_cells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .select(
+            "query_id",
+            "qvec",
+            "cell",
+            cosine(F.col("qvec"), F.col("centroid")).alias("cell_sim"),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cell_sim").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "qvec", "cell")
+    )
+
+    cands = (
+        assigned.join(q_cells, "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id", "id", cosine(F.col("vec"), F.col("qvec")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("id").asc()
+    )
+    return cands.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -954,6 +954,23 @@ def dedup_simhash_docs(spark, sf_dir):
     )
 
 
+def ann_topk_ivf_docs(spark, sf_dir):
+    """IVF (k-means coarse quantization) ANN — the pay-once-index scale
+    path for similarity search. Rows-only: k-means centroids are
+    engine-specific."""
+    from esdb_spark.operators.similarity import ann_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return (
+        ann_topk_ivf(
+            emb, queries, "embedding", "vec_id", k=5, n_centroids=8, n_probe=3
+        )
+        .select("query_id", "id", F.col("rank").cast("bigint").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def linear_fit_per_type(spark, sf_dir):
     """Per-event-type least-squares trend of value over time — the
     grouped-map (applyInPandas) operator. Rows-only: the float sums are
@@ -1038,6 +1055,7 @@ def catalog() -> dict[str, Q]:
         ("dedup_minhash_docs", dedup_minhash_docs),
         ("dedup_simhash_docs", dedup_simhash_docs),
         ("ann_topk_docs", ann_topk_docs),
+        ("ann_topk_ivf_docs", ann_topk_ivf_docs),
         ("linear_fit_per_type", linear_fit_per_type),
     ]:
         qs[name] = Q(fn, None)
