@@ -128,3 +128,15 @@ def test_scan_index_all_and_spaces_listing(spark, tmp_path):
     got = [r["data"] for r in db.scan_index_all("u", "x").collect()]
     assert got == ["b", "a"]
     assert db.scan_index_all("u", "zz").count() == 0
+
+
+def test_clustered_layout_spaces_fallback(spark, tmp_path):
+    # no Hive dirs in clustered layout → spaces() falls back to a
+    # distinct scan and still enumerates correctly
+    path = str(tmp_path / "cl.esdb")
+    w = Writer(spark, path, layout="clustered")
+    w.add("z", "1", 1)
+    w.add("a", "2", 2)
+    w.write()
+    db = Db.open(spark, path)
+    assert db.spaces() == ["a", "z"]
