@@ -33,12 +33,16 @@ def archive_stats(db: Db):
         )
         .orderBy("space")
     )
+    from esdb_spark.db import _unescape_partition
+
     files: dict[str, int] = {}
     if db.path and os.path.isdir(db.path):
         for entry in os.listdir(db.path):
             full = os.path.join(db.path, entry)
             if os.path.isdir(full) and entry.startswith("space="):
-                space = entry.split("=", 1)[1]
+                # same percent-unescaping as Db.spaces so keys line up
+                # with the aggregation's space values
+                space = _unescape_partition(entry.split("=", 1)[1])
                 files[space] = sum(
                     1 for f in os.listdir(full) if f.endswith(".parquet")
                 )

@@ -106,8 +106,13 @@ def asof_join_bucketed(
     lb = F.floor(F.unix_micros(F.col(left_ts).cast("timestamp")) / (seconds * 1e6))
     rb = F.floor(F.unix_micros(F.col(right_ts).cast("timestamp")) / (seconds * 1e6))
 
-    l = left.withColumn("_lb", lb).withColumn(
-        "_probe", F.explode(F.sequence(lb - lookback_buckets, lb))
+    # a unique row id keeps FULLY identical left rows distinct through
+    # the explode/join/dedup cycle (a window over the left columns
+    # alone would collapse duplicates into one output row)
+    l = (
+        left.withColumn("_rowid", F.monotonically_increasing_id())
+        .withColumn("_lb", lb)
+        .withColumn("_probe", F.explode(F.sequence(lb - lookback_buckets, lb)))
     )
     r = right.withColumn("_rb", rb)
     joined = l.join(
@@ -117,7 +122,7 @@ def asof_join_bucketed(
     ).filter(
         F.col(right_ts).isNull() | (F.col(right_ts) <= F.col(left_ts))
     )
-    w = Window.partitionBy(*[l[c] for c in left.columns]).orderBy(
+    w = Window.partitionBy(l["_rowid"]).orderBy(
         F.col(right_ts).desc_nulls_last()
     )
     ranked = joined.withColumn("_rn", F.row_number().over(w)).filter(

@@ -54,11 +54,13 @@ def dedup_exact(
     Deterministic keeper: the row smallest under ``order_col`` (a
     column name or list of names — required for reproducible pipelines;
     plain ``dropDuplicates`` keeps an arbitrary row). Rows are compared
-    by md5 of the concatenated subset — 128 bits, so collisions are
-    ignorable at any corpus size — and the shuffle carries the hash,
-    not the (possibly huge) text.
+    by md5 of the JSON-encoded subset struct — 128 bits, so collisions
+    are ignorable at any corpus size — and the shuffle carries the
+    hash, not the (possibly huge) text. JSON encoding (not plain
+    concatenation) keeps NULL vs non-NULL and column boundaries
+    unambiguous: ("x", NULL) ≠ (NULL, "x") and ("a|b","c") ≠ ("a","b|c").
     """
-    fp = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in subset]))
+    fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in subset])))
     if order_col is None:
         return df.dropDuplicates(subset)
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
@@ -102,9 +104,15 @@ def minhash_signatures(
     # are never flagged as duplicates.
     sh = word_shingles(tokens(text_col), shingle_size)
     df = _spread_small_input(df)
-    base = df.select(
-        F.col(id_col).alias("id"), F.explode(sh).alias("shingle")
-    ).select("id", F.xxhash64("shingle").alias("h"))
+    base = (
+        # empty/whitespace-only docs carry no content signal; exclude
+        # them so they never pair with each other (word_shingles would
+        # otherwise give them all the identical "" shingle). Exact
+        # dedup is the right tool for empty docs.
+        df.filter(F.size(tokens(text_col)) > 0)
+        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .select("id", F.xxhash64("shingle").alias("h"))
+    )
     mins = [
         F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"m{k}")
         for k in range(num_hashes)

@@ -67,12 +67,16 @@ def fake_decode_meta(content: bytes) -> tuple[int, int]:
     return (100 + content[0] % 156, 100 + content[-1] % 156)
 
 
-def extract_media_features(df: DataFrame, batch_size: int = 64) -> DataFrame:
+def extract_media_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    Output: (media_id, kind, width, height, n_bytes, sha) — one row per
+    Output: (media_id, kind, width, height, n_bytes) — one row per
     media row. The UDF sees pandas batches; the blob column is pruned
     from every downstream stage that doesn't select it.
+
+    Batch sizing for multi-MB blobs is a session decision, not ours to
+    mutate globally: set spark.sql.execution.arrow.maxRecordsPerBatch
+    (e.g. 64) on the session before running media pipelines.
     """
     out_schema = T.StructType(
         [
@@ -101,16 +105,12 @@ def extract_media_features(df: DataFrame, batch_size: int = 64) -> DataFrame:
                 }
             )
 
-    spark = df.sparkSession
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    return df.select("media_id", "kind", "content").mapInPandas(
+        op, out_schema
     )
-    return df.select("media_id", "kind", "content").mapInPandas(op, out_schema)
 
 
-def sample_video_frames(
-    df: DataFrame, every_ms: int = 1000, batch_size: int = 8
-) -> DataFrame:
+def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame sampling plumbing: one output row per sampled frame
     (media_id, frame_idx, frame_ts_ms, frame — binary). The codec call
     is the deterministic fake (slices of the payload); schema, explode
@@ -142,10 +142,6 @@ def sample_video_frames(
                     rows["frame"].append(content[lo:hi])
             yield pd.DataFrame(rows)
 
-    spark = df.sparkSession
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
-    )
     return df.select(
         "media_id", "content", F.col("meta.duration_ms").alias("duration_ms")
     ).mapInPandas(op, out_schema)

@@ -56,20 +56,27 @@ def cosine_topk(
     both sides share the id column.
     """
     query_id_col = query_id_col or id_col
-    c = normalized(
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
-        "vec",
-    )
-    q = normalized(
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-        ),
-        "qvec",
-    )
+    # Norms are carried as scalar columns instead of pre-normalizing the
+    # vectors: normalized() would inline the (interpreted) norm
+    # aggregate into the per-element division — O(dim²) per corpus row.
+    # Here each side pays one O(dim) norm and each pair one O(dim) dot.
+    def with_norm(df, idc, out_id, out_vec, out_n):
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        return df.select(
+            F.col(idc).alias(out_id),
+            v.alias(out_vec),
+            l2_norm(v).alias(out_n),
+        )
+
+    c = with_norm(corpus, id_col, "id", "vec", "c_n")
+    q = with_norm(queries, query_id_col, "query_id", "qvec", "q_n")
     scored = c.join(F.broadcast(q), F.col("id") != F.col("query_id")).select(
         "query_id",
         "id",
-        dot(F.col("vec"), F.col("qvec")).alias("cos"),
+        (
+            dot(F.col("vec"), F.col("qvec"))
+            / F.nullif(F.col("c_n") * F.col("q_n"), F.lit(0.0))
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("id").asc()

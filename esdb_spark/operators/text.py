@@ -129,8 +129,10 @@ def with_language_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     ]
     best = F.lit("und")
     best_score = F.lit(0)
-    # fold right-to-left so earlier languages win ties
-    for lang, s in reversed(scores):
+    # fold in listed order with strict '>': the first-listed language
+    # keeps the crown on ties (en beats de at 2-2), matching the
+    # documented tie-break and the SQL oracle's >= cascade
+    for lang, s in scores:
         cond = s > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, s).otherwise(best_score)

@@ -42,11 +42,27 @@ def stream_into(
     source: DataFrame, stream: EventStream, checkpoint: str
 ):
     """Continuously append a streaming DataFrame of (data, indexes)
-    into an EventStream via foreachBatch (exactly-once per epoch via
-    the checkpoint)."""
+    into an EventStream via foreachBatch.
+
+    foreachBatch alone is at-least-once: a crash between the parquet
+    commit and the streaming checkpoint replays the epoch. The handler
+    therefore records each applied epoch in an `_applied_epochs` ledger
+    inside the stream directory and skips epochs it has already
+    appended — the standard idempotent-foreachBatch pattern."""
+    import os
+
+    ledger = os.path.join(stream._path, "_applied_epochs")
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        applied = set()
+        if os.path.exists(ledger):
+            with open(ledger) as fh:
+                applied = {line.strip() for line in fh if line.strip()}
+        if str(epoch_id) in applied:
+            return  # replayed epoch → already committed, skip
         stream.append_dataframe(batch_df)
+        with open(ledger, "a") as fh:
+            fh.write(f"{epoch_id}\n")
 
     return (
         source.writeStream.outputMode("append")
@@ -122,10 +138,14 @@ def sessionize_stream(
             start_us = last_us = None
             n = 0
         closed = []
-        for pdf in pdfs:
-            ts_us = (
-                pd.to_datetime(pdf["_ts"]).astype("int64") // 1000
-            ).sort_values()
+        # collect every Arrow chunk of the group BEFORE sorting — a
+        # per-chunk sort would process a multi-chunk group out of time
+        # order and mis-split sessions
+        chunks = [
+            pd.to_datetime(pdf["_ts"]).astype("int64") // 1000 for pdf in pdfs
+        ]
+        if chunks:
+            ts_us = pd.concat(chunks).sort_values()
             for t in ts_us:
                 t = int(t)
                 if last_us is None:
@@ -176,12 +196,17 @@ def windowed_counts(
     key_col: str = "event_type",
     window: str = "5 minutes",
     watermark: str = "10 minutes",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Watermarked tumbling-window counts — the standard streaming
     rollup (append-mode safe: emits a window once the watermark passes
-    it)."""
+    it). ``value_col`` is summed when present; frames without it (e.g.
+    the stream schema) get counts only."""
+    aggs = [F.count("*").alias("n")]
+    if value_col and value_col in events.columns:
+        aggs.append(F.sum(value_col).alias(f"total_{value_col}"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .agg(*aggs)
     )
