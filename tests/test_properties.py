@@ -113,3 +113,107 @@ def test_stream_pagination_matches_model(spark, tmp_path_factory, data, page):
             if cursor is None:
                 break
         assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50)), min_size=1, max_size=20
+    ),
+    right=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50), st.integers(0, 999)),
+        min_size=0,
+        max_size=20,
+    ),
+)
+def test_asof_join_matches_duckdb_property(spark, left, right):
+    """asof_join ≡ DuckDB ASOF LEFT JOIN on arbitrary key/time data
+    (ties on right time pre-reduced to keep both engines deterministic)."""
+    import datetime as dt
+
+    import duckdb
+
+    from esdb_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(minutes=t)) for i, (k, t) in enumerate(left)],
+        ["lid", "k", "lts"],
+    )
+    # reduce right-side ties deterministically (max v per (k, ts))
+    reduced = {}
+    for k, t, v in right:
+        key = (k, t)
+        reduced[key] = max(reduced.get(key, -1), v)
+    rdf_rows = [
+        (k, base + dt.timedelta(minutes=t), v) for (k, t), v in reduced.items()
+    ]
+    rdf = spark.createDataFrame(rdf_rows or [(99, base, 0)], ["k", "rts", "v"])
+    if not rdf_rows:
+        rdf = rdf.filter("k < 0")
+
+    got = sorted(
+        (r.lid, r.v_r)
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts"
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.register("l", ldf.toPandas())
+    con.register("r", rdf.toPandas())
+    want = sorted(
+        (int(lid), None if v is None else int(v))
+        for lid, v in con.execute(
+            "SELECT lid, v FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.lts >= r.rts"
+        ).fetchall()
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_minhash_estimate_tracks_true_jaccard(spark, docs):
+    """MinHash estimates converge on true shingle-set Jaccard."""
+    from esdb_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    sigs = minhash_signatures(df, "text", "doc_id", num_hashes=256, shingle_size=2)
+    pairs = df.selectExpr("doc_id as id_a").crossJoin(
+        df.selectExpr("doc_id as id_b")
+    ).filter("id_a < id_b")
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_jaccard_estimate(sigs, pairs).collect()
+    }
+
+    def shingles(text):
+        toks = text.split()
+        if len(toks) < 2:
+            return {text}
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    for (a, b), e in est.items():
+        sa, sb = shingles(docs[a]), shingles(docs[b])
+        true_j = len(sa & sb) / len(sa | sb)
+        # 256 hashes → σ ≈ sqrt(J(1-J)/256) ≤ 0.032; allow 5σ
+        assert abs(e - true_j) <= 0.16, (docs[a], docs[b], e, true_j)
