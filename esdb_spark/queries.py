@@ -1037,6 +1037,10 @@ def catalog() -> dict[str, Q]:
         ("customer_name_parse", customer_name_parse),
     ]:
         qs[name] = Q(fn, _ANALYTIC_ORACLES[name])
+    from esdb_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES
+
+    for name, fn in TPCH_QUERIES.items():
+        qs[name] = Q(fn, TPCH_ORACLES[name])
     for name, fn in [
         ("doc_token_stats", doc_token_stats),
         ("doc_quality", doc_quality),
