@@ -771,6 +771,29 @@ def event_type_stats(spark, sf_dir):
     )
 
 
+def doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint selection: k=3-word shingles,
+    window w=4, md5-prefix hash — (doc_id, fingerprint) pairs."""
+    from esdb_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+        .orderBy("doc_id", "fingerprint")
+    )
+
+
+def orders_profile(spark, sf_dir):
+    """Column profile of orders: exact null/distinct counts per column
+    in one aggregation pass."""
+    from esdb_spark.operators.profile import profile_columns
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
 def multimodal_features(spark, sf_dir):
     """Media feature extraction over documents-as-binary — exercises
     the Arrow mapInPandas plumbing; the fake decoder is deterministic
@@ -914,6 +937,46 @@ _PIPELINE_ORACLES = {
                max(value) AS max_value
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    "doc_winnow_fingerprints": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOK} AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN ['']
+                        ELSE [array_to_string(toks[i:i+2], ' ')
+                              FOR i IN range(1, greatest(len(toks)-3, 0) + 2)]
+                   END AS shingles
+            FROM t
+        ), h AS (
+            SELECT doc_id,
+                   list_transform(shingles, s -> substr(md5(s), 1, 16)) AS hashes
+            FROM sh
+        ), m AS (
+            SELECT doc_id,
+                   list_distinct([list_min(hashes[i:i+3])
+                                  FOR i IN range(1, greatest(len(hashes)-4, 0) + 2)])
+                       AS fps
+            FROM h
+        )
+        SELECT doc_id, unnest(fps) AS fingerprint
+        FROM m ORDER BY doc_id, fingerprint
+    """,
+    "orders_profile": """
+        SELECT column_name, n_rows, n_nulls, n_distinct FROM (
+            SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+                   count(*) - count(o_orderkey) AS n_nulls,
+                   count(DISTINCT o_orderkey) AS n_distinct FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+                   count(DISTINCT o_custkey) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority) FROM orders
+        ) ORDER BY column_name
+    """,
     "multimodal_features": """
         SELECT doc_id AS media_id,
                CASE WHEN octet_length(encode(text)) > 0
@@ -1052,6 +1115,8 @@ def catalog() -> dict[str, Q]:
         ("top_bigrams", top_bigrams),
         ("event_type_stats", event_type_stats),
         ("similarity_topk", similarity_topk),
+        ("doc_winnow_fingerprints", doc_winnow_fingerprints),
+        ("orders_profile", orders_profile),
         ("multimodal_features", multimodal_features),
     ]:
         qs[name] = Q(fn, _PIPELINE_ORACLES[name])

@@ -62,3 +62,45 @@ def test_fingerprint_normalization(spark):
     assert out[1].fingerprint_md5 == out[2].fingerprint_md5
     assert out[1].fingerprint_md5 != out[3].fingerprint_md5
     assert out[1].fingerprint_rolling == out[2].fingerprint_rolling
+
+
+def test_winnow_fingerprints_edit_robustness(spark):
+    from esdb_spark.operators.text import winnow_fingerprints
+
+    base = " ".join(f"word{i}" for i in range(60))
+    edited = base.replace("word30", "EDITED")  # one local edit
+    other = " ".join(f"unrelated{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other), (4, "short"), (5, "")],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(df, "text", "doc_id", k=3, w=4).collect()
+    by_id = {}
+    for r in fps:
+        by_id.setdefault(r.doc_id, set()).add(r.fingerprint)
+    # a single word edit preserves most fingerprints (winnowing locality)
+    inter = len(by_id[1] & by_id[2])
+    union = len(by_id[1] | by_id[2])
+    assert inter / union > 0.5
+    # unrelated docs share (almost) nothing
+    assert len(by_id[1] & by_id[3]) == 0
+    # degenerate docs still fingerprint (single shingle)
+    assert len(by_id[4]) == 1 and len(by_id[5]) == 1
+    # deterministic across invocations
+    again = winnow_fingerprints(df, "text", "doc_id", k=3, w=4).collect()
+    assert sorted(map(tuple, fps)) == sorted(map(tuple, again))
+
+
+def test_profile_columns(spark):
+    from esdb_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        ["k", "v"],
+    )
+    out = {r.column_name: r for r in profile_columns(df).collect()}
+    assert out["k"].n_rows == 4 and out["k"].n_nulls == 1 and out["k"].n_distinct == 3
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
+    # approx mode runs and keeps the schema
+    approx = profile_columns(df, exact=False).collect()
+    assert {r.column_name for r in approx} == {"k", "v"}
