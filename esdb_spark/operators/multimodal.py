@@ -110,6 +110,51 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     )
 
 
+def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize plumbing: (media_id, width, height, content) in, same
+    shape out with dimensions scaled so max(width, height) == max_side
+    (aspect preserved, never upscaled). The pixel transform is the
+    deterministic fake (payload truncated proportionally to the area
+    ratio); the real design is the schema contract, Arrow batching, and
+    that resized blobs shrink — so a downstream shuffle of thumbnails
+    moves area_ratio× fewer bytes than the originals."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "content": []}
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"] or b"")
+                w, h = int(row["width"] or 0), int(row["height"] or 0)
+                side = max(w, h)
+                if side > max_side:
+                    scale = max_side / side
+                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                    keep = int(len(content) * (nw * nh) / max(w * h, 1))
+                    content = content[:keep]
+                else:
+                    nw, nh = w, h
+                out["media_id"].append(row["media_id"])
+                out["width"].append(nw)
+                out["height"].append(nh)
+                out["content"].append(content)
+            yield pd.DataFrame(out)
+
+    return df.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        "content",
+    ).mapInPandas(op, out_schema)
+
+
 def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame sampling plumbing: one output row per sampled frame
     (media_id, frame_idx, frame_ts_ms, frame — binary). The codec call

@@ -86,3 +86,29 @@ def ingest_csv(
         index_cols=index_cols,
     )
     write_events(events, out_path, layout=layout)
+
+
+def ingest_jsonl(
+    spark: SparkSession,
+    jsonl_path: str,
+    out_path: str,
+    space_col: str,
+    ts_col: str,
+    grouping_col: str | None = None,
+    index_cols: list[str] | None = None,
+    layout: str = "partitioned",
+) -> None:
+    """JSON-lines → esdb archive — the inverse of :func:`export_jsonl`
+    and the read half of the reference's JSONL dump
+    (testdata/build.go:72-80). Schema is inferred from the JSON; the
+    original line is re-marshalled as the event payload via
+    events_from_columns, so export → ingest round-trips."""
+    src = spark.read.json(jsonl_path)
+    events = events_from_columns(
+        src,
+        space_col=space_col,
+        ts_col=ts_col,
+        grouping_col=grouping_col,
+        index_cols=index_cols,
+    )
+    write_events(events, out_path, layout=layout)

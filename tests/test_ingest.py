@@ -46,3 +46,26 @@ def test_ingest_csv_visits_shape(spark, tmp_path):
 
     payload = json.loads(got[0]["data"])
     assert payload["host"] == "a.com" and payload["city"] == "ny"
+
+
+def test_jsonl_roundtrip(tmp_path, spark):
+    from esdb_spark.sources.ingest import export_jsonl, ingest_jsonl
+    from esdb_spark.db import Db
+
+    src = spark.createDataFrame(
+        [("click", 100, "u1", "nyc"), ("view", 200, "u2", "sfo")],
+        ["etype", "epoch", "visitor", "city"],
+    )
+    jsonl = str(tmp_path / "events.jsonl")
+    from esdb_spark.sources.ingest import events_from_columns
+
+    export_jsonl(events_from_columns(src, "etype", "epoch",
+                                     index_cols=["visitor", "city"]), jsonl)
+    arch = str(tmp_path / "arch.esdb")
+    ingest_jsonl(spark, jsonl, arch, space_col="etype", ts_col="epoch",
+                 index_cols=["visitor", "city"])
+    db = Db.open(spark, arch)
+    rows = db.find("click").scan_index("city", "nyc").collect()
+    assert len(rows) == 1
+    import json
+    assert json.loads(rows[0].data)["visitor"] == "u1"

@@ -56,3 +56,22 @@ def test_sample_video_frames(spark, media):
     assert content == bytes(range(100)) * 10
     # empty-payload audio yields no frames
     assert 3 not in by_media
+
+
+def test_resize_images(spark):
+    from esdb_spark.operators.multimodal import resize_images
+
+    rows = [
+        (1, "image", b"x" * 1000, ("image/png", 512, 256, None)),
+        (2, "image", b"y" * 100, ("image/png", 100, 50, None)),  # no upscale
+        (3, "image", None, ("image/png", 0, 0, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_images(df, max_side=256).collect()}
+    # aspect preserved, max side clamped
+    assert (out[1].width, out[1].height) == (256, 128)
+    assert len(out[1].content) < 1000  # thumbnail bytes shrink
+    # small image untouched
+    assert (out[2].width, out[2].height) == (100, 50)
+    assert len(out[2].content) == 100
+    assert out[3].content == b""
