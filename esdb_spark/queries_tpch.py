@@ -527,7 +527,246 @@ def nations_suppliers_no_customers(spark, sf_dir):
     return has_supp.exceptAll(has_cust).orderBy("nationkey")
 
 
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier. Adapted: no partsupp table, so the
+# part-supplier relation is derived from lineitem, with supplycost =
+# min(l_extendedprice) per (part, supplier) pair (exact double min —
+# no float arithmetic, so cross-engine deterministic). The correlated
+# "cost = min cost for this part" subquery becomes a window min —
+# one shuffle on p_partkey instead of a self-join.
+# ---------------------------------------------------------------------------
+
+def q2_min_cost_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    pp = p.filter((F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY"))
+    eur = r.filter(F.col("r_name") == "EUROPE")
+    elig = (
+        ps.join(F.broadcast(pp), ps.l_partkey == pp.p_partkey)
+        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(eur), n.n_regionkey == eur.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        elig.withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                "supplycost")
+        .orderBy(F.col("s_acctbal").desc(), F.col("n_name").asc(),
+                 F.col("s_name").asc(), F.col("p_partkey").asc())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification. Adapted: part "value" =
+# sum(l_extendedprice) shipped by NATION_1 suppliers (no
+# ps_supplycost*ps_availqty). The global-fraction threshold is a
+# broadcast scalar — no second pass over lineitem.
+# ---------------------------------------------------------------------------
+
+def q11_important_parts(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sup_n1 = (
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_1")),
+               s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    supvalue = (
+        li.join(F.broadcast(sup_n1), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
+    )
+    threshold = supvalue.agg(
+        (F.sum("value_dec").cast("double") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        supvalue.join(F.broadcast(threshold))
+        .withColumn("value", F.col("value_dec").cast("double"))
+        .filter(F.col("value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("partkey"), "value")
+        .orderBy(F.col("value").desc(), F.col("partkey").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion. Adapted: availqty ≈ quantity shipped
+# in 1997 per (supplier, part); "excess" = more than 1.5× the
+# per-part average across suppliers. Nested IN subqueries → semi-join
+# chain; quantity sums stay in exact decimal until the final compare.
+# ---------------------------------------------------------------------------
+
+def q20_excess_suppliers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    red = p.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    qty97 = (
+        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .withColumn("qty", F.col("qty_dec").cast("double"))
+    )
+    part_avg = qty97.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum("qty_dec").cast("double") / F.count("*")).alias("avg_qty")
+    )
+    excess = (
+        qty97.join(part_avg, qty97.l_partkey == F.col("pk"))
+        .filter(F.col("qty") > F.lit(1.5) * F.col("avg_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_2")),
+               s.s_nationkey == F.col("n_nationkey"))
+        .join(excess, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting. Adapted: "late" =
+# l_shipdate > o_orderdate + 180 days (no l_commitdate/l_receiptdate).
+# The EXISTS (another supplier) / NOT EXISTS (another LATE supplier)
+# pair is rewritten as per-order distinct-supplier counts:
+# nsupp > 1 AND n_late_supp == 1 — two partial aggregates instead of
+# two correlated scans of lineitem (the classic Spark rewrite; at
+# 100 TB this is 2 shuffles on l_orderkey vs 2 full re-scans).
+# ---------------------------------------------------------------------------
+
+def q21_waiting_suppliers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    late = (
+        li.join(
+            o.filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    nsupp = li.groupBy(F.col("l_orderkey").alias("ns_ok")).agg(
+        F.countDistinct("l_suppkey").alias("nsupp")
+    )
+    nlate = late.groupBy(F.col("l_orderkey").alias("nl_ok")).agg(
+        F.countDistinct("l_suppkey").alias("nlate")
+    )
+    return (
+        late.join(nsupp, late.l_orderkey == F.col("ns_ok"))
+        .join(nlate, late.l_orderkey == F.col("nl_ok"))
+        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .join(F.broadcast(
+            s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_3")),
+                   s.s_nationkey == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name")),
+            late.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
 TPCH_ORACLES = {
+    "q2_min_cost_supplier": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supplycost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), eligible AS (
+            SELECT p_partkey, p_name, s_name, s_acctbal, n_name, supplycost
+            FROM ps
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE p_size = 15 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+        FROM eligible
+        WHERE supplycost = (
+            SELECT min(supplycost) FROM eligible e2
+            WHERE e2.p_partkey = eligible.p_partkey)
+        ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+        LIMIT 100
+    """,
+    "q11_important_parts": f"""
+        WITH supvalue AS (
+            SELECT l_partkey, sum({_D('l_extendedprice')}) AS value_dec
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey AS partkey, CAST(value_dec AS DOUBLE) AS value
+        FROM supvalue
+        WHERE CAST(value_dec AS DOUBLE) > (
+            SELECT CAST(sum(value_dec) AS DOUBLE) * 0.001 FROM supvalue)
+        ORDER BY value DESC, partkey ASC
+    """,
+    "q20_excess_suppliers": f"""
+        WITH qty97 AS (
+            SELECT l_suppkey, l_partkey,
+                   sum({_D('l_quantity')}) AS qty_dec
+            FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey, l_partkey
+        ),
+        part_avg AS (
+            SELECT l_partkey AS pk,
+                   CAST(sum(qty_dec) AS DOUBLE) / count(*) AS avg_qty
+            FROM qty97 GROUP BY l_partkey
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_2'
+          AND s_suppkey IN (
+              SELECT l_suppkey FROM qty97 JOIN part_avg ON l_partkey = pk
+              WHERE CAST(qty_dec AS DOUBLE) > 1.5 * avg_qty)
+        ORDER BY s_suppkey
+    """,
+    "q21_waiting_suppliers": """
+        SELECT s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 180 DAY
+          AND n_name = 'NATION_3'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 180 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC LIMIT 100
+    """,
     "q4_priority_delayed": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
@@ -756,7 +995,11 @@ TPCH_ORACLES = {
 
 
 TPCH_QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_priority_delayed": q4_priority_delayed,
+    "q11_important_parts": q11_important_parts,
+    "q20_excess_suppliers": q20_excess_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
