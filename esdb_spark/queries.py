@@ -869,6 +869,15 @@ _PIPELINE_ORACLES = {
             FROM s
         ) GROUP BY lang_guess ORDER BY lang_guess
     """,
+    "dedup_embedding_docs": """
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (
+            SELECT DISTINCT b.vec_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45)
+        ORDER BY vec_id
+    """,
     "doc_fingerprint": """
         SELECT doc_id,
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint_md5
@@ -1006,6 +1015,24 @@ def dedup_minhash_docs(spark, sf_dir):
     )
 
 
+def dedup_embedding_docs(spark, sf_dir):
+    """Embedding near-dup removal: drop vectors whose cosine to a
+    smaller-id vector is ≥ 0.45. The threshold sits inside the
+    corpus's similarity range with a measured decision margin of
+    ~1e-4 at sf0.01/sf0.1 — orders of magnitude above float-vs-double
+    dot-product noise, so the surviving id-set is cross-engine
+    deterministic and the query is oracle-backed (unlike the sketch
+    dedups, whose hash functions are engine-specific)."""
+    from esdb_spark.operators.dedup import dedup_embedding_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        dedup_embedding_cosine(emb, "embedding", "vec_id", threshold=0.45)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 def dedup_simhash_docs(spark, sf_dir):
     from esdb_spark.operators.dedup import dedup_simhash
 
@@ -1109,6 +1136,7 @@ def catalog() -> dict[str, Q]:
         ("doc_quality", doc_quality),
         ("doc_language_guess", doc_language_guess),
         ("doc_fingerprint", doc_fingerprint),
+        ("dedup_embedding_docs", dedup_embedding_docs),
         ("dedup_events_exact", dedup_events_exact),
         ("doc_unigram_jaccard_pairs", doc_unigram_jaccard_pairs),
         ("doc_length_histogram", doc_length_histogram),
