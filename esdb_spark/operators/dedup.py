@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from esdb_spark.functions import cosine, tokens, word_shingles
+from esdb_spark.functions import tokens, word_shingles
 
 
 def _spread_small_input(df: DataFrame) -> DataFrame:
@@ -396,30 +396,111 @@ def dedup_embedding_cosine(
     """Drop rows whose embedding cosine to a smaller-id row exceeds
     ``threshold``.
 
-    Candidate generation: below ``brute_force_limit`` rows a blocked
-    self-join is affordable; above it, hyperplane-LSH buckets from
-    operators/similarity.py restrict the join. (The threshold regime —
-    near-dup, cos ≥ ~0.9 — is exactly where sign-LSH recall is high.)
+    The pairwise cosine is computed in numpy (Arrow-batched GEMM), not
+    as a per-pair expression: Spark's array higher-order functions are
+    interpreted, so a 2M-pair fold costs ~40 s where one BLAS matmul
+    costs milliseconds. Candidate generation: below
+    ``brute_force_limit`` rows, the normalized matrix is broadcast and
+    every partition GEMMs its block against it (corpus never shuffles);
+    above it, hyperplane-LSH buckets (operators/similarity.py) bound
+    each ``applyInPandas`` group to one bucket's pairs. (The near-dup
+    regime, cos ≥ ~0.9, is exactly where sign-LSH recall is high.)
     """
-    from esdb_spark.operators.similarity import hyperplane_buckets
-
     n = df.count()
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    id_field = vecs.schema["id"]
+
     if n <= brute_force_limit:
-        l, r = vecs.alias("l"), vecs.alias("r")
-        joined = l.join(r, F.col("l.id") < F.col("r.id"))
+        drop_ids = _gemm_drop_ids_broadcast(vecs, threshold, id_field)
     else:
-        bucketed = hyperplane_buckets(vecs, "vec", "id", bits=12)
-        l, r = bucketed.alias("l"), bucketed.alias("r")
-        joined = l.join(
-            r,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-    close = joined.select(
-        F.col("l.id").alias("id_a"),
-        F.col("r.id").alias("id_b"),
-        cosine(F.col("l.vec"), F.col("r.vec")).alias("cos"),
-    ).filter(F.col("cos") >= threshold)
-    drop_ids = close.select(F.col("id_b").alias("id")).distinct()
+        drop_ids = _gemm_drop_ids_bucketed(vecs, threshold, id_field)
     return df.join(drop_ids, df[id_col] == drop_ids["id"], "left_anti")
+
+
+def _normalized_matrix(pdf):
+    """float64 row-normalized matrix from a pandas 'vec' column."""
+    import numpy as np
+
+    m = np.array(pdf["vec"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0.0] = 1.0
+    return m / norms[:, None]
+
+
+def _gemm_drop_ids_broadcast(vecs, threshold, id_field):
+    """ids with some smaller-id neighbor at cosine ≥ threshold, via
+    block-vs-broadcast matmul. Broadcast size is bounded by
+    brute_force_limit rows (100k × 64 float64 ≈ 50 MB)."""
+    from pyspark.sql.types import StructField, StructType
+
+    spark = vecs.sparkSession
+    ref = vecs.toPandas()  # bounded by brute_force_limit
+    ref_ids = ref["id"].to_numpy()
+    bc = spark.sparkContext.broadcast(
+        (ref_ids, _normalized_matrix(ref))
+    )
+
+    out_schema = StructType([StructField("id", id_field.dataType)])
+
+    def find_drops(batches):
+        import pandas as pd
+
+        ref_ids, ref_m = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block_ids = pdf["id"].to_numpy()
+            sims = _normalized_matrix(pdf) @ ref_m.T
+            # neighbor must have a strictly smaller id than the row
+            smaller = ref_ids[None, :] < block_ids[:, None]
+            hit = ((sims >= threshold) & smaller).any(axis=1)
+            yield pd.DataFrame({"id": block_ids[hit]})
+
+    return _spread_small_input(vecs).mapInPandas(
+        find_drops, out_schema
+    ).distinct()
+
+
+def _gemm_drop_ids_bucketed(vecs, threshold, id_field, bits=12, tables=8):
+    """Scale path: multi-table hyperplane-LSH, then per-bucket pairwise
+    GEMM in applyInPandas — work and memory bounded by the largest
+    bucket, never by the corpus.
+
+    A single b-bit sign-LSH table collides a cos-0.95 pair with
+    probability only (1 - θ/π)^b ≈ 0.28 at b=12; ``tables``
+    independent tables amplify recall to 1-(1-0.28)^8 ≈ 0.93 (any-table
+    collision). Points explode ×tables, but each row carries only
+    (id, vec, table, bucket) and the per-group GEMM cost is set by
+    bucket size, so the fan-out is a constant factor, not a blow-up."""
+    import numpy as np
+    from pyspark.sql.types import StructField, StructType
+
+    from esdb_spark.operators.similarity import hyperplane_buckets
+
+    per_table = [
+        hyperplane_buckets(vecs, "vec", "id", bits=bits, seed=42 + 1000 * t)
+        .withColumn("table", F.lit(t))
+        for t in range(tables)
+    ]
+    bucketed = per_table[0]
+    for t in per_table[1:]:
+        bucketed = bucketed.unionByName(t)
+    out_schema = StructType([StructField("id", id_field.dataType)])
+
+    def bucket_drops(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id": pdf["id"][:0]})
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        m = _normalized_matrix(pdf)
+        upper = np.triu(m @ m.T >= threshold, k=1)  # smaller id = lower row
+        hit = upper.any(axis=0)
+        return pd.DataFrame({"id": pdf["id"].to_numpy()[hit]})
+
+    return (
+        bucketed.select("id", "vec", "table", "bucket")
+        .groupBy("table", "bucket")
+        .applyInPandas(bucket_drops, out_schema)
+        .distinct()
+    )

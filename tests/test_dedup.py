@@ -117,3 +117,28 @@ def test_dedup_real_documents(spark):
         docs, "text", "doc_id", threshold=0.9, num_hashes=64, bands=16
     ).count()
     assert kept > 0.5 * docs.count()
+
+
+def test_dedup_embedding_bucketed_path_matches_brute_force(spark):
+    """The LSH-bucketed scale path (brute_force_limit exceeded) must
+    agree with brute force on exact duplicates: an identical vector
+    hashes to the same bucket in every table, so recall is 1.0
+    regardless of LSH parameters."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(100, 16))
+    rows = [(i, base[i].tolist()) for i in range(100)]
+    # ids 100..129 are exact copies of vectors 0..29 → must be dropped
+    rows += [(100 + i, base[i].tolist()) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    brute = dedup_embedding_cosine(
+        df, "embedding", "vec_id", threshold=0.999, brute_force_limit=1000
+    )
+    bucketed = dedup_embedding_cosine(
+        df, "embedding", "vec_id", threshold=0.999, brute_force_limit=0
+    )
+    want = sorted(range(100))
+    assert sorted(r.vec_id for r in brute.collect()) == want
+    assert sorted(r.vec_id for r in bucketed.collect()) == want
