@@ -38,6 +38,25 @@ def word_shingles(tok: Column, n: int) -> Column:
     )
 
 
+def hash_sample(key: Column, buckets_kept: int, prefix_len: int = 2) -> Column:
+    """Deterministic sampling predicate: keep rows whose md5(key) hex
+    prefix is below a cutoff — ``buckets_kept`` of the 16^prefix_len
+    buckets survive (e.g. buckets_kept=40, prefix_len=2 ≈ 15.6%).
+
+    Unlike ``df.sample()`` (seeded RNG over partition iteration order,
+    so the kept set changes under repartitioning, engine, or re-run),
+    the kept set here is a pure function of the key: stable across
+    runs, partitionings, and engines — the property that makes samples
+    joinable with each other and auditable at 100 TB. Lowercase-hex
+    string comparison is numeric comparison (0-9 < a-f in ASCII), so
+    the same predicate runs verbatim in any SQL engine with md5().
+    """
+    cutoff = format(buckets_kept, "x").zfill(prefix_len)
+    if len(cutoff) > prefix_len:
+        raise ValueError("hash_sample: buckets_kept exceeds bucket space")
+    return F.substring(F.md5(key.cast("string")), 1, prefix_len) < F.lit(cutoff)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<float/double> columns — zip_with +
     aggregate, fully codegen'd (no UDF)."""

@@ -134,6 +134,62 @@ def asof_join_bucketed(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Range (interval) join: every (left, right) pair with the same
+    ``on`` key and ``right_ts`` in [left_ts + lower, left_ts + upper].
+
+    Spark plans a raw ``ts BETWEEN a AND b`` join predicate as a
+    broadcast-nested-loop / cartesian — O(|L|·|R|) per key and a
+    guaranteed OOM at scale. This instead buckets time by the window
+    span: the left row explodes to the (at most 2, when the bucket
+    width ≥ span) buckets its window overlaps, the right row keeps its
+    own bucket, and Catalyst gets a plain shuffled equi-join on
+    (key, bucket) followed by the exact range filter. Shuffle volume
+    is O(|L| + |R|), pair generation is bounded by per-(key, bucket)
+    co-occurrence, and AQE's skew-join splitting still applies.
+
+    ``lower``/``upper`` are signed duration strings (e.g. "-5 minutes",
+    "30 minutes"); bounds are inclusive.
+    """
+    lo_s = _duration_seconds(lower)
+    hi_s = _duration_seconds(upper)
+    if hi_s < lo_s:
+        raise ValueError("interval_join: upper bound below lower bound")
+    width_s = max(hi_s - lo_s, 1)
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    w_us = int(width_s * 1e6)
+    lo_b = F.floor((l_us + int(lo_s * 1e6)) / w_us)
+    hi_b = F.floor((l_us + int(hi_s * 1e6)) / w_us)
+
+    l = left.withColumn("_probe", F.explode(F.sequence(lo_b, hi_b)))
+    r = right.withColumn("_rb", F.floor(r_us / F.lit(w_us)))
+    lo_bound = F.col(left_ts) + F.expr(f"INTERVAL {lo_s} SECONDS")
+    hi_bound = F.col(left_ts) + F.expr(f"INTERVAL {hi_s} SECONDS")
+    return (
+        l.join(r, (l["_probe"] == r["_rb"]) & (l[on] == r[on]))
+        .filter((F.col(right_ts) >= lo_bound) & (F.col(right_ts) <= hi_bound))
+        .select(
+            *[l[c].alias(c) for c in left.columns],
+            *[r[c].alias(c + suffix) for c in right_cols],
+        )
+    )
+
+
 def _duration_seconds(text: str) -> int:
     qty, unit = text.split()
     mult = {

@@ -417,6 +417,66 @@ def dedup_embedding_cosine(
     return df.join(drop_ids, df[id_col] == drop_ids["id"], "left_anti")
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over a duplicate-pair edge list →
+    ``(id, cluster_id)`` where cluster_id = min id in the component.
+
+    Pairwise dedup (drop the larger id of each close pair) is not
+    transitive — A≈B and B≈C doesn't mark C when A≉C. Clustering the
+    pair graph and keeping one representative per component is; this
+    is the standard second stage after MinHash/embedding candidate
+    generation.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own and its neighbors' labels (one shuffle
+    join + one groupBy per round), converging in O(graph diameter)
+    rounds, which for near-dup graphs (dense clique-ish clusters) is
+    2-3. ``localCheckpoint`` truncates the growing lineage each round
+    so the plan stays O(1); the driver only ever sees one scalar
+    (the changed-row count) per round. Only ids appearing in some pair
+    come back — isolated rows are their own cluster by definition and
+    never enter the shuffle.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = sym.select("src").distinct().select(
+        F.col("src").alias("id"), F.col("src").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neigh_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh_min, labels.id == neigh_min.src, "left")
+            .select(
+                labels.id.alias("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def _normalized_matrix(pdf):
     """float64 row-normalized matrix from a pandas 'vec' column."""
     import numpy as np

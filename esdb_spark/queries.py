@@ -423,6 +423,21 @@ def orders_by_month(spark, sf_dir):
     )
 
 
+def orders_hash_sample(spark, sf_dir):
+    """Deterministic ~15.6% sample of orders (md5-prefix predicate) —
+    reproducible sampling for pipeline debugging/evaluation at scale;
+    the kept set is a pure function of the key, so both engines (and
+    any two runs) agree exactly."""
+    from esdb_spark.functions import hash_sample
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(hash_sample(F.col("o_orderkey"), buckets_kept=40))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
 def customer_name_parse(spark, sf_dir):
     """String-function coverage: split/cast/substring/case over
     customer names ('Customer#000000042')."""
@@ -470,6 +485,40 @@ def asof_enrich(spark, sf_dir):
         F.unix_micros("ts").alias("ts_us"),
         F.col("o_orderkey_r"),
     ).orderBy("event_id")
+
+
+def click_purchase_window(spark, sf_dir):
+    """Interval (range) join: purchases by the same user within
+    30 minutes after each click. The operator buckets time by the
+    window span so Catalyst plans a shuffled equi-join on
+    (user_id, bucket) instead of a per-key nested loop."""
+    from esdb_spark.operators.asof import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    pairs = interval_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        lower="0 seconds",
+        upper="30 minutes",
+        right_cols=["p_id"],
+    )
+    return (
+        pairs.groupBy("event_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.min("p_id_r").alias("first_purchase_id"),
+        )
+        .orderBy("event_id")
+    )
 
 
 def event_value_pivot(spark, sf_dir):
@@ -595,6 +644,12 @@ _ANALYTIC_ORACLES = {
                count(*) AS n_orders
         FROM orders GROUP BY month_us ORDER BY month_us
     """,
+    "orders_hash_sample": """
+        SELECT o_orderkey, o_orderstatus, o_orderpriority
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '28'
+        ORDER BY o_orderkey
+    """,
     "customer_name_parse": """
         SELECT c_custkey,
                CAST(str_split(c_name, '#')[2] AS BIGINT) AS name_num,
@@ -610,6 +665,16 @@ _ANALYTIC_ORACLES = {
             FROM orders GROUP BY o_custkey, o_orderdate
         ) o ON events.user_id = o.o_custkey AND events.ts >= o.o_orderdate
         ORDER BY event_id
+    """,
+    "click_purchase_window": """
+        SELECT c.event_id, count(*) AS n_purchases,
+               min(p.event_id) AS first_purchase_id
+        FROM events c JOIN events p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        GROUP BY c.event_id ORDER BY c.event_id
     """,
     "event_value_pivot": """
         SELECT user_id,
@@ -702,6 +767,21 @@ def doc_unigram_jaccard_pairs(spark, sf_dir):
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+def doc_dup_clusters(spark, sf_dir):
+    """Connected components of the Jaccard-0.9 near-dup graph:
+    (doc_id, cluster_id = min doc_id in component). The iterative
+    min-label propagation is Spark-side; the oracle replays it as a
+    DuckDB recursive CTE over the same edge list — one of the few
+    iterative algorithms with an exact SQL oracle."""
+    from esdb_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_size=1, threshold=0.9
+    )
+    return dup_clusters(pairs).orderBy("id")
 
 
 def similarity_topk(spark, sf_dir):
@@ -912,6 +992,32 @@ _PIPELINE_ORACLES = {
         WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.6
         ORDER BY id_a, id_b
     """,
+    "doc_dup_clusters": f"""
+        WITH RECURSIVE sh AS (
+            SELECT DISTINCT doc_id AS id, unnest(list_distinct({_TOK})) AS shingle
+            FROM documents
+        ), sizes AS (
+            SELECT id, count(*) AS n FROM sh GROUP BY id
+        ), inter AS (
+            SELECT l.id AS id_a, r.id AS id_b, count(*) AS inter
+            FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.id < r.id
+            GROUP BY l.id, r.id
+        ), edges AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes na ON na.id = id_a
+            JOIN sizes nb ON nb.id = id_b
+            WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.9
+        ), sym AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION SELECT id_b, id_a FROM edges
+        ), reach(id, root) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.dst, reach.root FROM reach JOIN sym s ON s.src = reach.id
+        )
+        SELECT id, min(root) AS cluster_id
+        FROM reach GROUP BY id ORDER BY id
+    """,
     "similarity_topk": """
         SELECT query_id, id, rank FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS id,
@@ -1121,10 +1227,12 @@ def catalog() -> dict[str, Q]:
         ("nations_customers_and_suppliers", nations_customers_and_suppliers),
         ("sessionize_users", sessionize_users),
         ("asof_enrich", asof_enrich),
+        ("click_purchase_window", click_purchase_window),
         ("event_value_pivot", event_value_pivot),
         ("median_value_by_type", median_value_by_type),
         ("orders_by_month", orders_by_month),
         ("customer_name_parse", customer_name_parse),
+        ("orders_hash_sample", orders_hash_sample),
     ]:
         qs[name] = Q(fn, _ANALYTIC_ORACLES[name])
     from esdb_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES
@@ -1139,6 +1247,7 @@ def catalog() -> dict[str, Q]:
         ("dedup_embedding_docs", dedup_embedding_docs),
         ("dedup_events_exact", dedup_events_exact),
         ("doc_unigram_jaccard_pairs", doc_unigram_jaccard_pairs),
+        ("doc_dup_clusters", doc_dup_clusters),
         ("doc_length_histogram", doc_length_histogram),
         ("top_bigrams", top_bigrams),
         ("event_type_stats", event_type_stats),

@@ -134,3 +134,43 @@ def test_salted_join_and_count(spark):
     assert out.count() == 901  # 900 hot + 1 cold
     counts = {r.k: r.n for r in salted_count(left, "k").collect()}
     assert counts[0] == 900
+
+
+def test_interval_join_bounds_and_bucket_boundaries(spark):
+    from datetime import datetime
+
+    from esdb_spark.operators.asof import interval_join
+
+    def at(sec):
+        return datetime(2024, 1, 1, 12, 0, 0).replace(
+            minute=sec // 60, second=sec % 60
+        )
+
+    left = spark.createDataFrame([(1, "u", at(0))], ["lid", "k", "ts"])
+    # right rows: exactly at lower bound, inside, exactly at upper
+    # bound (30 min), just past it, wrong key
+    right = spark.createDataFrame(
+        [
+            (10, "u", at(0)),
+            (11, "u", at(17 * 60 + 29)),   # crosses the bucket boundary
+            (12, "u", at(30 * 60)),
+            (13, "u", at(30 * 60 + 1)),
+            (14, "x", at(60)),
+        ],
+        ["rid", "k", "ts2"],
+    )
+    out = interval_join(
+        left, right, on="k", left_ts="ts", right_ts="ts2",
+        lower="0 seconds", upper="30 minutes", right_cols=["rid"],
+    )
+    assert sorted(r.rid_r for r in out.collect()) == [10, 11, 12]
+
+    # negative lower bound: symmetric window picks up earlier rows
+    sym = interval_join(
+        left,
+        spark.createDataFrame([(20, "u", at(0)), (21, "u", at(5 * 60))],
+                              ["rid", "k", "ts2"]),
+        on="k", left_ts="ts", right_ts="ts2",
+        lower="-10 minutes", upper="10 minutes", right_cols=["rid"],
+    )
+    assert sorted(r.rid_r for r in sym.collect()) == [20, 21]

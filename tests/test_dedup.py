@@ -142,3 +142,22 @@ def test_dedup_embedding_bucketed_path_matches_brute_force(spark):
     want = sorted(range(100))
     assert sorted(r.vec_id for r in brute.collect()) == want
     assert sorted(r.vec_id for r in bucketed.collect()) == want
+
+
+def test_dup_clusters_transitive(spark):
+    """A≈B, B≈C chain must land A, B, C in one cluster (min id) even
+    though A and C share no edge; disconnected pair forms its own."""
+    from esdb_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_empty(spark):
+    from esdb_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    assert dup_clusters(pairs).count() == 0
