@@ -13,11 +13,15 @@ computes these in the same pass as the read, no shuffle, no Python.
   run as a pandas_udf).
 - :func:`with_fingerprint` — md5 content fingerprint of the normalized
   text + a 64-bit polynomial rolling hash over tokens.
+- :func:`chunk_documents` — overlapping fixed-size token windows
+  (pre-training / RAG chunking).
+- :func:`top_distinctive_terms` — per-doc tf-idf-style top-k terms
+  with a cross-engine-exact rational score.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from esdb_spark.functions import tokens
 
@@ -206,4 +210,91 @@ def winnow_fingerprints(
     return (
         df.select(F.col(id_col), F.array_distinct(mins).alias("_fps"))
         .select(F.col(id_col), F.explode("_fps").alias("fingerprint"))
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows —
+    the standard pre-training / RAG chunking step.
+
+    Output: (id, chunk_start, chunk_text, n_chunk_tokens), one row per
+    window, stride = chunk_tokens - overlap; the final window may be
+    short. Entirely per-row column expressions (sequence → slice →
+    concat_ws → explode): a 100 TB corpus chunks in the same pass as
+    the scan, no shuffle, no Python — the array of chunks lives inside
+    one row and is bounded by that document's own length.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("chunk_documents: overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    tok = tokens(text_col)
+    starts = F.when(
+        F.size(tok) > 0,
+        F.sequence(F.lit(0), F.size(tok) - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("chunk_start"),
+            F.concat_ws(" ", F.slice(tok, s + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(F.size(tok) - s, F.lit(chunk_tokens)).alias(
+                "n_chunk_tokens"
+            ),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("_c")).select(
+        id_col,
+        F.col("_c.chunk_start").cast("int").alias("chunk_start"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+    )
+
+
+def top_distinctive_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k distinctive terms, tf-idf style.
+
+    Score = tf / df (term count in the doc over number of docs
+    containing the term). The rational score is chosen over the
+    textbook tf·ln(N/df) deliberately: both engines compute the same
+    IEEE double from two small ints, so rankings are bit-reproducible
+    cross-engine, while ln() can differ in the last ulp between libm
+    implementations. Ties break on term asc.
+
+    Plan shape: explode → two partial-aggregate shuffles (term counts,
+    then doc frequencies) → broadcast-join the (small) per-term df back
+    → per-doc window top-k. The doc-frequency table is |vocabulary|
+    rows — broadcastable far beyond 100 TB of text.
+    """
+    t = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = t.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )

@@ -769,6 +769,28 @@ def doc_unigram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def doc_chunks(spark, sf_dir):
+    """Overlapping 64-token chunks (stride 48) of every document —
+    training-data chunking as a single-pass column expression."""
+    from esdb_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "text", "doc_id", chunk_tokens=64, overlap=16
+    ).orderBy("doc_id", "chunk_start")
+
+
+def doc_top_terms(spark, sf_dir):
+    """Per-doc top-3 distinctive terms (tf/df rational score — see
+    operator docstring for why not ln-weighted tf-idf)."""
+    from esdb_spark.operators.text import top_distinctive_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_distinctive_terms(docs, "text", "doc_id", k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
 def doc_dup_clusters(spark, sf_dir):
     """Connected components of the Jaccard-0.9 near-dup graph:
     (doc_id, cluster_id = min doc_id in component). The iterative
@@ -991,6 +1013,35 @@ _PIPELINE_ORACLES = {
         JOIN sizes nb ON nb.id = id_b
         WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.6
         ORDER BY id_a, id_b
+    """,
+    "doc_chunks": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(s AS INT) AS chunk_start,
+               array_to_string(list_slice(toks, s + 1, s + 64), ' ')
+                   AS chunk_text,
+               CAST(least(len(toks) - s, 64) AS INT) AS n_chunk_tokens
+        FROM t, unnest(
+            CASE WHEN len(toks) > 0 THEN range(0, len(toks), 48)
+                 ELSE []::BIGINT[] END) AS u(s)
+        ORDER BY doc_id, chunk_start
+    """,
+    "doc_top_terms": f"""
+        WITH t AS (
+            SELECT doc_id, unnest({_TOK}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term
+        ), dfq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+            SELECT doc_id, term, tf, df,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY CAST(tf AS DOUBLE)/df DESC, term ASC) AS rank
+            FROM tf JOIN dfq USING (term)
+        )
+        SELECT doc_id, term, tf, df, rank FROM scored
+        WHERE rank <= 3 ORDER BY doc_id, rank
     """,
     "doc_dup_clusters": f"""
         WITH RECURSIVE sh AS (
@@ -1248,6 +1299,8 @@ def catalog() -> dict[str, Q]:
         ("dedup_events_exact", dedup_events_exact),
         ("doc_unigram_jaccard_pairs", doc_unigram_jaccard_pairs),
         ("doc_dup_clusters", doc_dup_clusters),
+        ("doc_chunks", doc_chunks),
+        ("doc_top_terms", doc_top_terms),
         ("doc_length_histogram", doc_length_histogram),
         ("top_bigrams", top_bigrams),
         ("event_type_stats", event_type_stats),

@@ -104,3 +104,54 @@ def test_profile_columns(spark):
     # approx mode runs and keeps the schema
     approx = profile_columns(df, exact=False).collect()
     assert {r.column_name for r in approx} == {"k", "v"}
+
+
+def test_chunk_documents_windows(spark):
+    from esdb_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, "only three words"),
+            (3, ""),  # no tokens → no chunks
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, "text", "doc_id", chunk_tokens=4, overlap=2)
+    rows = {(r.doc_id, r.chunk_start): r for r in out.collect()}
+    # doc 1: stride 2 → starts 0,2,4,6,8
+    assert sorted(s for d, s in rows if d == 1) == [0, 2, 4, 6, 8]
+    assert rows[(1, 0)].chunk_text == "w0 w1 w2 w3"
+    assert rows[(1, 8)].chunk_text == "w8 w9"  # short tail window
+    assert rows[(1, 8)].n_chunk_tokens == 2
+    assert sorted(s for d, s in rows if d == 2) == [0, 2]
+    assert rows[(2, 0)].n_chunk_tokens == 3
+    assert not any(d == 3 for d, _ in rows)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_top_distinctive_terms(spark):
+    from esdb_spark.operators.text import top_distinctive_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "banana cherry shared shared"),
+            (3, "shared cherry"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = top_distinctive_terms(docs, "text", "doc_id", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.term, r.tf, r.df, r.rank))
+    # doc 1: apple tf=2 df=1 → score 2.0 wins; banana (1/2) beats shared (1/3)
+    assert by_doc[1][0] == ("apple", 2, 1, 1)
+    assert by_doc[1][1] == ("banana", 1, 2, 2)
+    # doc 2: shared tf=2 df=3 → 0.667 beats banana/cherry 0.5 (tie→term asc)
+    assert by_doc[2][0][0] == "shared"
+    assert by_doc[2][1][0] == "banana"
