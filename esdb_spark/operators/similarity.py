@@ -56,32 +56,79 @@ def cosine_topk(
     both sides share the id column.
     """
     query_id_col = query_id_col or id_col
-    # Norms are carried as scalar columns instead of pre-normalizing the
-    # vectors: normalized() would inline the (interpreted) norm
-    # aggregate into the per-element division — O(dim²) per corpus row.
-    # Here each side pays one O(dim) norm and each pair one O(dim) dot.
-    def with_norm(df, idc, out_id, out_vec, out_n):
-        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        return df.select(
-            F.col(idc).alias(out_id),
-            v.alias(out_vec),
-            l2_norm(v).alias(out_n),
-        )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    c = with_norm(corpus, id_col, "id", "vec", "c_n")
-    q = with_norm(queries, query_id_col, "query_id", "qvec", "q_n")
-    scored = c.join(F.broadcast(q), F.col("id") != F.col("query_id")).select(
-        "query_id",
-        "id",
-        (
-            dot(F.col("vec"), F.col("qvec"))
-            / F.nullif(F.col("c_n") * F.col("q_n"), F.lit(0.0))
-        ).alias("cos"),
+    # Queries are the broadcast side by contract; the corpus (the
+    # 100 TB side) never shuffles. Scoring is one float64 GEMM per
+    # Arrow batch — Spark's array higher-order functions are
+    # interpreted, so the per-pair dot fold this replaces was ~100×
+    # slower. Zero-norm vectors (no defined cosine) never match.
+    q_pd = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("vec")
+    ).toPandas()
+    q_ids = q_pd["query_id"].to_numpy()
+    qm = (
+        np.array(q_pd["vec"].tolist(), dtype=np.float64)
+        if len(q_pd)
+        else np.zeros((0, 1))
     )
+    q_norms = np.linalg.norm(qm, axis=1)
+    keep = q_norms > 0.0
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (q_ids[keep], qm[keep] / q_norms[keep][:, None])
+    )
+
+    out_schema = StructType(
+        [
+            StructField(
+                "query_id", queries.schema[query_id_col].dataType
+            ),
+            StructField("id", corpus.schema[id_col].dataType),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        q_ids, qm_n = bc.value
+        if len(q_ids) == 0:
+            return
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            m = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            ok = norms > 0.0
+            if not ok.any():
+                continue
+            ids = ids[ok]
+            sims = (m[ok] / norms[ok][:, None]) @ qm_n.T
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                cand = np.nonzero(ids != qid)[0]  # no self-matches
+                if len(cand) == 0:
+                    continue
+                if len(cand) > k:
+                    # k-th value as threshold, keeping ALL boundary ties
+                    # so the global id-asc tie-break stays exact
+                    kth = np.partition(col[cand], len(cand) - k)[
+                        len(cand) - k
+                    ]
+                    cand = cand[col[cand] >= kth]
+                yield pd.DataFrame(
+                    {"query_id": qid, "id": ids[cand], "cos": col[cand]}
+                )
+
+    cand = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("id").asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
 
