@@ -217,3 +217,102 @@ def test_minhash_estimate_tracks_true_jaccard(spark, docs):
         true_j = len(sa & sb) / len(sa | sb)
         # 256 hashes → σ ≈ sqrt(J(1-J)/256) ≤ 0.032; allow 5σ
         assert abs(e - true_j) <= 0.16, (docs[a], docs[b], e, true_j)
+
+
+# ---------------------------------------------------------------------------
+# dup_clusters vs a pure-Python union-find on random graphs
+# ---------------------------------------------------------------------------
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=0, max_value=20),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _model_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_strategy)
+def test_dup_clusters_matches_union_find(spark, edges):
+    from esdb_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == _model_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# interval_join vs a brute-force pandas reference
+# ---------------------------------------------------------------------------
+
+ij_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["u", "v"]),
+        st.integers(min_value=0, max_value=600),  # seconds
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lrows=ij_strategy, rrows=ij_strategy)
+def test_interval_join_matches_bruteforce(spark, lrows, rrows):
+    import datetime as dt
+
+    from esdb_spark.operators.asof import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(lrows)],
+        ["lid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(rrows)],
+        ["rid", "k", "rts"],
+    )
+    got = sorted(
+        (r.lid, r.rid_r)
+        for r in interval_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            lower="-1 minutes", upper="2 minutes", right_cols=["rid"],
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, (lk, ls) in enumerate(lrows)
+        for ri, (rk, rs) in enumerate(rrows)
+        if lk == rk and ls - 60 <= rs <= ls + 120
+    )
+    assert got == want
