@@ -87,3 +87,45 @@ def test_single_shuffle_for_groupby(spark):
     agg = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
     # one exchange for the final aggregation (partial aggs are map-side)
     assert shuffle_count(agg) <= 1
+
+
+def test_interval_join_is_equi_join(spark):
+    """Range predicates must compile to a hash/merge equi-join on
+    (key, bucket) — never a broadcast-nested-loop / cartesian."""
+    import datetime as dt
+
+    from esdb_spark.operators.asof import interval_join
+    from esdb_spark.plans import physical_plan
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, "k", base + dt.timedelta(seconds=i)) for i in range(50)],
+        ["lid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(i, "k", base + dt.timedelta(seconds=i * 2)) for i in range(50)],
+        ["rid", "k", "rts"],
+    )
+    df = interval_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        lower="0 seconds", upper="5 minutes", right_cols=["rid"],
+    )
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert any(j in plan for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_q2_broadcasts_dims(spark):
+    from esdb_spark.queries_tpch import q2_min_cost_supplier
+
+    df = q2_min_cost_supplier(spark, "/root/testdata/sf0.001")
+    assert has_broadcast_join(df)
+
+
+def test_q21_no_nested_loop(spark):
+    from esdb_spark.plans import physical_plan
+    from esdb_spark.queries_tpch import q21_waiting_suppliers
+
+    plan = physical_plan(q21_waiting_suppliers(spark, "/root/testdata/sf0.001"))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
