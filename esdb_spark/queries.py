@@ -409,6 +409,36 @@ def median_value_by_type(spark, sf_dir):
     )
 
 
+def order_price_deciles(spark, sf_dir):
+    """Exact interpolated deciles of order price — the percentile
+    family beyond the median; one aggregate pass, nine quantiles."""
+    o = load_table(spark, sf_dir, "orders")
+    qs = [i / 10 for i in range(1, 10)]
+    return o.agg(
+        *[
+            F.percentile("o_totalprice", q).alias(f"d{int(q * 100)}")
+            for q in qs
+        ]
+    )
+
+
+def lineitem_metrics_unpivot(spark, sf_dir):
+    """UNPIVOT (melt) coverage: wide per-returnflag aggregates back to
+    long (flag, metric, value) form — the inverse of the pivot query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_tax").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_tax"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_tax"], "metric", "value"
+    ).orderBy("l_returnflag", "metric")
+
+
 def orders_by_month(spark, sf_dir):
     """Date-function coverage: orders and exact revenue per month."""
     o = load_table(spark, sf_dir, "orders")
@@ -638,6 +668,31 @@ _ANALYTIC_ORACLES = {
     "median_value_by_type": """
         SELECT event_type, quantile_cont(value, 0.5) AS median_value
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "order_price_deciles": """
+        SELECT quantile_cont(o_totalprice, 0.1) AS d10,
+               quantile_cont(o_totalprice, 0.2) AS d20,
+               quantile_cont(o_totalprice, 0.3) AS d30,
+               quantile_cont(o_totalprice, 0.4) AS d40,
+               quantile_cont(o_totalprice, 0.5) AS d50,
+               quantile_cont(o_totalprice, 0.6) AS d60,
+               quantile_cont(o_totalprice, 0.7) AS d70,
+               quantile_cont(o_totalprice, 0.8) AS d80,
+               quantile_cont(o_totalprice, 0.9) AS d90
+        FROM orders
+    """,
+    "lineitem_metrics_unpivot": """
+        WITH agg AS (
+            SELECT l_returnflag,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                   CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_tax
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, metric, value
+        FROM (UNPIVOT agg ON sum_qty, sum_tax INTO NAME metric VALUE value)
+        ORDER BY l_returnflag, metric
     """,
     "orders_by_month": """
         SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
@@ -1282,6 +1337,8 @@ def catalog() -> dict[str, Q]:
         ("event_value_pivot", event_value_pivot),
         ("median_value_by_type", median_value_by_type),
         ("orders_by_month", orders_by_month),
+        ("order_price_deciles", order_price_deciles),
+        ("lineitem_metrics_unpivot", lineitem_metrics_unpivot),
         ("customer_name_parse", customer_name_parse),
         ("orders_hash_sample", orders_hash_sample),
     ]:
