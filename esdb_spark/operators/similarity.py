@@ -1,25 +1,28 @@
 """Similarity search over embedding columns (array<float>).
 
-- :func:`cosine_topk` — exact brute-force top-k: cross join with the
-  (broadcast) query set, cosine via zip_with/aggregate, per-query top-k
-  via window. The correctness baseline; cost is |queries| × |corpus|
-  row pairs, so at 100 TB it is for query batches, not all-pairs.
+- :func:`cosine_topk` — exact brute-force top-k: broadcast the
+  normalized query matrix, GEMM each corpus Arrow batch against it,
+  per-query top-k via window over per-batch candidates. The
+  correctness baseline; cost is |queries| × |corpus| pairs, so at
+  100 TB it is for query batches, not all-pairs.
 - :func:`hyperplane_buckets` / :func:`ann_topk_lsh` — the scale path:
   random-hyperplane (sign) LSH. Each vector gets a ``bits``-bit bucket
   id per rotation from the signs of dot products with fixed
   hyperplanes; candidates co-bucket under any rotation; exact cosine
   re-ranks.
 
-Determinism: hyperplanes are *literal* arrays generated from a seeded
-PRNG at plan-build time — reproducible across runs and executors, and
-(deliberately) constants in the plan: no per-row hash calls to build
-them. All rotations are computed in ONE projection pass per side
-(Spark's higher-order functions are interpreted, so the win from not
-re-reading and re-normalizing per rotation is large — measured 10.3 s →
-~2 s on the rows-only ANN catalog query).
+Determinism: hyperplanes come from a seeded PRNG — reproducible across
+runs and executors. They ship to workers as one broadcast tensor;
+bucket ids and pairwise cosines are computed as float64 numpy matmuls
+over Arrow batches (mapInPandas), NOT as column expressions: Spark's
+array higher-order functions are interpreted row-at-a-time, and
+literal-hyperplane expression trees additionally cost seconds of
+Catalyst analysis per query (measured 5.4 s → 1.6 s on the ANN catalog
+query after the switch).
 
-Normalization: both paths L2-normalize once up front so cosine becomes
-a dot product (saves the per-pair norm).
+Normalization: scoring paths L2-normalize inside the numpy kernel so
+cosine becomes a dot product; bucketing skips it entirely (sign is
+scale-invariant).
 """
 
 from __future__ import annotations
@@ -28,7 +31,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from esdb_spark.functions import dot, l2_norm
+from esdb_spark.functions import l2_norm
 
 
 def normalized(df: DataFrame, vec_col: str) -> DataFrame:
@@ -145,16 +148,57 @@ def _hyperplane_literals(
     return planes
 
 
-def _bucket_expr(vec: Column, dim: int, bits: int, seed: int) -> Column:
-    """Sign-LSH bucket id from ``bits`` literal hyperplanes."""
-    planes = _hyperplane_literals(dim, bits, seed)
-    bucket = F.lit(0)
-    for b, plane in enumerate(planes):
-        hp = F.array(*[F.lit(w) for w in plane])
-        bucket = bucket + F.when(dot(vec, hp) > 0, F.lit(1 << b)).otherwise(
-            F.lit(0)
-        )
-    return bucket.cast("bigint")
+def _pandas_rotation_buckets(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_id: str,
+    planes,  # numpy (rotations, bits, dim)
+):
+    """(out_id, out_id_vec, rot, bucket) rows via one numpy pass.
+
+    Buckets as JVM column expressions bake rotations×bits×dim literals
+    into the plan — execution is fine but Catalyst ANALYSIS of the fat
+    literal tree cost ~5 s per query call at (8 rot × 4 bits × 64 dim).
+    Here the plane tensor ships once as a broadcast and each Arrow
+    batch pays one sign(M·Pᵀ) matmul per rotation. Sign on the RAW
+    vector is scale-invariant, so no normalization pass either."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    powers = (2 ** np.arange(planes.shape[1])).astype(np.int64)
+    bc = spark.sparkContext.broadcast((planes, powers))
+    schema = StructType(
+        [
+            StructField(out_id, df.schema[id_col].dataType),
+            StructField(out_id + "_vec", df.schema[vec_col].dataType),
+            StructField("rot", IntegerType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        planes, powers = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+            for r in range(planes.shape[0]):
+                buckets = ((m @ planes[r].T) > 0.0) @ powers
+                yield pd.DataFrame(
+                    {
+                        out_id: pdf["_id"].to_numpy(),
+                        out_id + "_vec": pdf["_vec"].to_numpy(),
+                        "rot": r,
+                        "bucket": buckets,
+                    }
+                )
+
+    return df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(gen, schema)
 
 
 def hyperplane_buckets(
@@ -166,13 +210,13 @@ def hyperplane_buckets(
     dim: int | None = None,
 ) -> DataFrame:
     """(id, vec, bucket): sign-LSH bucket id per row."""
+    import numpy as np
+
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        _bucket_expr(v, dim, bits, seed).alias("bucket"),
+    planes = np.array([_hyperplane_literals(dim, bits, seed)])
+    return _pandas_rotation_buckets(df, vec_col, id_col, "id", planes).select(
+        "id", F.col("id_vec").alias("vec"), "bucket"
     )
 
 
@@ -274,32 +318,14 @@ def ann_topk_lsh(
     rotation buckets, then explodes to (rot, bucket) join keys — tiny
     shuffle rows, corpus partitioned by bucket, AQE handles hot buckets.
     """
+    import numpy as np
+
     dim = len(corpus.select(vec_col).first()[0])
-
-    def bucketed(df: DataFrame, idc: str, out_id: str) -> DataFrame:
-        # Buckets are computed on the RAW vector: sign(w·v) is scale-
-        # invariant, so normalization would change nothing — and
-        # normalizing first makes Catalyst inline the (interpreted)
-        # norm expression into every per-plane dot product after
-        # projection collapse, a measured ~4× blowup.
-        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        rb = F.array(
-            *[
-                F.struct(
-                    F.lit(r).alias("rot"),
-                    _bucket_expr(v, dim, bits, seed + r).alias("bucket"),
-                )
-                for r in range(rotations)
-            ]
-        )
-        return df.select(
-            F.col(idc).alias(out_id),
-            F.col(vec_col).alias(out_id + "_vec"),
-            F.explode(rb).alias("rb"),
-        ).select(out_id, out_id + "_vec", "rb.rot", "rb.bucket")
-
-    c = bucketed(corpus, id_col, "id")
-    q = bucketed(queries, id_col, "query_id")
+    planes = np.array(
+        [_hyperplane_literals(dim, bits, seed + r) for r in range(rotations)]
+    )
+    c = _pandas_rotation_buckets(corpus, vec_col, id_col, "id", planes)
+    q = _pandas_rotation_buckets(queries, vec_col, id_col, "query_id", planes)
     from esdb_spark.functions import cosine
 
     cands = (
