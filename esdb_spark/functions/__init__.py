@@ -57,6 +57,31 @@ def hash_sample(key: Column, buckets_kept: int, prefix_len: int = 2) -> Column:
     return F.substring(F.md5(key.cast("string")), 1, prefix_len) < F.lit(cutoff)
 
 
+def stratified_hash_sample(
+    key: Column, stratum: Column, fractions: dict, prefix_len: int = 2
+) -> Column:
+    """Per-stratum deterministic sampling predicate: like
+    :func:`hash_sample` but with a different kept-bucket count per
+    stratum value (e.g. downsample the majority class, keep all of a
+    rare one). Strata absent from ``fractions`` are dropped.
+    ``fractions`` maps stratum value → kept buckets out of
+    16^prefix_len."""
+    space = 16 ** prefix_len
+    pred = F.lit(False)
+    prefix = F.substring(F.md5(key.cast("string")), 1, prefix_len)
+    for value, kept in fractions.items():
+        if not 0 <= kept <= space:
+            raise ValueError(f"stratified_hash_sample: {kept} not in [0, {space}]")
+        if kept == space:  # keep-all: no hex cutoff exists above 'f…f'
+            pred = pred | (stratum == F.lit(value))
+            continue
+        cutoff = format(kept, "x").zfill(prefix_len)
+        pred = pred | (
+            (stratum == F.lit(value)) & (prefix < F.lit(cutoff))
+        )
+    return pred
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<float/double> columns — zip_with +
     aggregate, fully codegen'd (no UDF)."""

@@ -453,6 +453,61 @@ def orders_by_month(spark, sf_dir):
     )
 
 
+def events_stratified_sample(spark, sf_dir):
+    """Per-class deterministic sampling: keep every purchase, 1/4 of
+    clicks, drop the rest — the class-rebalancing step of a training
+    pipeline, reproducible across engines/runs."""
+    from esdb_spark.functions import stratified_hash_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            stratified_hash_sample(
+                F.col("event_id"),
+                F.col("event_type"),
+                {"purchase": 256, "click": 64},
+            )
+        )
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+def nation_participation(spark, sf_dir):
+    """FULL OUTER join coverage: per-nation customer and supplier
+    counts, keeping nations present on either side only."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cc = c.groupBy(F.col("c_nationkey").cast("bigint").alias("c_nk")).agg(
+        F.count("*").alias("n_customers")
+    )
+    sc = s.groupBy(F.col("s_nationkey").cast("bigint").alias("s_nk")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    return (
+        cc.join(sc, cc.c_nk == sc.s_nk, "full_outer")
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def all_company_names(spark, sf_dir):
+    """UNION (distinct) set-op coverage: one name list across customer
+    and supplier tables."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_name").alias("name"))
+        .union(s.select(F.col("s_name").alias("name")))
+        .distinct()
+        .orderBy("name")
+    )
+
+
 def orders_hash_sample(spark, sf_dir):
     """Deterministic ~15.6% sample of orders (md5-prefix predicate) —
     reproducible sampling for pipeline debugging/evaluation at scale;
@@ -698,6 +753,33 @@ _ANALYTIC_ORACLES = {
         SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
                count(*) AS n_orders
         FROM orders GROUP BY month_us ORDER BY month_us
+    """,
+    "events_stratified_sample": """
+        SELECT event_id, event_type FROM events
+        WHERE event_type = 'purchase'
+           OR (event_type = 'click'
+               AND substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40')
+        ORDER BY event_id
+    """,
+    "nation_participation": """
+        SELECT coalesce(c_nk, s_nk) AS nationkey,
+               coalesce(n_customers, 0) AS n_customers,
+               coalesce(n_suppliers, 0) AS n_suppliers
+        FROM (SELECT CAST(c_nationkey AS BIGINT) AS c_nk,
+                     count(*) AS n_customers
+              FROM customer GROUP BY c_nk) c
+        FULL OUTER JOIN
+             (SELECT CAST(s_nationkey AS BIGINT) AS s_nk,
+                     count(*) AS n_suppliers
+              FROM supplier GROUP BY s_nk) s
+          ON c_nk = s_nk
+        ORDER BY nationkey
+    """,
+    "all_company_names": """
+        SELECT c_name AS name FROM customer
+        UNION
+        SELECT s_name AS name FROM supplier
+        ORDER BY name
     """,
     "orders_hash_sample": """
         SELECT o_orderkey, o_orderstatus, o_orderpriority
@@ -1341,6 +1423,9 @@ def catalog() -> dict[str, Q]:
         ("lineitem_metrics_unpivot", lineitem_metrics_unpivot),
         ("customer_name_parse", customer_name_parse),
         ("orders_hash_sample", orders_hash_sample),
+        ("nation_participation", nation_participation),
+        ("events_stratified_sample", events_stratified_sample),
+        ("all_company_names", all_company_names),
     ]:
         qs[name] = Q(fn, _ANALYTIC_ORACLES[name])
     from esdb_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES

@@ -155,3 +155,28 @@ def test_top_distinctive_terms(spark):
     # doc 2: shared tf=2 df=3 → 0.667 beats banana/cherry 0.5 (tie→term asc)
     assert by_doc[2][0][0] == "shared"
     assert by_doc[2][1][0] == "banana"
+
+
+def test_stratified_hash_sample_keep_all_and_fractions(spark):
+    from pyspark.sql import functions as F
+
+    from esdb_spark.functions import hash_sample, stratified_hash_sample
+
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("cls"),
+    )
+    kept = df.filter(
+        stratified_hash_sample(F.col("id"), F.col("cls"), {"a": 256, "b": 64})
+    )
+    by_cls = {r.cls: r.n for r in kept.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert by_cls["a"] == 2000  # keep-all stratum survives entirely
+    assert 0.15 < by_cls["b"] / 2000 < 0.35  # ~25% of the other
+    # subset property: stratified 'b' rows are exactly hash_sample(64) rows
+    b64 = df.filter((F.col("cls") == "b") & hash_sample(F.col("id"), 64))
+    assert kept.filter(F.col("cls") == "b").exceptAll(b64).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        stratified_hash_sample(F.col("id"), F.col("cls"), {"a": 257})
