@@ -234,63 +234,164 @@ def ann_topk_ivf(
     only the ``n_probe`` nearest centroids per query, exact-cosine
     re-rank within the probed cells.
 
-    The index-build (k-means fit) is the pay-once step; at query time
-    the corpus side is an equi-join on centroid id — each query touches
+    The index-build (Lloyd's k-means) runs in numpy on a deterministic
+    hash-sample of the corpus (``fit_sample`` cap) — at 100 TB you fit
+    centroids on a sample, never on the full data, and a driver-side
+    BLAS fit on ~100k vectors beats a distributed fit's per-iteration
+    job overhead by orders of magnitude. Cell assignment is then one
+    broadcast-centroid GEMM argmax per Arrow batch; at query time the
+    corpus side is an equi-join on cell id — each query touches
     ~``n_probe / n_centroids`` of the corpus. Deterministic via the
-    k-means seed. Recall/latency tune with (n_centroids, n_probe):
+    seed. Recall/latency tune with (n_centroids, n_probe):
     n_probe = n_centroids degenerates to brute force.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    from esdb_spark.functions import cosine
-
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    c_feat = c.withColumn(
-        "features", array_to_vector(F.transform("vec", lambda x: x.cast("double")))
-    )
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(c_feat)
-    assigned = model.transform(c_feat).select(
-        "id", "vec", F.col("prediction").alias("cell")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
 
-    # centroid table is tiny: broadcast to score query→cell distances
-    centroids = [
-        (int(i), [float(x) for x in center])
-        for i, center in enumerate(model.clusterCenters())
-    ]
+    fit_sample = 100_000
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
 
+    # --- index build: sampled numpy Lloyd's, cosine metric -------------
+    sample_pd = (
+        c.orderBy(F.md5(F.concat(F.lit(str(seed)), F.col("id").cast("string"))))
+        .limit(fit_sample)
+        .select("vec")
+        .toPandas()
+    )
+    sm = np.array(sample_pd["vec"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(sm, axis=1)
+    sm = sm[norms > 0] / norms[norms > 0][:, None]
+    rng = np.random.default_rng(seed)
+    k_eff = min(n_centroids, len(sm))
+    cent = sm[rng.choice(len(sm), size=k_eff, replace=False)]
+    for _ in range(20):
+        assign = (sm @ cent.T).argmax(axis=1)
+        new = np.vstack(
+            [
+                sm[assign == j].mean(axis=0) if (assign == j).any() else cent[j]
+                for j in range(k_eff)
+            ]
+        )
+        nn = np.linalg.norm(new, axis=1)
+        new = np.where(nn[:, None] > 0, new / np.maximum(nn, 1e-12)[:, None], cent)
+        if np.allclose(new, cent, atol=1e-9):
+            cent = new
+            break
+        cent = new
+    bc = spark.sparkContext.broadcast(cent)
+
+    # --- cell assignment: GEMM argmax per batch ------------------------
+    def assign_cells(batches):
+        cent = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0.0] = 1.0
+            cells = ((m / n[:, None]) @ cent.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "vec": pdf["vec"].to_numpy(),
+                    "cell": cells.astype("int32"),
+                }
+            )
+
+    assigned = c.mapInPandas(
+        assign_cells,
+        StructType(
+            [
+                StructField("id", c.schema["id"].dataType),
+                StructField("vec", c.schema["vec"].dataType),
+                StructField("cell", IntegerType()),
+            ]
+        ),
+    )
+
+    # --- query: probe n_probe nearest cells, exact re-rank -------------
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    q_cells = (
-        q.crossJoin(F.broadcast(cent_df))
-        .select(
-            "query_id",
-            "qvec",
-            "cell",
-            cosine(F.col("qvec"), F.col("centroid")).alias("cell_sim"),
-        )
-        .withColumn(
-            "cell_rank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("cell_sim").desc(), F.col("cell").asc()
+    n_probe_eff = min(n_probe, k_eff)
+
+    def probe_cells(batches):
+        cent = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["qvec"].tolist(), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0.0] = 1.0
+            sims = (m / n[:, None]) @ cent.T
+            # ties broken toward the smaller cell id, matching a
+            # (sim desc, cell asc) ranking
+            order = np.lexsort((np.arange(cent.shape[0])[None, :].repeat(len(m), 0), -sims), axis=1)
+            probes = order[:, :n_probe_eff]
+            for j in range(n_probe_eff):
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy(),
+                        "qvec": pdf["qvec"].to_numpy(),
+                        "cell": probes[:, j].astype("int32"),
+                    }
                 )
-            ),
-        )
-        .filter(F.col("cell_rank") <= n_probe)
-        .select("query_id", "qvec", "cell")
+
+    q_cells = q.mapInPandas(
+        probe_cells,
+        StructType(
+            [
+                StructField("query_id", q.schema["query_id"].dataType),
+                StructField("qvec", q.schema["qvec"].dataType),
+                StructField("cell", IntegerType()),
+            ]
+        ),
     )
+
+    rerank_schema = StructType(
+        [
+            StructField("query_id", q.schema["query_id"].dataType),
+            StructField("id", c.schema["id"].dataType),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def rerank(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            qm = np.array(pdf["qvec"].tolist(), dtype=np.float64)
+            mn = np.linalg.norm(m, axis=1)
+            qn = np.linalg.norm(qm, axis=1)
+            ok = (mn > 0) & (qn > 0)
+            if not ok.any():
+                continue
+            cos = np.einsum(
+                "ij,ij->i",
+                m[ok] / mn[ok][:, None],
+                qm[ok] / qn[ok][:, None],
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy()[ok],
+                    "id": pdf["id"].to_numpy()[ok],
+                    "cos": cos,
+                }
+            )
 
     cands = (
         assigned.join(q_cells, "cell")
         .filter(F.col("id") != F.col("query_id"))
-        .select(
-            "query_id", "id", cosine(F.col("vec"), F.col("qvec")).alias("cos")
-        )
+        .select("query_id", "id", "vec", "qvec")
+        .mapInPandas(rerank, rerank_schema)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("id").asc()
