@@ -18,6 +18,9 @@ Five flavors, each a DataFrame→DataFrame function designed for the
 - :func:`dedup_embedding_cosine` — near-dup by embedding cosine,
   brute-force for moderate corpora, hyperplane-LSH blocked at scale
   (see operators/similarity.py for the shared primitives).
+- :func:`dup_clusters` / :func:`dedup_by_cluster` — connected
+  components over any pair list (min-label propagation) and the
+  keep-one-representative-per-component dedup built on it.
 
 No reference-parity citation: the reference (customerio/esdb) has no
 dedup surface; these follow the standard MinHash/SimHash literature
@@ -443,9 +446,13 @@ def dup_clusters(
     never enter the shuffle.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # Materialize the symmetric edge list ONCE. `sym` is re-joined every
+    # round; without this, each round re-executes the (potentially very
+    # expensive) upstream pair generation — a dense 1M-edge jaccard
+    # graph went from timeout to ~1 min with the checkpoint.
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     labels = sym.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("label")
     ).localCheckpoint(eager=True)
@@ -564,3 +571,27 @@ def _gemm_drop_ids_bucketed(vecs, threshold, id_field, bits=12, tables=8):
         .applyInPandas(bucket_drops, out_schema)
         .distinct()
     )
+
+
+def dedup_by_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Transitive-closure dedup: cluster the near-dup pair graph
+    (:func:`dup_clusters`) and keep one representative — the min id —
+    per connected component.
+
+    This is the correct second stage after any pairwise candidate
+    generator (MinHash, SimHash, embedding cosine): dropping the larger
+    id of each pair in isolation can over-delete chains (A≈B, B≈C
+    drops B and C even when keeping C would be fine under a
+    representative-per-cluster policy) and under-delete when pair lists
+    are incomplete. Cost: the propagation rounds of dup_clusters plus
+    one anti-join; rows never in a pair pass through untouched.
+    """
+    clusters = dup_clusters(pairs, id_a, id_b)
+    drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    return df.join(drop, df[id_col] == drop["id"], "left_anti")

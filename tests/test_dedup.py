@@ -161,3 +161,19 @@ def test_dup_clusters_empty(spark):
 
     pairs = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
     assert dup_clusters(pairs).count() == 0
+
+
+def test_dedup_by_cluster_keeps_one_per_component(spark):
+    from esdb_spark.operators.dedup import dedup_by_cluster
+
+    rows = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(1, 7)], ["doc_id", "text"]
+    )
+    # components {1,2,3} (chain) and {4,5}; 6 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_by_cluster(rows, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 4, 6]
