@@ -606,6 +606,175 @@ def click_purchase_window(spark, sf_dir):
     )
 
 
+def event_counts_salted(spark, sf_dir):
+    """Heavy-hitter-safe count per event type via the two-stage salted
+    aggregation (operators.skew.salted_count). The salt is physical
+    only — results are identical to a plain GROUP BY, so the oracle is
+    the plain GROUP BY; what the gate certifies is that the salted
+    rewrite changes the plan, not the answer."""
+    from esdb_spark.operators.skew import salted_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count(ev, "event_type").orderBy("event_type")
+
+
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered three-stage funnel over the events stream: users who
+    viewed, then clicked strictly after their first view, then
+    purchased strictly after that first qualifying click. Three
+    chained conditional-min windows over ONE user_id partitioning —
+    a single shuffle of the events stream regardless of stage count
+    (the self-join formulation costs one shuffle per stage); the
+    per-user collapse reuses the same partitioning, so only the final
+    3-row stage count crosses the network."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    d = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    d = d.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    return counts.selectExpr(
+        "stack(3, '1_view', n1, '2_click', n2, '3_purchase', n3)"
+        " as (stage, users)"
+    ).orderBy("stage")
+
+
+def weekly_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by the week of their
+    first event, counted in each subsequent activity week. All-integer
+    arithmetic (day diffs from a fixed epoch date) — exact on both
+    engines. The first-event timestamp is a min-window over the same
+    user_id partitioning the rest of the query needs — one shuffle of
+    the stream, no self-join."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    epoch = F.lit("2024-01-01").cast("date")
+    j = ev.withColumn(
+        "first_ts", F.min("ts").over(Window.partitionBy("user_id"))
+    )
+    cohort = F.floor(
+        F.datediff(F.col("first_ts").cast("date"), epoch) / 7
+    ).alias("cohort_week")
+    offset = (
+        F.floor(F.datediff(F.col("ts").cast("date"), epoch) / 7)
+        - F.floor(F.datediff(F.col("first_ts").cast("date"), epoch) / 7)
+    ).alias("week_offset")
+    return (
+        j.select(cohort, offset, "user_id")
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def daily_revenue_7d(spark, sf_dir):
+    """7-day trailing revenue: RANGE frame (6 PRECEDING .. CURRENT)
+    over integer ship-day numbers. Scale posture: the frame runs over
+    the *daily pre-aggregate* (one row per calendar day — bounded by
+    the date range, not the data volume), so the unpartitioned window
+    is over ~2.5k rows even at 100 TB; the heavy lifting is the
+    map-side-combined groupBy on day. Revenue sums stay DECIMAL until
+    the final double cast (order-free, cross-engine exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    day = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("bigint")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    daily = li.groupBy(day.alias("day_num")).agg(F.sum(rev).alias("rev_dec"))
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "day_num",
+            F.sum("rev_dec").over(w).cast("double").alias("rev_7d"),
+        )
+        .orderBy("day_num")
+    )
+
+
+def supplier_balance_ranks(spark, sf_dir):
+    """percent_rank and cume_dist over account balance (unique
+    tie-break on suppkey makes both pure integer ratios — bit-exact
+    cross-engine). Supplier is a small dimension, so the single global
+    window is driver-bounded by the dim size, not the fact volume."""
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return (
+        sup.select(
+            "s_suppkey",
+            F.percent_rank().over(w).alias("bal_percent_rank"),
+            F.cume_dist().over(w).alias("bal_cume_dist"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def lineitem_corr_matrix(spark, sf_dir):
+    """Pearson correlations among quantity / extendedprice / discount
+    from exact decimal moment sums (order-free), combined in one fixed
+    double expression at the end. The moment sums are exact, but the
+    final decimal→double casts can differ by 1 ulp across engines
+    (DuckDB scales int128 in two roundings), so outputs are rounded to
+    12 decimals — noise is ~1e-16 relative vs corr magnitudes ~1e-3.
+    Single map-side-combined aggregate over lineitem; no shuffle wider
+    than one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    dec = {c: F.col(c).cast("decimal(18,2)") for c in cols}
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(dec[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(dec[c] * dec[c]).alias(f"ss_{c}"))
+    for a, b in [(0, 1), (0, 2), (1, 2)]:
+        aggs.append(
+            F.sum(dec[cols[a]] * dec[cols[b]]).alias(f"sp_{cols[a]}_{cols[b]}")
+        )
+    sums = li.agg(*aggs)
+
+    def corr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        sp = F.col(f"sp_{a}_{b}").cast("double")
+        return (n * sp - sa * sb) / (
+            F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)
+        )
+
+    return sums.select(
+        F.round(corr("l_quantity", "l_extendedprice"), 12).alias("corr_qty_price"),
+        F.round(corr("l_quantity", "l_discount"), 12).alias("corr_qty_disc"),
+        F.round(corr("l_extendedprice", "l_discount"), 12).alias("corr_price_disc"),
+    )
+
+
 def event_value_pivot(spark, sf_dir):
     """Manual pivot (portable): per-user event_type value totals in
     exact decimal, cast to double."""
@@ -822,6 +991,87 @@ _ANALYTIC_ORACLES = {
                CAST(sum(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_error
         FROM events GROUP BY user_id ORDER BY user_id
     """,
+    "event_counts_salted": """
+        SELECT event_type, count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "funnel_view_click_purchase": """
+        WITH t1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), t2 AS (
+            SELECT e.user_id, min(e.ts) AS t2 FROM events e
+            JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ), t3 AS (
+            SELECT e.user_id, min(e.ts) AS t3 FROM events e
+            JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT stage, users FROM (
+            SELECT '1_view' AS stage, count(*) AS users FROM t1
+            UNION ALL SELECT '2_click', count(*) FROM t2
+            UNION ALL SELECT '3_purchase', count(*) FROM t3
+        ) ORDER BY stage
+    """,
+    "weekly_cohort_retention": """
+        WITH first AS (
+            SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+        )
+        SELECT
+            CAST(floor(date_diff('day', DATE '2024-01-01', CAST(first_ts AS DATE)) / 7) AS BIGINT) AS cohort_week,
+            CAST(floor(date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) / 7)
+               - floor(date_diff('day', DATE '2024-01-01', CAST(first_ts AS DATE)) / 7) AS BIGINT) AS week_offset,
+            count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN first ON e.user_id = first.user_id
+        GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+    """,
+    "daily_revenue_7d": """
+        WITH daily AS (
+            SELECT date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS day_num,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+            FROM lineitem GROUP BY day_num
+        )
+        SELECT day_num,
+               CAST(sum(rev_dec) OVER (
+                   ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS rev_7d
+        FROM daily ORDER BY day_num
+    """,
+    "supplier_balance_ranks": """
+        SELECT s_suppkey,
+               percent_rank() OVER (ORDER BY s_acctbal, s_suppkey) AS bal_percent_rank,
+               cume_dist() OVER (ORDER BY s_acctbal, s_suppkey) AS bal_cume_dist
+        FROM supplier ORDER BY s_suppkey
+    """,
+    "lineitem_corr_matrix": """
+        WITH s AS (
+            SELECT count(*) AS n,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS s_q,
+                   sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS ss_q,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_p,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS ss_p,
+                   sum(CAST(l_discount AS DECIMAL(18,2))) AS s_d,
+                   sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS ss_d,
+                   sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sp_qp,
+                   sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sp_qd,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sp_pd
+            FROM lineitem
+        )
+        SELECT
+            round((CAST(n AS DOUBLE) * CAST(sp_qp AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+              / (sqrt(CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))), 12) AS corr_qty_price,
+            round((CAST(n AS DOUBLE) * CAST(sp_qd AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+              / (sqrt(CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))), 12) AS corr_qty_disc,
+            round((CAST(n AS DOUBLE) * CAST(sp_pd AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_d AS DOUBLE))
+              / (sqrt(CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))), 12) AS corr_price_disc
+        FROM s
+    """,
 }
 
 
@@ -941,6 +1191,25 @@ def doc_dup_clusters(spark, sf_dir):
         docs, "text", "doc_id", shingle_size=1, threshold=0.9
     )
     return dup_clusters(pairs).orderBy("id")
+
+
+def dedup_by_cluster_docs(spark, sf_dir):
+    """End-to-end transitive-closure dedup: the Jaccard-0.9 near-dup
+    graph of doc_dup_clusters, reduced to one surviving representative
+    (min doc_id) per connected component; isolated docs pass through.
+    Output is the surviving doc_id set — the shape a training-data
+    pipeline actually consumes."""
+    from esdb_spark.operators.dedup import dedup_by_cluster, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_size=1, threshold=0.9
+    )
+    return (
+        dedup_by_cluster(docs, pairs, "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def similarity_topk(spark, sf_dir):
@@ -1206,6 +1475,35 @@ _PIPELINE_ORACLES = {
         SELECT id, min(root) AS cluster_id
         FROM reach GROUP BY id ORDER BY id
     """,
+    "dedup_by_cluster_docs": f"""
+        WITH RECURSIVE sh AS (
+            SELECT DISTINCT doc_id AS id, unnest(list_distinct({_TOK})) AS shingle
+            FROM documents
+        ), sizes AS (
+            SELECT id, count(*) AS n FROM sh GROUP BY id
+        ), inter AS (
+            SELECT l.id AS id_a, r.id AS id_b, count(*) AS inter
+            FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.id < r.id
+            GROUP BY l.id, r.id
+        ), edges AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes na ON na.id = id_a
+            JOIN sizes nb ON nb.id = id_b
+            WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.9
+        ), sym AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION SELECT id_b, id_a FROM edges
+        ), reach(id, root) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.dst, reach.root FROM reach JOIN sym s ON s.src = reach.id
+        ), clusters AS (
+            SELECT id, min(root) AS cluster_id FROM reach GROUP BY id
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+        ORDER BY doc_id
+    """,
     "similarity_topk": """
         SELECT query_id, id, rank FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS id,
@@ -1426,6 +1724,12 @@ def catalog() -> dict[str, Q]:
         ("nation_participation", nation_participation),
         ("events_stratified_sample", events_stratified_sample),
         ("all_company_names", all_company_names),
+        ("event_counts_salted", event_counts_salted),
+        ("funnel_view_click_purchase", funnel_view_click_purchase),
+        ("weekly_cohort_retention", weekly_cohort_retention),
+        ("lineitem_corr_matrix", lineitem_corr_matrix),
+        ("daily_revenue_7d", daily_revenue_7d),
+        ("supplier_balance_ranks", supplier_balance_ranks),
     ]:
         qs[name] = Q(fn, _ANALYTIC_ORACLES[name])
     from esdb_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES
@@ -1441,6 +1745,7 @@ def catalog() -> dict[str, Q]:
         ("dedup_events_exact", dedup_events_exact),
         ("doc_unigram_jaccard_pairs", doc_unigram_jaccard_pairs),
         ("doc_dup_clusters", doc_dup_clusters),
+        ("dedup_by_cluster_docs", dedup_by_cluster_docs),
         ("doc_chunks", doc_chunks),
         ("doc_top_terms", doc_top_terms),
         ("doc_length_histogram", doc_length_histogram),

@@ -129,3 +129,26 @@ def test_q21_no_nested_loop(spark):
 
     plan = physical_plan(q21_waiting_suppliers(spark, "/root/testdata/sf0.001"))
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_funnel_single_stream_shuffle(spark):
+    """The 3-stage funnel must shuffle the event stream ONCE (chained
+    windows over one user_id partitioning), not once per stage. Budget:
+    1 stream shuffle + 2 tiny post-aggregate exchanges + final sort."""
+    from esdb_spark.queries import funnel_view_click_purchase
+
+    df = funnel_view_click_purchase(spark, "/root/testdata/sf0.001")
+    assert shuffle_count(df) <= 4
+    from esdb_spark.plans import physical_plan
+
+    assert physical_plan(df).count("Scan parquet") == 1
+
+
+def test_corr_matrix_prunes_and_single_exchange(spark):
+    from esdb_spark.queries import lineitem_corr_matrix
+
+    df = lineitem_corr_matrix(spark, "/root/testdata/sf0.001")
+    assert shuffle_count(df) <= 1
+    assert set(read_schema_columns(df)) == {
+        "l_quantity", "l_extendedprice", "l_discount",
+    }
