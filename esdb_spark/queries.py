@@ -775,6 +775,63 @@ def lineitem_corr_matrix(spark, sf_dir):
     )
 
 
+def user_value_forward_fill(spark, sf_dir):
+    """Time-series forward-fill: error events carry no usable
+    measurement, so their value is treated as missing and carried
+    forward from the user's last non-error event (IGNORE NULLS
+    last-value window). The double is copied, never computed on —
+    cross-engine exact. One user_id shuffle; the running frame is
+    streaming-evaluated, state = one value per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_id").alias("seq"),
+            F.last(masked, ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("user_id", "seq")
+    )
+
+
+def user_daily_activity_filled(spark, sf_dir):
+    """Calendar gap-fill (resampling): every (user, day) cell of the
+    observation month, zero-filled where the user was inactive —
+    sequence() + explode generates the calendar, a left join fills it.
+    Fan-out is |users| × |days| (bounded by the calendar, not event
+    volume) and the join shuffles on (user_id, day) — co-partitioned
+    with the daily pre-aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit("2024-01-01").cast("date")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    cal = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(epoch, F.lit("2024-01-30").cast("date"))
+            ).alias("day"),
+        )
+    )
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.datediff("day", epoch).cast("bigint").alias("day_num"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+        .orderBy("user_id", "day_num")
+    )
+
+
 def event_value_pivot(spark, sf_dir):
     """Manual pivot (portable): per-user event_type value totals in
     exact decimal, cast to double."""
@@ -1026,6 +1083,30 @@ _ANALYTIC_ORACLES = {
         FROM events e JOIN first ON e.user_id = first.user_id
         GROUP BY cohort_week, week_offset
         ORDER BY cohort_week, week_offset
+    """,
+    "user_value_forward_fill": """
+        SELECT user_id, event_id AS seq,
+               last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        FROM events ORDER BY user_id, seq
+    """,
+    "user_daily_activity_filled": """
+        WITH users AS (SELECT DISTINCT user_id FROM events),
+        days AS (
+            SELECT CAST(unnest(generate_series(
+                DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day
+        ),
+        daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY user_id, day
+        )
+        SELECT u.user_id,
+               date_diff('day', DATE '2024-01-01', d.day) AS day_num,
+               coalesce(daily.n, 0) AS n_events
+        FROM users u CROSS JOIN days d
+        LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day
+        ORDER BY u.user_id, day_num
     """,
     "daily_revenue_7d": """
         WITH daily AS (
@@ -1730,6 +1811,8 @@ def catalog() -> dict[str, Q]:
         ("lineitem_corr_matrix", lineitem_corr_matrix),
         ("daily_revenue_7d", daily_revenue_7d),
         ("supplier_balance_ranks", supplier_balance_ranks),
+        ("user_value_forward_fill", user_value_forward_fill),
+        ("user_daily_activity_filled", user_daily_activity_filled),
     ]:
         qs[name] = Q(fn, _ANALYTIC_ORACLES[name])
     from esdb_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES
