@@ -775,6 +775,29 @@ def lineitem_corr_matrix(spark, sf_dir):
     )
 
 
+def top2_orders_per_customer(spark, sf_dir):
+    """Correlated LATERAL subquery with LIMIT — per customer, their two
+    most expensive orders. Catalyst decorrelates the per-row subquery
+    into ONE hash join + ranked filter (verified: no nested-loop in the
+    plan), so the correlated formulation costs the same as the window
+    rewrite while exercising the lateral-join surface. o_totalprice is
+    copied, never aggregated (cross-engine exact)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, o.o_orderkey, o.o_totalprice
+        FROM v_customer JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM v_orders
+            WHERE o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        WHERE c_custkey <= 200
+        ORDER BY c_custkey, o_orderkey
+        """
+    )
+
+
 def user_value_forward_fill(spark, sf_dir):
     """Time-series forward-fill: error events carry no usable
     measurement, so their value is treated as missing and carried
@@ -1083,6 +1106,17 @@ _ANALYTIC_ORACLES = {
         FROM events e JOIN first ON e.user_id = first.user_id
         GROUP BY cohort_week, week_offset
         ORDER BY cohort_week, week_offset
+    """,
+    "top2_orders_per_customer": """
+        SELECT c_custkey, o_orderkey, o_totalprice FROM (
+            SELECT c_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY c_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            WHERE c_custkey <= 200
+        ) WHERE rn <= 2 ORDER BY c_custkey, o_orderkey
     """,
     "user_value_forward_fill": """
         SELECT user_id, event_id AS seq,
@@ -1813,6 +1847,7 @@ def catalog() -> dict[str, Q]:
         ("supplier_balance_ranks", supplier_balance_ranks),
         ("user_value_forward_fill", user_value_forward_fill),
         ("user_daily_activity_filled", user_daily_activity_filled),
+        ("top2_orders_per_customer", top2_orders_per_customer),
     ]:
         qs[name] = Q(fn, _ANALYTIC_ORACLES[name])
     from esdb_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES
