@@ -775,6 +775,34 @@ def lineitem_corr_matrix(spark, sf_dir):
     )
 
 
+def event_value_outliers(spark, sf_dir):
+    """Group-wise anomaly detection: events whose value is >3
+    population standard deviations from their type's mean. Stats come
+    from exact decimal moment sums (one map-side-combined aggregate,
+    5 rows) broadcast back onto the stream — no window over the full
+    data; the per-row z expression is fixed IEEE double math.
+    Measured decision margin to the |z|=3 threshold is ~2e-3 — twelve
+    orders above cross-engine cast noise, so the id-only output is
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("ss"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    z = (dec.cast("double") - s / n) / F.sqrt((n * ss - s * s) / (n * n))
+    return (
+        j.filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
 def top2_orders_per_customer(spark, sf_dir):
     """Correlated LATERAL subquery with LIMIT — per customer, their two
     most expensive orders. Catalyst decorrelates the per-row subquery
@@ -1106,6 +1134,22 @@ _ANALYTIC_ORACLES = {
         FROM events e JOIN first ON e.user_id = first.user_id
         GROUP BY cohort_week, week_offset
         ORDER BY cohort_week, week_offset
+    """,
+    "event_value_outliers": """
+        WITH st AS (
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(value AS DECIMAL(18,2))) AS s,
+                   sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS ss
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type
+        FROM events e JOIN st USING (event_type)
+        WHERE abs((CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)
+                   - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) > 3.0
+        ORDER BY event_id
     """,
     "top2_orders_per_customer": """
         SELECT c_custkey, o_orderkey, o_totalprice FROM (
@@ -1848,6 +1892,7 @@ def catalog() -> dict[str, Q]:
         ("user_value_forward_fill", user_value_forward_fill),
         ("user_daily_activity_filled", user_daily_activity_filled),
         ("top2_orders_per_customer", top2_orders_per_customer),
+        ("event_value_outliers", event_value_outliers),
     ]:
         qs[name] = Q(fn, _ANALYTIC_ORACLES[name])
     from esdb_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES
