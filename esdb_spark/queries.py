@@ -775,6 +775,46 @@ def lineitem_corr_matrix(spark, sf_dir):
     )
 
 
+def priority_bag_difference(spark, sf_dir):
+    """EXCEPT ALL — multiset semantics: each open order's priority
+    cancels one closed order of the same priority; the survivors keep
+    their multiplicity (the DISTINCT variant is nations_suppliers_no_
+    customers). Compiles to a single aggregate-style rewrite, no
+    driver-side counting."""
+    o = load_table(spark, sf_dir, "orders")
+    open_p = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    closed_p = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return open_p.exceptAll(closed_p).orderBy("o_orderpriority")
+
+
+def priority_bag_intersection(spark, sf_dir):
+    """INTERSECT ALL — the multiset intersection counterpart of
+    priority_bag_difference: per priority, min(open count, closed
+    count) copies survive."""
+    o = load_table(spark, sf_dir, "orders")
+    open_p = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    closed_p = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return open_p.intersectAll(closed_p).orderBy("o_orderpriority")
+
+
+def events_customer_salted_join(spark, sf_dir):
+    """Skew-resistant enrichment join (operators.skew.salted_join):
+    events fan out to `salt` sub-keys, the customer dim replicates per
+    salt, so one hot user cannot pin a single task. The salt is
+    physical only — the oracle is the plain equi-join."""
+    from esdb_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    return (
+        salted_join(ev, cust, on="user_id", salt=8)
+        .select("event_id", "user_id", "c_name")
+        .orderBy("event_id")
+    )
+
+
 def event_value_outliers(spark, sf_dir):
     """Group-wise anomaly detection: events whose value is >3
     population standard deviations from their type's mean. Stats come
@@ -1134,6 +1174,23 @@ _ANALYTIC_ORACLES = {
         FROM events e JOIN first ON e.user_id = first.user_id
         GROUP BY cohort_week, week_offset
         ORDER BY cohort_week, week_offset
+    """,
+    "priority_bag_difference": """
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY o_orderpriority
+    """,
+    "priority_bag_intersection": """
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY o_orderpriority
+    """,
+    "events_customer_salted_join": """
+        SELECT event_id, user_id, c_name
+        FROM events JOIN customer ON user_id = c_custkey
+        ORDER BY event_id
     """,
     "event_value_outliers": """
         WITH st AS (
@@ -1893,6 +1950,9 @@ def catalog() -> dict[str, Q]:
         ("user_daily_activity_filled", user_daily_activity_filled),
         ("top2_orders_per_customer", top2_orders_per_customer),
         ("event_value_outliers", event_value_outliers),
+        ("priority_bag_difference", priority_bag_difference),
+        ("priority_bag_intersection", priority_bag_intersection),
+        ("events_customer_salted_join", events_customer_salted_join),
     ]:
         qs[name] = Q(fn, _ANALYTIC_ORACLES[name])
     from esdb_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES
