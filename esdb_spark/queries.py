@@ -775,6 +775,40 @@ def lineitem_corr_matrix(spark, sf_dir):
     )
 
 
+def similar_part_names(spark, sf_dir):
+    """Edit-distance string-similarity self-join with candidate
+    blocking (the standard scale technique: an equi-join on a cheap
+    block key — here first char + last word — bounds the pair space,
+    then the exact Levenshtein DP filters within blocks; recall is
+    traded at block boundaries, as in the compressed-index similarity-
+    join literature). Distance is an exact integer — cross-engine
+    deterministic."""
+    p = load_table(spark, sf_dir, "part")
+    blk = F.concat_ws(
+        "|",
+        F.substring("p_name", 1, 1),
+        F.element_at(F.split("p_name", " "), -1),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        blk.alias("blk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        blk.alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+        .select("id_a", "id_b", F.col("dist").cast("bigint").alias("dist"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def priority_bag_difference(spark, sf_dir):
     """EXCEPT ALL — multiset semantics: each open order's priority
     cancels one closed order of the same priority; the survivors keep
@@ -1174,6 +1208,18 @@ _ANALYTIC_ORACLES = {
         FROM events e JOIN first ON e.user_id = first.user_id
         GROUP BY cohort_week, week_offset
         ORDER BY cohort_week, week_offset
+    """,
+    "similar_part_names": """
+        WITH p AS (
+            SELECT p_partkey AS id, p_name AS name,
+                   substr(p_name, 1, 1) || '|' || string_split(p_name, ' ')[-1] AS blk
+            FROM part
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 3
+        ORDER BY id_a, id_b
     """,
     "priority_bag_difference": """
         SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
@@ -1950,6 +1996,7 @@ def catalog() -> dict[str, Q]:
         ("user_daily_activity_filled", user_daily_activity_filled),
         ("top2_orders_per_customer", top2_orders_per_customer),
         ("event_value_outliers", event_value_outliers),
+        ("similar_part_names", similar_part_names),
         ("priority_bag_difference", priority_bag_difference),
         ("priority_bag_intersection", priority_bag_intersection),
         ("events_customer_salted_join", events_customer_salted_join),
