@@ -187,30 +187,49 @@ def winnow_fingerprints(
     - The hash is the first 16 hex chars of md5 — portable across
       engines (fixed-width hex compares lexicographically = numerically),
       deterministic, and no seed management.
-    - Everything is per-row column expressions (shingle + window arrays
-      stay inside one row, sized by the document's own token count) —
-      no shuffle until the caller groups by fingerprint.
+    - Shingling and window-min run as posexplode + lead/min windows
+      over one (id, position) partitioning — whole-stage-codegen'd
+      row-at-a-time expressions. The earlier array formulation (nested
+      ``transform``/``slice`` higher-order functions) was interpreted
+      per element and ~20× slower at sf0.01 for identical output.
+    - One shuffle for the per-document window sort, one for the final
+      per-document distinct; no array ever materializes.
     - Documents shorter than k words contribute their whole text as one
       shingle; fewer than w windows → one window over all hashes.
     """
+    from pyspark.sql import Window
+
     tok = tokens(text_col)
-    shingled = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tok) - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, k)),
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(F.size(tok) > 0, tok).otherwise(F.array(F.lit("")))
+        ).alias("_pos", "_tok"),
     )
-    shingles = F.when(F.size(tok) > 0, shingled).otherwise(
-        F.array(F.lit(""))
+    wseq = Window.partitionBy(id_col).orderBy("_pos")
+    wpart = Window.partitionBy(id_col)
+    # k-gram at each position: concat_ws skips the NULL leads past the
+    # end, so the single shingle of a short document is the whole text.
+    parts = [F.col("_tok")] + [F.lead("_tok", j).over(wseq) for j in range(1, k)]
+    sh = toks.select(
+        F.col(id_col),
+        F.col("_pos"),
+        F.concat_ws(" ", *parts).alias("_shingle"),
+        F.count("*").over(wpart).alias("_n"),
+    ).filter(F.col("_pos") <= F.greatest(F.col("_n") - k, F.lit(0)))
+    hashed = sh.select(
+        F.col(id_col),
+        F.col("_pos"),
+        F.substring(F.md5("_shingle"), 1, 16).alias("_h"),
     )
-    hashes = F.transform(shingles, lambda s: F.substring(F.md5(s), 1, 16))
-    n_h = F.size(hashes)
-    mins = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_h - w, F.lit(0))),
-        lambda i: F.array_min(F.slice(hashes, i + 1, w)),
-    )
-    return (
-        df.select(F.col(id_col), F.array_distinct(mins).alias("_fps"))
-        .select(F.col(id_col), F.explode("_fps").alias("fingerprint"))
-    )
+    wmin = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, w - 1)
+    mins = hashed.select(
+        F.col(id_col),
+        F.col("_pos"),
+        F.min("_h").over(wmin).alias("fingerprint"),
+        F.count("*").over(wpart).alias("_nh"),
+    ).filter(F.col("_pos") <= F.greatest(F.col("_nh") - w, F.lit(0)))
+    return mins.select(F.col(id_col), "fingerprint").distinct()
 
 
 def chunk_documents(
