@@ -28,7 +28,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join on ``on`` with the left side salted into ``salt``
     buckets and the right side replicated ``salt`` times, so one hot
-    key spreads over ``salt`` tasks instead of one straggler."""
+    key spreads over ``salt`` tasks instead of one straggler.
+
+    Only left-preserving joins are legal: each right row is replicated
+    per salt, so right/full-outer would emit ``salt - 1`` spurious
+    unmatched copies of every right row."""
+    if how.lower() in ("right", "rightouter", "right_outer", "full",
+                       "outer", "fullouter", "full_outer"):
+        raise ValueError(
+            f"salted_join cannot preserve the right side (how={how!r}): "
+            "the replicated right rows would surface as duplicates. "
+            "Salt the other side instead."
+        )
     l = left.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
     r = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

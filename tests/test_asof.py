@@ -134,6 +134,14 @@ def test_salted_join_and_count(spark):
     assert out.count() == 901  # 900 hot + 1 cold
     counts = {r.k: r.n for r in salted_count(left, "k").collect()}
     assert counts[0] == 900
+    # left outer keeps unmatched left rows exactly once
+    assert salted_join(left, right, on="k", how="left").count() == 1000
+    # right-preserving joins would duplicate replicated right rows
+    import pytest
+
+    for bad in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(left, right, on="k", how=bad)
 
 
 def test_interval_join_bounds_and_bucket_boundaries(spark):
