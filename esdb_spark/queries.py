@@ -775,6 +775,40 @@ def lineitem_corr_matrix(spark, sf_dir):
     )
 
 
+def linear_fit_exact_per_type(spark, sf_dir):
+    """Per-group simple OLS (value ~ seconds-since-epoch-start) in
+    closed form from exact decimal moment sums — the oracle-able twin
+    of linear_fit_per_type's applyInPandas/numpy fit (regr_slope-style
+    aggregates, but with order-free exact moments instead of streaming
+    float accumulation). x is centered on the observation start so the
+    normal-equation differences keep ~full double precision; outputs
+    rounded to 12 decimals to absorb decimal→double cast ulps. One
+    map-side-combined aggregate, 5 output rows."""
+    ev = load_table(spark, sf_dir, "events")
+    xsec = F.expr("unix_micros(ts) div 1000000") - F.lit(1704067200)
+    x = xsec.cast("decimal(18,2)")
+    y = F.col("value").cast("decimal(18,2)")
+    sums = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return sums.select(
+        "event_type",
+        F.round(slope, 12).alias("slope"),
+        F.round(intercept, 12).alias("intercept"),
+    ).orderBy("event_type")
+
+
 def similar_part_names(spark, sf_dir):
     """Edit-distance string-similarity self-join with candidate
     blocking (the standard scale technique: an equi-join on a cheap
@@ -1208,6 +1242,26 @@ _ANALYTIC_ORACLES = {
         FROM events e JOIN first ON e.user_id = first.user_id
         GROUP BY cohort_week, week_offset
         ORDER BY cohort_week, week_offset
+    """,
+    "linear_fit_exact_per_type": """
+        WITH s AS (
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(epoch_us(ts) // 1000000 - 1704067200 AS DECIMAL(18,2))) AS sx,
+                   sum(CAST(value AS DECIMAL(18,2))) AS sy,
+                   sum(CAST(epoch_us(ts) // 1000000 - 1704067200 AS DECIMAL(18,2))
+                       * CAST(epoch_us(ts) // 1000000 - 1704067200 AS DECIMAL(18,2))) AS sxx,
+                   sum(CAST(epoch_us(ts) // 1000000 - 1704067200 AS DECIMAL(18,2))
+                       * CAST(value AS DECIMAL(18,2))) AS sxy
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 12) AS slope,
+               round((CAST(sy AS DOUBLE)
+                      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 12) AS intercept
+        FROM s ORDER BY event_type
     """,
     "similar_part_names": """
         WITH p AS (
@@ -1996,6 +2050,7 @@ def catalog() -> dict[str, Q]:
         ("user_daily_activity_filled", user_daily_activity_filled),
         ("top2_orders_per_customer", top2_orders_per_customer),
         ("event_value_outliers", event_value_outliers),
+        ("linear_fit_exact_per_type", linear_fit_exact_per_type),
         ("similar_part_names", similar_part_names),
         ("priority_bag_difference", priority_bag_difference),
         ("priority_bag_intersection", priority_bag_intersection),
