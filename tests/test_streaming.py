@@ -195,3 +195,48 @@ def test_dedup_stream(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_windowed_counts_drops_late_data(spark, tmp_path):
+    """Append-mode watermark semantics: once the watermark passes a
+    window, that window's emitted count is final — a later event
+    falling into it is dropped, not re-aggregated (the engine's
+    bounded-state guarantee; the reference instead stores late events
+    in arrival order, SURVEY §2.6)."""
+    import datetime as dt
+
+    src_dir = str(tmp_path / "late_src")
+    schema = "ts timestamp, event_type string"
+    day1 = dt.datetime(2024, 1, 1, 0, 30)
+    day5 = dt.datetime(2024, 1, 5, 0, 0)
+    batch1 = spark.createDataFrame(
+        [(day1, "click"), (day1, "click"), (day5, "click")], schema
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src_dir)
+    stream = spark.readStream.schema(batch1.schema).parquet(src_dir)
+    agg = windowed_counts(
+        stream, window="1 day", watermark="1 hour", value_col=None
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late arrival for the (now watermark-closed) day-1 window
+        spark.createDataFrame([(day1, "click")], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+        rows = {
+            (r["window"]["start"].date().isoformat(), r["event_type"]): r["n"]
+            for r in spark.sql("SELECT * FROM late_out").collect()
+        }
+        # the day-1 window closed with the on-time count of 2;
+        # the late third click was dropped
+        assert rows.get(("2024-01-01", "click")) == 2
+    finally:
+        q.stop()
