@@ -775,6 +775,26 @@ def lineitem_corr_matrix(spark, sf_dir):
     )
 
 
+def user_event_type_profile(spark, sf_dir):
+    """List aggregation made cross-engine deterministic: the set of
+    event types each user has produced, collected, sorted, and joined
+    to one string (collect_list order is nondeterministic under
+    parallelism — array_sort + array_join fixes the representation;
+    DuckDB mirrors with list_sort + array_to_string). Single user_id
+    shuffle with map-side partial aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("event_type")), ","
+            ).alias("types"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def linear_fit_exact_per_type(spark, sf_dir):
     """Per-group simple OLS (value ~ seconds-since-epoch-start) in
     closed form from exact decimal moment sums — the oracle-able twin
@@ -1242,6 +1262,12 @@ _ANALYTIC_ORACLES = {
         FROM events e JOIN first ON e.user_id = first.user_id
         GROUP BY cohort_week, week_offset
         ORDER BY cohort_week, week_offset
+    """,
+    "user_event_type_profile": """
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+               count(*) AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id
     """,
     "linear_fit_exact_per_type": """
         WITH s AS (
@@ -2050,6 +2076,7 @@ def catalog() -> dict[str, Q]:
         ("user_daily_activity_filled", user_daily_activity_filled),
         ("top2_orders_per_customer", top2_orders_per_customer),
         ("event_value_outliers", event_value_outliers),
+        ("user_event_type_profile", user_event_type_profile),
         ("linear_fit_exact_per_type", linear_fit_exact_per_type),
         ("similar_part_names", similar_part_names),
         ("priority_bag_difference", priority_bag_difference),
