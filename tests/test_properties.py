@@ -316,3 +316,56 @@ def test_interval_join_matches_bruteforce(spark, lrows, rrows):
         if lk == rk and ls - 60 <= rs <= ls + 120
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprints vs a pure-Python reference model
+# ---------------------------------------------------------------------------
+
+def _model_winnow(text, k=3, w=4):
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+    if toks:
+        shingles = [
+            " ".join(toks[i : i + k]) for i in range(max(len(toks) - k, 0) + 1)
+        ]
+    else:
+        shingles = [""]
+    hashes = [hashlib.md5(s.encode()).hexdigest()[:16] for s in shingles]
+    mins = [
+        min(hashes[i : i + w]) for i in range(max(len(hashes) - w, 0) + 1)
+    ]
+    return set(mins)
+
+
+winnow_docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "x"]),
+        min_size=0,
+        max_size=18,
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=winnow_docs_strategy)
+def test_winnow_matches_python_model(spark, texts):
+    """The posexplode + lead/min-window formulation must reproduce the
+    definitional per-document winnowing (SIGMOD'03) for every token
+    count relative to k and w — including empty docs, n<k, n_h<w."""
+    from esdb_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {}
+    for r in winnow_fingerprints(df, "text", "doc_id", k=3, w=4).collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+    want = {i: _model_winnow(t) for i, t in enumerate(texts)}
+    assert got == want
