@@ -775,6 +775,22 @@ def lineitem_corr_matrix(spark, sf_dir):
     )
 
 
+def priority_bool_flags(spark, sf_dir):
+    """Boolean aggregates (bool_and / bool_or — SQL EVERY / SOME) per
+    order priority; predicates compare stored doubles against literals,
+    which is cross-engine deterministic (no float arithmetic)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1050).alias("all_above_1050"),
+            F.bool_or(F.col("o_totalprice") > 499900).alias("any_above_499900"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def user_event_type_profile(spark, sf_dir):
     """List aggregation made cross-engine deterministic: the set of
     event types each user has produced, collected, sorted, and joined
@@ -1262,6 +1278,13 @@ _ANALYTIC_ORACLES = {
         FROM events e JOIN first ON e.user_id = first.user_id
         GROUP BY cohort_week, week_offset
         ORDER BY cohort_week, week_offset
+    """,
+    "priority_bool_flags": """
+        SELECT o_orderpriority,
+               bool_and(o_totalprice > 1050) AS all_above_1050,
+               bool_or(o_totalprice > 499900) AS any_above_499900,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "user_event_type_profile": """
         SELECT user_id,
@@ -2076,6 +2099,7 @@ def catalog() -> dict[str, Q]:
         ("user_daily_activity_filled", user_daily_activity_filled),
         ("top2_orders_per_customer", top2_orders_per_customer),
         ("event_value_outliers", event_value_outliers),
+        ("priority_bool_flags", priority_bool_flags),
         ("user_event_type_profile", user_event_type_profile),
         ("linear_fit_exact_per_type", linear_fit_exact_per_type),
         ("similar_part_names", similar_part_names),
