@@ -1607,20 +1607,20 @@ def doc_length_histogram(spark, sf_dir):
 
 
 def top_bigrams(spark, sf_dir):
-    """Top-20 word bigrams by occurrence (count desc, bigram asc)."""
+    """Top-20 word bigrams by occurrence (count desc, bigram asc).
+    Bigrams come from posexplode + a lead window over (doc, position)
+    — the codegen'd formulation (interpreted transform/slice arrays are
+    the known slow path; see winnow_fingerprints)."""
     from esdb_spark.functions import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = tokens("text")
-    bigrams = F.when(
-        F.size(tok) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tok) - 2),
-            lambda i: F.concat_ws(" ", F.slice(tok, i + 1, 2)),
-        ),
-    ).otherwise(F.array())
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("_pos", "_t")
+    )
+    nxt = F.lead("_t", 1).over(Window.partitionBy("doc_id").orderBy("_pos"))
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        toks.select(F.concat_ws(" ", F.col("_t"), nxt).alias("bigram"), nxt.alias("_nxt"))
+        .filter(F.col("_nxt").isNotNull())
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
