@@ -2,10 +2,17 @@
 
 Normalizes upstream type quirks so queries see clean Spark types:
 
-- ``events.ts`` is TIMESTAMP(NANOS) in the files; Spark has no nanos
-  timestamp, so (with ``spark.sql.legacy.parquet.nanosAsLong``) it
-  arrives as a long of epoch-nanoseconds and is converted here to a
-  microsecond TimestampType — the same value DuckDB reports.
+- ``events.ts`` is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false),
+  which Spark 4 reads as TIMESTAMP_NTZ (``inferTimestampNTZ`` is on by
+  default). NTZ breaks ``unix_micros`` and mixes badly with LTZ in
+  unions/structs, so every NTZ column is converted here to an
+  instant-typed TIMESTAMP via ``to_utc_timestamp(col, 'UTC')`` — i.e.
+  the naive wall clock is read as UTC, the exact semantics DuckDB's
+  ``epoch_us`` applies to the same files. This is independent of the
+  session timezone (no ``cast``, which would consult it).
+- Defensively, a bigint ``ts`` (a session with
+  ``spark.sql.legacy.parquet.nanosAsLong`` reading nanos files) is
+  converted from epoch-nanos to a microsecond timestamp.
 
 At scale these loaders are where a catalog/table-format layer would
 sit; filters and projections applied downstream still push into the
@@ -17,6 +24,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import TimestampNTZType
 
 TABLE_NAMES = [
     "region",
@@ -34,11 +42,15 @@ TABLE_NAMES = [
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Any TIMESTAMP(NANOS) column was read as long epoch-nanos; convert
-    # to microsecond timestamps (divide by 1000, integer semantics).
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            # integer division: float `/` would round at ~1e18 epoch-nanos
+        if isinstance(field.dataType, TimestampNTZType):
+            # naive wall clock → the UTC instant with that wall clock
+            df = df.withColumn(
+                field.name, F.to_utc_timestamp(F.col(field.name), "UTC")
+            )
+        elif field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # epoch-nanos long (legacy nanosAsLong sessions); integer
+            # division: float `/` would round at ~1e18 epoch-nanos
             # (doubles carry 53 bits) and corrupt the microsecond digit
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
