@@ -10,6 +10,23 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
+def epoch_us(col) -> Column:
+    """Epoch microseconds of a timestamp column, NTZ-safe.
+
+    The driver's parquet carries TIMESTAMP(MICROS, isAdjustedToUTC=
+    false), which Spark 4 reads as TIMESTAMP_NTZ — and ``unix_micros``
+    rejects NTZ outright. ``to_utc_timestamp(col, 'UTC')`` reads the
+    naive wall clock as UTC (exactly DuckDB's ``epoch_us`` semantics on
+    the same files) independent of the session timezone; on an
+    instant-typed TIMESTAMP input it is the identity under the engine's
+    pinned-UTC sessions. Call sites keep the raw column in filters
+    where possible so parquet pushdown is preserved — this helper is
+    for projections and arithmetic.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(F.to_utc_timestamp(col, "UTC"))
+
+
 def tokens(col) -> Column:
     """Lowercased whitespace tokens of a text column (empty array for
     blank text)."""

@@ -22,6 +22,7 @@ coarse time buckets before the max-per-pair reduction.
 
 from __future__ import annotations
 
+from esdb_spark.functions import epoch_us
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -43,9 +44,13 @@ def asof_join(
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     out_names = [c + suffix for c in right_cols]
 
+    # order on epoch micros, not the raw column: left/right may carry
+    # different timestamp flavors (NTZ parquet vs instant-typed engine
+    # tables) and a union would otherwise need an implicit, session-tz
+    # dependent coercion
     l_tag = left.select(
         F.col(on).alias("_k"),
-        F.col(left_ts).alias("_t"),
+        epoch_us(F.col(left_ts)).alias("_t"),
         F.lit(1).alias("_is_left"),
         F.struct(*left.columns).alias("_lrow"),
         F.lit(None).cast(
@@ -54,7 +59,7 @@ def asof_join(
     )
     r_tag = right.select(
         F.col(on).alias("_k"),
-        F.col(right_ts).alias("_t"),
+        epoch_us(F.col(right_ts)).alias("_t"),
         F.lit(0).alias("_is_left"),
         F.lit(None)
         .cast(left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType)
@@ -103,8 +108,8 @@ def asof_join_bucketed(
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     seconds = _duration_seconds(bucket)
-    lb = F.floor(F.unix_micros(F.col(left_ts).cast("timestamp")) / (seconds * 1e6))
-    rb = F.floor(F.unix_micros(F.col(right_ts).cast("timestamp")) / (seconds * 1e6))
+    lb = F.floor(epoch_us(F.col(left_ts)) / (seconds * 1e6))
+    rb = F.floor(epoch_us(F.col(right_ts)) / (seconds * 1e6))
 
     # a unique row id keeps FULLY identical left rows distinct through
     # the explode/join/dedup cycle (a window over the left columns
@@ -170,8 +175,8 @@ def interval_join(
         c for c in right.columns if c not in (on, right_ts)
     ]
 
-    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
-    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    l_us = epoch_us(F.col(left_ts))
+    r_us = epoch_us(F.col(right_ts))
     w_us = int(width_s * 1e6)
     lo_b = F.floor((l_us + int(lo_s * 1e6)) / w_us)
     hi_b = F.floor((l_us + int(hi_s * 1e6)) / w_us)

@@ -32,6 +32,7 @@ from typing import Callable, NamedTuple
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from esdb_spark.db import Db
+from esdb_spark.functions import epoch_us
 from esdb_spark.sources.tables import load_table
 
 
@@ -63,7 +64,7 @@ def _scan_cols():
     return [
         "space",
         "grouping",
-        F.unix_micros("ts").alias("ts_us"),
+        epoch_us("ts").alias("ts_us"),
         "seq",
         "data",
     ]
@@ -145,7 +146,7 @@ def latest_per_grouping(spark, sf_dir):
         .select(
             "space",
             "grouping",
-            F.unix_micros(F.col("e.ts")).alias("ts_us"),
+            epoch_us(F.col("e.ts")).alias("ts_us"),
             F.col("e.seq").alias("seq"),
             F.col("e.data").alias("data"),
         )
@@ -158,7 +159,7 @@ def cursor_page(spark, sf_dir):
     db = _events_as_esdb(spark, sf_dir)
     cur_us = 1706000000000000
     df = db.find("view")._df.filter(
-        (F.unix_micros("ts") < cur_us)
+        (epoch_us("ts") < cur_us)
     )
     return (
         df.orderBy(F.col("ts").desc(), F.col("seq").asc())
@@ -330,7 +331,7 @@ def customer_order_stats(spark, sf_dir):
             F.count("*").alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
             F.max(
-                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                epoch_us("o_orderdate")
             ).alias("last_order_us"),
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
@@ -390,7 +391,7 @@ def sessionize_users(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gap = epoch_us("ts") - epoch_us(F.lag("ts").over(w))
     marked = ev.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
@@ -451,8 +452,8 @@ def orders_by_month(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy(
-            F.unix_micros(
-                F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+            epoch_us(
+                F.date_trunc("month", "o_orderdate")
             ).alias("month_us")
         )
         .agg(F.count("*").alias("n_orders"))
@@ -559,7 +560,7 @@ def asof_enrich(spark, sf_dir):
         load_table(spark, sf_dir, "orders")
         .groupBy(
             F.col("o_custkey").alias("user_id"),
-            F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+            F.col("o_orderdate").alias("o_ts"),
         )
         .agg(F.max("o_orderkey").alias("o_orderkey"))
     )
@@ -574,7 +575,7 @@ def asof_enrich(spark, sf_dir):
     return out.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
+        epoch_us("ts").alias("ts_us"),
         F.col("o_orderkey_r"),
     ).orderBy("event_id")
 
@@ -828,7 +829,7 @@ def linear_fit_exact_per_type(spark, sf_dir):
     rounded to 12 decimals to absorb decimal→double cast ulps. One
     map-side-combined aggregate, 5 output rows."""
     ev = load_table(spark, sf_dir, "events")
-    xsec = F.expr("unix_micros(ts) div 1000000") - F.lit(1704067200)
+    xsec = (epoch_us("ts") / F.lit(1_000_000)).cast("bigint") - F.lit(1704067200)
     x = xsec.cast("decimal(18,2)")
     y = F.col("value").cast("decimal(18,2)")
     sums = ev.groupBy("event_type").agg(
@@ -2034,7 +2035,7 @@ def linear_fit_per_type(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return (
         linear_fit_per_group(
-            ev.select("event_type", F.unix_micros("ts").alias("t"), "value"),
+            ev.select("event_type", epoch_us("ts").alias("t"), "value"),
             "event_type",
             "t",
             "value",

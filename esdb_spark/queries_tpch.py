@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from esdb_spark.functions import epoch_us
 from esdb_spark.sources.tables import load_table
 
 
@@ -391,7 +392,7 @@ def q18_large_volume_customers(spark, sf_dir):
             "c_name",
             "c_custkey",
             "o_orderkey",
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            epoch_us("o_orderdate").alias(
                 "o_orderdate_us"
             ),
             "o_totalprice",
@@ -466,7 +467,7 @@ def running_revenue_by_month(spark, sf_dir):
     decimal (order-free) and cast to double at the end."""
     li = load_table(spark, sf_dir, "lineitem")
     monthly = li.groupBy(
-        F.unix_micros(F.date_trunc("month", "l_shipdate")).alias("month_us")
+        epoch_us(F.date_trunc("month", "l_shipdate")).alias("month_us")
     ).agg(F.sum(_revenue()).alias("rev_dec"))
     w = Window.orderBy("month_us").rowsBetween(Window.unboundedPreceding, 0)
     return (

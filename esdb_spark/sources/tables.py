@@ -2,21 +2,23 @@
 
 Normalizes upstream type quirks so queries see clean Spark types:
 
-- ``events.ts`` is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false),
-  which Spark 4 reads as TIMESTAMP_NTZ (``inferTimestampNTZ`` is on by
-  default). NTZ breaks ``unix_micros`` and mixes badly with LTZ in
-  unions/structs, so every NTZ column is converted here to an
-  instant-typed TIMESTAMP via ``to_utc_timestamp(col, 'UTC')`` — i.e.
-  the naive wall clock is read as UTC, the exact semantics DuckDB's
-  ``epoch_us`` applies to the same files. This is independent of the
-  session timezone (no ``cast``, which would consult it).
+- Timestamp columns (``events.ts``, ``orders.o_orderdate``,
+  ``lineitem.l_shipdate``) are parquet TIMESTAMP(MICROS,
+  isAdjustedToUTC=false), which Spark 4 reads as TIMESTAMP_NTZ
+  (``inferTimestampNTZ`` is on by default). They are deliberately left
+  NTZ **as-is**: wrapping them in a conversion expression would block
+  parquet predicate pushdown / row-group pruning on exactly the
+  columns TPC-H-style queries filter hardest — at 100 TB that turns
+  partition-pruned scans into full scans. Epoch extraction instead
+  goes through :func:`esdb_spark.functions.epoch_us`, which handles
+  NTZ timezone-independently at the expression site.
 - Defensively, a bigint ``ts`` (a session with
   ``spark.sql.legacy.parquet.nanosAsLong`` reading nanos files) is
   converted from epoch-nanos to a microsecond timestamp.
 
 At scale these loaders are where a catalog/table-format layer would
 sit; filters and projections applied downstream still push into the
-parquet scan because the conversions are per-column projections.
+parquet scan untouched.
 """
 
 from __future__ import annotations
@@ -24,7 +26,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import TimestampNTZType
 
 TABLE_NAMES = [
     "region",
@@ -43,12 +44,7 @@ TABLE_NAMES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
-        if isinstance(field.dataType, TimestampNTZType):
-            # naive wall clock → the UTC instant with that wall clock
-            df = df.withColumn(
-                field.name, F.to_utc_timestamp(F.col(field.name), "UTC")
-            )
-        elif field.name == "ts" and field.dataType.simpleString() == "bigint":
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
             # epoch-nanos long (legacy nanosAsLong sessions); integer
             # division: float `/` would round at ~1e18 epoch-nanos
             # (doubles carry 53 bits) and corrupt the microsecond digit

@@ -28,6 +28,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from esdb_spark.stream import STREAM_SCHEMA, EventStream
 
 
+def _instant(events: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks/event-time require an instant-typed TIMESTAMP; parquet
+    naive timestamps arrive as TIMESTAMP_NTZ. Read the naive wall clock
+    as UTC (session-tz independent) when needed; no-op otherwise."""
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        return events.withColumn(ts_col, F.to_utc_timestamp(ts_col, "UTC"))
+    return events
+
+
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming view of a stream directory (new parquet appends become
     micro-batches)."""
@@ -185,9 +194,9 @@ def dedup_stream(
     within the watermark horizon. State is bounded by the watermark
     (dropDuplicatesWithinWatermark), so it runs forever — the streaming
     face of operators/dedup.dedup_exact."""
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        key_cols
-    )
+    return _instant(events, ts_col).withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(key_cols)
 
 
 def windowed_counts(
@@ -206,7 +215,7 @@ def windowed_counts(
     if value_col and value_col in events.columns:
         aggs.append(F.sum(value_col).alias(f"total_{value_col}"))
     return (
-        events.withWatermark(ts_col, watermark)
+        _instant(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
         .agg(*aggs)
     )

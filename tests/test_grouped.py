@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from esdb_spark.functions import epoch_us
 from esdb_spark.operators.grouped import linear_fit_per_group, zscore_per_group
 from esdb_spark.sources.tables import load_table
 
@@ -35,7 +36,7 @@ def test_linear_fit_degenerate_groups(spark):
 def test_linear_fit_real_events(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     fits = linear_fit_per_group(
-        ev.select("event_type", F.unix_micros("ts").alias("t"), "value"),
+        ev.select("event_type", epoch_us("ts").alias("t"), "value"),
         "event_type",
         "t",
         "value",
