@@ -317,3 +317,40 @@ def top_distinctive_terms(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# PII / boilerplate scrubbing --------------------------------------------
+
+# Order matters: URLs are stripped before emails (a URL may embed an
+# "@"), emails before bare IPs. Patterns are intersection-of-dialects
+# regex (character classes + \b only) so the identical string runs on
+# Java regex (Spark) and RE2 (DuckDB/Go) — no lookarounds.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("url", r"https?://[^\s]+"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]?\d{0,4}"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    token: str = "[REDACTED]",
+    kinds: list[str] | None = None,
+) -> DataFrame:
+    """Scrub URLs / emails / IPv4s / international-format phone numbers
+    from a text column — the standard pre-training privacy pass.
+
+    Pure chained ``regexp_replace`` (JVM, codegen, same pass as the
+    scan; no shuffle, no Python) — at 100 TB this is strictly
+    scan-bound. ``kinds`` restricts which pattern families fire.
+    """
+    out_col = out_col or text_col
+    want = set(kinds) if kinds else None
+    c = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        if want is None or name in want:
+            c = F.regexp_replace(c, pat, token)
+    return df.withColumn(out_col, c)

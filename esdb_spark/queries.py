@@ -1500,6 +1500,32 @@ def doc_fingerprint(spark, sf_dir):
     return with_fingerprint(docs, "text").select("doc_id", "fingerprint_md5")
 
 
+def doc_redact_pii(spark, sf_dir):
+    """PII scrub (text.redact_pii): the synthetic corpus carries no
+    PII, so deterministic URL/email/IP/phone strings are injected per
+    doc first — the redaction regexes must then strip every one of
+    them identically on both engines (chained regexp_replace)."""
+    from esdb_spark.operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did,
+            F.lit("@example.com via https://ex.org/p/"), did,
+            F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1-555-01"), F.lpad(did, 2, "0"),
+        ).alias("text"),
+    )
+    return (
+        redact_pii(seeded, "text", out_col="redacted")
+        .select("doc_id", "redacted")
+        .orderBy("doc_id")
+    )
+
+
 def dedup_events_exact(spark, sf_dir):
     """Exact dedup on (user_id, event_type): keep the earliest event —
     the deterministic-keeper dedup over a key with genuine duplicates."""
@@ -1762,6 +1788,22 @@ _PIPELINE_ORACLES = {
     "doc_fingerprint": """
         SELECT doc_id,
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint_md5
+        FROM documents ORDER BY doc_id
+    """,
+    "doc_redact_pii": """
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       text || ' contact user' || doc_id
+                            || '@example.com via https://ex.org/p/' || doc_id
+                            || ' host 10.0.' || (doc_id % 256)
+                            || '.7 tel +1-555-01' || lpad(CAST(doc_id AS VARCHAR), 2, '0'),
+                       'https?://[^\\s]+', '[REDACTED]', 'g'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[REDACTED]', 'g'),
+                 '\\+\\d{1,3}[- ]\\d{3}[- ]\\d{3,4}[- ]?\\d{0,4}', '[REDACTED]', 'g') AS redacted
         FROM documents ORDER BY doc_id
     """,
     "dedup_events_exact": """
@@ -2125,6 +2167,7 @@ def catalog() -> dict[str, Q]:
         ("doc_quality", doc_quality),
         ("doc_language_guess", doc_language_guess),
         ("doc_fingerprint", doc_fingerprint),
+        ("doc_redact_pii", doc_redact_pii),
         ("dedup_embedding_docs", dedup_embedding_docs),
         ("dedup_events_exact", dedup_events_exact),
         ("doc_unigram_jaccard_pairs", doc_unigram_jaccard_pairs),

@@ -184,6 +184,47 @@ def sessionize_stream(
     )
 
 
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair left rows with
+    right rows sharing ``on`` whose ``right_ts`` falls in
+    [left_ts, left_ts + within].
+
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions, so Spark can expire buffered state — the
+    requirement that makes a stream-stream join runnable forever
+    (unbounded state otherwise). Right columns come back suffixed
+    ``_r``. Outer joins emit null-extended rows only after the
+    watermark closes the match window.
+    """
+    l = _instant(left, left_ts).withWatermark(left_ts, watermark).alias("l")
+    r = (
+        _instant(right, right_ts)
+        .withWatermark(right_ts, watermark)
+        .select(
+            [F.col(c).alias(c + "_r") for c in right.columns]
+        )
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}_r"))
+        & (F.col(f"r.{right_ts}_r") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}_r")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return l.join(r, cond, how)
+
+
 def dedup_stream(
     events: DataFrame,
     key_cols: list[str],

@@ -152,3 +152,17 @@ def test_corr_matrix_prunes_and_single_exchange(spark):
     assert set(read_schema_columns(df)) == {
         "l_quantity", "l_extendedprice", "l_discount",
     }
+
+
+def test_date_filters_push_into_scan(spark):
+    """Timestamp-NTZ columns must stay raw at the scan so date-range
+    predicates reach parquet row-group pruning (regression: wrapping
+    ts columns in a conversion at load silently dropped every
+    l_shipdate/o_orderdate PushedFilter — fatal at 100 TB)."""
+    from esdb_spark.queries import catalog
+
+    cat = catalog()
+    sf = "/root/testdata/sf0.001"
+    assert has_pushed_filter(cat["q1_pricing_summary"].fn(spark, sf), "l_shipdate")
+    assert has_pushed_filter(cat["q6_forecast_revenue"].fn(spark, sf), "l_shipdate")
+    assert has_pushed_filter(cat["q4_priority_delayed"].fn(spark, sf), "o_orderdate")

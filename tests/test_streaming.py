@@ -240,3 +240,56 @@ def test_windowed_counts_drops_late_data(spark, tmp_path):
         assert rows.get(("2024-01-01", "click")) == 2
     finally:
         q.stop()
+
+
+def test_join_streams_matches_batch_interval_join(spark, tmp_path):
+    """Stream-stream watermarked join over the real events table must
+    pair every click with the purchases ≤30min after it — same pairs
+    as the batch interval_join on identical inputs."""
+    from esdb_spark.operators.asof import interval_join
+    from esdb_spark.streaming import join_streams
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch_b = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    want = (
+        interval_join(
+            clicks_b,
+            purch_b.select(
+                "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+            ),
+            on="user_id",
+            left_ts="ts",
+            right_ts="p_ts",
+            upper="30 minutes",
+        )
+        .select("event_id", F.col("p_id_r").alias("p_id"))
+        .collect()
+    )
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks_b.write.parquet(cdir)
+    purch_b.write.parquet(pdir)
+    cs = spark.readStream.schema(clicks_b.schema).parquet(cdir)
+    ps = spark.readStream.schema(purch_b.schema).parquet(pdir)
+    joined = join_streams(
+        cs, ps, on="user_id", within="30 minutes", watermark="2 hours"
+    ).select("event_id", F.col("event_id_r").alias("p_id"))
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT event_id, p_id FROM ss_join").collect()
+        assert sorted((r.event_id, r.p_id) for r in got) == sorted(
+            (r.event_id, r.p_id) for r in want
+        )
+    finally:
+        q.stop()

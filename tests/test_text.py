@@ -180,3 +180,26 @@ def test_stratified_hash_sample_keep_all_and_fractions(spark):
 
     with pytest.raises(ValueError):
         stratified_hash_sample(F.col("id"), F.col("cls"), {"a": 257})
+
+
+def test_redact_pii_families_and_order(spark):
+    from esdb_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob@corp.io or see https://x.io/a?u=1 now"),
+            (2, "server 192.168.1.7 answered, call +44-202-5550-199"),
+            (3, "no pii here at all"),
+        ],
+        ["id", "text"],
+    )
+    out = {r.id: r.text for r in redact_pii(df).collect()}
+    assert out[1] == "mail me at [REDACTED] or see [REDACTED] now"
+    assert out[2] == "server [REDACTED] answered, call [REDACTED]"
+    assert out[3] == "no pii here at all"
+    # kinds filter: only emails fire
+    only_mail = {
+        r.id: r.text for r in redact_pii(df, kinds=["email"]).collect()
+    }
+    assert "https://x.io" in only_mail[1] and "[REDACTED]" in only_mail[1]
+    assert only_mail[2] == df.collect()[1].text
