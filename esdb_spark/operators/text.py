@@ -354,3 +354,72 @@ def redact_pii(
         if want is None or name in want:
             c = F.regexp_replace(c, pat, token)
     return df.withColumn(out_col, c)
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: fraction of duplicate lines and
+    duplicate word-tokens, plus the most-repeated token's share. High
+    values flag boilerplate / degenerate pages for filtering.
+
+    Pure column exprs (split + array ops, codegen): the 100 TB pass is
+    scan-bound, no shuffle. Ratios round to 6 decimals for
+    cross-engine comparability.
+    """
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    tok = tokens(text_col)
+    n_lines = F.size(lines)
+    n_tok = F.size(tok)
+    dup_line_ratio = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines,
+    ).otherwise(F.lit(0.0))
+    dup_token_ratio = F.when(
+        n_tok > 0, (n_tok - F.size(F.array_distinct(tok))) / n_tok
+    ).otherwise(F.lit(0.0))
+    # share of the single most frequent token: sort, then one linear
+    # fold tracking (prev, current run, best run) — O(n log n) per doc,
+    # not the O(distinct·n) of counting each distinct token separately
+    top_count = F.aggregate(
+        F.array_sort(tok),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    top_token_share = F.when(n_tok > 0, top_count / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        df.withColumn("dup_line_ratio", F.round(dup_line_ratio, 6))
+        .withColumn("dup_token_ratio", F.round(dup_token_ratio, 6))
+        .withColumn("top_token_share", F.round(top_token_share, 6))
+    )
+
+
+def extract_domains(
+    df: DataFrame, text_col: str = "text", out_col: str = "domains"
+) -> DataFrame:
+    """Provenance pass: distinct lower-cased registrable hosts of every
+    URL in the text (sorted). ``regexp_extract_all`` + array ops,
+    codegen-only; feed into a groupBy for per-domain corpus counts."""
+    hosts = F.transform(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"https?://([A-Za-z0-9.-]+)"), F.lit(1)
+        ),
+        F.lower,
+    )
+    return df.withColumn(out_col, F.array_sort(F.array_distinct(hosts)))

@@ -1500,6 +1500,49 @@ def doc_fingerprint(spark, sf_dir):
     return with_fingerprint(docs, "text").select("doc_id", "fingerprint_md5")
 
 
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (text.with_repetition_stats):
+    duplicate-line / duplicate-token ratios and the top token's share,
+    per document."""
+    from esdb_spark.operators.text import with_repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_repetition_stats(docs, "text")
+        .select(
+            "doc_id", "dup_line_ratio", "dup_token_ratio", "top_token_share"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def doc_domain_counts(spark, sf_dir):
+    """Provenance rollup (text.extract_domains): per-domain document
+    counts. The corpus has no URLs, so two deterministic per-doc URLs
+    (one upper-cased: extraction must lower-case) are injected first."""
+    from esdb_spark.operators.text import extract_domains
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://cdn"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/x and http://MIRROR"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.net/y"),
+        ).alias("text"),
+    )
+    return (
+        extract_domains(seeded, "text")
+        .select("doc_id", F.explode("domains").alias("domain"))
+        .groupBy("domain")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy("domain")
+    )
+
+
 def doc_redact_pii(spark, sf_dir):
     """PII scrub (text.redact_pii): the synthetic corpus carries no
     PII, so deterministic URL/email/IP/phone strings are injected per
@@ -1789,6 +1832,49 @@ _PIPELINE_ORACLES = {
         SELECT doc_id,
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint_md5
         FROM documents ORDER BY doc_id
+    """,
+    "doc_repetition_stats": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOK} AS toks,
+                   list_filter(
+                       list_transform(string_split(text, chr(10)), l -> trim(l)),
+                       l -> l != '') AS lines
+            FROM documents
+        ), c AS (
+            SELECT t.doc_id, u.tok, count(*) AS cnt
+            FROM t, unnest(t.toks) AS u(tok)
+            GROUP BY t.doc_id, u.tok
+        ), m AS (
+            SELECT doc_id, max(cnt) AS top FROM c GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               round(CASE WHEN len(lines) > 0
+                     THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                     ELSE 0.0 END, 6) AS dup_line_ratio,
+               round(CASE WHEN len(toks) > 0
+                     THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END, 6) AS dup_token_ratio,
+               round(CASE WHEN len(toks) > 0
+                     THEN CAST(coalesce(m.top, 0) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END, 6) AS top_token_share
+        FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+        ORDER BY t.doc_id
+    """,
+    "doc_domain_counts": """
+        WITH seeded AS (
+            SELECT doc_id,
+                   text || ' see https://cdn' || (doc_id % 7)
+                        || '.example.org/x and http://MIRROR' || (doc_id % 3)
+                        || '.example.net/y' AS text
+            FROM documents
+        ), hosts AS (
+            SELECT doc_id,
+                   lower(u.h) AS domain
+            FROM seeded,
+                 unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS u(h)
+        )
+        SELECT domain, count(DISTINCT doc_id) AS n_docs
+        FROM hosts GROUP BY domain ORDER BY domain
     """,
     "doc_redact_pii": """
         SELECT doc_id,
@@ -2168,6 +2254,8 @@ def catalog() -> dict[str, Q]:
         ("doc_language_guess", doc_language_guess),
         ("doc_fingerprint", doc_fingerprint),
         ("doc_redact_pii", doc_redact_pii),
+        ("doc_repetition_stats", doc_repetition_stats),
+        ("doc_domain_counts", doc_domain_counts),
         ("dedup_embedding_docs", dedup_embedding_docs),
         ("dedup_events_exact", dedup_events_exact),
         ("doc_unigram_jaccard_pairs", doc_unigram_jaccard_pairs),

