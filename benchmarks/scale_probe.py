@@ -1,0 +1,120 @@
+"""Scale probe: synthesize a 100x events table (10M rows vs sf0.1's
+100k) with the same shape, run the headline operator shapes at both
+scales, and report sec + rows/sec so SCALE.md can cite measured
+scaling, not just design intent.
+
+Run from the repo root: ``python benchmarks/scale_probe.py``. Writes
+the synthetic table to /tmp/esdb_scale (~0.5 GB) on first use.
+"""
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from esdb_spark import get_spark
+from esdb_spark.functions import epoch_us
+
+spark = get_spark(app_name="scale_probe")  # local[32] per driver contract
+
+BIG = "/tmp/esdb_scale/events_10m.parquet"
+N = 10_000_000
+
+if not os.path.exists(BIG):
+    os.makedirs("/tmp/esdb_scale", exist_ok=True)
+    (
+        spark.range(N)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1704067200000000)
+                + (F.xxhash64("id", F.lit(1)) % (63072000 * 1_000_000))
+            ).alias("ts"),
+            # zipf-ish: 150k users, low ids hot (mirrors real fanout skew)
+            (
+                F.pow(F.abs(F.xxhash64("id", F.lit(2)) % 1_000_000) / 1e6, 3.0)
+                * 150_000
+            ).cast("long").alias("user_id"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in
+                          ["view", "click", "purchase", "error", "signup"]]),
+                (F.abs(F.xxhash64("id", F.lit(3))) % 5 + 1).cast("int"),
+            ).alias("event_type"),
+            (F.abs(F.xxhash64("id", F.lit(4)) % 10_000) / 100.0).alias("value"),
+            F.concat(
+                F.lit('{"k": "'),
+                (F.abs(F.xxhash64("id", F.lit(5))) % 50).cast("string"),
+                F.lit('"}'),
+            ).alias("props"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(BIG)
+    )
+    print("generated", N, "events")
+
+
+def events_df(path):
+    ev = spark.read.parquet(path)
+    return ev.select(
+        F.col("event_type").alias("space"),
+        F.col("user_id").cast("string").alias("grouping"),
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.col("props").alias("data"),
+        F.create_map(F.lit("k"), F.get_json_object("props", "$.k")).alias("indexes"),
+    )
+
+
+def shapes(path, nrows):
+    ev = events_df(path)
+    out = {}
+
+    def run(name, fn):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+
+    run("scan_top500", lambda: ev.filter(
+        (F.col("space") == "view") & (F.col("grouping") == "3")
+    ).orderBy(F.col("ts").desc(), F.col("seq").asc()).limit(500).count())
+    run("index_scan_top500", lambda: ev.filter(
+        (F.col("space") == "view") & (F.col("indexes")["k"] == "7")
+    ).orderBy(F.col("ts").desc(), F.col("seq").asc()).limit(500).count())
+    run("latest_per_grouping", lambda: ev.groupBy("space", "grouping").agg(
+        F.max_by(F.struct("ts", "seq", "data"),
+                 F.struct(F.col("ts").alias("ts"), (-F.col("seq")).alias("negseq"))).alias("e")
+    ).count())
+    run("exact_dedup", lambda: ev.withColumn(
+        "fp", F.md5(F.concat_ws("|", "space", "grouping", "data"))
+    ).dropDuplicates(["fp"]).count())
+    run("sessionize", lambda: ev.select(
+        "grouping", "ts", "seq",
+        F.when(
+            (epoch_us("ts") - epoch_us(F.lag("ts").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("grouping").orderBy("ts", "seq")))
+            ).isNull()
+            | ((epoch_us("ts") - epoch_us(F.lag("ts").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("grouping").orderBy("ts", "seq")))) > 1800000000),
+            1,
+        ).otherwise(0).alias("new_session"),
+    ).agg(F.sum("new_session")).collect())
+    out["rows"] = nrows
+    return out
+
+
+small = shapes("/root/testdata/sf0.1/events.parquet", 100_000)
+big = shapes(BIG, N)
+result = {"sf0.1_100k": small, "synthetic_10m": big, "ratios": {
+    k: round(big[k] / small[k], 1) for k in small if k != "rows"
+}}
+print(json.dumps(result, indent=1))
