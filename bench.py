@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "index_scan_top500",
     # tails + analytics
     "latest_per_grouping",
+    "event_value_ohlc",
     "asof_enrich",
     "q1_pricing_summary",
     "q3_top10_revenue",
@@ -84,10 +85,12 @@ def main() -> None:
     cat[BENCH_QUERIES[0]].fn(spark, sf_dir).count()
 
     for name in BENCH_QUERIES:
-        # best of two runs — steady-state per-query time, mirroring the
-        # reference's testing.B repeated-iteration benchmarks
+        # best of three runs — steady-state per-query time, mirroring
+        # the reference's testing.B repeated-iteration benchmarks
+        # (three, not two: JSON-heavy queries see occasional GC pauses
+        # that can poison a pair — measured in benchmarks/scale_probe)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             cat[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

@@ -1500,6 +1500,33 @@ def doc_fingerprint(spark, sf_dir):
     return with_fingerprint(docs, "text").select("doc_id", "fingerprint_md5")
 
 
+def event_value_ohlc(spark, sf_dir):
+    """Hourly OHLC downsampling per event type — the classic TSDB
+    rollup. open/close are ``min_by``/``max_by`` on the (ts, event_id)
+    total order (one map-side-combined aggregate, no window sort of
+    the fact table); the value sum aggregates in decimal (order-free)
+    and casts to double at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("eid"))
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("space"),
+            epoch_us(F.date_trunc("hour", "ts")).alias("hour_us"),
+        )
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("space", "hour_us")
+    )
+
+
 def doc_repetition_stats(spark, sf_dir):
     """Gopher-style repetition filters (text.with_repetition_stats):
     duplicate-line / duplicate-token ratios and the top token's share,
@@ -1832,6 +1859,26 @@ _PIPELINE_ORACLES = {
         SELECT doc_id,
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint_md5
         FROM documents ORDER BY doc_id
+    """,
+    "event_value_ohlc": """
+        WITH b AS (
+            SELECT event_type AS space,
+                   epoch_us(date_trunc('hour', ts)) AS hour_us,
+                   value,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts ASC, event_id ASC) AS rn_a,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        SELECT space, hour_us,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM b GROUP BY space, hour_us ORDER BY space, hour_us
     """,
     "doc_repetition_stats": f"""
         WITH t AS (
@@ -2254,6 +2301,7 @@ def catalog() -> dict[str, Q]:
         ("doc_language_guess", doc_language_guess),
         ("doc_fingerprint", doc_fingerprint),
         ("doc_redact_pii", doc_redact_pii),
+        ("event_value_ohlc", event_value_ohlc),
         ("doc_repetition_stats", doc_repetition_stats),
         ("doc_domain_counts", doc_domain_counts),
         ("dedup_embedding_docs", dedup_embedding_docs),

@@ -184,6 +184,43 @@ def sessionize_stream(
     )
 
 
+def session_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-key activity sessions via native ``session_window`` (gap
+    closes a session): start/end/event-count (+ value sum when given).
+
+    Works in batch and streaming from the same code path; pass
+    ``watermark`` when streaming (append mode emits a session once the
+    watermark passes its close). Complement to
+    :func:`sessionize_stream`, which shows the applyInPandasWithState
+    formulation for logic session_window can't express.
+    """
+    ev = _instant(events, ts_col)
+    if watermark:
+        ev = ev.withWatermark(ts_col, watermark)
+    aggs = [F.count("*").alias("n_events")]
+    out_cols = ["n_events"]
+    if value_col and value_col in events.columns:
+        aggs.append(F.sum(value_col).alias(f"total_{value_col}"))
+        out_cols.append(f"total_{value_col}")
+    return (
+        ev.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(*aggs)
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *out_cols,
+        )
+    )
+
+
 def join_streams(
     left: DataFrame,
     right: DataFrame,

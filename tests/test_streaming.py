@@ -293,3 +293,49 @@ def test_join_streams_matches_batch_interval_join(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_session_stats_matches_lag_sessionize(spark):
+    """Native session_window sessions (batch path) must count the same
+    sessions per user as the lag-window sessionize formulation."""
+    from esdb_spark.streaming import session_stats
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    got = {
+        r.user_id: r.n
+        for r in session_stats(ev, gap="30 minutes")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    from esdb_spark.queries import sessionize_users
+
+    want = {
+        r.user_id: r.n_sessions
+        for r in sessionize_users(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want
+
+
+def test_session_stats_streaming_append(spark, tmp_path):
+    """The same operator runs as a watermarked streaming query."""
+    from esdb_spark.streaming import session_stats
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = session_stats(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sess_out").collect()
+        assert all(r.n_events > 0 and r.session_end > r.session_start for r in rows)
+    finally:
+        q.stop()
