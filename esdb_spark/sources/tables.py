@@ -24,8 +24,19 @@ parquet scan untouched.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# Per-session DataFrame cache — the moral equivalent of a catalog: the
+# parquet footer/schema/file listing is derived once per (session,
+# dir, table) instead of per query (measured ~90 ms per re-derivation,
+# which dominated multi-table joins' fixed cost). DataFrames are
+# immutable lazy plans, so sharing one across queries is safe; entries
+# die with their session (WeakKeyDictionary).
+_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 TABLE_NAMES = [
     "region",
@@ -42,6 +53,11 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (os.path.abspath(sf_dir), name)
+    per_session = _CACHE.setdefault(spark, {})
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
@@ -49,6 +65,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # division: float `/` would round at ~1e18 epoch-nanos
             # (doubles carry 53 bits) and corrupt the microsecond digit
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    per_session[key] = df
     return df
 
 
