@@ -118,3 +118,36 @@ def l2_norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two vector columns."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def hash_split(
+    key: Column, fractions: dict[str, float], prefix_len: int = 4
+) -> Column:
+    """Deterministic train/val/test split label: the md5-hex prefix of
+    the key is bucketed by cumulative fraction cutoffs. Like
+    :func:`hash_sample`, assignment is a pure function of the key —
+    reproducible across runs, partitionings, and engines, and disjoint
+    by construction (one label per row). The last split absorbs
+    rounding remainder. Fractions must sum to 1 (±0.1%).
+
+    >>> df.withColumn("split", hash_split(F.col("doc_id"),
+    ...     {"train": 0.98, "val": 0.01, "test": 0.01}))
+    """
+    space = 16 ** prefix_len
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"hash_split: fractions sum to {total}, want 1")
+    if len(fractions) < 2:
+        raise ValueError("hash_split: need at least two splits")
+    prefix = F.substring(F.md5(key.cast("string")), 1, prefix_len)
+    items = list(fractions.items())
+    expr = None
+    cum = 0
+    for name, frac in items[:-1]:
+        cum += int(round(frac * space))
+        cutoff = F.lit(format(min(cum, space - 1), "x").zfill(prefix_len))
+        cond = prefix < cutoff
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return expr.otherwise(F.lit(items[-1][0]))

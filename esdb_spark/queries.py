@@ -1500,6 +1500,30 @@ def doc_fingerprint(spark, sf_dir):
     return with_fingerprint(docs, "text").select("doc_id", "fingerprint_md5")
 
 
+def documents_split_counts(spark, sf_dir):
+    """Deterministic train/val/test assignment (functions.hash_split):
+    per-split doc counts and char volume. The split label is a pure
+    function of doc_id (md5-prefix buckets), so the same partition is
+    reproduced by any engine — the property the oracle certifies."""
+    from esdb_spark.functions import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "split",
+            hash_split(
+                F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}
+            ),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
 def event_value_ohlc(spark, sf_dir):
     """Hourly OHLC downsampling per event type — the classic TSDB
     rollup. open/close are ``min_by``/``max_by`` on the (ts, event_id)
@@ -1859,6 +1883,17 @@ _PIPELINE_ORACLES = {
         SELECT doc_id,
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint_md5
         FROM documents ORDER BY doc_id
+    """,
+    "documents_split_counts": """
+        WITH s AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM s GROUP BY split ORDER BY split
     """,
     "event_value_ohlc": """
         WITH b AS (
@@ -2302,6 +2337,7 @@ def catalog() -> dict[str, Q]:
         ("doc_fingerprint", doc_fingerprint),
         ("doc_redact_pii", doc_redact_pii),
         ("event_value_ohlc", event_value_ohlc),
+        ("documents_split_counts", documents_split_counts),
         ("doc_repetition_stats", doc_repetition_stats),
         ("doc_domain_counts", doc_domain_counts),
         ("dedup_embedding_docs", dedup_embedding_docs),

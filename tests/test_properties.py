@@ -369,3 +369,21 @@ def test_winnow_matches_python_model(spark, texts):
         got.setdefault(r.doc_id, set()).add(r.fingerprint)
     want = {i: _model_winnow(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+def test_hash_split_partitions_disjoint_and_stable(spark):
+    """Every row gets exactly one label; re-running or repartitioning
+    never moves a row between splits; fractions are approximated."""
+    from esdb_spark.functions import hash_split
+    from pyspark.sql import functions as F
+
+    df = spark.range(20000).select(F.col("id"))
+    split = hash_split(F.col("id"), {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = df.withColumn("s", split)
+    counts = {r.s: r.n for r in a.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20000
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    # stability across repartitioning
+    b = df.repartition(7).withColumn("s", split)
+    assert a.select("id", "s").exceptAll(b.select("id", "s")).count() == 0
