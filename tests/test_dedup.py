@@ -177,3 +177,48 @@ def test_dedup_by_cluster_keeps_one_per_component(spark):
         r.doc_id for r in dedup_by_cluster(rows, pairs, "doc_id").collect()
     )
     assert kept == [1, 4, 6]
+
+
+def test_ngram_jaccard_bitset_and_inverted_agree(spark):
+    """The adaptive fast path (≤192-shingle vocabulary → bitset join)
+    and the general inverted-index path must produce identical pairs.
+    A 300-word vocabulary forces the inverted path; restricting the
+    same docs to a 50-word vocabulary takes the bitset path; a shared
+    20-doc corpus built from both vocab sizes is scored through the
+    internal helpers directly and compared."""
+    import random
+
+    from esdb_spark.functions import tokens, word_shingles
+    from esdb_spark.operators.dedup import (
+        _jaccard_pairs_bitset,
+        _jaccard_pairs_inverted,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = []
+    for i in range(20):
+        base_words = rng.sample(vocab, 12)
+        docs.append((i, " ".join(base_words * 2)))
+        if i % 3 == 0:  # near-dup neighbor
+            docs.append((100 + i, " ".join(base_words[:10] + ["extra"])))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    base = df.select(
+        F.col("doc_id").alias("id"),
+        word_shingles(tokens("text"), 1).alias("sh"),
+    )
+    vlist = sorted(
+        r.s for r in base.select(F.explode("sh").alias("s")).distinct().collect()
+    )
+    assert len(vlist) <= 192  # bitset-eligible by construction
+    got_bitset = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in _jaccard_pairs_bitset(base, vlist, 0.5).collect()
+    }
+    got_inverted = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in _jaccard_pairs_inverted(base, 0.5).collect()
+    }
+    assert got_bitset == got_inverted
+    assert got_bitset  # the corpus does contain qualifying pairs
