@@ -118,3 +118,102 @@ result = {"sf0.1_100k": small, "synthetic_10m": big, "ratios": {
     k: round(big[k] / small[k], 1) for k in small if k != "rows"
 }}
 print(json.dumps(result, indent=1))
+
+
+# ---------------------------------------------------------------------------
+# Documents pipeline at 20x corpus scale (5k → 100k docs)
+# ---------------------------------------------------------------------------
+
+DOCS = "/tmp/esdb_scale/documents_100k.parquet"
+NDOCS = 100_000
+
+if not os.path.exists(DOCS):
+    # ~120 words/doc from a 50k-word vocabulary; every 10th doc is a
+    # near-dup of its predecessor (same words, two appended) and every
+    # 25th an exact dup — realistic dedup yield
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(119)),
+        lambda i: F.concat(
+            F.lit("w"),
+            (F.abs(F.xxhash64(F.col("base"), i)) % 50_000).cast("string"),
+        ),
+    )
+    (
+        spark.range(NDOCS)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 25 == 1, F.col("id") - 1)
+            .when(F.col("id") % 10 == 1, F.col("id") - 1)
+            .otherwise(F.col("id"))
+            .alias("base"),
+            (F.col("id") % 10 == 1).alias("near"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.when(
+                    F.col("near"),
+                    F.concat(words, F.array(F.lit("xtra"), F.lit("tail"))),
+                ).otherwise(words),
+            ).alias("text"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(DOCS)
+    )
+    print("generated", NDOCS, "documents")
+
+
+def doc_shapes(path, n):
+    from esdb_spark.operators.dedup import (
+        dedup_exact,
+        dedup_minhash_lsh,
+        dedup_simhash,
+    )
+    from esdb_spark.operators.text import (
+        redact_pii,
+        with_quality,
+        with_repetition_stats,
+        with_token_stats,
+    )
+    from esdb_spark.functions import hash_split
+
+    docs = spark.read.parquet(path)
+    out = {}
+
+    def run(name, fn):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 2)
+
+    run("exact_dedup", lambda: dedup_exact(docs, ["text"]).count())
+    run("minhash_lsh_dedup", lambda: dedup_minhash_lsh(
+        docs, "text", "doc_id").count())
+    run("simhash_dedup", lambda: dedup_simhash(docs, "text", "doc_id").count())
+    run("quality+tokens", lambda: with_quality(
+        with_token_stats(docs, "text"), "text").agg(
+            F.avg("quality_score")).collect())
+    run("repetition_stats", lambda: with_repetition_stats(docs, "text").agg(
+        F.avg("dup_token_ratio")).collect())
+    run("redact_pii", lambda: redact_pii(docs, "text").agg(
+        F.sum(F.length("text"))).collect())
+    run("hash_split", lambda: docs.withColumn(
+        "split", hash_split(F.col("doc_id"),
+                            {"train": 0.98, "val": 0.01, "test": 0.01})
+    ).groupBy("split").count().collect())
+    out["rows"] = n
+    return out
+
+
+small_docs = doc_shapes("/root/testdata/sf0.1/documents.parquet", 5_000)
+big_docs = doc_shapes(DOCS, NDOCS)
+print(json.dumps({
+    "docs_5k": small_docs,
+    "docs_100k": big_docs,
+    "ratios": {k: round(big_docs[k] / max(small_docs[k], 0.01), 1)
+               for k in small_docs if k != "rows"},
+}, indent=1))
