@@ -110,6 +110,15 @@ def rev_scan_top100(spark, sf_dir):
     return db.find("error").rev_scan(grouping="0", limit=100).select(*_scan_cols())
 
 
+def index_scan_all_top200(spark, sf_dir):
+    """Cross-space secondary-index scan (Db.scan_index_all) — an
+    engine upgrade over the reference, whose indexes live inside one
+    space (esdb space.go:79-108: querying all spaces means opening
+    each). One declarative plan over every partition, ts-desc."""
+    db = _events_as_esdb(spark, sf_dir)
+    return db.scan_index_all("k", "7", limit=200).select(*_scan_cols())
+
+
 def space_enum(spark, sf_dir):
     db = _events_as_esdb(spark, sf_dir)
     return db.df.select("space").distinct().orderBy("space")
@@ -193,6 +202,11 @@ _PARITY_ORACLES = {
         SELECT space, grouping, ts_us, seq, data FROM ({_ORACLE_EVENTS})
         WHERE space = 'error' AND grouping = '0'
         ORDER BY ts_us ASC, seq DESC LIMIT 100
+    """,
+    "index_scan_all_top200": f"""
+        SELECT space, grouping, ts_us, seq, data FROM ({_ORACLE_EVENTS})
+        WHERE idx_k = '7'
+        ORDER BY ts_us DESC, seq ASC LIMIT 200
     """,
     "space_enum": f"""
         SELECT DISTINCT space FROM ({_ORACLE_EVENTS}) ORDER BY space
@@ -2277,6 +2291,7 @@ def catalog() -> dict[str, Q]:
         ("scan_top500", scan_top500),
         ("index_scan_latest_1", index_scan_latest_1),
         ("index_scan_top500", index_scan_top500),
+        ("index_scan_all_top200", index_scan_all_top200),
         ("rev_scan_top100", rev_scan_top100),
         ("space_enum", space_enum),
         ("grouping_enum", grouping_enum),
