@@ -32,7 +32,7 @@ if not os.path.exists(BIG):
             F.col("id").alias("event_id"),
             F.timestamp_micros(
                 F.lit(1704067200000000)
-                + (F.xxhash64("id", F.lit(1)) % (63072000 * 1_000_000))
+                + (F.abs(F.xxhash64("id", F.lit(1))) % (63072000 * 1_000_000))
             ).alias("ts"),
             # zipf-ish: 150k users, low ids hot (mirrors real fanout skew)
             (

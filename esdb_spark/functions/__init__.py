@@ -145,7 +145,14 @@ def hash_split(
     cum = 0
     for name, frac in items[:-1]:
         cum += int(round(frac * space))
-        cutoff = F.lit(format(min(cum, space - 1), "x").zfill(prefix_len))
+        if cum >= space:
+            # a silent clamp here would hand the top hash bucket to the
+            # wrong split; demand more resolution instead
+            raise ValueError(
+                "hash_split: non-final splits round to the whole bucket "
+                f"space ({cum}/{space}); raise prefix_len"
+            )
+        cutoff = F.lit(format(cum, "x").zfill(prefix_len))
         cond = prefix < cutoff
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
             cond, F.lit(name)

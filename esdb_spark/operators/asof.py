@@ -116,16 +116,22 @@ def asof_join_bucketed(
     # alone would collapse duplicates into one output row)
     l = (
         left.withColumn("_rowid", F.monotonically_increasing_id())
+        .withColumn("_lus", epoch_us(F.col(left_ts)))
         .withColumn("_lb", lb)
         .withColumn("_probe", F.explode(F.sequence(lb - lookback_buckets, lb)))
     )
-    r = right.withColumn("_rb", rb)
+    r = right.withColumn("_rus", epoch_us(F.col(right_ts))).withColumn(
+        "_rb", rb
+    )
+    # at-or-before refinement on epoch micros: a raw cross-side
+    # timestamp comparison would coerce session-tz-dependently when the
+    # sides carry different timestamp flavors (same rule as asof_join)
     joined = l.join(
         r,
         (l["_probe"] == r["_rb"]) & (l[on] == r[on]),
         "left",
     ).filter(
-        F.col(right_ts).isNull() | (F.col(right_ts) <= F.col(left_ts))
+        F.col("_rus").isNull() | (F.col("_rus") <= F.col("_lus"))
     )
     w = Window.partitionBy(l["_rowid"]).orderBy(
         F.col(right_ts).desc_nulls_last()
@@ -181,13 +187,22 @@ def interval_join(
     lo_b = F.floor((l_us + int(lo_s * 1e6)) / w_us)
     hi_b = F.floor((l_us + int(hi_s * 1e6)) / w_us)
 
-    l = left.withColumn("_probe", F.explode(F.sequence(lo_b, hi_b)))
-    r = right.withColumn("_rb", F.floor(r_us / F.lit(w_us)))
-    lo_bound = F.col(left_ts) + F.expr(f"INTERVAL {lo_s} SECONDS")
-    hi_bound = F.col(left_ts) + F.expr(f"INTERVAL {hi_s} SECONDS")
+    # the exact range refinement also compares on epoch micros: raw
+    # cross-side timestamp comparisons would need an implicit
+    # session-tz-dependent coercion when one side is NTZ parquet and
+    # the other an instant-typed engine table (same rule as asof_join)
+    l = left.withColumn("_lus", l_us).withColumn(
+        "_probe", F.explode(F.sequence(lo_b, hi_b))
+    )
+    r = right.withColumn("_rus", r_us).withColumn(
+        "_rb", F.floor(r_us / F.lit(w_us))
+    )
     return (
         l.join(r, (l["_probe"] == r["_rb"]) & (l[on] == r[on]))
-        .filter((F.col(right_ts) >= lo_bound) & (F.col(right_ts) <= hi_bound))
+        .filter(
+            (F.col("_rus") >= F.col("_lus") + int(lo_s * 1e6))
+            & (F.col("_rus") <= F.col("_lus") + int(hi_s * 1e6))
+        )
         .select(
             *[l[c].alias(c) for c in left.columns],
             *[r[c].alias(c + suffix) for c in right_cols],

@@ -372,7 +372,8 @@ def ngram_jaccard_pairs(
       nested-loop — pure codegen'd long arithmetic, no candidate
       explosion. A dense low-vocabulary corpus (where every shingle's
       posting list is ~the whole corpus, so no filter can prune) went
-      155 s → ~4 s on 5k docs with identical output.
+      155 s → 14 s on 5k docs with identical output (most of the 14 s
+      is materializing the ~7M qualifying pairs this corpus produces).
     - **Inverted-index join** (general case): explode (id, shingle),
       join on shingle to count intersections, union from set sizes —
       O(sum of postings²), the standard exact formulation.
@@ -393,7 +394,9 @@ def ngram_jaccard_pairs(
         .limit(nbits + 1)
         .collect()
     ]
-    if len(vocab) <= nbits:
+    # empty corpus → inverted path (it yields an empty result lazily;
+    # the bitset path can't build a vocabulary DataFrame from nothing)
+    if 0 < len(vocab) <= nbits:
         return _jaccard_pairs_bitset(base, sorted(vocab), threshold)
     return _jaccard_pairs_inverted(base, threshold)
 
@@ -440,14 +443,19 @@ def _jaccard_pairs_bitset(
         (F.bit_count(F.col(f"a{i}").bitwiseOR(F.col(f"b{i}"))) for i in range(words)),
         F.lit(0),
     )
+    # inter > 0 keeps parity with the inverted path (an inner join on
+    # shared shingles can never emit a disjoint pair), which matters
+    # only for degenerate thresholds ≤ 0
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
+            inter.alias("_inter"),
             (inter / union).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter((F.col("jaccard") >= threshold) & (F.col("_inter") > 0))
+        .drop("_inter")
     )
 
 

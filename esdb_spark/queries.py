@@ -164,12 +164,25 @@ def latest_per_grouping(spark, sf_dir):
 
 def cursor_page(spark, sf_dir):
     """Keyset continuation (SURVEY §2.3 #24): resume a ts-desc scan of
-    space 'view' strictly after cursor (ts_us=1706000000000000, seq)."""
+    space 'view' strictly after cursor (ts_us=1706000000000000, seq).
+
+    The cursor predicate compares the RAW ts column against a
+    dtype-matched timestamp literal — not ``epoch_us(ts) < cur``,
+    which wraps the column in a function and can never reach
+    PushedFilters. epoch micros ↔ timestamp is monotone per flavor,
+    so the rewrite is exact, and every cursor page stays a row-group
+    pruned scan instead of a full scan of the space."""
+    import datetime as dt
+
     db = _events_as_esdb(spark, sf_dir)
     cur_us = 1706000000000000
-    df = db.find("view")._df.filter(
-        (epoch_us("ts") < cur_us)
-    )
+    base = db.find("view")._df
+    wall = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=cur_us)
+    if dict(base.dtypes).get("ts") == "timestamp_ntz":
+        cur_lit = F.expr(f"TIMESTAMP_NTZ '{wall.isoformat(sep=' ')}'")
+    else:
+        cur_lit = F.timestamp_micros(F.lit(cur_us))
+    df = base.filter(F.col("ts") < cur_lit)
     return (
         df.orderBy(F.col("ts").desc(), F.col("seq").asc())
         .limit(200)

@@ -52,8 +52,16 @@ TABLE_NAMES = [
 ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, use_cache: bool = True
+) -> DataFrame:
+    """``use_cache=False`` forces a fresh parquet listing — needed only
+    when the files under ``sf_dir`` change mid-session (the driver
+    testdata is immutable; the cached file index would otherwise go
+    stale)."""
     key = (os.path.abspath(sf_dir), name)
+    if not use_cache:
+        _CACHE.setdefault(spark, {}).pop(key, None)
     per_session = _CACHE.setdefault(spark, {})
     cached = per_session.get(key)
     if cached is not None:

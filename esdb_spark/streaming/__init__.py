@@ -200,6 +200,13 @@ def session_stats(
     watermark passes its close). Complement to
     :func:`sessionize_stream`, which shows the applyInPandasWithState
     formulation for logic session_window can't express.
+
+    Boundary note: ``session_window`` windows are half-open
+    ``[t, t+gap)``, so two events spaced EXACTLY ``gap`` apart start
+    separate sessions, whereas a lag-based ``gap > threshold``
+    formulation keeps them together — equal on any data without
+    exact-gap spacing (microsecond real timestamps), divergent on
+    contrived exact boundaries.
     """
     ev = _instant(events, ts_col)
     if watermark:
