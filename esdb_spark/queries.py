@@ -1527,6 +1527,57 @@ def doc_fingerprint(spark, sf_dir):
     return with_fingerprint(docs, "text").select("doc_id", "fingerprint_md5")
 
 
+def daily_active_users(spark, sf_dir):
+    """DAU per event type — distinct users and events per (space,
+    day). One partial-aggregated shuffle; the classic TSDB activity
+    rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("space"),
+            epoch_us(F.date_trunc("day", "ts")).alias("day_us"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("space", "day_us")
+    )
+
+
+def rolling_7d_active_users(spark, sf_dir):
+    """Trailing-7-day distinct actives per day. ``countDistinct`` has
+    no RANGE-frame window form, so the standard exact rewrite: dedupe
+    to (user, day) pairs, explode each pair onto the 7 days it keeps
+    the user active for, re-aggregate distinct users per day. Shuffle
+    volume is |user-days|·7 ids — never raw events — and bounded by
+    the calendar, not data volume."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    bounds = user_days.agg(F.max("day").alias("max_day"))
+    exploded = user_days.withColumn(
+        "active_day",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    )
+    return (
+        exploded.join(
+            F.broadcast(bounds),
+            exploded.active_day <= bounds.max_day,
+        )
+        .groupBy(epoch_us("active_day").alias("day_us"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .orderBy("day_us")
+    )
+
+
 def documents_split_counts(spark, sf_dir):
     """Deterministic train/val/test assignment (functions.hash_split):
     per-split doc counts and char volume. The split label is a pure
@@ -1910,6 +1961,27 @@ _PIPELINE_ORACLES = {
         SELECT doc_id,
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint_md5
         FROM documents ORDER BY doc_id
+    """,
+    "daily_active_users": """
+        SELECT event_type AS space,
+               epoch_us(date_trunc('day', ts)) AS day_us,
+               count(DISTINCT user_id) AS dau,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "rolling_7d_active_users": """
+        WITH ud AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        ), mx AS (
+            SELECT max(day) AS max_day FROM ud
+        ), ex AS (
+            SELECT ud.user_id, ud.day + (g.i || ' days')::INTERVAL AS active_day
+            FROM ud, (SELECT unnest(range(7)) AS i) g
+        )
+        SELECT epoch_us(active_day) AS day_us,
+               count(DISTINCT user_id) AS active_7d
+        FROM ex, mx WHERE active_day <= mx.max_day
+        GROUP BY 1 ORDER BY 1
     """,
     "documents_split_counts": """
         WITH s AS (
@@ -2365,6 +2437,8 @@ def catalog() -> dict[str, Q]:
         ("doc_fingerprint", doc_fingerprint),
         ("doc_redact_pii", doc_redact_pii),
         ("event_value_ohlc", event_value_ohlc),
+        ("daily_active_users", daily_active_users),
+        ("rolling_7d_active_users", rolling_7d_active_users),
         ("documents_split_counts", documents_split_counts),
         ("doc_repetition_stats", doc_repetition_stats),
         ("doc_domain_counts", doc_domain_counts),
