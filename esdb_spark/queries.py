@@ -1527,6 +1527,24 @@ def doc_fingerprint(spark, sf_dir):
     return with_fingerprint(docs, "text").select("doc_id", "fingerprint_md5")
 
 
+def space_stats(spark, sf_dir):
+    """Per-space catalog statistics (maintenance.archive_stats' agg
+    half): events, distinct groupings, ts range — what the reference
+    stores in per-space SSTable footers, derived here as one
+    partial-aggregated pass."""
+    db = _events_as_esdb(spark, sf_dir)
+    return (
+        db.df.groupBy("space")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("grouping").alias("n_groupings"),
+            epoch_us(F.min("ts")).alias("min_ts_us"),
+            epoch_us(F.max("ts")).alias("max_ts_us"),
+        )
+        .orderBy("space")
+    )
+
+
 def daily_active_users(spark, sf_dir):
     """DAU per event type — distinct users and events per (space,
     day). One partial-aggregated shuffle; the classic TSDB activity
@@ -1961,6 +1979,18 @@ _PIPELINE_ORACLES = {
         SELECT doc_id,
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint_md5
         FROM documents ORDER BY doc_id
+    """,
+    "space_stats": f"""
+        SELECT space,
+               count(*) AS n_events,
+               count(DISTINCT grouping) AS n_groupings,
+               epoch_us(min(ts)) AS min_ts_us,
+               epoch_us(max(ts)) AS max_ts_us
+        FROM (
+            SELECT event_type AS space,
+                   CAST(user_id AS VARCHAR) AS grouping, ts
+            FROM events
+        ) GROUP BY space ORDER BY space
     """,
     "daily_active_users": """
         SELECT event_type AS space,
@@ -2437,6 +2467,7 @@ def catalog() -> dict[str, Q]:
         ("doc_fingerprint", doc_fingerprint),
         ("doc_redact_pii", doc_redact_pii),
         ("event_value_ohlc", event_value_ohlc),
+        ("space_stats", space_stats),
         ("daily_active_users", daily_active_users),
         ("rolling_7d_active_users", rolling_7d_active_users),
         ("documents_split_counts", documents_split_counts),
