@@ -1527,6 +1527,34 @@ def doc_fingerprint(spark, sf_dir):
     return with_fingerprint(docs, "text").select("doc_id", "fingerprint_md5")
 
 
+def event_gap_histogram(spark, sf_dir):
+    """Distribution of per-user inter-event gaps, log10-bucketed per
+    event type — the latency-histogram shape (one lag window over one
+    (user, ts, seq) partitioning, then a partial-aggregated count;
+    bucket count is bounded, not data-sized)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    # bucket on integer micros then shift by -6 (= /1e6 under log10):
+    # log10 of an exact integer double is bit-stable across libms,
+    # a pre-division could land within an ulp of a bucket edge
+    gap_us = epoch_us("ts") - epoch_us(F.lag("ts").over(w))
+    bucketed = ev.select(
+        F.col("event_type").alias("space"), gap_us.alias("gap_us")
+    ).filter(F.col("gap_us") > 0)
+    return (
+        bucketed.groupBy(
+            "space",
+            (F.floor(F.log10("gap_us")) - 6)
+            .cast("bigint")
+            .alias("log10_bucket"),
+        )
+        .agg(F.count("*").alias("n_gaps"))
+        .orderBy("space", "log10_bucket")
+    )
+
+
 def space_stats(spark, sf_dir):
     """Per-space catalog statistics (maintenance.archive_stats' agg
     half): events, distinct groupings, ts range — what the reference
@@ -1979,6 +2007,20 @@ _PIPELINE_ORACLES = {
         SELECT doc_id,
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint_md5
         FROM documents ORDER BY doc_id
+    """,
+    "event_gap_histogram": """
+        WITH g AS (
+            SELECT event_type AS space,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+                   AS gap_us
+            FROM events
+        )
+        SELECT space,
+               CAST(floor(log10(gap_us)) - 6 AS BIGINT) AS log10_bucket,
+               count(*) AS n_gaps
+        FROM g WHERE gap_us > 0
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "space_stats": f"""
         SELECT space,
@@ -2468,6 +2510,7 @@ def catalog() -> dict[str, Q]:
         ("doc_redact_pii", doc_redact_pii),
         ("event_value_ohlc", event_value_ohlc),
         ("space_stats", space_stats),
+        ("event_gap_histogram", event_gap_histogram),
         ("daily_active_users", daily_active_users),
         ("rolling_7d_active_users", rolling_7d_active_users),
         ("documents_split_counts", documents_split_counts),
