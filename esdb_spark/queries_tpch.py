@@ -504,6 +504,53 @@ def order_price_quartiles(spark, sf_dir):
     )
 
 
+def order_price_quartiles_scalable(spark, sf_dir):
+    """Quartile statistics WITHOUT a global sort — the 100 TB-safe
+    variant of ``order_price_quartiles``.
+
+    Plan shape: (1) one pass computes the three quartile boundaries via
+    ``percentile_approx`` (a GK sketch — map-side partials, one final
+    merge of 32 sketches, never of rows); (2) the 1-row boundary frame
+    is broadcast and every order is bucketed by two comparisons (a
+    broadcast range join degenerated to a single-row cross join); (3) a
+    partial-aggregating groupBy on 4 keys. No Window, no ntile, no
+    single-task sort of the fact table anywhere in the plan (asserted
+    in tests/test_plans.py).
+
+    Determinism: with ``accuracy=1_000_000`` the sketch is exact for
+    any input below a million rows per percentile bin, and Spark's
+    exact-mode result equals DuckDB's ``quantile_disc`` (verified
+    empirically at sf0.01) — so the oracle pins exact boundaries.
+    Boundary semantics differ from ntile by design: ties at a boundary
+    all land in the lower quartile instead of being split by row order,
+    which is the price of not totally ordering the table."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 1000000).alias("b")
+    ).select(
+        F.col("b")[0].alias("b1"), F.col("b")[1].alias("b2"), F.col("b")[2].alias("b3")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(F.col("o_totalprice") <= F.col("b1"), 1)
+            .when(F.col("o_totalprice") <= F.col("b2"), 2)
+            .when(F.col("o_totalprice") <= F.col("b3"), 3)
+            .otherwise(4)
+            .cast("bigint")
+            .alias("quartile"),
+            "o_totalprice",
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("quartile")
+    )
+
+
 def grouping_sets_status_priority(spark, sf_dir):
     """GROUPING SETS ((status), (priority), ()) — the generalization of
     the rollup/cube queries, via the SQL surface."""
@@ -858,8 +905,8 @@ TPCH_ORACLES = {
     "q12_late_by_priority": """
         SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
                     THEN 'high' ELSE 'low' END AS priority_class,
-               sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
-                        THEN 1 ELSE 0 END) AS late_count,
+               CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
                count(*) AS total_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY priority_class ORDER BY priority_class
@@ -980,6 +1027,23 @@ TPCH_ORACLES = {
             FROM orders
         ) GROUP BY quartile ORDER BY quartile
     """,
+    "order_price_quartiles_scalable": """
+        WITH b AS (
+            SELECT quantile_disc(o_totalprice, 0.25) AS b1,
+                   quantile_disc(o_totalprice, 0.50) AS b2,
+                   quantile_disc(o_totalprice, 0.75) AS b3
+            FROM orders
+        )
+        SELECT CAST(CASE WHEN o_totalprice <= b1 THEN 1
+                         WHEN o_totalprice <= b2 THEN 2
+                         WHEN o_totalprice <= b3 THEN 3
+                         ELSE 4 END AS BIGINT) AS quartile,
+               count(*) AS n_orders,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM orders, b
+        GROUP BY quartile ORDER BY quartile
+    """,
     "grouping_sets_status_priority": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
         FROM orders
@@ -1017,6 +1081,7 @@ TPCH_QUERIES = {
     "q22_idle_customers": q22_idle_customers,
     "running_revenue_by_month": running_revenue_by_month,
     "order_price_quartiles": order_price_quartiles,
+    "order_price_quartiles_scalable": order_price_quartiles_scalable,
     "grouping_sets_status_priority": grouping_sets_status_priority,
     "nations_suppliers_no_customers": nations_suppliers_no_customers,
 }

@@ -61,6 +61,16 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, float_exact: bool = True):
     for col in got.columns:
         g, w = got[col], want[col]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            # The driver hashes raw values, so an integer column on one
+            # side vs a float column on the other (e.g. DuckDB
+            # sum(int) -> HUGEINT -> float64 vs Spark sum -> BIGINT)
+            # hash-mismatches even when the values are numerically
+            # equal. Mirror that strictness here: same kind required.
+            if pd.api.types.is_float_dtype(g) != pd.api.types.is_float_dtype(w):
+                return False, (
+                    f"column {col} dtype kind differs: {g.dtype} vs {w.dtype}"
+                    " (driver value-hash would mismatch; CAST the oracle)"
+                )
             g = g.astype("float64")
             w = w.astype("float64")
             if float_exact:
