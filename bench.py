@@ -45,8 +45,11 @@ BENCH_QUERIES = [
     # pipeline operators
     "dedup_events_exact",
     "dedup_minhash_docs",
+    "dedup_simhash_docs",
     "similarity_topk",
+    "ann_topk_ivf_docs",
     "doc_quality",
+    "doc_winnow_fingerprints",
 ]
 
 

@@ -144,7 +144,15 @@ def hash_split(
     expr = None
     cum = 0
     for name, frac in items[:-1]:
-        cum += int(round(frac * space))
+        buckets = int(round(frac * space))
+        if buckets == 0:
+            # a zero-width bucket would silently assign NO rows to this
+            # split; demand more hash resolution instead
+            raise ValueError(
+                f"hash_split: fraction {frac} for {name!r} rounds to zero "
+                f"buckets at prefix_len={prefix_len}; raise prefix_len"
+            )
+        cum += buckets
         if cum >= space:
             # a silent clamp here would hand the top hash bucket to the
             # wrong split; demand more resolution instead

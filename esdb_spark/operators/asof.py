@@ -133,9 +133,11 @@ def asof_join_bucketed(
     ).filter(
         F.col("_rus").isNull() | (F.col("_rus") <= F.col("_lus"))
     )
-    w = Window.partitionBy(l["_rowid"]).orderBy(
-        F.col(right_ts).desc_nulls_last()
-    )
+    # order by the side-qualified epoch-micros column: an unqualified
+    # right_ts reference is ambiguous when both sides name their
+    # timestamp identically (e.g. both "ts"), and _rus is already the
+    # coercion-safe flavor used by the at-or-before filter above
+    w = Window.partitionBy(l["_rowid"]).orderBy(r["_rus"].desc_nulls_last())
     ranked = joined.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") == 1
     )

@@ -361,6 +361,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_size: int = 3,
     threshold: float = 0.5,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets — adaptive physical plan.
 
@@ -378,14 +379,30 @@ def ngram_jaccard_pairs(
       join on shingle to count intersections, union from set sizes —
       O(sum of postings²), the standard exact formulation.
 
-    The vocabulary probe reads only ≤193 distinct shingles onto the
-    driver (bounded). Exact all-pairs is inherently super-linear; at
-    100 TB use MinHash-LSH for candidates and this as the verifier.
+    ``strategy='auto'`` (default) is EAGER at call time: it runs a
+    small vocabulary-probe job (≤193 distinct shingles collected to the
+    driver — bounded) to pick the physical plan, and ``persist()``s the
+    tokenized corpus (MEMORY_AND_DISK — spills, never OOMs) because
+    both the probe and the returned plan read it. The cached partitions
+    live until the session evicts them; callers composing many
+    invocations in one session should either consume the result
+    promptly or pass ``strategy='inverted'``, which is fully lazy —
+    no probe job, no persist, no driver work at construction time.
+    ``strategy='bitset'`` forces the packed-long path (still probes for
+    the vocabulary, raises if it exceeds 192 shingles).
+
+    Exact all-pairs is inherently super-linear; at 100 TB use
+    MinHash-LSH for candidates and this as the verifier.
     """
+    if strategy not in ("auto", "bitset", "inverted"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(tokens(text_col), shingle_size).alias("sh"),
-    ).persist()
+    )
+    if strategy == "inverted":
+        return _jaccard_pairs_inverted(base, threshold)
+    base = base.persist()
     nbits = 192
     vocab = [
         r.s
@@ -394,6 +411,13 @@ def ngram_jaccard_pairs(
         .limit(nbits + 1)
         .collect()
     ]
+    if strategy == "bitset":
+        if not 0 < len(vocab) <= nbits:
+            raise ValueError(
+                f"bitset strategy needs a 1..{nbits}-shingle vocabulary, "
+                f"got {'>192' if vocab else '0'}"
+            )
+        return _jaccard_pairs_bitset(base, sorted(vocab), threshold)
     # empty corpus → inverted path (it yields an empty result lazily;
     # the bitset path can't build a vocabulary DataFrame from nothing)
     if 0 < len(vocab) <= nbits:

@@ -51,20 +51,99 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def decode_image(content: bytes) -> "object":
-    """Real decoder hook. The container has no imaging libraries, so
-    this is an explicit stub — swap in PIL.Image.open at deploy time."""
+    """Full pixel-decode hook. The container has no imaging libraries,
+    so this is an explicit stub — swap in PIL.Image.open at deploy
+    time. Header-level metadata (dimensions, format) does NOT need it:
+    see :func:`parse_image_dims`."""
     raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; use fake_decode_meta for plumbing tests"
+        "pixel decoding requires an imaging library not present in this "
+        "environment; parse_image_dims covers dimensions without one"
     )
 
 
+# JPEG start-of-frame markers that carry dimensions: SOF0-15 minus
+# DHT (C4), JPG (C8), DAC (CC) — ITU T.81 table B.1.
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_dims(content: bytes) -> tuple[str, int, int] | None:
+    """Dependency-free (mime, width, height) from real image bytes.
+
+    Pure header parsing — PNG IHDR, JPEG SOF marker walk, GIF and BMP
+    fixed headers — so no imaging library is needed. Returns None for
+    anything unrecognized or truncated (caller decides the fallback).
+    """
+    n = len(content)
+    # PNG: 8-byte signature, then the IHDR chunk is mandatory first —
+    # width/height are big-endian u32 at offsets 16/20.
+    if n >= 24 and content[:8] == b"\x89PNG\r\n\x1a\n" and content[12:16] == b"IHDR":
+        w = int.from_bytes(content[16:20], "big")
+        h = int.from_bytes(content[20:24], "big")
+        return ("image/png", w, h)
+    # GIF87a/GIF89a: logical screen size, little-endian u16 at 6/8.
+    if n >= 10 and content[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(content[6:8], "little")
+        h = int.from_bytes(content[8:10], "little")
+        return ("image/gif", w, h)
+    # BMP: BITMAPINFOHEADER — signed little-endian i32 at 18/22
+    # (height may be negative for top-down rows). Also require a known
+    # DIB header size at offset 14: its three high bytes are NUL, which
+    # cannot occur in text, so a document that merely starts with "BM"
+    # never false-positives here.
+    if (
+        n >= 26
+        and content[:2] == b"BM"
+        and content[14] in (12, 40, 52, 56, 64, 108, 124)
+        and content[15:18] == b"\x00\x00\x00"
+    ):
+        w = abs(int.from_bytes(content[18:22], "little", signed=True))
+        h = abs(int.from_bytes(content[22:26], "little", signed=True))
+        return ("image/bmp", w, h)
+    # JPEG: walk the marker segments to the first SOFn, which carries
+    # [len:2][precision:1][height:2][width:2].
+    if n >= 4 and content[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= n:
+            if content[i] != 0xFF:
+                return None  # corrupt marker stream
+            marker = content[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers, no length field
+                continue
+            seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF:
+                if i + 9 > n:
+                    return None
+                h = int.from_bytes(content[i + 5 : i + 7], "big")
+                w = int.from_bytes(content[i + 7 : i + 9], "big")
+                return ("image/jpeg", w, h)
+            i += 2 + seg_len
+        return None
+    return None
+
+
 def fake_decode_meta(content: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for decode: derives (width, height) from
-    the payload bytes so tests exercise the full distributed path."""
+    """Deterministic stand-in for non-image payloads: derives (width,
+    height) from the bytes so tests exercise the full distributed path
+    even on synthetic (text) blobs."""
     if not content:
         return (0, 0)
     return (100 + content[0] % 156, 100 + content[-1] % 156)
+
+
+def decode_meta(content: bytes) -> tuple[int, int]:
+    """(width, height) for a payload: real header parsing when the
+    bytes are a recognized image format, the deterministic fake
+    otherwise (synthetic fixtures, exotic formats)."""
+    parsed = parse_image_dims(content)
+    if parsed is not None:
+        return (parsed[1], parsed[2])
+    return fake_decode_meta(content)
 
 
 def extract_media_features(df: DataFrame) -> DataFrame:
@@ -91,7 +170,7 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             dims = pdf["content"].map(
-                lambda c: fake_decode_meta(bytes(c) if c is not None else b"")
+                lambda c: decode_meta(bytes(c) if c is not None else b"")
             )
             yield pd.DataFrame(
                 {

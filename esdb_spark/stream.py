@@ -266,15 +266,32 @@ def merge_streams(
     offset = 0
     for path in paths:
         src = EventStream.open(spark, path).iterate()
-        count = src.count()
-        if count:
-            renumbered = src.select(
-                (F.row_number().over(_seq_window()) + offset - 1).alias("seq"),
-                "data",
-                "indexes",
-            )
+        mm = src.agg(
+            F.count("*").alias("n"), F.min("seq").alias("lo"), F.max("seq").alias("hi")
+        ).collect()[0]
+        if mm["n"]:
+            if mm["lo"] == 0 and mm["hi"] == mm["n"] - 1:
+                # Streams assign seq densely from 0 (write/_seq_start),
+                # so renumbering is plain arithmetic — a projection that
+                # runs fully parallel with NO shuffle. The old
+                # implementation's unpartitioned row_number window
+                # funneled each source through a single task.
+                renumbered = src.select(
+                    (F.col("seq") + offset).alias("seq"), "data", "indexes"
+                )
+            else:
+                # Defensive fallback for a non-dense source (not
+                # produced by this library): rank by seq. Single-task,
+                # but only ever hit on foreign data.
+                renumbered = src.select(
+                    (F.row_number().over(_seq_window()) + offset - 1).alias(
+                        "seq"
+                    ),
+                    "data",
+                    "indexes",
+                )
             renumbered.write.mode("append").parquet(dest._path)
-            offset += count
+            offset += mm["n"]
     dest._next_seq = offset
     dest.close()
     return dest

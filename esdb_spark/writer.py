@@ -69,6 +69,7 @@ class Writer:
         path: str,
         layout: str = "partitioned",
         materialize_indexes: list[str] | None = None,
+        tasks_per_space: int | None = None,
     ):
         """``materialize_indexes``: secondary-index names to additionally
         store as plain ``_idx_<name>`` columns. A predicate on a map
@@ -87,6 +88,7 @@ class Writer:
         self._spark = spark
         self._path = path
         self._layout = layout
+        self._tasks_per_space = tasks_per_space
         self._materialize = list(materialize_indexes or [])
         self._rows: list[tuple] = []
         self._bulk: list[DataFrame] = []
@@ -196,13 +198,28 @@ class Writer:
         for name in self._materialize:
             df = df.withColumn(f"_idx_{name}", F.col("indexes")[name])
         if self._layout == "partitioned":
-            # One file tree per space; within each partition the rows are
+            # One file tree per space; within each file the rows are
             # clustered by grouping and sorted ts-desc/seq-asc so scans
             # read them in emit order and row-group stats prune groupings.
+            #
+            # Write parallelism must NOT be bounded by |space| — with a
+            # handful of hot spaces, ``repartition("space")`` funnels
+            # each space through ONE task (fatal at 100 TB). Salt the
+            # shuffle key with a hash of ``grouping`` so every space
+            # fans out over up to ``tasks_per_space`` writer tasks while
+            # each grouping still lands wholly in one file (the hash is
+            # a pure function of grouping), preserving the clustering
+            # invariant. ``partitionBy("space")`` still yields one
+            # directory per space; the salt only multiplies files
+            # within it.
+            k = self._tasks_per_space or max(
+                1, self._spark.sparkContext.defaultParallelism
+            )
+            salt = F.pmod(F.xxhash64("grouping"), F.lit(k))
             (
-                df.repartition("space")
+                df.repartition(F.col("space"), salt.alias("_salt"))
                 .sortWithinPartitions(
-                    "grouping", F.col("ts").desc(), F.col("seq").asc()
+                    "space", "grouping", F.col("ts").desc(), F.col("seq").asc()
                 )
                 .write.mode(mode)
                 .partitionBy("space")
@@ -228,11 +245,16 @@ def write_events(
     layout: str = "partitioned",
     assign_seq: bool = False,
     materialize_indexes: list[str] | None = None,
+    tasks_per_space: int | None = None,
 ) -> None:
     """One-shot bulk archive build from a distributed DataFrame."""
     spark = df.sparkSession
     writer = Writer(
-        spark, path, layout=layout, materialize_indexes=materialize_indexes
+        spark,
+        path,
+        layout=layout,
+        materialize_indexes=materialize_indexes,
+        tasks_per_space=tasks_per_space,
     )
     writer.add_dataframe(df, assign_seq=assign_seq)
     writer.write()

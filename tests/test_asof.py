@@ -94,6 +94,31 @@ def test_asof_bucketed_matches_exact(frames):
     assert bucketed == exact
 
 
+def test_asof_bucketed_same_ts_name(spark):
+    """Both sides naming their timestamp 'ts' (the common call shape)
+    must not trip an ambiguous-column error in the dedup window."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, "k", base + dt.timedelta(minutes=i)) for i in range(10)],
+        ["lid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(i * 10, "k", base + dt.timedelta(minutes=i * 2)) for i in range(5)],
+        ["val", "k", "ts"],
+    )
+    got = {
+        r.lid: r.val_r
+        for r in asof_join_bucketed(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            bucket="1 minute", lookback_buckets=3, right_cols=["val"],
+        ).collect()
+    }
+    # each left row picks the latest right at-or-before its ts
+    assert got[0] == 0 and got[5] == 20 and got[9] == 40
+
+
 def test_asof_real_events_orders(spark):
     """Enrich each event with the user's most recent prior order."""
     from esdb_spark.sources.tables import load_table

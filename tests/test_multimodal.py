@@ -27,6 +27,80 @@ def test_decode_stub_raises():
         decode_image(b"\x89PNG")
 
 
+def _png(w, h):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"
+        + b"\x00" * 4  # CRC (unchecked)
+    )
+
+
+def _jpeg(w, h):
+    # SOI, APP0 (JFIF), then SOF0 carrying the dimensions.
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x03" + b"\x00" * 9
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 4
+
+
+def _bmp(w, h):
+    return (
+        b"BM" + b"\x00" * 12
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + b"\x00" * 4
+    )
+
+
+def test_parse_image_dims_real_headers():
+    from esdb_spark.operators.multimodal import parse_image_dims
+
+    assert parse_image_dims(_png(640, 480)) == ("image/png", 640, 480)
+    assert parse_image_dims(_jpeg(1920, 1080)) == ("image/jpeg", 1920, 1080)
+    assert parse_image_dims(_gif(320, 200)) == ("image/gif", 320, 200)
+    assert parse_image_dims(_bmp(800, 600)) == ("image/bmp", 800, 600)
+    # non-images and text-looking payloads fall through to None
+    assert parse_image_dims(b"plain text document") is None
+    assert parse_image_dims(b"BMW is a carmaker, not a bitmap header!!!") is None
+    assert parse_image_dims(b"") is None
+    # truncated image headers are rejected, not misparsed
+    assert parse_image_dims(_png(640, 480)[:12]) is None
+    assert parse_image_dims(b"\xff\xd8\xff") is None
+
+
+def test_extract_media_features_real_images(spark):
+    """End-to-end: real dimensions from real image bytes through the
+    Arrow mapInPandas path (no imaging library involved)."""
+    rows = [
+        (0, "image", _png(640, 480), ("image/png", None, None, None)),
+        (1, "image", _jpeg(1920, 1080), ("image/jpeg", None, None, None)),
+        (2, "image", _gif(320, 200), ("image/gif", None, None, None)),
+        (3, "image", b"not an image", (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_media_features(df).collect()}
+    assert (out[0].width, out[0].height) == (640, 480)
+    assert (out[1].width, out[1].height) == (1920, 1080)
+    assert (out[2].width, out[2].height) == (320, 200)
+    # unrecognized bytes keep the deterministic fake (plumbing parity)
+    assert out[3].width == 100 + ord("n") % 156
+
+
 def test_extract_media_features(spark, media):
     out = {r.media_id: r for r in extract_media_features(media).collect()}
     assert len(out) == 4

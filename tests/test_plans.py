@@ -154,6 +154,63 @@ def test_corr_matrix_prunes_and_single_exchange(spark):
     }
 
 
+def test_quartiles_scalable_no_global_sort(spark):
+    """The scalable quartiles variant must not totally order the fact
+    table: no Window/ntile anywhere, and the boundary frame joins in as
+    a broadcast."""
+    from esdb_spark.plans import physical_plan
+    from esdb_spark.queries_tpch import order_price_quartiles_scalable
+
+    import re
+
+    df = order_price_quartiles_scalable(spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    # no Window physical node, no ntile expression ("ntile(" alone
+    # would false-positive on "percentile(...)")
+    assert re.search(r"[+:]- Window", plan) is None
+    assert re.search(r"\bntile\(", plan) is None
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_similar_part_names_block_size_bounded(spark):
+    """The length-band key must shrink the largest physical block vs
+    the un-banded (first char, last word) key, and the banded output
+    must equal the un-banded output (band width 4 > max distance 3, so
+    no qualifying pair is lost)."""
+    p = load_table(spark, "/root/testdata/sf0.001", "part")
+    blk = F.concat_ws(
+        "|",
+        F.substring("p_name", 1, 1),
+        F.element_at(F.split("p_name", " "), -1),
+    )
+    band = F.floor(F.length("p_name") / 4)
+    unbanded = (
+        p.groupBy(blk.alias("blk")).count().agg(F.max("count")).collect()[0][0]
+    )
+    banded = (
+        p.groupBy(blk.alias("blk"), band.alias("band"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert banded <= unbanded
+    from esdb_spark.queries import similar_part_names
+
+    got = similar_part_names(spark, "/root/testdata/sf0.001").collect()
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"), blk.alias("blk"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"), blk.alias("blk"))
+    want = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+        .select("id_a", "id_b", F.col("dist").cast("bigint").alias("dist"))
+        .orderBy("id_a", "id_b")
+        .collect()
+    )
+    assert got == want
+
+
 def test_date_filters_push_into_scan(spark):
     """Timestamp-NTZ columns must stay raw at the scan so date-range
     predicates reach parquet row-group pruning (regression: wrapping

@@ -387,3 +387,17 @@ def test_hash_split_partitions_disjoint_and_stable(spark):
     # stability across repartitioning
     b = df.repartition(7).withColumn("s", split)
     assert a.select("id", "s").exceptAll(b.select("id", "s")).count() == 0
+
+
+def test_hash_split_zero_bucket_fraction_raises(spark):
+    """A non-final fraction too small for the hash resolution must
+    raise instead of silently assigning that split zero rows."""
+    import pytest
+
+    from esdb_spark.functions import hash_split
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="rounds to zero"):
+        hash_split(
+            F.col("id"), {"tiny": 0.000005, "train": 0.999995}, prefix_len=4
+        )

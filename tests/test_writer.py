@@ -91,6 +91,45 @@ def test_bulk_ingest_dataframe(spark, tmp_path):
     assert [r["data"] for r in rows[:3]] == ["98", "94", "90"]  # ts desc
 
 
+def test_bulk_ingest_fans_out_per_space(spark, tmp_path):
+    """Write parallelism must exceed |space|: with grouping-salted
+    repartitioning a single hot space spreads over many writer tasks /
+    files, while each grouping stays wholly inside one file."""
+    import glob
+
+    path = str(tmp_path / "fanout.esdb")
+    src = spark.range(2000).select(
+        F.lit("hot").alias("space"),
+        (F.col("id") % 97).cast("string").alias("grouping"),
+        F.timestamp_seconds(F.lit(1403534919) + F.col("id")).alias("ts"),
+        F.col("id").alias("seq"),
+        F.col("id").cast("string").alias("data"),
+        F.create_map().cast("map<string,string>").alias("indexes"),
+    )
+    # AQE's size-based coalescing folds this tiny shuffle back to one
+    # partition (desirable: file count tracks data size, so the fan-out
+    # only materializes when partitions are actually big). Disable it
+    # here to observe the salted key spreading a single hot space.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        write_events(src, path, tasks_per_space=8)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    files = glob.glob(f"{path}/space=hot/*.parquet")
+    assert len(files) > 1, "one hot space still funnels through one file"
+    assert len(files) <= 8
+    # each grouping lives in exactly one file (clustering invariant)
+    import pyarrow.parquet as pq
+
+    seen: dict[str, str] = {}
+    for f in files:
+        for g in set(pq.read_table(f, columns=["grouping"])["grouping"].to_pylist()):
+            assert seen.setdefault(g, f) == f, f"grouping {g} split across files"
+    db = Db.open(spark, path)
+    rows = db.find("hot").scan("5").collect()
+    assert [r["data"] for r in rows[:3]] == ["1945", "1848", "1751"]  # ts desc
+
+
 def test_layout_clustered(spark, tmp_path):
     # High-|space|-cardinality layout: no Hive partitions, sort-clustered.
     path = str(tmp_path / "clustered.esdb")
