@@ -112,8 +112,32 @@ def shapes(path, nrows):
     return out
 
 
+def archive_build(path, tasks_per_space=None):
+    """Archive build (sort + partition + 1 materialized index) —
+    measures the ingest write path. tasks_per_space=1 reproduces the
+    old repartition("space") funnel (|space| write tasks total);
+    the default fans each space out over defaultParallelism tasks."""
+    from esdb_spark.writer import write_events
+
+    out_dir = "/tmp/esdb_scale/archive_probe"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    write_events(
+        events_df(path),
+        out_dir,
+        materialize_indexes=["k"],
+        tasks_per_space=tasks_per_space,
+    )
+    dt = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return round(dt, 2)
+
+
 small = shapes("/root/testdata/sf0.1/events.parquet", 100_000)
 big = shapes(BIG, N)
+small["archive_build"] = archive_build("/root/testdata/sf0.1/events.parquet")
+big["archive_build_1task_per_space"] = archive_build(BIG, tasks_per_space=1)
+big["archive_build"] = archive_build(BIG)
 result = {"sf0.1_100k": small, "synthetic_10m": big, "ratios": {
     k: round(big[k] / small[k], 1) for k in small if k != "rows"
 }}

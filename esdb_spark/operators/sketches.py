@@ -1,0 +1,164 @@
+"""Frequency sketches: exact distributed heavy hitters and count-min.
+
+The reference engine has no aggregation layer at all (SURVEY.md §2.6);
+these are part of the training-data-pipeline capability set — finding
+dominant domains/users/tokens in a corpus without a full groupBy on an
+unbounded key space.
+
+Scale design:
+
+- :func:`heavy_hitters` is the two-pass Misra-Gries scheme: phase 1
+  runs an MG summary per partition (bounded memory: ``k`` counters,
+  Arrow-batched), emitting at most ``k`` candidate items per
+  partition. By the averaging argument any item with global frequency
+  > N/k exceeds n_p/k in at least one partition, so the candidate
+  union is a superset of every true heavy hitter. Phase 2 recounts
+  ONLY the candidates exactly (semi-join then groupBy on a key set
+  bounded by k × partitions, not by the raw cardinality) and filters
+  with integer arithmetic ``cnt * k > N``. Output is exact and
+  engine-independent — a plain SQL HAVING clause is its oracle.
+- :func:`count_min_table` builds a count-min sketch AS a DataFrame
+  (≤ depth×width rows, one partial-aggregating pass, xxhash64 cells) —
+  mergeable, joinable, and hash-consistent with
+  :func:`cms_estimate`'s probe path; for approximate point
+  frequencies when even the candidate recount is too much. Cell
+  layout is hash-engine-specific, so queries exposing it are
+  rows-only in the oracle gate.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def _mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries candidates: ≤ k items per partition,
+    guaranteed to include every item with partition frequency > n_p/k.
+    """
+    schema = T.StructType([T.StructField("item", T.StringType())])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            # batch-level exact counts first (vectorized), then fold
+            # into the bounded MG summary — same guarantee, far fewer
+            # dict operations than item-at-a-time
+            for item, cnt in pdf["item"].value_counts().items():
+                if item in counters:
+                    counters[item] += int(cnt)
+                elif len(counters) < k:
+                    counters[item] = int(cnt)
+                else:
+                    # decrement-all by the smallest deficit; evict zeros
+                    dec = min(int(cnt), min(counters.values()))
+                    counters = {
+                        i: c - dec for i, c in counters.items() if c > dec
+                    }
+                    rem = int(cnt) - dec
+                    if rem > 0 and len(counters) < k:
+                        counters[item] = rem
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    return df.select(F.col(col).cast("string").alias("item")).mapInPandas(
+        op, schema
+    )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
+    """All items of ``col`` with frequency strictly greater than N/k,
+    with their EXACT counts — (item, cnt), no order guaranteed.
+
+    Never shuffles the raw key space: the only wide operations run on
+    the ≤ k×partitions candidate set. Equivalent SQL (the oracle):
+
+        SELECT item, count(*) AS cnt FROM t GROUP BY item
+        HAVING count(*) * k > (SELECT count(*) FROM t)
+    """
+    if k < 1:
+        raise ValueError(f"heavy_hitters: k must be >= 1, got {k}")
+    items = df.select(F.col(col).cast("string").alias("item"))
+    candidates = _mg_candidates(df, col, k).distinct()
+    counted = (
+        items.join(F.broadcast(candidates), "item")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # lazy total: a broadcast 1-row frame keeps the whole operator one
+    # deferred plan (no job at construction time); integer arithmetic
+    # keeps the threshold comparison engine-exact
+    total = items.agg(F.count("*").alias("_n"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("_n"))
+        .drop("_n")
+    )
+
+
+def _cms_buckets(col_expr, depth: int, width: int):
+    """(row, bucket) hash pairs for one value — xxhash64 with the row
+    index as seed, pmod'd into the width. Pure built-in expressions."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(F.xxhash64(col_expr, F.lit(i)), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def count_min_table(
+    df: DataFrame, col: str, depth: int = 5, width: int = 2048
+) -> DataFrame:
+    """Count-min sketch as a (row, bucket, cnt) DataFrame — at most
+    depth × width rows regardless of input size.
+
+    One pass over the data: each value emits ``depth`` (row, bucket)
+    pairs (xxhash64 seeded by row index), and a partial-aggregating
+    groupBy sums them. The result is mergeable (sum matching cells) and
+    tiny — collect it, persist it, or join point queries against it.
+    Estimates over-count only, by ≤ e·N/width per row with probability
+    1 - e^-depth (standard CM bounds)."""
+    return (
+        df.select(
+            F.explode(
+                _cms_buckets(F.col(col).cast("string"), depth, width)
+            ).alias("rb")
+        )
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    table_df: DataFrame, items: list[str], depth: int = 5, width: int = 2048
+) -> dict[str, int]:
+    """Point-frequency estimates for ``items`` against a
+    :func:`count_min_table` result: min over the item's depth cells.
+    The probe is a broadcast join of the (small) item list against the
+    (≤ depth×width) table — no driver-side hashing, so the estimates
+    use exactly the same hash functions the table was built with."""
+    spark = table_df.sparkSession
+    probes = (
+        spark.createDataFrame([(s,) for s in items], ["item"])
+        .select(
+            "item",
+            F.explode(_cms_buckets(F.col("item"), depth, width)).alias("rb"),
+        )
+        .select("item", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    )
+    rows = (
+        probes.join(table_df, ["row", "bucket"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy("item")
+        .agg(F.min("cnt").alias("est"))
+        .collect()
+    )
+    return {r["item"]: int(r["est"]) for r in rows}

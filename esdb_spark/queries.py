@@ -2081,6 +2081,12 @@ _PIPELINE_ORACLES = {
                CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM s GROUP BY split ORDER BY split
     """,
+    "heavy_hitter_users": """
+        SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS cnt
+        FROM events GROUP BY user_id
+        HAVING count(*) * 200 > (SELECT count(*) FROM events)
+        ORDER BY user_id
+    """,
     "event_value_ohlc": """
         WITH b AS (
             SELECT event_type AS space,
@@ -2440,6 +2446,37 @@ def linear_fit_per_type(spark, sf_dir):
     )
 
 
+def heavy_hitter_users(spark, sf_dir):
+    """Exact heavy hitters (users with > 1/200 of all events) via the
+    two-pass Misra-Gries scheme — bounded-memory candidates per
+    partition, exact recount of candidates only. The oracle is the
+    plain HAVING formulation; output parity certifies the sketch path
+    loses nothing."""
+    from esdb_spark.operators.sketches import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        heavy_hitters(ev, "user_id", k=200)
+        .select(F.col("item").cast("bigint").alias("user_id"), "cnt")
+        .orderBy("user_id")
+    )
+
+
+def event_type_freq_cms(spark, sf_dir):
+    """Count-min point estimates for each event type vs exact counts.
+    Rows-only: cell layout is hash-specific, but the estimate >= exact
+    invariant is asserted in tests."""
+    from esdb_spark.operators.sketches import cms_estimate, count_min_table
+
+    ev = load_table(spark, sf_dir, "events")
+    table = count_min_table(ev, "event_type", depth=5, width=1024)
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    ests = cms_estimate(table, sorted(types), depth=5, width=1024)
+    return spark.createDataFrame(
+        [(t, ests[t]) for t in sorted(types)], ["event_type", "est"]
+    )
+
+
 def ann_topk_docs(spark, sf_dir):
     from esdb_spark.operators.similarity import ann_topk_lsh
 
@@ -2524,7 +2561,7 @@ _GATE_WINDOW = [
     "funnel_view_click_purchase",
     "weekly_cohort_retention",
     "user_value_forward_fill",
-    "median_value_by_type",
+    "heavy_hitter_users",
 ]
 assert len(_GATE_WINDOW) == 50
 
@@ -2618,6 +2655,7 @@ def catalog() -> dict[str, Q]:
         ("doc_winnow_fingerprints", doc_winnow_fingerprints),
         ("orders_profile", orders_profile),
         ("multimodal_features", multimodal_features),
+        ("heavy_hitter_users", heavy_hitter_users),
     ]:
         qs[name] = Q(fn, _PIPELINE_ORACLES[name])
     for name, fn in [
@@ -2626,6 +2664,7 @@ def catalog() -> dict[str, Q]:
         ("ann_topk_docs", ann_topk_docs),
         ("ann_topk_ivf_docs", ann_topk_ivf_docs),
         ("linear_fit_per_type", linear_fit_per_type),
+        ("event_type_freq_cms", event_type_freq_cms),
     ]:
         qs[name] = Q(fn, None)
     # Reorder: gate-window names first (in _GATE_WINDOW order), then

@@ -88,6 +88,45 @@ def ingest_csv(
     write_events(events, out_path, layout=layout)
 
 
+def ingest_file(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    space_col: str,
+    ts_col: str,
+    fmt: str = "parquet",
+    grouping_col: str | None = None,
+    index_cols: list[str] | None = None,
+    layout: str = "partitioned",
+    **reader_options,
+) -> None:
+    """Any Spark-readable columnar/text format → esdb archive.
+
+    ``fmt`` is passed to ``spark.read.format``: parquet and orc are
+    built into Spark; avro needs the spark-avro package on the
+    cluster (absent here — the call then raises Spark's
+    AnalysisException, which we surface with a hint rather than
+    masking). One distributed plan end-to-end, same as ingest_csv.
+    """
+    try:
+        src = spark.read.format(fmt).options(**reader_options).load(path)
+    except Exception as ex:  # pragma: no cover - depends on cluster jars
+        if fmt == "avro":
+            raise RuntimeError(
+                "avro ingest needs the spark-avro package on the cluster "
+                "(spark-submit --packages org.apache.spark:spark-avro_2.13:<ver>)"
+            ) from ex
+        raise
+    events = events_from_columns(
+        src,
+        space_col=space_col,
+        ts_col=ts_col,
+        grouping_col=grouping_col,
+        index_cols=index_cols,
+    )
+    write_events(events, out_path, layout=layout)
+
+
 def ingest_jsonl(
     spark: SparkSession,
     jsonl_path: str,

@@ -3,7 +3,41 @@
 import csv
 
 from esdb_spark import Db
-from esdb_spark.sources.ingest import ingest_csv
+from esdb_spark.sources.ingest import ingest_csv, ingest_file
+
+
+def test_ingest_file_orc_roundtrip(spark, tmp_path):
+    """ORC (built into Spark) → esdb archive through the same
+    distributed plan as CSV ingest."""
+    from pyspark.sql import functions as F
+
+    orc_path = str(tmp_path / "src.orc")
+    spark.range(100).select(
+        (F.col("id") % 2 == 0).cast("string").alias("kind"),
+        F.concat(F.lit("h"), (F.col("id") % 3).cast("string")).alias("host"),
+        (F.lit(1400000000) + F.col("id")).alias("epoch"),
+        F.col("id").alias("n"),
+    ).write.orc(orc_path)
+
+    out = str(tmp_path / "orc.esdb")
+    ingest_file(
+        spark,
+        orc_path,
+        out,
+        space_col="kind",
+        ts_col="epoch",
+        fmt="orc",
+        grouping_col="host",
+        index_cols=["host"],
+    )
+    db = Db.open(spark, out)
+    assert db.spaces() == ["false", "true"]
+    got = db.find("true").scan("h0").collect()
+    assert len(got) > 0
+    import json
+
+    payload = json.loads(got[0]["data"])
+    assert set(payload) == {"kind", "host", "epoch", "n"}
 
 
 def test_ingest_csv_visits_shape(spark, tmp_path):

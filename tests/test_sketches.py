@@ -1,0 +1,87 @@
+"""Frequency-sketch operators: exact heavy hitters (Misra-Gries
+candidates + exact recount) and the DataFrame-native count-min."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from esdb_spark.operators.sketches import (
+    cms_estimate,
+    count_min_table,
+    heavy_hitters,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 10_000 rows: item "hot" 30%, "warm" 10%, long tail of 1-count ids
+    return spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 3, F.lit("hot"))
+        .when(F.col("id") % 10 == 3, F.lit("warm"))
+        .otherwise(F.concat(F.lit("tail"), F.col("id").cast("string")))
+        .alias("item")
+    )
+
+
+def test_heavy_hitters_exact_matches_groupby(spark, skewed):
+    """The sketch path must return exactly the HAVING-clause answer."""
+    for k in (5, 20, 100):
+        got = {
+            (r["item"], r["cnt"])
+            for r in heavy_hitters(skewed, "item", k=k).collect()
+        }
+        total = skewed.count()
+        want = {
+            (r["item"], r["n"])
+            for r in skewed.groupBy("item")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") * k > total)
+            .collect()
+        }
+        assert got == want, f"k={k}"
+    assert ("hot", 3000) in got
+
+
+def test_heavy_hitters_no_false_negatives_across_partitioning(spark, skewed):
+    """The MG guarantee must hold however the data is partitioned."""
+    # k=15 → threshold N/15 ≈ 667: both "hot" (3000) and "warm" (1000)
+    # are true heavy hitters and must survive any partitioning
+    for parts in (1, 7, 32):
+        got = {
+            r["item"]
+            for r in heavy_hitters(skewed.repartition(parts), "item", k=15).collect()
+        }
+        assert {"hot", "warm"} <= got
+
+
+def test_heavy_hitters_plan_never_shuffles_raw_keys(spark, skewed):
+    """The only groupBy keys are broadcast-joined candidates; the raw
+    key space must not be exchanged before the semi-join."""
+    from esdb_spark.plans import physical_plan
+
+    plan = physical_plan(heavy_hitters(skewed, "item", k=8))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitters_k_validation(spark, skewed):
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters(skewed, "item", k=0)
+
+
+def test_count_min_overestimates_only(spark, skewed):
+    table = count_min_table(skewed, "item", depth=5, width=256)
+    assert table.count() <= 5 * 256
+    exact = {
+        r["item"]: r["n"]
+        for r in skewed.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    ests = cms_estimate(
+        table, ["hot", "warm", "tail77", "never-seen"], depth=5, width=256
+    )
+    assert ests["hot"] >= exact["hot"]
+    assert ests["warm"] >= exact["warm"]
+    assert ests["tail77"] >= 1
+    # CM error bound: overestimate ≤ ~e·N/width with high probability;
+    # allow a loose multiple to keep the test deterministic-friendly
+    n = skewed.count()
+    assert ests["hot"] - exact["hot"] <= 10 * n // 256
+    assert ests["never-seen"] <= 10 * n // 256
