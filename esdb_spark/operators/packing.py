@@ -1,0 +1,196 @@
+"""Training-batch assembly operators: sequence packing and
+deterministic source interleaving.
+
+Both are north-star LLM-pipeline operators (SURVEY §2.7) with no
+reference analog — they sit at the end of a data pipeline, turning a
+cleaned corpus into the exact order/grouping a trainer consumes.
+
+**Sequence packing** (:func:`pack_greedy`): concatenate documents into
+fixed token-budget contexts ("bins") so short documents don't waste
+padded positions. Semantics here are *deterministic sharded greedy
+fill*: documents are sharded by a pure function of their id, each
+shard is walked in id order, and a document opens a new bin exactly
+when it does not fit in the current one (a document larger than the
+whole budget occupies a bin alone). Determinism is the point — the
+same corpus always packs identically, so a training run is
+reproducible and resumable.
+
+Scale: each shard packs independently in one linear ``applyInPandas``
+pass over (id, size) pairs — the text itself never moves; the output
+is a doc_id → (shard, bin, offset) assignment the trainer joins back.
+Shard count bounds both parallelism and per-task state (a shard's rows
+must fit one task — pick shards so ~10-100 MB of (id,size) pairs per
+shard; 100 TB of docs at ~16 B/row needs only ~10k shards).
+
+**Weighted interleaving** (:func:`interleave_sources`): produce the
+global training order that mixes sources at given rates (e.g. 3 parts
+web, 1 part code) using stride scheduling — source ``s`` with weight
+``w`` emits its ``k``-th document at virtual time ``(k + 0.5) / w``;
+sorting all documents by virtual time yields an order whose running
+source mix converges to the weights, deterministically (no RNG). The
+global sort is inherent to producing a total order; Spark's
+``orderBy`` handles it as a sampled range partition, so no single task
+sees the whole relation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    budget: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign each row to (shard, bin, offset) by sharded greedy fill.
+
+    shard = id % n_shards (pure, reproducible); within a shard, rows
+    are walked in ascending ``id_col`` and appended to the current bin
+    while ``fill + size <= budget``, else a new bin starts. ``offset``
+    is the fill before the row was placed. Bins are numbered from 0 per
+    shard.
+
+    Returns (id_col, shard, bin, offset) — one row per input row.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("bin", T.LongType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        bins, offsets = [], []
+        cur_bin, fill = 0, 0
+        first = True
+        for size in pdf["size"]:
+            size = int(size)
+            if not first and fill + size > budget:
+                cur_bin += 1
+                fill = 0
+            first = False
+            offsets.append(fill)
+            bins.append(cur_bin)
+            fill += size
+        return pd.DataFrame(
+            {
+                "id": pdf["id"].values,
+                "shard": pdf["shard"].values,
+                "bin": bins,
+                "offset": offsets,
+            }
+        )
+
+    prepared = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        F.col(size_col).cast("long").alias("size"),
+    )
+    return (
+        prepared.groupBy("shard")
+        .applyInPandas(pack, out_schema)
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def pack_oracle_sql(
+    size_expr: str, budget: int, n_shards: int, table: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`pack_greedy`: the same greedy fill as a
+    recursive CTE stepping row-by-row per shard (one recursion level
+    per shard position; all shards advance in the same level)."""
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, CAST(doc_id % {n_shards} AS INTEGER) AS shard,
+         CAST({size_expr} AS BIGINT) AS size,
+         row_number() OVER (PARTITION BY doc_id % {n_shards}
+                            ORDER BY doc_id) AS rn
+  FROM {table}
+),
+rec AS (
+  SELECT shard, rn, doc_id, size,
+         CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS "offset",
+         size AS fill
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.size,
+         CASE WHEN r.fill + d.size > {budget} THEN r.bin + 1 ELSE r.bin END,
+         CASE WHEN r.fill + d.size > {budget} THEN CAST(0 AS BIGINT)
+              ELSE r.fill END,
+         CASE WHEN r.fill + d.size > {budget} THEN d.size
+              ELSE r.fill + d.size END
+  FROM rec r JOIN docs d ON d.shard = r.shard AND d.rn = r.rn + 1
+)
+SELECT doc_id, shard, bin, "offset"
+FROM rec
+ORDER BY doc_id
+"""
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str = "source",
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted interleave: global training position per
+    row such that sources appear at rates proportional to their weight.
+
+    ``weight_col`` must be a positive double column (constant per
+    source). Stride scheduling: the k-th row of a source (k = 1-based
+    rank by ``id_col``) gets virtual time (k - 0.5) / weight; the
+    global order sorts by (vtime, source, id) — total, deterministic,
+    RNG-free.
+
+    A global rank is NOT computed with an unpartitioned window (that
+    funnels the whole relation through one task). Instead: range-
+    partition on the sort key, rank within each partition in parallel,
+    and add per-partition offsets derived from partition counts — the
+    counts collect is bounded by the partition count (metadata, not
+    data). The resulting ``pos`` is a pure function of the total order,
+    independent of where the sampled range boundaries land. Note this
+    runs one Spark job at construction time (the counts pass).
+
+    Returns the input columns plus ``pos`` (1-based global position).
+    """
+    per_source = Window.partitionBy(source_col).orderBy(id_col)
+    vtime = (F.row_number().over(per_source) - F.lit(0.5)) / F.col(weight_col)
+    sort_cols = ["vtime", source_col, id_col]
+    sorted_df = (
+        df.withColumn("vtime", vtime)
+        .repartitionByRange(*sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # Pin the sampled range boundaries: without this, the counts
+        # job and the consumer's job would re-sample independently and
+        # the offsets could describe a different partitioning than the
+        # one the final job executes (MEMORY_AND_DISK: spills, never
+        # OOMs; consume the result promptly, as with the jaccard probe)
+        .persist()
+    )
+    # One metadata-sized job: rows per range partition -> rank offsets.
+    counts = sorted_df.groupBy("_pid").count().collect()
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    within = Window.partitionBy("_pid").orderBy(*sort_cols)
+    return (
+        sorted_df.withColumn(
+            "pos",
+            (F.row_number().over(within) + off_map[F.col("_pid")]).cast("long"),
+        )
+        .drop("vtime", "_pid")
+    )

@@ -1953,7 +1953,95 @@ def multimodal_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination: 5-gram overlap of each training doc
+    (doc_id % 20 != 0) against the eval split (doc_id % 20 == 0) —
+    north-star pipeline operator; eval gram set broadcast, train text
+    never shuffles (operators/decontam.py)."""
+    from esdb_spark.operators.decontam import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_contamination(
+        train, eval_df, "text", "doc_id", n=5, threshold=0.1
+    ).orderBy("doc_id")
+
+
+def pack_documents(spark, sf_dir):
+    """Sequence packing: sharded greedy fill of documents into
+    2048-char bins, deterministic by construction — the (shard, bin,
+    offset) assignment a trainer would join back to build fixed-size
+    contexts (operators/packing.py)."""
+    from esdb_spark.operators.packing import pack_greedy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        pack_greedy(docs, "doc_id", "n_chars", budget=2048, n_shards=8)
+        .select(
+            "doc_id",
+            F.col("shard").cast("int").alias("shard"),
+            "bin",
+            "offset",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def interleave_docs(spark, sf_dir):
+    """Deterministic weighted source interleave (stride scheduling):
+    global training order mixing the 20 sources at weight
+    1 + (source_number % 3); no RNG, so the order is reproducible and
+    the oracle can recompute it exactly (operators/packing.py)."""
+    from esdb_spark.operators.packing import interleave_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.lit(1.0)
+            + (F.regexp_extract("source", "([0-9]+)", 1).cast("int") % 3)
+        ).alias("weight"),
+    )
+    return (
+        interleave_sources(weighted, "source", "weight", "doc_id")
+        .select("pos", "doc_id", "source")
+        .orderBy("pos")
+    )
+
+
+def _decontam_oracle() -> str:
+    from esdb_spark.operators.decontam import oracle_sql_contamination
+
+    return oracle_sql_contamination("doc_id % 20 = 0", n=5, threshold=0.1)
+
+
+def _pack_oracle() -> str:
+    from esdb_spark.operators.packing import pack_oracle_sql
+
+    return pack_oracle_sql("n_chars", budget=2048, n_shards=8)
+
+
+_INTERLEAVE_ORACLE = """
+WITH v AS (
+  SELECT doc_id, source,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 0.5)
+           / (1.0 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 3))
+           AS vtime
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY vtime, source, doc_id) AS BIGINT) AS pos,
+       doc_id, source
+FROM v
+ORDER BY pos
+"""
+
+
 _PIPELINE_ORACLES = {
+    "decontaminate_docs": _decontam_oracle(),
+    "pack_documents": _pack_oracle(),
+    "interleave_docs": _INTERLEAVE_ORACLE,
     "doc_token_stats": f"""
         SELECT doc_id,
                length(text) AS n_chars_calc,
@@ -2528,12 +2616,16 @@ _GATE_WINDOW = [
     "doc_token_stats",
     "doc_chunks",
     "doc_redact_pii",
-    "doc_fingerprint",
     "doc_language_guess",
     "doc_winnow_fingerprints",
     "doc_repetition_stats",
-    "doc_domain_counts",
-    "doc_top_terms",
+    # LLM-pipeline: decontamination / packing / mixture (new families;
+    # doc_fingerprint, doc_domain_counts, doc_top_terms stay catalogued
+    # past the window — same text family as the entries above, still
+    # locally oracle-verified in test_oracle_parity)
+    "decontaminate_docs",
+    "pack_documents",
+    "interleave_docs",
     # LLM-pipeline: multimodal, splits, event rollups
     "multimodal_features",
     "documents_split_counts",
@@ -2656,6 +2748,9 @@ def catalog() -> dict[str, Q]:
         ("orders_profile", orders_profile),
         ("multimodal_features", multimodal_features),
         ("heavy_hitter_users", heavy_hitter_users),
+        ("decontaminate_docs", decontaminate_docs),
+        ("pack_documents", pack_documents),
+        ("interleave_docs", interleave_docs),
     ]:
         qs[name] = Q(fn, _PIPELINE_ORACLES[name])
     for name, fn in [

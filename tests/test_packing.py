@@ -1,0 +1,104 @@
+"""Sequence packing + weighted interleave operator semantics
+(operators/packing.py) — invariants the oracle parity test can't
+state directly."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from esdb_spark.operators.packing import interleave_sources, pack_greedy
+
+
+@pytest.fixture(scope="module")
+def sizes_df(spark):
+    rows = [(i, (i * 37) % 900 + 100) for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def test_pack_respects_budget(spark, sizes_df):
+    out = pack_greedy(sizes_df, "doc_id", "n_tokens", budget=1000, n_shards=4)
+    joined = out.join(sizes_df, "doc_id").toPandas()
+    fills = (
+        joined.groupby(["shard", "bin"])["n_tokens"].sum().reset_index(name="fill")
+    )
+    per_bin_docs = joined.groupby(["shard", "bin"]).size()
+    # a bin only exceeds the budget when a single oversized doc owns it
+    for (_, _), fill, n_docs in zip(
+        fills[["shard", "bin"]].itertuples(index=False),
+        fills["fill"],
+        per_bin_docs.values,
+    ):
+        assert fill <= 1000 or n_docs == 1
+
+
+def test_pack_offsets_are_running_fills(spark, sizes_df):
+    out = pack_greedy(sizes_df, "doc_id", "n_tokens", budget=1000, n_shards=4)
+    joined = out.join(sizes_df, "doc_id").toPandas().sort_values("doc_id")
+    for (_, _), grp in joined.groupby(["shard", "bin"]):
+        grp = grp.sort_values("doc_id")
+        expect = 0
+        for _, row in grp.iterrows():
+            assert row["offset"] == expect
+            expect += row["n_tokens"]
+
+
+def test_pack_oversized_doc_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(0, 50), (8, 5000), (16, 60)], "doc_id long, n_tokens long"
+    )  # one shard (all ids % 8 == 0)
+    out = (
+        pack_greedy(df, "doc_id", "n_tokens", budget=100, n_shards=8)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["bin"]) == [0, 1, 2]
+    assert list(out["offset"]) == [0, 0, 0]
+
+
+def test_pack_deterministic(spark, sizes_df):
+    a = pack_greedy(sizes_df, "doc_id", "n_tokens", budget=1000, n_shards=4)
+    b = pack_greedy(sizes_df, "doc_id", "n_tokens", budget=1000, n_shards=4)
+    pa = a.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pb = b.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb)
+
+
+@pytest.fixture(scope="module")
+def mix_df(spark):
+    rows = []
+    for s, w, n in [("web", 3.0, 90), ("code", 1.0, 30), ("math", 2.0, 60)]:
+        for i in range(n):
+            rows.append((s, w, hash(s) % 97 * 1000 + i))
+    return spark.createDataFrame(rows, "source string, weight double, doc_id long")
+
+
+def test_interleave_pos_is_permutation(spark, mix_df):
+    out = interleave_sources(mix_df, "source", "weight", "doc_id").toPandas()
+    assert sorted(out["pos"]) == list(range(1, len(out) + 1))
+
+
+def test_interleave_rates_track_weights(spark, mix_df):
+    out = (
+        interleave_sources(mix_df, "source", "weight", "doc_id")
+        .toPandas()
+        .sort_values("pos")
+    )
+    head = out.head(60)
+    counts = head["source"].value_counts()
+    # weights 3:1:2 over the first 60 positions -> ~30/10/20 (stride
+    # scheduling keeps running mix within one stride of exact)
+    assert abs(counts.get("web", 0) - 30) <= 2
+    assert abs(counts.get("code", 0) - 10) <= 2
+    assert abs(counts.get("math", 0) - 20) <= 2
+
+
+def test_interleave_source_order_preserved(spark, mix_df):
+    out = (
+        interleave_sources(mix_df, "source", "weight", "doc_id")
+        .toPandas()
+        .sort_values("pos")
+    )
+    for _, grp in out.groupby("source"):
+        ids = list(grp["doc_id"])
+        assert ids == sorted(ids)  # within a source, id order survives
