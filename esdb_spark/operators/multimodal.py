@@ -127,6 +127,74 @@ def parse_image_dims(content: bytes) -> tuple[str, int, int] | None:
     return None
 
 
+def parse_wav_meta(content: bytes) -> tuple[str, int, int, int] | None:
+    """Dependency-free (mime, channels, sample_rate_hz, duration_ms)
+    from real WAV bytes — RIFF/WAVE chunk walk: the ``fmt `` chunk
+    carries channels/sample-rate/byte-rate, the ``data`` chunk size
+    over byte-rate gives duration. Returns None for non-WAV or
+    truncated payloads."""
+    n = len(content)
+    if n < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    channels = rate = byte_rate = None
+    data_size = None
+    i = 12
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        size = int.from_bytes(content[i + 4 : i + 8], "little")
+        body = i + 8
+        if cid == b"fmt " and body + 16 <= n:
+            channels = int.from_bytes(content[body + 2 : body + 4], "little")
+            rate = int.from_bytes(content[body + 4 : body + 8], "little")
+            byte_rate = int.from_bytes(content[body + 8 : body + 12], "little")
+        elif cid == b"data":
+            data_size = size
+        # chunks are word-aligned: odd sizes carry a pad byte
+        i = body + size + (size & 1)
+    if channels is None or rate is None or not byte_rate:
+        return None
+    duration_ms = (
+        (data_size * 1000) // byte_rate if data_size is not None else 0
+    )
+    return ("audio/wav", channels, rate, duration_ms)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched audio metadata over the binary column: (media_id,
+    channels, sample_rate_hz, duration_ms, n_bytes) — real RIFF/WAVE
+    header parsing; unrecognized payloads get nulls (the full
+    sample-decode hook would need an audio library, same stub posture
+    as :func:`decode_image`)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sample_rate_hz", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf["content"].map(
+                lambda c: parse_wav_meta(bytes(c)) if c is not None else None
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "channels": metas.map(lambda m: m[1] if m else None),
+                    "sample_rate_hz": metas.map(lambda m: m[2] if m else None),
+                    "duration_ms": metas.map(lambda m: m[3] if m else None),
+                    "n_bytes": pdf["content"].map(
+                        lambda c: len(c) if c is not None else 0
+                    ),
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(op, out_schema)
+
+
 def fake_decode_meta(content: bytes) -> tuple[int, int]:
     """Deterministic stand-in for non-image payloads: derives (width,
     height) from the bytes so tests exercise the full distributed path

@@ -162,3 +162,40 @@ def cms_estimate(
         .collect()
     )
     return {r["item"]: int(r["est"]) for r in rows}
+
+
+def hll_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-key mergeable distinct-count sketches: (key_cols...,
+    hll_sketch binary) via ``hll_sketch_agg`` (Apache DataSketches
+    HllSketch under the hood).
+
+    The point of emitting the SKETCH rather than the estimate is
+    scale: sketches built per partition-key (e.g. per day) union in
+    O(sketch size) with :func:`hll_union_estimate` — the 100 TB rollup
+    pattern where re-scanning raw data per reporting window would be
+    prohibitive. lg_k=12 → ~2.5 KB per sketch, ~1.6% standard error.
+    """
+    return df.groupBy(*key_cols).agg(
+        F.expr(f"hll_sketch_agg({value_col}, {lg_k})").alias("hll_sketch")
+    )
+
+
+def hll_union_estimate(
+    sketches: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Merge per-key sketches up a coarser grouping and estimate:
+    (group_cols..., approx_distinct bigint). Sketch union is exact
+    merge algebra — the estimate after union equals the estimate of a
+    sketch built over the concatenated raw inputs."""
+    return sketches.groupBy(*group_cols).agg(
+        F.expr(f"hll_sketch_estimate(hll_union_agg({sketch_col}))").alias(
+            "approx_distinct"
+        )
+    )

@@ -2011,6 +2011,23 @@ def interleave_docs(spark, sf_dir):
     )
 
 
+def approx_distinct_users(spark, sf_dir):
+    """Mergeable HLL distinct-user rollup: per-(event_type, day)
+    sketches unioned up to per-event_type estimates — the re-scan-free
+    reporting pattern for 100 TB (operators/sketches.py). Rows-only:
+    sketch estimates are engine-specific; accuracy vs exact counts is
+    asserted in test_sketches.py."""
+    from esdb_spark.operators.sketches import hll_rollup, hll_union_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = hll_rollup(
+        ev.withColumn("day", F.to_date("ts")),
+        ["event_type", "day"],
+        "user_id",
+    )
+    return hll_union_estimate(daily, ["event_type"]).orderBy("event_type")
+
+
 def _decontam_oracle() -> str:
     from esdb_spark.operators.decontam import oracle_sql_contamination
 
@@ -2760,6 +2777,7 @@ def catalog() -> dict[str, Q]:
         ("ann_topk_ivf_docs", ann_topk_ivf_docs),
         ("linear_fit_per_type", linear_fit_per_type),
         ("event_type_freq_cms", event_type_freq_cms),
+        ("approx_distinct_users", approx_distinct_users),
     ]:
         qs[name] = Q(fn, None)
     # Reorder: gate-window names first (in _GATE_WINDOW order), then

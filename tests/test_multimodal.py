@@ -149,3 +149,53 @@ def test_resize_images(spark):
     assert (out[2].width, out[2].height) == (100, 50)
     assert len(out[2].content) == 100
     assert out[3].content == b""
+
+
+def _wav(channels=2, rate=44100, bits=16, n_samples=44100):
+    """Minimal valid PCM WAV byte string."""
+    byte_rate = rate * channels * bits // 8
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_samples * block_align)
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_parse_wav_meta():
+    from esdb_spark.operators.multimodal import parse_wav_meta
+
+    meta = parse_wav_meta(_wav(channels=2, rate=44100, n_samples=44100))
+    assert meta == ("audio/wav", 2, 44100, 1000)  # exactly one second
+    meta = parse_wav_meta(_wav(channels=1, rate=8000, n_samples=4000))
+    assert meta == ("audio/wav", 1, 8000, 500)
+    assert parse_wav_meta(b"not audio at all") is None
+    assert parse_wav_meta(b"RIFF\x00\x00\x00\x00WAVE") is None  # no fmt
+
+
+def test_extract_audio_features(spark):
+    from esdb_spark.operators.multimodal import extract_audio_features
+
+    rows = [
+        (1, _wav(channels=2, rate=44100, n_samples=22050)),
+        (2, _wav(channels=1, rate=16000, n_samples=16000)),
+        (3, b"plain text payload"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert got[1]["channels"] == 2
+    assert got[1]["sample_rate_hz"] == 44100
+    assert got[1]["duration_ms"] == 500
+    assert got[2]["duration_ms"] == 1000
+    assert got[3]["channels"] is None  # unrecognized -> nulls, no crash
+    assert got[3]["n_bytes"] == len(b"plain text payload")

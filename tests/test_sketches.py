@@ -85,3 +85,24 @@ def test_count_min_overestimates_only(spark, skewed):
     n = skewed.count()
     assert ests["hot"] - exact["hot"] <= 10 * n // 256
     assert ests["never-seen"] <= 10 * n // 256
+
+
+def test_hll_rollup_accuracy_and_merge(spark):
+    from esdb_spark.operators.sketches import hll_rollup, hll_union_estimate
+
+    rows = [(i % 7, (i * 131) % 1000) for i in range(20000)]
+    df = spark.createDataFrame(rows, "day int, user_id long")
+    daily = hll_rollup(df, ["day"], "user_id", lg_k=12)
+    assert daily.count() == 7
+    # union the daily sketches to a global estimate and compare exact
+    merged = hll_union_estimate(daily, [])
+    est = merged.collect()[0]["approx_distinct"]
+    exact = df.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.05
+    # merge algebra: union-of-daily must closely match one global sketch
+    direct = df.groupBy().agg(
+        __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+            "hll_sketch_estimate(hll_sketch_agg(user_id, 12))"
+        ).alias("d")
+    ).collect()[0]["d"]
+    assert abs(est - direct) <= max(2, 0.01 * exact)
