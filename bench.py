@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "ann_topk_ivf_docs",
     "doc_quality",
     "doc_winnow_fingerprints",
+    # training-batch assembly + decontamination
+    "decontaminate_docs",
+    "pack_documents",
+    "interleave_docs",
 ]
 
 

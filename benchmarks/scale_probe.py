@@ -229,6 +229,27 @@ def doc_shapes(path, n):
         "split", hash_split(F.col("doc_id"),
                             {"train": 0.98, "val": 0.01, "test": 0.01})
     ).groupBy("split").count().collect())
+
+    from esdb_spark.operators.decontam import ngram_contamination
+    from esdb_spark.operators.packing import interleave_sources, pack_greedy
+
+    run("decontam_5gram", lambda: ngram_contamination(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        "text", "doc_id", n=5,
+    ).agg(F.sum("matched_ngrams")).collect())
+    sized = docs.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars"),
+        F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias("source"),
+    )
+    run("pack_greedy", lambda: pack_greedy(
+        sized, "doc_id", "n_chars", budget=2048,
+        n_shards=max(8, n // 10_000),
+    ).groupBy("shard").agg(F.max("bin")).collect())
+    run("interleave", lambda: interleave_sources(
+        sized.withColumn("weight", F.lit(1.0) + (F.col("doc_id") % 20) % 3),
+        "source", "weight", "doc_id",
+    ).agg(F.max("pos")).collect())
     out["rows"] = n
     return out
 

@@ -116,14 +116,39 @@ def minhash_signatures(
         # dedup is the right tool for empty docs.
         df.filter(F.size(tokens(text_col)) > 0)
         .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .select("id", F.xxhash64("shingle").alias("h"))
+        # two independent 64-bit hashes per shingle; permutation k is
+        # their xor-rotate mix (below), not a fresh xxhash64 — hashing
+        # the shingle 128 times was the hot loop (measured 82 s of a
+        # 100 s run on 100k ~300-word docs; the mix family brings the
+        # whole signature pass to ~8 s). Bitwise ops are also ANSI-safe,
+        # unlike the classic (h1 + k*h2) mod family, whose multiply
+        # overflows raise under spark.sql.ansi.enabled.
+        .select(
+            "id",
+            F.xxhash64("shingle").alias("h1"),
+            F.xxhash64("shingle", F.lit(1)).alias("h2"),
+        )
     )
+
     # One expr string, one parse: building 128 aggregate Columns
     # call-by-call from Python costs ~1s of py4j/plan-construction
     # latency per query (measured) — a single array(...) aggregate
     # expression is parsed JVM-side in one hop and produces the same
     # codegen'd plan.
-    arr = ", ".join(f"min(xxhash64(h, {k}))" for k in range(num_hashes))
+    def mix(k: int) -> str:
+        # rotation stride 13 is coprime to 64, so k -> r is a bijection
+        # per 64-block; blocks >= 64 swap the roles of h1/h2 for an
+        # independent family (k and k+64 would otherwise coincide)
+        r = (13 * k + 7) % 64
+        a, b = ("h1", "h2") if k < 64 else ("h2", "h1")
+        rot = (
+            b
+            if r == 0
+            else f"(shiftleft({b}, {r}) | shiftrightunsigned({b}, {64 - r}))"
+        )
+        return f"min({a} ^ {rot})"
+
+    arr = ", ".join(mix(k) for k in range(num_hashes))
     return base.groupBy("id").agg(F.expr(f"array({arr})").alias("sig"))
 
 
@@ -219,34 +244,52 @@ def dedup_minhash_lsh(
     overwhelming share of near-dups and is deterministic.
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
-    # The signature stage feeds both sides of the band self-join;
-    # persist it so text is tokenized+hashed once. Signatures are the
-    # compressed representation (128 longs per doc ≈ 1 KB), orders of
-    # magnitude smaller than the corpus at scale.
+    # The signature stage feeds both sides of the band self-join AND the
+    # estimate joins; persist it so text is tokenized+hashed once.
+    # Signatures are the compressed representation (128 longs per doc
+    # ≈ 1 KB), orders of magnitude smaller than the corpus at scale.
+    # The count() is deliberate (EAGER, same posture as the jaccard
+    # vocabulary probe): with a lazy persist the four downstream
+    # branches launch as concurrent stages that each find the cache
+    # cold and re-run the whole tokenize+hash+aggregate pass (measured
+    # 6× wall-clock at 5k docs). One scan of the cached signatures is
+    # noise by comparison at any scale.
     sigs = sigs.persist()
-    # Fused candidate+estimate: the band self-join already has both
-    # signatures in hand, so the agreement fraction is computed inline —
-    # two whole-table signature re-joins and their shuffles disappear
-    # versus the lsh_candidate_pairs → minhash_jaccard_estimate
-    # composition. The zip_with fold is interpreted, but it only runs
-    # on band-colliding candidate pairs (rare by construction), never
-    # the corpus. distinct() collapses multi-band collisions (the
-    # estimate is a pure function of the pair, so rows are identical).
+    sigs.count()
+    # Candidates FIRST, estimate second. An earlier revision fused the
+    # estimate into the band self-join (zip_with over l.sig/r.sig in
+    # the join output) — that forces the banded shuffle to carry the
+    # 1 KB sig array on every (doc, band) row: bands× the signature
+    # volume per side (measured 6.4 GB shuffled for 100k docs / 32
+    # bands vs ~0.3 GB this way, 13.4 s → 3 s for the join stages).
+    # Here the self-join shuffles only (id, band, bhash) triples
+    # (Catalyst prunes sig — it is unreferenced until after distinct),
+    # and the signatures join the deduplicated candidate pairs once
+    # per side. The zip_with fold is interpreted, but it only runs on
+    # candidate pairs (rare by construction), never the corpus.
     banded = _banded(sigs, bands, num_hashes)
     l, r = banded.alias("l"), banded.alias("r")
-    est = F.expr(
-        "size(filter(zip_with(l.sig, r.sig, (x, y) -> x = y), v -> v))"
-        f" / {num_hashes}"
-    )
-    drop_ids = (
+    cand = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bhash") == F.col("r.bhash"))
             & (F.col("l.id") < F.col("r.id")),
         )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+        f" / {num_hashes}"
+    )
+    drop_ids = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
         .filter(est >= threshold)
-        .select(F.col("r.id").alias("id"))
+        .select(F.col("id_b").alias("id"))
         .distinct()
     )
     return df.join(
