@@ -1,0 +1,78 @@
+"""Z-order clustering (operators/layout.py): the written files must
+have tighter per-file min/max spans on EVERY clustered column than a
+single-column sort — that is the whole point (multi-dim row-group
+pruning)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from esdb_spark.operators.layout import cluster_zorder, zorder_key
+
+
+@pytest.fixture(scope="module")
+def grid_df(spark):
+    # 100k rows over an (x, y) grid in random-ish order: clustering on
+    # one column alone cannot make the other column's spans tight
+    return spark.range(100_000).select(
+        (F.abs(F.xxhash64("id", F.lit(1))) % 1000).alias("x"),
+        (F.abs(F.xxhash64("id", F.lit(2))) % 1000).alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+
+def _file_spans(path, col):
+    spans = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo = min(
+            md.row_group(i).column(idx).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(idx).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        spans.append(hi - lo)
+    return spans
+
+
+def test_zorder_key_is_deterministic_and_bounded(spark, grid_df):
+    a = zorder_key(grid_df, ["x", "y"], bits_per_col=4)
+    vals = a.select("_z").distinct().collect()
+    assert all(0 <= r["_z"] < (1 << 8) for r in vals)  # 2 cols x 4 bits
+    b = zorder_key(grid_df, ["x", "y"], bits_per_col=4)
+    assert a.exceptAll(b).count() == 0
+
+
+def test_zorder_tightens_both_columns(spark, grid_df, tmp_path):
+    z_dir = str(tmp_path / "zorder")
+    lin_dir = str(tmp_path / "linear")
+    cluster_zorder(grid_df, ["x", "y"], bits_per_col=8, num_partitions=16).write.parquet(z_dir)
+    # baseline: classic single-column range sort
+    grid_df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lin_dir)
+
+    zx, zy = _file_spans(z_dir, "x"), _file_spans(z_dir, "y")
+    lx, ly = _file_spans(lin_dir, "x"), _file_spans(lin_dir, "y")
+    avg = lambda s: sum(s) / len(s)
+    # the x-sorted baseline is tight on x but covers ~the full y domain
+    assert avg(lx) < 200
+    assert avg(ly) > 800
+    # z-order is materially tight on BOTH dimensions
+    assert avg(zx) < 500
+    assert avg(zy) < 500
+    assert avg(zy) < avg(ly) / 2
+
+
+def test_cluster_zorder_preserves_rows(spark, grid_df, tmp_path):
+    out = str(tmp_path / "roundtrip")
+    cluster_zorder(grid_df, ["x", "y"], num_partitions=8).write.parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == grid_df.count()
+    assert back.columns == grid_df.columns  # _z dropped
+    assert back.exceptAll(grid_df).count() == 0
