@@ -446,3 +446,208 @@ def ann_topk_lsh(
     return cands.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    fit_sample: int = 100_000,
+):
+    """Product-quantization codebooks: split the (L2-normalized)
+    embedding into ``m`` contiguous subvectors and k-means each
+    subspace to ``k`` centroids.
+
+    Returns a numpy array of shape (m, k, dim/m) — driver-side
+    metadata bounded by m*k*dim floats, independent of corpus size.
+    Like :func:`ann_topk_ivf`, the fit runs on a deterministic
+    hash-sample: at 100 TB codebooks are trained on ~100k vectors,
+    never the corpus.
+    """
+    import numpy as np
+
+    sample_pd = (
+        corpus.select(F.col(vec_col).alias("vec"), F.col(id_col).alias("id"))
+        .orderBy(F.md5(F.concat(F.lit(str(seed)), F.col("id").cast("string"))))
+        .limit(fit_sample)
+        .select("vec")
+        .toPandas()
+    )
+    sm = np.array(sample_pd["vec"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(sm, axis=1)
+    sm = sm[norms > 0] / norms[norms > 0][:, None]
+    dim = sm.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, d_sub))
+    for j in range(m):
+        sub = sm[:, j * d_sub : (j + 1) * d_sub]
+        k_eff = min(k, len(sub))
+        cent = sub[rng.choice(len(sub), size=k_eff, replace=False)]
+        for _ in range(20):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            new = np.vstack(
+                [
+                    sub[assign == c].mean(axis=0) if (assign == c).any() else cent[c]
+                    for c in range(k_eff)
+                ]
+            )
+            if np.allclose(new, cent, atol=1e-12):
+                cent = new
+                break
+            cent = new
+        if k_eff < k:  # degenerate tiny corpus: pad with repeats
+            cent = np.vstack([cent, np.repeat(cent[:1], k - k_eff, axis=0)])
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame, codebooks, vec_col: str, id_col: str
+) -> DataFrame:
+    """(id, codes binary): each vector L2-normalized and quantized to
+    its nearest centroid per subspace — ``m`` bytes per vector (k<=256),
+    a 32x compression of a 64-dim float32 embedding. The compressed
+    relation is what a 100 TB ANN serves from memory."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(codebooks))
+
+    def op(batches):
+        books = bc.value
+        m, _, d_sub = books.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            n = np.linalg.norm(vecs, axis=1)
+            n[n == 0.0] = 1.0
+            vecs = vecs / n[:, None]
+            codes = np.empty((len(vecs), m), dtype=np.uint8)
+            for j in range(m):
+                sub = vecs[:, j * d_sub : (j + 1) * d_sub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "codes": [c.tobytes() for c in codes],
+                }
+            )
+
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return c.mapInPandas(
+        op,
+        T.StructType(
+            [
+                T.StructField("id", c.schema["id"].dataType),
+                T.StructField("codes", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def ann_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    m: int = 8,
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: score = sum over subspaces of the
+    query-subvector x centroid inner product looked up by the corpus
+    code — O(m) table lookups per (query, vector) instead of O(dim)
+    multiplies, over a corpus compressed to m bytes/vector.
+
+    Returns (query_id, id, approx_cos, rank) with rank 1..k per query
+    (self-matches excluded). The ADC tables (n_queries x m x k doubles)
+    are built per task from the broadcast query matrix; per-batch
+    top-k bounds what reaches the final per-query window, exactly as
+    in cosine_topk. Approximate by construction — recall is asserted
+    against the exact ranking in tests, not an oracle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    books = pq_train(corpus, vec_col, id_col, m, n_centroids, seed)
+    encoded = pq_encode(corpus, books, vec_col, id_col)
+
+    q_pd = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec"))
+        .toPandas()
+    )
+    qm = np.array(q_pd["vec"].tolist(), dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0.0] = 1.0
+    qm = qm / qn[:, None]
+    d_sub = qm.shape[1] // m
+    # ADC tables: tables[qi, j, c] = <q_sub_j, centroid_{j,c}>
+    tables = np.stack(
+        [
+            np.stack(
+                [qm[:, j * d_sub : (j + 1) * d_sub] @ books[j].T for j in range(m)],
+                axis=1,
+            )
+        ]
+    )[0]
+    bc_tables = spark.sparkContext.broadcast(tables)
+    bc_qids = spark.sparkContext.broadcast(q_pd["query_id"].to_numpy())
+
+    def score(batches):
+        tabs = bc_tables.value  # (Q, m, k)
+        qids = bc_qids.value
+        jidx = np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["codes"]]
+            )  # (N, m)
+            ids = pdf["id"].to_numpy()
+            out_q, out_i, out_s = [], [], []
+            for qi in range(len(tabs)):
+                s = tabs[qi][jidx[None, :], codes].sum(axis=1)  # (N,)
+                mask = ids != qids[qi]
+                s_m, ids_m = s[mask], ids[mask]
+                top = min(k, len(s_m))
+                if top == 0:
+                    continue
+                part = np.argpartition(-s_m, top - 1)[:top]
+                out_q.extend([qids[qi]] * top)
+                out_i.extend(ids_m[part])
+                out_s.extend(s_m[part])
+            yield pd.DataFrame(
+                {"query_id": out_q, "id": out_i, "approx_cos": out_s}
+            )
+
+    c_id_type = encoded.schema["id"].dataType
+    scored = encoded.mapInPandas(
+        score,
+        T.StructType(
+            [
+                T.StructField("query_id", c_id_type),
+                T.StructField("id", c_id_type),
+                T.StructField("approx_cos", T.DoubleType()),
+            ]
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

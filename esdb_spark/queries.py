@@ -2011,6 +2011,22 @@ def interleave_docs(spark, sf_dir):
     )
 
 
+def ann_topk_pq_docs(spark, sf_dir):
+    """Product-quantization ANN: corpus compressed to m bytes/vector,
+    asymmetric-distance top-k via per-subspace table lookups — the
+    memory-bound scale path (operators/similarity.py). Rows-only:
+    codebooks are engine-specific; recall vs exact cosine asserted in
+    test_similarity.py."""
+    from esdb_spark.operators.similarity import ann_topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return (
+        ann_topk_pq(emb, queries, "embedding", "vec_id", k=10, m=16)
+        .orderBy("query_id", "rank")
+    )
+
+
 def approx_distinct_users(spark, sf_dir):
     """Mergeable HLL distinct-user rollup: per-(event_type, day)
     sketches unioned up to per-event_type estimates — the re-scan-free
@@ -2778,6 +2794,7 @@ def catalog() -> dict[str, Q]:
         ("linear_fit_per_type", linear_fit_per_type),
         ("event_type_freq_cms", event_type_freq_cms),
         ("approx_distinct_users", approx_distinct_users),
+        ("ann_topk_pq_docs", ann_topk_pq_docs),
     ]:
         qs[name] = Q(fn, None)
     # Reorder: gate-window names first (in _GATE_WINDOW order), then
