@@ -166,3 +166,17 @@ def hash_split(
             cond, F.lit(name)
         )
     return expr.otherwise(F.lit(items[-1][0]))
+
+
+def shuffle_key(key: "Column", seed: int = 0) -> "Column":
+    """Deterministic corpus-shuffle key: ``md5(seed || key)``.
+
+    Sorting by this key is the reproducible replacement for a seeded
+    RNG shuffle of a training corpus — the order is a pure function of
+    (seed, key), so it survives repartitioning, re-runs, and engine
+    changes (the same property as :func:`hash_sample`), and a new seed
+    gives an independent epoch order. Sort with ``orderBy`` (sampled
+    range partition — no single-task sort) or feed to
+    ``repartitionByRange`` to produce shuffled training shards.
+    """
+    return F.md5(F.concat(F.lit(f"{seed}|"), key.cast("string")))

@@ -2044,6 +2044,26 @@ def approx_distinct_users(spark, sf_dir):
     return hll_union_estimate(daily, ["event_type"]).orderBy("event_type")
 
 
+def documents_shuffle_order(spark, sf_dir):
+    """Deterministic epoch-shuffle of the corpus: every doc tagged with
+    its md5 shuffle key (functions.shuffle_key, seed 7) — sorting by
+    the key IS the reproducible shuffled training order, stable across
+    engines and re-runs."""
+    from esdb_spark.functions import shuffle_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", shuffle_key(F.col("doc_id"), seed=7).alias("shuffle_key")
+    ).orderBy("shuffle_key")
+
+
+_SHUFFLE_ORDER_ORACLE = """
+SELECT doc_id, md5('7|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents
+ORDER BY shuffle_key
+"""
+
+
 def _decontam_oracle() -> str:
     from esdb_spark.operators.decontam import oracle_sql_contamination
 
@@ -2075,6 +2095,7 @@ _PIPELINE_ORACLES = {
     "decontaminate_docs": _decontam_oracle(),
     "pack_documents": _pack_oracle(),
     "interleave_docs": _INTERLEAVE_ORACLE,
+    "documents_shuffle_order": _SHUFFLE_ORDER_ORACLE,
     "doc_token_stats": f"""
         SELECT doc_id,
                length(text) AS n_chars_calc,
@@ -2784,6 +2805,7 @@ def catalog() -> dict[str, Q]:
         ("decontaminate_docs", decontaminate_docs),
         ("pack_documents", pack_documents),
         ("interleave_docs", interleave_docs),
+        ("documents_shuffle_order", documents_shuffle_order),
     ]:
         qs[name] = Q(fn, _PIPELINE_ORACLES[name])
     for name, fn in [

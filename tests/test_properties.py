@@ -401,3 +401,53 @@ def test_hash_split_zero_bucket_fraction_raises(spark):
         hash_split(
             F.col("id"), {"tiny": 0.000005, "train": 0.999995}, prefix_len=4
         )
+
+
+# --- sequence packing: Spark result == reference python model ---------
+
+pack_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # doc id
+        st.integers(min_value=1, max_value=400),     # size
+    ),
+    min_size=1,
+    max_size=120,
+    unique_by=lambda t: t[0],
+)
+
+
+def _pack_model(rows, budget, n_shards):
+    """Reference greedy fill, pure python."""
+    out = {}
+    by_shard = {}
+    for doc_id, size in sorted(rows):
+        by_shard.setdefault(doc_id % n_shards, []).append((doc_id, size))
+    for shard, docs in by_shard.items():
+        cur_bin, fill, first = 0, 0, True
+        for doc_id, size in docs:
+            if not first and fill + size > budget:
+                cur_bin += 1
+                fill = 0
+            first = False
+            out[doc_id] = (shard, cur_bin, fill)
+            fill += size
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=pack_strategy, budget=st.integers(min_value=100, max_value=800))
+def test_pack_greedy_matches_model(spark, rows, budget):
+    from esdb_spark.operators.packing import pack_greedy
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["shard"], r["bin"], r["offset"])
+        for r in pack_greedy(
+            df, "doc_id", "n_tokens", budget=budget, n_shards=4
+        ).collect()
+    }
+    assert got == _pack_model(rows, budget, 4)
