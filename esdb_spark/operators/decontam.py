@@ -21,8 +21,15 @@ Scale design (100 TB train corpus, MB-GB eval set):
   and the DuckDB oracle can reproduce it exactly;
 - tokenize + shingle are pure column expressions (``split`` +
   ``transform``/``slice`` HOFs) — whole-stage codegen, no Python;
-- per-doc stats come from ``aggregate`` over the gram array *before*
-  any explode, so the only exploded relation is the eval side (small).
+- the stats are deliberately TWO passes over the train text: a
+  semi-join + count over the exploded grams (matches) and a plain
+  ``size(array_distinct(...))`` projection (totals). The tempting
+  single-pass fusion — explode every gram, left-join the broadcast
+  flag, aggregate count+sum — re-measures WORSE (42 s vs 21 s on a
+  100k-doc corpus): it forces the full gram stream through a hash
+  aggregate, while the two-pass shape keeps totals in array
+  expressions and aggregates only the semi-join survivors. Scan twice,
+  aggregate almost nothing.
 
 If the eval set ever outgrows broadcast range, swap the broadcast join
 for a shuffled left-semi on the gram string — same semantics, one

@@ -1,0 +1,105 @@
+"""End-to-end corpus pipelines: the north-star operators composed the
+way a training-data team would actually run them.
+
+``build_pretraining_corpus`` is the canonical chain:
+
+    quality filter → exact dedup → near dedup (MinHash-LSH) →
+    benchmark decontamination → deterministic split → epoch shuffle →
+    sequence packing
+
+Every stage is one of the engine's tested operators; this module adds
+only the composition and a row-accounting audit (how many documents
+each stage removed — the number every data report leads with). All
+stages are deterministic, so the same inputs always produce the same
+corpus — reruns are byte-stable and auditable.
+
+Scale notes: the chain is a single lazy DataFrame plan up to the audit
+counts; nothing collects to the driver except the per-stage counts
+(one long each). The stages that persist internally (minhash
+signatures) document that posture themselves.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class CorpusResult(NamedTuple):
+    """The packed corpus plus the per-stage row accounting."""
+
+    corpus: DataFrame  # doc_id, text, split, shuffle_key, shard, bin, offset
+    audit: dict[str, int]  # stage name -> rows surviving after the stage
+
+
+def build_pretraining_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.8,
+    contamination_n: int = 5,
+    contamination_threshold: float = 0.1,
+    splits: dict[str, float] | None = None,
+    shuffle_seed: int = 0,
+    pack_budget: int = 2048,
+    pack_shards: int = 32,
+) -> CorpusResult:
+    """Run the full cleaning + assembly chain over ``docs``.
+
+    ``eval_docs`` is the benchmark set to decontaminate against (skip
+    the stage when None). Returns the packed corpus and an audit dict;
+    the audit runs one count per stage (actions, deliberately eager —
+    this is a batch job whose report IS the product).
+    """
+    from esdb_spark.functions import hash_split, shuffle_key
+    from esdb_spark.operators.decontam import decontaminate
+    from esdb_spark.operators.dedup import dedup_exact, dedup_minhash_lsh
+    from esdb_spark.operators.packing import pack_greedy
+    from esdb_spark.operators.text import with_quality
+
+    audit: dict[str, int] = {"input": docs.count()}
+
+    scored = with_quality(docs, text_col)
+    kept = scored.filter(F.col("quality_score") >= min_quality).select(
+        *docs.columns
+    )
+    audit["quality_filter"] = kept.count()
+
+    kept = dedup_exact(kept, [text_col], order_col=id_col)
+    audit["exact_dedup"] = kept.count()
+
+    kept = dedup_minhash_lsh(
+        kept, text_col, id_col, threshold=near_dup_threshold
+    )
+    audit["near_dedup"] = kept.count()
+
+    if eval_docs is not None:
+        kept = decontaminate(
+            kept,
+            eval_docs,
+            text_col,
+            id_col,
+            n=contamination_n,
+            threshold=contamination_threshold,
+        )
+        audit["decontaminated"] = kept.count()
+
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    kept = kept.withColumn("split", hash_split(F.col(id_col), splits))
+    kept = kept.withColumn(
+        "shuffle_key", shuffle_key(F.col(id_col), shuffle_seed)
+    )
+
+    sized = kept.withColumn(
+        "_n_tokens",
+        F.size(F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x != '')")),
+    )
+    assignment = pack_greedy(
+        sized, id_col, "_n_tokens", budget=pack_budget, n_shards=pack_shards
+    )
+    corpus = kept.join(assignment, id_col)
+    audit["packed"] = audit.get("decontaminated", audit["near_dedup"])
+    return CorpusResult(corpus, audit)
