@@ -651,3 +651,92 @@ def ann_topk_pq(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the ``k`` most-cosine-similar corpus rows with a DIFFERENT label —
+    the near-misses that make the strongest negatives.
+
+    Same scale contract as :func:`cosine_topk`: anchors broadcast (the
+    training batch is the small side by construction), the corpus
+    never shuffles, one float64 GEMM per Arrow batch with the label
+    mask applied before top-k. Returns (query_id, id, cos, rank).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    a_pd = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("vec"),
+        F.col(label_col).alias("label"),
+    ).toPandas()
+    a_ids = a_pd["query_id"].to_numpy()
+    a_labels = a_pd["label"].to_numpy()
+    am = (
+        np.array(a_pd["vec"].tolist(), dtype=np.float64)
+        if len(a_pd)
+        else np.zeros((0, 1))
+    )
+    a_norms = np.linalg.norm(am, axis=1)
+    keep = a_norms > 0.0
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (a_ids[keep], a_labels[keep], am[keep] / a_norms[keep][:, None])
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", anchors.schema[id_col].dataType),
+            StructField("id", corpus.schema[id_col].dataType),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        q_ids, q_labels, qm_n = bc.value
+        if len(q_ids) == 0:
+            return
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            m = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            ok = norms > 0.0
+            if not ok.any():
+                continue
+            ids, labels = ids[ok], labels[ok]
+            sims = (m[ok] / norms[ok][:, None]) @ qm_n.T
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                cand = np.nonzero((ids != qid) & (labels != q_labels[j]))[0]
+                if len(cand) == 0:
+                    continue
+                if len(cand) > k:
+                    kth = np.partition(col[cand], len(cand) - k)[len(cand) - k]
+                    cand = cand[col[cand] >= kth]
+                yield pd.DataFrame(
+                    {"query_id": qid, "id": ids[cand], "cos": col[cand]}
+                )
+
+    cand = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col(label_col).alias("label"),
+    ).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("id").asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

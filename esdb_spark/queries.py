@@ -2044,6 +2044,40 @@ def approx_distinct_users(spark, sf_dir):
     return hll_union_estimate(daily, ["event_type"]).orderBy("event_type")
 
 
+def hard_negatives_topk(spark, sf_dir):
+    """Contrastive hard-negative mining: per anchor (vec_id < 10), the
+    5 most-cosine-similar embeddings with a DIFFERENT label
+    (operators/similarity.py). Rank-only output — the exact-cosine
+    DuckDB oracle reproduces the ordering, and dropping the float
+    keeps the value-hash engine-stable (same convention as
+    similarity_topk)."""
+    from esdb_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    return (
+        hard_negatives(emb, anchors, "embedding", "vec_id", "label", k=5)
+        .select("query_id", "id", F.col("rank").cast("bigint").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+_HARD_NEGATIVES_ORACLE = """
+SELECT query_id, id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS id,
+           CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                   c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                   c.vec_id ASC
+           ) AS BIGINT) AS rank
+    FROM embeddings c
+    JOIN embeddings q
+      ON q.vec_id < 10 AND c.vec_id != q.vec_id AND c.label != q.label
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def documents_shuffle_order(spark, sf_dir):
     """Deterministic epoch-shuffle of the corpus: every doc tagged with
     its md5 shuffle key (functions.shuffle_key, seed 7) — sorting by
@@ -2096,6 +2130,7 @@ _PIPELINE_ORACLES = {
     "pack_documents": _pack_oracle(),
     "interleave_docs": _INTERLEAVE_ORACLE,
     "documents_shuffle_order": _SHUFFLE_ORDER_ORACLE,
+    "hard_negatives_topk": _HARD_NEGATIVES_ORACLE,
     "doc_token_stats": f"""
         SELECT doc_id,
                length(text) AS n_chars_calc,
@@ -2806,6 +2841,7 @@ def catalog() -> dict[str, Q]:
         ("pack_documents", pack_documents),
         ("interleave_docs", interleave_docs),
         ("documents_shuffle_order", documents_shuffle_order),
+        ("hard_negatives_topk", hard_negatives_topk),
     ]:
         qs[name] = Q(fn, _PIPELINE_ORACLES[name])
     for name, fn in [

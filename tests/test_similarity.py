@@ -155,3 +155,20 @@ def test_pq_encode_compresses_and_is_deterministic(spark, emb):
         (r.id, bytes(r.codes)) for r in enc2
     }
     assert all(len(bytes(r.codes)) == 8 for r in enc1)  # m bytes/vector
+
+
+def test_hard_negatives_labels_differ(spark, emb):
+    from esdb_spark.operators.similarity import hard_negatives
+
+    anchors = emb.filter(F.col("vec_id") < 5)
+    out = hard_negatives(emb, anchors, "embedding", "vec_id", "label", k=5)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        assert labels[r.id] != labels[r.query_id]  # negative by label
+        assert r.id != r.query_id
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(per_q) == set(range(5))
+    for ranks in per_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
