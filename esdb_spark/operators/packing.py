@@ -194,3 +194,47 @@ def interleave_sources(
         )
         .drop("vtime", "_pid")
     )
+
+
+def upsample_by_weight(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted repetition: each row appears
+    ``floor(weight)`` times plus one more with probability
+    ``frac(weight)`` — decided by the md5 hash of (seed, id), not an
+    RNG, so the upsampled multiset is reproducible and disjoint seeds
+    give independent epochs.
+
+    Output adds an ``epoch_copy`` column (0-based repeat index) so
+    downstream shuffling/packing can keep copies apart. Expected row
+    count = sum(weight) exactly in distribution and exactly
+    reproducible per key. The explode is the only plan node — no
+    shuffle, no RNG, scan-parallel.
+    """
+    # integer compare, not float division: hash32 < floor(frac * 2^32)
+    # is exact and reproduces verbatim in any engine with md5 + hex
+    # casting (cf. hash_sample's hex-prefix convention)
+    hash32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    frac = F.col(weight_col) - F.floor(weight_col)
+    cutoff = F.floor(frac * F.lit(4294967296.0)).cast("bigint")
+    n_copies = (
+        F.floor(F.col(weight_col))
+        + F.when(hash32 < cutoff, F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    return (
+        df.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch_copy", F.explode(F.expr("sequence(0, _n - 1)")))
+        .drop("_n")
+    )

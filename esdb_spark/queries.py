@@ -2044,6 +2044,53 @@ def approx_distinct_users(spark, sf_dir):
     return hll_union_estimate(daily, ["event_type"]).orderBy("event_type")
 
 
+def upsample_docs(spark, sf_dir):
+    """Deterministic weighted upsampling: sources repeat at rate
+    1.5 + (source_number % 2) — integer part always, fractional part
+    by md5 coin flip on (seed, doc_id) — so the training multiset is
+    reproducible without an RNG (operators/packing.py)."""
+    from esdb_spark.operators.packing import upsample_by_weight
+
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.lit(1.5)
+            + (F.regexp_extract("source", "([0-9]+)", 1).cast("int") % 2)
+        ).alias("weight"),
+    )
+    return (
+        upsample_by_weight(weighted, "weight", "doc_id", seed=3)
+        .select("doc_id", "source", F.col("epoch_copy").cast("int").alias("epoch_copy"))
+        .orderBy("doc_id", "epoch_copy")
+    )
+
+
+_UPSAMPLE_ORACLE = """
+WITH w AS (
+  SELECT doc_id, source,
+         1.5 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 2)
+           AS weight,
+         ('0x' || substr(md5('3|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           AS hash32
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+         CAST(floor(weight)
+              + CASE WHEN hash32 <
+                     CAST(floor((weight - floor(weight)) * 4294967296.0) AS BIGINT)
+                     THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+  FROM w
+)
+SELECT doc_id, source, CAST(u.i AS INTEGER) AS epoch_copy
+FROM n, LATERAL UNNEST(generate_series(0, n_copies - 1)) AS u(i)
+WHERE n_copies > 0
+ORDER BY doc_id, epoch_copy
+"""
+
+
 def hard_negatives_topk(spark, sf_dir):
     """Contrastive hard-negative mining: per anchor (vec_id < 10), the
     5 most-cosine-similar embeddings with a DIFFERENT label
@@ -2131,6 +2178,7 @@ _PIPELINE_ORACLES = {
     "interleave_docs": _INTERLEAVE_ORACLE,
     "documents_shuffle_order": _SHUFFLE_ORDER_ORACLE,
     "hard_negatives_topk": _HARD_NEGATIVES_ORACLE,
+    "upsample_docs": _UPSAMPLE_ORACLE,
     "doc_token_stats": f"""
         SELECT doc_id,
                length(text) AS n_chars_calc,
@@ -2842,6 +2890,7 @@ def catalog() -> dict[str, Q]:
         ("interleave_docs", interleave_docs),
         ("documents_shuffle_order", documents_shuffle_order),
         ("hard_negatives_topk", hard_negatives_topk),
+        ("upsample_docs", upsample_docs),
     ]:
         qs[name] = Q(fn, _PIPELINE_ORACLES[name])
     for name, fn in [

@@ -102,3 +102,25 @@ def test_interleave_source_order_preserved(spark, mix_df):
     for _, grp in out.groupby("source"):
         ids = list(grp["doc_id"])
         assert ids == sorted(ids)  # within a source, id order survives
+
+
+def test_upsample_by_weight_semantics(spark):
+    from esdb_spark.operators.packing import upsample_by_weight
+
+    rows = [(i, "s", 2.0) for i in range(100)] + [
+        (100 + i, "t", 0.5) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, weight double")
+    out = upsample_by_weight(df, "weight", "doc_id", seed=1).toPandas()
+    s = out[out["source"] == "s"]
+    t = out[out["source"] == "t"]
+    # integer weight 2.0: exactly two copies of every row, epoch_copy 0/1
+    assert len(s) == 200
+    assert set(s["epoch_copy"]) == {0, 1}
+    # fractional 0.5: kept subset is a hash coin flip, near half, stable
+    assert 60 <= len(t) <= 140
+    assert set(t["epoch_copy"]) == {0}
+    again = upsample_by_weight(df, "weight", "doc_id", seed=1).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+    other = upsample_by_weight(df, "weight", "doc_id", seed=2).toPandas()
+    assert sorted(out["doc_id"]) != sorted(other["doc_id"])  # new epoch
