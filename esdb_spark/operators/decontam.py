@@ -121,13 +121,15 @@ def decontaminate(
     threshold: float = 0.1,
 ) -> DataFrame:
     """Filter: the train rows whose contamination is below
-    ``threshold`` — the actual removal step. Semi-join of the full
-    train relation against the clean id set, so every train column
-    passes through untouched."""
-    clean_ids = ngram_contamination(
+    ``threshold`` — the actual removal step. Anti-join of the full
+    train relation against the CONTAMINATED id set (the small side by
+    construction — contamination is the rare case), so every train
+    column passes through untouched and the broadcast never carries
+    ~the whole corpus' ids."""
+    dirty_ids = ngram_contamination(
         train, eval_df, text_col, id_col, n, threshold
-    ).filter(~F.col("contaminated")).select(id_col)
-    return train.join(F.broadcast(clean_ids), id_col, "left_semi")
+    ).filter(F.col("contaminated")).select(id_col)
+    return train.join(F.broadcast(dirty_ids), id_col, "left_anti")
 
 
 def oracle_sql_contamination(

@@ -135,6 +135,16 @@ def minhash_signatures(
     # latency per query (measured) — a single array(...) aggregate
     # expression is parsed JVM-side in one hop and produces the same
     # codegen'd plan.
+    if num_hashes > 128:
+        # the xor-rotate family has 64 rotations x 2 role orders = 128
+        # distinct permutations; beyond that mix(k) repeats mix(k-128)
+        # and the duplicated positions would silently bias Jaccard
+        # estimates upward
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the 128 distinct "
+            "permutations of the two-hash mix family"
+        )
+
     def mix(k: int) -> str:
         # rotation stride 13 is coprime to 64, so k -> r is a bijection
         # per 64-block; blocks >= 64 swap the roles of h1/h2 for an

@@ -66,6 +66,15 @@ def zorder_key(
     (bounded driver payload: ``len(cols) * 2**bits_per_col`` doubles).
     Null values bucket to 0 (sort first — the usual convention).
     """
+    if len(cols) * bits_per_col > 63:
+        # bit 63 is the long sign bit (negative _z keys sort first and
+        # scramble the curve) and JVM shifts wrap mod 64 beyond that —
+        # both would silently destroy the clustering property
+        raise ValueError(
+            f"{len(cols)} cols x {bits_per_col} bits = "
+            f"{len(cols) * bits_per_col} key bits; max is 63 — lower "
+            "bits_per_col or cluster fewer columns"
+        )
     n_buckets = 1 << bits_per_col
     probs = [i / n_buckets for i in range(1, n_buckets)]
     prob_arr = "array({})".format(", ".join(repr(p) for p in probs))

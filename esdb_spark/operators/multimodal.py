@@ -85,15 +85,25 @@ def parse_image_dims(content: bytes) -> tuple[str, int, int] | None:
         w = int.from_bytes(content[6:8], "little")
         h = int.from_bytes(content[8:10], "little")
         return ("image/gif", w, h)
-    # BMP: BITMAPINFOHEADER — signed little-endian i32 at 18/22
-    # (height may be negative for top-down rows). Also require a known
-    # DIB header size at offset 14: its three high bytes are NUL, which
-    # cannot occur in text, so a document that merely starts with "BM"
-    # never false-positives here.
+    # BMP — two DIB layouts. Require a known DIB header size at offset
+    # 14: its three high bytes are NUL, which cannot occur in text, so
+    # a document that merely starts with "BM" never false-positives.
+    # BITMAPCOREHEADER (size 12): unsigned u16 width/height at 18/20.
+    if (
+        n >= 22
+        and content[:2] == b"BM"
+        and content[14] == 12
+        and content[15:18] == b"\x00\x00\x00"
+    ):
+        w = int.from_bytes(content[18:20], "little")
+        h = int.from_bytes(content[20:22], "little")
+        return ("image/bmp", w, h)
+    # BITMAPINFOHEADER and successors: signed i32 at 18/22 (height may
+    # be negative for top-down rows).
     if (
         n >= 26
         and content[:2] == b"BM"
-        and content[14] in (12, 40, 52, 56, 64, 108, 124)
+        and content[14] in (40, 52, 56, 64, 108, 124)
         and content[15:18] == b"\x00\x00\x00"
     ):
         w = abs(int.from_bytes(content[18:22], "little", signed=True))

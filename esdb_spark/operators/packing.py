@@ -89,6 +89,14 @@ def pack_greedy(
             }
         )
 
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # a silent cast('long') would turn string ids into NULLs and
+        # every downstream join-back would drop all rows without error
+        raise TypeError(
+            f"pack_greedy needs an integral {id_col!r} (got {id_type}); "
+            "hash non-numeric ids to a long (e.g. xxhash64) first"
+        )
     prepared = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),

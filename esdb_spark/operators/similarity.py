@@ -623,13 +623,19 @@ def ann_topk_pq(
                 s = tabs[qi][jidx[None, :], codes].sum(axis=1)  # (N,)
                 mask = ids != qids[qi]
                 s_m, ids_m = s[mask], ids[mask]
-                top = min(k, len(s_m))
-                if top == 0:
+                if len(s_m) == 0:
                     continue
-                part = np.argpartition(-s_m, top - 1)[:top]
-                out_q.extend([qids[qi]] * top)
-                out_i.extend(ids_m[part])
-                out_s.extend(s_m[part])
+                if len(s_m) > k:
+                    # keep ALL boundary ties (PQ scores collide whenever
+                    # codes match — common at small k_centroids), so the
+                    # global id-asc tie-break stays exact, as in
+                    # cosine_topk/hard_negatives
+                    kth = np.partition(s_m, len(s_m) - k)[len(s_m) - k]
+                    keep = s_m >= kth
+                    s_m, ids_m = s_m[keep], ids_m[keep]
+                out_q.extend([qids[qi]] * len(s_m))
+                out_i.extend(ids_m)
+                out_s.extend(s_m)
             yield pd.DataFrame(
                 {"query_id": out_q, "id": out_i, "approx_cos": out_s}
             )

@@ -69,17 +69,28 @@ def _mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
 
 
 def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
-    """All items of ``col`` with frequency strictly greater than N/k,
-    with their EXACT counts — (item, cnt), no order guaranteed.
+    """All NON-NULL items of ``col`` with frequency strictly greater
+    than N/k (N counts non-null rows), with their EXACT counts —
+    (item, cnt), no order guaranteed.
+
+    NULL is excluded explicitly, up front: the pandas ``value_counts``
+    in the candidate pass and the recount equi-join both drop NaN/NULL
+    anyway, so a heavy NULL group could never surface — making the
+    exclusion part of the contract (and of N) keeps the operator
+    consistent with itself instead of silently diverging when nulls
+    are frequent. Equivalent SQL (the oracle):
+
+        SELECT item, count(*) AS cnt FROM t WHERE item IS NOT NULL
+        GROUP BY item
+        HAVING count(*) * k > (SELECT count(*) FROM t
+                               WHERE item IS NOT NULL)
 
     Never shuffles the raw key space: the only wide operations run on
-    the ≤ k×partitions candidate set. Equivalent SQL (the oracle):
-
-        SELECT item, count(*) AS cnt FROM t GROUP BY item
-        HAVING count(*) * k > (SELECT count(*) FROM t)
+    the ≤ k×partitions candidate set.
     """
     if k < 1:
         raise ValueError(f"heavy_hitters: k must be >= 1, got {k}")
+    df = df.filter(F.col(col).isNotNull())
     items = df.select(F.col(col).cast("string").alias("item"))
     candidates = _mg_candidates(df, col, k).distinct()
     counted = (

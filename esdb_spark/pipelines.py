@@ -61,29 +61,48 @@ def build_pretraining_corpus(
     from esdb_spark.operators.text import with_quality
 
     audit: dict[str, int] = {"input": docs.count()}
+    # Each audit count is an action; without a persist per stage every
+    # count would re-execute the whole upstream chain (quality scoring,
+    # dedup shuffles, the LSH self-join) — ~6x the necessary compute.
+    # Persist each surviving set (MEMORY_AND_DISK: spills, never OOMs)
+    # and release its predecessor once the next stage is materialized.
+    prev = None
+
+    def materialize(df: DataFrame) -> DataFrame:
+        nonlocal prev
+        df = df.persist()
+        df.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = df
+        return df
 
     scored = with_quality(docs, text_col)
-    kept = scored.filter(F.col("quality_score") >= min_quality).select(
-        *docs.columns
+    kept = materialize(
+        scored.filter(F.col("quality_score") >= min_quality).select(
+            *docs.columns
+        )
     )
     audit["quality_filter"] = kept.count()
 
-    kept = dedup_exact(kept, [text_col], order_col=id_col)
+    kept = materialize(dedup_exact(kept, [text_col], order_col=id_col))
     audit["exact_dedup"] = kept.count()
 
-    kept = dedup_minhash_lsh(
-        kept, text_col, id_col, threshold=near_dup_threshold
+    kept = materialize(
+        dedup_minhash_lsh(kept, text_col, id_col, threshold=near_dup_threshold)
     )
     audit["near_dedup"] = kept.count()
 
     if eval_docs is not None:
-        kept = decontaminate(
-            kept,
-            eval_docs,
-            text_col,
-            id_col,
-            n=contamination_n,
-            threshold=contamination_threshold,
+        kept = materialize(
+            decontaminate(
+                kept,
+                eval_docs,
+                text_col,
+                id_col,
+                n=contamination_n,
+                threshold=contamination_threshold,
+            )
         )
         audit["decontaminated"] = kept.count()
 
@@ -101,5 +120,8 @@ def build_pretraining_corpus(
         sized, id_col, "_n_tokens", budget=pack_budget, n_shards=pack_shards
     )
     corpus = kept.join(assignment, id_col)
-    audit["packed"] = audit.get("decontaminated", audit["near_dedup"])
+    # count the JOINED result, not a copy of the previous stage: if the
+    # packing assignment ever failed to cover every doc, the audit must
+    # show it rather than paper over it
+    audit["packed"] = corpus.count()
     return CorpusResult(corpus, audit)

@@ -2580,10 +2580,12 @@ _PIPELINE_ORACLES = {
     """,
     "multimodal_features": """
         SELECT doc_id AS media_id,
-               CASE WHEN octet_length(encode(text)) > 0
-                    THEN 100 + ascii(substr(text, 1, 1)) % 156 ELSE 0 END AS width,
-               CASE WHEN octet_length(encode(text)) > 0
-                    THEN 100 + ascii(substr(text, length(text), 1)) % 156 ELSE 0 END AS height,
+               CAST(CASE WHEN octet_length(encode(text)) > 0
+                    THEN 100 + ascii(substr(text, 1, 1)) % 156 ELSE 0 END
+                    AS BIGINT) AS width,
+               CAST(CASE WHEN octet_length(encode(text)) > 0
+                    THEN 100 + ascii(substr(text, length(text), 1)) % 156 ELSE 0 END
+                    AS BIGINT) AS height,
                octet_length(encode(text)) AS n_bytes
         FROM documents ORDER BY media_id
     """,
@@ -2753,16 +2755,17 @@ _GATE_WINDOW = [
     "doc_token_stats",
     "doc_chunks",
     "doc_redact_pii",
-    "doc_language_guess",
     "doc_winnow_fingerprints",
-    "doc_repetition_stats",
-    # LLM-pipeline: decontamination / packing / mixture (new families;
-    # doc_fingerprint, doc_domain_counts, doc_top_terms stay catalogued
-    # past the window — same text family as the entries above, still
-    # locally oracle-verified in test_oracle_parity)
+    # LLM-pipeline: decontamination / packing / mixture / mining (new
+    # families; doc_fingerprint, doc_language_guess,
+    # doc_repetition_stats, doc_domain_counts, doc_top_terms stay
+    # catalogued past the window — same text family as the entries
+    # above, still locally oracle-verified in test_oracle_parity)
     "decontaminate_docs",
     "pack_documents",
     "interleave_docs",
+    "upsample_docs",
+    "hard_negatives_topk",
     # LLM-pipeline: multimodal, splits, event rollups
     "multimodal_features",
     "documents_split_counts",

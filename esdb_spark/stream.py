@@ -267,10 +267,16 @@ def merge_streams(
     for path in paths:
         src = EventStream.open(spark, path).iterate()
         mm = src.agg(
-            F.count("*").alias("n"), F.min("seq").alias("lo"), F.max("seq").alias("hi")
+            F.count("*").alias("n"),
+            F.min("seq").alias("lo"),
+            F.max("seq").alias("hi"),
+            # distinctness matters: duplicates+gaps can fake lo==0 and
+            # hi==n-1 (e.g. [0,1,1,3]) and would corrupt the dense
+            # fast-path's re-assignment
+            F.countDistinct("seq").alias("nd"),
         ).collect()[0]
         if mm["n"]:
-            if mm["lo"] == 0 and mm["hi"] == mm["n"] - 1:
+            if mm["lo"] == 0 and mm["hi"] == mm["n"] - 1 and mm["nd"] == mm["n"]:
                 # Streams assign seq densely from 0 (write/_seq_start),
                 # so renumbering is plain arithmetic — a projection that
                 # runs fully parallel with NO shuffle. The old

@@ -73,3 +73,102 @@ def test_archive_stats_escaped_space(spark, tmp_path):
     stats = archive_stats(Db.open(spark, path))
     assert stats[0]["space"] == "a b"
     assert stats[0]["n_files"] is not None  # unescaped keys line up
+
+
+def test_bmp_core_header_dimensions():
+    """BITMAPCOREHEADER (DIB size 12) stores u16 dims at 18/20, not the
+    i32 layout — was read with 40-byte-header offsets."""
+    from esdb_spark.operators.multimodal import parse_image_dims
+
+    core = (
+        b"BM" + (38).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (26).to_bytes(4, "little")
+        + (12).to_bytes(4, "little")          # DIB size 12
+        + (100).to_bytes(2, "little")         # width u16
+        + (50).to_bytes(2, "little")          # height u16
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+    )
+    assert parse_image_dims(core) == ("image/bmp", 100, 50)
+    info = (
+        b"BM" + (62).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")          # DIB size 40
+        + (640).to_bytes(4, "little")
+        + (-480).to_bytes(4, "little", signed=True)  # top-down
+    )
+    assert parse_image_dims(info) == ("image/bmp", 640, 480)
+
+
+def test_merge_streams_rejects_fake_dense_fast_path(spark, tmp_path):
+    """seqs [0,1,1,3] fake lo==0/hi==n-1; the dense fast path must not
+    fire (countDistinct guard) — merged output stays densely numbered."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from esdb_spark.stream import STREAM_SCHEMA, EventStream, merge_streams
+
+    src_dir = str(tmp_path / "fake.stream")
+    os.makedirs(src_dir)
+    rows = [(s, f"d{i}", None) for i, s in enumerate([0, 1, 1, 3])]
+    spark.createDataFrame(rows, STREAM_SCHEMA).write.mode("append").parquet(
+        src_dir
+    )
+    merged = merge_streams(spark, str(tmp_path / "out.stream"), [src_dir])
+    seqs = sorted(r["seq"] for r in merged.iterate().select("seq").collect())
+    assert seqs == [0, 1, 2, 3]
+
+
+def test_pack_greedy_rejects_non_numeric_ids(spark):
+    from esdb_spark.operators.packing import pack_greedy
+
+    df = spark.createDataFrame(
+        [("doc-1", 10), ("doc-2", 20)], "doc_id string, n_tokens long"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        pack_greedy(df, "doc_id", "n_tokens")
+
+
+def test_zorder_rejects_sign_bit_overflow(spark):
+    from esdb_spark.operators.layout import zorder_key
+
+    df = spark.range(10).select(*[
+        (F.col("id") % 7).alias(f"c{i}") for i in range(8)
+    ])
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(df, [f"c{i}" for i in range(8)], bits_per_col=8)
+
+
+def test_minhash_rejects_excess_permutations(spark):
+    from esdb_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="128"):
+        minhash_signatures(df, "text", "doc_id", num_hashes=256)
+
+
+def test_heavy_hitters_null_heavy_column(spark):
+    """NULL-heavy columns: nulls are excluded from items AND from N,
+    per the documented contract."""
+    from esdb_spark.operators.sketches import heavy_hitters
+
+    rows = [(None,)] * 80 + [("a",)] * 15 + [("b",)] * 5
+    df = spark.createDataFrame(rows, "v string")
+    got = {r["item"]: r["cnt"] for r in heavy_hitters(df, "v", k=3).collect()}
+    # non-null N = 20; threshold 20/3 ≈ 6.7 -> only "a" qualifies
+    assert got == {"a": 15}
+
+
+def test_decontaminate_broadcasts_dirty_side(spark):
+    """The anti-join must broadcast the (small) contaminated set, not
+    ~the whole clean corpus."""
+    from esdb_spark.operators.decontam import decontaminate
+    from esdb_spark.plans import physical_plan
+
+    tr = spark.createDataFrame(
+        [(i, f"doc number {i} unique words here now today") for i in range(50)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(99, "nothing shared")], "doc_id long, text string")
+    plan = physical_plan(decontaminate(tr, ev))
+    assert "LeftAnti" in plan
