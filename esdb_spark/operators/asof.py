@@ -125,13 +125,16 @@ def asof_join_bucketed(
     )
     # at-or-before refinement on epoch micros: a raw cross-side
     # timestamp comparison would coerce session-tz-dependently when the
-    # sides carry different timestamp flavors (same rule as asof_join)
+    # sides carry different timestamp flavors (same rule as asof_join).
+    # The refinement lives IN the join condition, not a post-filter: a
+    # left row whose only same-bucket candidates are LATER than it must
+    # null-extend (no match yet), not vanish — a post-filter on a
+    # matched-then-rejected row would drop it entirely when no other
+    # probe bucket null-extends (observable at lookback_buckets=0).
     joined = l.join(
         r,
-        (l["_probe"] == r["_rb"]) & (l[on] == r[on]),
+        (l["_probe"] == r["_rb"]) & (l[on] == r[on]) & (r["_rus"] <= l["_lus"]),
         "left",
-    ).filter(
-        F.col("_rus").isNull() | (F.col("_rus") <= F.col("_lus"))
     )
     # order by the side-qualified epoch-micros column: an unqualified
     # right_ts reference is ambiguous when both sides name their

@@ -172,3 +172,22 @@ def test_decontaminate_broadcasts_dirty_side(spark):
     ev = spark.createDataFrame([(99, "nothing shared")], "doc_id long, text string")
     plan = physical_plan(decontaminate(tr, ev))
     assert "LeftAnti" in plan
+
+
+def test_asof_bucketed_keeps_left_row_when_only_later_matches(spark):
+    """lookback_buckets=0 with every same-bucket right row LATER than
+    the left row: the left row must appear null-extended, not vanish."""
+    from esdb_spark.operators.asof import asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 15:00:00", 99)], "k long, rts string, v long"
+    ).withColumn("rts", F.to_timestamp("rts"))
+    out = asof_join_bucketed(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        bucket="1 day", lookback_buckets=0,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["v_r"] is None  # no at-or-before match -> null, kept
