@@ -135,28 +135,30 @@ def minhash_signatures(
     # latency per query (measured) — a single array(...) aggregate
     # expression is parsed JVM-side in one hop and produces the same
     # codegen'd plan.
-    if num_hashes > 128:
-        # the xor-rotate family has 64 rotations x 2 role orders = 128
-        # distinct permutations; beyond that mix(k) repeats mix(k-128)
-        # and the duplicated positions would silently bias Jaccard
-        # estimates upward
+    if num_hashes > 4096:
+        # the xor-rotate family below yields 64 x 64 distinct rotation
+        # pairs; beyond that mix(k) repeats and duplicated positions
+        # would silently bias Jaccard estimates upward
         raise ValueError(
-            f"num_hashes={num_hashes} exceeds the 128 distinct "
-            "permutations of the two-hash mix family"
+            f"num_hashes={num_hashes} exceeds the 4096 distinct "
+            "permutations of the two-hash rotation family"
+        )
+
+    def rot(h: str, r: int) -> str:
+        return (
+            h
+            if r == 0
+            else f"(shiftleft({h}, {r}) | shiftrightunsigned({h}, {64 - r}))"
         )
 
     def mix(k: int) -> str:
-        # rotation stride 13 is coprime to 64, so k -> r is a bijection
-        # per 64-block; blocks >= 64 swap the roles of h1/h2 for an
-        # independent family (k and k+64 would otherwise coincide)
-        r = (13 * k + 7) % 64
-        a, b = ("h1", "h2") if k < 64 else ("h2", "h1")
-        rot = (
-            b
-            if r == 0
-            else f"(shiftleft({b}, {r}) | shiftrightunsigned({b}, {64 - r}))"
-        )
-        return f"min({a} ^ {rot})"
+        # permutation k = rotl(h1, r1) ^ rotl(h2, r2): within a 64-block
+        # stride 13 (coprime to 64) bijects k -> r2; across blocks
+        # stride 11 bijects block -> r1 — all (r1, r2) pairs distinct up
+        # to 64*64 = 4096 permutations
+        r2 = (13 * k + 7) % 64
+        r1 = (11 * (k // 64)) % 64
+        return f"min({rot('h1', r1)} ^ {rot('h2', r2)})"
 
     arr = ", ".join(mix(k) for k in range(num_hashes))
     return base.groupBy("id").agg(F.expr(f"array({arr})").alias("sig"))

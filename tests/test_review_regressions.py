@@ -143,8 +143,8 @@ def test_minhash_rejects_excess_permutations(spark):
     from esdb_spark.operators.dedup import minhash_signatures
 
     df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
-    with pytest.raises(ValueError, match="128"):
-        minhash_signatures(df, "text", "doc_id", num_hashes=256)
+    with pytest.raises(ValueError, match="4096"):
+        minhash_signatures(df, "text", "doc_id", num_hashes=8192)
 
 
 def test_heavy_hitters_null_heavy_column(spark):
