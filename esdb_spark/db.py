@@ -178,7 +178,9 @@ class Db:
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "Db":
         """Open an archive directory (errors if absent, like esdb.go:23-38)."""
-        if not os.path.exists(path):
+        from esdb_spark import fs
+
+        if not fs.exists(spark, path):
             raise FileNotFoundError(f"no esdb archive at {path}")
         return cls(spark, spark.read.parquet(path), path=path)
 
@@ -202,12 +204,12 @@ class Db:
         footer SSTable; scanning 100 TB to enumerate partitions would
         be absurd). Falls back to a distinct scan for in-memory /
         clustered-layout archives."""
-        if self.path and os.path.isdir(self.path):
+        if self.path:
+            from esdb_spark import fs
+
             names = []
-            for entry in os.listdir(self.path):
-                if entry.startswith("space=") and os.path.isdir(
-                    os.path.join(self.path, entry)
-                ):
+            for entry, is_dir in fs.list_dir(self.spark, self.path):
+                if is_dir and entry.startswith("space="):
                     names.append(_unescape_partition(entry.split("=", 1)[1]))
             if names:
                 return sorted(names)

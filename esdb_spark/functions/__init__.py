@@ -17,11 +17,15 @@ def epoch_us(col) -> Column:
     false), which Spark 4 reads as TIMESTAMP_NTZ — and ``unix_micros``
     rejects NTZ outright. ``to_utc_timestamp(col, 'UTC')`` reads the
     naive wall clock as UTC (exactly DuckDB's ``epoch_us`` semantics on
-    the same files) independent of the session timezone; on an
-    instant-typed TIMESTAMP input it is the identity under the engine's
-    pinned-UTC sessions. Call sites keep the raw column in filters
-    where possible so parquet pushdown is preserved — this helper is
-    for projections and arithmetic.
+    the same files) UNDER THE ENGINE'S PINNED-UTC SESSIONS (session.py
+    and __spark_entry__._ensure_conf both pin spark.sql.session.timeZone
+    to UTC): an NTZ input is implicitly cast through the session zone
+    first, so an unpinned non-UTC session would shift it. Code that
+    must be correct under arbitrary session timezones (streaming's
+    ``_instant``) uses ``timestampdiff`` against the NTZ epoch instead —
+    pure wall-clock arithmetic, no timezone anywhere. Call sites keep
+    the raw column in filters where possible so parquet pushdown is
+    preserved — this helper is for projections and arithmetic.
     """
     col = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(F.to_utc_timestamp(col, "UTC"))

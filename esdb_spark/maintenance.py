@@ -11,7 +11,6 @@ open/footer costs dominate).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import functions as F
 
@@ -36,15 +35,19 @@ def archive_stats(db: Db):
     from esdb_spark.db import _unescape_partition
 
     files: dict[str, int] = {}
-    if db.path and os.path.isdir(db.path):
-        for entry in os.listdir(db.path):
-            full = os.path.join(db.path, entry)
-            if os.path.isdir(full) and entry.startswith("space="):
+    from esdb_spark import fs
+
+    if db.path:
+        for entry, is_dir in fs.list_dir(db.spark, db.path):
+            if is_dir and entry.startswith("space="):
                 # same percent-unescaping as Db.spaces so keys line up
                 # with the aggregation's space values
                 space = _unescape_partition(entry.split("=", 1)[1])
+                full = os.path.join(db.path, entry)
                 files[space] = sum(
-                    1 for f in os.listdir(full) if f.endswith(".parquet")
+                    1
+                    for name, _ in fs.list_dir(db.spark, full)
+                    if name.endswith(".parquet")
                 )
     rows = []
     for r in agg.collect():
@@ -78,10 +81,10 @@ def compact_archive(db: Db, target_files_per_space: int = 1) -> Db:
         .partitionBy("space")
         .parquet(tmp)
     )
-    was_written = os.path.exists(os.path.join(db.path, WRITTEN_MARKER))
-    shutil.rmtree(db.path)
-    shutil.move(tmp, db.path)
+    from esdb_spark import fs
+
+    was_written = fs.exists(spark, os.path.join(db.path, WRITTEN_MARKER))
+    fs.replace_dir(spark, tmp, db.path)
     if was_written:
-        with open(os.path.join(db.path, WRITTEN_MARKER), "w") as fh:
-            fh.write("1")
+        fs.touch(spark, os.path.join(db.path, WRITTEN_MARKER))
     return Db.open(spark, db.path)

@@ -44,7 +44,9 @@ import os
 from typing import Iterable, Mapping
 
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F, types as T
+from pyspark.errors import AnalysisException
 
+from esdb_spark import fs
 from esdb_spark.errors import DbExistsError, StreamClosedError
 
 STREAM_SCHEMA = T.StructType(
@@ -71,10 +73,13 @@ class EventStream:
 
     @classmethod
     def new(cls, spark: SparkSession, path: str) -> "EventStream":
-        """Create a new stream (stream.go:45-52; errors if exists)."""
-        if os.path.exists(path):
+        """Create a new stream (stream.go:45-52; errors if exists).
+        Existence/creation go through the Hadoop FileSystem API so the
+        O_EXCL parity holds on cluster filesystems, not just local
+        disk."""
+        if fs.exists(spark, path):
             raise DbExistsError(f"stream already exists at {path}")
-        os.makedirs(path)
+        fs.mkdirs(spark, path)
         stream = cls(spark, path)
         stream._next_seq = 0
         return stream
@@ -83,13 +88,13 @@ class EventStream:
     def open(cls, spark: SparkSession, path: str) -> "EventStream":
         """Open an existing stream; open vs closed is auto-detected from
         the marker, like the footer sniff in stream.go:54-72."""
-        if not os.path.exists(path):
+        if not fs.exists(spark, path):
             raise FileNotFoundError(f"no stream at {path}")
         return cls(spark, path)
 
     @property
     def closed(self) -> bool:
-        return os.path.exists(os.path.join(self._path, CLOSED_MARKER))
+        return fs.exists(self._spark, os.path.join(self._path, CLOSED_MARKER))
 
     # -- write path ----------------------------------------------------------
 
@@ -122,25 +127,62 @@ class EventStream:
         tail, preserving the batch's partition order."""
         self._check_open()
         start = self._seq_start()
-        out = df.select(
-            (F.monotonically_increasing_id() + F.lit(start)).alias("seq"),
-            "data",
-            "indexes",
-        )
-        # monotonically_increasing_id leaves gaps across partitions; gaps
-        # are fine (cursors are keyset predicates, not offsets) but order
-        # within the batch is preserved, which is what Iterate needs.
-        out.write.mode("append").parquet(self._path)
-        self._next_seq = None  # recompute from data next time
+        # DENSE seqs via the partition-offset pattern: per-partition
+        # counts (a metadata-sized collect) become rank offsets, and a
+        # window partitioned by spark_partition_id ranks in parallel.
+        # Dense matters three ways: batches never collide with the
+        # row-API's counter, merge_streams keeps its shuffle-free
+        # arithmetic fast path, and the next append knows the tail
+        # without re-scanning the whole stream (the old
+        # monotonically_increasing_id path left gaps and forced a full
+        # max(seq) job per micro-batch). The persist pins partitioning
+        # between the counts job and the write (released below).
+        from pyspark.sql import Window
+
+        src = df.select("data", "indexes").withColumn(
+            "_pid", F.spark_partition_id()
+        ).persist()
+        try:
+            counts = src.groupBy("_pid").count().collect()
+            offsets, acc = {}, 0
+            for row in sorted(counts, key=lambda r: r["_pid"]):
+                offsets[row["_pid"]] = acc
+                acc += row["count"]
+            if acc:
+                off_map = F.create_map(
+                    *[F.lit(x) for kv in offsets.items() for x in kv]
+                )
+                w = Window.partitionBy("_pid").orderBy(
+                    F.monotonically_increasing_id()
+                )
+                out = src.select(
+                    (
+                        F.lit(start)
+                        + off_map[F.col("_pid")]
+                        + F.row_number().over(w)
+                        - F.lit(1)
+                    ).cast("long").alias("seq"),
+                    "data",
+                    "indexes",
+                )
+                out.write.mode("append").parquet(self._path)
+            self._next_seq = start + acc
+        finally:
+            src.unpersist()
 
     # -- read path -----------------------------------------------------------
 
     @property
     def df(self) -> DataFrame:
-        """The raw stream as a DataFrame (empty if nothing committed)."""
+        """The raw stream as a DataFrame (empty if nothing committed).
+
+        Only the expected nothing-committed-yet AnalysisException maps
+        to empty; any other read failure (permissions, transient IO)
+        propagates — swallowing it would silently restart seq at 0 and
+        corrupt the log."""
         try:
             return self._spark.read.schema(STREAM_SCHEMA).parquet(self._path)
-        except Exception:
+        except AnalysisException:
             return self._spark.createDataFrame([], schema=STREAM_SCHEMA)
 
     def first(self, name: str, value: str) -> Row | None:
@@ -220,7 +262,7 @@ class EventStream:
         tmp = self._path + ".compact.tmp"
         self.df.orderBy("seq").coalesce(1).write.mode("overwrite").parquet(tmp)
         closed = self.closed
-        _replace_dir(tmp, self._path)
+        fs.replace_dir(self._spark, tmp, self._path)
         if closed:  # preserve the seal across the rewrite
             self._touch_marker()
 
@@ -235,8 +277,7 @@ class EventStream:
     # -- internals ---------------------------------------------------------
 
     def _touch_marker(self) -> None:
-        with open(os.path.join(self._path, CLOSED_MARKER), "w") as fh:
-            fh.write("1")
+        fs.touch(self._spark, os.path.join(self._path, CLOSED_MARKER))
 
     def _check_open(self) -> None:
         if self.closed:
@@ -309,8 +350,4 @@ def _seq_window():
     return Window.orderBy(F.col("seq").asc())
 
 
-def _replace_dir(src: str, dst: str) -> None:
-    import shutil
 
-    shutil.rmtree(dst)
-    shutil.move(src, dst)

@@ -30,10 +30,23 @@ from esdb_spark.stream import STREAM_SCHEMA, EventStream
 
 def _instant(events: DataFrame, ts_col: str) -> DataFrame:
     """Watermarks/event-time require an instant-typed TIMESTAMP; parquet
-    naive timestamps arrive as TIMESTAMP_NTZ. Read the naive wall clock
-    as UTC (session-tz independent) when needed; no-op otherwise."""
+    naive timestamps arrive as TIMESTAMP_NTZ. Interpret the naive wall
+    clock AS UTC via epoch micros (truly session-tz independent);
+    no-op otherwise.
+
+    NB: ``to_utc_timestamp(ntz, 'UTC')`` would NOT do this — the NTZ
+    input is first implicitly cast using the session timezone, making
+    the shift an identity and the resulting instants (and thus window
+    boundaries) session-tz dependent. ``timestampdiff`` against the
+    NTZ epoch is pure wall-clock arithmetic: no timezone enters the
+    computation at all (verified identical under UTC and
+    America/New_York sessions)."""
     if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
-        return events.withColumn(ts_col, F.to_utc_timestamp(ts_col, "UTC"))
+        us = F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
+        return events.withColumn(ts_col, F.timestamp_micros(us))
     return events
 
 
@@ -55,23 +68,42 @@ def stream_into(
 
     foreachBatch alone is at-least-once: a crash between the parquet
     commit and the streaming checkpoint replays the epoch. The handler
-    therefore records each applied epoch in an `_applied_epochs` ledger
-    inside the stream directory and skips epochs it has already
-    appended — the standard idempotent-foreachBatch pattern."""
+    records each applied epoch in an ``_applied_epochs`` ledger inside
+    the CHECKPOINT directory — keyed to this query's epoch numbering,
+    so a fresh checkpoint (whose epochs restart at 0) starts a fresh
+    ledger instead of silently skipping new data, and a second query
+    with its own checkpoint appends independently. The ledger also
+    survives ``stream.compact()`` (which rewrites the stream dir).
+
+    Honest delivery contract: the append and the ledger write are two
+    operations, so a crash BETWEEN them leaves a replayed epoch
+    double-appended (duplicate data rows with distinct seqs). The
+    ledger closes the much larger checkpoint-replay window; closing the
+    last crack needs a transactional sink (single-commit table format),
+    which plain parquet appends cannot provide."""
     import os
 
-    ledger = os.path.join(stream._path, "_applied_epochs")
+    from esdb_spark import fs
+
+    spark = stream._spark
+    ledger = os.path.join(checkpoint, "_applied_epochs")
+    fs.mkdirs(spark, checkpoint)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        applied = set()
-        if os.path.exists(ledger):
-            with open(ledger) as fh:
-                applied = {line.strip() for line in fh if line.strip()}
+        # ledger IO goes through the Hadoop FS API (the checkpoint may
+        # live on HDFS/S3); one line per epoch, rewritten whole — tiny
+        applied: set[str] = set()
+        if fs.exists(spark, ledger):
+            applied = {
+                line.strip()
+                for line in fs.read_text(spark, ledger).splitlines()
+                if line.strip()
+            }
         if str(epoch_id) in applied:
             return  # replayed epoch → already committed, skip
         stream.append_dataframe(batch_df)
-        with open(ledger, "a") as fh:
-            fh.write(f"{epoch_id}\n")
+        applied.add(str(epoch_id))
+        fs.touch(spark, ledger, "\n".join(sorted(applied)) + "\n")
 
     return (
         source.writeStream.outputMode("append")
@@ -163,7 +195,13 @@ def sessionize_stream(
                     closed.append((k, start_us, last_us, n))
                     start_us, last_us, n = t, t, 1
                 else:
-                    last_us = t
+                    # events are sorted within a batch but not across
+                    # batches: a late event must never move last_us
+                    # BACKWARD (a regressed tail would let the next
+                    # on-time event falsely close the session) — clamp
+                    # both edges and absorb the late event
+                    start_us = min(start_us, t)
+                    last_us = max(last_us, t)
                     n += 1
         state.update((start_us, last_us, n))
         if closed:

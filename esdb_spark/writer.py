@@ -56,8 +56,10 @@ def _to_ts(timestamp) -> _dt.datetime:
     )
 
 
-def _is_written(path: str) -> bool:
-    return os.path.exists(os.path.join(path, WRITTEN_MARKER))
+def _is_written(spark, path: str) -> bool:
+    from esdb_spark import fs
+
+    return fs.exists(spark, os.path.join(path, WRITTEN_MARKER))
 
 
 class Writer:
@@ -80,8 +82,12 @@ class Writer:
         equivalent of the reference's secondary index pointer lists
         (index_block_writer.go). ``Space.scan_index`` uses the column
         automatically when present."""
-        if os.path.exists(path):
-            # Parity: reference New() is O_EXCL (writer.go:26-39).
+        from esdb_spark import fs
+
+        if fs.exists(spark, path):
+            # Parity: reference New() is O_EXCL (writer.go:26-39) —
+            # checked through the Hadoop FileSystem API so it holds on
+            # cluster filesystems, not only local disk.
             raise DbExistsError(f"esdb archive already exists at {path}")
         if layout not in ("partitioned", "clustered"):
             raise ValueError(f"unknown layout {layout!r}")
@@ -92,6 +98,7 @@ class Writer:
         self._materialize = list(materialize_indexes or [])
         self._rows: list[tuple] = []
         self._bulk: list[DataFrame] = []
+        self._persisted: list[DataFrame] = []
         self._seq = 0
         self._written = False
         self._flushed_spaces: set[str] = set()
@@ -124,10 +131,16 @@ class Writer:
         """Bulk-buffer a distributed DataFrame of events.
 
         ``df`` must have columns (space, grouping, ts, data, indexes)
-        and optionally ``seq``. With ``assign_seq`` a monotone id is
+        and optionally ``seq``. With ``assign_seq`` a DENSE id is
         assigned in the DataFrame's partition order (= file order for a
         freshly-read source, matching the reference CSV loader's
-        insertion order, testdata/build.go:47-60).
+        insertion order, testdata/build.go:47-60), continuing from the
+        writer's running counter — so repeated bulk calls and the
+        row-level ``add`` API share one seq space and the documented
+        insertion-order tie-break stays deterministic across batches
+        (monotonically_increasing_id alone restarts near 0 per batch
+        and collides). Dense assignment runs one counts job at call
+        time and persists the batch until ``write()`` (MEMORY_AND_DISK).
         """
         self._check_mutable()
         required = {"space", "grouping", "ts", "data", "indexes"}
@@ -140,8 +153,34 @@ class Writer:
                 "arbitrary inputs."
             )
         if assign_seq or "seq" not in df.columns:
-            df = df.withColumn("seq", F.monotonically_increasing_id())
+            df = self._assign_dense_seq(df)
         self._bulk.append(df.select(*EVENTS_COLUMNS))
+
+    def _assign_dense_seq(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        src = df.withColumn("_pid", F.spark_partition_id()).persist()
+        self._persisted.append(src)
+        counts = src.groupBy("_pid").count().collect()
+        offsets: dict[int, int] = {}
+        acc = 0
+        for row in sorted(counts, key=lambda r: r["_pid"]):
+            offsets[row["_pid"]] = acc
+            acc += row["count"]
+        base = self._seq
+        self._seq = base + acc
+        if not acc:
+            return df.withColumn("seq", F.lit(0).cast("long"))
+        off_map = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+        return src.withColumn(
+            "seq",
+            (
+                F.lit(base) + off_map[F.col("_pid")] + F.row_number().over(w) - F.lit(1)
+            ).cast("long"),
+        ).drop("_pid")
 
     # -- output -----------------------------------------------------------
 
@@ -165,10 +204,14 @@ class Writer:
             df = self._build_df()
             self._write_df(df, mode=mode)
         # Marker = the reference's footer: flips the archive immutable.
-        os.makedirs(self._path, exist_ok=True)
-        with open(os.path.join(self._path, WRITTEN_MARKER), "w") as fh:
-            fh.write("1")
+        from esdb_spark import fs
+
+        fs.mkdirs(self._spark, self._path)
+        fs.touch(self._spark, os.path.join(self._path, WRITTEN_MARKER))
         self._rows, self._bulk = [], []
+        for cached in self._persisted:
+            cached.unpersist()
+        self._persisted = []
         self._written = True
 
     # -- internals ----------------------------------------------------------

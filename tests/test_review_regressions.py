@@ -191,3 +191,77 @@ def test_asof_bucketed_keeps_left_row_when_only_later_matches(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["v_r"] is None  # no at-or-before match -> null, kept
+
+
+def test_add_dataframe_and_add_share_seq_space(spark, tmp_path):
+    """Bulk batches and the row API must not collide on seq: two events
+    with the same (grouping, ts) across an add() and an add_dataframe()
+    order by call sequence, deterministically."""
+    from esdb_spark import Db, Writer
+
+    path = str(tmp_path / "seq.esdb")
+    w = Writer(spark, path)
+    w.add("s", "first", timestamp=1000, grouping="g")
+    bulk = spark.createDataFrame(
+        [("s", "g", 1000, "second", {})],
+        "space string, grouping string, ts long, data string, "
+        "indexes map<string,string>",
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    w.add_dataframe(bulk, assign_seq=True)
+    w.write()
+    rows = Db.open(spark, path).find("s").scan("g").collect()
+    seqs = [r["seq"] for r in rows]
+    assert len(set(seqs)) == 2  # no collision
+    # ts ties break by seq asc = insertion order: add() before bulk
+    assert [r["data"] for r in sorted(rows, key=lambda r: r["seq"])] == [
+        "first",
+        "second",
+    ]
+
+
+def test_append_dataframe_assigns_dense_seqs(spark, tmp_path):
+    """Micro-batch appends produce gap-free seqs (merge fast path +
+    no full-stream rescan between batches)."""
+    from esdb_spark.stream import EventStream
+
+    st = EventStream.new(spark, str(tmp_path / "dense.stream"))
+    batch = spark.createDataFrame(
+        [(f"d{i}", {}) for i in range(10)],
+        "data string, indexes map<string,string>",
+    ).repartition(4)
+    st.append_dataframe(batch)
+    st.append_dataframe(batch)
+    seqs = sorted(r["seq"] for r in st.df.select("seq").collect())
+    assert seqs == list(range(20))
+    assert st._next_seq == 20  # tracked, not recomputed via full scan
+
+
+def test_stream_into_fresh_checkpoint_does_not_skip(spark, tmp_path):
+    """Ledger lives in the checkpoint dir: a NEW checkpoint (epochs
+    restart at 0) must append, not silently skip epoch 0."""
+    import time
+
+    from esdb_spark.stream import EventStream
+    from esdb_spark.streaming import read_event_stream, stream_into
+
+    src_dir = str(tmp_path / "src.stream")
+    src = EventStream.new(spark, src_dir)
+    src.write("one")
+    dst = EventStream.new(spark, str(tmp_path / "dst.stream"))
+
+    q = stream_into(
+        read_event_stream(spark, src_dir), dst, str(tmp_path / "cp1")
+    )
+    q.processAllAvailable(); q.stop()
+    n1 = dst.df.count()
+    assert n1 == 1
+
+    src.write("two")
+    # fresh checkpoint: reprocesses the whole source from scratch with
+    # epoch ids restarting at 0 — must still append (the OLD ledger
+    # keyed by bare epoch id would skip it)
+    q = stream_into(
+        read_event_stream(spark, src_dir), dst, str(tmp_path / "cp2")
+    )
+    q.processAllAvailable(); q.stop()
+    assert dst.df.count() == n1 + 2  # full replay appended
