@@ -38,12 +38,21 @@ from pyspark.sql import DataFrame, functions as F, types as T
 def _mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries candidates: ≤ k items per partition,
     guaranteed to include every item with partition frequency > n_p/k.
+    Each partition also emits ONE count row (item NULL, n_rows set) so
+    the caller learns N from this same pass instead of scanning again.
     """
-    schema = T.StructType([T.StructField("item", T.StringType())])
+    schema = T.StructType(
+        [
+            T.StructField("item", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+        ]
+    )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        seen = 0
         for pdf in batches:
+            seen += len(pdf)
             # batch-level exact counts first (vectorized), then fold
             # into the bounded MG summary — same guarantee, far fewer
             # dict operations than item-at-a-time
@@ -61,7 +70,12 @@ def _mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
                     rem = int(cnt) - dec
                     if rem > 0 and len(counters) < k:
                         counters[item] = rem
-        yield pd.DataFrame({"item": list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "n_rows": [None] * len(counters) + [seen],
+            }
+        )
 
     return df.select(F.col(col).cast("string").alias("item")).mapInPandas(
         op, schema
@@ -92,16 +106,24 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
         raise ValueError(f"heavy_hitters: k must be >= 1, got {k}")
     df = df.filter(F.col(col).isNotNull())
     items = df.select(F.col(col).cast("string").alias("item"))
-    candidates = _mg_candidates(df, col, k).distinct()
+    # one pass yields both the candidate set and N (per-partition count
+    # rows) — a separate count(*) pass over the raw data would be a
+    # third full scan
+    cand_and_counts = _mg_candidates(df, col, k)
+    candidates = (
+        cand_and_counts.filter(F.col("item").isNotNull())
+        .select("item")
+        .distinct()
+    )
     counted = (
         items.join(F.broadcast(candidates), "item")
         .groupBy("item")
         .agg(F.count("*").alias("cnt"))
     )
-    # lazy total: a broadcast 1-row frame keeps the whole operator one
-    # deferred plan (no job at construction time); integer arithmetic
-    # keeps the threshold comparison engine-exact
-    total = items.agg(F.count("*").alias("_n"))
+    # lazy total from the count rows: a broadcast 1-row frame keeps the
+    # whole operator one deferred plan; integer arithmetic keeps the
+    # threshold comparison engine-exact
+    total = cand_and_counts.agg(F.sum("n_rows").alias("_n"))
     return (
         counted.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * k > F.col("_n"))
@@ -136,7 +158,13 @@ def count_min_table(
     groupBy sums them. The result is mergeable (sum matching cells) and
     tiny — collect it, persist it, or join point queries against it.
     Estimates over-count only, by ≤ e·N/width per row with probability
-    1 - e^-depth (standard CM bounds)."""
+    1 - e^-depth (standard CM bounds).
+
+    NULLs are excluded up front (same contract as heavy_hitters, and N
+    counts non-null rows): xxhash64 ignores null children, so every
+    null row would otherwise pile into ONE cell per depth row and blow
+    the over-count bound for any item colliding with the null pile."""
+    df = df.filter(F.col(col).isNotNull())
     return (
         df.select(
             F.explode(
@@ -156,6 +184,8 @@ def cms_estimate(
     The probe is a broadcast join of the (small) item list against the
     (≤ depth×width) table — no driver-side hashing, so the estimates
     use exactly the same hash functions the table was built with."""
+    if not items:
+        return {}  # createDataFrame([]) cannot infer a schema
     spark = table_df.sparkSession
     probes = (
         spark.createDataFrame([(s,) for s in items], ["item"])
@@ -192,7 +222,7 @@ def hll_rollup(
     prohibitive. lg_k=12 → ~2.5 KB per sketch, ~1.6% standard error.
     """
     return df.groupBy(*key_cols).agg(
-        F.expr(f"hll_sketch_agg({value_col}, {lg_k})").alias("hll_sketch")
+        F.hll_sketch_agg(F.col(value_col), lg_k).alias("hll_sketch")
     )
 
 
@@ -206,7 +236,7 @@ def hll_union_estimate(
     merge algebra — the estimate after union equals the estimate of a
     sketch built over the concatenated raw inputs."""
     return sketches.groupBy(*group_cols).agg(
-        F.expr(f"hll_sketch_estimate(hll_union_agg({sketch_col}))").alias(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(
             "approx_distinct"
         )
     )

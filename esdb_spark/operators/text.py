@@ -40,31 +40,41 @@ def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
-def approx_bpe_tokens(col) -> Column:
+#: the 32 ASCII punctuation characters — counted explicitly so
+#: non-ASCII letters (é, ñ, CJK) are NOT double-counted as punctuation
+#: on top of their word-chunk contribution
+_ASCII_PUNCT = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+
+def approx_bpe_tokens(col, tok: Column | None = None) -> Column:
     """BPE-ish token estimate without a tokenizer model: one token per
-    word piece of ≤4 chars plus one per non-space punctuation mark —
-    the standard ~4-chars-per-token rule of thumb, deterministic and
-    oracle-expressible."""
+    word piece of ≤4 chars plus one per ASCII punctuation mark — the
+    standard ~4-chars-per-token rule of thumb, deterministic and
+    oracle-expressible. Pass ``tok`` (a pre-materialized token array)
+    to avoid re-tokenizing when composing with other token stats."""
     col = F.col(col) if isinstance(col, str) else col
     word_chunks = F.aggregate(
-        tokens(col),
+        tok if tok is not None else tokens(col),
         F.lit(0),
         lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"),
     )
-    # translate (one linear pass), not regexp_replace of [\w\s]: that
-    # class matches nearly every char and regexp_replace pays per match
-    wordspace = (
-        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
-        "0123456789_ \t\n\x0b\x0c\r"
-    )
-    punct = F.length(F.translate(col, wordspace, ""))
+    # translate (one linear pass) DELETING the explicit punct set and
+    # counting the length difference — an earlier complement-set
+    # formulation counted every non-wordspace char, so non-ASCII
+    # letters were tallied as punctuation AND inside their word chunk
+    punct = F.length(col) - F.length(F.translate(col, _ASCII_PUNCT, ""))
     return (word_chunks + punct).alias("approx_bpe_tokens")
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    tok = tokens(text_col)
+    # materialize the token array in its own projection: the stats
+    # below reference it four times, and CollapseProject keeps the
+    # split+filter from being inlined per reference (the measured
+    # re-tokenization trap documented in with_quality)
+    base = df.withColumn("_tok", tokens(text_col))
+    tok = F.col("_tok")
     return (
-        df.withColumn("n_chars_calc", F.length(F.col(text_col)))
+        base.withColumn("n_chars_calc", F.length(F.col(text_col)))
         .withColumn("n_tokens", F.size(tok))
         .withColumn(
             "avg_token_len",
@@ -76,7 +86,8 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 / F.size(tok),
             ).otherwise(F.lit(0.0)),
         )
-        .withColumn("bpe_tokens_est", approx_bpe_tokens(text_col))
+        .withColumn("bpe_tokens_est", approx_bpe_tokens(text_col, tok=tok))
+        .drop("_tok")
     )
 
 
@@ -258,8 +269,6 @@ def winnow_fingerprints(
     - Documents shorter than k words contribute their whole text as one
       shingle; fewer than w windows → one window over all hashes.
     """
-    from pyspark.sql import Window
-
     tok = tokens(text_col)
     toks = df.select(
         F.col(id_col),
@@ -314,9 +323,18 @@ def chunk_documents(
         raise ValueError("chunk_documents: overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
     tok = tokens(text_col)
+    # last start is capped at size-1-overlap: a window starting later
+    # would contain ZERO tokens not already in the previous window (a
+    # strict-subset duplicate shipped into the training corpus); every
+    # token is still covered because the previous window reaches
+    # start+chunk_tokens >= size
     starts = F.when(
         F.size(tok) > 0,
-        F.sequence(F.lit(0), F.size(tok) - 1, F.lit(stride)),
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.size(tok) - 1 - F.lit(overlap), F.lit(0)),
+            F.lit(stride),
+        ),
     ).otherwise(F.array().cast("array<int>"))
     chunks = F.transform(
         starts,
@@ -427,11 +445,17 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     cross-engine comparability.
     """
     text = F.col(text_col)
-    lines = F.filter(
-        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
-        lambda l: l != F.lit(""),
-    )
-    tok = tokens(text_col)
+    # materialized once, same CollapseProject rationale as
+    # with_token_stats — the ratios below reference each array 2-3×
+    df = df.withColumn(
+        "_lines",
+        F.filter(
+            F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+            lambda l: l != F.lit(""),
+        ),
+    ).withColumn("_tok", tokens(text_col))
+    lines = F.col("_lines")
+    tok = F.col("_tok")
     n_lines = F.size(lines)
     n_tok = F.size(tok)
     dup_line_ratio = F.when(
@@ -468,6 +492,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.withColumn("dup_line_ratio", F.round(dup_line_ratio, 6))
         .withColumn("dup_token_ratio", F.round(dup_token_ratio, 6))
         .withColumn("top_token_share", F.round(top_token_share, 6))
+        .drop("_lines", "_tok")
     )
 
 
@@ -477,9 +502,13 @@ def extract_domains(
     """Provenance pass: distinct lower-cased registrable hosts of every
     URL in the text (sorted). ``regexp_extract_all`` + array ops,
     codegen-only; feed into a groupBy for per-domain corpus counts."""
+    # the optional (?:userinfo@) group skips credentials: without it
+    # 'https://alice@cdn.example.org' would yield 'alice' as the host
     hosts = F.transform(
         F.regexp_extract_all(
-            F.col(text_col), F.lit(r"https?://([A-Za-z0-9.-]+)"), F.lit(1)
+            F.col(text_col),
+            F.lit(r"https?://(?:[^/\s@]*@)?([A-Za-z0-9.-]+)"),
+            F.lit(1),
         ),
         F.lower,
     )

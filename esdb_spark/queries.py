@@ -2187,7 +2187,7 @@ _PIPELINE_ORACLES = {
                     THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
                     ELSE 0.0 END AS avg_token_len,
                CAST(list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS INT)))
-                    + length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS BIGINT) AS bpe_tokens_est
+                    + (length(text) - length(translate(text, '!\', ''))) AS BIGINT) AS bpe_tokens_est
         FROM (SELECT doc_id, text, {_TOK} AS toks FROM documents)
         ORDER BY doc_id
     """,
@@ -2370,7 +2370,7 @@ _PIPELINE_ORACLES = {
             SELECT doc_id,
                    lower(u.h) AS domain
             FROM seeded,
-                 unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS u(h)
+                 unnest(regexp_extract_all(text, 'https?://(?:[^/\s@]*@)?([A-Za-z0-9.-]+)', 1)) AS u(h)
         )
         SELECT domain, count(DISTINCT doc_id) AS n_docs
         FROM hosts GROUP BY domain ORDER BY domain
@@ -2427,8 +2427,11 @@ _PIPELINE_ORACLES = {
                array_to_string(list_slice(toks, s + 1, s + 64), ' ')
                    AS chunk_text,
                CAST(least(len(toks) - s, 64) AS INT) AS n_chunk_tokens
+        -- stop at len-16 (exclusive): a start past len-1-overlap would
+        -- be a strict subset of the previous window (mirrors chunk_documents)
         FROM t, unnest(
-            CASE WHEN len(toks) > 0 THEN range(0, len(toks), 48)
+            CASE WHEN len(toks) > 0
+                 THEN range(0, greatest(len(toks) - 16, 1), 48)
                  ELSE []::BIGINT[] END) AS u(s)
         ORDER BY doc_id, chunk_start
     """,

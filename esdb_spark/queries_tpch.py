@@ -50,16 +50,22 @@ def _revenue():
 def q4_priority_delayed(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    oo = o.select(F.col("o_orderkey").alias("d_ok"), "o_orderdate")
+    # the EXISTS is correlated per order, so the date window applies to
+    # the delayed-set side too: filtering oo BEFORE the lineitem join
+    # shrinks the join + distinct by the window's selectivity (~1/8)
+    # with identical results
+    in_window = (F.col("o_orderdate") >= F.lit("1996-01-01")) & (
+        F.col("o_orderdate") < F.lit("1997-01-01")
+    )
+    oo = o.filter(in_window).select(
+        F.col("o_orderkey").alias("d_ok"), "o_orderdate"
+    )
     delayed = li.join(oo, li.l_orderkey == F.col("d_ok")).filter(
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
     ).select("d_ok").distinct()
     return (
         o.join(delayed, o.o_orderkey == F.col("d_ok"), "left_semi")
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01"))
-        )
+        .filter(in_window)
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")

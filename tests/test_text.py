@@ -119,12 +119,13 @@ def test_chunk_documents_windows(spark):
     )
     out = chunk_documents(docs, "text", "doc_id", chunk_tokens=4, overlap=2)
     rows = {(r.doc_id, r.chunk_start): r for r in out.collect()}
-    # doc 1: stride 2 → starts 0,2,4,6,8
-    assert sorted(s for d, s in rows if d == 1) == [0, 2, 4, 6, 8]
+    # doc 1: stride 2, last start capped at size-1-overlap=7 → 0,2,4,6
+    # (a window at 8 would be a strict subset of the one at 6)
+    assert sorted(s for d, s in rows if d == 1) == [0, 2, 4, 6]
     assert rows[(1, 0)].chunk_text == "w0 w1 w2 w3"
-    assert rows[(1, 8)].chunk_text == "w8 w9"  # short tail window
-    assert rows[(1, 8)].n_chunk_tokens == 2
-    assert sorted(s for d, s in rows if d == 2) == [0, 2]
+    assert rows[(1, 6)].chunk_text == "w6 w7 w8 w9"  # tail fully covered
+    assert rows[(1, 6)].n_chunk_tokens == 4
+    assert sorted(s for d, s in rows if d == 2) == [0]
     assert rows[(2, 0)].n_chunk_tokens == 3
     assert not any(d == 3 for d, _ in rows)
 
