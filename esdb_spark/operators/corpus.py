@@ -1,0 +1,241 @@
+"""Corpus-level cleaning operators: line-level boilerplate removal,
+cross-corpus incremental dedup, vocabulary building, and an n-gram
+language-model quality score.
+
+North-star LLM-pipeline operators (SURVEY §2.7) with no reference
+analog — they run between raw ingestion and dedup/packing in a
+training-data pipeline. All are DataFrame→DataFrame compositions of
+built-in functions: no Python in the hot path, every shuffle carries
+hashes or counts rather than full text except where the rewritten text
+itself is the output.
+
+- :func:`strip_boilerplate` — CCNet-style removal of lines repeated
+  across many documents (navigation bars, cookie banners, footers).
+- :func:`dedup_against` — drop documents whose exact content already
+  exists in a reference corpus (incremental crawl dedup): the
+  cross-corpus face of :func:`esdb_spark.operators.dedup.dedup_exact`.
+- :func:`corpus_vocab` — corpus-wide token vocabulary with term and
+  document frequencies (tokenizer-training / stopword-mining input).
+- :func:`char_bigram_lm_score` — self-trained character-bigram
+  language-model log-probability per document, the dependency-free
+  stand-in for the KenLM perplexity filter used by CCNet-style
+  pipelines: gibberish and boilerplate-ish texts score low.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from esdb_spark.functions import tokens
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_line_chars: int = 8,
+) -> DataFrame:
+    """Remove lines that recur across ``min_docs`` or more documents.
+
+    A line is a ``\\n``-separated segment; candidate lines (trimmed
+    length ≥ ``min_line_chars``) whose trimmed text appears in at least
+    ``min_docs`` distinct documents are dropped from every document.
+    Short lines never count and are never dropped (blank separators and
+    one-word lines stay). Returns ``(id_col, clean_text, n_removed)``
+    with surviving lines rejoined in original order; a document whose
+    every line was boilerplate yields an empty string, not a lost row.
+
+    Scale: the frequency pass groups by the **md5 of the trimmed
+    line** — the shuffle carries 16-byte hashes + ids, never text —
+    and `countDistinct` is a standard two-stage partial aggregate. The
+    boilerplate set (lines recurring in ≥ min_docs docs) is, by
+    construction, at most |corpus lines| / min_docs keys and in
+    practice tiny (navigation chrome), so the anti-join is
+    broadcast-able and AQE picks that at runtime. The only shuffle that
+    carries text is the per-document reassembly groupBy — linear in
+    corpus size and unavoidable: the rewritten text is the output.
+    """
+    lid = F.col(id_col)
+    lines = df.select(
+        lid.alias("_sb_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "_sb_pos", "_sb_line"
+        ),
+    )
+    line_h = F.md5(F.trim(F.col("_sb_line")))
+    boiler = (
+        lines.filter(F.length(F.trim(F.col("_sb_line"))) >= min_line_chars)
+        .groupBy(line_h.alias("_sb_h"))
+        .agg(F.countDistinct("_sb_id").alias("_sb_df"))
+        .filter(F.col("_sb_df") >= min_docs)
+        .select("_sb_h")
+    )
+    kept = lines.join(
+        boiler, line_h == boiler["_sb_h"], "left_anti"
+    )
+    reassembled = kept.groupBy("_sb_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_sb_pos", "_sb_line"))
+                ),
+                lambda s: s["_sb_line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("_sb_kept"),
+    )
+    totals = df.select(
+        lid.alias(id_col),
+        F.size(F.split(F.col(text_col), "\n", -1)).alias("_sb_total"),
+    )
+    return (
+        totals.join(
+            reassembled, totals[id_col] == reassembled["_sb_id"], "left"
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (
+                F.col("_sb_total") - F.coalesce(F.col("_sb_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def dedup_against(
+    df: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop rows of ``df`` whose exact ``text_col`` content already
+    exists in ``seen`` — incremental dedup of a new crawl against an
+    existing corpus.
+
+    Matching is by md5 content fingerprint (same convention as
+    ``dedup_exact``: 128 bits, collisions ignorable at any corpus
+    size), so the join shuffles 16-byte hashes, never document bodies.
+    The seen side reduces to ``distinct`` fingerprints before the
+    anti-join; when the reference corpus is small (or its fingerprint
+    set is, after AQE sees the distinct), the join broadcasts. At 100
+    TB-vs-100 TB both sides hash-partition on the fingerprint — the
+    minimal possible shuffle for exact cross-corpus membership.
+    """
+    fp = F.md5(F.col(text_col))
+    seen_fp = seen.select(F.md5(F.col(text_col)).alias("_da_fp")).distinct()
+    return df.join(seen_fp, fp == seen_fp["_da_fp"], "left_anti")
+
+
+def corpus_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Corpus-wide token vocabulary: the ``top_n`` tokens by term
+    frequency with term + document frequencies and a dense 1-based
+    rank (ties broken by token string — fully deterministic).
+
+    The raw material for tokenizer training, stopword mining, and
+    frequency-based filtering. Tokenization is the engine-wide
+    :func:`esdb_spark.functions.tokens` convention (lowercased
+    whitespace tokens).
+
+    Scale: one explode + one two-stage aggregate. ``countDistinct``
+    expands to a partial-then-final plan on (token, id) — the shuffle
+    carries tokens and ids, never text. The final top-N is a
+    TakeOrderedAndProject (per-partition heaps, no global sort) and the
+    rank window runs over ≤ ``top_n`` already-collected rows.
+    """
+    ex = df.select(
+        F.col(id_col).alias("_cv_id"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    counted = (
+        ex.groupBy("token")
+        .agg(
+            F.count("*").alias("term_freq"),
+            F.countDistinct("_cv_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), F.asc("token"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("term_freq"), F.asc("token"))
+    return counted.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )
+
+
+def char_bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean log-probability per character transition under a
+    character-bigram model trained on the corpus itself (add-one
+    smoothed) — a deterministic, dependency-free perplexity proxy in
+    the spirit of CCNet's KenLM filter. Natural-language text scores
+    near the corpus average; repetitive or out-of-distribution strings
+    score low.
+
+    Model: ``P(c2 | c1) = (count(c1c2) + 1) / (count(c1·) + V)`` over
+    the lowercased text, where ``V`` is the number of distinct
+    characters observed in second position corpus-wide. Score =
+    ``avg(ln P)`` over a document's bigrams, rounded to 6 decimals;
+    documents shorter than two characters score 0.
+
+    Scale: the model is an aggregate over exploded bigrams — the
+    shuffle carries 2-char strings — and is at most |charset|² rows
+    (a few KB), so the score pass joins it **broadcast**: scoring is a
+    scan + broadcast-hash-join + per-doc average, no repartition of
+    the corpus. Training on a hash-sample instead of the full corpus
+    is a one-line change (`hash_sample`) when even the bigram explode
+    is worth skipping at 100 TB.
+
+    Returns ``(id_col, lm_score)``.
+    """
+    lowered = F.lower(F.col(text_col))
+    bigrams = F.when(
+        F.length(lowered) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(lowered) - 1),
+            lambda i: F.substring(lowered, i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(
+        F.col(id_col).alias("_lm_id"), F.explode(bigrams).alias("bg")
+    )
+    bg_counts = ex.groupBy("bg").agg(F.count("*").alias("c"))
+    prefix_counts = bg_counts.groupBy(
+        F.substring("bg", 1, 1).alias("p")
+    ).agg(F.sum("c").alias("cp"))
+    vocab_n = bg_counts.select(
+        F.countDistinct(F.substring("bg", 2, 1)).alias("nv")
+    )
+    model = (
+        bg_counts.join(
+            F.broadcast(prefix_counts),
+            F.substring(bg_counts["bg"], 1, 1) == prefix_counts["p"],
+        )
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "bg",
+            F.log(
+                (F.col("c") + F.lit(1.0))
+                / (F.col("cp") + F.col("nv"))
+            ).alias("lp"),
+        )
+    )
+    scored = (
+        ex.join(F.broadcast(model), "bg")
+        .groupBy("_lm_id")
+        .agg(F.avg("lp").alias("_lm_avg"))
+    )
+    return df.select(F.col(id_col)).join(
+        scored, F.col(id_col) == scored["_lm_id"], "left"
+    ).select(
+        id_col,
+        F.round(F.coalesce(F.col("_lm_avg"), F.lit(0.0)), 6).alias(
+            "lm_score"
+        ),
+    )

@@ -1541,6 +1541,67 @@ def doc_fingerprint(spark, sf_dir):
     return with_fingerprint(docs, "text").select("doc_id", "fingerprint_md5")
 
 
+def doc_strip_boilerplate(spark, sf_dir):
+    """Line-level boilerplate removal (operators/corpus.strip_boilerplate)
+    demonstrated on a deterministically framed corpus: each document is
+    wrapped with a per-source navigation-header line and a corpus-wide
+    footer line — both recur across ≥5 docs, so both are stripped while
+    the document body (unique per doc) survives."""
+    from esdb_spark.operators.corpus import strip_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    framed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("navigation header for "),
+            F.col("source"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\ncopyright footer shared across the corpus"),
+        ).alias("mtext"),
+    )
+    return strip_boilerplate(framed, "mtext", "doc_id", min_docs=5)
+
+
+def dedup_incremental_docs(spark, sf_dir):
+    """Cross-corpus incremental dedup (operators/corpus.dedup_against):
+    every 7th document plays the already-ingested corpus; the anti-join
+    on content fingerprints drops exactly those from the new batch."""
+    from esdb_spark.operators.corpus import dedup_against
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 7 == 0)
+    return dedup_against(docs, seen, "text", "doc_id").select(
+        "doc_id", "source"
+    )
+
+
+def corpus_vocab_top(spark, sf_dir):
+    """Corpus vocabulary (operators/corpus.corpus_vocab): top-100
+    tokens by term frequency with doc frequency and deterministic
+    rank — the tokenizer-training / stopword-mining input."""
+    from esdb_spark.operators.corpus import corpus_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_vocab(docs, "text", "doc_id", top_n=100).select(
+        "token",
+        F.col("term_freq").cast("bigint").alias("term_freq"),
+        F.col("doc_freq").cast("bigint").alias("doc_freq"),
+        "rank",
+    )
+
+
+def doc_lm_score(spark, sf_dir):
+    """Character-bigram LM quality score (operators/corpus
+    .char_bigram_lm_score): the dependency-free perplexity-filter
+    stand-in — self-trained add-one-smoothed bigram model, mean log
+    prob per doc."""
+    from esdb_spark.operators.corpus import char_bigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_bigram_lm_score(docs, "text", "doc_id")
+
+
 def event_gap_histogram(spark, sf_dir):
     """Distribution of per-user inter-event gaps, log10-bucketed per
     event type — the latency-histogram shape (one lag window over one
@@ -2179,6 +2240,89 @@ _PIPELINE_ORACLES = {
     "documents_shuffle_order": _SHUFFLE_ORDER_ORACLE,
     "hard_negatives_topk": _HARD_NEGATIVES_ORACLE,
     "upsample_docs": _UPSAMPLE_ORACLE,
+    "doc_strip_boilerplate": """
+        WITH framed AS (
+          SELECT doc_id,
+                 'navigation header for ' || source || chr(10) || text ||
+                 chr(10) || 'copyright footer shared across the corpus'
+                   AS mtext
+          FROM documents
+        ),
+        lines AS (
+          SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                 unnest(ls) AS line
+          FROM (SELECT doc_id, string_split(mtext, chr(10)) AS ls
+                FROM framed)
+        ),
+        boiler AS (
+          SELECT md5(trim(line)) AS h
+          FROM lines
+          WHERE length(trim(line)) >= 8
+          GROUP BY 1
+          HAVING count(DISTINCT doc_id) >= 5
+        ),
+        kept AS (
+          SELECT * FROM lines
+          WHERE md5(trim(line)) NOT IN (SELECT h FROM boiler)
+        ),
+        agg AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT f.doc_id,
+               coalesce(a.clean_text, '') AS clean_text,
+               CAST(len(string_split(f.mtext, chr(10)))
+                    - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        FROM framed f LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id
+    """,
+    "dedup_incremental_docs": """
+        SELECT doc_id, source FROM documents
+        WHERE md5(text) NOT IN
+              (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
+        ORDER BY doc_id
+    """,
+    "corpus_vocab_top": f"""
+        WITH ex AS (
+          SELECT doc_id, unnest({_TOK}) AS token FROM documents
+        ),
+        cnt AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS term_freq,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+          FROM ex GROUP BY token
+          ORDER BY term_freq DESC, token LIMIT 100
+        )
+        SELECT token, term_freq, doc_freq,
+               CAST(row_number() OVER (ORDER BY term_freq DESC, token)
+                    AS BIGINT) AS rank
+        FROM cnt ORDER BY rank
+    """,
+    "doc_lm_score": """
+        WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+        ex AS (
+          SELECT doc_id, substr(t, CAST(i AS INTEGER), 2) AS bg
+          FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, length(t) - 1)) AS i
+                FROM lt)
+        ),
+        bgc AS (SELECT bg, count(*) AS c FROM ex GROUP BY bg),
+        pfx AS (SELECT substr(bg, 1, 1) AS p, sum(c) AS cp
+                FROM bgc GROUP BY 1),
+        v AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS nv FROM bgc),
+        model AS (
+          SELECT bg, ln((c + 1.0) / (cp + nv)) AS lp
+          FROM bgc JOIN pfx ON substr(bgc.bg, 1, 1) = pfx.p CROSS JOIN v
+        ),
+        scored AS (
+          SELECT doc_id, avg(lp) AS s
+          FROM ex JOIN model USING (bg) GROUP BY doc_id
+        )
+        SELECT d.doc_id, round(coalesce(s.s, 0.0), 6) AS lm_score
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+        ORDER BY d.doc_id
+    """,
     "doc_token_stats": f"""
         SELECT doc_id,
                length(text) AS n_chars_calc,
@@ -2359,7 +2503,7 @@ _PIPELINE_ORACLES = {
         FROM t LEFT JOIN m ON t.doc_id = m.doc_id
         ORDER BY t.doc_id
     """,
-    "doc_domain_counts": """
+    "doc_domain_counts": r"""
         WITH seeded AS (
             SELECT doc_id,
                    text || ' see https://cdn' || (doc_id % 7)
@@ -2783,19 +2927,24 @@ _GATE_WINDOW = [
     "q9_product_revenue",
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
-    # analytic operators
+    # corpus-cleaning family (round 3): boilerplate strip, incremental
+    # dedup, vocabulary, LM-quality score
+    "doc_strip_boilerplate",
+    "dedup_incremental_docs",
+    "corpus_vocab_top",
+    "doc_lm_score",
+    # analytic operators (funnel/cohort/forward-fill/salted-count are
+    # demoted past the window — their operator families stay
+    # represented by sessionize_users / events_customer_salted_join —
+    # and remain locally oracle-verified in test_oracle_parity)
     "sessionize_users",
     "asof_enrich",
     "click_purchase_window",
     "events_customer_salted_join",
-    "event_counts_salted",
     "orders_hash_sample",
     "events_stratified_sample",
     "order_price_quartiles_scalable",
     "similar_part_names",
-    "funnel_view_click_purchase",
-    "weekly_cohort_retention",
-    "user_value_forward_fill",
     "heavy_hitter_users",
 ]
 assert len(_GATE_WINDOW) == 50
@@ -2864,6 +3013,10 @@ def catalog() -> dict[str, Q]:
         qs[name] = Q(fn, TPCH_ORACLES[name])
     for name, fn in [
         ("doc_token_stats", doc_token_stats),
+        ("doc_strip_boilerplate", doc_strip_boilerplate),
+        ("dedup_incremental_docs", dedup_incremental_docs),
+        ("corpus_vocab_top", corpus_vocab_top),
+        ("doc_lm_score", doc_lm_score),
         ("doc_quality", doc_quality),
         ("doc_language_guess", doc_language_guess),
         ("doc_fingerprint", doc_fingerprint),

@@ -1,0 +1,139 @@
+"""Unit semantics for operators/corpus.py (boilerplate strip,
+incremental dedup, vocabulary, char-bigram LM score). Catalog-level
+oracle parity is covered by test_oracle_parity."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from esdb_spark.operators.corpus import (
+    char_bigram_lm_score,
+    corpus_vocab,
+    dedup_against,
+    strip_boilerplate,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    header = "shared navigation header"
+    footer = "copyright footer line"
+    rows = [
+        Row(doc_id=1, text=f"{header}\nunique first body\n{footer}"),
+        Row(doc_id=2, text=f"{header}\nsecond body is different\n{footer}"),
+        Row(doc_id=3, text=f"{header}\n\nshort\n{footer}"),
+        Row(doc_id=4, text="no chrome at all in this one"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_strip_boilerplate_removes_recurring_lines(docs):
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate(
+            docs, "text", "doc_id", min_docs=3, min_line_chars=8
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "unique first body"
+    assert out[1]["n_removed"] == 2
+    # blank and sub-8-char lines survive even between stripped chrome
+    assert out[3]["clean_text"] == "\nshort"
+    assert out[3]["n_removed"] == 2
+    # untouched document passes through byte-identical
+    assert out[4]["clean_text"] == "no chrome at all in this one"
+    assert out[4]["n_removed"] == 0
+
+
+def test_strip_boilerplate_all_lines_removed_keeps_doc(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="the only repeated line") for i in range(3)]
+    )
+    out = strip_boilerplate(df, "text", "doc_id", min_docs=2).collect()
+    assert len(out) == 3
+    assert all(r["clean_text"] == "" and r["n_removed"] == 1 for r in out)
+
+
+def test_dedup_against_drops_only_seen_content(spark):
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="already crawled"),
+            Row(doc_id=2, text="fresh content"),
+            Row(doc_id=3, text="also fresh"),
+        ]
+    )
+    seen = spark.createDataFrame(
+        [Row(doc_id=100, text="already crawled"), Row(doc_id=101, text="x")]
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_against(new, seen, "text", "doc_id").collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_dedup_against_empty_seen_keeps_everything(spark):
+    new = spark.createDataFrame([Row(doc_id=1, text="a")])
+    seen = new.filter(F.lit(False))
+    assert dedup_against(new, seen, "text", "doc_id").count() == 1
+
+
+def test_corpus_vocab_counts_and_rank(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple banana apple"),
+            Row(doc_id=2, text="banana cherry"),
+        ]
+    )
+    rows = {
+        r["token"]: r for r in corpus_vocab(df, "text", "doc_id", 10).collect()
+    }
+    assert rows["apple"]["term_freq"] == 2
+    assert rows["apple"]["doc_freq"] == 1
+    assert rows["banana"]["term_freq"] == 2
+    assert rows["banana"]["doc_freq"] == 2
+    assert rows["cherry"]["term_freq"] == 1
+    # rank: term_freq desc, token asc → apple(1), banana(2), cherry(3)
+    assert [rows[t]["rank"] for t in ("apple", "banana", "cherry")] == [1, 2, 3]
+
+
+def test_corpus_vocab_top_n_cutoff_deterministic(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="b a d c")])
+    got = [r["token"] for r in corpus_vocab(df, "text", "doc_id", 2).collect()]
+    # all tie at term_freq=1 → token-ascending tie-break decides the cut
+    assert got == ["a", "b"]
+
+
+def test_char_bigram_lm_score_prefers_in_distribution_text(spark):
+    corpus = [Row(doc_id=i, text="the cat sat on the mat") for i in range(9)]
+    corpus.append(Row(doc_id=99, text="zq zq zq zq zq"))
+    df = spark.createDataFrame(corpus)
+    scores = {
+        r["doc_id"]: r["lm_score"]
+        for r in char_bigram_lm_score(df, "text", "doc_id").collect()
+    }
+    # the out-of-distribution doc scores strictly lower than the others
+    assert scores[99] < scores[0]
+    assert all(s < 0 for s in scores.values())  # log-probs
+
+
+def test_char_bigram_lm_score_short_docs_are_zero(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="x"), Row(doc_id=2, text=""), Row(doc_id=3, text="ab")]
+    )
+    scores = {
+        r["doc_id"]: r["lm_score"]
+        for r in char_bigram_lm_score(df, "text", "doc_id").collect()
+    }
+    assert scores[1] == 0.0 and scores[2] == 0.0
+    # "ab" is the only bigram: P = (1+1)/(1+1) = 1 → ln 1 = 0? No:
+    # V counts distinct second chars (just "b") → (1+1)/(1+1)=1, ln=0.0
+    assert math.isclose(scores[3], 0.0, abs_tol=1e-9)
+
+
+def test_lm_model_join_is_broadcast(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="some ordinary text here") for i in range(4)]
+    )
+    plan = char_bigram_lm_score(df, "text", "doc_id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
