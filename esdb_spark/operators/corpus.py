@@ -16,6 +16,9 @@ itself is the output.
   cross-corpus face of :func:`esdb_spark.operators.dedup.dedup_exact`.
 - :func:`corpus_vocab` — corpus-wide token vocabulary with term and
   document frequencies (tokenizer-training / stopword-mining input).
+- :func:`duplicate_ngram_spans` — exact duplicated-substring spans
+  (token-level, merged islands): the worklist for substring-level
+  dedup à la Lee et al. 2021.
 - :func:`char_bigram_lm_score` — self-trained character-bigram
   language-model log-probability per document, the dependency-free
   stand-in for the KenLM perplexity filter used by CCNet-style
@@ -165,6 +168,96 @@ def corpus_vocab(
     w = Window.orderBy(F.desc("term_freq"), F.asc("token"))
     return counted.withColumn(
         "rank", F.row_number().over(w).cast("long")
+    )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring detection (the token-level face of
+    Lee et al. 2021's "Deduplicating Training Data Makes Language
+    Models Better"): find, per document, the maximal token spans
+    covered by an ``n``-token sequence that occurs at least
+    ``min_count`` times corpus-wide (cross- or within-document).
+
+    Returns ``(id_col, span_start, span_end, n_grams)`` with 0-based
+    inclusive token indices — the "cut these spans" worklist a
+    downstream rewriter consumes. Overlapping and adjacent duplicated
+    n-grams merge into one span (gaps-and-islands over start
+    positions: a break happens when the next start exceeds the
+    previous start + n, i.e. coverage is no longer contiguous).
+
+    Scale: per-position n-gram hashes are md5 over the token slice —
+    engine-independent (oracle-checkable) but O(n) work per position;
+    at 100 TB swap the hash expression for a polynomial rolling hash
+    in a ``mapInPandas`` pass (O(1) per position) — the surrounding
+    plan (count → filter → join → island merge) is unchanged. The
+    frequency pass groups by the 128-bit hash (shuffles hashes, not
+    text); duplicated hashes are a small fraction by construction, so
+    the membership join is broadcast-able and AQE picks that at
+    runtime. The island merge is one window per document — partitioned
+    by doc, never global.
+    """
+    toks = tokens(text_col)
+    grams = (
+        df.select(
+            F.col(id_col).alias("_dg_id"), toks.alias("_dg_toks")
+        )
+        .filter(F.size("_dg_toks") >= n)
+        .select(
+            "_dg_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.size("_dg_toks") - n
+                    ),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", F.slice("_dg_toks", i + 1, n)
+                        )
+                    ),
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+    dup_hashes = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("_dg_c"))
+        .filter(F.col("_dg_c") >= min_count)
+        .select("gh")
+    )
+    dup_pos = grams.join(dup_hashes, "gh").select("_dg_id", "pos")
+    w = Window.partitionBy("_dg_id").orderBy("pos")
+    marked = dup_pos.withColumn(
+        "_dg_brk",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + n),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_dg_island",
+        F.sum("_dg_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        marked.groupBy("_dg_id", "_dg_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n - 1).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .select(
+            F.col("_dg_id").alias(id_col),
+            "span_start",
+            "span_end",
+            "n_grams",
+        )
     )
 
 

@@ -1591,6 +1591,16 @@ def corpus_vocab_top(spark, sf_dir):
     )
 
 
+def doc_duplicate_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (operators/corpus
+    .duplicate_ngram_spans): maximal token spans covered by a 4-gram
+    occurring ≥2 times corpus-wide — the substring-dedup worklist."""
+    from esdb_spark.operators.corpus import duplicate_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_ngram_spans(docs, "text", "doc_id", n=4, min_count=2)
+
+
 def doc_lm_score(spark, sf_dir):
     """Character-bigram LM quality score (operators/corpus
     .char_bigram_lm_score): the dependency-free perplexity-filter
@@ -2298,6 +2308,39 @@ _PIPELINE_ORACLES = {
                CAST(row_number() OVER (ORDER BY term_freq DESC, token)
                     AS BIGINT) AS rank
         FROM cnt ORDER BY rank
+    """,
+    "doc_duplicate_spans": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, len(toks) - 4)) AS pos, toks
+          FROM t WHERE len(toks) >= 4
+        ),
+        g2 AS (
+          SELECT doc_id, pos,
+                 md5(array_to_string(list_slice(toks, pos + 1, pos + 4),
+                                     ' ')) AS gh
+          FROM grams
+        ),
+        d AS (SELECT gh FROM g2 GROUP BY gh HAVING count(*) >= 2),
+        dp AS (SELECT doc_id, pos FROM g2 JOIN d USING (gh)),
+        marked AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL
+                        OR pos > lag(pos) OVER w + 4
+                      THEN 1 ELSE 0 END AS brk
+          FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM marked
+        )
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 3 AS BIGINT) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_grams
+        FROM isl GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
     """,
     "doc_lm_score": """
         WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
@@ -3016,6 +3059,7 @@ def catalog() -> dict[str, Q]:
         ("doc_strip_boilerplate", doc_strip_boilerplate),
         ("dedup_incremental_docs", dedup_incremental_docs),
         ("corpus_vocab_top", corpus_vocab_top),
+        ("doc_duplicate_spans", doc_duplicate_spans),
         ("doc_lm_score", doc_lm_score),
         ("doc_quality", doc_quality),
         ("doc_language_guess", doc_language_guess),

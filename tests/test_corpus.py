@@ -11,6 +11,7 @@ from esdb_spark.operators.corpus import (
     char_bigram_lm_score,
     corpus_vocab,
     dedup_against,
+    duplicate_ngram_spans,
     strip_boilerplate,
 )
 
@@ -101,6 +102,63 @@ def test_corpus_vocab_top_n_cutoff_deterministic(spark):
     got = [r["token"] for r in corpus_vocab(df, "text", "doc_id", 2).collect()]
     # all tie at term_freq=1 → token-ascending tie-break decides the cut
     assert got == ["a", "b"]
+
+
+def test_duplicate_ngram_spans_cross_doc(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta unique1 tail1"),
+            Row(doc_id=2, text="head2 alpha beta gamma delta unique2"),
+            Row(doc_id=3, text="nothing shared here at all friend"),
+        ]
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_grams"]
+        for r in duplicate_ngram_spans(df, "text", "doc_id", n=4).collect()
+    }
+    # "alpha beta gamma delta" occurs in docs 1 (pos 0) and 2 (pos 1)
+    assert spans == {(1, 0, 3): 1, (2, 1, 4): 1}
+
+
+def test_duplicate_ngram_spans_merge_overlapping(spark):
+    # the 5-token repeat yields two overlapping 4-gram hits per doc,
+    # which must merge into ONE span covering tokens 0..4 / 1..5
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e x1 y1 z1"),
+            Row(doc_id=2, text="q a b c d e x2 y2"),
+        ]
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in duplicate_ngram_spans(df, "text", "doc_id", n=4).collect()
+    )
+    assert got == [(1, 0, 4, 2), (2, 1, 5, 2)]
+
+
+def test_duplicate_ngram_spans_within_doc_repeat(spark):
+    # within-document repetition counts toward min_count as well
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="p q r s filler1 filler2 p q r s")]
+    )
+    got = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicate_ngram_spans(df, "text", "doc_id", n=4).collect()
+    )
+    assert got == [(0, 3), (6, 9)]
+
+
+def test_duplicate_ngram_spans_min_count_threshold(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="m n o p tail"),
+            Row(doc_id=2, text="m n o p other"),
+        ]
+    )
+    assert (
+        duplicate_ngram_spans(df, "text", "doc_id", n=4, min_count=3).count()
+        == 0
+    )
 
 
 def test_char_bigram_lm_score_prefers_in_distribution_text(spark):
