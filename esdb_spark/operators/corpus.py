@@ -19,6 +19,8 @@ itself is the output.
 - :func:`duplicate_ngram_spans` — exact duplicated-substring spans
   (token-level, merged islands): the worklist for substring-level
   dedup à la Lee et al. 2021.
+- :func:`remove_spans` — cut those spans back out of the text (the
+  rewriter half of substring-level dedup).
 - :func:`char_bigram_lm_score` — self-trained character-bigram
   language-model log-probability per document, the dependency-free
   stand-in for the KenLM perplexity filter used by CCNet-style
@@ -258,6 +260,77 @@ def duplicate_ngram_spans(
             "span_end",
             "n_grams",
         )
+    )
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite each document with the given token spans cut out — the
+    second half of substring-level dedup (:func:`duplicate_ngram_spans`
+    produces the spans; this consumes them).
+
+    ``spans`` carries ``(id_col, span_start, span_end)`` with 0-based
+    inclusive token indices over the engine-wide tokenization
+    (:func:`esdb_spark.functions.tokens`). Output is
+    ``(id_col, clean_text, n_tokens_removed)`` where ``clean_text`` is
+    the surviving tokens joined by single spaces (whitespace is
+    normalized by construction — tokenization already collapsed it).
+    Documents with no spans pass through with their normalized text.
+
+    Scale: tokens explode to (id, pos, token) and the spans attach via
+    a **left-anti join keyed on the document id** with the range
+    predicate as a secondary condition — an equi-join plan (SMJ /
+    broadcast under AQE), never a broadcast-nested-loop. Reassembly is
+    one per-document groupBy, the same linear text shuffle as
+    :func:`strip_boilerplate` — unavoidable: the rewritten corpus is
+    the output.
+    """
+    toked = df.select(
+        F.col(id_col).alias("_rs_id"), tokens(text_col).alias("_rs_toks")
+    )
+    ex = toked.select(
+        "_rs_id",
+        F.posexplode_outer("_rs_toks").alias("_rs_pos", "_rs_tok"),
+    )
+    sp = spans.select(
+        F.col(id_col).alias("_rs_sid"),
+        F.col("span_start").alias("_rs_a"),
+        F.col("span_end").alias("_rs_b"),
+    )
+    kept = ex.join(
+        sp,
+        (ex["_rs_id"] == sp["_rs_sid"])
+        & (ex["_rs_pos"] >= sp["_rs_a"])
+        & (ex["_rs_pos"] <= sp["_rs_b"]),
+        "left_anti",
+    )
+    reassembled = kept.groupBy("_rs_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_rs_pos", "_rs_tok"))
+                ),
+                lambda s: s["_rs_tok"],
+            ),
+        ).alias("clean_text"),
+        F.count("_rs_tok").alias("_rs_kept"),
+    )
+    totals = toked.select(
+        F.col("_rs_id").alias(id_col), F.size("_rs_toks").alias("_rs_total")
+    )
+    return totals.join(
+        reassembled, totals[id_col] == reassembled["_rs_id"], "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        (
+            F.col("_rs_total") - F.coalesce(F.col("_rs_kept"), F.lit(0))
+        ).cast("long").alias("n_tokens_removed"),
     )
 
 

@@ -1601,6 +1601,20 @@ def doc_duplicate_spans(spark, sf_dir):
     return duplicate_ngram_spans(docs, "text", "doc_id", n=4, min_count=2)
 
 
+def doc_remove_dup_spans(spark, sf_dir):
+    """Substring-level dedup end-to-end (operators/corpus
+    .duplicate_ngram_spans → .remove_spans): detect duplicated 4-gram
+    spans, then rewrite every document with those spans cut out."""
+    from esdb_spark.operators.corpus import (
+        duplicate_ngram_spans,
+        remove_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_ngram_spans(docs, "text", "doc_id", n=4, min_count=2)
+    return remove_spans(docs, spans, "text", "doc_id")
+
+
 def doc_lm_score(spark, sf_dir):
     """Character-bigram LM quality score (operators/corpus
     .char_bigram_lm_score): the dependency-free perplexity-filter
@@ -2342,6 +2356,60 @@ _PIPELINE_ORACLES = {
         FROM isl GROUP BY doc_id, island
         ORDER BY doc_id, span_start
     """,
+    "doc_remove_dup_spans": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, len(toks) - 4)) AS pos, toks
+          FROM t WHERE len(toks) >= 4
+        ),
+        g2 AS (
+          SELECT doc_id, pos,
+                 md5(array_to_string(list_slice(toks, pos + 1, pos + 4),
+                                     ' ')) AS gh
+          FROM grams
+        ),
+        d AS (SELECT gh FROM g2 GROUP BY gh HAVING count(*) >= 2),
+        dp AS (SELECT doc_id, pos FROM g2 JOIN d USING (gh)),
+        marked AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL
+                        OR pos > lag(pos) OVER w + 4
+                      THEN 1 ELSE 0 END AS brk
+          FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM marked
+        ),
+        spans AS (
+          SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end
+          FROM isl GROUP BY doc_id, island
+        ),
+        ex AS (
+          SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+                 unnest(toks) AS tok
+          FROM t
+        ),
+        kept AS (
+          SELECT e.* FROM ex e
+          WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = e.doc_id
+              AND e.pos BETWEEN s.span_start AND s.span_end)
+        ),
+        agg AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+               CAST(len(t.toks) - coalesce(a.kept, 0) AS BIGINT)
+                 AS n_tokens_removed
+        FROM t LEFT JOIN agg a USING (doc_id)
+        ORDER BY t.doc_id
+    """,
     "doc_lm_score": """
         WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
         ex AS (
@@ -3060,6 +3128,7 @@ def catalog() -> dict[str, Q]:
         ("dedup_incremental_docs", dedup_incremental_docs),
         ("corpus_vocab_top", corpus_vocab_top),
         ("doc_duplicate_spans", doc_duplicate_spans),
+        ("doc_remove_dup_spans", doc_remove_dup_spans),
         ("doc_lm_score", doc_lm_score),
         ("doc_quality", doc_quality),
         ("doc_language_guess", doc_language_guess),

@@ -12,6 +12,7 @@ from esdb_spark.operators.corpus import (
     corpus_vocab,
     dedup_against,
     duplicate_ngram_spans,
+    remove_spans,
     strip_boilerplate,
 )
 
@@ -159,6 +160,65 @@ def test_duplicate_ngram_spans_min_count_threshold(spark):
         duplicate_ngram_spans(df, "text", "doc_id", n=4, min_count=3).count()
         == 0
     )
+
+
+def test_remove_spans_cuts_and_normalizes(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="keep0   CUT cut Cut keep1 keep2"),
+            Row(doc_id=2, text="all kept here"),
+        ]
+    )
+    spans = spark.createDataFrame(
+        [Row(doc_id=1, span_start=1, span_end=3)]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_spans(df, spans, "text", "doc_id").collect()
+    }
+    # tokens are the lowercased whitespace tokens; spans are inclusive
+    assert out[1]["clean_text"] == "keep0 keep1 keep2"
+    assert out[1]["n_tokens_removed"] == 3
+    assert out[2]["clean_text"] == "all kept here"
+    assert out[2]["n_tokens_removed"] == 0
+
+
+def test_remove_spans_whole_doc_and_empty_doc(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c"), Row(doc_id=2, text="   ")]
+    )
+    spans = spark.createDataFrame([Row(doc_id=1, span_start=0, span_end=2)])
+    out = {
+        r["doc_id"]: r
+        for r in remove_spans(df, spans, "text", "doc_id").collect()
+    }
+    assert out[1]["clean_text"] == "" and out[1]["n_tokens_removed"] == 3
+    assert out[2]["clean_text"] == "" and out[2]["n_tokens_removed"] == 0
+
+
+def test_remove_spans_detect_then_rewrite_roundtrip(spark):
+    # end-to-end: the duplicated run disappears from both docs
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="u1 d1 d2 d3 d4 tail1"),
+            Row(doc_id=2, text="head2 d1 d2 d3 d4 u2"),
+        ]
+    )
+    spans = duplicate_ngram_spans(df, "text", "doc_id", n=4)
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_spans(df, spans, "text", "doc_id").collect()
+    }
+    assert out[1] == "u1 tail1"
+    assert out[2] == "head2 u2"
+
+
+def test_remove_spans_anti_join_is_not_nested_loop(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c d e")])
+    spans = spark.createDataFrame([Row(doc_id=1, span_start=0, span_end=1)])
+    plan = remove_spans(df, spans)._jdf.queryExecution().executedPlan(
+    ).toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_char_bigram_lm_score_prefers_in_distribution_text(spark):
