@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "ann_topk_ivf_docs",
     "doc_quality",
     "doc_winnow_fingerprints",
+    "doc_duplicate_spans",
+    "doc_lm_score",
     # training-batch assembly + decontamination
     "decontaminate_docs",
     "pack_documents",

@@ -230,6 +230,47 @@ def doc_shapes(path, n):
                             {"train": 0.98, "val": 0.01, "test": 0.01})
     ).groupBy("split").count().collect())
 
+    from esdb_spark.operators.corpus import (
+        char_bigram_lm_score,
+        corpus_vocab,
+        dedup_against,
+        duplicate_ngram_spans,
+        remove_spans,
+        strip_boilerplate,
+    )
+
+    framed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("site header "),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\nshared copyright footer"),
+        ).alias("text"),
+    )
+    run("strip_boilerplate", lambda: strip_boilerplate(
+        framed, "text", "doc_id", min_docs=5
+    ).agg(F.sum("n_removed")).collect())
+    run("dup_spans_n8", lambda: duplicate_ngram_spans(
+        docs, "text", "doc_id", n=8
+    ).count())
+    run("remove_dup_spans", lambda: remove_spans(
+        docs, duplicate_ngram_spans(docs, "text", "doc_id", n=8),
+        "text", "doc_id",
+    ).agg(F.sum("n_tokens_removed")).collect())
+    run("lm_score", lambda: char_bigram_lm_score(
+        docs, "text", "doc_id"
+    ).agg(F.avg("lm_score")).collect())
+    run("vocab_top1000", lambda: corpus_vocab(
+        docs, "text", "doc_id", 1000
+    ).count())
+    run("dedup_against", lambda: dedup_against(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        "text", "doc_id",
+    ).count())
+
     from esdb_spark.operators.decontam import ngram_contamination
     from esdb_spark.operators.packing import interleave_sources, pack_greedy
 

@@ -3,9 +3,12 @@ way a training-data team would actually run them.
 
 ``build_pretraining_corpus`` is the canonical chain:
 
-    quality filter → exact dedup → near dedup (MinHash-LSH) →
-    benchmark decontamination → deterministic split → epoch shuffle →
-    sequence packing
+    [boilerplate strip] → quality filter → [LM-score filter] →
+    exact dedup → near dedup (MinHash-LSH) → [duplicated-span
+    removal] → benchmark decontamination → deterministic split →
+    epoch shuffle → sequence packing
+
+(bracketed stages are opt-in via their parameters)
 
 Every stage is one of the engine's tested operators; this module adds
 only the composition and a row-accounting audit (how many documents
@@ -39,6 +42,9 @@ def build_pretraining_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_quality: float = 0.5,
+    boilerplate_min_docs: int | None = None,
+    min_lm_score: float | None = None,
+    dup_span_n: int | None = None,
     near_dup_threshold: float = 0.8,
     contamination_n: int = 5,
     contamination_threshold: float = 0.1,
@@ -53,6 +59,15 @@ def build_pretraining_corpus(
     the stage when None). Returns the packed corpus and an audit dict;
     the audit runs one count per stage (actions, deliberately eager —
     this is a batch job whose report IS the product).
+
+    Opt-in cleaning stages (None = skipped): ``boilerplate_min_docs``
+    strips lines recurring in that many documents before anything else
+    (chrome would otherwise depress quality scores and inflate near-dup
+    estimates); ``min_lm_score`` drops documents under that char-bigram
+    LM log-probability (corpus-relative — calibrate on a sample);
+    ``dup_span_n`` removes exact duplicated token spans of that n-gram
+    order after document-level dedup (span removal changes text, so it
+    runs after content-hash stages, before decontamination).
     """
     from esdb_spark.functions import hash_split, shuffle_key
     from esdb_spark.operators.decontam import decontaminate
@@ -77,13 +92,41 @@ def build_pretraining_corpus(
         prev = df
         return df
 
-    scored = with_quality(docs, text_col)
+    current = docs
+    if boilerplate_min_docs is not None:
+        from esdb_spark.operators.corpus import strip_boilerplate
+
+        cleaned = strip_boilerplate(
+            current, text_col, id_col, min_docs=boilerplate_min_docs
+        )
+        others = [c for c in current.columns if c != text_col]
+        current = materialize(
+            current.select(*others)
+            .join(cleaned.select(id_col, "clean_text"), id_col)
+            .withColumnRenamed("clean_text", text_col)
+            .select(*current.columns)
+        )
+        audit["boilerplate_strip"] = current.count()
+
+    scored = with_quality(current, text_col)
     kept = materialize(
         scored.filter(F.col("quality_score") >= min_quality).select(
-            *docs.columns
+            *current.columns
         )
     )
     audit["quality_filter"] = kept.count()
+
+    if min_lm_score is not None:
+        from esdb_spark.operators.corpus import char_bigram_lm_score
+
+        lm = char_bigram_lm_score(kept, text_col, id_col)
+        kept = materialize(
+            kept.join(
+                lm.filter(F.col("lm_score") >= min_lm_score).select(id_col),
+                id_col,
+            ).select(*kept.columns)
+        )
+        audit["lm_filter"] = kept.count()
 
     kept = materialize(dedup_exact(kept, [text_col], order_col=id_col))
     audit["exact_dedup"] = kept.count()
@@ -92,6 +135,25 @@ def build_pretraining_corpus(
         dedup_minhash_lsh(kept, text_col, id_col, threshold=near_dup_threshold)
     )
     audit["near_dedup"] = kept.count()
+
+    if dup_span_n is not None:
+        from esdb_spark.operators.corpus import (
+            duplicate_ngram_spans,
+            remove_spans,
+        )
+
+        spans = duplicate_ngram_spans(kept, text_col, id_col, n=dup_span_n)
+        rewritten = remove_spans(kept, spans, text_col, id_col)
+        others = [c for c in kept.columns if c != text_col]
+        kept = materialize(
+            kept.select(*others)
+            .join(rewritten.select(id_col, "clean_text"), id_col)
+            .withColumnRenamed("clean_text", text_col)
+            .select(*kept.columns)
+        )
+        # row count is unchanged by span removal; report tokens cut so
+        # the audit still shows the stage did something
+        audit["span_removal_docs"] = kept.count()
 
     if eval_docs is not None:
         kept = materialize(

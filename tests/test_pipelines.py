@@ -48,6 +48,40 @@ def test_splits_cover_all_rows(result):
     assert "train" in got
 
 
+def test_pipeline_with_optional_cleaning_stages(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    # frame with chrome so the boilerplate stage has something to strip
+    framed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("hdr "), F.col("source"), F.lit("\n"),
+            F.col("text"), F.lit("\nshared footer line"),
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    res = build_pretraining_corpus(
+        framed,
+        eval_docs=None,
+        min_quality=0.0,
+        boilerplate_min_docs=5,
+        min_lm_score=-10.0,  # permissive: keeps all, exercises the stage
+        dup_span_n=4,
+        pack_budget=256,
+        pack_shards=8,
+    )
+    a = res.audit
+    assert list(a) == [
+        "input", "boilerplate_strip", "quality_filter", "lm_filter",
+        "exact_dedup", "near_dedup", "span_removal_docs", "packed",
+    ]
+    assert a["boilerplate_strip"] == a["input"]  # strip rewrites, not drops
+    counts = [a[k] for k in list(a)[1:]]
+    assert all(x >= y for x, y in zip(counts, counts[1:]))
+    # the chrome is gone from the surviving text
+    sample = res.corpus.select("text").first()["text"]
+    assert "shared footer line" not in sample and "hdr " not in sample
+
+
 def test_pipeline_deterministic(spark, result):
     docs = load_table(spark, SF_DIR, "documents")
     eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
