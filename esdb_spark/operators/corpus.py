@@ -16,6 +16,9 @@ itself is the output.
   cross-corpus face of :func:`esdb_spark.operators.dedup.dedup_exact`.
 - :func:`corpus_vocab` — corpus-wide token vocabulary with term and
   document frequencies (tokenizer-training / stopword-mining input).
+- :func:`corpus_token_divergence` — one-row corpus-vs-corpus
+  token-distribution report (vocab Jaccard, tf cosine) for mixture
+  planning and crawl validation.
 - :func:`duplicate_ngram_spans` — exact duplicated-substring spans
   (token-level, merged islands): the worklist for substring-level
   dedup à la Lee et al. 2021.
@@ -259,6 +262,57 @@ def duplicate_ngram_spans(
             "span_end",
             "n_grams",
         )
+    )
+
+
+def corpus_token_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row corpus-vs-corpus token-distribution report: vocabulary
+    sizes, shared-vocabulary Jaccard, and cosine similarity of the raw
+    term-frequency vectors — the quick "how different are these two
+    datasets" answer before mixing sources or validating a new crawl.
+
+    Scale: each side reduces to its (token, count) frequency table —
+    two-stage partial aggregates, shuffle = |vocabulary| rows of
+    (token, long) — and the full-outer join runs on those reduced
+    tables, never on documents. The final aggregate is a single row.
+    Cosine uses raw counts (not normalized tf) so the score is exact
+    integer arithmetic until the final division; rounded to 6 decimals
+    for cross-engine comparability.
+    """
+    def freqs(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(text_col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias(name))
+        )
+
+    joined = freqs(a, "ca").join(freqs(b, "cb"), "token", "full_outer")
+    ca = F.coalesce(F.col("ca"), F.lit(0))
+    cb = F.coalesce(F.col("cb"), F.lit(0))
+    return joined.agg(
+        F.sum((ca > 0).cast("long")).alias("vocab_a"),
+        F.sum((cb > 0).cast("long")).alias("vocab_b"),
+        F.sum(((ca > 0) & (cb > 0)).cast("long")).alias("vocab_common"),
+        F.count("*").alias("_union"),
+        F.sum(ca * cb).alias("_dot"),
+        F.sum(ca * ca).alias("_na"),
+        F.sum(cb * cb).alias("_nb"),
+    ).select(
+        "vocab_a",
+        "vocab_b",
+        "vocab_common",
+        F.round(F.col("vocab_common") / F.col("_union"), 6).alias(
+            "vocab_jaccard"
+        ),
+        F.round(
+            F.col("_dot")
+            / (F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb"))),
+            6,
+        ).alias("tf_cosine"),
     )
 
 

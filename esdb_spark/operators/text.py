@@ -435,6 +435,56 @@ def redact_pii(
     return df.withColumn(out_col, c)
 
 
+# HTML→text extraction steps, applied IN ORDER. Engine-portable like
+# PII_PATTERNS: no lookarounds, inline (?i)/(?s) flags and non-greedy
+# quantifiers only — the identical pattern strings run on Java regex
+# (Spark) and RE2 (DuckDB/Go). Entity decodes run after tag removal,
+# `&amp;` strictly LAST so "&amp;lt;" decodes to "&lt;", never "<"
+# (no double-decode). Replacement strings avoid Java's special `$`/`\`.
+HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<!--.*?-->", " "),  # comments (incl. commented-out markup)
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),  # code, not content
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    # block-level boundaries become newlines so downstream line-based
+    # operators (strip_boilerplate) see the document's visual structure
+    (r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol)[^>]*>", "\n"),
+    (r"(?s)<[^>]+>", " "),  # any remaining tag
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+    (r"[ \t]+", " "),  # collapse runs; newlines survive
+    (r" ?\n ?", "\n"),
+    (r"\n{3,}", "\n\n"),  # at most one blank line between blocks
+    (r"^[ \n]+", ""),
+    (r"[ \n]+$", ""),
+]
+
+
+def strip_html(
+    df: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """Extract readable text from an HTML column — the first stage of
+    any web-crawl pipeline. Drops comments/script/style wholesale,
+    turns block-element boundaries into newlines (so line-based
+    cleaners still see structure), strips remaining tags, decodes the
+    six common entities, and normalizes whitespace.
+
+    Pure chained ``regexp_replace`` over ``HTML_STRIP_STEPS`` (JVM,
+    codegen, same pass as the scan; no shuffle, no Python) — at 100 TB
+    this is strictly scan-bound, same posture as :func:`redact_pii`.
+    A real browser-grade extractor (readability scoring, table
+    layout) would run as a pandas-UDF stage; this is the deterministic
+    bulk pass that handles the overwhelming share of crawl HTML.
+    """
+    c = F.col(html_col)
+    for pat, repl in HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col, c)
+
+
 def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals: fraction of duplicate lines and
     duplicate word-tokens, plus the most-repeated token's share. High

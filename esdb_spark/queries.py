@@ -1615,6 +1615,67 @@ def doc_remove_dup_spans(spark, sf_dir):
     return remove_spans(docs, spans, "text", "doc_id")
 
 
+_HTML_PREFIX = (
+    '<html><head><style>body{color:red}</style>'
+    '<script type="text/javascript">if (1 &amp;&amp; 2) { x = 1; }</script>'
+    "</head><body><!-- header comment --><h1>Doc "
+)
+_HTML_SUFFIX = (
+    "</h1><p>"  # placeholder split: doc text goes between h1-id and here
+)
+_HTML_TAIL = (
+    "</p><ul><li>item one</li><li>item &amp; two</li></ul>"
+    "<div>footer &lt;tags&gt; &quot;quoted&quot; &#39;s</div></body></html>"
+)
+
+
+def doc_strip_html(spark, sf_dir):
+    """HTML→text extraction (operators/text.strip_html) on a
+    deterministically framed crawl page: style/script/comment chrome,
+    entity escapes, and block structure around each document's text."""
+    from esdb_spark.operators.text import strip_html
+
+    docs = load_table(spark, sf_dir, "documents")
+    framed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_PREFIX),
+            F.col("doc_id").cast("string"),
+            F.lit(_HTML_SUFFIX),
+            F.col("text"),
+            F.lit(_HTML_TAIL),
+        ).alias("html"),
+    )
+    return strip_html(framed, "html", "text").select("doc_id", "text")
+
+
+def _strip_html_oracle() -> str:
+    from esdb_spark.operators.text import HTML_STRIP_STEPS
+
+    expr = (
+        f"'{_HTML_PREFIX}' || CAST(doc_id AS VARCHAR) || "
+        f"'{_HTML_SUFFIX}' || text || '{_HTML_TAIL}'"
+    )
+    for pat, repl in HTML_STRIP_STEPS:
+        sql_repl = repl.replace("'", "''").replace("\n", "' || chr(10) || '")
+        expr = f"regexp_replace({expr}, '{pat}', '{sql_repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS text FROM documents ORDER BY doc_id"
+
+
+def corpus_divergence_halves(spark, sf_dir):
+    """Corpus-vs-corpus token report (operators/corpus
+    .corpus_token_divergence) between the even- and odd-id halves of
+    the documents table."""
+    from esdb_spark.operators.corpus import corpus_token_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_token_divergence(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "text",
+    )
+
+
 def doc_lm_score(spark, sf_dir):
     """Character-bigram LM quality score (operators/corpus
     .char_bigram_lm_score): the dependency-free perplexity-filter
@@ -2355,6 +2416,38 @@ _PIPELINE_ORACLES = {
                CAST(count(*) AS BIGINT) AS n_grams
         FROM isl GROUP BY doc_id, island
         ORDER BY doc_id, span_start
+    """,
+    "doc_strip_html": _strip_html_oracle(),
+    "corpus_divergence_halves": f"""
+        WITH ta AS (
+          SELECT token, count(*) AS ca
+          FROM (SELECT unnest({_TOK}) AS token FROM documents
+                WHERE doc_id % 2 = 0)
+          GROUP BY token
+        ),
+        tb AS (
+          SELECT token, count(*) AS cb
+          FROM (SELECT unnest({_TOK}) AS token FROM documents
+                WHERE doc_id % 2 = 1)
+          GROUP BY token
+        ),
+        j AS (
+          SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+          FROM ta FULL OUTER JOIN tb ON ta.token = tb.token
+        )
+        SELECT
+          CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS vocab_a,
+          CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS vocab_b,
+          CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS vocab_common,
+          round(CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+                     AS DOUBLE) / count(*), 6) AS vocab_jaccard,
+          round(CAST(sum(ca * cb) AS DOUBLE)
+                / (sqrt(CAST(sum(ca * ca) AS DOUBLE))
+                   * sqrt(CAST(sum(cb * cb) AS DOUBLE))), 6) AS tf_cosine
+        FROM j
     """,
     "doc_remove_dup_spans": f"""
         WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
@@ -3129,6 +3222,8 @@ def catalog() -> dict[str, Q]:
         ("corpus_vocab_top", corpus_vocab_top),
         ("doc_duplicate_spans", doc_duplicate_spans),
         ("doc_remove_dup_spans", doc_remove_dup_spans),
+        ("doc_strip_html", doc_strip_html),
+        ("corpus_divergence_halves", corpus_divergence_halves),
         ("doc_lm_score", doc_lm_score),
         ("doc_quality", doc_quality),
         ("doc_language_guess", doc_language_guess),

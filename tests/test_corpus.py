@@ -255,3 +255,31 @@ def test_lm_model_join_is_broadcast(spark):
     plan = char_bigram_lm_score(df, "text", "doc_id")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_corpus_token_divergence_identical_and_disjoint(spark):
+    from esdb_spark.operators.corpus import corpus_token_divergence
+
+    a = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma alpha")]
+    )
+    same = corpus_token_divergence(a, a).collect()[0]
+    assert same["vocab_a"] == same["vocab_b"] == same["vocab_common"] == 3
+    assert same["vocab_jaccard"] == 1.0 and same["tf_cosine"] == 1.0
+
+    b = spark.createDataFrame([Row(doc_id=2, text="delta epsilon")])
+    disj = corpus_token_divergence(a, b).collect()[0]
+    assert disj["vocab_common"] == 0
+    assert disj["vocab_jaccard"] == 0.0 and disj["tf_cosine"] == 0.0
+
+
+def test_corpus_token_divergence_partial_overlap(spark):
+    from esdb_spark.operators.corpus import corpus_token_divergence
+
+    a = spark.createDataFrame([Row(doc_id=1, text="x y")])
+    b = spark.createDataFrame([Row(doc_id=2, text="y z")])
+    r = corpus_token_divergence(a, b).collect()[0]
+    assert (r["vocab_a"], r["vocab_b"], r["vocab_common"]) == (2, 2, 1)
+    assert r["vocab_jaccard"] == round(1 / 3, 6)
+    # tf vectors (1,1,0)·(0,1,1) / (√2·√2) = 0.5
+    assert r["tf_cosine"] == 0.5

@@ -234,3 +234,32 @@ def test_extract_domains(spark):
     row = extract_domains(df).collect()[0]
     # ',' is outside the host class, so the trailing comma never leaks
     assert row.domains == ["a.example.com", "b.org"]
+
+
+def test_strip_html_removes_chrome_and_decodes_entities(spark):
+    from esdb_spark.operators.text import strip_html
+
+    html = (
+        '<html><head><style>p {x: 1}</style>'
+        "<script>if (a &amp;&amp; b) { go(); }</script></head>"
+        "<body><!-- hidden --><h1>Title</h1>"
+        "<p>Tom &amp; Jerry say &quot;hi&quot; &lt;now&gt;</p>"
+        "<ul><li>one</li><li>two</li></ul></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], ["id", "html"])
+    out = strip_html(df, "html", "text").collect()[0]["text"]
+    assert "script" not in out and "style" not in out and "hidden" not in out
+    assert "go();" not in out and "x: 1" not in out
+    assert 'Tom & Jerry say "hi" <now>' in out
+    # block boundaries became line structure
+    assert out.splitlines()[0] == "Title"
+    assert "one" in out.splitlines() and "two" in out.splitlines()
+
+
+def test_strip_html_no_double_entity_decode(spark):
+    from esdb_spark.operators.text import strip_html
+
+    # "&amp;lt;" must decode to the literal text "&lt;", NOT to "<"
+    df = spark.createDataFrame([(1, "<p>a &amp;lt; b</p>")], ["id", "html"])
+    out = strip_html(df, "html", "text").collect()[0]["text"]
+    assert out == "a &lt; b"
