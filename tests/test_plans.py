@@ -262,3 +262,70 @@ def test_decontaminate_broadcasts_eval_side(spark):
 
     plan = physical_plan(decontaminate_docs(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# corpus-cleaning operators (operators/corpus.py, round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_vocab_topn_is_top_k(spark):
+    from esdb_spark.operators.corpus import corpus_vocab
+    from esdb_spark.plans import has_top_k
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert has_top_k(corpus_vocab(docs, "text", "doc_id", 50))
+
+
+def test_duplicate_spans_windows_all_doc_partitioned(spark):
+    from esdb_spark.operators.corpus import duplicate_ngram_spans
+    from esdb_spark.plans import physical_plan
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = physical_plan(duplicate_ngram_spans(docs, "text", "doc_id", n=4))
+    # every window spec must carry the per-document partition key — an
+    # unpartitioned window would funnel the corpus through one task
+    for i in range(len(plan)):
+        if plan.startswith("windowspecdefinition(", i):
+            assert "_dg_id" in plan[i : i + 60], plan[i : i + 120]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_strip_boilerplate_and_dedup_against_no_nested_loop(spark):
+    from esdb_spark.operators.corpus import dedup_against, strip_boilerplate
+    from esdb_spark.plans import physical_plan
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for df in (
+        strip_boilerplate(docs, "text", "doc_id"),
+        dedup_against(docs, docs.limit(10), "text", "doc_id"),
+    ):
+        plan = physical_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_strip_html_is_pure_projection(spark):
+    from esdb_spark.operators.text import strip_html
+    from esdb_spark.plans import shuffle_count
+
+    docs = load_table(spark, SF_DIR, "documents").withColumnRenamed(
+        "text", "html"
+    )
+    assert shuffle_count(strip_html(docs, "html", "text")) == 0
+
+
+def test_lm_score_model_joins_broadcast_no_corpus_repartition(spark):
+    from esdb_spark.operators.corpus import char_bigram_lm_score
+    from esdb_spark.plans import physical_plan
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = physical_plan(char_bigram_lm_score(docs, "text", "doc_id"))
+    # the corpus-side scoring join is a broadcast hash join on bg
+    assert "BroadcastHashJoin" in plan
+    # the only nested loop allowed is the 1-row smoothing-constant
+    # attach (crossJoin of the single-row vocab aggregate — the
+    # standard scalar-subquery shape, cf. q11)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
