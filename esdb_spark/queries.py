@@ -86,26 +86,31 @@ _ORACLE_EVENTS = """
 # ---------------------------------------------------------------------------
 
 def scan_latest_1(spark, sf_dir):
+    """Point read: newest event of one (space, grouping) — reference Scan with limit 1 (space.go:62-77)."""
     db = _events_as_esdb(spark, sf_dir)
     return db.find("purchase").scan(grouping="12", limit=1).select(*_scan_cols())
 
 
 def scan_top500(spark, sf_dir):
+    """Top-500 grouping scan, ts-desc — the reference bench shape (esdb_test.go:176-256)."""
     db = _events_as_esdb(spark, sf_dir)
     return db.find("view").scan(grouping="3", limit=500).select(*_scan_cols())
 
 
 def index_scan_latest_1(spark, sf_dir):
+    """Newest event matching a secondary index value (space.go:79-108), limit 1."""
     db = _events_as_esdb(spark, sf_dir)
     return db.find("click").scan_index("k", "42", limit=1).select(*_scan_cols())
 
 
 def index_scan_top500(spark, sf_dir):
+    """Top-500 secondary-index scan within one space, ts-desc."""
     db = _events_as_esdb(spark, sf_dir)
     return db.find("view").scan_index("k", "7", limit=500).select(*_scan_cols())
 
 
 def rev_scan_top100(spark, sf_dir):
+    """Oldest-first (reverse) grouping scan, limit 100 — README.md:125 parity."""
     db = _events_as_esdb(spark, sf_dir)
     return db.find("error").rev_scan(grouping="0", limit=100).select(*_scan_cols())
 
@@ -120,11 +125,13 @@ def index_scan_all_top200(spark, sf_dir):
 
 
 def space_enum(spark, sf_dir):
+    """Sorted space enumeration (esdb.go:63-76 Iterate)."""
     db = _events_as_esdb(spark, sf_dir)
     return db.df.select("space").distinct().orderBy("space")
 
 
 def grouping_enum(spark, sf_dir):
+    """Sorted grouping enumeration within one space (space.go:45-60 Iterate)."""
     db = _events_as_esdb(spark, sf_dir)
     return (
         db.find("purchase")
@@ -325,6 +332,7 @@ def q5_nation_revenue(spark, sf_dir):
 
 
 def top_parts_per_brand(spark, sf_dir):
+    """Window rank: top parts per brand by size (rank() over partitioned ordering)."""
     p = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda col: F.col(col).cast("decimal(18,2)")
@@ -349,6 +357,7 @@ def top_parts_per_brand(spark, sf_dir):
 
 
 def customer_order_stats(spark, sf_dir):
+    """Per-customer order aggregates (count/sum/avg/min/max) joined to customer dims."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
@@ -368,6 +377,7 @@ def customer_order_stats(spark, sf_dir):
 
 
 def rollup_status_priority(spark, sf_dir):
+    """ROLLUP aggregation over (order status, priority) with grand totals."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
@@ -380,6 +390,7 @@ def rollup_status_priority(spark, sf_dir):
 
 
 def cube_status_priority(spark, sf_dir):
+    """CUBE aggregation over (order status, priority) — all grouping combinations."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
@@ -392,6 +403,7 @@ def cube_status_priority(spark, sf_dir):
 
 
 def customers_without_orders(spark, sf_dir):
+    """Anti-join: customers with no orders."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
@@ -403,6 +415,7 @@ def customers_without_orders(spark, sf_dir):
 
 
 def nations_customers_and_suppliers(spark, sf_dir):
+    """INTERSECT: nations having both customers and suppliers."""
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
     has_cust = c.select(F.col("c_nationkey").alias("nationkey")).distinct()
@@ -1501,6 +1514,7 @@ _STOPS = "['the','and','of','to','in','is','that','for','a','with','as','on','it
 
 
 def doc_token_stats(spark, sf_dir):
+    """Per-doc token/char counts, mean token length, BPE-ish token estimate (text.with_token_stats)."""
     from esdb_spark.operators.text import with_token_stats
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1514,6 +1528,7 @@ def doc_token_stats(spark, sf_dir):
 
 
 def doc_quality(spark, sf_dir):
+    """Per-doc quality signals + composite score (text.with_quality): punctuation/alpha/stopword ratios."""
     from esdb_spark.operators.text import with_quality
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1523,6 +1538,7 @@ def doc_quality(spark, sf_dir):
 
 
 def doc_language_guess(spark, sf_dir):
+    """Marker-stopword language ID (text.with_language_guess), aggregated to per-language doc counts."""
     from esdb_spark.operators.text import with_language_guess
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1535,6 +1551,7 @@ def doc_language_guess(spark, sf_dir):
 
 
 def doc_fingerprint(spark, sf_dir):
+    """md5 content fingerprint per document (text.with_fingerprint)."""
     from esdb_spark.operators.text import with_fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2948,6 +2965,7 @@ _PIPELINE_ORACLES = {
 # ---------------------------------------------------------------------------
 
 def dedup_minhash_docs(spark, sf_dir):
+    """MinHash + banded-LSH near-dedup of documents (dedup.dedup_minhash_lsh); rows-only — engine-specific xxhash64 signatures, cross-validated vs exact Jaccard."""
     from esdb_spark.operators.dedup import dedup_minhash_lsh
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2979,6 +2997,7 @@ def dedup_embedding_docs(spark, sf_dir):
 
 
 def dedup_simhash_docs(spark, sf_dir):
+    """SimHash hamming-distance near-dedup (dedup.dedup_simhash); rows-only, cross-validated vs exact Jaccard."""
     from esdb_spark.operators.dedup import dedup_simhash
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3056,6 +3075,7 @@ def event_type_freq_cms(spark, sf_dir):
 
 
 def ann_topk_docs(spark, sf_dir):
+    """Approximate top-k neighbors via deterministic sign-LSH buckets (similarity.ann_topk_lsh); rows-only, recall-checked vs exact cosine."""
     from esdb_spark.operators.similarity import ann_topk_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
