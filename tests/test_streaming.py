@@ -339,3 +339,53 @@ def test_session_stats_streaming_append(spark, tmp_path):
         assert all(r.n_events > 0 and r.session_end > r.session_start for r in rows)
     finally:
         q.stop()
+
+
+def test_text_operators_compose_with_streaming(spark, tmp_path):
+    """The corpus-cleaning projections (strip_html, with_quality,
+    redact_pii) are pure column expressions, so the same code path must
+    run unchanged inside a streaming query — the micro-batch ingest
+    shape of a crawl pipeline."""
+    import json
+
+    from esdb_spark.operators.text import redact_pii, strip_html, with_quality
+
+    src_dir = tmp_path / "crawl_in"
+    src_dir.mkdir()
+    rows = [
+        {"doc_id": 1,
+         "html": "<html><script>x()</script><p>Hello world, a fine page "
+                 "with plenty of the usual words in it</p></html>"},
+        {"doc_id": 2,
+         "html": "<p>mail me at someone@example.com for the details</p>"},
+    ]
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["html"]) for r in rows], ["doc_id", "html"]
+    )
+    batch.write.mode("overwrite").parquet(str(src_dir))
+
+    stream = spark.readStream.schema("doc_id long, html string").parquet(
+        str(src_dir)
+    )
+    cleaned = redact_pii(
+        with_quality(strip_html(stream, "html", "text"), "text"),
+        "text",
+    ).select("doc_id", "text", "quality_score")
+    q = (
+        cleaned.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("crawl_clean")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = {
+            r["doc_id"]: r
+            for r in spark.sql("SELECT * FROM crawl_clean").collect()
+        }
+    finally:
+        q.stop()
+    assert len(out) == 2
+    assert "x()" not in out[1]["text"] and "Hello world" in out[1]["text"]
+    assert "[REDACTED]" in out[2]["text"]  # email scrubbed
+    assert 0.0 <= out[1]["quality_score"] <= 1.0
