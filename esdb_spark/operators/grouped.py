@@ -69,6 +69,99 @@ def linear_fit_per_group(
     return prepared.groupBy("_k").applyInPandas(fit, out_schema)
 
 
+def trimmed_mean_per_group(
+    df: DataFrame, key_col: str, value_col: str, trim: float = 0.1
+) -> DataFrame:
+    """Per-group trimmed mean via a true pandas **UDAF**
+    (``pandas_udf`` GROUPED_AGG) — the aggregate face of the UDF
+    family, complementing the grouped-map fit above: drop the lowest
+    and highest ``floor(n*trim)`` values, average the rest.
+
+    Robust-statistics shape that built-in aggregates can't express
+    directly (percentile_approx trims by value, not by count).
+    Trimming is by sorted-value rank, so ties at the cut are
+    value-identical and the result is deterministic.
+
+    Scale: a GROUPED_AGG pandas UDF has **no partial aggregation** —
+    every group's values ship through the shuffle to one task as an
+    Arrow batch (unlike built-in aggregates' map-side combine). Fine
+    for bounded groups (per-type, per-day); for data-sized groups
+    pre-aggregate or use an approximate quantile trim instead.
+
+    Returns (key_col, trimmed_mean, n).
+    """
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def tmean(v: pd.Series) -> float:
+        a = np.sort(v.to_numpy(dtype="float64"))
+        k = int(len(a) * trim)
+        kept = a[k : len(a) - k] if len(a) > 2 * k else a
+        return float(kept.mean()) if len(kept) else 0.0
+
+    # Spark refuses to mix a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the row
+    # count is a second tiny pandas aggregate rather than F.count.
+    @F.pandas_udf("long")
+    def pcount(v: pd.Series) -> int:
+        return len(v)
+
+    return df.groupBy(F.col(key_col)).agg(
+        F.round(tmean(F.col(value_col)), 6).alias("trimmed_mean"),
+        pcount(F.col(value_col)).alias("n"),
+    )
+
+
+def sentences_udtf_class():
+    """The engine's Python **UDTF** example (Spark 4 table function):
+    split a text into (sentence_idx, sentence) rows on ./!/? followed
+    by whitespace.
+
+    Exists to exercise the UDTF surface (§2.6 UDF/UDAF/UDTF) — a
+    row-at-a-time Python path, so like all interpreted escapes it is
+    the SLOW lane: the identical split is expressible with
+    ``posexplode(split(...))`` in codegen (the oracle does exactly
+    that), and real pipelines should prefer it. Returned as a class
+    factory so importing this module never requires the UDTF runtime.
+    """
+    class SplitSentences:
+        def eval(self, text: str):
+            import re
+
+            if text is None:
+                return
+            parts = [
+                p.strip()
+                for p in re.split(r"(?<=[.!?])\s+", text.strip())
+                if p.strip()
+            ]
+            for i, p in enumerate(parts):
+                yield (i, p)
+
+    return SplitSentences
+
+
+def split_sentences(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Apply the sentence-split UDTF per document via lateral join:
+    (id_col, sentence_idx, sentence)."""
+    from pyspark.sql.functions import udtf
+
+    fn = udtf(
+        sentences_udtf_class(),
+        returnType="sentence_idx int, sentence string",
+    )
+    spark = df.sparkSession
+    spark.udtf.register("esdb_split_sentences", fn)
+    df.select(
+        F.col(id_col).alias("_s_id"), F.col(text_col).alias("_s_text")
+    ).createOrReplaceTempView("_esdb_udtf_in")
+    return spark.sql(
+        "SELECT _s_id AS id, s.sentence_idx, s.sentence "
+        "FROM _esdb_udtf_in, "
+        "LATERAL esdb_split_sentences(_s_text) AS s"
+    ).withColumnRenamed("id", id_col)
+
+
 def zscore_per_group(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     """Per-group z-score — shown as BUILT-IN window functions (no
     Python): the contrast case to applyInPandas. Adds ``<value>_z``."""

@@ -1704,6 +1704,34 @@ def doc_lm_score(spark, sf_dir):
     return char_bigram_lm_score(docs, "text", "doc_id")
 
 
+def trimmed_mean_by_type(spark, sf_dir):
+    """Per-event-type 10% trimmed mean of value via a pandas UDAF
+    (grouped.trimmed_mean_per_group) — the GROUPED_AGG face of the UDF
+    family; oracle trims by rank in SQL."""
+    from esdb_spark.operators.grouped import trimmed_mean_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return trimmed_mean_per_group(ev, "event_type", "value", trim=0.1)
+
+
+def doc_sentences_udtf(spark, sf_dir):
+    """Sentence splitting via a Python UDTF (grouped.split_sentences)
+    on deterministically punctuated text — exercises the UDTF surface;
+    the oracle enumerates the three known sentences per document."""
+    from esdb_spark.operators.grouped import split_sentences
+
+    docs = load_table(spark, sf_dir, "documents")
+    framed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("First part. "),
+            F.trim(F.col("text")),
+            F.lit("! Third part?"),
+        ).alias("ptext"),
+    )
+    return split_sentences(framed, "ptext", "doc_id")
+
+
 def event_gap_histogram(spark, sf_dir):
     """Distribution of per-user inter-event gaps, log10-bucketed per
     event type — the latency-histogram shape (one lag window over one
@@ -2433,6 +2461,34 @@ _PIPELINE_ORACLES = {
                CAST(count(*) AS BIGINT) AS n_grams
         FROM isl GROUP BY doc_id, island
         ORDER BY doc_id, span_start
+    """,
+    "trimmed_mean_by_type": """
+        WITH r AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        )
+        SELECT event_type,
+               round(avg(value), 6) AS trimmed_mean,
+               CAST(max(n) AS BIGINT) AS n
+        FROM r
+        WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+          AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "doc_sentences_udtf": """
+        SELECT doc_id, sentence_idx, sentence FROM (
+          SELECT doc_id, 0 AS sentence_idx,
+                 'First part.' AS sentence FROM documents
+          UNION ALL
+          SELECT doc_id, 1, trim(text) || '!' FROM documents
+          UNION ALL
+          SELECT doc_id, 2, 'Third part?' FROM documents
+        )
+        ORDER BY doc_id, sentence_idx
     """,
     "doc_strip_html": _strip_html_oracle(),
     "corpus_divergence_halves": f"""
@@ -3244,6 +3300,8 @@ def catalog() -> dict[str, Q]:
         ("doc_remove_dup_spans", doc_remove_dup_spans),
         ("doc_strip_html", doc_strip_html),
         ("corpus_divergence_halves", corpus_divergence_halves),
+        ("trimmed_mean_by_type", trimmed_mean_by_type),
+        ("doc_sentences_udtf", doc_sentences_udtf),
         ("doc_lm_score", doc_lm_score),
         ("doc_quality", doc_quality),
         ("doc_language_guess", doc_language_guess),

@@ -54,3 +54,41 @@ def test_zscore_per_group(spark):
     assert abs(zs[1]) < 1e-12  # middle value → z = 0
     assert abs(zs[0] + zs[2]) < 1e-12  # symmetric
     assert [r.v_z for r in out if r.k == "b"] == [0.0]  # singleton → 0
+
+
+def test_trimmed_mean_per_group_drops_outliers(spark):
+    from esdb_spark.operators.grouped import trimmed_mean_per_group
+
+    # 10 values: trim=0.1 drops 1 low + 1 high -> mean of the middle 8
+    vals = [(1.0 * i) for i in range(1, 10)] + [1000.0]
+    df = spark.createDataFrame([("a", v) for v in vals], ["k", "v"])
+    row = trimmed_mean_per_group(df, "k", "v", trim=0.1).collect()[0]
+    assert row["n"] == 10
+    assert row["trimmed_mean"] == round(sum(range(2, 10)) / 8, 6)
+
+
+def test_trimmed_mean_small_group_keeps_all(spark):
+    from esdb_spark.operators.grouped import trimmed_mean_per_group
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 3.0)], ["k", "v"])
+    row = trimmed_mean_per_group(df, "k", "v", trim=0.1).collect()[0]
+    assert row["trimmed_mean"] == 2.0 and row["n"] == 2
+
+
+def test_split_sentences_udtf(spark):
+    from esdb_spark.operators.grouped import split_sentences
+
+    df = spark.createDataFrame(
+        [(1, "One here. Two there! Three maybe?  Four"), (2, "")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        (r["doc_id"], r["sentence_idx"], r["sentence"])
+        for r in split_sentences(df, "text", "doc_id").collect()
+    )
+    assert rows == [
+        (1, 0, "One here."),
+        (1, 1, "Two there!"),
+        (1, 2, "Three maybe?"),
+        (1, 3, "Four"),
+    ]  # empty doc yields no rows
