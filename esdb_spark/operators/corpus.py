@@ -216,18 +216,18 @@ def duplicate_ngram_spans(
         F.posexplode(tokens(text_col)).alias("pos", "_dg_tok"),
     )
     wseq = Window.partitionBy("_dg_id").orderBy("pos")
-    wpart = Window.partitionBy("_dg_id")
     parts = [F.col("_dg_tok")] + [
         F.lead("_dg_tok", j).over(wseq) for j in range(1, n)
     ]
+    # a position has a full n-gram exactly when its farthest lead
+    # exists — cheaper than a second count(*)-over-partition window
+    # (which buffers the whole partition per row on top of the lead)
     grams = toked.select(
         "_dg_id",
         "pos",
         F.md5(F.concat_ws(" ", *parts)).alias("gh"),
-        F.count("*").over(wpart).alias("_dg_n"),
-    ).filter(F.col("pos") <= F.col("_dg_n") - n).select(
-        "_dg_id", "pos", "gh"
-    )
+        parts[-1].isNotNull().alias("_dg_full"),
+    ).filter(F.col("_dg_full")).select("_dg_id", "pos", "gh")
     dup_hashes = (
         grams.groupBy("gh")
         .agg(F.count("*").alias("_dg_c"))
