@@ -451,3 +451,100 @@ def test_pack_greedy_matches_model(spark, rows, budget):
         ).collect()
     }
     assert got == _pack_model(rows, budget, 4)
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span detection / removal vs the definitional model
+# ---------------------------------------------------------------------------
+
+
+def _model_dup_spans(texts, n, min_count=2):
+    from collections import Counter
+
+    toks = {i: t.lower().split() for i, t in enumerate(texts)}
+    counts = Counter()
+    for tk in toks.values():
+        for p in range(len(tk) - n + 1):
+            counts[tuple(tk[p : p + n])] += 1
+    spans = {}
+    for i, tk in toks.items():
+        hits = [
+            p
+            for p in range(len(tk) - n + 1)
+            if counts[tuple(tk[p : p + n])] >= min_count
+        ]
+        out = []
+        last = None
+        for p in hits:
+            if last is not None and p <= last + n:
+                s, _e, c = out[-1]
+                out[-1] = (s, p + n - 1, c + 1)
+            else:
+                out.append((p, p + n - 1, 1))
+            last = p
+        spans[i] = out
+    return spans
+
+
+dup_span_docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+    ).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=dup_span_docs_strategy)
+def test_duplicate_spans_match_python_model(spark, texts):
+    """The lead-window gram hashing + gaps-and-islands merge must
+    reproduce the definitional duplicated-span computation for every
+    corpus shape — short docs, within-doc repeats, adjacent islands."""
+    from esdb_spark.operators.corpus import duplicate_ngram_spans
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {}
+    for r in duplicate_ngram_spans(df, "text", "doc_id", n=3).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_grams"])
+        )
+    got = {k: sorted(v) for k, v in got.items()}
+    want = {
+        i: sorted(s) for i, s in _model_dup_spans(texts, 3).items() if s
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=dup_span_docs_strategy)
+def test_remove_spans_matches_python_model(spark, texts):
+    """Detect→rewrite must equal the model: surviving tokens joined by
+    single spaces, every document present, removed counts exact."""
+    from esdb_spark.operators.corpus import (
+        duplicate_ngram_spans,
+        remove_spans,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    spans = duplicate_ngram_spans(df, "text", "doc_id", n=3)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in remove_spans(df, spans, "text", "doc_id").collect()
+    }
+    model = _model_dup_spans(texts, 3)
+    for i, t in enumerate(texts):
+        tk = t.lower().split()
+        covered = set()
+        for s, e, _c in model[i]:
+            covered.update(range(s, e + 1))
+        kept = [w for p, w in enumerate(tk) if p not in covered]
+        assert got[i] == (" ".join(kept), len(covered))
