@@ -103,6 +103,50 @@ def stratified_hash_sample(
     return pred
 
 
+def sample_key(key: Column, seed: str = "") -> Column:
+    """The deterministic sampling sort key: ``md5(seed‖'|'‖key)``.
+    A pure function of (seed, key) — distinct seeds give independent
+    samples over the same data, and the hex ordering is identical in
+    any engine with md5 (same portability argument as
+    :func:`hash_sample`)."""
+    return F.md5(F.concat_ws("|", F.lit(seed), key.cast("string")))
+
+
+def hash_sample_k(df, key: Column, k: int, seed: str = ""):
+    """Deterministic EXACT-k uniform sample: the ``k`` rows with the
+    smallest :func:`sample_key` digests.
+
+    Where :func:`hash_sample` fixes the sampling *rate* (row count
+    varies with data size), this fixes the *count* — the "give me
+    exactly 100k eval documents" shape. Physically an ORDER BY+LIMIT,
+    which Spark executes as TakeOrderedAndProject: each partition
+    keeps a k-row heap and the driver merges k-sized heaps — no global
+    sort, no shuffle of non-winning rows, so it holds at 100 TB for
+    any k that fits on the driver."""
+    if k <= 0:
+        raise ValueError("hash_sample_k: k must be positive")
+    return df.orderBy(sample_key(key, seed)).limit(k)
+
+
+def hash_sample_k_per_group(
+    df, key: Column, group: Column, k: int, seed: str = ""
+):
+    """Deterministic exact-k sample PER GROUP (e.g. k eval docs per
+    language): rank rows within each group by :func:`sample_key` and
+    keep ranks ≤ k. One shuffle on the group key; the window is
+    rank-truncated so only k rows per group survive the filter."""
+    if k <= 0:
+        raise ValueError("hash_sample_k_per_group: k must be positive")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy(sample_key(key, seed))
+    return (
+        df.withColumn("_skg_rn", F.row_number().over(w))
+        .filter(F.col("_skg_rn") <= k)
+        .drop("_skg_rn")
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<float/double> columns — zip_with +
     aggregate, fully codegen'd (no UDF)."""

@@ -240,3 +240,33 @@ def hll_union_estimate(
             "approx_distinct"
         )
     )
+
+
+def quantile_rollup(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-key approximate quantiles: (key_cols..., q<pp> double ...)
+    via ``percentile_approx`` — Spark's Greenwald-Khanna-style sketch,
+    a single partial-aggregating pass with rank error ≤ 1/accuracy.
+
+    The mergeable-sketch alternative to the exact interpolated
+    percentiles (``order_price_deciles``) and the ntile/range-join
+    variants (``order_price_quartiles*``): those need either a sort or
+    a recount per boundary; this streams once, combines map-side, and
+    its error bound is independent of data size — the only option when
+    the value column is a 100 TB fact and the grouping is fine-grained.
+    Estimates are data-deterministic up to sketch merge order, so gate
+    queries exposing raw estimates are rows-only; the error bound vs
+    exact quantiles is asserted in test_sketches.py.
+    """
+    aggs = [
+        F.percentile_approx(F.col(value_col), float(p), accuracy)
+        .cast("double")
+        .alias(f"q{int(round(p * 100)):02d}")
+        for p in probs
+    ]
+    return df.groupBy(*key_cols).agg(*aggs)

@@ -1593,6 +1593,23 @@ def dedup_incremental_docs(spark, sf_dir):
     )
 
 
+def dedup_incremental_bloom_docs(spark, sf_dir):
+    """Approximate cross-corpus incremental dedup
+    (operators/bloom.dedup_against_bloom): same contract as
+    ``dedup_incremental_docs`` but the seen corpus is compressed into
+    a 1 MiB Bloom sketch that broadcasts to the probe side — no
+    fingerprint shuffle at all. At gate scale (500 docs, 2^23 bits)
+    the false-positive probability is < 1e-11, so the exact anti-join
+    SQL is a valid oracle."""
+    from esdb_spark.operators.bloom import dedup_against_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 7 == 0)
+    return dedup_against_bloom(docs, seen, "text", "doc_id").select(
+        "doc_id", "source"
+    )
+
+
 def corpus_vocab_top(spark, sf_dir):
     """Corpus vocabulary (operators/corpus.corpus_vocab): top-100
     tokens by term frequency with doc frequency and deterministic
@@ -2414,6 +2431,14 @@ _PIPELINE_ORACLES = {
               (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
         ORDER BY doc_id
     """,
+    # exact-anti-join oracle is valid for the Bloom variant at gate
+    # scale: FP probability < 1e-11 per probe (see operators/bloom.py)
+    "dedup_incremental_bloom_docs": """
+        SELECT doc_id, source FROM documents
+        WHERE md5(text) NOT IN
+              (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
+        ORDER BY doc_id
+    """,
     "corpus_vocab_top": f"""
         WITH ex AS (
           SELECT doc_id, unnest({_TOK}) AS token FROM documents
@@ -2733,6 +2758,19 @@ _PIPELINE_ORACLES = {
         HAVING count(*) * 200 > (SELECT count(*) FROM events)
         ORDER BY user_id
     """,
+    "documents_sample_k": """
+        SELECT doc_id, source FROM documents
+        ORDER BY md5(concat_ws('|', 's1', CAST(doc_id AS VARCHAR)))
+        LIMIT 100
+    """,
+    "events_sample_k_per_type": """
+        SELECT event_id, event_type FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type
+            ORDER BY md5(concat_ws('|', 's2', CAST(event_id AS VARCHAR)))
+        ) <= 20
+        ORDER BY event_type, event_id
+    """,
     "event_value_ohlc": """
         WITH b AS (
             SELECT event_type AS space,
@@ -3020,6 +3058,63 @@ _PIPELINE_ORACLES = {
 # Rows-only queries (no SQL oracle: xxhash64-based sketches)
 # ---------------------------------------------------------------------------
 
+def documents_sample_k(spark, sf_dir):
+    """Deterministic exact-k uniform sample (functions.hash_sample_k):
+    the 100 documents with smallest seeded-md5 digests — fixed-size
+    eval-set carving, physically TakeOrderedAndProject (per-partition
+    k-heaps, no global sort)."""
+    from esdb_spark.functions import hash_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample_k(
+        docs.select("doc_id", "source"), F.col("doc_id"), 100, seed="s1"
+    )
+
+
+def events_sample_k_per_type(spark, sf_dir):
+    """Deterministic exact-k sample per group
+    (functions.hash_sample_k_per_group): 20 events per event_type by
+    seeded-md5 rank — class-balanced eval carving; one shuffle on the
+    group key, rank-truncated window."""
+    from esdb_spark.functions import hash_sample_k_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return hash_sample_k_per_group(
+        ev.select("event_id", "event_type"),
+        F.col("event_id"),
+        F.col("event_type"),
+        20,
+        seed="s2",
+    )
+
+
+def event_value_quantiles(spark, sf_dir):
+    """Per-event-type approximate quantile rollup
+    (sketches.quantile_rollup: percentile_approx, one mergeable pass);
+    rows-only — estimates depend on sketch merge order; the rank-error
+    bound vs exact quantiles is asserted in test_sketches.py."""
+    from esdb_spark.operators.sketches import quantile_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    return quantile_rollup(
+        ev, "value", ["event_type"], probs=(0.25, 0.5, 0.75)
+    ).orderBy("event_type")
+
+
+def bpe_token_stats_docs(spark, sf_dir):
+    """Exact per-doc token counts under a corpus-trained BPE tokenizer
+    (operators/bpe.py: Sennrich merges learned from the bounded
+    word-frequency table, encode via broadcast ranks); rows-only — the
+    iterative merge loop has no SQL twin; the trainer is
+    property-tested against a definitional implementation in
+    test_bpe.py."""
+    from esdb_spark.operators.bpe import bpe_token_stats, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=100, max_words=65536)
+    return bpe_token_stats(docs, merges).orderBy("doc_id")
+
+
 def dedup_minhash_docs(spark, sf_dir):
     """MinHash + banded-LSH near-dedup of documents (dedup.dedup_minhash_lsh); rows-only — engine-specific xxhash64 signatures, cross-validated vs exact Jaccard."""
     from esdb_spark.operators.dedup import dedup_minhash_lsh
@@ -3295,6 +3390,7 @@ def catalog() -> dict[str, Q]:
         ("doc_token_stats", doc_token_stats),
         ("doc_strip_boilerplate", doc_strip_boilerplate),
         ("dedup_incremental_docs", dedup_incremental_docs),
+        ("dedup_incremental_bloom_docs", dedup_incremental_bloom_docs),
         ("corpus_vocab_top", corpus_vocab_top),
         ("doc_duplicate_spans", doc_duplicate_spans),
         ("doc_remove_dup_spans", doc_remove_dup_spans),
@@ -3313,6 +3409,8 @@ def catalog() -> dict[str, Q]:
         ("daily_active_users", daily_active_users),
         ("rolling_7d_active_users", rolling_7d_active_users),
         ("documents_split_counts", documents_split_counts),
+        ("documents_sample_k", documents_sample_k),
+        ("events_sample_k_per_type", events_sample_k_per_type),
         ("doc_repetition_stats", doc_repetition_stats),
         ("doc_domain_counts", doc_domain_counts),
         ("dedup_embedding_docs", dedup_embedding_docs),
@@ -3347,6 +3445,8 @@ def catalog() -> dict[str, Q]:
         ("event_type_freq_cms", event_type_freq_cms),
         ("approx_distinct_users", approx_distinct_users),
         ("ann_topk_pq_docs", ann_topk_pq_docs),
+        ("bpe_token_stats_docs", bpe_token_stats_docs),
+        ("event_value_quantiles", event_value_quantiles),
     ]:
         qs[name] = Q(fn, None)
     # Reorder: gate-window names first (in _GATE_WINDOW order), then

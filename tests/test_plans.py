@@ -329,3 +329,31 @@ def test_lm_score_model_joins_broadcast_no_corpus_repartition(spark):
     # standard scalar-subquery shape, cf. q11)
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_hash_sample_k_compiles_to_top_k(spark):
+    """Exact-k sampling must be TakeOrderedAndProject (per-partition
+    k-heaps), never a global sort."""
+    from esdb_spark.functions import hash_sample_k
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    df = hash_sample_k(docs, F.col("doc_id"), 100, seed="s1")
+    assert has_top_k(df)
+
+
+def test_bloom_probe_never_shuffles_corpus(spark):
+    """The bloom probe side is scan → project → filter: the only
+    exchanges in the whole dedup plan belong to the (sketch-sized)
+    build aggregation, not the probed corpus."""
+    from esdb_spark.operators.bloom import bloom_table, with_bloom_flag
+
+    docs = load_table(spark, SF_DIR, "documents")
+    seen = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.md5("text").alias("k")
+    )
+    bloom = bloom_table(seen, "k")  # build: bounded agg (has shuffles)
+    probed = with_bloom_flag(
+        docs.select("doc_id", F.md5("text").alias("k")), bloom, "k"
+    ).filter(~F.col("in_bloom"))
+    # probe plan = scan + ArrowEvalPython + filter; zero exchanges
+    assert shuffle_count(probed) == 0

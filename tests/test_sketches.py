@@ -106,3 +106,53 @@ def test_hll_rollup_accuracy_and_merge(spark):
         ).alias("d")
     ).collect()[0]["d"]
     assert abs(est - direct) <= max(2, 0.01 * exact)
+
+
+def test_quantile_rollup_rank_error_bound(spark):
+    """percentile_approx guarantees rank error <= n/accuracy: the
+    estimate must be a value whose exact rank is within that band of
+    the target rank."""
+    from esdb_spark.operators.sketches import quantile_rollup
+    from esdb_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    acc = 1000
+    got = quantile_rollup(
+        ev, "value", ["event_type"], probs=(0.25, 0.5, 0.75), accuracy=acc
+    ).collect()
+    assert len(got) > 0
+    vals_by_type = {
+        r["event_type"]: sorted(v["value"] for v in rows)
+        for r in got
+        for rows in [
+            ev.filter(F.col("event_type") == r["event_type"])
+            .select("value")
+            .collect()
+        ]
+    }
+    for r in got:
+        vals = vals_by_type[r["event_type"]]
+        n = len(vals)
+        for p, col in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+            est = r[col]
+            # exact rank band of the estimate within the sorted values
+            import bisect
+
+            lo = bisect.bisect_left(vals, est)
+            hi = bisect.bisect_right(vals, est)
+            target = p * n
+            slack = n / acc + 1
+            assert lo - slack <= target <= hi + slack, (
+                r["event_type"],
+                col,
+                est,
+            )
+
+
+def test_quantile_rollup_schema(spark):
+    from esdb_spark.operators.sketches import quantile_rollup
+    from esdb_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = quantile_rollup(ev, "value", ["event_type"], probs=(0.1, 0.99))
+    assert out.columns == ["event_type", "q10", "q99"]
