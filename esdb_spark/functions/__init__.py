@@ -147,6 +147,36 @@ def hash_sample_k_per_group(
     )
 
 
+def sample_uniform(key: Column, seed: str = "") -> Column:
+    """Deterministic uniform draw in (0, 1]: the first 13 hex digits
+    (52 bits — exactly a double's mantissa) of :func:`sample_key`,
+    mapped to ``(v + 1) / (2^52 + 1)``. Every step is either exact
+    integer-in-double arithmetic or one IEEE division, so any engine
+    computes the identical double from the identical key."""
+    v = F.conv(F.substring(sample_key(key, seed), 1, 13), 16, 10).cast(
+        "double"
+    )
+    return (v + F.lit(1.0)) / F.lit(float((1 << 52) + 1))
+
+
+def weighted_sample_k(df, key: Column, weight: Column, k: int, seed: str = ""):
+    """Deterministic weighted sample of exactly ``k`` rows without
+    replacement: inclusion probability proportional to ``weight``
+    (e.g. sample documents ∝ quality score or length).
+
+    Efraimidis & Spirakis 2006 via the exponential race: each row
+    draws ``e = -ln(u) / w`` with ``u`` from :func:`sample_uniform`
+    and the ``k`` smallest ``e`` win — equivalent to their
+    ``u^(1/w)`` keys but with better float behavior. Rows with
+    non-positive weight are excluded. Like :func:`hash_sample_k` the
+    draw is a pure function of (seed, key), and the physical plan is
+    TakeOrderedAndProject — per-partition k-heaps, no global sort."""
+    if k <= 0:
+        raise ValueError("weighted_sample_k: k must be positive")
+    e = -F.log(sample_uniform(key, seed)) / weight
+    return df.filter(weight > 0).orderBy(e).limit(k)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<float/double> columns — zip_with +
     aggregate, fully codegen'd (no UDF)."""

@@ -2771,6 +2771,18 @@ _PIPELINE_ORACLES = {
         ) <= 20
         ORDER BY event_type, event_id
     """,
+    # same 52-bit md5→uniform→-ln(u)/w construction as
+    # functions.weighted_sample_k; 4503599627370497 = 2^52 + 1
+    "documents_weighted_sample_k": """
+        WITH s AS (
+          SELECT doc_id, source,
+                 -ln((CAST(concat('0x', substr(md5(concat_ws('|', 'w1',
+                        CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT) + 1.0)
+                     / 4503599627370497.0) / n_chars AS ekey
+          FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, source FROM s ORDER BY ekey LIMIT 100
+    """,
     "event_value_ohlc": """
         WITH b AS (
             SELECT event_type AS space,
@@ -3086,6 +3098,24 @@ def events_sample_k_per_type(spark, sf_dir):
         20,
         seed="s2",
     )
+
+
+def documents_weighted_sample_k(spark, sf_dir):
+    """Deterministic weighted k-sample (functions.weighted_sample_k,
+    Efraimidis-Spirakis exponential race): 100 documents with
+    inclusion probability ∝ n_chars. The md5→uniform→-ln(u)/w key is
+    computed identically by any engine (52-bit exact integer steps +
+    IEEE division and log), so the exact SQL twin is the oracle."""
+    from esdb_spark.functions import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_k(
+        docs.select("doc_id", "source", "n_chars"),
+        F.col("doc_id"),
+        F.col("n_chars"),
+        100,
+        seed="w1",
+    ).select("doc_id", "source")
 
 
 def event_value_quantiles(spark, sf_dir):
@@ -3411,6 +3441,7 @@ def catalog() -> dict[str, Q]:
         ("documents_split_counts", documents_split_counts),
         ("documents_sample_k", documents_sample_k),
         ("events_sample_k_per_type", events_sample_k_per_type),
+        ("documents_weighted_sample_k", documents_weighted_sample_k),
         ("doc_repetition_stats", doc_repetition_stats),
         ("doc_domain_counts", doc_domain_counts),
         ("dedup_embedding_docs", dedup_embedding_docs),

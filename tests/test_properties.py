@@ -8,6 +8,8 @@ import datetime as dt
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
+from pyspark.sql import functions as F
+
 from esdb_spark import Db, Writer
 from esdb_spark.stream import EventStream
 
@@ -548,3 +550,39 @@ def test_remove_spans_matches_python_model(spark, texts):
             covered.update(range(s, e + 1))
         kept = [w for p, w in enumerate(tk) if p not in covered]
         assert got[i] == (" ".join(kept), len(covered))
+
+
+def test_weighted_sample_k_bias_and_determinism(spark):
+    """Efraimidis-Spirakis sampling: deterministic across runs, exact
+    size k, excludes non-positive weights, and measurably biased
+    toward heavy rows (the heavy half must win well over half the
+    sample)."""
+    from esdb_spark.functions import weighted_sample_k
+
+    rows = [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample_k(df, F.col("id"), F.col("w"), 200, seed="t")
+    ids1 = sorted(r["id"] for r in got.collect())
+    ids2 = sorted(r["id"] for r in got.collect())
+    assert ids1 == ids2
+    assert len(ids1) == 200
+    heavy = sum(1 for i in ids1 if i % 2 == 0)
+    # heavy rows have 100x the weight: expected share ~99%; demand >80%
+    assert heavy > 160, heavy
+
+    withzero = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0)], "id long, w double"
+    )
+    kept = weighted_sample_k(withzero, F.col("id"), F.col("w"), 3, seed="t")
+    assert [r["id"] for r in kept.collect()] == [3]
+
+
+def test_sample_uniform_in_unit_interval(spark):
+    from esdb_spark.functions import sample_uniform
+
+    df = spark.range(1000).select(
+        sample_uniform(F.col("id"), seed="u").alias("u")
+    )
+    row = df.agg(F.min("u"), F.max("u"), F.avg("u")).collect()[0]
+    assert 0 < row[0] and row[1] <= 1
+    assert 0.4 < row[2] < 0.6  # roughly uniform
