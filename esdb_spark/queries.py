@@ -3131,6 +3131,48 @@ def event_value_quantiles(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def doc_quality_model_scores(spark, sf_dir):
+    """Corpus quality-classifier loop (operators/model.py): fit a
+    logistic model on cheap per-doc features (chars, token count,
+    stopword ratio), then score the whole corpus with a pure column
+    expression — the CCNet/fastText filter shape. The synthetic
+    corpus's lang/source tags are random w.r.t. its text, so the
+    demo label is a teacher rule (n_chars > 300) the model must
+    re-derive from the features — on a real corpus the label would be
+    human/LLM quality annotations and the identical loop applies.
+    Rows-only: gradient sums are float reductions whose order is
+    partitioning-dependent; the trainer is cross-validated against
+    numpy in test_model.py."""
+    from esdb_spark.functions import tokens
+    from esdb_spark.operators.model import logistic_fit, logistic_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    stops = [
+        "the", "and", "of", "to", "in", "is", "that", "for", "a", "with",
+    ]
+    n_tok = F.size(tok)
+    feat = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("f_chars"),
+        n_tok.cast("double").alias("f_tokens"),
+        (
+            F.size(F.filter(tok, lambda t: t.isin(stops)))
+            / F.greatest(n_tok, F.lit(1))
+        ).alias("f_stop_ratio"),
+        (F.col("n_chars") > 300).cast("int").alias("label"),
+    )
+    model = logistic_fit(
+        feat, ["f_chars", "f_tokens", "f_stop_ratio"], "label",
+        iters=30, lr=2.0,
+    )
+    return (
+        logistic_score(feat, model)
+        .select("doc_id", "label", F.round("score", 4).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
 def bpe_token_stats_docs(spark, sf_dir):
     """Exact per-doc token counts under a corpus-trained BPE tokenizer
     (operators/bpe.py: Sennrich merges learned from the bounded
@@ -3478,6 +3520,7 @@ def catalog() -> dict[str, Q]:
         ("ann_topk_pq_docs", ann_topk_pq_docs),
         ("bpe_token_stats_docs", bpe_token_stats_docs),
         ("event_value_quantiles", event_value_quantiles),
+        ("doc_quality_model_scores", doc_quality_model_scores),
     ]:
         qs[name] = Q(fn, None)
     # Reorder: gate-window names first (in _GATE_WINDOW order), then
