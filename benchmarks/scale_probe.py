@@ -291,6 +291,27 @@ def doc_shapes(path, n):
         sized.withColumn("weight", F.lit(1.0) + (F.col("doc_id") % 20) % 3),
         "source", "weight", "doc_id",
     ).agg(F.max("pos")).collect())
+    from esdb_spark.functions import weighted_sample_k
+    from esdb_spark.operators.bloom import dedup_against_bloom
+    from esdb_spark.operators.bpe import bpe_token_stats, train_bpe
+
+    run("dedup_against_bloom", lambda: dedup_against_bloom(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        "text", "doc_id",
+    ).count())
+
+    def _bpe():
+        merges = train_bpe(docs, num_merges=100, max_words=65536)
+        bpe_token_stats(docs, merges, "text", "doc_id").agg(
+            F.sum("n_tokens")
+        ).collect()
+
+    run("bpe_train100_encode", _bpe)
+    run("weighted_sample_10k", lambda: weighted_sample_k(
+        docs.select("doc_id", F.length("text").cast("double").alias("w")),
+        F.col("doc_id"), F.col("w"), 10_000,
+    ).count())
     out["rows"] = n
     return out
 

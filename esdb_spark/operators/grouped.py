@@ -174,3 +174,57 @@ def zscore_per_group(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
         f"{value_col}_z",
         F.when(std > 0, (F.col(value_col) - mean) / std).otherwise(F.lit(0.0)),
     )
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key: the recurrence
+    ``e_1 = x_1; e_t = alpha·x_t + (1-alpha)·e_{t-1}`` over each key's
+    rows in ``order_cols`` order — the time-series smoothing /
+    online-baseline primitive that no built-in window frame expresses
+    (the weight of every prior row changes at each step).
+
+    Genuinely sequential per key, so it runs as ``applyInPandas``:
+    one shuffle on the key, then a float64 recurrence per group. The
+    recurrence applies exactly one multiply-add pair per step in a
+    fixed order, so any engine evaluating the same definition (e.g. a
+    SQL recursive CTE) produces bit-identical doubles — the catalog
+    query's oracle relies on this. The group is the unit of
+    parallelism; an unbounded single key is the documented failure
+    mode (segment such series first, e.g. by day, and chain segment
+    boundaries).
+
+    ``order_cols`` must totally order rows within a key (ties would
+    make the result partition-order-dependent — pass a tiebreaker
+    column such as the event id).
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError("ewma_per_key: alpha must be in (0, 1]")
+    cols = [key_col, *order_cols, value_col]
+    fields = [df.schema[c] for c in cols]
+    out_schema = T.StructType(
+        [*fields, T.StructField(out_col, T.DoubleType())]
+    )
+    a = float(alpha)
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, ignore_index=True)
+        x = pdf[value_col].astype("float64").to_numpy()
+        e = x.copy()
+        for i in range(1, len(e)):
+            # same op order as the definitional recurrence: a*x + (1-a)*e
+            e[i] = a * x[i] + (1.0 - a) * e[i - 1]
+        pdf[out_col] = e
+        return pdf[[*cols, out_col]]
+
+    return (
+        df.select(*cols)
+        .groupBy(key_col)
+        .applyInPandas(smooth, schema=out_schema)
+    )

@@ -2771,6 +2771,25 @@ _PIPELINE_ORACLES = {
         ) <= 20
         ORDER BY event_type, event_id
     """,
+    # definitional recurrence twin of grouped.ewma_per_key: e_1 = x_1,
+    # e_t = 0.25*x_t + 0.75*e_{t-1} — exact binary-fraction factors,
+    # one multiply-add pair per step in both engines
+    "user_value_ewma": """
+        WITH RECURSIVE o AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ), r AS (
+          SELECT user_id, event_id, rn, value AS ewma FROM o WHERE rn = 1
+          UNION ALL
+          SELECT o.user_id, o.event_id, o.rn,
+                 0.25 * o.value + 0.75 * r.ewma
+          FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, ewma
+        FROM r ORDER BY user_id, event_id
+    """,
     # same 52-bit md5→uniform→-ln(u)/w construction as
     # functions.weighted_sample_k; 4503599627370497 = 2^52 + 1
     "documents_weighted_sample_k": """
@@ -3131,6 +3150,28 @@ def event_value_quantiles(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def user_value_ewma(spark, sf_dir):
+    """Per-user EWMA of event values (grouped.ewma_per_key,
+    alpha=0.25): the sequential smoothing recurrence no window frame
+    expresses, run as applyInPandas per user. Exact parity with the
+    oracle's recursive CTE: alpha and 1-alpha are exact binary
+    fractions and both engines apply one multiply-add pair per step
+    in the same order."""
+    from esdb_spark.operators.grouped import ewma_per_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = ewma_per_key(ev, "user_id", ["ts", "event_id"], "value", 0.25)
+    # raw doubles on purpose: the recurrence is bit-identical across
+    # engines (verified), while round(x, 6) half-way handling is NOT
+    # identical between Spark and DuckDB — rounding would *introduce*
+    # mismatches
+    return out.select("user_id", "event_id", "ewma").orderBy(
+        "user_id", "event_id"
+    )
+
+
 def doc_quality_model_scores(spark, sf_dir):
     """Corpus quality-classifier loop (operators/model.py): fit a
     logistic model on cheap per-doc features (chars, token count,
@@ -3484,6 +3525,7 @@ def catalog() -> dict[str, Q]:
         ("documents_sample_k", documents_sample_k),
         ("events_sample_k_per_type", events_sample_k_per_type),
         ("documents_weighted_sample_k", documents_weighted_sample_k),
+        ("user_value_ewma", user_value_ewma),
         ("doc_repetition_stats", doc_repetition_stats),
         ("doc_domain_counts", doc_domain_counts),
         ("dedup_embedding_docs", dedup_embedding_docs),

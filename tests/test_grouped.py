@@ -92,3 +92,54 @@ def test_split_sentences_udtf(spark):
         (1, 2, "Three maybe?"),
         (1, 3, "Four"),
     ]  # empty doc yields no rows
+
+
+def test_ewma_matches_pandas(spark):
+    """Recurrence must equal pandas ewm(adjust=False) exactly — same
+    multiply-add per step in float64."""
+    import pandas as pd
+
+    from esdb_spark.operators.grouped import ewma_per_key
+
+    rows = [
+        (k, i, float((i * 37 + k * 13) % 100) / 7.0)
+        for k in range(5)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    got = (
+        ewma_per_key(df, "k", ["t"], "v", alpha=0.25)
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    pdf = pd.DataFrame(rows, columns=["k", "t", "v"]).sort_values(["k", "t"])
+    want = pdf.groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=0.25, adjust=False).mean()
+    )
+    assert (got["ewma"].to_numpy() == want.to_numpy()).all()
+
+
+def test_ewma_stable_under_repartition(spark):
+    from esdb_spark.operators.grouped import ewma_per_key
+
+    rows = [(k, i, float(i % 13)) for k in range(3) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    a = ewma_per_key(df, "k", ["t"], "v", 0.25).orderBy("k", "t").collect()
+    b = (
+        ewma_per_key(df.repartition(7), "k", ["t"], "v", 0.25)
+        .orderBy("k", "t")
+        .collect()
+    )
+    assert a == b
+
+
+def test_ewma_alpha_validation(spark):
+    import pytest as _pytest
+
+    from esdb_spark.operators.grouped import ewma_per_key
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "k long, t long, v double")
+    with _pytest.raises(ValueError):
+        ewma_per_key(df, "k", ["t"], "v", alpha=0.0)
+    with _pytest.raises(ValueError):
+        ewma_per_key(df, "k", ["t"], "v", alpha=1.5)
