@@ -52,6 +52,7 @@ def build_pretraining_corpus(
     shuffle_seed: int = 0,
     pack_budget: int = 2048,
     pack_shards: int = 32,
+    bpe_merges: int | list | None = None,
 ) -> CorpusResult:
     """Run the full cleaning + assembly chain over ``docs``.
 
@@ -68,6 +69,12 @@ def build_pretraining_corpus(
     ``dup_span_n`` removes exact duplicated token spans of that n-gram
     order after document-level dedup (span removal changes text, so it
     runs after content-hash stages, before decontamination).
+
+    ``bpe_merges`` sizes documents for packing by REAL tokenizer
+    token counts instead of the whitespace estimate: an int trains
+    that many BPE merges on the cleaned corpus (operators/bpe.py —
+    bounded word-frequency fit), a list reuses pre-trained merges
+    (train once, reuse across corpus shards/epochs).
     """
     from esdb_spark.functions import hash_split, shuffle_key
     from esdb_spark.operators.decontam import decontaminate
@@ -174,10 +181,25 @@ def build_pretraining_corpus(
         "shuffle_key", shuffle_key(F.col(id_col), shuffle_seed)
     )
 
-    sized = kept.withColumn(
-        "_n_tokens",
-        F.size(F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x != '')")),
-    )
+    if bpe_merges is not None:
+        from esdb_spark.operators.bpe import bpe_encode, train_bpe
+
+        merges = (
+            train_bpe(kept, text_col, num_merges=bpe_merges)
+            if isinstance(bpe_merges, int)
+            else bpe_merges
+        )
+        audit["bpe_merges"] = len(merges)
+        sized = bpe_encode(kept, merges, text_col).withColumn(
+            "_n_tokens", F.size("bpe_tokens")
+        ).drop("bpe_tokens")
+    else:
+        sized = kept.withColumn(
+            "_n_tokens",
+            F.size(
+                F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x != '')")
+            ),
+        )
     assignment = pack_greedy(
         sized, id_col, "_n_tokens", budget=pack_budget, n_shards=pack_shards
     )

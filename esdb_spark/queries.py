@@ -3383,7 +3383,10 @@ _GATE_WINDOW = [
     "doc_unigram_jaccard_pairs",
     "dedup_embedding_docs",
     "doc_dup_clusters",
-    "dedup_by_cluster_docs",
+    # (dedup_by_cluster_docs demoted past the window in round 3 — same
+    # connected-components family as doc_dup_clusters, still locally
+    # oracle-verified; its slot showcases the Bloom-membership path)
+    "dedup_incremental_bloom_docs",
     "similarity_topk",
     # LLM-pipeline: text analysis
     "doc_quality",
@@ -3419,7 +3422,10 @@ _GATE_WINDOW = [
     # dedup, vocabulary, LM-quality score
     "doc_strip_boilerplate",
     "dedup_incremental_docs",
-    "corpus_vocab_top",
+    # (corpus_vocab_top demoted — corpus-cleaning family keeps three
+    # other rows; its slot showcases the per-key EWMA recurrence, a
+    # family with no other representative)
+    "user_value_ewma",
     "doc_lm_score",
     # analytic operators (funnel/cohort/forward-fill/salted-count are
     # demoted past the window — their operator families stay
@@ -3429,7 +3435,10 @@ _GATE_WINDOW = [
     "asof_enrich",
     "click_purchase_window",
     "events_customer_salted_join",
-    "orders_hash_sample",
+    # (orders_hash_sample demoted — md5-prefix rate sampling shares a
+    # mechanism with documents_split_counts above; its slot showcases
+    # deterministic weighted sampling)
+    "documents_weighted_sample_k",
     "events_stratified_sample",
     "order_price_quartiles_scalable",
     "similar_part_names",

@@ -93,3 +93,35 @@ def test_pipeline_deterministic(spark, result):
     a = result.corpus.select("doc_id", "split", "shard", "bin", "offset")
     b = again.corpus.select("doc_id", "split", "shard", "bin", "offset")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pipeline_with_bpe_tokenizer_sizing(spark):
+    """bpe_merges sizes packing bins by real tokenizer counts: every
+    (shard, bin) must respect the budget under re-encoding with the
+    same merges, and the audit reports the trained merge count."""
+    from esdb_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = load_table(spark, SF_DIR, "documents")
+    res = build_pretraining_corpus(
+        docs,
+        min_quality=0.0,
+        pack_budget=512,
+        pack_shards=4,
+        bpe_merges=40,
+    )
+    assert res.audit["bpe_merges"] == 40
+    # re-derive the merges the pipeline trained (same data, same cap:
+    # deterministic) and check bin budgets against true token counts
+    kept = res.corpus
+    merges = train_bpe(kept, "text", num_merges=40)
+    counted = bpe_encode(kept, merges, "text").withColumn(
+        "_n", F.size("bpe_tokens")
+    )
+    over = (
+        counted.groupBy("shard", "bin")
+        .agg(F.sum("_n").alias("tot"), F.count("*").alias("docs"))
+        # a single doc longer than the budget gets its own bin — allowed
+        .filter((F.col("tot") > 512) & (F.col("docs") > 1))
+        .count()
+    )
+    assert over == 0
