@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "decontaminate_docs",
     "pack_documents",
     "interleave_docs",
+    # round-3 additions: sketch membership, tokenizer, stateful recurrence
+    "dedup_incremental_bloom_docs",
+    "bpe_token_stats_docs",
+    "user_value_ewma",
 ]
 
 

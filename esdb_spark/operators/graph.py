@@ -1,0 +1,112 @@
+"""Iterative graph algorithms over edge-list DataFrames.
+
+The reference engine has no graph layer (SURVEY.md §2.6); this
+extends the §2.7 training-pipeline capability set. Connected
+components (the dedup clustering stage) lives in
+``dedup.dup_clusters``; here is PageRank — the canonical
+importance-propagation loop, used in corpus curation to rank
+documents/domains inside a similarity or link graph (e.g. pick the
+canonical page of a near-dup cluster, weight crawl frontiers).
+
+Scale design — the same iterative-DataFrame posture as
+``dup_clusters``:
+
+- One shuffle join + one aggregation per iteration: ranks join the
+  (checkpointed, symmetric-free) edge list on src, contributions
+  aggregate on dst. Partial aggregation combines map-side, so the
+  shuffle per round carries one row per (dst, partition).
+- The edge list and out-degrees materialize ONCE (`localCheckpoint`)
+  — without it every round would re-execute the upstream pair
+  generation (the dup-graph is itself an LSH join).
+- `localCheckpoint` on the rank vector each round keeps the plan
+  O(1) instead of O(iterations).
+- The driver never sees data: a fixed iteration count (PageRank
+  converges geometrically at rate = damping; 10-20 rounds ≈ 1e-4)
+  avoids a per-round convergence collect entirely.
+- Rank sums are float reductions whose order is partition-dependent,
+  so results are deterministic only to ~1e-9 relative — gate queries
+  exposing ranks are rows-only; the operator is cross-validated
+  against a numpy power-iteration in test_graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 15,
+) -> DataFrame:
+    """PageRank over a directed edge list → ``(id, rank)``.
+
+    Standard power iteration with uniform teleport:
+    ``r' = (1-d)/N + d·(Σ_in r/outdeg + dangling_mass/N)`` — dangling
+    nodes (no out-edges) redistribute their rank uniformly, so ranks
+    sum to 1 every round (asserted in tests). Nodes are every id
+    appearing as src or dst. Fixed ``iters`` rounds (geometric
+    convergence at rate ``damping``); no driver-side data access
+    beyond the dangling-mass scalar per round.
+    """
+    if not 0 < damping < 1:
+        raise ValueError("pagerank: damping must be in (0, 1)")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    # renamed projections: nodes/outdeg/contribs all derive from `e`,
+    # and Spark rejects the resulting self-join column references as
+    # ambiguous unless the lineages carry distinct names
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).select(
+        F.col("src").alias("_d_src"), "outdeg"
+    )
+    e2 = e.select(F.col("src").alias("_e_src"), F.col("dst").alias("_e_dst"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        with_deg = ranks.join(
+            outdeg, F.col("id") == F.col("_d_src"), "left"
+        ).select("id", "rank", "outdeg")
+        # mass parked on dangling nodes teleports uniformly; one
+        # scalar to the driver per round
+        dangling = (
+            with_deg.filter(F.col("outdeg").isNull())
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            with_deg.filter(F.col("outdeg").isNotNull())
+            .join(e2, F.col("id") == F.col("_e_src"))
+            .select(
+                F.col("_e_dst").alias("id"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

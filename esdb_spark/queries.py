@@ -3214,6 +3214,34 @@ def doc_quality_model_scores(spark, sf_dir):
     )
 
 
+def doc_pagerank(spark, sf_dir):
+    """PageRank centrality over the Jaccard-0.5 near-dup graph
+    (operators/graph.pagerank on the same edge generator as
+    doc_dup_clusters): rank documents by how centrally they sit in
+    the similarity graph — the canonical-document-selection signal.
+    Rows-only: rank sums are float reductions with partition-dependent
+    order; the operator is cross-validated against a numpy power
+    iteration in test_graph.py (1e-9 agreement)."""
+    from esdb_spark.operators.dedup import ngram_jaccard_pairs
+    from esdb_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_size=1, threshold=0.5
+    )
+    # undirected similarity graph: one directed edge each way
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return (
+        pagerank(edges, iters=10)
+        .select("id", F.round("rank", 6).alias("rank"))
+        .orderBy("id")
+    )
+
+
 def bpe_token_stats_docs(spark, sf_dir):
     """Exact per-doc token counts under a corpus-trained BPE tokenizer
     (operators/bpe.py: Sennrich merges learned from the bounded
@@ -3572,6 +3600,7 @@ def catalog() -> dict[str, Q]:
         ("bpe_token_stats_docs", bpe_token_stats_docs),
         ("event_value_quantiles", event_value_quantiles),
         ("doc_quality_model_scores", doc_quality_model_scores),
+        ("doc_pagerank", doc_pagerank),
     ]:
         qs[name] = Q(fn, None)
     # Reorder: gate-window names first (in _GATE_WINDOW order), then
