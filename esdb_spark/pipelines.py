@@ -203,7 +203,10 @@ def build_pretraining_corpus(
     assignment = pack_greedy(
         sized, id_col, "_n_tokens", budget=pack_budget, n_shards=pack_shards
     )
-    corpus = kept.join(assignment, id_col)
+    # join from `sized` so the corpus carries `_n_tokens` — the
+    # training sink's manifest and any loader-side budget accounting
+    # need the per-doc token size the bins were packed with
+    corpus = sized.join(assignment, id_col)
     # count the JOINED result, not a copy of the previous stage: if the
     # packing assignment ever failed to cover every doc, the audit must
     # show it rather than paper over it

@@ -143,3 +143,24 @@ def test_ewma_alpha_validation(spark):
         ewma_per_key(df, "k", ["t"], "v", alpha=0.0)
     with _pytest.raises(ValueError):
         ewma_per_key(df, "k", ["t"], "v", alpha=1.5)
+
+
+def test_ewma_carry_across_arrow_batches(spark):
+    """Force multi-batch partitions (tiny Arrow batch size) so the
+    batch-boundary carry path is exercised; results must be identical
+    to the single-batch run."""
+    from esdb_spark.operators.grouped import ewma_per_key
+
+    rows = [(k, i, float((i * 7 + k) % 19)) for k in range(3) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, t long, v double").coalesce(1)
+    base = ewma_per_key(df, "k", ["t"], "v", 0.25).orderBy("k", "t").collect()
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "13")  # splits every key's series across batches
+    try:
+        tiny = (
+            ewma_per_key(df, "k", ["t"], "v", 0.25).orderBy("k", "t").collect()
+        )
+    finally:
+        spark.conf.set(key, old)
+    assert tiny == base
