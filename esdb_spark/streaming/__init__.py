@@ -342,3 +342,81 @@ def windowed_counts(
         .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
         .agg(*aggs)
     )
+
+
+def ewma_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.25,
+):
+    """Streaming twin of ``grouped.ewma_per_key``: the per-key EWMA
+    recurrence continued across micro-batches via
+    ``applyInPandasWithState`` — the state store carries one double
+    (the running average) per key, so arbitrarily long-lived keys cost
+    O(1) state.
+
+    Emits one row per input event: (key, ts_us, value, ewma). Events
+    are processed in event-time order WITHIN each micro-batch (sorted
+    here); a late event arriving after a later-timestamped event has
+    been smoothed is absorbed in arrival order — the recurrence never
+    rewrites emitted history (append mode). Batch/stream parity on
+    in-order input is asserted in test_streaming.py against the batch
+    operator.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    if not 0 < alpha <= 1:
+        raise ValueError("ewma_stream: alpha must be in (0, 1]")
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("ewma", T.DoubleType())])
+    a = float(alpha)
+
+    def fn(key, pdfs, state: "GroupState"):
+        (k,) = key
+        prev = state.get[0] if state.exists else None
+        chunks = [
+            pd.DataFrame(
+                {
+                    "ts_us": pd.to_datetime(pdf["_ts"]).astype("int64")
+                    // 1000,
+                    "value": pdf["_v"].astype("float64"),
+                }
+            )
+            for pdf in pdfs
+        ]
+        if not chunks:
+            return
+        batch = pd.concat(chunks).sort_values("ts_us", ignore_index=True)
+        e = prev
+        out = []
+        for t, x in zip(batch["ts_us"], batch["value"]):
+            x = float(x)
+            # same multiply-add order as the batch operator / oracle
+            e = x if e is None else a * x + (1.0 - a) * e
+            out.append((k, int(t), x, e))
+        state.update((e,))
+        yield pd.DataFrame(out, columns=["key", "ts_us", "value", "ewma"])
+
+    prepared = events.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -389,3 +389,65 @@ def test_text_operators_compose_with_streaming(spark, tmp_path):
     assert "x()" not in out[1]["text"] and "Hello world" in out[1]["text"]
     assert "[REDACTED]" in out[2]["text"]  # email scrubbed
     assert 0.0 <= out[1]["quality_score"] <= 1.0
+
+
+def test_ewma_stream_matches_batch_operator(spark, tmp_path):
+    """Cross-batch EWMA state: feeding the same in-order events in two
+    micro-batches must produce exactly the batch operator's values."""
+    import datetime as dt
+
+    from esdb_spark.operators.grouped import ewma_per_key
+    from esdb_spark.streaming import ewma_stream
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src_dir = str(tmp_path / "ewma_src")
+    ckpt = str(tmp_path / "ewma_ckpt")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (u, t0 + dt.timedelta(minutes=i), float((i * 7 + u) % 13))
+        for u in (1, 2)
+        for i in range(8)
+    ]
+    first, second = rows[:8], rows[8:]
+
+    spark.createDataFrame(first, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        ewma_stream(stream, alpha=0.25)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(second, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        q.processAllAvailable()
+        got = {
+            (r["key"], r["ts_us"]): r["ewma"]
+            for r in spark.sql("SELECT * FROM ewma_out").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_df = spark.createDataFrame(rows, schema)
+    want = {
+        (r["user_id"], int(r["ts"].timestamp() * 1_000_000)): r["ewma"]
+        for r in ewma_per_key(
+            batch_df, "user_id", ["ts"], "value", 0.25
+        ).collect()
+    }
+    assert len(got) == 16
+    assert got == want  # bit-exact: same recurrence, same op order
