@@ -88,3 +88,44 @@ def compact_archive(db: Db, target_files_per_space: int = 1) -> Db:
     if was_written:
         fs.touch(spark, os.path.join(db.path, WRITTEN_MARKER))
     return Db.open(spark, db.path)
+
+
+def materialize_index(db: Db, name: str) -> Db:
+    """Rewrite the archive with the secondary index ``name``
+    additionally stored as a plain ``_idx_<name>`` column — post-hoc
+    reindexing of an existing archive (the write-time equivalent is
+    ``Writer(materialize_indexes=[...])``; the reference builds its
+    index blocks only at write time, so adding one later means a
+    rewrite there too — index_writer.go's blocks are baked into the
+    finalized layout).
+
+    Same one-shuffle rewrite + atomic directory swap as
+    :func:`compact_archive`, preserving the salted write fan-out and
+    the (grouping, ts desc, seq asc) cluster order, so index scans on
+    the new column row-group-prune exactly like a write-time
+    materialized index. Idempotent: re-materializing an existing name
+    just rewrites the same column.
+    """
+    if db.path is None:
+        raise ValueError("cannot materialize an index on an in-memory Db")
+    spark = db.spark
+    col = f"_idx_{name}"
+    base = db.df.drop(col) if col in db.df.columns else db.df
+    enriched = base.withColumn(col, F.col("indexes")[name])
+    tmp = db.path + ".reindex.tmp"
+    k = max(spark.sparkContext.defaultParallelism // 4, 1)
+    salt = F.pmod(F.xxhash64("grouping"), F.lit(k))
+    (
+        enriched.repartition(F.col("space"), salt)
+        .sortWithinPartitions("grouping", F.col("ts").desc(), F.col("seq").asc())
+        .write.mode("overwrite")
+        .partitionBy("space")
+        .parquet(tmp)
+    )
+    from esdb_spark import fs
+
+    was_written = fs.exists(spark, os.path.join(db.path, WRITTEN_MARKER))
+    fs.replace_dir(spark, tmp, db.path)
+    if was_written:
+        fs.touch(spark, os.path.join(db.path, WRITTEN_MARKER))
+    return Db.open(spark, db.path)

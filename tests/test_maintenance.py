@@ -44,3 +44,45 @@ def test_stats_and_compact(spark, tmp_path):
 
     with pytest.raises(DbExistsError):
         Writer(spark, path)
+
+
+def test_materialize_index_post_hoc(spark, tmp_path):
+    """Reindexing an existing archive must add a pushdown-capable
+    _idx_ column with identical scan results to a write-time one."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from esdb_spark.maintenance import materialize_index
+    from esdb_spark.plans import physical_plan
+    from esdb_spark.writer import write_events
+
+    src = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("space"),
+        F.lit("").alias("grouping"),
+        F.timestamp_seconds(F.lit(1400000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("seq"),
+        F.col("id").cast("string").alias("data"),
+        F.create_map(F.lit("city"), (F.col("id") % 40).cast("string")).alias(
+            "indexes"
+        ),
+    )
+    path = str(tmp_path / "reindex.esdb")
+    write_events(src, path)
+    db = Db.open(spark, path)
+    before = [tuple(r) for r in db.find("1").scan_index("city", "7").collect()]
+
+    db2 = materialize_index(db, "city")
+    assert "_idx_city" in db2.df.columns
+    after = [tuple(r) for r in db2.find("1").scan_index("city", "7").collect()]
+    # scan_index result columns exclude internal _idx_*, so rows compare 1:1
+    assert before == after and len(after) > 0
+    plan = physical_plan(db2.find("1").scan_index("city", "7"))
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m and "EqualTo(_idx_city,7)" in m.group(1)
+    # idempotent + sealed marker preserved
+    db3 = materialize_index(db2, "city")
+    assert [tuple(r) for r in db3.find("1").scan_index("city", "7").collect()] == after
+    import glob as _g
+
+    assert _g.glob(path + "/_ESDB_WRITTEN")
