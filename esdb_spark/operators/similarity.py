@@ -363,35 +363,52 @@ def ann_topk_ivf(
         ]
     )
 
-    def rerank(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            qm = np.array(pdf["qvec"].tolist(), dtype=np.float64)
-            mn = np.linalg.norm(m, axis=1)
-            qn = np.linalg.norm(qm, axis=1)
-            ok = (mn > 0) & (qn > 0)
-            if not ok.any():
-                continue
-            cos = np.einsum(
-                "ij,ij->i",
-                m[ok] / mn[ok][:, None],
-                qm[ok] / qn[ok][:, None],
-            )
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy()[ok],
-                    "id": pdf["id"].to_numpy()[ok],
-                    "cos": cos,
-                }
-            )
+    # Per-cell COGROUP rerank instead of a pair-explosion join: an
+    # equi-join on cell emits one row per (query, candidate) pair
+    # carrying BOTH vectors — queries × avg_cell_size × n_probe
+    # vector copies through the shuffle. Cogrouping ships each corpus
+    # and query vector across the wire once per probed cell, runs one
+    # GEMM per cell, and truncates to the per-query top-k (by the
+    # same (cos desc, id asc) order as the global ranking, so the
+    # truncation is lossless) before anything re-shuffles — the
+    # intermediate is queries × k × n_probe scored ids, not raw
+    # pairs. Both sides can be arbitrarily large (a true KNN join);
+    # cell size bounds the task, and k-means cells are roughly
+    # balanced by construction.
+    def rerank_cell(key, cdf, qdf):
+        if len(cdf) == 0 or len(qdf) == 0:
+            return pd.DataFrame({"query_id": [], "id": [], "cos": []})
+        m = np.array(cdf["vec"].tolist(), dtype=np.float64)
+        mn = np.linalg.norm(m, axis=1)
+        cok = mn > 0
+        qm = np.array(qdf["qvec"].tolist(), dtype=np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        qok = qn > 0
+        if not cok.any() or not qok.any():
+            return pd.DataFrame({"query_id": [], "id": [], "cos": []})
+        m = m[cok] / mn[cok][:, None]
+        qm = qm[qok] / qn[qok][:, None]
+        ids = cdf["id"].to_numpy()[cok]
+        qids = qdf["query_id"].to_numpy()[qok]
+        sims = qm @ m.T  # (nq, nc)
+        # exact (cos desc, id asc) per-query order — identical ties to
+        # the global window, so keeping k here loses nothing
+        order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)
+        kk = min(k + 1, sims.shape[1])  # +1 absorbs a self-match drop
+        out_q, out_i, out_c = [], [], []
+        take = order[:, :kk]
+        for row in range(sims.shape[0]):
+            sel = take[row]
+            mask = ids[sel] != qids[row]
+            out_q.extend([qids[row]] * int(mask.sum()))
+            out_i.extend(ids[sel][mask])
+            out_c.extend(sims[row, sel][mask])
+        return pd.DataFrame({"query_id": out_q, "id": out_i, "cos": out_c})
 
     cands = (
-        assigned.join(q_cells, "cell")
-        .filter(F.col("id") != F.col("query_id"))
-        .select("query_id", "id", "vec", "qvec")
-        .mapInPandas(rerank, rerank_schema)
+        assigned.groupBy("cell")
+        .cogroup(q_cells.groupBy("cell"))
+        .applyInPandas(rerank_cell, rerank_schema)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("id").asc()
