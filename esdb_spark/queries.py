@@ -3214,6 +3214,26 @@ def doc_quality_model_scores(spark, sf_dir):
     )
 
 
+def knn_join_embeddings(spark, sf_dir):
+    """Self KNN JOIN: top-5 neighbors for EVERY vector — both sides
+    are the full embeddings table, the shape where broadcast-query ANN
+    stops working (hard-negative mining / SemDeDup over a full corpus).
+    Runs on the IVF cogroup path (similarity.ann_topk_ivf): per-cell
+    GEMMs, each vector shipped once per probed cell, lossless local
+    top-k. Rows-only — xxhash-sampled centroid fit has no SQL twin;
+    recall vs exact cosine is asserted in test_similarity.py."""
+    from esdb_spark.operators.similarity import ann_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        ann_topk_ivf(
+            emb, emb, "embedding", "vec_id", k=5, n_centroids=16, n_probe=4
+        )
+        .select("query_id", "id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def doc_pagerank(spark, sf_dir):
     """PageRank centrality over the Jaccard-0.5 near-dup graph
     (operators/graph.pagerank on the same edge generator as
@@ -3601,6 +3621,7 @@ def catalog() -> dict[str, Q]:
         ("event_value_quantiles", event_value_quantiles),
         ("doc_quality_model_scores", doc_quality_model_scores),
         ("doc_pagerank", doc_pagerank),
+        ("knn_join_embeddings", knn_join_embeddings),
     ]:
         qs[name] = Q(fn, None)
     # Reorder: gate-window names first (in _GATE_WINDOW order), then
