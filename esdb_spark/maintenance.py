@@ -129,3 +129,41 @@ def materialize_index(db: Db, name: str) -> Db:
     if was_written:
         fs.touch(spark, os.path.join(db.path, WRITTEN_MARKER))
     return Db.open(spark, db.path)
+
+
+def expire_events(db: Db, older_than) -> Db:
+    """Retention: rewrite the archive without events whose ``ts`` is
+    strictly older than ``older_than`` (timestamp or ISO string). The
+    reference's archives are immutable forever (esdb.go — no delete
+    path); at 100 TB retention is an operational requirement, so this
+    is the OPTIMIZE-shaped answer: filter + rewrite + atomic swap, the
+    same lifecycle-safe pattern as :func:`compact_archive`.
+
+    The filter is a pushed parquet predicate, so row groups wholly
+    newer than the cutoff are copied without decoding row-by-row
+    filtering work, and row groups wholly older are skipped at the
+    scan. Spaces left empty disappear (their partition directory is
+    simply not rewritten). Returns the re-opened Db.
+    """
+    if db.path is None:
+        raise ValueError("cannot expire an in-memory Db")
+    spark = db.spark
+    cutoff = F.lit(older_than).cast("timestamp")
+    kept = db.df.filter(F.col("ts") >= cutoff)
+    tmp = db.path + ".expire.tmp"
+    k = max(spark.sparkContext.defaultParallelism // 4, 1)
+    salt = F.pmod(F.xxhash64("grouping"), F.lit(k))
+    (
+        kept.repartition(F.col("space"), salt)
+        .sortWithinPartitions("grouping", F.col("ts").desc(), F.col("seq").asc())
+        .write.mode("overwrite")
+        .partitionBy("space")
+        .parquet(tmp)
+    )
+    from esdb_spark import fs
+
+    was_written = fs.exists(spark, os.path.join(db.path, WRITTEN_MARKER))
+    fs.replace_dir(spark, tmp, db.path)
+    if was_written:
+        fs.touch(spark, os.path.join(db.path, WRITTEN_MARKER))
+    return Db.open(spark, db.path)

@@ -86,3 +86,37 @@ def test_materialize_index_post_hoc(spark, tmp_path):
     import glob as _g
 
     assert _g.glob(path + "/_ESDB_WRITTEN")
+
+
+def test_expire_events_retention(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from esdb_spark.maintenance import expire_events
+    from esdb_spark.writer import write_events
+
+    src = spark.range(1000).select(
+        (F.col("id") % 2).cast("string").alias("space"),
+        F.lit("g").alias("grouping"),
+        F.timestamp_seconds(F.lit(1400000000) + F.col("id") * 3600).alias("ts"),
+        F.col("id").alias("seq"),
+        F.col("id").cast("string").alias("data"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("indexes"),
+    )
+    path = str(tmp_path / "ret.esdb")
+    write_events(src, path)
+    db = Db.open(spark, path)
+    cutoff = dt.datetime.utcfromtimestamp(1400000000 + 500 * 3600)
+    db2 = expire_events(db, cutoff)
+    assert db2.df.count() == 500
+    assert db2.df.agg(F.min("ts")).collect()[0][0] >= cutoff
+    # order and scans intact after the rewrite
+    top = db2.find("1").scan("g", limit=3).collect()
+    assert [r["seq"] for r in top] == sorted(
+        (r["seq"] for r in top), reverse=True
+    )
+    # sealed marker preserved
+    import glob as _g
+
+    assert _g.glob(path + "/_ESDB_WRITTEN")
