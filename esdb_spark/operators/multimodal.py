@@ -347,3 +347,90 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.select(
         "media_id", "content", F.col("meta.duration_ms").alias("duration_ms")
     ).mapInPandas(op, out_schema)
+
+
+def pcm_signal_stats(content: bytes) -> tuple[float, float, float] | None:
+    """Dependency-free REAL signal features from 16-bit PCM WAV bytes:
+    (rms, peak, zero_cross_rate), each computed from the decoded
+    samples with numpy — no audio library involved. Amplitudes are
+    normalized to [-1, 1] (int16 full scale); zero-cross rate is the
+    fraction of consecutive-sample sign changes across the interleaved
+    stream. Returns None unless the payload is an uncompressed
+    (format tag 1) 16-bit WAV with a data chunk — compressed codecs
+    stay behind the documented decode stub."""
+    import numpy as np
+
+    n = len(content)
+    if n < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    fmt_tag = bits = None
+    data_off = data_size = None
+    i = 12
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        size = int.from_bytes(content[i + 4 : i + 8], "little")
+        body = i + 8
+        if cid == b"fmt " and body + 16 <= n:
+            fmt_tag = int.from_bytes(content[body : body + 2], "little")
+            bits = int.from_bytes(content[body + 14 : body + 16], "little")
+        elif cid == b"data":
+            data_off, data_size = body, size
+        i = body + size + (size & 1)
+    if fmt_tag != 1 or bits != 16 or data_off is None:
+        return None
+    end = min(data_off + (data_size or 0), n)
+    raw = content[data_off : end - ((end - data_off) % 2)]
+    if not raw:
+        return (0.0, 0.0, 0.0)
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.max(np.abs(x)))
+    zcr = (
+        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        if len(x) > 1
+        else 0.0
+    )
+    return (rms, peak, zcr)
+
+
+def extract_audio_signal_features(df: DataFrame) -> DataFrame:
+    """Header metadata PLUS real decoded-signal statistics per media
+    row: (media_id, channels, sample_rate_hz, duration_ms, rms, peak,
+    zero_cross_rate). PCM16 payloads get real numpy-decoded values;
+    anything else gets nulls for the signal columns (and for the
+    header columns if not WAV at all)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sample_rate_hz", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+            T.StructField("zero_cross_rate", T.DoubleType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf["content"].map(
+                lambda c: parse_wav_meta(bytes(c)) if c is not None else None
+            )
+            stats = pdf["content"].map(
+                lambda c: pcm_signal_stats(bytes(c)) if c is not None else None
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "channels": metas.map(lambda m: m[1] if m else None),
+                    "sample_rate_hz": metas.map(lambda m: m[2] if m else None),
+                    "duration_ms": metas.map(lambda m: m[3] if m else None),
+                    "rms": stats.map(lambda s: s[0] if s else None),
+                    "peak": stats.map(lambda s: s[1] if s else None),
+                    "zero_cross_rate": stats.map(
+                        lambda s: s[2] if s else None
+                    ),
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(op, out_schema)

@@ -199,3 +199,63 @@ def test_extract_audio_features(spark):
     assert got[2]["duration_ms"] == 1000
     assert got[3]["channels"] is None  # unrecognized -> nulls, no crash
     assert got[3]["n_bytes"] == len(b"plain text payload")
+
+
+def _sine_wav(freq=440, rate=8000, n_samples=8000, amp=0.5):
+    """PCM16 mono WAV with a real sine signal for decoded-feature tests."""
+    import numpy as np
+
+    t = np.arange(n_samples) / rate
+    x = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    data = x.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_pcm_signal_stats_real_decode():
+    import math
+
+    from esdb_spark.operators.multimodal import pcm_signal_stats
+
+    rms, peak, zcr = pcm_signal_stats(_sine_wav(freq=440, rate=8000, amp=0.5))
+    # sine: rms = amp/sqrt(2), peak = amp, zcr = 2*freq/rate
+    assert abs(rms - 0.5 / math.sqrt(2)) < 0.01
+    assert abs(peak - 0.5) < 0.01
+    assert abs(zcr - 2 * 440 / 8000) < 0.005
+    assert pcm_signal_stats(b"not audio") is None
+    # silence decodes as real zeros, not None
+    assert pcm_signal_stats(_wav(channels=1, rate=8000, n_samples=100)) == (
+        0.0,
+        0.0,
+        0.0,
+    )
+
+
+def test_extract_audio_signal_features(spark):
+    from esdb_spark.operators.multimodal import extract_audio_signal_features
+
+    rows = [
+        (1, _sine_wav(freq=200, rate=8000, amp=0.25)),
+        (2, b"plain text payload"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r["media_id"]: r
+        for r in extract_audio_signal_features(df).collect()
+    }
+    assert abs(got[1]["peak"] - 0.25) < 0.01
+    assert abs(got[1]["zero_cross_rate"] - 2 * 200 / 8000) < 0.005
+    assert got[1]["sample_rate_hz"] == 8000
+    assert got[2]["rms"] is None and got[2]["channels"] is None
