@@ -434,3 +434,233 @@ def extract_audio_signal_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "content").mapInPandas(op, out_schema)
+
+
+def decode_png_pixels(content: bytes):
+    """REAL PNG pixel decode with zero imaging dependencies: stdlib
+    ``zlib`` inflates the IDAT stream and numpy reverses the scanline
+    filters. Returns an ``(h, w, channels)`` uint8 array, or None if
+    the payload isn't a supported PNG.
+
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4
+    (gray+alpha), 6 (RGBA), non-interlaced — i.e. what the PNG spec
+    calls the common case. All five scanline filters (None/Sub/Up/
+    Average/Paeth, RFC 2083 §6) are implemented: Sub is a mod-256
+    cumulative sum per byte lane (addition mod 256 is associative, so
+    ``np.cumsum % 256`` is exact), Up is vectorized against the prior
+    row, Average/Paeth are the spec's sequential recurrences.
+    Interlaced or 16-bit images return None rather than wrong pixels.
+    """
+    import numpy as np
+    import struct
+    import zlib
+
+    if len(content) < 8 or content[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w = h = None
+    channels = None
+    idat = b""
+    i = 8
+    n = len(content)
+    while i + 8 <= n:
+        (clen,) = struct.unpack(">I", content[i : i + 4])
+        ctype = content[i + 4 : i + 8]
+        body = content[i + 8 : i + 8 + clen]
+        if ctype == b"IHDR":
+            if clen < 13:
+                return None
+            w, h, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+            if depth != 8 or comp != 0 or filt != 0 or inter != 0:
+                return None
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                return None
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if not (w and h and channels and idat):
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    bpp = channels
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for row in range(h):
+        f = raw[pos]
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += stride + 1
+        if f == 0:
+            rec = cur.copy()
+        elif f == 1:  # Sub: per-lane mod-256 cumsum
+            rec = cur.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = (
+                    np.cumsum(cur[lane::bpp], dtype=np.uint64) % 256
+                ).astype(np.uint8)
+        elif f == 2:  # Up
+            rec = cur + prev  # uint8 wraps mod 256 by definition
+        elif f == 3:  # Average: sequential (left-recon dependent)
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth predictor: sequential
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            return None
+        out[row] = rec
+        prev = rec
+    return out.reshape(h, w, channels)
+
+
+def decode_bmp_pixels(content: bytes):
+    """REAL 24-bit uncompressed BMP pixel decode (numpy only): returns
+    an ``(h, w, 3)`` RGB uint8 array, or None for other BMP variants.
+    Rows are 4-byte aligned and stored bottom-up (negative heights =
+    top-down, also handled); samples are BGR on disk."""
+    import numpy as np
+    import struct
+
+    if len(content) < 54 or content[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack("<I", content[10:14])
+    (hdr_size,) = struct.unpack("<I", content[14:18])
+    if hdr_size < 40:
+        return None
+    w, h = struct.unpack("<ii", content[18:26])
+    planes, bits = struct.unpack("<HH", content[26:30])
+    (compression,) = struct.unpack("<I", content[30:34])
+    if bits != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = data_off + stride * h
+    if len(content) < need:
+        return None
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def decode_pixels(content: bytes):
+    """Format-sniffing real pixel decode: PNG (zlib+numpy) or 24-bit
+    BMP. JPEG/GIF entropy coding genuinely needs a codec library —
+    those stay behind :func:`decode_image`'s documented stub."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(content)
+    if content[:2] == b"BM":
+        return decode_bmp_pixels(content)
+    return None
+
+
+def extract_image_pixel_features(df: DataFrame) -> DataFrame:
+    """Real decoded-pixel statistics per media row: (media_id, width,
+    height, channels, mean_r, mean_g, mean_b, brightness) — PNG/BMP
+    payloads are actually decoded (see :func:`decode_pixels`); other
+    formats yield nulls. Gray images replicate their mean into all
+    three channel columns."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("brightness", T.DoubleType()),
+        ]
+    )
+
+    def one(c):
+        img = decode_pixels(bytes(c)) if c is not None else None
+        if img is None:
+            return (None,) * 7
+        h, w, ch = img.shape
+        means = img.reshape(-1, ch).mean(axis=0)
+        if ch >= 3:
+            r, g, b = float(means[0]), float(means[1]), float(means[2])
+        else:
+            r = g = b = float(means[0])
+        return (w, h, ch, r, g, b, (r + g + b) / 3.0)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["content"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": feats.map(lambda t: t[0]),
+                    "height": feats.map(lambda t: t[1]),
+                    "channels": feats.map(lambda t: t[2]),
+                    "mean_r": feats.map(lambda t: t[3]),
+                    "mean_g": feats.map(lambda t: t[4]),
+                    "mean_b": feats.map(lambda t: t[5]),
+                    "brightness": feats.map(lambda t: t[6]),
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(op, out_schema)
+
+
+def encode_png(img) -> bytes:
+    """Minimal real PNG encoder (stdlib zlib only): 8-bit gray/
+    gray+alpha/RGB/RGBA from an ``(h, w, channels)`` uint8 array,
+    filter type 0 (None) per scanline. The write half of
+    :func:`decode_png_pixels` — thumbnails, visual fixtures, and the
+    round-trip proof that the decoder is real."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise ValueError(f"encode_png: unsupported channel count {ch}")
+
+    def chunk(ctype, body):
+        c = struct.pack(">I", len(body)) + ctype + body
+        return c + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[row].tobytes() for row in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )

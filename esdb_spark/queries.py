@@ -2161,6 +2161,65 @@ def multimodal_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def multimodal_pixel_stats(spark, sf_dir):
+    """REAL image decode under an exact oracle: each document becomes
+    a genuine PNG (operators/multimodal.encode_png — zlib-deflated
+    scanlines) of a solid color derived from doc_id, and the query
+    REALLY decodes it back (decode_png_pixels: inflate + de-filter)
+    to per-channel means. Because the color is a pure function of
+    doc_id, DuckDB predicts every decoded value exactly — the oracle
+    certifies the full encode→decode→aggregate path, not a fake."""
+    from pyspark.sql import types as T
+
+    from esdb_spark.operators.multimodal import (
+        encode_png,
+        extract_image_pixel_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def make_png(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                side = did % 16 + 1
+                img = np.empty((side, side, 3), dtype=np.uint8)
+                img[:, :, 0] = did % 256
+                img[:, :, 1] = (did * 7) % 256
+                img[:, :, 2] = (did * 13) % 256
+                out.append(encode_png(img))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": out}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        make_png,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        extract_image_pixel_features(media)
+        .select(
+            "media_id",
+            F.col("width").cast("bigint").alias("width"),
+            F.col("height").cast("bigint").alias("height"),
+            "mean_r",
+            "mean_g",
+            "mean_b",
+            "brightness",
+        )
+        .orderBy("media_id")
+    )
+
+
 def decontaminate_docs(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of each training doc
     (doc_id % 20 != 0) against the eval split (doc_id % 20 == 0) —
@@ -3082,6 +3141,21 @@ _PIPELINE_ORACLES = {
                octet_length(encode(text)) AS n_bytes
         FROM documents ORDER BY media_id
     """,
+    # every decoded pixel of the solid-color PNG equals the doc_id
+    # derivation, so the aggregate means are exact integers-in-doubles
+    # and brightness shares the (r+g+b)/3 IEEE ops with numpy
+    "multimodal_pixel_stats": """
+        SELECT doc_id AS media_id,
+               CAST(doc_id % 16 + 1 AS BIGINT) AS width,
+               CAST(doc_id % 16 + 1 AS BIGINT) AS height,
+               CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+               CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+               CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b,
+               (CAST(doc_id % 256 AS DOUBLE)
+                + CAST((doc_id * 7) % 256 AS DOUBLE)
+                + CAST((doc_id * 13) % 256 AS DOUBLE)) / 3.0 AS brightness
+        FROM documents ORDER BY media_id
+    """,
 }
 
 
@@ -3453,7 +3527,11 @@ _GATE_WINDOW = [
     "upsample_docs",
     "hard_negatives_topk",
     # LLM-pipeline: multimodal, splits, event rollups
-    "multimodal_features",
+    # (round 3: the REAL-decode entry replaces the fake-decode
+    # plumbing row in the window — encode_png → decode_png_pixels →
+    # aggregate under an exact oracle; multimodal_features stays
+    # catalogued + locally verified)
+    "multimodal_pixel_stats",
     "documents_split_counts",
     "event_value_ohlc",
     # rows-only sketch ops (engine-specific hashes — weaker gate check)
@@ -3599,6 +3677,7 @@ def catalog() -> dict[str, Q]:
         ("doc_winnow_fingerprints", doc_winnow_fingerprints),
         ("orders_profile", orders_profile),
         ("multimodal_features", multimodal_features),
+        ("multimodal_pixel_stats", multimodal_pixel_stats),
         ("heavy_hitter_users", heavy_hitter_users),
         ("decontaminate_docs", decontaminate_docs),
         ("pack_documents", pack_documents),

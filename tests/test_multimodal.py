@@ -259,3 +259,126 @@ def test_extract_audio_signal_features(spark):
     assert abs(got[1]["zero_cross_rate"] - 2 * 200 / 8000) < 0.005
     assert got[1]["sample_rate_hz"] == 8000
     assert got[2]["rms"] is None and got[2]["channels"] is None
+
+
+def _png_pix(img, filters):
+    """Minimal PNG encoder for tests: encodes `img` (h, w, ch uint8)
+    using the given per-row filter types (0-4), inverting the spec's
+    reconstruction formulas — so decode must reproduce `img` exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype, body):
+        c = struct.pack(">I", len(body)) + ctype + body
+        return c + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for row, f in zip(range(h), filters):
+        rec = img[row].reshape(-1).astype(np.int32)
+        filt = np.empty_like(rec)
+        for x in range(len(rec)):
+            a = int(rec[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (int(rec[x]) - pred) & 0xFF
+        raw.append(f)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = rec
+    idat = zlib.compress(bytes(raw))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_roundtrip_all_filters():
+    import numpy as np
+
+    from esdb_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(5, 4, ch), dtype=np.uint8)
+        png = _png_pix(img, filters=[0, 1, 2, 3, 4])
+        got = decode_png_pixels(png)
+        assert got is not None and got.shape == img.shape, ch
+        assert (got == img).all(), f"channels={ch}"
+    assert decode_png_pixels(b"not a png") is None
+
+
+def _bmp_pix(img, top_down=False):
+    """Minimal 24-bit BMP encoder (BGR, padded rows)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = img[:, :, ::-1]  # RGB → BGR
+    if not top_down:
+        rows = rows[::-1]
+    body = bytearray()
+    for r in rows:
+        body.extend(r.tobytes())
+        body.extend(b"\x00" * (stride - w * 3))
+    hh = -h if top_down else h
+    info = struct.pack("<IiiHHIIiiII", 40, w, hh, 1, 24, 0, len(body), 0, 0, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return header + info + bytes(body)
+
+
+def test_bmp_decode_roundtrip_both_orientations():
+    import numpy as np
+
+    from esdb_spark.operators.multimodal import decode_bmp_pixels
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    for td in (False, True):
+        got = decode_bmp_pixels(_bmp_pix(img, top_down=td))
+        assert got is not None and (got == img).all(), td
+    assert decode_bmp_pixels(b"BMgarbage") is None
+
+
+def test_extract_image_pixel_features(spark):
+    import numpy as np
+
+    from esdb_spark.operators.multimodal import extract_image_pixel_features
+
+    solid = np.zeros((4, 4, 3), dtype=np.uint8)
+    solid[:, :, 0] = 200  # pure red-ish
+    rows = [
+        (1, _png_pix(solid, filters=[0, 1, 2, 4])),
+        (2, _bmp_pix(solid)),
+        (3, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r["media_id"]: r for r in extract_image_pixel_features(df).collect()
+    }
+    for mid in (1, 2):
+        assert got[mid]["mean_r"] == 200.0 and got[mid]["mean_g"] == 0.0
+        assert (got[mid]["width"], got[mid]["height"]) == (4, 4)
+        assert abs(got[mid]["brightness"] - 200.0 / 3) < 1e-9
+    assert got[3]["width"] is None and got[3]["brightness"] is None
