@@ -268,13 +268,17 @@ def extract_media_features(df: DataFrame) -> DataFrame:
 
 
 def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize plumbing: (media_id, width, height, content) in, same
-    shape out with dimensions scaled so max(width, height) == max_side
-    (aspect preserved, never upscaled). The pixel transform is the
-    deterministic fake (payload truncated proportionally to the area
-    ratio); the real design is the schema contract, Arrow batching, and
-    that resized blobs shrink — so a downstream shuffle of thumbnails
-    moves area_ratio× fewer bytes than the originals."""
+    """Resize: (media_id, width, height, content) in, same shape out
+    with dimensions scaled so max(width, height) == max_side (aspect
+    preserved, never upscaled). PNG/BMP payloads are REALLY resized —
+    decoded (:func:`decode_pixels`), nearest-neighbor downsampled in
+    numpy, re-encoded as PNG — so the output thumbnails are valid
+    images and a downstream shuffle moves area_ratio× fewer real
+    bytes. Entropy-coded formats (JPEG/GIF) fall back to the
+    deterministic fake (payload truncated proportionally), keeping the
+    schema contract and batch shape identical."""
+    import numpy as np
+
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -289,15 +293,29 @@ def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
             out = {"media_id": [], "width": [], "height": [], "content": []}
             for _, row in pdf.iterrows():
                 content = bytes(row["content"] or b"")
-                w, h = int(row["width"] or 0), int(row["height"] or 0)
-                side = max(w, h)
-                if side > max_side:
-                    scale = max_side / side
-                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                    keep = int(len(content) * (nw * nh) / max(w * h, 1))
-                    content = content[:keep]
+                img = decode_pixels(content) if content else None
+                if img is not None:
+                    h0, w0 = img.shape[:2]
+                    side = max(w0, h0)
+                    if side > max_side:
+                        scale = max_side / side
+                        nw = max(1, int(w0 * scale))
+                        nh = max(1, int(h0 * scale))
+                        ys = np.arange(nh) * h0 // nh
+                        xs = np.arange(nw) * w0 // nw
+                        content = encode_png(img[ys][:, xs])
+                    else:
+                        nw, nh = w0, h0
                 else:
-                    nw, nh = w, h
+                    w, h = int(row["width"] or 0), int(row["height"] or 0)
+                    side = max(w, h)
+                    if side > max_side:
+                        scale = max_side / side
+                        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                        keep = int(len(content) * (nw * nh) / max(w * h, 1))
+                        content = content[:keep]
+                    else:
+                        nw, nh = w, h
                 out["media_id"].append(row["media_id"])
                 out["width"].append(nw)
                 out["height"].append(nh)

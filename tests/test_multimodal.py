@@ -382,3 +382,29 @@ def test_extract_image_pixel_features(spark):
         assert (got[mid]["width"], got[mid]["height"]) == (4, 4)
         assert abs(got[mid]["brightness"] - 200.0 / 3) < 1e-9
     assert got[3]["width"] is None and got[3]["brightness"] is None
+
+
+def test_resize_images_real_png_path(spark):
+    """PNG payloads must be genuinely resized: the output content is a
+    valid PNG whose decoded pixels equal a nearest-neighbor downsample
+    of the source."""
+    import numpy as np
+
+    from esdb_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(8, 32, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, {"width": 32, "height": 8}, encode_png(img))],
+        "media_id long, meta struct<width:int,height:int>, content binary",
+    )
+    row = resize_images(df, max_side=16).collect()[0]
+    assert (row["width"], row["height"]) == (16, 4)
+    got = decode_png_pixels(bytes(row["content"]))
+    ys = np.arange(4) * 8 // 4
+    xs = np.arange(16) * 32 // 16
+    assert (got == img[ys][:, xs]).all()
