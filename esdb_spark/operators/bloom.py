@@ -171,8 +171,14 @@ def dedup_against_bloom(
     (``dedup_exact`` convention), so neither build nor probe ever
     moves document bodies.
     """
+    # NULL text must match SQL anti-join semantics (NULL = never
+    # equal): exclude NULL fingerprints from the build AND from the
+    # drop predicate — xxhash64 would otherwise hash every NULL key to
+    # the same constant and one NULL in `seen` would drop them all
     bloom = bloom_table(
-        seen.select(F.md5(F.col(text_col)).alias("_bf_key")),
+        seen.select(F.md5(F.col(text_col)).alias("_bf_key")).filter(
+            F.col("_bf_key").isNotNull()
+        ),
         "_bf_key",
         num_bits_log2,
         num_hashes,
@@ -185,4 +191,6 @@ def dedup_against_bloom(
         num_bits_log2=num_bits_log2,
         num_hashes=num_hashes,
     )
-    return flagged.filter(~F.col("_bf_hit")).drop("_bf_key", "_bf_hit")
+    return flagged.filter(
+        F.col("_bf_key").isNull() | ~F.col("_bf_hit")
+    ).drop("_bf_key", "_bf_hit")

@@ -103,3 +103,18 @@ def test_matches_exact_anti_join(spark):
 def test_merge_rejects_empty_list():
     with pytest.raises(ValueError):
         bloom_merge([])
+
+
+def test_null_text_matches_anti_join_semantics(spark):
+    """SQL anti-join semantics: NULL never equals NULL, so null-text
+    rows are always kept even when the seen corpus contains nulls."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "doc_id long, text string"
+    )
+    seen = spark.createDataFrame(
+        [(10, None), (11, "a")], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_against_bloom(df, seen).collect()
+    )
+    assert kept == [2, 3]  # "a" dropped; NULL and "b" kept
