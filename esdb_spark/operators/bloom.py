@@ -134,7 +134,6 @@ def with_bloom_flag(
     words = _dense_words(bloom, num_bits_log2)
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(words)
-    k = num_hashes
 
     @F.pandas_udf("boolean")
     def probe(pos: pd.Series) -> pd.Series:

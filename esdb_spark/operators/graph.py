@@ -55,6 +55,11 @@ def pagerank(
         raise ValueError("pagerank: damping must be in (0, 1)")
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        # NULL endpoints would silently leak rank mass: a NULL dst's
+        # contribution row never re-joins nodes (NULL != NULL) and a
+        # NULL src node would misclassify as dangling — drop such
+        # edges up front so the mass-conservation invariant holds
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
         .localCheckpoint()
     )
@@ -76,9 +81,14 @@ def pagerank(
     e2 = e.select(F.col("src").alias("_e_src"), F.col("dst").alias("_e_dst"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
-        with_deg = ranks.join(
-            outdeg, F.col("id") == F.col("_d_src"), "left"
-        ).select("id", "rank", "outdeg")
+        # materialize once per round: the dangling-mass scalar AND the
+        # contribution pipeline both read this join — without the
+        # checkpoint the join executes twice per iteration
+        with_deg = (
+            ranks.join(outdeg, F.col("id") == F.col("_d_src"), "left")
+            .select("id", "rank", "outdeg")
+            .localCheckpoint()
+        )
         # mass parked on dangling nodes teleports uniformly; one
         # scalar to the driver per round
         dangling = (

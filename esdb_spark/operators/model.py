@@ -63,10 +63,18 @@ def logistic_fit(
     if not feature_cols:
         raise ValueError("logistic_fit: need at least one feature")
     y = F.col(label_col).cast("double")
-    base = df.select(
-        *[F.col(c).cast("double").alias(c) for c in feature_cols],
-        y.alias("_y"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    base = (
+        df.select(
+            *[F.col(c).cast("double").alias(c) for c in feature_cols],
+            y.alias("_y"),
+        )
+        # rows with any NULL feature/label would silently drop out of
+        # the gradient sums while still counting in n (biasing every
+        # step and the reported loss) — exclude them up front so the
+        # stats, gradient, and loss passes see the same row set
+        .na.drop()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     try:
         stats = base.agg(
             F.count("*").alias("n"),
@@ -77,11 +85,11 @@ def logistic_fit(
         if n == 0:
             raise ValueError("logistic_fit: empty input")
         mean = {c: float(stats[f"m_{c}"]) for c in feature_cols}
+        # constant features (stddev 0 / None) divide by 1 instead
         std = {
             c: float(stats[f"s_{c}"]) if stats[f"s_{c}"] else 1.0
             for c in feature_cols
         }
-        std = {c: (s if s > 0 else 1.0) for c, s in std.items()}
 
         w = {c: 0.0 for c in feature_cols}
         b = 0.0

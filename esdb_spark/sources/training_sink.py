@@ -14,7 +14,9 @@ Scale design:
 - ``repartitionByRange`` on (split, shard) gives each (split, shard)
   pair its own task → its own file, with ranges balanced by sampling
   — no hash-collision file merging and no 1-task funnel (the
-  merge_streams lesson). One shuffle total.
+  merge_streams lesson). One data shuffle; the corpus is persisted
+  for the sink's three reads (partition count, write, manifest) so
+  the upstream pipeline lineage executes once.
 - ``sortWithinPartitions`` orders rows by the deterministic shuffle
   key inside each task — a per-task sort of shard-sized data, never a
   global sort.
@@ -51,6 +53,11 @@ def write_training_shards(
     for c in (split_col, shard_col, order_col):
         if c not in corpus.columns:
             raise ValueError(f"write_training_shards: missing column {c!r}")
+    # the sink reads the corpus three times (partition count, write,
+    # manifest) and the input is typically the tail of an expensive
+    # pipeline (dedup + LSH + packing) — persist once so that lineage
+    # executes once, not three times
+    corpus = corpus.persist()
     n_parts = corpus.select(split_col, shard_col).distinct().count()
     (
         corpus.repartitionByRange(
@@ -82,6 +89,7 @@ def write_training_shards(
         sp["n_rows"] += r["n_rows"]
         manifest["total_rows"] += r["n_rows"]
     spark = corpus.sparkSession
+    corpus.unpersist()
     _write_text(
         spark, os.path.join(out_path, "_MANIFEST.json"),
         json.dumps(manifest, indent=1, sort_keys=True),

@@ -66,3 +66,12 @@ def test_damping_validation(spark):
 def test_empty_graph(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df, iters=2).count() == 0
+
+
+def test_null_edges_dropped_mass_conserved(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, None), (None, 2)], "src long, dst long"
+    )
+    ranks = pagerank(df, iters=8).collect()
+    assert {r["id"] for r in ranks} == {1, 2}
+    assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-9

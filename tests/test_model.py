@@ -102,3 +102,20 @@ def test_l2_regularization_shrinks_weights(spark, synth):
     reg = logistic_fit(synth, ["x1", "x2"], "y", iters=30, lr=1.0, reg=0.5)
     assert abs(reg["weights"]["x1"]) < abs(free["weights"]["x1"])
     assert abs(reg["weights"]["x2"]) < abs(free["weights"]["x2"])
+
+
+def test_null_rows_excluded_consistently(spark):
+    """Rows with NULL features/labels must not dilute the gradient:
+    fitting on data-with-nulls equals fitting on the clean subset."""
+    rows = [(float(i % 5), 1 if i % 5 > 2 else 0) for i in range(200)]
+    clean = spark.createDataFrame(rows, "x1 double, y int")
+    noisy = clean.unionByName(
+        spark.createDataFrame(
+            [(None, 1), (2.0, None), (None, None)], "x1 double, y int"
+        )
+    )
+    a = logistic_fit(clean, ["x1"], "y", iters=10)
+    b = logistic_fit(noisy, ["x1"], "y", iters=10)
+    assert b["n"] == a["n"] == 200
+    assert math.isclose(a["weights"]["x1"], b["weights"]["x1"], rel_tol=1e-9)
+    assert math.isclose(a["loss"], b["loss"], rel_tol=1e-9)
