@@ -194,8 +194,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two vector columns."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity of two vector columns; NULL when either side
+    has zero norm (no defined cosine). The ``nullif`` guard matters
+    under Spark 4's default ANSI mode, where a bare 0/0 division is a
+    runtime DIVIDE_BY_ZERO error, not NaN — a single zero vector in a
+    joined pair would otherwise kill the whole job."""
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 def hash_split(

@@ -94,7 +94,11 @@ def trimmed_mean_per_group(
 
     @F.pandas_udf("double")
     def tmean(v: pd.Series) -> float:
-        a = np.sort(v.to_numpy(dtype="float64"))
+        # NULLs arrive as NaN: exclude them like built-in aggregates
+        # do — a NaN in the sort would otherwise poison the mean or
+        # silently eat the high-trim budget
+        a = v.to_numpy(dtype="float64")
+        a = np.sort(a[~np.isnan(a)])
         k = int(len(a) * trim)
         kept = a[k : len(a) - k] if len(a) > 2 * k else a
         return float(kept.mean()) if len(kept) else 0.0
@@ -104,7 +108,7 @@ def trimmed_mean_per_group(
     # count is a second tiny pandas aggregate rather than F.count.
     @F.pandas_udf("long")
     def pcount(v: pd.Series) -> int:
-        return len(v)
+        return int(v.notna().sum())  # match F.count: non-null rows
 
     return df.groupBy(F.col(key_col)).agg(
         F.round(tmean(F.col(value_col)), 6).alias("trimmed_mean"),

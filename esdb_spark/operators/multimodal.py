@@ -1,13 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The Spark-side architecture is real and tested — schema, Arrow-batched
-``mapInPandas`` operators, partition sizing — while the actual codec
-calls are stubbed (image/audio libraries are not in this container):
-:func:`decode_image` raises ``NotImplementedError`` where PIL would be
-invoked, and :func:`fake_decode_meta` provides a deterministic stand-in
-(derived from the bytes) so the distributed plumbing is testable
-end-to-end.
+The Spark-side architecture — schema, Arrow-batched ``mapInPandas``
+operators, partition sizing — is real and tested, and so are the
+codecs that need no external library: a full PNG codec
+(:func:`decode_png_pixels` / :func:`encode_png` — stdlib zlib + numpy
+de-filtering), 24-bit BMP (:func:`decode_bmp_pixels`), PCM16 WAV
+signal decode (:func:`pcm_signal_stats`), and header parsers for
+JPEG/GIF/WAV. Only entropy-coded pixel/sample data (JPEG, GIF,
+compressed audio) stays stubbed: :func:`decode_image` raises
+``NotImplementedError`` where PIL would be invoked, and
+:func:`fake_decode_meta` provides a deterministic stand-in so that
+plumbing stays testable end-to-end.
 
 Design for 100 TB of media:
 
@@ -307,7 +311,9 @@ def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
                     else:
                         nw, nh = w0, h0
                 else:
-                    w, h = int(row["width"] or 0), int(row["height"] or 0)
+                    wv, hv = row["width"], row["height"]
+                    w = 0 if wv is None or pd.isna(wv) else int(wv)
+                    h = 0 if hv is None or pd.isna(hv) else int(hv)
                     side = max(w, h)
                     if side > max_side:
                         scale = max_side / side

@@ -31,7 +31,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from esdb_spark.functions import l2_norm
+from esdb_spark.functions import l2_norm, sample_key
 
 
 def normalized(df: DataFrame, vec_col: str) -> DataFrame:
@@ -201,6 +201,16 @@ def _pandas_rotation_buckets(
     ).mapInPandas(gen, schema)
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector dimensionality from the first non-null vector; None when
+    the DataFrame is empty or holds only nulls (callers short-circuit
+    to an empty result instead of crashing on ``first()[0]``)."""
+    row = df.select(F.col(vec_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    ).first()
+    return len(row[0]) if row is not None else None
+
+
 def hyperplane_buckets(
     df: DataFrame,
     vec_col: str,
@@ -213,7 +223,13 @@ def hyperplane_buckets(
     import numpy as np
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _infer_dim(df, vec_col)
+    if dim is None:  # empty / all-null input: empty bucket table
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.lit(0).cast("long").alias("bucket"),
+        ).limit(0)
     planes = np.array([_hyperplane_literals(dim, bits, seed)])
     return _pandas_rotation_buckets(df, vec_col, id_col, "id", planes).select(
         "id", F.col("id_vec").alias("vec"), "bucket"
@@ -260,7 +276,7 @@ def ann_topk_ivf(
 
     # --- index build: sampled numpy Lloyd's, cosine metric -------------
     sample_pd = (
-        c.orderBy(F.md5(F.concat(F.lit(str(seed)), F.col("id").cast("string"))))
+        c.orderBy(sample_key(F.col("id"), str(seed)))
         .limit(fit_sample)
         .select("vec")
         .toPandas()
@@ -438,7 +454,14 @@ def ann_topk_lsh(
     """
     import numpy as np
 
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _infer_dim(corpus, vec_col)
+    if dim is None:  # empty / all-null corpus: no candidates
+        return corpus.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("id"),
+            F.lit(0.0).alias("cos"),
+            F.lit(0).cast("int").alias("rank"),
+        ).limit(0)
     planes = np.array(
         [_hyperplane_literals(dim, bits, seed + r) for r in range(rotations)]
     )
@@ -455,6 +478,11 @@ def ann_topk_lsh(
             "id",
             cosine(F.col("id_vec"), F.col("query_id_vec")).alias("cos"),
         )
+        # zero-norm vectors have no defined cosine (functions.cosine
+        # yields NULL via its ANSI-safe nullif guard) — no match, the
+        # same contract as cosine_topk; without the guard Spark's
+        # NaN-sorts-highest rule would rank them #1
+        .filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
         .dropDuplicates(["query_id", "id"])
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -488,7 +516,7 @@ def pq_train(
 
     sample_pd = (
         corpus.select(F.col(vec_col).alias("vec"), F.col(id_col).alias("id"))
-        .orderBy(F.md5(F.concat(F.lit(str(seed)), F.col("id").cast("string"))))
+        .orderBy(sample_key(F.col("id"), str(seed)))
         .limit(fit_sample)
         .select("vec")
         .toPandas()
@@ -609,18 +637,18 @@ def ann_topk_pq(
     )
     qm = np.array(q_pd["vec"].tolist(), dtype=np.float64)
     qn = np.linalg.norm(qm, axis=1)
-    qn[qn == 0.0] = 1.0
-    qm = qm / qn[:, None]
+    # zero-norm queries have no defined cosine: drop them (the same
+    # contract as cosine_topk/hard_negatives) instead of emitting
+    # arbitrary tie-broken top-k rows
+    keep_q = qn > 0.0
+    q_pd = q_pd[keep_q].reset_index(drop=True)
+    qm = qm[keep_q] / qn[keep_q][:, None]
     d_sub = qm.shape[1] // m
     # ADC tables: tables[qi, j, c] = <q_sub_j, centroid_{j,c}>
     tables = np.stack(
-        [
-            np.stack(
-                [qm[:, j * d_sub : (j + 1) * d_sub] @ books[j].T for j in range(m)],
-                axis=1,
-            )
-        ]
-    )[0]
+        [qm[:, j * d_sub : (j + 1) * d_sub] @ books[j].T for j in range(m)],
+        axis=1,
+    )
     bc_tables = spark.sparkContext.broadcast(tables)
     bc_qids = spark.sparkContext.broadcast(q_pd["query_id"].to_numpy())
 

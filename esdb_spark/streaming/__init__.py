@@ -12,8 +12,12 @@ tail map (stream/open_stream.go:52-105). In Spark that maps to:
   :class:`~esdb_spark.stream.EventStream` with monotone seq, exactly
   the reference's Write loop at micro-batch granularity;
 - **live tails** (:func:`tails_query`) — a continuously-updated
-  arg-max aggregate replacing the in-memory tail map; `update` output
-  mode emits only re-written tails per batch;
+  arg-max aggregate replacing the in-memory tail map. The bundled
+  helper uses `complete` mode into the memory sink (the sink holds
+  the whole map, which IS the tails contract and is bounded by
+  distinct index pairs); at scale point the same aggregate at a keyed
+  idempotent sink in `update` mode so each batch writes only
+  re-written tails;
 - **windowed event-rate** (:func:`windowed_counts`) — watermarked
   tumbling-window aggregation, the standard late-data-tolerant rollup
   the reference lacks (its "late" events are simply stored in arrival

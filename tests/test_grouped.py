@@ -164,3 +164,18 @@ def test_ewma_carry_across_arrow_batches(spark):
     finally:
         spark.conf.set(key, old)
     assert tiny == base
+
+
+def test_trimmed_mean_skips_nulls_like_builtin_aggregates(spark):
+    from esdb_spark.operators.grouped import trimmed_mean_per_group
+
+    clean = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)], "k string, v double"
+    )
+    noisy = clean.unionByName(
+        spark.createDataFrame([("a", None)], "k string, v double")
+    )
+    a = trimmed_mean_per_group(clean, "k", "v").collect()[0]
+    b = trimmed_mean_per_group(noisy, "k", "v").collect()[0]
+    assert a["trimmed_mean"] == b["trimmed_mean"]
+    assert a["n"] == b["n"] == 10

@@ -408,3 +408,16 @@ def test_resize_images_real_png_path(spark):
     ys = np.arange(4) * 8 // 4
     xs = np.arange(16) * 32 // 16
     assert (got == img[ys][:, xs]).all()
+
+
+def test_resize_images_null_meta_non_png(spark):
+    """Non-decodable payloads with NULL meta dims must not crash the
+    task (pandas NaN is truthy; int(NaN) raised before the guard)."""
+    from esdb_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, None, b"\xff\xd8\xff\xe0 jpeg-ish")],
+        "media_id long, meta struct<width:int,height:int>, content binary",
+    )
+    row = resize_images(df, max_side=16).collect()[0]
+    assert (row["width"], row["height"]) == (0, 0)

@@ -172,3 +172,27 @@ def test_hard_negatives_labels_differ(spark, emb):
     assert set(per_q) == set(range(5))
     for ranks in per_q.values():
         assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_ann_lsh_zero_vectors_never_match(spark):
+    """Zero-norm vectors have no defined cosine: NaN would rank above
+    every real score under Spark's ordering, so they must be dropped."""
+    from esdb_spark.operators.similarity import ann_topk_lsh
+
+    rows = [(i, [float(i % 3 + 1), float(i % 5)]) for i in range(1, 30)]
+    rows.append((99, [0.0, 0.0]))  # zero vector in the corpus
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann_topk_lsh(
+        df, df.filter(F.col("vec_id") <= 3), "embedding", "vec_id", k=5
+    ).collect()
+    assert len(out) > 0
+    assert all(r["id"] != 99 for r in out)  # never surfaces
+    assert all(not (r["cos"] != r["cos"]) for r in out)  # no NaN
+
+
+def test_ann_lsh_empty_corpus_returns_empty(spark):
+    from esdb_spark.operators.similarity import ann_topk_lsh, hyperplane_buckets
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ann_topk_lsh(empty, empty, "embedding", "vec_id", k=3).count() == 0
+    assert hyperplane_buckets(empty, "embedding", "vec_id").count() == 0
