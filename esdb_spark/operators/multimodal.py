@@ -595,11 +595,14 @@ def decode_bmp_pixels(content: bytes):
 
 
 def decode_pixels(content: bytes):
-    """Format-sniffing real pixel decode: PNG (zlib+numpy) or 24-bit
-    BMP. JPEG/GIF entropy coding genuinely needs a codec library —
-    those stay behind :func:`decode_image`'s documented stub."""
+    """Format-sniffing real pixel decode: PNG (zlib + numpy
+    de-filtering), GIF (pure-Python LZW + palette), or 24-bit BMP.
+    Only JPEG's entropy coding genuinely needs a codec library — it
+    stays behind :func:`decode_image`'s documented stub."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(content)
     if content[:2] == b"BM":
         return decode_bmp_pixels(content)
     return None
@@ -688,3 +691,197 @@ def encode_png(img) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    """GIF-variant LZW decompression (GIF89a spec appendix F): codes
+    are read LSB-first with a growing width, CLEAR resets the
+    dictionary, and the width bumps when the next free code would no
+    longer fit. Pure Python — LZW is dictionary coding, not entropy
+    coding, so no codec library is needed."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = next_code = 0
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        next_code = end + 1
+
+    reset()
+    acc = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt LZW stream")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def decode_gif_pixels(content: bytes):
+    """REAL GIF pixel decode in pure Python + numpy: LZW-decompress
+    the first image's index stream and map it through the active color
+    table → ``(h, w, 3)`` RGB uint8. Returns None for non-GIF,
+    interlaced images, or images with no color table. Animation:
+    only the FIRST frame is decoded (the frame-sampling contract)."""
+    import numpy as np
+
+    n = len(content)
+    if n < 13 or content[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = content[10]
+    gct = None
+    i = 13
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            content, dtype=np.uint8, count=3 * size, offset=13
+        ).reshape(size, 3)
+        i += 3 * size
+    while i < n:
+        block = content[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < n and content[i] != 0:
+                i += 1 + content[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            if i + 10 > n:
+                return None
+            w = int.from_bytes(content[i + 5 : i + 7], "little")
+            h = int.from_bytes(content[i + 7 : i + 9], "little")
+            ip = content[i + 9]
+            i += 10
+            ct = gct
+            if ip & 0x80:  # local color table overrides
+                size = 2 << (ip & 0x07)
+                ct = np.frombuffer(
+                    content, dtype=np.uint8, count=3 * size, offset=i
+                ).reshape(size, 3)
+                i += 3 * size
+            if ip & 0x40 or ct is None:  # interlaced / no palette
+                return None
+            min_code = content[i]
+            i += 1
+            data = bytearray()
+            while i < n and content[i] != 0:
+                ln = content[i]
+                data.extend(content[i + 1 : i + 1 + ln])
+                i += 1 + ln
+            try:
+                idx = _gif_lzw_decode(bytes(data), min_code)
+            except (ValueError, IndexError):
+                return None
+            if len(idx) < w * h:
+                return None
+            arr = np.frombuffer(
+                bytes(idx[: w * h]), dtype=np.uint8
+            ).reshape(h, w)
+            if arr.max(initial=0) >= len(ct):
+                return None
+            return ct[arr]
+        elif block == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
+def encode_gif(indices, palette) -> bytes:
+    """Minimal real GIF89a encoder (single frame, global color table,
+    genuine LZW compression) — the write half of
+    :func:`decode_gif_pixels`, used for round-trip verification and
+    palette-image fixtures. ``indices`` is an (h, w) uint8 array into
+    ``palette`` (list of (r, g, b))."""
+    import numpy as np
+
+    indices = np.asarray(indices, dtype=np.uint8)
+    h, w = indices.shape
+    ncol = len(palette)
+    depth = max(2, (ncol - 1).bit_length())
+    table_size = 1 << depth
+    clear = 1 << depth
+    end = clear + 1
+
+    # --- LZW encode (greedy longest match, spec width rules) ---------
+    codes: list[tuple[int, int]] = []  # (code, width at emit time)
+    width = depth + 1
+    next_code = end + 1
+    dict_: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    codes.append((clear, width))
+    buf = b""
+    for p in indices.tobytes():
+        cand = buf + bytes([p])
+        if cand in dict_:
+            buf = cand
+            continue
+        codes.append((dict_[buf], width))
+        if next_code < 4096:
+            dict_[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # dictionary full: reset, mirroring the decoder
+            codes.append((clear, width))
+            dict_ = {bytes([i]): i for i in range(clear)}
+            width = depth + 1
+            next_code = end + 1
+        buf = bytes([p])
+    if buf:
+        codes.append((dict_[buf], width))
+    codes.append((end, width))
+    acc = bits = 0
+    packed = bytearray()
+    for code, cw in codes:
+        acc |= code << bits
+        bits += cw
+        while bits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        packed.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | (depth - 1))  # GCT present, 2^depth entries
+    out += b"\x00\x00"
+    for j in range(table_size):
+        r, g, b = palette[j] if j < ncol else (0, 0, 0)
+        out += bytes((r, g, b))
+    out += b"\x2c" + b"\x00" * 4
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    out.append(depth)
+    for off in range(0, len(packed), 255):
+        chunk = packed[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

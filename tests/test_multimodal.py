@@ -421,3 +421,50 @@ def test_resize_images_null_meta_non_png(spark):
     )
     row = resize_images(df, max_side=16).collect()[0]
     assert (row["width"], row["height"]) == (0, 0)
+
+
+def test_gif_decode_canonical_fixture():
+    """External validity: the widely-documented minimal 1x1 white GIF
+    must decode to a single white pixel."""
+    from esdb_spark.operators.multimodal import decode_gif_pixels
+
+    one = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02\x44\x01\x00\x3b"
+    )
+    assert decode_gif_pixels(one).tolist() == [[[255, 255, 255]]]
+    assert decode_gif_pixels(b"GIF89a truncated") is None
+
+
+def test_gif_roundtrip_with_width_growth():
+    import numpy as np
+
+    from esdb_spark.operators.multimodal import decode_gif_pixels, encode_gif
+
+    rng = np.random.default_rng(2)
+    for ncol, shape in [(4, (3, 5)), (256, (24, 17)), (2, (1, 1))]:
+        pal = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(ncol)]
+        idx = rng.integers(0, ncol, shape).astype(np.uint8)
+        got = decode_gif_pixels(encode_gif(idx, pal))
+        assert (got == np.array(pal, dtype=np.uint8)[idx]).all(), (ncol, shape)
+    # long repetitive runs: dictionary growth through width bumps
+    idx = np.tile(np.arange(8, dtype=np.uint8), 2000).reshape(100, 160)
+    pal = [(i * 30 % 256, i, i) for i in range(8)]
+    got = decode_gif_pixels(encode_gif(idx, pal))
+    assert (got[:, :, 1] == idx).all()
+
+
+def test_pixel_features_cover_gif(spark):
+    import numpy as np
+
+    from esdb_spark.operators.multimodal import (
+        encode_gif,
+        extract_image_pixel_features,
+    )
+
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    gif = encode_gif(idx, [(10, 20, 30)])
+    df = spark.createDataFrame([(1, gif)], "media_id long, content binary")
+    row = extract_image_pixel_features(df).collect()[0]
+    assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (10.0, 20.0, 30.0)
+    assert (row["width"], row["height"]) == (4, 4)
