@@ -411,6 +411,10 @@ def char_bigram_lm_score(
     is a one-line change (`hash_sample`) when even the bigram explode
     is worth skipping at 100 TB.
 
+    EAGER at call time: the (tiny) bigram-count table is persisted and
+    materialized immediately so the corpus-wide explode runs once, not
+    once per model branch.
+
     Returns ``(id_col, lm_score)``.
     """
     lowered = F.lower(F.col(text_col))
@@ -426,7 +430,14 @@ def char_bigram_lm_score(
     ex = df.select(
         F.col(id_col).alias("_lm_id"), F.explode(bigrams).alias("bg")
     )
-    bg_counts = ex.groupBy("bg").agg(F.count("*").alias("c"))
+    # bg_counts feeds THREE model branches (itself, prefix_counts,
+    # vocab_n); without a materialized persist each branch re-executes
+    # the corpus-wide bigram explode. The table is at most |charset|²
+    # rows (a few KB) — persist it EAGERLY (same documented posture as
+    # the jaccard vocabulary probe: the count() prevents concurrent
+    # cold-cache races) so the corpus is exploded once for the model.
+    bg_counts = ex.groupBy("bg").agg(F.count("*").alias("c")).persist()
+    bg_counts.count()
     prefix_counts = bg_counts.groupBy(
         F.substring("bg", 1, 1).alias("p")
     ).agg(F.sum("c").alias("cp"))

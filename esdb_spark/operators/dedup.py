@@ -175,10 +175,10 @@ def lsh_candidate_pairs(
     """
     if num_hashes is None:
         first = signatures.select(F.size("sig")).first()
-        if first is None:  # empty corpus → no pairs
-            return signatures.sparkSession.createDataFrame(
-                [], "id_a bigint, id_b bigint"
-            )
+        if first is None:  # empty corpus → no pairs, same id type as input
+            return signatures.select(
+                F.col("id").alias("id_a"), F.col("id").alias("id_b")
+            ).limit(0)
         num_hashes = first[0]
     banded = _banded(signatures, bands, num_hashes)
     left = banded.alias("l")
@@ -200,6 +200,17 @@ def _banded(signatures: DataFrame, bands: int, num_hashes: int) -> DataFrame:
     xxhash64 over the band's signature slice. Built as a single expr
     string (one parser hop) — the per-band Column-object version spent
     ~0.5 s per query in py4j plan construction."""
+    if not 1 <= bands <= num_hashes:
+        raise ValueError(
+            f"_banded: bands={bands} must be in [1, num_hashes={num_hashes}]"
+            " — bands > num_hashes makes every band hash a CONSTANT and"
+            " the self-join quadratic"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"_banded: bands={bands} must divide num_hashes={num_hashes}"
+            " — truncation would silently ignore signature positions"
+        )
     rows_per_band = num_hashes // bands
     items = ", ".join(
         "named_struct('band', {b}, 'bhash', xxhash64(concat_ws(',', {vals})))".format(
@@ -279,18 +290,7 @@ def dedup_minhash_lsh(
     # and the signatures join the deduplicated candidate pairs once
     # per side. The zip_with fold is interpreted, but it only runs on
     # candidate pairs (rare by construction), never the corpus.
-    banded = _banded(sigs, bands, num_hashes)
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bhash") == F.col("r.bhash"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(sigs, bands=bands, num_hashes=num_hashes)
     sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.expr(
@@ -350,14 +350,33 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    hashes: DataFrame, max_hamming: int = 3, chunks: int = 4
+    hashes: DataFrame, max_hamming: int = 3, chunks: int | None = None
 ) -> DataFrame:
     """Pairs within ``max_hamming`` bits. Pigeonhole blocking: split the
     64-bit hash into ``chunks`` pieces; any pair within distance
     ``chunks-1`` agrees on ≥1 full chunk, so the self-join runs per
     chunk on chunk equality, then the exact distance filter
     (``bit_count(a XOR b)``) verifies.
+
+    The pigeonhole guarantee requires ``max_hamming <= chunks - 1``
+    (a pair can differ in one bit of EVERY chunk otherwise and never
+    co-block). ``chunks=None`` (default) picks the smallest
+    power-of-two count that guarantees full recall for the requested
+    distance; explicit values that break the guarantee raise instead
+    of silently missing pairs. More chunks = fewer bits per block key
+    = more candidates to verify, so wide distances cost more.
     """
+    if chunks is None:
+        # smallest power-of-two chunk count with guaranteed recall
+        chunks = next(
+            c for c in (2, 4, 8, 16, 32, 64) if c >= max_hamming + 1
+        ) if max_hamming < 64 else 64
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"simhash_near_pairs: max_hamming={max_hamming} needs at least "
+            f"{max_hamming + 1} chunks (got {chunks}) for full recall — "
+            "the pigeonhole blocking only covers distance <= chunks-1"
+        )
     width = 64 // chunks
     pieces = hashes.select(
         "id",
@@ -671,6 +690,17 @@ def dup_clusters(
         labels = new
         if changed == 0:
             break
+    else:
+        # silent partially-propagated labels would report one component
+        # as several clusters (and dedup_by_cluster would keep extra
+        # duplicates) — fail loudly; the caller raises max_iterations
+        # (rounds needed = graph diameter, 2-3 for clique-ish dup
+        # graphs, O(n) only for pathological chains)
+        raise RuntimeError(
+            f"dup_clusters: labels still changing after {max_iterations} "
+            "rounds — raise max_iterations (rounds needed = component "
+            "diameter)"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

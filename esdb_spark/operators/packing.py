@@ -169,11 +169,38 @@ def interleave_sources(
 
     Returns the input columns plus ``pos`` (1-based global position).
     """
-    per_source = Window.partitionBy(source_col).orderBy(id_col)
-    vtime = (F.row_number().over(per_source) - F.lit(0.5)) / F.col(weight_col)
+    # Per-source rank k WITHOUT Window.partitionBy(source): that window
+    # funnels each entire source through ONE task — fatal when one
+    # source is most of the corpus. Same partition-offset pattern as
+    # the global rank below: range-partition on (source, id) so each
+    # task holds a contiguous slice of one-or-more sources, rank
+    # locally per (partition, source), and add offsets from a
+    # metadata-sized (partitions × sources) counts job, broadcast back.
+    spark = df.sparkSession
+    ranked_src = (
+        df.repartitionByRange(source_col, id_col)
+        .sortWithinPartitions(source_col, id_col)
+        .withColumn("_spid", F.spark_partition_id())
+        .persist()  # pin boundaries between the counts job and consumers
+    )
+    scounts = ranked_src.groupBy("_spid", source_col).count().collect()
+    running: dict = {}
+    off_rows = []
+    for row in sorted(scounts, key=lambda r: (str(r[source_col]), r["_spid"])):
+        src = row[source_col]
+        off_rows.append((row["_spid"], src, running.get(src, 0)))
+        running[src] = running.get(src, 0) + row["count"]
+    off_df = spark.createDataFrame(
+        off_rows, schema=f"_spid int, {source_col} string, _soff long"
+    )
+    w_src_local = Window.partitionBy("_spid", source_col).orderBy(id_col)
+    k = F.row_number().over(w_src_local) + F.col("_soff")
+    vtime = (k - F.lit(0.5)) / F.col(weight_col)
     sort_cols = ["vtime", source_col, id_col]
     sorted_df = (
-        df.withColumn("vtime", vtime)
+        ranked_src.join(F.broadcast(off_df), ["_spid", source_col])
+        .withColumn("vtime", vtime)
+        .drop("_spid", "_soff")
         .repartitionByRange(*sort_cols)
         .sortWithinPartitions(*sort_cols)
         .withColumn("_pid", F.spark_partition_id())
