@@ -411,9 +411,9 @@ def char_bigram_lm_score(
     is a one-line change (`hash_sample`) when even the bigram explode
     is worth skipping at 100 TB.
 
-    EAGER at call time: the (tiny) bigram-count table is persisted and
-    materialized immediately so the corpus-wide explode runs once, not
-    once per model branch.
+    EAGER at call time: the (tiny) bigram-count table is
+    localCheckpoint-ed immediately so the corpus-wide explode runs
+    once, not once per model branch.
 
     Returns ``(id_col, lm_score)``.
     """
@@ -431,13 +431,16 @@ def char_bigram_lm_score(
         F.col(id_col).alias("_lm_id"), F.explode(bigrams).alias("bg")
     )
     # bg_counts feeds THREE model branches (itself, prefix_counts,
-    # vocab_n); without a materialized persist each branch re-executes
-    # the corpus-wide bigram explode. The table is at most |charset|²
-    # rows (a few KB) — persist it EAGERLY (same documented posture as
-    # the jaccard vocabulary probe: the count() prevents concurrent
-    # cold-cache races) so the corpus is exploded once for the model.
-    bg_counts = ex.groupBy("bg").agg(F.count("*").alias("c")).persist()
-    bg_counts.count()
+    # vocab_n); without materialization each branch re-executes the
+    # corpus-wide bigram explode. The table is at most |charset|² rows
+    # (a few KB) — localCheckpoint it EAGERLY: the model branches then
+    # read a lineage-free leaf (one corpus explode total), and unlike
+    # persist() nothing enters the session cache manager, whose
+    # plan-canonicalization against the deep pipeline lineage blew the
+    # driver heap when this op ran mid-pipeline.
+    bg_counts = (
+        ex.groupBy("bg").agg(F.count("*").alias("c")).localCheckpoint()
+    )
     prefix_counts = bg_counts.groupBy(
         F.substring("bg", 1, 1).alias("p")
     ).agg(F.sum("c").alias("cp"))
