@@ -177,12 +177,36 @@ class Db:
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "Db":
-        """Open an archive directory (errors if absent, like esdb.go:23-38)."""
+        """Open an archive directory (errors if absent, like esdb.go:23-38).
+
+        Space ids are arbitrary byte strings (reference space.go:16-24).
+        The engine's own sessions disable Hive partition-column type
+        inference, but a vanilla session would re-type a directory like
+        ``space=00123`` as int 123 — corrupting the id ('00123' ≠ '123')
+        and breaking lookups. Detect that and re-read with the partition
+        column pinned to string, so ids survive any session config.
+        """
         from esdb_spark import fs
 
         if not fs.exists(spark, path):
             raise FileNotFoundError(f"no esdb archive at {path}")
-        return cls(spark, spark.read.parquet(path), path=path)
+        df = spark.read.parquet(path)
+        if (
+            "space" in df.columns
+            and df.schema["space"].dataType.simpleString() != "string"
+        ):
+            from pyspark.sql import types as T
+
+            pinned = T.StructType(
+                [
+                    T.StructField("space", T.StringType(), True)
+                    if f.name == "space"
+                    else f
+                    for f in df.schema.fields
+                ]
+            )
+            df = spark.read.schema(pinned).parquet(path)
+        return cls(spark, df, path=path)
 
     @classmethod
     def from_dataframe(cls, df: DataFrame) -> "Db":

@@ -45,17 +45,16 @@ def touch(spark: SparkSession, path: str, content: str = "1") -> None:
 
 
 def read_text(spark: SparkSession, path: str) -> str:
+    """Read a small file's full content. The bytes MUST materialize on
+    the JVM side (``readAllBytes`` — Java 17) and come back as a
+    return value: Py4J passes a Python bytearray argument to
+    ``InputStream.read(byte[])`` BY VALUE, so the Java side fills a
+    copy and the Python buffer stays all-NULs — a silent
+    wrong-content bug, not an error."""
     fs, p = _fs_and_path(spark, path)
     stream = fs.open(p)
     try:
-        chunks = []
-        buf = bytearray(65536)
-        while True:
-            n = stream.read(buf)
-            if n <= 0:
-                break
-            chunks.append(bytes(buf[:n]))
-        return b"".join(chunks).decode("utf-8")
+        return bytes(stream.readAllBytes()).decode("utf-8")
     finally:
         stream.close()
 

@@ -60,23 +60,25 @@ def archive_stats(db: Db):
     return rows
 
 
-def compact_archive(db: Db, target_files_per_space: int = 1) -> Db:
-    """Rewrite the archive with few files per space, restoring the
-    write-time sort (grouping, ts desc, seq asc). Safe for the
-    write-once archive lifecycle: readers of the old Db handle should
-    re-open after compaction.
 
-    At cluster scale this is the OPTIMIZE job you run after heavy
-    `flush()` ingestion; locally it also heals the many-small-appends
-    pattern from row-at-a-time writers.
-    """
-    if db.path is None:
-        raise ValueError("cannot compact an in-memory Db")
+def _rewrite_archive(db: Db, df, tmp_suffix: str, tasks_per_space: int) -> Db:
+    """Shared lifecycle-safe archive rewrite: salted space fan-out
+    (never a one-task-per-space funnel), cluster sort LED BY the
+    partition column (without it the dynamic-partition writer plans
+    its own non-stable sort on `space`, silently destroying the
+    (grouping, ts desc, seq) clustering the rewrite exists to
+    restore), then an atomic directory swap preserving the sealed
+    marker. One implementation for compaction / reindex / retention so
+    a fix lands once."""
     spark = db.spark
-    tmp = db.path + ".compact.tmp"
+    k = max(int(tasks_per_space), 1)
+    salt = F.pmod(F.xxhash64("grouping"), F.lit(k))
+    tmp = db.path + tmp_suffix
     (
-        db.df.repartition(target_files_per_space, "space")
-        .sortWithinPartitions("grouping", F.col("ts").desc(), F.col("seq").asc())
+        df.repartition(F.col("space"), salt)
+        .sortWithinPartitions(
+            "space", "grouping", F.col("ts").desc(), F.col("seq").asc()
+        )
         .write.mode("overwrite")
         .partitionBy("space")
         .parquet(tmp)
@@ -88,6 +90,28 @@ def compact_archive(db: Db, target_files_per_space: int = 1) -> Db:
     if was_written:
         fs.touch(spark, os.path.join(db.path, WRITTEN_MARKER))
     return Db.open(spark, db.path)
+
+
+def compact_archive(db: Db, target_files_per_space: int = 1) -> Db:
+    """Rewrite the archive with ~``target_files_per_space`` files per
+    space, restoring the write-time cluster sort. Safe for the
+    write-once archive lifecycle: readers of the old Db handle should
+    re-open after compaction.
+
+    At cluster scale this is the OPTIMIZE job you run after heavy
+    `flush()` ingestion; locally it also heals the many-small-appends
+    pattern from row-at-a-time writers. The earlier
+    ``repartition(n, "space")`` implementation set the TOTAL partition
+    count — the default funneled the whole archive through ONE task
+    (the exact hazard writer.py salts against) and could never yield
+    more than one file per space; the salted rewrite gives each space
+    ``target_files_per_space`` writer tasks.
+    """
+    if db.path is None:
+        raise ValueError("cannot compact an in-memory Db")
+    return _rewrite_archive(
+        db, db.df, ".compact.tmp", target_files_per_space
+    )
 
 
 def materialize_index(db: Db, name: str) -> Db:
@@ -108,27 +132,11 @@ def materialize_index(db: Db, name: str) -> Db:
     """
     if db.path is None:
         raise ValueError("cannot materialize an index on an in-memory Db")
-    spark = db.spark
     col = f"_idx_{name}"
     base = db.df.drop(col) if col in db.df.columns else db.df
     enriched = base.withColumn(col, F.col("indexes")[name])
-    tmp = db.path + ".reindex.tmp"
-    k = max(spark.sparkContext.defaultParallelism // 4, 1)
-    salt = F.pmod(F.xxhash64("grouping"), F.lit(k))
-    (
-        enriched.repartition(F.col("space"), salt)
-        .sortWithinPartitions("grouping", F.col("ts").desc(), F.col("seq").asc())
-        .write.mode("overwrite")
-        .partitionBy("space")
-        .parquet(tmp)
-    )
-    from esdb_spark import fs
-
-    was_written = fs.exists(spark, os.path.join(db.path, WRITTEN_MARKER))
-    fs.replace_dir(spark, tmp, db.path)
-    if was_written:
-        fs.touch(spark, os.path.join(db.path, WRITTEN_MARKER))
-    return Db.open(spark, db.path)
+    k = max(db.spark.sparkContext.defaultParallelism // 4, 1)
+    return _rewrite_archive(db, enriched, ".reindex.tmp", k)
 
 
 def expire_events(db: Db, older_than) -> Db:
@@ -147,23 +155,17 @@ def expire_events(db: Db, older_than) -> Db:
     """
     if db.path is None:
         raise ValueError("cannot expire an in-memory Db")
-    spark = db.spark
     cutoff = F.lit(older_than).cast("timestamp")
     kept = db.df.filter(F.col("ts") >= cutoff)
-    tmp = db.path + ".expire.tmp"
-    k = max(spark.sparkContext.defaultParallelism // 4, 1)
-    salt = F.pmod(F.xxhash64("grouping"), F.lit(k))
-    (
-        kept.repartition(F.col("space"), salt)
-        .sortWithinPartitions("grouping", F.col("ts").desc(), F.col("seq").asc())
-        .write.mode("overwrite")
-        .partitionBy("space")
-        .parquet(tmp)
-    )
-    from esdb_spark import fs
-
-    was_written = fs.exists(spark, os.path.join(db.path, WRITTEN_MARKER))
-    fs.replace_dir(spark, tmp, db.path)
-    if was_written:
-        fs.touch(spark, os.path.join(db.path, WRITTEN_MARKER))
-    return Db.open(spark, db.path)
+    if kept.limit(1).count() == 0:
+        # a total purge would swap in a directory with NO parquet files
+        # and destroy the archive before Db.open ever errors — refuse;
+        # deleting an archive is an explicit fs.delete, not a retention
+        # sweep
+        raise ValueError(
+            "expire_events: cutoff would delete every event — refusing "
+            "to destroy the archive; delete the directory explicitly if "
+            "that is intended"
+        )
+    k = max(db.spark.sparkContext.defaultParallelism // 4, 1)
+    return _rewrite_archive(db, kept, ".expire.tmp", k)

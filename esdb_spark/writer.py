@@ -56,12 +56,6 @@ def _to_ts(timestamp) -> _dt.datetime:
     )
 
 
-def _is_written(spark, path: str) -> bool:
-    from esdb_spark import fs
-
-    return fs.exists(spark, os.path.join(path, WRITTEN_MARKER))
-
-
 class Writer:
     """Write-once archive builder (reference ``esdb.New`` → ``Write``)."""
 

@@ -120,3 +120,83 @@ def test_expire_events_retention(spark, tmp_path):
     import glob as _g
 
     assert _g.glob(path + "/_ESDB_WRITTEN")
+
+
+def test_compact_fans_out_files_per_space(spark, tmp_path):
+    """target_files_per_space must mean files PER SPACE (the old
+    repartition(n, 'space') set the TOTAL partition count and funneled
+    everything through one task at the default)."""
+    import glob as _g
+
+    from pyspark.sql import functions as F
+
+    from esdb_spark.maintenance import compact_archive
+    from esdb_spark.writer import write_events
+
+    src = spark.range(4000).select(
+        (F.col("id") % 2).cast("string").alias("space"),
+        (F.col("id") % 50).cast("string").alias("grouping"),
+        F.timestamp_seconds(F.lit(1400000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("seq"),
+        F.col("id").cast("string").alias("data"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("indexes"),
+    )
+    path = str(tmp_path / "fan.esdb")
+    write_events(src, path)
+    db2 = compact_archive(Db.open(spark, path), target_files_per_space=3)
+    assert db2.df.count() == 4000
+    for d in _g.glob(path + "/space=*"):
+        n_files = len(_g.glob(d + "/*.parquet"))
+        assert 1 <= n_files <= 3, (d, n_files)
+
+
+def test_expire_refuses_total_purge(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from esdb_spark.maintenance import expire_events
+    from esdb_spark.writer import write_events
+
+    src = spark.range(100).select(
+        F.lit("s").alias("space"), F.lit("g").alias("grouping"),
+        F.timestamp_seconds(F.lit(1400000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("seq"), F.col("id").cast("string").alias("data"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("indexes"),
+    )
+    path = str(tmp_path / "purge.esdb")
+    write_events(src, path)
+    db = Db.open(spark, path)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        expire_events(db, dt.datetime(2030, 1, 1))
+    # archive untouched after the refusal
+    assert Db.open(spark, path).df.count() == 100
+
+
+def test_open_pins_space_type_under_inference(spark, tmp_path):
+    """A vanilla session (partition type inference ON) must not
+    re-type numeric-looking space ids."""
+    from pyspark.sql import functions as F
+
+    from esdb_spark.writer import write_events
+
+    src = spark.range(10).select(
+        F.lit("00123").alias("space"), F.lit("g").alias("grouping"),
+        F.timestamp_seconds(F.lit(1400000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("seq"), F.col("id").cast("string").alias("data"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("indexes"),
+    )
+    path = str(tmp_path / "pin.esdb")
+    write_events(src, path)
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try:
+        db = Db.open(spark, path)
+        assert db.df.schema["space"].dataType.simpleString() == "string"
+        assert db.spaces() == ["00123"]
+        assert db.find("00123").scan("g").count() == 10
+    finally:
+        spark.conf.set(key, old)

@@ -73,3 +73,18 @@ def test_duckdb_reads_engine_archive(spark, tmp_path):
     ).fetchall()
     assert [r[1] for r in rows] == ["d19", "d18", "d17"]
     assert all(r[0] == "s" for r in rows)
+
+
+def test_fs_read_text_roundtrip(spark, tmp_path):
+    """read_text must return real content: Py4J passes byte[] args BY
+    VALUE, so the old stream.read(buf) filled a Java-side copy and
+    returned all-NULs — silently breaking the streaming exactly-once
+    ledger."""
+    from esdb_spark import fs
+
+    p = str(tmp_path / "ledger.txt")
+    fs.touch(spark, p, "0\n1\n42\n")
+    assert fs.read_text(spark, p) == "0\n1\n42\n"
+    # non-trivial content and re-write
+    fs.touch(spark, p, "päyload-βytes\n")
+    assert fs.read_text(spark, p) == "päyload-βytes\n"

@@ -451,3 +451,33 @@ def test_ewma_stream_matches_batch_operator(spark, tmp_path):
     }
     assert len(got) == 16
     assert got == want  # bit-exact: same recurrence, same op order
+
+
+def test_stream_into_replay_guard_reads_ledger(spark, tmp_path):
+    """The exactly-once ledger must actually be READ: pre-marking
+    epoch 0 as applied means the first micro-batch is a replay and
+    must be skipped. (A broken read_text made the applied set empty
+    and the guard never fired.)"""
+    from esdb_spark import fs
+    from esdb_spark.stream import EventStream
+    from esdb_spark.streaming import read_event_stream, stream_into
+
+    src_path = str(tmp_path / "src.stream")
+    dst_path = str(tmp_path / "dst.stream")
+    EventStream.new(spark, src_path).write_batch([("a", {"x": "1"})])
+    dst = EventStream.new(spark, dst_path)
+    ckpt = str(tmp_path / "ckpt")
+    fs.mkdirs(spark, ckpt)
+    fs.touch(spark, ckpt + "/_applied_epochs", "0\n")
+
+    q = stream_into(
+        read_event_stream(spark, src_path).select("data", "indexes"),
+        dst,
+        checkpoint=ckpt,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # epoch 0 was marked applied → its batch must NOT be re-appended
+    assert dst.iterate().count() == 0
