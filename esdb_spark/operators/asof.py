@@ -118,7 +118,13 @@ def asof_join_bucketed(
         left.withColumn("_rowid", F.monotonically_increasing_id())
         .withColumn("_lus", epoch_us(F.col(left_ts)))
         .withColumn("_lb", lb)
-        .withColumn("_probe", F.explode(F.sequence(lb - lookback_buckets, lb)))
+        # explode_OUTER: a NULL left_ts makes the probe sequence NULL,
+        # and a plain explode would silently DROP the left row — the
+        # plain asof_join null-extends such rows, and a left join must
+        # never lose left rows
+        .withColumn(
+            "_probe", F.explode_outer(F.sequence(lb - lookback_buckets, lb))
+        )
     )
     r = right.withColumn("_rus", epoch_us(F.col(right_ts))).withColumn(
         "_rb", rb

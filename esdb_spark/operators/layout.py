@@ -16,9 +16,9 @@ Scale design:
   single stats pass (equi-depth, so skewed columns still spread across
   buckets); boundaries are a driver-side list bounded by
   ``2**bits_per_col`` — metadata, not data;
-- the bucket id is a binary-search ``CASE``-free expression via
-  ``width_bucket`` against a broadcast literal array — codegen'd, no
-  UDF, no shuffle beyond the final range partition;
+- the bucket id is a binary-search CASE tree over the literal
+  boundaries (``_bucket_expr`` — log2(buckets) comparisons per value,
+  codegen'd, no UDF), no shuffle beyond the final range partition;
 - the Morton key interleaves bucket bits with shift/or arithmetic
   (bitwise — ANSI-safe), then one ``repartitionByRange`` +
   ``sortWithinPartitions`` lays files out along the curve.

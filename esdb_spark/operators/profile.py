@@ -27,16 +27,19 @@ def profile_columns(
     distinct = F.countDistinct if exact else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
-        aggs.append(F.count(c).alias(f"__nn_{c}"))  # non-null count
-        aggs.append(distinct(c).alias(f"__d_{c}"))
+        # backtick-quoted references: a column literally named "a.b"
+        # must not be parsed as struct-field access
+        qc = F.col(f"`{c}`")
+        aggs.append(F.count(qc).alias(f"__nn_{c}"))  # non-null count
+        aggs.append(distinct(qc).alias(f"__d_{c}"))
     row = df.agg(*aggs)
     stacked = F.array(
         *[
             F.struct(
                 F.lit(c).alias("column_name"),
                 F.col("__rows").alias("n_rows"),
-                (F.col("__rows") - F.col(f"__nn_{c}")).alias("n_nulls"),
-                F.col(f"__d_{c}").alias("n_distinct"),
+                (F.col("__rows") - F.col(f"`__nn_{c}`")).alias("n_nulls"),
+                F.col(f"`__d_{c}`").alias("n_distinct"),
             )
             for c in cols
         ]

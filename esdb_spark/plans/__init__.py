@@ -9,6 +9,8 @@ even when results are correct (the 100 TB design review in code form).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -26,8 +28,13 @@ def has_partition_pruning(df: DataFrame, column: str) -> bool:
     the Spark equivalent of the reference's space point-lookup skipping
     all other spaces' bytes (esdb.go:41-60)."""
     plan = physical_plan(df)
+    pat = re.compile(rf"\b{re.escape(column)}\b")
     for line in plan.splitlines():
-        if "PartitionFilters" in line and column in line.split("PartitionFilters", 1)[1]:
+        # word-boundary match: a filter on `visitor_id` must not
+        # satisfy a check for `id`
+        if "PartitionFilters" in line and pat.search(
+            line.split("PartitionFilters", 1)[1]
+        ):
             return True
     return False
 
@@ -36,14 +43,18 @@ def has_pushed_filter(df: DataFrame, column: str) -> bool:
     """True when a data filter on ``column`` is pushed into the parquet
     scan (row-group/page skipping via min-max stats)."""
     plan = physical_plan(df)
+    pat = re.compile(rf"\b{re.escape(column)}\b")
     for line in plan.splitlines():
-        if "PushedFilters" in line and column in line.split("PushedFilters", 1)[1]:
+        if "PushedFilters" in line and pat.search(
+            line.split("PushedFilters", 1)[1]
+        ):
             return True
     return False
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+    plan = physical_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def has_top_k(df: DataFrame) -> bool:
@@ -61,9 +72,27 @@ def read_schema_columns(df: DataFrame) -> list[str]:
         if "ReadSchema" in line:
             schema = line.split("ReadSchema:", 1)[1]
             inside = schema[schema.find("<") + 1 : schema.rfind(">")]
-            for part in inside.split(","):
-                name = part.split(":")[0].strip()
-                if name:
+            # split at TOP-LEVEL commas only: nested struct fields
+            # (struct<a:struct<x:int,y:int>,b:int>) must not leak
+            # inner names as phantom top-level columns
+            depth = 0
+            part = []
+            parts: list[str] = []
+            for ch in inside:
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    parts.append("".join(part))
+                    part = []
+                else:
+                    part.append(ch)
+            if part:
+                parts.append("".join(part))
+            for piece in parts:
+                name = piece.split(":")[0].strip()
+                if name and name != "...":  # Spark truncates long schemas
                     cols.append(name)
     return cols
 
@@ -71,6 +100,12 @@ def read_schema_columns(df: DataFrame) -> list[str]:
 def shuffle_count(df: DataFrame) -> int:
     """Number of *shuffle* exchanges in the plan — the scale currency:
     every one is a full network/disk cycle of its input at 100 TB.
-    Broadcast exchanges are excluded (they move only the small side)."""
+    Broadcast exchanges are excluded (they move only the small side),
+    and so are ReusedExchange nodes — a reused shuffle/broadcast does
+    no new network work."""
     plan = physical_plan(df)
-    return plan.count("Exchange") - plan.count("BroadcastExchange")
+    return (
+        plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("ReusedExchange")
+    )

@@ -35,7 +35,11 @@ def events_from_columns(
     index_cols = index_cols or []
     ts = F.col(ts_col)
     ts_type = dict(df.dtypes)[ts_col]
-    if ts_type in ("int", "bigint", "long", "double"):
+    if ts_type == "double":
+        # timestamp_seconds accepts fractional seconds directly — a
+        # long cast would silently floor away sub-second precision
+        ts = F.timestamp_seconds(F.col(ts_col))
+    elif ts_type in ("int", "bigint", "long"):
         ts = F.timestamp_seconds(F.col(ts_col).cast("long"))
     index_entries: list = []
     for col in index_cols:

@@ -207,3 +207,28 @@ def test_interval_join_bounds_and_bucket_boundaries(spark):
         lower="-10 minutes", upper="10 minutes", right_cols=["rid"],
     )
     assert sorted(r.rid_r for r in sym.collect()) == [20, 21]
+
+
+def test_bucketed_asof_keeps_null_ts_left_rows(spark):
+    """A NULL left timestamp must null-extend (left-join contract),
+    not vanish: a plain explode over the NULL probe sequence silently
+    dropped the row."""
+    import datetime as dt
+
+    from esdb_spark.operators.asof import asof_join, asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12), "a"), (1, None, "b")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 11), 10.0)],
+        "k long, ts timestamp, v double",
+    )
+    plain = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+    bucketed = asof_join_bucketed(
+        left, right, on="k", left_ts="ts", right_ts="ts", bucket="1 hour"
+    )
+    assert plain.count() == bucketed.count() == 2
+    nulls = bucketed.filter(F.col("tag") == "b").collect()
+    assert len(nulls) == 1 and nulls[0]["v_r"] is None  # null-extended

@@ -357,3 +357,30 @@ def test_bloom_probe_never_shuffles_corpus(spark):
     ).filter(~F.col("in_bloom"))
     # probe plan = scan + ArrowEvalPython + filter; zero exchanges
     assert shuffle_count(probed) == 0
+
+
+def test_profile_handles_dotted_column_names(spark):
+    from esdb_spark.operators.profile import profile_columns
+
+    df = spark.range(5).select(
+        F.col("id"), F.col("id").cast("string").alias("a.b")
+    )
+    rows = {r["column_name"]: r for r in profile_columns(df).collect()}
+    assert rows["a.b"]["n_distinct"] == 5 and rows["a.b"]["n_nulls"] == 0
+
+
+def test_read_schema_columns_nested_and_shuffle_reuse(spark):
+    from esdb_spark.plans import read_schema_columns, shuffle_count
+
+    df = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    cols = read_schema_columns(df)
+    assert set(cols) == {"doc_id", "text"}
+    # self-join on the same aggregate: the reused exchange must not
+    # count as a second shuffle
+    agg = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    joined = agg.alias("a").join(agg.alias("b"), "event_type")
+    assert shuffle_count(joined) <= 2
