@@ -78,12 +78,18 @@ def bloom_table(
     ``(word, mask)`` pairs and ``bit_or`` folds them — partial
     aggregation combines map-side, so the shuffle is bounded by the
     sketch size (≤ ``2^(num_bits_log2-6)`` rows), never the corpus.
+
+    NULL keys are skipped (SQL membership semantics: NULL never
+    matches). Without the filter, ``xxhash64(lit(i), NULL)``
+    degenerates to the seed-only hash — one NULL in the corpus would
+    set a constant bit pattern that every NULL probe then "finds".
     """
     pos = F.explode(
         _positions(F.col(key_col), num_bits_log2, num_hashes)
     ).alias("_bf_pos")
     return (
-        df.select(pos)
+        df.filter(F.col(key_col).isNotNull())
+        .select(pos)
         .select(
             F.shiftrightunsigned("_bf_pos", 6).alias("word_idx"),
             F.expr("shiftleft(1L, cast(_bf_pos % 64 as int))").alias("_bf_mask"),
@@ -130,6 +136,11 @@ def with_bloom_flag(
     EAGER: collects the (bounded) sketch now; the returned probe plan
     is lazy. Positions are computed JVM-side (whole-stage codegen);
     the pandas UDF is a pure numpy bit-gather per Arrow batch.
+
+    A NULL key flags ``false`` (SQL membership semantics — NULL is
+    never a member; ``bloom_table`` never inserts NULLs either), so
+    build and probe agree on the NULL contract even when these
+    primitives are used outside ``dedup_against_bloom``.
     """
     words = _dense_words(bloom, num_bits_log2)
     spark = df.sparkSession
@@ -146,7 +157,10 @@ def with_bloom_flag(
         return pd.Series((bit == 1).all(axis=1))
 
     return df.withColumn(
-        flag_col, probe(_positions(F.col(key_col), num_bits_log2, num_hashes))
+        flag_col,
+        F.when(F.col(key_col).isNull(), F.lit(False)).otherwise(
+            probe(_positions(F.col(key_col), num_bits_log2, num_hashes))
+        ),
     )
 
 

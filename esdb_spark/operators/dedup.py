@@ -87,6 +87,7 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 128,
     shingle_size: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig array<bigint>) — one minhash per permutation.
 
@@ -94,6 +95,15 @@ def minhash_signatures(
     taken per document with ``array_min(transform(...))`` over the
     distinct shingle array — no explode, no shuffle: signatures are
     computed in a single projection over the scan.
+
+    ``portable=True`` swaps the xxhash64 mix family for md5-derived
+    60-bit hashes (``conv(substring(md5('k:' || shingle), 1, 15), 16,
+    10)``) that DuckDB reproduces bit-identically via
+    ``CAST(concat('0x', substring(md5(...), 1, 15)) AS BIGINT)`` — the
+    same engine-portability recipe as ``functions.weighted_sample_k``.
+    md5 is ~4× the cost of the xor-rotate family, so the portable path
+    exists for oracle-checkable correctness gating; production dedup
+    uses the default family.
     """
     # Shape chosen for codegen: explode shingles → hash each string once
     # → 128 plain `min(xxhash64(base, k))` aggregates. Spark's
@@ -109,13 +119,27 @@ def minhash_signatures(
     # are never flagged as duplicates.
     sh = word_shingles(tokens(text_col), shingle_size)
     df = _spread_small_input(df)
-    base = (
+    shingled = (
         # empty/whitespace-only docs carry no content signal; exclude
         # them so they never pair with each other (word_shingles would
         # otherwise give them all the identical "" shingle). Exact
         # dedup is the right tool for empty docs.
         df.filter(F.size(tokens(text_col)) > 0)
         .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    )
+    if portable:
+        # one md5 per (shingle, permutation): 60-bit non-negative
+        # bigints, reproducible in any engine with md5 + hex→int
+        def pmix(k: int) -> str:
+            return (
+                "min(cast(conv(substring("
+                f"md5(concat('{k}:', shingle)), 1, 15), 16, 10) as bigint))"
+            )
+
+        arr = ", ".join(pmix(k) for k in range(num_hashes))
+        return shingled.groupBy("id").agg(F.expr(f"array({arr})").alias("sig"))
+    base = (
+        shingled
         # two independent 64-bit hashes per shingle; permutation k is
         # their xor-rotate mix (below), not a fresh xxhash64 — hashing
         # the shingle 128 times was the hot loop (measured 82 s of a
@@ -165,7 +189,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 32, num_hashes: int | None = None
+    signatures: DataFrame,
+    bands: int = 32,
+    num_hashes: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Banded LSH: documents agreeing on any full band become a
     candidate pair (id_a < id_b). Only (id, band, hash) triples shuffle.
@@ -180,7 +207,7 @@ def lsh_candidate_pairs(
                 F.col("id").alias("id_a"), F.col("id").alias("id_b")
             ).limit(0)
         num_hashes = first[0]
-    banded = _banded(signatures, bands, num_hashes)
+    banded = _banded(signatures, bands, num_hashes, portable=portable)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -195,11 +222,17 @@ def lsh_candidate_pairs(
     )
 
 
-def _banded(signatures: DataFrame, bands: int, num_hashes: int) -> DataFrame:
+def _banded(
+    signatures: DataFrame, bands: int, num_hashes: int, portable: bool = False
+) -> DataFrame:
     """(id, sig, band, bhash): one row per (document, band), bhash =
     xxhash64 over the band's signature slice. Built as a single expr
     string (one parser hop) — the per-band Column-object version spent
-    ~0.5 s per query in py4j plan construction."""
+    ~0.5 s per query in py4j plan construction.
+
+    ``portable=True`` makes bhash the 15-hex-char md5 prefix (string)
+    of the comma-joined slice — matched in DuckDB by
+    ``substring(md5(string_agg(h, ',' ORDER BY k)), 1, 15)``."""
     if not 1 <= bands <= num_hashes:
         raise ValueError(
             f"_banded: bands={bands} must be in [1, num_hashes={num_hashes}]"
@@ -212,11 +245,22 @@ def _banded(signatures: DataFrame, bands: int, num_hashes: int) -> DataFrame:
             " — truncation would silently ignore signature positions"
         )
     rows_per_band = num_hashes // bands
+
+    def bhash(vals: str) -> str:
+        if portable:
+            return f"substring(md5(concat_ws(',', {vals})), 1, 15)"
+        return f"xxhash64(concat_ws(',', {vals}))"
+
     items = ", ".join(
-        "named_struct('band', {b}, 'bhash', xxhash64(concat_ws(',', {vals})))".format(
+        "named_struct('band', {b}, 'bhash', {bh})".format(
             b=b,
-            vals=", ".join(
-                f"sig[{i}]" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            bh=bhash(
+                ", ".join(
+                    f"cast(sig[{i}] as string)"
+                    for i in range(
+                        b * rows_per_band, (b + 1) * rows_per_band
+                    )
+                )
             ),
         )
         for b in range(bands)
@@ -257,6 +301,7 @@ def dedup_minhash_lsh(
     num_hashes: int = 128,
     bands: int = 32,
     shingle_size: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Drop near-duplicates: for every candidate pair above
     ``threshold`` (estimated Jaccard), the larger id is dropped.
@@ -265,8 +310,14 @@ def dedup_minhash_lsh(
     closure — the standard large-corpus compromise: connected-component
     closure needs iterative joins; one LSH pass already removes the
     overwhelming share of near-dups and is deterministic.
+
+    ``portable=True`` uses the md5 hash family throughout (see
+    ``minhash_signatures``), making the whole keep/drop decision
+    replayable in DuckDB — the oracle path for the driver gate.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_size, portable=portable
+    )
     # The signature stage feeds both sides of the band self-join AND the
     # estimate joins; persist it so text is tokenized+hashed once.
     # Signatures are the compressed representation (128 longs per doc
@@ -290,7 +341,9 @@ def dedup_minhash_lsh(
     # and the signatures join the deduplicated candidate pairs once
     # per side. The zip_with fold is interpreted, but it only runs on
     # candidate pairs (rare by construction), never the corpus.
-    cand = lsh_candidate_pairs(sigs, bands=bands, num_hashes=num_hashes)
+    cand = lsh_candidate_pairs(
+        sigs, bands=bands, num_hashes=num_hashes, portable=portable
+    )
     sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.expr(
@@ -462,13 +515,14 @@ def ngram_jaccard_pairs(
 
     ``strategy='auto'`` (default) is EAGER at call time: it runs a
     small vocabulary-probe job (≤193 distinct shingles collected to the
-    driver — bounded) to pick the physical plan, and ``persist()``s the
-    tokenized corpus (MEMORY_AND_DISK — spills, never OOMs) because
-    both the probe and the returned plan read it. The cached partitions
-    live until the session evicts them; callers composing many
-    invocations in one session should either consume the result
-    promptly or pass ``strategy='inverted'``, which is fully lazy —
-    no probe job, no persist, no driver work at construction time.
+    driver — bounded) and materializes the tokenized corpus via
+    ``localCheckpoint`` (MEMORY_AND_DISK — spills, never OOMs) because
+    both the probe and the returned plan read it. Unlike ``persist()``,
+    the checkpoint blocks are released by the ContextCleaner when the
+    result is garbage-collected — composing many invocations in one
+    session no longer accumulates cache-manager entries (a measured
+    leak in round 3). ``strategy='inverted'`` stays fully lazy — no
+    probe job, no materialization, no driver work at construction time.
     ``strategy='bitset'`` forces the packed-long path (still probes for
     the vocabulary, raises if it exceeds 192 shingles).
 
@@ -483,7 +537,7 @@ def ngram_jaccard_pairs(
     )
     if strategy == "inverted":
         return _jaccard_pairs_inverted(base, threshold)
-    base = base.persist()
+    base = base.localCheckpoint(eager=True)
     nbits = 192
     vocab = [
         r.s

@@ -226,6 +226,12 @@ def ewma_per_key(
     )
     a = float(alpha)
 
+    # NULL keys form one group (SQL GROUP BY semantics): repartition
+    # hashes them to one partition and the sort makes them contiguous,
+    # so dropna=False below treats them like any other key. NaN is not
+    # self-equal, so the carry dict needs a stable stand-in key.
+    _null_key = object()
+
     def smooth(batches):
         import numpy as np
 
@@ -235,9 +241,16 @@ def ewma_per_key(
                 yield pdf.assign(**{out_col: pd.Series([], dtype="float64")})
                 continue
             x = pdf[value_col].astype("float64").to_numpy()
-            out = np.empty(len(pdf))
+            # NaN-filled, not empty: any row a grouping path ever missed
+            # would surface as NULL-ish output, never uninitialized
+            # memory (a real bug in an earlier revision: default
+            # dropna=True silently skipped NULL-key rows).
+            out = np.full(len(pdf), np.nan)
             # keys arrive contiguous (partition is sorted by key)
-            for k, idx in pdf.groupby(key_col, sort=False).indices.items():
+            groups = pdf.groupby(key_col, sort=False, dropna=False).indices
+            for k, idx in groups.items():
+                if pd.isna(k):
+                    k = _null_key
                 seg = x[idx]
                 prev = carry.get(k)
                 if prev is not None:

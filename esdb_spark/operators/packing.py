@@ -186,19 +186,42 @@ def interleave_sources(
     scounts = ranked_src.groupBy("_spid", source_col).count().collect()
     running: dict = {}
     off_rows = []
+    # (str(src), _spid) only fixes the ITERATION order; offsets
+    # accumulate in the `running` dict keyed by the real value, and
+    # each source's entries stay _spid-ascending within any such
+    # interleaving — so a str() collision (or NULL vs 'None') cannot
+    # corrupt the running offsets.
     for row in sorted(scounts, key=lambda r: (str(r[source_col]), r["_spid"])):
         src = row[source_col]
         off_rows.append((row["_spid"], src, running.get(src, 0)))
         running[src] = running.get(src, 0) + row["count"]
+    # schema derived from the input: a hardcoded `string` here broke
+    # integer/date source columns at createDataFrame time
     off_df = spark.createDataFrame(
-        off_rows, schema=f"_spid int, {source_col} string, _soff long"
+        off_rows,
+        schema=T.StructType(
+            [
+                T.StructField("_spid", T.IntegerType(), False),
+                T.StructField(source_col, df.schema[source_col].dataType),
+                T.StructField("_soff", T.LongType(), False),
+            ]
+        ),
     )
     w_src_local = Window.partitionBy("_spid", source_col).orderBy(id_col)
     k = F.row_number().over(w_src_local) + F.col("_soff")
     vtime = (k - F.lit(0.5)) / F.col(weight_col)
     sort_cols = ["vtime", source_col, id_col]
+    # eqNullSafe keeps NULL-source rows (the window above already
+    # grouped them; a plain equi-join would silently drop them here)
+    off_b = F.broadcast(off_df)
     sorted_df = (
-        ranked_src.join(F.broadcast(off_df), ["_spid", source_col])
+        ranked_src.join(
+            off_b,
+            (ranked_src["_spid"] == off_b["_spid"])
+            & ranked_src[source_col].eqNullSafe(off_b[source_col]),
+        )
+        .drop(off_b["_spid"])
+        .drop(off_b[source_col])
         .withColumn("vtime", vtime)
         .drop("_spid", "_soff")
         .repartitionByRange(*sort_cols)
@@ -207,10 +230,16 @@ def interleave_sources(
         # Pin the sampled range boundaries: without this, the counts
         # job and the consumer's job would re-sample independently and
         # the offsets could describe a different partitioning than the
-        # one the final job executes (MEMORY_AND_DISK: spills, never
-        # OOMs; consume the result promptly, as with the jaccard probe)
-        .persist()
+        # one the final job executes. localCheckpoint (MEMORY_AND_DISK:
+        # spills, never OOMs), not persist(): the blocks are released
+        # when the result is garbage-collected instead of accumulating
+        # in the cache manager across composed invocations, and the
+        # severed lineage also frees ranked_src's cache below.
+        .localCheckpoint(eager=True)
     )
+    # the checkpoint above materialized everything downstream of
+    # ranked_src — its pinned partitions are no longer referenced
+    ranked_src.unpersist()
     # One metadata-sized job: rows per range partition -> rank offsets.
     counts = sorted_df.groupBy("_pid").count().collect()
     offsets = {}

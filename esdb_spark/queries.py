@@ -2969,6 +2969,57 @@ _PIPELINE_ORACLES = {
         WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.6
         ORDER BY id_a, id_b
     """,
+    # Full replay of the md5-portable MinHash+LSH pipeline:
+    # word 3-shingles → 32 per-permutation min-hashes (60-bit md5
+    # prefixes) → 8 band buckets (md5 of the ordered slice) → candidate
+    # self-join → positional-agreement estimate ≥ 0.8 → drop larger id.
+    # Every hash is md5-derived so the integers match Spark's
+    # conv(substring(md5(...), 1, 15), 16, 10) bit-for-bit.
+    "dedup_minhash_portable_docs": f"""
+        WITH toks AS (
+            SELECT doc_id AS id, {_TOK} AS toks FROM documents
+        ), nonempty AS (
+            SELECT id, toks FROM toks WHERE len(toks) > 0
+        ), sh AS (
+            SELECT id,
+                   CASE WHEN len(toks) >= 3
+                        THEN array_to_string(list_slice(toks, i, i + 2), ' ')
+                        ELSE array_to_string(toks, ' ') END AS shingle
+            FROM nonempty,
+                 unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS g(i)
+        ), hashes AS (
+            SELECT id, k,
+                   min(CAST(concat('0x', substring(
+                       md5(concat(CAST(k AS VARCHAR), ':', shingle)),
+                       1, 15)) AS BIGINT)) AS h
+            FROM sh, generate_series(0, 31) AS ks(k)
+            GROUP BY id, k
+        ), banded AS (
+            SELECT id, k // 4 AS band,
+                   substring(md5(string_agg(
+                       CAST(h AS VARCHAR), ',' ORDER BY k)), 1, 15) AS bhash
+            FROM hashes GROUP BY id, k // 4
+        ), cand AS (
+            SELECT DISTINCT l.id AS id_a, r.id AS id_b
+            FROM banded l
+            JOIN banded r
+              ON l.band = r.band AND l.bhash = r.bhash AND l.id < r.id
+        ), drops AS (
+            SELECT DISTINCT id_b AS id
+            FROM (
+                SELECT c.id_a, c.id_b
+                FROM cand c
+                JOIN hashes ha ON ha.id = c.id_a
+                JOIN hashes hb ON hb.id = c.id_b AND hb.k = ha.k
+                GROUP BY c.id_a, c.id_b
+                HAVING sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END)
+                       / 32.0 >= 0.8
+            )
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM drops)
+        ORDER BY doc_id
+    """,
     "doc_chunks": f"""
         WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents)
         SELECT doc_id,
@@ -3364,6 +3415,32 @@ def dedup_minhash_docs(spark, sf_dir):
     )
 
 
+def dedup_minhash_portable_docs(spark, sf_dir):
+    """MinHash + banded-LSH near-dedup with the md5-portable hash
+    family: the keep/drop decision is fully replayable in DuckDB
+    (signatures, band buckets, and the agreement estimate are all
+    bit-identical across engines), so the sketch pipeline itself —
+    not a stand-in — holds an exact-oracle gate row. The xxhash64
+    production variant (``dedup_minhash_docs``) stays bench-tracked;
+    both run the identical plan shape."""
+    from esdb_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup_minhash_lsh(
+            docs,
+            "text",
+            "doc_id",
+            threshold=0.8,
+            num_hashes=32,
+            bands=8,
+            portable=True,
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def dedup_embedding_docs(spark, sf_dir):
     """Embedding near-dup removal: drop vectors whose cosine to a
     smaller-id vector is ≥ 0.45. The threshold sits inside the
@@ -3534,9 +3611,16 @@ _GATE_WINDOW = [
     "multimodal_pixel_stats",
     "documents_split_counts",
     "event_value_ohlc",
-    # rows-only sketch ops (engine-specific hashes — weaker gate check)
-    "dedup_minhash_docs",
-    "ann_topk_ivf_docs",
+    # round 4: the sketch slots went green. The minhash slot now runs
+    # the md5-portable hash family (dedup_minhash_portable_docs) whose
+    # keep/drop decision DuckDB replays exactly; the xxhash64 variant
+    # (dedup_minhash_docs) stays catalogued + bench-tracked. The IVF
+    # slot (engine-specific k-means — no exact oracle possible) hands
+    # its row to corpus_vocab_top per the round-3 verdict; ANN recall
+    # stays asserted in test_similarity.py and ann_topk_ivf_docs stays
+    # catalogued + bench-tracked.
+    "dedup_minhash_portable_docs",
+    "corpus_vocab_top",
     # TPC-H representatives
     "q1_pricing_summary",
     "q3_top10_revenue",
@@ -3548,9 +3632,6 @@ _GATE_WINDOW = [
     # dedup, vocabulary, LM-quality score
     "doc_strip_boilerplate",
     "dedup_incremental_docs",
-    # (corpus_vocab_top demoted — corpus-cleaning family keeps three
-    # other rows; its slot showcases the per-key EWMA recurrence, a
-    # family with no other representative)
     "user_value_ewma",
     "doc_lm_score",
     # analytic operators (funnel/cohort/forward-fill/salted-count are
@@ -3664,6 +3745,7 @@ def catalog() -> dict[str, Q]:
         ("doc_repetition_stats", doc_repetition_stats),
         ("doc_domain_counts", doc_domain_counts),
         ("dedup_embedding_docs", dedup_embedding_docs),
+        ("dedup_minhash_portable_docs", dedup_minhash_portable_docs),
         ("dedup_events_exact", dedup_events_exact),
         ("doc_unigram_jaccard_pairs", doc_unigram_jaccard_pairs),
         ("doc_dup_clusters", doc_dup_clusters),

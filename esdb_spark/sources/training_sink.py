@@ -11,12 +11,17 @@ shuffling or sorting.
 
 Scale design:
 
-- ``repartitionByRange`` on (split, shard) gives each (split, shard)
-  pair its own task → its own file, with ranges balanced by sampling
-  — no hash-collision file merging and no 1-task funnel (the
-  merge_streams lesson). One data shuffle; the corpus is persisted
-  for the sink's three reads (partition count, write, manifest) so
-  the upstream pipeline lineage executes once.
+- Hash ``repartition`` on (split, shard) puts ALL of a pair's rows in
+  exactly one task, and the writer's ``partitionBy(split, shard)``
+  splits each task's output by directory — so every (split, shard)
+  directory holds exactly one file, deterministically. (An earlier
+  revision range-partitioned and wrote one directory per split: the
+  sampled boundaries only *approximate* 1 task per pair, so two small
+  shards could share a file — a silent break of the loader contract.)
+  A hash collision merely makes one task write two directories
+  sequentially. One data shuffle; the corpus is persisted for the
+  sink's three reads (partition count, write, manifest) so the
+  upstream pipeline lineage executes once.
 - ``sortWithinPartitions`` orders rows by the deterministic shuffle
   key inside each task — a per-task sort of shard-sized data, never a
   global sort.
@@ -41,10 +46,11 @@ def write_training_shards(
     order_col: str = "shuffle_key",
     token_col: str | None = None,
 ) -> dict:
-    """Write the corpus as ``out_path/split=<s>/…`` parquet, one file
-    per (split, shard), rows in ``order_col`` order within each file.
-    Returns (and writes alongside, as ``_MANIFEST.json``) a manifest:
-    per-split/shard row counts (+ token totals when ``token_col``).
+    """Write the corpus as ``out_path/split=<s>/shard=<k>/…`` parquet,
+    exactly one file per (split, shard), rows in ``order_col`` order
+    within each file. Returns (and writes alongside, as
+    ``_MANIFEST.json``) a manifest: per-split/shard row counts
+    (+ token totals when ``token_col``).
 
     The manifest is the loader's unit of work accounting — resuming a
     run or assigning shards to data-parallel ranks needs counts, not a
@@ -60,11 +66,11 @@ def write_training_shards(
     corpus = corpus.persist()
     n_parts = corpus.select(split_col, shard_col).distinct().count()
     (
-        corpus.repartitionByRange(
+        corpus.repartition(
             max(n_parts, 1), F.col(split_col), F.col(shard_col)
         )
         .sortWithinPartitions(split_col, shard_col, order_col)
-        .write.partitionBy(split_col)
+        .write.partitionBy(split_col, shard_col)
         .mode("errorifexists")
         .parquet(out_path)
     )

@@ -57,10 +57,26 @@ def test_rows_ordered_within_each_file(spark, packed, tmp_path_factory):
     write_training_shards(packed, out)
     import pyarrow.parquet as pq
 
-    for fname in glob.glob(os.path.join(out, "split=*", "*.parquet")):
-        t = pq.read_table(fname, columns=["shard", "shuffle_key"]).to_pandas()
-        keys = list(zip(t["shard"], t["shuffle_key"]))
+    files = glob.glob(os.path.join(out, "split=*", "shard=*", "*.parquet"))
+    assert files
+    for fname in files:
+        t = pq.read_table(fname, columns=["shuffle_key"]).to_pandas()
+        keys = list(t["shuffle_key"])
         assert keys == sorted(keys), fname
+
+
+def test_exactly_one_file_per_split_shard(spark, packed, tmp_path_factory):
+    """The loader contract: every (split, shard) directory holds ONE
+    parquet file (hash repartition on the pair + writer partitionBy —
+    not range sampling, which only approximated this)."""
+    out = str(tmp_path_factory.mktemp("sink") / "corpus")
+    manifest = write_training_shards(packed, out)
+    n_pairs = sum(len(e["shards"]) for e in manifest["splits"].values())
+    shard_dirs = glob.glob(os.path.join(out, "split=*", "shard=*"))
+    assert len(shard_dirs) == n_pairs
+    for d in shard_dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, d
 
 
 def test_roundtrip_and_split_pruning(spark, packed, tmp_path_factory):
