@@ -1,0 +1,608 @@
+"""Baseline JPEG codec — numpy + stdlib only, no imaging library.
+
+Implements ITU-T T.81 baseline sequential DCT, 8-bit: the decoder
+(:func:`decode_jpeg_pixels`) covers huffman entropy decode,
+dequantization, zigzag, 8×8 IDCT, restart markers, 2:1 chroma
+upsampling, and the JFIF YCbCr→RGB transform; the encoder
+(:func:`encode_jpeg`) emits baseline 4:4:4 JFIF using the Annex K
+example huffman tables. Both directions are implemented from the
+published spec (same posture as the PNG/RFC-2083 and GIF/LZW codecs in
+``multimodal.py``) — the encoder exists chiefly so the decoder can be
+round-trip verified in an environment with no codec library, and so
+fixtures for the driver-gated pixel-stat queries can be synthesized
+deterministically.
+
+Out of scope (returns None / raises with a clear message rather than
+producing wrong pixels): progressive (SOF2), arithmetic coding,
+12-bit precision, hierarchical mode — decode parity target is the
+reference's media plumbing (media blobs are opaque bytes to the
+reference engine; SURVEY §2.7 multimodal north star), not a general
+codec library.
+
+Scale note: this codec runs INSIDE Arrow-batched ``mapInPandas``
+operators (multimodal.py) — per-row Python cost is the accepted price
+of a dependency-free environment and is documented there; at deploy
+time `decode_pixels` swaps to a native library behind the same
+(h, w, channels)-uint8 contract.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order -> raster index in a flat 8x8 block (T.81 fig. 5)
+_ZIGZAG = np.array(
+    [
+         0,  1,  8, 16,  9,  2,  3, 10,
+        17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K example huffman tables (K.3.3): (bits[1..16], values).
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_basis() -> np.ndarray:
+    """M[u, x] = C(u)/2 · cos((2x+1)uπ/16): forward DCT is M·b·Mᵀ,
+    inverse is Mᵀ·F·M (T.81 A.3.3, the exact float definition — no
+    integer fast-DCT approximations, determinism beats speed here)."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0, :] = 0.5 / np.sqrt(2.0)
+    return m
+
+
+_M = _dct_basis()
+
+
+def _canonical_codes(bits, vals):
+    """(length, code) -> symbol for a T.81 canonical huffman spec
+    (Annex C code construction)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over already de-stuffed entropy bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("jpeg: entropy stream truncated")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def receive_extend(self, s: int) -> int:
+        """T.81 F.2.2.1 EXTEND: map an s-bit magnitude to its signed
+        value."""
+        if s == 0:
+            return 0
+        v = self.read_bits(s)
+        if v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return v
+
+    def decode_symbol(self, table) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid huffman code")
+
+
+def _split_scan(data: bytes):
+    """Split the entropy-coded scan at RSTn markers, removing 0xFF00
+    byte stuffing; returns (segments, bytes_consumed). Consumption
+    stops at the first non-RST marker (EOI / next segment)."""
+    segments = []
+    cur = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = data[i + 1]
+        if m == 0x00:  # stuffed literal 0xFF
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # restart marker
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or any other marker ends the scan
+            break
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def decode_jpeg_pixels(content: bytes):
+    """Decode a baseline sequential JPEG to an (h, w, channels) uint8
+    array (channels 3 for YCbCr color, 1 for grayscale), or None if the
+    payload is not a JPEG. Raises ValueError for JPEG features outside
+    baseline (progressive, arithmetic, 12-bit) — an explicit contract
+    beats silently wrong pixels.
+
+    Covers: interleaved single-scan baseline, standard and custom
+    huffman/quant tables, restart intervals, subsampling factors 1-2
+    with box (pixel-replication) chroma upsampling, JFIF YCbCr→RGB.
+    """
+    if len(content) < 3 or content[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None  # (h, w, [(cid, hs, vs, tq), ...])
+    i = 2
+    n = len(content)
+    out_planes = None
+    while i + 4 <= n:
+        if content[i] != 0xFF:
+            i += 1  # fill bytes / padding between segments
+            continue
+        marker = content[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", content[i + 2 : i + 4])
+        body = content[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    vals = np.frombuffer(
+                        body[j : j + 64], dtype=np.uint8
+                    ).astype(np.int32)
+                    j += 64
+                else:
+                    vals = (
+                        np.frombuffer(body[j : j + 128], dtype=">u2")
+                        .astype(np.int32)
+                    )
+                    j += 128
+                table = np.zeros(64, dtype=np.int32)
+                table[_ZIGZAG] = vals  # stored zigzag -> raster
+                qt[tq] = table.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                cnt = sum(bits)
+                vals = list(body[j + 17 : j + 17 + cnt])
+                j += 17 + cnt
+                tbl = _canonical_codes(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = tbl
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            precision = body[0]
+            if precision != 8:
+                raise ValueError(f"jpeg: {precision}-bit precision unsupported")
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq_id = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "jpeg: only baseline sequential DCT is supported "
+                f"(SOF marker 0x{marker:02X})"
+            )
+        elif marker == 0xDA:  # SOS → entropy-coded data follows
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = body[0]
+            if ns != len(frame[2]):
+                raise ValueError(
+                    "jpeg: non-interleaved multi-scan unsupported"
+                )
+            scan_tables = {}
+            for c in range(ns):
+                cs, tda = body[1 + 2 * c : 3 + 2 * c]
+                scan_tables[cs] = (tda >> 4, tda & 0x0F)
+            data_start = i + 2 + seg_len
+            segments, consumed = _split_scan(content[data_start:])
+            out_planes = _decode_scan(
+                frame, scan_tables, qt, dc_tables, ac_tables,
+                restart_interval, segments,
+            )
+            i = data_start + consumed
+            continue
+        i += 2 + seg_len
+    if out_planes is None or frame is None:
+        return None
+    return _to_pixels(frame, out_planes)
+
+
+def _decode_scan(frame, scan_tables, qt, dc_tables, ac_tables,
+                 restart_interval, segments):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {}
+    for cid, hs, vs, _tq in comps:
+        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+    pred = {cid: 0 for cid, *_ in comps}
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    n_mcus = mcux * mcuy
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1  # RSTn: re-align and reset DC predictors
+            if seg_idx >= len(segments):
+                raise ValueError("jpeg: missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            pred = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(mcu, mcux)
+        for cid, hs, vs, tq_id in comps:
+            dct, act = scan_tables[cid]
+            dc_tbl, ac_tbl = dc_tables[dct], ac_tables[act]
+            q = qt[tq_id]
+            for by in range(vs):
+                for bx in range(hs):
+                    coeff = np.zeros(64, dtype=np.float64)
+                    s = reader.decode_symbol(dc_tbl)
+                    pred[cid] += reader.receive_extend(s)
+                    coeff[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_symbol(ac_tbl)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("jpeg: AC index out of range")
+                        coeff[_ZIGZAG[k]] = reader.receive_extend(s)
+                        k += 1
+                    block = coeff.reshape(8, 8) * q
+                    spatial = _M.T @ block @ _M + 128.0
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+    return planes
+
+
+def _to_pixels(frame, planes):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    full = []
+    for cid, hs, vs, _tq in comps:
+        p = planes[cid]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        gray = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return gray.reshape(h, w, 1)
+    if len(full) != 3:
+        raise ValueError(f"jpeg: {len(full)}-component images unsupported")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (baseline 4:4:4 JFIF, Annex K huffman tables)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+    def restart(self, n: int) -> None:
+        """Flush and emit RSTn — marker bytes are never stuffed."""
+        self.flush()
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (n & 7))
+
+
+def _encode_table(bits, vals):
+    """symbol -> (length, code) for the encoder side."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (length, code)
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category s, s-bit code) for a signed coefficient (T.81 F.1.2)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    code = v if v > 0 else v + (1 << s) - 1
+    return s, code
+
+
+def _encode_block(writer, block, q, dc_tbl, ac_tbl, pred_dc: int) -> int:
+    """Forward-DCT, quantize, and huffman-encode one 8×8 block; returns
+    the new DC predictor."""
+    coeff = np.rint((_M @ block @ _M.T) / q).astype(np.int64)
+    zz = coeff.reshape(64)[_ZIGZAG]
+    diff = int(zz[0]) - pred_dc
+    s, code = _magnitude(diff)
+    length, huff = dc_tbl[s]
+    writer.write(huff, length)
+    if s:
+        writer.write(code, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, huff = ac_tbl[0xF0]  # ZRL
+            writer.write(huff, length)
+            run -= 16
+        s, code = _magnitude(v)
+        length, huff = ac_tbl[(run << 4) | s]
+        writer.write(huff, length)
+        writer.write(code, s)
+        run = 0
+    if last_nz < 63:
+        length, huff = ac_tbl[0x00]  # EOB
+        writer.write(huff, length)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    img,
+    quant: np.ndarray | None = None,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a uint8 image — (h, w) / (h, w, 1) grayscale or
+    (h, w, 3) RGB — as baseline sequential JFIF.
+
+    ``quant`` is one 8×8 quantization table applied to every component
+    (default: all ones — near-lossless, so decode(encode(x)) ≈ x within
+    DCT rounding; the round-trip tests rely on this). ``subsampling``
+    is ``"444"`` or ``"420"`` (2×2 box-averaged chroma);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs. Edge padding is pixel replication, the standard
+    recommendation."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nc = img.shape
+    if nc == 1:
+        planes = [img[:, :, 0].astype(np.float64)]
+    elif nc == 3:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        raise ValueError(f"encode_jpeg: {nc}-channel input unsupported")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"encode_jpeg: subsampling {subsampling!r} unsupported")
+    sampling = (
+        [(2, 2), (1, 1), (1, 1)]
+        if subsampling == "420" and nc == 3
+        else [(1, 1)] * nc
+    )
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    q = (
+        np.ones((8, 8), dtype=np.int32)
+        if quant is None
+        else np.asarray(quant, dtype=np.int32).reshape(8, 8)
+    )
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    # reading a raster-order table at _ZIGZAG yields the zigzag sequence
+    zz_q = q.reshape(64)[_ZIGZAG]
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes(int(x) for x in zz_q)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOF0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for c in range(nc):
+        hs, vs = sampling[c]
+        out += bytes([c + 1, (hs << 4) | vs, 0])
+    # DHT segments
+    specs = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
+    if nc == 3:
+        specs += [(0x01, _DC_CHR), (0x11, _AC_CHR)]
+    for tclass, (bits, vals) in specs:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([tclass]) + bytes(bits) + bytes(vals)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    out += bytes([0, 63, 0])
+
+    dc_enc = [_encode_table(*_DC_LUM)] + [_encode_table(*_DC_CHR)] * 2
+    ac_enc = [_encode_table(*_AC_LUM)] + [_encode_table(*_AC_CHR)] * 2
+    # pad every full-resolution plane to the MCU grid by replication,
+    # then derive each component's (possibly downsampled) plane
+    ph = -(-h // (8 * vmax)) * 8 * vmax
+    pw = -(-w // (8 * hmax)) * 8 * hmax
+    comp_planes = []
+    for ci, p in enumerate(planes):
+        pp = np.empty((ph, pw), dtype=np.float64)
+        pp[:h, :w] = p
+        pp[h:, :w] = p[-1:, :]  # replicate bottom edge
+        pp[:, w:] = pp[:, w - 1 : w]  # then right edge
+        hs, vs = sampling[ci]
+        fy, fx = vmax // vs, hmax // hs
+        if fy > 1 or fx > 1:  # box-average downsample
+            pp = pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+            pp = np.rint(pp)
+        comp_planes.append(pp - 128.0)
+    writer = _BitWriter()
+    pred = [0] * nc
+    mcux = pw // (8 * hmax)
+    mcuy = ph // (8 * vmax)
+    rst = 0
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.restart(rst)
+            rst = (rst + 1) & 7
+            pred = [0] * nc
+        my, mx = divmod(mcu, mcux)
+        for ci in range(nc):
+            hs, vs = sampling[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    block = comp_planes[ci][y0 : y0 + 8, x0 : x0 + 8]
+                    pred[ci] = _encode_block(
+                        writer, block, q, dc_enc[ci], ac_enc[ci], pred[ci]
+                    )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

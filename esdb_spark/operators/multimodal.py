@@ -3,15 +3,17 @@ columns with typed metadata.
 
 The Spark-side architecture — schema, Arrow-batched ``mapInPandas``
 operators, partition sizing — is real and tested, and so are the
-codecs that need no external library: a full PNG codec
-(:func:`decode_png_pixels` / :func:`encode_png` — stdlib zlib + numpy
-de-filtering), 24-bit BMP (:func:`decode_bmp_pixels`), PCM16 WAV
-signal decode (:func:`pcm_signal_stats`), and header parsers for
-JPEG/GIF/WAV. Only entropy-coded pixel/sample data (JPEG, GIF,
-compressed audio) stays stubbed: :func:`decode_image` raises
-``NotImplementedError`` where PIL would be invoked, and
-:func:`fake_decode_meta` provides a deterministic stand-in so that
-plumbing stays testable end-to-end.
+codecs, all implemented from their published specs with stdlib + numpy
+only: a full PNG codec (:func:`decode_png_pixels` / :func:`encode_png`
+— zlib + numpy de-filtering), GIF (pure-Python LZW), 24-bit BMP
+(:func:`decode_bmp_pixels`), PCM16 WAV signal decode
+(:func:`pcm_signal_stats`), and baseline JPEG both directions
+(``operators.jpeg`` — huffman + dequant + IDCT, round-trip tested).
+Nothing is stubbed; :func:`decode_pixels` raises a clear ValueError
+for formats outside those codecs' documented coverage (progressive
+JPEG, 16-bit PNG, compressed audio) rather than decoding wrongly.
+:func:`fake_decode_meta` remains as a deterministic stand-in for
+plumbing tests that want content-independent behavior.
 
 Design for 100 TB of media:
 
@@ -54,15 +56,21 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def decode_image(content: bytes) -> "object":
-    """Full pixel-decode hook. The container has no imaging libraries,
-    so this is an explicit stub — swap in PIL.Image.open at deploy
-    time. Header-level metadata (dimensions, format) does NOT need it:
-    see :func:`parse_image_dims`."""
-    raise NotImplementedError(
-        "pixel decoding requires an imaging library not present in this "
-        "environment; parse_image_dims covers dimensions without one"
-    )
+def decode_image(content: bytes):
+    """Full pixel decode: (h, w, channels) uint8 for PNG/JPEG/GIF/BMP
+    via the built-in spec codecs (see :func:`decode_pixels`). Raises
+    ValueError for content no codec recognizes — the explicit contract
+    that replaced the round-3 ``NotImplementedError`` stub (swap in a
+    native library behind the same signature at deploy time for
+    throughput). Header-level metadata (dimensions, format) does NOT
+    need a decode: see :func:`parse_image_dims`."""
+    px = decode_pixels(content)
+    if px is None:
+        raise ValueError(
+            "decode_image: unrecognized or unsupported image payload "
+            "(supported: PNG 8-bit, baseline JPEG, GIF, 24-bit BMP)"
+        )
+    return px
 
 
 # JPEG start-of-frame markers that carry dimensions: SOF0-15 minus
@@ -274,11 +282,11 @@ def extract_media_features(df: DataFrame) -> DataFrame:
 def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
     """Resize: (media_id, width, height, content) in, same shape out
     with dimensions scaled so max(width, height) == max_side (aspect
-    preserved, never upscaled). PNG/BMP payloads are REALLY resized —
-    decoded (:func:`decode_pixels`), nearest-neighbor downsampled in
-    numpy, re-encoded as PNG — so the output thumbnails are valid
-    images and a downstream shuffle moves area_ratio× fewer real
-    bytes. Entropy-coded formats (JPEG/GIF) fall back to the
+    preserved, never upscaled). PNG/JPEG/GIF/BMP payloads are REALLY
+    resized — decoded (:func:`decode_pixels`), nearest-neighbor
+    downsampled in numpy, re-encoded as PNG — so the output thumbnails
+    are valid images and a downstream shuffle moves area_ratio× fewer
+    real bytes. Unrecognized or malformed payloads fall back to the
     deterministic fake (payload truncated proportionally), keeping the
     schema contract and batch shape identical."""
     import numpy as np
@@ -297,7 +305,10 @@ def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
             out = {"media_id": [], "width": [], "height": [], "content": []}
             for _, row in pdf.iterrows():
                 content = bytes(row["content"] or b"")
-                img = decode_pixels(content) if content else None
+                try:
+                    img = decode_pixels(content) if content else None
+                except ValueError:
+                    img = None  # unsupported variant → fake path below
                 if img is not None:
                     h0, w0 = img.shape[:2]
                     side = max(w0, h0)
@@ -380,8 +391,9 @@ def pcm_signal_stats(content: bytes) -> tuple[float, float, float] | None:
     normalized to [-1, 1] (int16 full scale); zero-cross rate is the
     fraction of consecutive-sample sign changes across the interleaved
     stream. Returns None unless the payload is an uncompressed
-    (format tag 1) 16-bit WAV with a data chunk — compressed codecs
-    stay behind the documented decode stub."""
+    (format tag 1) 16-bit WAV with a data chunk — compressed audio
+    codecs are out of scope (swap in an audio library at deploy time
+    behind the same signature)."""
     import numpy as np
 
     n = len(content)
@@ -596,11 +608,17 @@ def decode_bmp_pixels(content: bytes):
 
 def decode_pixels(content: bytes):
     """Format-sniffing real pixel decode: PNG (zlib + numpy
-    de-filtering), GIF (pure-Python LZW + palette), or 24-bit BMP.
-    Only JPEG's entropy coding genuinely needs a codec library — it
-    stays behind :func:`decode_image`'s documented stub."""
+    de-filtering), baseline JPEG (huffman + dequant + IDCT —
+    ``operators.jpeg``), GIF (pure-Python LZW + palette), or 24-bit
+    BMP. Returns (h, w, channels) uint8, or None for unrecognized
+    bytes; JPEG variants outside baseline raise ValueError from the
+    codec (explicit contract, never wrong pixels)."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(content)
+    if content[:2] == b"\xff\xd8":
+        from esdb_spark.operators.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(content)
     if content[:2] == b"BM":
@@ -610,10 +628,12 @@ def decode_pixels(content: bytes):
 
 def extract_image_pixel_features(df: DataFrame) -> DataFrame:
     """Real decoded-pixel statistics per media row: (media_id, width,
-    height, channels, mean_r, mean_g, mean_b, brightness) — PNG/BMP
-    payloads are actually decoded (see :func:`decode_pixels`); other
-    formats yield nulls. Gray images replicate their mean into all
-    three channel columns."""
+    height, channels, mean_r, mean_g, mean_b, brightness) —
+    PNG/JPEG/GIF/BMP payloads are actually decoded (see
+    :func:`decode_pixels`); unrecognized or malformed payloads yield
+    nulls (a corrupt blob among billions must degrade to nulls, never
+    fail the task). Gray images replicate their mean into all three
+    channel columns."""
     import numpy as np
 
     out_schema = T.StructType(
@@ -630,7 +650,10 @@ def extract_image_pixel_features(df: DataFrame) -> DataFrame:
     )
 
     def one(c):
-        img = decode_pixels(bytes(c)) if c is not None else None
+        try:
+            img = decode_pixels(bytes(c)) if c is not None else None
+        except ValueError:
+            img = None  # unsupported variant / truncated stream
         if img is None:
             return (None,) * 7
         h, w, ch = img.shape

@@ -2220,6 +2220,61 @@ def multimodal_pixel_stats(spark, sf_dir):
     )
 
 
+def multimodal_jpeg_stats(spark, sf_dir):
+    """REAL JPEG decode under an exact oracle: each document becomes a
+    baseline JPEG (operators/jpeg.encode_jpeg — forward DCT + huffman)
+    of a CONSTANT gray level derived from doc_id, and the query decodes
+    it back (decode_jpeg_pixels: huffman + dequant + IDCT) to pixel
+    stats. A constant block has only a DC coefficient, which survives
+    unit-quantization DCT⁻¹ exactly, so DuckDB predicts every decoded
+    value bit-exactly — certifying the entropy decode, DC prediction
+    chain, and IDCT end-to-end. (Non-constant JPEG content is verified
+    by round-trip bounds in test_jpeg.py; it cannot be SQL-predicted
+    because quantization rounding is codec-internal.)"""
+    from pyspark.sql import types as T
+
+    from esdb_spark.operators.jpeg import encode_jpeg
+    from esdb_spark.operators.multimodal import extract_image_pixel_features
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def make_jpeg(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                side = did % 16 + 1
+                v = (did * 31) % 256
+                img = np.full((side, side), v, dtype=np.uint8)
+                out.append(encode_jpeg(img))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": out})
+
+    media = docs.select("doc_id").mapInPandas(
+        make_jpeg,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        extract_image_pixel_features(media)
+        .select(
+            "media_id",
+            F.col("width").cast("bigint").alias("width"),
+            F.col("height").cast("bigint").alias("height"),
+            F.col("channels").cast("bigint").alias("channels"),
+            "mean_r",
+            "brightness",
+        )
+        .orderBy("media_id")
+    )
+
+
 def decontaminate_docs(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of each training doc
     (doc_id % 20 != 0) against the eval split (doc_id % 20 == 0) —
@@ -3207,6 +3262,17 @@ _PIPELINE_ORACLES = {
                 + CAST((doc_id * 13) % 256 AS DOUBLE)) / 3.0 AS brightness
         FROM documents ORDER BY media_id
     """,
+    # constant-gray JPEG: DC-only blocks survive unit-quant DCT⁻¹
+    # exactly, so the decoded level equals the encoded one bit-for-bit
+    "multimodal_jpeg_stats": """
+        SELECT doc_id AS media_id,
+               CAST(doc_id % 16 + 1 AS BIGINT) AS width,
+               CAST(doc_id % 16 + 1 AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS channels,
+               CAST((doc_id * 31) % 256 AS DOUBLE) AS mean_r,
+               CAST((doc_id * 31) % 256 AS DOUBLE) AS brightness
+        FROM documents ORDER BY media_id
+    """,
 }
 
 
@@ -3760,6 +3826,7 @@ def catalog() -> dict[str, Q]:
         ("orders_profile", orders_profile),
         ("multimodal_features", multimodal_features),
         ("multimodal_pixel_stats", multimodal_pixel_stats),
+        ("multimodal_jpeg_stats", multimodal_jpeg_stats),
         ("heavy_hitter_users", heavy_hitter_users),
         ("decontaminate_docs", decontaminate_docs),
         ("pack_documents", pack_documents),

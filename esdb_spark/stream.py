@@ -126,6 +126,52 @@ class EventStream:
         (data, indexes); seq is assigned monotonically after the current
         tail, preserving the batch's partition order."""
         self._check_open()
+        end = self._write_seqed(df, self._path)
+        self._next_seq = end
+
+    def stage_dataframe(self, df: DataFrame, stage_path: str) -> int:
+        """Write a seq-assigned batch to ``stage_path`` WITHOUT
+        publishing it to the log — the prepare half of the two-phase
+        append that ``streaming.stream_into`` uses for exactly-once
+        delivery. Seqs continue from the current tail, but the tail
+        itself does not advance until :meth:`promote_staged` moves the
+        files in. Returns the next seq after the staged batch."""
+        self._check_open()
+        return self._write_seqed(df, stage_path)
+
+    def promote_staged(self, stage_path: str, next_seq: int | None = None) -> None:
+        """Publish a staged batch: rename each staged parquet file into
+        the stream directory. Idempotent — a file whose destination
+        already exists (a replay after a crash mid-promote) is skipped,
+        so promoting the same staged dir twice can never duplicate
+        events. Parquet part-file names embed a per-write UUID, so a
+        staged name can only collide with its own earlier promotion.
+
+        ``next_seq`` (returned by :meth:`stage_dataframe`) advances the
+        cached tail without a job; omit it on a crash-replay (where the
+        staging ran in a previous process) and the next append re-scans
+        ``max(seq)`` instead."""
+        self._check_open()
+        from esdb_spark import fs
+
+        for name, is_dir in fs.list_dir(self._spark, stage_path):
+            if is_dir or not name.endswith(".parquet"):
+                continue  # _STAGED_OK marker, _SUCCESS, .crc files
+            src = f"{stage_path}/{name}"
+            dst = f"{self._path}/{name}"
+            if fs.exists(self._spark, dst):
+                continue  # already promoted before the crash
+            if not fs.rename(self._spark, src, dst):
+                raise IOError(f"promote_staged: rename {src} -> {dst} failed")
+        if next_seq is not None:
+            self._next_seq = next_seq
+        else:
+            self._next_seq = None  # force a tail re-scan on next append
+
+    def _write_seqed(self, df: DataFrame, dest: str) -> int:
+        """Assign dense seqs after the current tail and write parquet to
+        ``dest``; returns the next seq after the batch. Does NOT advance
+        ``self._next_seq`` — callers decide when the write is published."""
         start = self._seq_start()
         # DENSE seqs via the partition-offset pattern: per-partition
         # counts (a metadata-sized collect) become rank offsets, and a
@@ -165,8 +211,8 @@ class EventStream:
                     "data",
                     "indexes",
                 )
-                out.write.mode("append").parquet(self._path)
-            self._next_seq = start + acc
+                out.write.mode("append").parquet(dest)
+            return start + acc
         finally:
             src.unpersist()
 

@@ -79,12 +79,18 @@ def stream_into(
     with its own checkpoint appends independently. The ledger also
     survives ``stream.compact()`` (which rewrites the stream dir).
 
-    Honest delivery contract: the append and the ledger write are two
-    operations, so a crash BETWEEN them leaves a replayed epoch
-    double-appended (duplicate data rows with distinct seqs). The
-    ledger closes the much larger checkpoint-replay window; closing the
-    last crack needs a transactional sink (single-commit table format),
-    which plain parquet appends cannot provide."""
+    Exactly-once via two-phase append: each epoch is (1) STAGED — seqs
+    assigned, parquet written to ``<checkpoint>/_staged/<epoch>/``, a
+    completion marker written last; (2) PROMOTED — each staged file is
+    renamed into the stream dir (idempotent: a destination that already
+    exists is skipped); (3) LEDGERED; (4) the staged dir is removed. A
+    crash in any window replays safely: before the marker the partial
+    stage is discarded and rebuilt from the (deterministic) replayed
+    batch; after the marker the replay skips straight to the idempotent
+    promote, so the earlier round-3 crack — replaying an epoch whose
+    append committed but whose ledger line didn't — re-runs file
+    renames that no-op instead of appending again. Single writer per
+    stream assumed (the reference's contract, open_stream.go)."""
     import os
 
     from esdb_spark import fs
@@ -103,11 +109,29 @@ def stream_into(
                 for line in fs.read_text(spark, ledger).splitlines()
                 if line.strip()
             }
+        staged = os.path.join(checkpoint, "_staged", str(epoch_id))
         if str(epoch_id) in applied:
-            return  # replayed epoch → already committed, skip
-        stream.append_dataframe(batch_df)
+            # replayed epoch → already committed; clear any staging
+            # remnant from a crash between ledger write and cleanup
+            if fs.exists(spark, staged):
+                fs.delete(spark, staged)
+            return
+        marker = os.path.join(staged, "_STAGED_OK")
+        next_seq = None
+        if fs.exists(spark, marker):
+            # crash after staging completed: the staged files already
+            # carry their seqs — do NOT restage (the tail may have
+            # moved if some files were promoted before the crash)
+            pass
+        else:
+            if fs.exists(spark, staged):
+                fs.delete(spark, staged)  # partial stage → rebuild
+            next_seq = stream.stage_dataframe(batch_df, staged)
+            fs.touch(spark, marker, "ok")
+        stream.promote_staged(staged, next_seq)
         applied.add(str(epoch_id))
         fs.touch(spark, ledger, "\n".join(sorted(applied)) + "\n")
+        fs.delete(spark, staged)
 
     return (
         source.writeStream.outputMode("append")

@@ -1,0 +1,143 @@
+"""Baseline JPEG codec (operators/jpeg.py): encode→decode round-trips
+across color/gray, subsampling, restart markers, quantization, and the
+unsupported-feature contract. No imaging library anywhere — the
+encoder is the fixture generator, so every decoder path is exercised
+against known pixels."""
+
+import numpy as np
+import pytest
+
+from esdb_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+
+
+def _test_image(h=37, w=50, seed=3):
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    img[:, :, 1] = np.linspace(255, 0, h, dtype=np.uint8)[:, None]
+    img[:, :, 2] = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    return img
+
+
+def test_color_roundtrip_near_lossless():
+    img = _test_image()
+    dec = decode_jpeg_pixels(encode_jpeg(img))
+    assert dec.shape == img.shape
+    # unit quant tables: only DCT + color-transform rounding remains
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_gray_roundtrip_near_lossless():
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(gray))
+    assert dec.shape == (24, 17, 1)
+    # single component: no color transform, only DCT rounding
+    assert np.abs(dec[:, :, 0].astype(int) - gray.astype(int)).max() <= 1
+
+
+def test_non_multiple_of_8_dimensions():
+    for h, w in [(1, 1), (8, 8), (9, 15), (16, 23)]:
+        img = _test_image(h, w)
+        dec = decode_jpeg_pixels(encode_jpeg(img))
+        assert dec.shape == (h, w, 3)
+
+
+def test_420_subsampling_decodes_with_bounded_chroma_error():
+    # smooth image: box-downsampled chroma reconstructs closely
+    h, w = 37, 50
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    img[:, :, 1] = np.linspace(255, 0, h, dtype=np.uint8)[:, None]
+    img[:, :, 2] = (np.add.outer(np.arange(h), np.arange(w)) * 3 % 256).astype(
+        np.uint8
+    )
+    dec = decode_jpeg_pixels(encode_jpeg(img, subsampling="420"))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 12 and err.mean() < 4
+
+
+def test_restart_markers_roundtrip():
+    img = _test_image(40, 64)
+    plain = decode_jpeg_pixels(encode_jpeg(img))
+    restarted = decode_jpeg_pixels(encode_jpeg(img, restart_interval=3))
+    # restart markers change framing, not pixels
+    assert np.array_equal(plain, restarted)
+
+
+def test_quantization_degrades_gracefully():
+    img = _test_image()
+    q = np.full((8, 8), 16, int)
+    dec = decode_jpeg_pixels(encode_jpeg(img, quant=q))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # q=16 loses detail but must stay in the right neighborhood
+    assert err.mean() < 16
+    # and the file gets smaller than near-lossless
+    assert len(encode_jpeg(img, quant=q)) < len(encode_jpeg(img))
+
+
+def test_dc_prediction_across_blocks():
+    # constant image spanning many blocks: DC chain must not drift
+    img = np.full((40, 40, 3), 137, np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(img))
+    assert np.abs(dec.astype(int) - 137).max() <= 1
+
+
+def test_non_jpeg_returns_none():
+    assert decode_jpeg_pixels(b"\x89PNG\r\n\x1a\nnot a jpeg") is None
+    assert decode_jpeg_pixels(b"") is None
+
+
+def test_progressive_sof_rejected():
+    enc = bytearray(encode_jpeg(_test_image(8, 8)))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_pixels(bytes(enc))
+
+
+def test_truncated_stream_raises_not_garbage():
+    enc = encode_jpeg(_test_image())
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(enc[: len(enc) // 2])
+
+
+def test_header_parser_reads_own_output():
+    from esdb_spark.operators.multimodal import parse_image_dims
+
+    assert parse_image_dims(encode_jpeg(_test_image(21, 34))) == (
+        "image/jpeg",
+        34,
+        21,
+    )
+
+
+def test_decode_pixels_dispatches_jpeg():
+    from esdb_spark.operators.multimodal import decode_pixels
+
+    img = _test_image(9, 12)
+    dec = decode_pixels(encode_jpeg(img))
+    assert dec.shape == (9, 12, 3)
+
+
+def test_pixel_feature_operator_decodes_jpeg(spark):
+    """End-to-end: JPEG blobs through the Arrow-batched pixel-stat
+    operator — real decode inside mapInPandas."""
+    from esdb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_pixel_features,
+    )
+
+    img = np.full((16, 16, 3), 100, np.uint8)
+    img[:, :, 0] = 200  # mean_r=200, mean_g=100, mean_b=100
+    rows = [
+        (1, "image", bytearray(encode_jpeg(img)), ("image/jpeg", 16, 16, None)),
+        (2, "image", bytearray(b"garbage"), (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_image_pixel_features(df).collect()}
+    assert out[1]["width"] == 16 and out[1]["channels"] == 3
+    assert abs(out[1]["mean_r"] - 200) <= 2
+    assert abs(out[1]["mean_g"] - 100) <= 2
+    assert out[2]["width"] is None  # malformed → nulls, task survives

@@ -22,9 +22,12 @@ def media(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_decode_image_unrecognized_payload_raises_value_error():
+    # truncated magic / garbage → explicit contract error, not wrong pixels
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG")
+    with pytest.raises(ValueError):
+        decode_image(b"not an image at all")
 
 
 def _png(w, h):

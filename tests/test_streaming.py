@@ -481,3 +481,58 @@ def test_stream_into_replay_guard_reads_ledger(spark, tmp_path):
         q.stop()
     # epoch 0 was marked applied → its batch must NOT be re-appended
     assert dst.iterate().count() == 0
+
+
+def test_two_phase_append_promote_is_idempotent(spark, tmp_path):
+    """Crash between promote and ledger (the round-3 crack): replaying
+    the promote must re-run file renames that no-op, never re-append."""
+    from esdb_spark import fs
+
+    st = EventStream.new(spark, str(tmp_path / "s.stream"))
+    df = spark.createDataFrame(
+        [("a", {}), ("b", {}), ("c", {})], "data string, indexes map<string,string>"
+    )
+    staged = str(tmp_path / "cp" / "_staged" / "0")
+    next_seq = st.stage_dataframe(df, staged)
+    assert next_seq == 3
+    assert st.df.count() == 0  # staged, not published
+    fs.touch(spark, staged + "/_STAGED_OK", "ok")
+
+    st.promote_staged(staged, next_seq)
+    assert st.df.count() == 3
+    # crash happened before the ledger write → the handler replays the
+    # promote (marker exists, so no restage); must be a no-op
+    st.promote_staged(staged, None)
+    rows = st.df.collect()
+    assert len(rows) == 3
+    assert sorted(r["seq"] for r in rows) == [0, 1, 2]  # dense, no dupes
+    # tail re-scan path (next_seq=None) still appends after the batch
+    assert st.write("d") == 3
+
+
+def test_two_phase_append_partial_promote_resumes(spark, tmp_path):
+    """Crash mid-promote: some files renamed, some still staged — the
+    replay must move only the remainder."""
+    from esdb_spark import fs
+
+    st = EventStream.new(spark, str(tmp_path / "s.stream"))
+    df = spark.createDataFrame(
+        [("x%d" % i, {}) for i in range(8)],
+        "data string, indexes map<string,string>",
+    ).repartition(4)  # several part files
+    staged = str(tmp_path / "cp" / "_staged" / "0")
+    # AQE would coalesce this tiny batch to one file — keep 4 so the
+    # mid-promote crash actually leaves a remainder behind
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        st.stage_dataframe(df, staged)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    parts = [n for n, d in fs.list_dir(spark, staged) if n.endswith(".parquet")]
+    assert len(parts) >= 2
+    # simulate a crash after ONE file was promoted
+    fs.rename(spark, staged + "/" + parts[0], str(tmp_path / "s.stream" / parts[0]))
+    st.promote_staged(staged, None)
+    rows = st.df.collect()
+    assert len(rows) == 8
+    assert sorted(r["seq"] for r in rows) == list(range(8))
