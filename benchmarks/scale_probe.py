@@ -316,11 +316,70 @@ def doc_shapes(path, n):
     return out
 
 
+def iterative_shapes(n):
+    """The two iterative driver-loop operators (round-4 probe): power-
+    iteration PageRank and batch-GD logistic regression. Inputs are
+    synthesized lazily from ``spark.range`` — both operators pin what
+    they re-read (pagerank localCheckpoints its edge/degree tables; the
+    logistic probe materializes features once) so the measured growth
+    is the operators', not the generator's."""
+    from esdb_spark.operators.graph import pagerank
+    from esdb_spark.operators.model import logistic_fit
+
+    out = {}
+
+    def run(name, fn):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 2)
+
+    n_nodes = max(n // 10, 100)
+    edges = spark.range(n).select(
+        (F.abs(F.xxhash64("id", F.lit(10))) % n_nodes).alias("src"),
+        (F.abs(F.xxhash64("id", F.lit(11))) % n_nodes).alias("dst"),
+    )
+    run(
+        "pagerank_i10",
+        lambda: pagerank(edges, iters=10).agg(F.sum("rank")).collect(),
+    )
+    feats = (
+        spark.range(n)
+        .select(
+            "id",
+            (F.abs(F.xxhash64("id", F.lit(12)) % 1000) / 1000.0).alias("x1"),
+            (F.abs(F.xxhash64("id", F.lit(13)) % 1000) / 1000.0).alias("x2"),
+            (F.abs(F.xxhash64("id", F.lit(14)) % 1000) / 1000.0).alias("x3"),
+        )
+        .withColumn(
+            "label",
+            ((F.col("x1") + 0.5 * F.col("x2")) > 0.75).cast("int"),
+        )
+        .localCheckpoint(eager=True)  # one generator pass, 10 GD scans
+    )
+    run(
+        "logistic_fit_i10",
+        lambda: logistic_fit(feats, ["x1", "x2", "x3"], "label", iters=10),
+    )
+    out["rows"] = n
+    return out
+
+
 small_docs = doc_shapes("/root/testdata/sf0.1/documents.parquet", 5_000)
 big_docs = doc_shapes(DOCS, NDOCS)
+small_iter = iterative_shapes(100_000)
+big_iter = iterative_shapes(10_000_000)
 print(json.dumps({
     "docs_5k": small_docs,
     "docs_100k": big_docs,
     "ratios": {k: round(big_docs[k] / max(small_docs[k], 0.01), 1)
                for k in small_docs if k != "rows"},
+    "iterative_100k": small_iter,
+    "iterative_10m": big_iter,
+    "iterative_ratios_100x_rows": {
+        k: round(big_iter[k] / max(small_iter[k], 0.01), 1)
+        for k in small_iter if k != "rows"
+    },
 }, indent=1))
