@@ -270,66 +270,19 @@ def ann_topk_ivf(
         StructType,
     )
 
-    fit_sample = 100_000
     spark = corpus.sparkSession
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
 
-    # --- index build: sampled numpy Lloyd's, cosine metric -------------
-    sample_pd = (
-        c.orderBy(sample_key(F.col("id"), str(seed)))
-        .limit(fit_sample)
-        .select("vec")
-        .toPandas()
-    )
-    sm = np.array(sample_pd["vec"].tolist(), dtype=np.float64)
-    norms = np.linalg.norm(sm, axis=1)
-    sm = sm[norms > 0] / norms[norms > 0][:, None]
-    rng = np.random.default_rng(seed)
-    k_eff = min(n_centroids, len(sm))
-    cent = sm[rng.choice(len(sm), size=k_eff, replace=False)]
-    for _ in range(20):
-        assign = (sm @ cent.T).argmax(axis=1)
-        new = np.vstack(
-            [
-                sm[assign == j].mean(axis=0) if (assign == j).any() else cent[j]
-                for j in range(k_eff)
-            ]
-        )
-        nn = np.linalg.norm(new, axis=1)
-        new = np.where(nn[:, None] > 0, new / np.maximum(nn, 1e-12)[:, None], cent)
-        if np.allclose(new, cent, atol=1e-9):
-            cent = new
-            break
-        cent = new
+    # --- index build + cell assignment: the shared spherical k-means
+    # operator (operators/cluster.py — sampled numpy Lloyd's fit, then
+    # one broadcast-GEMM argmax per Arrow batch)
+    from esdb_spark.operators.cluster import kmeans_assign, kmeans_fit
+
+    cent = kmeans_fit(c, "vec", "id", n_centroids, iters=20, seed=seed)
+    k_eff = len(cent)
     bc = spark.sparkContext.broadcast(cent)
-
-    # --- cell assignment: GEMM argmax per batch ------------------------
-    def assign_cells(batches):
-        cent = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            n = np.linalg.norm(m, axis=1)
-            n[n == 0.0] = 1.0
-            cells = ((m / n[:, None]) @ cent.T).argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy(),
-                    "vec": pdf["vec"].to_numpy(),
-                    "cell": cells.astype("int32"),
-                }
-            )
-
-    assigned = c.mapInPandas(
-        assign_cells,
-        StructType(
-            [
-                StructField("id", c.schema["id"].dataType),
-                StructField("vec", c.schema["vec"].dataType),
-                StructField("cell", IntegerType()),
-            ]
-        ),
+    assigned = kmeans_assign(c, cent, "vec", "id", keep_vec=True).select(
+        "id", "vec", F.col("cluster").alias("cell")
     )
 
     # --- query: probe n_probe nearest cells, exact re-rank -------------

@@ -3554,6 +3554,20 @@ def ann_topk_ivf_docs(spark, sf_dir):
     )
 
 
+def embedding_kmeans_docs(spark, sf_dir):
+    """Spherical k-means over the embeddings table (operators/cluster):
+    per-cluster size + cohesion rollup. Rows-only: centroid fit is
+    numpy-RNG seeded (engine-specific); assignment-vs-centroid
+    consistency is numpy-verified in test_cluster.py."""
+    from esdb_spark.operators.cluster import cluster_stats, kmeans_cluster
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_cluster(emb, "embedding", "vec_id", k=8)
+    return cluster_stats(assigned).select(
+        "cluster", "n_vecs", "avg_sim"
+    )
+
+
 def linear_fit_per_type(spark, sf_dir):
     """Per-event-type least-squares trend of value over time — the
     grouped-map (applyInPandas) operator. Rows-only: the float sums are
@@ -3850,6 +3864,7 @@ def catalog() -> dict[str, Q]:
         ("doc_quality_model_scores", doc_quality_model_scores),
         ("doc_pagerank", doc_pagerank),
         ("knn_join_embeddings", knn_join_embeddings),
+        ("embedding_kmeans_docs", embedding_kmeans_docs),
     ]:
         qs[name] = Q(fn, None)
     # Reorder: gate-window names first (in _GATE_WINDOW order), then

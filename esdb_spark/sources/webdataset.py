@@ -1,0 +1,202 @@
+"""WebDataset-style tar-shard sink/source for multimodal training.
+
+Sequential trainers for image/audio/text models overwhelmingly consume
+"webdataset"-layout shards: plain POSIX tar files where one training
+sample is a group of adjacent members sharing a basename —
+``000123.jpg`` + ``000123.txt`` + ``000123.json``. The format is an
+open convention (tar + naming), so this implements it from scratch
+with stdlib ``tarfile`` — no external dependency, nothing reused from
+any codebase.
+
+The reference engine stops at its own ``.esdb`` archive sink
+(writer.go); this is the §2.7 training-pipeline counterpart for
+multimodal corpora, sitting next to ``training_sink`` (parquet shards
+for tabular/text loaders).
+
+Scale design:
+
+- **One task per shard, exactly one tar per shard** — the same hash
+  ``repartition`` contract as ``training_sink``: all rows of a shard
+  land in one task; a hash collision just makes one task write two
+  tars sequentially. No sampled ranges, no approximation.
+- **Rows stream through the tar writer** — a task never holds more
+  than one Arrow batch of samples in memory; size shards via
+  ``n_shards`` so one shard ≈ 1-10 GB (the loader-side sweet spot).
+- **Deterministic layout**: members are written in ``order_col``
+  order with zero-padded basenames, so re-runs produce byte-identical
+  shards (modulo tar mtime, pinned to 0) — reproducible training.
+- **Reading back is a binaryFile scan + per-tar unpack** in
+  ``mapInPandas`` — each tar is one row of the scan, so shard-level
+  parallelism is free and no shuffle is needed to regroup samples
+  (members of a sample are adjacent within one tar).
+
+Paths are POSIX-visible filesystem paths (local disk, NFS, fuse
+mounts): ``tarfile`` needs seekable file objects, which is exactly how
+webdataset shards are produced everywhere. Object-store output goes
+through a mounted path or a post-upload step.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+
+def _to_bytes(value, ext: str) -> bytes:
+    """Serialize one column value as a tar member payload: bytes pass
+    through, strings encode utf-8, everything else becomes JSON —
+    mirroring the conventions loaders expect per extension."""
+    if value is None:
+        return b""
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    return json.dumps(value, sort_keys=True).encode("utf-8")
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    out_path: str,
+    key_col: str,
+    ext_cols: dict[str, str],
+    n_shards: int = 16,
+    order_col: str | None = None,
+) -> dict:
+    """Write ``df`` as ``out_path/shard-%06d.tar`` webdataset shards:
+    per row, one tar member per (column → extension) in ``ext_cols``
+    (e.g. ``{"content": "png", "caption": "txt", "meta": "json"}``),
+    named ``<zero-padded key>.<ext>``. Shard = ``hash(key) % n_shards``
+    — deterministic, so incremental corpus versions keep samples in
+    stable shards. Returns (and writes as ``_MANIFEST.json``) per-shard
+    sample counts.
+
+    Rows are tar'd in ``order_col`` (default: key) order within each
+    shard; member mtimes are pinned to 0 → re-runs are byte-identical.
+    """
+    for c in (key_col, *ext_cols):
+        if c not in df.columns:
+            raise ValueError(f"write_webdataset_shards: missing column {c!r}")
+    if not ext_cols:
+        raise ValueError("write_webdataset_shards: ext_cols is empty")
+    if os.path.exists(os.path.join(out_path, "_MANIFEST.json")):
+        raise FileExistsError(f"webdataset at {out_path} already exists")
+    os.makedirs(out_path, exist_ok=True)
+    order = order_col or key_col
+    exts = dict(ext_cols)
+
+    shard_expr = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards)).cast("int")
+    prepared = (
+        df.select(key_col, *exts.keys())
+        .withColumn("_wds_shard", shard_expr)
+        .repartition(n_shards, "_wds_shard")
+        .sortWithinPartitions("_wds_shard", order)
+    )
+
+    def write_partition(batches):
+        import pandas as pd
+
+        # tar handles stay open ACROSS Arrow batches of this partition
+        # (a shard's rows can span batches); memory is bounded by one
+        # batch — the tar writer streams to disk
+        tars: dict[int, tarfile.TarFile] = {}
+        counts: dict[int, int] = {}
+        try:
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    shard = int(row["_wds_shard"])
+                    tf = tars.get(shard)
+                    if tf is None:
+                        tf = tarfile.open(
+                            os.path.join(out_path, f"shard-{shard:06d}.tar"),
+                            "w",
+                        )
+                        tars[shard] = tf
+                        counts[shard] = 0
+                    base = str(row[key_col]).zfill(9)
+                    for col, ext in exts.items():
+                        payload = _to_bytes(row[col], ext)
+                        info = tarfile.TarInfo(name=f"{base}.{ext}")
+                        info.size = len(payload)
+                        info.mtime = 0
+                        tf.addfile(info, io.BytesIO(payload))
+                    counts[shard] += 1
+        finally:
+            for tf in tars.values():
+                tf.close()
+        yield pd.DataFrame(
+            {
+                "shard": pd.Series(list(counts.keys()), dtype="int32"),
+                "n": pd.Series([counts[s] for s in counts], dtype="int64"),
+            }
+        )
+
+    counts_rows = [
+        (r["shard"], r["n"])
+        for r in prepared.mapInPandas(
+            write_partition, "shard int, n long"
+        ).collect()
+    ]
+    manifest = {
+        "n_shards": n_shards,
+        "samples_per_shard": {str(s): n for s, n in sorted(counts_rows)},
+        "total_samples": sum(n for _, n in counts_rows),
+        "extensions": exts,
+        "key_col": key_col,
+    }
+    with open(os.path.join(out_path, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Read webdataset shards back as one row per sample:
+    (shard, key, files map<ext, binary>). Each tar is a single
+    ``binaryFile`` row unpacked in ``mapInPandas`` — shard-level
+    parallelism with zero shuffle (sample members are adjacent in
+    their tar by construction).
+
+    Keys come back with the zero-padding stripped (the writer pads
+    basenames to 9 digits); string keys with GENUINE leading zeros are
+    therefore not round-trip safe — use numeric or non-padded keys."""
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("key", T.StringType()),
+            T.StructField(
+                "files", T.MapType(T.StringType(), T.BinaryType())
+            ),
+        ]
+    )
+
+    def unpack(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            shards, keys, files = [], [], []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(p)
+                shard = int(name.replace("shard-", "").replace(".tar", ""))
+                tf = tarfile.open(fileobj=io.BytesIO(bytes(content)))
+                samples: dict[str, dict[str, bytes]] = {}
+                for m in tf.getmembers():
+                    base, _, ext = m.name.rpartition(".")
+                    samples.setdefault(base, {})[ext] = tf.extractfile(m).read()
+                for base in sorted(samples):
+                    shards.append(shard)
+                    keys.append(base.lstrip("0") or "0")
+                    files.append(samples[base])
+            yield pd.DataFrame({"shard": shards, "key": keys, "files": files})
+
+    tars = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select("path", "content")
+    )
+    return tars.mapInPandas(unpack, out_schema)
