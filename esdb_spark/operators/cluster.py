@@ -66,7 +66,18 @@ def kmeans_fit(
     )
     if len(sample_pd) == 0:
         raise ValueError("kmeans_fit: empty input")
-    sm = np.array(sample_pd["vec"].tolist(), dtype=np.float64)
+    # NULL / ragged rows are excluded from the fit (np.array on an
+    # inhomogeneous list raises — a corrupt row must not kill the fit);
+    # the corpus dimension is the MODAL sample dimension, not the first
+    # row's (a ragged first row would silently invert the filter)
+    from collections import Counter
+
+    vec_list = [v for v in sample_pd["vec"] if v is not None]
+    if not vec_list:
+        raise ValueError("kmeans_fit: no non-null vectors in sample")
+    dims = Counter(len(v) for v in vec_list)
+    dim = max(dims.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+    sm = np.array([v for v in vec_list if len(v) == dim], dtype=np.float64)
     norms = np.linalg.norm(sm, axis=1)
     sm = sm[norms > 0] / norms[norms > 0][:, None]
     if len(sm) == 0:
@@ -103,8 +114,9 @@ def kmeans_assign(
     """Assign every row to its nearest centroid: (id, cluster, sim)
     [+ vec when ``keep_vec``]. One broadcast-GEMM argmax per Arrow
     batch; no shuffle. Zero vectors assign by raw dot product (all
-    sims 0 → cluster 0, sim 0.0) rather than erroring — corrupt rows
-    among billions must not fail the task."""
+    sims 0 → cluster 0, sim 0.0); NULL or wrong-dimension vectors get
+    NULL cluster/sim — corrupt rows among billions must degrade
+    visibly, never fail the task."""
     import pandas as pd
 
     spark = df.sparkSession
@@ -120,18 +132,36 @@ def kmeans_assign(
 
     def op(batches):
         cent = bc.value
+        dim = cent.shape[1]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            n = np.linalg.norm(m, axis=1)
-            n[n == 0.0] = 1.0
-            sims = (m / n[:, None]) @ cent.T
-            cells = sims.argmax(axis=1)
+            vecs = pdf["vec"]
+            ok = vecs.map(
+                lambda v: v is not None and len(v) == dim
+            ).to_numpy(dtype=bool)
+            cluster_out = np.full(len(pdf), np.nan)
+            sim_out = np.full(len(pdf), np.nan)
+            if ok.any():
+                m = np.array(vecs[ok].tolist(), dtype=np.float64)
+                nrm = np.linalg.norm(m, axis=1)
+                nrm[nrm == 0.0] = 1.0
+                sims = (m / nrm[:, None]) @ cent.T
+                cells = sims.argmax(axis=1)
+                cluster_out[ok] = cells
+                sim_out[ok] = sims[np.arange(len(m)), cells]
             out = {
                 "id": pdf["id"].to_numpy(),
-                "cluster": cells.astype("int32"),
-                "sim": sims[np.arange(len(m)), cells],
+                # float carrier so NaN→NULL survives Arrow; the schema
+                # casts the valid values back to int
+                "cluster": pd.array(
+                    [None if np.isnan(c) else int(c) for c in cluster_out],
+                    dtype="Int32",
+                ),
+                "sim": pd.array(
+                    [None if np.isnan(s) else float(s) for s in sim_out],
+                    dtype="Float64",
+                ),
             }
             if keep_vec:
                 out["vec"] = pdf["vec"].to_numpy()

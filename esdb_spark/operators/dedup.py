@@ -521,8 +521,12 @@ def ngram_jaccard_pairs(
     the checkpoint blocks are released by the ContextCleaner when the
     result is garbage-collected — composing many invocations in one
     session no longer accumulates cache-manager entries (a measured
-    leak in round 3). ``strategy='inverted'`` stays fully lazy — no
-    probe job, no materialization, no driver work at construction time.
+    leak in round 3). Trade-off: localCheckpoint severs lineage, so an
+    executor lost AFTER materialization fails the query instead of
+    recomputing — acceptable here because this exact-pairs path is the
+    small-corpus verifier (minutes of work to re-run), not the 100 TB
+    path. ``strategy='inverted'`` stays fully lazy — no probe job, no
+    materialization, no driver work at construction time, full lineage.
     ``strategy='bitset'`` forces the packed-long path (still probes for
     the vocabulary, raises if it exceeds 192 shingles).
 

@@ -20,9 +20,14 @@ Scale design — the same iterative-DataFrame posture as
   generation (the dup-graph is itself an LSH join).
 - `localCheckpoint` on the rank vector each round keeps the plan
   O(1) instead of O(iterations).
-- The driver never sees data: a fixed iteration count (PageRank
-  converges geometrically at rate = damping; 10-20 rounds ≈ 1e-4)
-  avoids a per-round convergence collect entirely.
+- The dangling-node SET is structural and computed once before the
+  loop; a graph with none (every undirected similarity graph) runs
+  the whole loop with ONE Spark action per round — no driver collect
+  at all. Only graphs that actually have dangling nodes pay the
+  per-round mass scalar (the set is fixed, the mass is not).
+- Otherwise the driver never sees data: a fixed iteration count
+  (PageRank converges geometrically at rate = damping; 10-20 rounds
+  ≈ 1e-4) avoids a per-round convergence collect entirely.
 - Rank sums are float reductions whose order is partition-dependent,
   so results are deterministic only to ~1e-9 relative — gate queries
   exposing ranks are rows-only; the operator is cross-validated
@@ -74,32 +79,63 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     # renamed projections: nodes/outdeg/contribs all derive from `e`,
     # and Spark rejects the resulting self-join column references as
-    # ambiguous unless the lineages carry distinct names
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).select(
-        F.col("src").alias("_d_src"), "outdeg"
+    # ambiguous unless the lineages carry distinct names.
+    # outdeg is LOOP-INVARIANT but aggregates the full edge list —
+    # checkpoint it once (node-sized) so no round re-scans the edges
+    # to recount degrees (round 4: on a 17.8M-edge similarity graph
+    # this aggregation dominated every round).
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+        .select(F.col("src").alias("_d_src"), "outdeg")
+        .localCheckpoint()
     )
     e2 = e.select(F.col("src").alias("_e_src"), F.col("dst").alias("_e_dst"))
+    # WHICH nodes are dangling is a structural fact — compute the set
+    # ONCE before the loop, not per round (round 4: the old shape paid
+    # a rank+outdeg left-join checkpoint AND a dangling-mass collect
+    # every round; 15 iterations at sf0.1 spent most of their 29.6 s
+    # on those per-round driver actions). Per-round cost is now:
+    #   - no dangling nodes (every symmetric/similarity graph): ONE
+    #     action (the rank checkpoint) — no collect at all;
+    #   - dangling nodes present: the mass scalar still needs one
+    #     per-round aggregate over the (small, checkpointed) dangling
+    #     id set joined to ranks — mass changes per round even though
+    #     the set does not.
+    dangling_ids = (
+        nodes.join(outdeg, F.col("id") == F.col("_d_src"), "left_anti")
+        .localCheckpoint()
+    )
+    has_dangling = dangling_ids.limit(1).count() > 0
+    # The contribution join's cheap side is NODE-sized (rank ⋈ outdeg,
+    # ~24 B/row) while the edge side can be arbitrarily large — and a
+    # checkpointed edge list has no partitioning stats, so Catalyst
+    # sort-merge-joins it, re-shuffling EVERY edge EVERY round
+    # (measured: 3-4.6 s/round on a 17.8M-edge graph, the whole loop's
+    # cost). We know n exactly; under ~5M nodes (≈120 MB) broadcast
+    # the rank side so edges never shuffle — the per-round shuffle is
+    # then just the map-side-combined contribution aggregate. Above
+    # that, SMJ is the right plan and AQE handles skew.
+    broadcast_ranks = n <= 5_000_000
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
-        # materialize once per round: the dangling-mass scalar AND the
-        # contribution pipeline both read this join — without the
-        # checkpoint the join executes twice per iteration
-        with_deg = (
-            ranks.join(outdeg, F.col("id") == F.col("_d_src"), "left")
-            .select("id", "rank", "outdeg")
-            .localCheckpoint()
-        )
-        # mass parked on dangling nodes teleports uniformly; one
-        # scalar to the driver per round
-        dangling = (
-            with_deg.filter(F.col("outdeg").isNull())
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
+        if has_dangling:
+            dangling = (
+                ranks.join(dangling_ids, "id", "left_semi")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+                or 0.0
+            )
+        else:
+            dangling = 0.0
+        # contribution pass: INNER join ranks→outdeg→edges (dangling
+        # nodes have no out-edges, so the inner join drops them — the
+        # old left-join + isNotNull filter in one)
+        rank_deg = ranks.join(outdeg, F.col("id") == F.col("_d_src"))
+        if broadcast_ranks:
+            rank_deg = F.broadcast(rank_deg)
         contribs = (
-            with_deg.filter(F.col("outdeg").isNotNull())
-            .join(e2, F.col("id") == F.col("_e_src"))
+            e2.join(rank_deg, F.col("id") == F.col("_e_src"))
             .select(
                 F.col("_e_dst").alias("id"),
                 (F.col("rank") / F.col("outdeg")).alias("c"),

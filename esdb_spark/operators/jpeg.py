@@ -238,9 +238,15 @@ def decode_jpeg_pixels(content: bytes):
     out_planes = None
     while i + 4 <= n:
         if content[i] != 0xFF:
-            i += 1  # fill bytes / padding between segments
+            i += 1  # stray padding between segments
             continue
         marker = content[i + 1]
+        if marker == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+            # marker — FF FF <marker> means fill + marker, NOT a marker
+            # 0xFF (misreading it desyncs the whole segment walk)
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue

@@ -234,7 +234,11 @@ def interleave_sources(
         # spills, never OOMs), not persist(): the blocks are released
         # when the result is garbage-collected instead of accumulating
         # in the cache manager across composed invocations, and the
-        # severed lineage also frees ranked_src's cache below.
+        # severed lineage also frees ranked_src's cache below. The
+        # lineage cut means an executor lost after this point fails
+        # the query rather than recomputing — the price of boundary
+        # pinning either way (recomputed boundaries would be WRONG,
+        # not just slow: re-sampling breaks offset consistency).
         .localCheckpoint(eager=True)
     )
     # the checkpoint above materialized everything downstream of

@@ -3426,19 +3426,42 @@ def knn_join_embeddings(spark, sf_dir):
 
 
 def doc_pagerank(spark, sf_dir):
-    """PageRank centrality over the Jaccard-0.5 near-dup graph
-    (operators/graph.pagerank on the same edge generator as
-    doc_dup_clusters): rank documents by how centrally they sit in
-    the similarity graph — the canonical-document-selection signal.
-    Rows-only: rank sums are float reductions with partition-dependent
-    order; the operator is cross-validated against a numpy power
-    iteration in test_graph.py (1e-9 agreement)."""
-    from esdb_spark.operators.dedup import ngram_jaccard_pairs
+    """PageRank centrality over the MinHash-LSH near-dup candidate
+    graph (est. Jaccard ≥ 0.5): rank documents by how centrally they
+    sit among their near-duplicates — the canonical-document-selection
+    signal, built the way a 100 TB pipeline builds it (LSH candidates,
+    not exact all-pairs: round 4 measured the exact threshold-0.5
+    unigram graph at 17.8M edges / ~26 s of generation at sf0.1, with
+    the sketch pipeline producing the same decision graph in ~2 s).
+    Rows-only: xxhash64 sketches + float rank reductions; the operator
+    is cross-validated against a numpy power iteration in
+    test_graph.py (1e-9 agreement)."""
+    from esdb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
     from esdb_spark.operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, "text", "doc_id", shingle_size=1, threshold=0.5
+    num_hashes, bands = 64, 16
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=num_hashes)
+    sigs = sigs.localCheckpoint()  # both the band join and the estimate read it
+    cand = lsh_candidate_pairs(sigs, bands=bands, num_hashes=num_hashes)
+    est = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+        f" / {num_hashes}"
+    )
+    pairs = (
+        cand.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .filter(est >= 0.5)
+        .select("id_a", "id_b")
     )
     # undirected similarity graph: one directed edge each way
     edges = pairs.select(

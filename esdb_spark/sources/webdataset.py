@@ -47,6 +47,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 
+def _json_default(o):
+    """json fallback for Arrow/numpy-typed values (np.int64 etc. reach
+    the writer via pandas and are not natively JSON-serializable)."""
+    if hasattr(o, "item"):
+        return o.item()
+    if hasattr(o, "tolist"):
+        return o.tolist()
+    raise TypeError(f"not JSON-serializable: {type(o).__name__}")
+
+
 def _to_bytes(value, ext: str) -> bytes:
     """Serialize one column value as a tar member payload: bytes pass
     through, strings encode utf-8, everything else becomes JSON —
@@ -57,7 +67,9 @@ def _to_bytes(value, ext: str) -> bytes:
         return bytes(value)
     if isinstance(value, str):
         return value.encode("utf-8")
-    return json.dumps(value, sort_keys=True).encode("utf-8")
+    return json.dumps(value, sort_keys=True, default=_json_default).encode(
+        "utf-8"
+    )
 
 
 def write_webdataset_shards(
@@ -99,26 +111,44 @@ def write_webdataset_shards(
     )
 
     def write_partition(batches):
+        import uuid
+
         import pandas as pd
 
-        # tar handles stay open ACROSS Arrow batches of this partition
+        # Tar handles stay open ACROSS Arrow batches of this partition
         # (a shard's rows can span batches); memory is bounded by one
-        # batch — the tar writer streams to disk
+        # batch — the tar writer streams to disk. Each attempt writes
+        # to its own temp name and atomically renames on success —
+        # task-commit isolation, so a speculative or retried attempt
+        # can never interleave bytes into a final shard (last completed
+        # attempt wins whole, and both attempts produce identical
+        # bytes by the determinism contract).
+        attempt = uuid.uuid4().hex
         tars: dict[int, tarfile.TarFile] = {}
+        tmp_paths: dict[int, str] = {}
         counts: dict[int, int] = {}
+        ok = False
         try:
             for pdf in batches:
                 for _, row in pdf.iterrows():
+                    key = row[key_col]
+                    if pd.isna(key):
+                        raise ValueError(
+                            "write_webdataset_shards: NULL sample key — "
+                            "keys name tar members and must be non-null"
+                        )
                     shard = int(row["_wds_shard"])
                     tf = tars.get(shard)
                     if tf is None:
-                        tf = tarfile.open(
-                            os.path.join(out_path, f"shard-{shard:06d}.tar"),
-                            "w",
+                        tmp = os.path.join(
+                            out_path,
+                            f".shard-{shard:06d}.tar.{attempt}.inprogress",
                         )
+                        tf = tarfile.open(tmp, "w")
                         tars[shard] = tf
+                        tmp_paths[shard] = tmp
                         counts[shard] = 0
-                    base = str(row[key_col]).zfill(9)
+                    base = str(key).zfill(9)
                     for col, ext in exts.items():
                         payload = _to_bytes(row[col], ext)
                         info = tarfile.TarInfo(name=f"{base}.{ext}")
@@ -126,9 +156,21 @@ def write_webdataset_shards(
                         info.mtime = 0
                         tf.addfile(info, io.BytesIO(payload))
                     counts[shard] += 1
+            ok = True
         finally:
             for tf in tars.values():
                 tf.close()
+            if ok:
+                for shard, tmp in tmp_paths.items():
+                    os.replace(
+                        tmp, os.path.join(out_path, f"shard-{shard:06d}.tar")
+                    )
+            else:  # failed attempt leaves no debris
+                for tmp in tmp_paths.values():
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
         yield pd.DataFrame(
             {
                 "shard": pd.Series(list(counts.keys()), dtype="int32"),
@@ -156,10 +198,16 @@ def write_webdataset_shards(
 
 def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     """Read webdataset shards back as one row per sample:
-    (shard, key, files map<ext, binary>). Each tar is a single
-    ``binaryFile`` row unpacked in ``mapInPandas`` — shard-level
-    parallelism with zero shuffle (sample members are adjacent in
-    their tar by construction).
+    (shard, key, files map<ext, binary>). The shard list is
+    enumerated driver-side (metadata), parallelized one path per row,
+    and each task STREAMS its tar with ``tarfile`` directly from the
+    POSIX path — shard-level parallelism, zero shuffle (sample members
+    are adjacent in their tar by construction), and per-task memory
+    bounded by one sample, not one shard. (An earlier revision read
+    tars through the ``binaryFile`` source, which materializes each
+    file as a single binary cell — double-buffering the shard and
+    hard-capped at 2 GB, below this module's own 1-10 GB shard
+    sizing guidance.)
 
     Keys come back with the zero-padding stripped (the writer pads
     basenames to 9 digits); string keys with GENUINE leading zeros are
@@ -177,26 +225,46 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     def unpack(batches):
         import pandas as pd
 
+        flush_every = 256  # samples per emitted Arrow batch
         for pdf in batches:
-            shards, keys, files = [], [], []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                name = os.path.basename(p)
-                shard = int(name.replace("shard-", "").replace(".tar", ""))
-                tf = tarfile.open(fileobj=io.BytesIO(bytes(content)))
-                samples: dict[str, dict[str, bytes]] = {}
-                for m in tf.getmembers():
-                    base, _, ext = m.name.rpartition(".")
-                    samples.setdefault(base, {})[ext] = tf.extractfile(m).read()
-                for base in sorted(samples):
+            for p in pdf["path"]:
+                shard = int(
+                    os.path.basename(p).replace("shard-", "").replace(".tar", "")
+                )
+                shards, keys, files = [], [], []
+
+                def emit(base, fmap):
                     shards.append(shard)
                     keys.append(base.lstrip("0") or "0")
-                    files.append(samples[base])
-            yield pd.DataFrame({"shard": shards, "key": keys, "files": files})
+                    files.append(fmap)
 
-    tars = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.tar")
-        .load(path)
-        .select("path", "content")
+                with tarfile.open(p, "r") as tf:
+                    cur_base, cur_files = None, {}
+                    for m in tf:  # streaming iteration, member at a time
+                        base, _, ext = m.name.rpartition(".")
+                        if base != cur_base and cur_base is not None:
+                            emit(cur_base, cur_files)
+                            cur_files = {}
+                            if len(shards) >= flush_every:
+                                yield pd.DataFrame(
+                                    {"shard": shards, "key": keys, "files": files}
+                                )
+                                shards, keys, files = [], [], []
+                        cur_base = base
+                        cur_files[ext] = tf.extractfile(m).read()
+                    if cur_base is not None:
+                        emit(cur_base, cur_files)
+                if shards:
+                    yield pd.DataFrame(
+                        {"shard": shards, "key": keys, "files": files}
+                    )
+
+    names = sorted(
+        f
+        for f in os.listdir(path)
+        if f.startswith("shard-") and f.endswith(".tar")
     )
-    return tars.mapInPandas(unpack, out_schema)
+    paths_df = spark.createDataFrame(
+        [(os.path.join(path, f),) for f in names], "path string"
+    ).repartition(max(len(names), 1))
+    return paths_df.mapInPandas(unpack, out_schema)

@@ -152,8 +152,6 @@ class EventStream:
         staging ran in a previous process) and the next append re-scans
         ``max(seq)`` instead."""
         self._check_open()
-        from esdb_spark import fs
-
         for name, is_dir in fs.list_dir(self._spark, stage_path):
             if is_dir or not name.endswith(".parquet"):
                 continue  # _STAGED_OK marker, _SUCCESS, .crc files

@@ -131,3 +131,20 @@ def test_ivf_still_correct_after_refactor(spark):
     }
     # n_probe == n_centroids degenerates to brute force → exact recall
     assert approx == exact
+
+
+def test_null_and_ragged_vectors_degrade_to_null(spark):
+    """NULL / wrong-dimension vectors get NULL cluster+sim, valid rows
+    still assign (round-4 review find)."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, None),
+        (2, [1.0, 0.0, 5.0]),  # ragged
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cent = kmeans_fit(df, "embedding", "vec_id", k=2)
+    out = {r["id"]: r for r in kmeans_assign(df, cent, "embedding", "vec_id").collect()}
+    assert out[1]["cluster"] is None and out[1]["sim"] is None
+    assert out[2]["cluster"] is None
+    assert out[0]["cluster"] is not None and out[3]["cluster"] is not None

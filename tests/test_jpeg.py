@@ -141,3 +141,14 @@ def test_pixel_feature_operator_decodes_jpeg(spark):
     assert abs(out[1]["mean_r"] - 200) <= 2
     assert abs(out[1]["mean_g"] - 100) <= 2
     assert out[2]["width"] is None  # malformed → nulls, task survives
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    """T.81 B.1.1.2: FF FF ... <marker> is fill + marker; the decoder
+    must not read a phantom 0xFF marker (round-4 review find)."""
+    img = _test_image(8, 8)
+    enc = bytearray(encode_jpeg(img))
+    i = enc.find(b"\xff\xc0")
+    enc[i:i] = b"\xff\xff"  # two fill bytes before SOF0
+    dec = decode_jpeg_pixels(bytes(enc))
+    assert dec is not None and dec.shape == (8, 8, 3)

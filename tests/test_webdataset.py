@@ -107,3 +107,30 @@ def test_null_payload_becomes_empty_member(spark, tmp_path_factory):
     rows = {int(r["key"]): r for r in read_webdataset(spark, out).collect()}
     assert bytes(rows[1]["files"]["bin"]) == b""
     assert bytes(rows[2]["files"]["bin"]) == b"x"
+
+
+def test_numpy_typed_json_column(spark, tmp_path_factory):
+    """An int column mapped to a JSON extension reaches the writer as
+    np.int64 — must serialize, not TypeError (round-4 review find)."""
+    df = spark.createDataFrame(
+        [(1, 7), (2, 9)], "sample_id int, label int"
+    )
+    out = str(tmp_path_factory.mktemp("wds") / "ints")
+    write_webdataset_shards(df, out, "sample_id", {"label": "cls"}, n_shards=1)
+    rows = {int(r["key"]): r for r in read_webdataset(spark, out).collect()}
+    assert json.loads(rows[1]["files"]["cls"]) == 7
+
+
+def test_null_key_rejected(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        [(None, b"x"), (2, b"y")], "sample_id int, content binary"
+    )
+    out = str(tmp_path_factory.mktemp("wds") / "nullkey")
+    with pytest.raises(Exception, match="NULL sample key"):
+        write_webdataset_shards(df, out, "sample_id", {"content": "bin"}, n_shards=1)
+
+
+def test_no_inprogress_debris_after_success(spark, media_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wds") / "clean")
+    write_webdataset_shards(media_df, out, "sample_id", EXTS, n_shards=2)
+    assert not [f for f in os.listdir(out) if "inprogress" in f]
