@@ -306,3 +306,59 @@ def upsample_by_weight(
         .withColumn("epoch_copy", F.explode(F.expr("sequence(0, _n - 1)")))
         .drop("_n")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    normalize: bool = True,
+) -> DataFrame:
+    """Temperature-based mixture weights per source: ``w_s ∝ n_s^α``
+    — the standard multi-corpus sampling rule (α = 1 keeps natural
+    proportions, α → 0 approaches uniform; α ≈ 0.3-0.7 is the usual
+    multilingual/multi-source compromise that keeps small sources from
+    drowning). Returns ``(source, n_rows, weight)``.
+
+    One aggregation over the corpus (map-side combined; output bounded
+    by the source count); the normalization window runs on that
+    SOURCE-sized table, never the data — an unpartitioned window over
+    |sources| rows is metadata work. ``normalize=False`` returns raw
+    ``n^α`` — exactly what the stride scheduler
+    (:func:`interleave_sources`) and :func:`upsample_by_weight` need
+    (both are scale-free in the weight), and for α = 0.5 the raw
+    weight is ``sqrt(n)``, which IEEE 754 rounds correctly — so the
+    raw form is bit-reproducible across engines while the normalized
+    form inherits the float-sum ordering of its denominator.
+    """
+    if alpha < 0:
+        raise ValueError("temperature_weights: alpha must be >= 0")
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_rows"))
+    if alpha == 0.5:
+        raw = F.sqrt(F.col("n_rows"))  # correctly-rounded, engine-portable
+    else:
+        raw = F.pow(F.col("n_rows"), F.lit(float(alpha)))
+    out = counts.withColumn("weight", raw)
+    if normalize:
+        out = out.withColumn(
+            "weight",
+            F.col("weight")
+            / F.sum("weight").over(Window.partitionBy()),
+        )
+    return out
+
+
+def with_temperature_weight(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    out_col: str = "weight",
+) -> DataFrame:
+    """Attach each row's (raw) temperature weight — the one-call shape
+    that feeds :func:`interleave_sources` / :func:`upsample_by_weight`:
+    the per-source table is source-count-sized, so the join back is a
+    broadcast; the corpus never shuffles."""
+    w = temperature_weights(df, source_col, alpha, normalize=False).select(
+        source_col, F.col("weight").alias(out_col)
+    )
+    return df.join(F.broadcast(w), source_col, "left")

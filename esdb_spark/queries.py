@@ -2366,6 +2366,23 @@ def approx_distinct_users(spark, sf_dir):
     return hll_union_estimate(daily, ["event_type"]).orderBy("event_type")
 
 
+def source_temperature_mix(spark, sf_dir):
+    """Temperature-based corpus mixture weights (w ∝ n^0.5, the
+    small-source-rescue rule): per-source row counts + raw sqrt
+    weights (operators/packing.temperature_weights). Raw, not
+    normalized: sqrt is correctly rounded per IEEE 754, so the weight
+    is bit-identical in any engine, while a normalized weight would
+    inherit the summation order of its denominator — and the stride
+    scheduler / upsampler consume relative weights anyway."""
+    from esdb_spark.operators.packing import temperature_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_weights(docs, "source", alpha=0.5, normalize=False)
+        .orderBy("source")
+    )
+
+
 def upsample_docs(spark, sf_dir):
     """Deterministic weighted upsampling: sources repeat at rate
     1.5 + (source_number % 2) — integer part always, fractional part
@@ -2501,6 +2518,11 @@ _PIPELINE_ORACLES = {
     "documents_shuffle_order": _SHUFFLE_ORDER_ORACLE,
     "hard_negatives_topk": _HARD_NEGATIVES_ORACLE,
     "upsample_docs": _UPSAMPLE_ORACLE,
+    "source_temperature_mix": """
+        SELECT source, count(*) AS n_rows,
+               sqrt(count(*)) AS weight
+        FROM documents GROUP BY source ORDER BY source
+    """,
     "doc_strip_boilerplate": """
         WITH framed AS (
           SELECT doc_id,
@@ -3871,6 +3893,7 @@ def catalog() -> dict[str, Q]:
         ("documents_shuffle_order", documents_shuffle_order),
         ("hard_negatives_topk", hard_negatives_topk),
         ("upsample_docs", upsample_docs),
+        ("source_temperature_mix", source_temperature_mix),
     ]:
         qs[name] = Q(fn, _PIPELINE_ORACLES[name])
     for name, fn in [

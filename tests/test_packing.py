@@ -124,3 +124,43 @@ def test_upsample_by_weight_semantics(spark):
     assert sorted(out["doc_id"]) == sorted(again["doc_id"])
     other = upsample_by_weight(df, "weight", "doc_id", seed=2).toPandas()
     assert sorted(out["doc_id"]) != sorted(other["doc_id"])  # new epoch
+
+
+def test_temperature_weights_sqrt_and_normalized(spark):
+    from esdb_spark.operators.packing import temperature_weights
+
+    import math
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(16)] + [("b", i) for i in range(4)],
+        "source string, doc_id int",
+    )
+    raw = {r["source"]: r for r in temperature_weights(
+        df, "source", alpha=0.5, normalize=False).collect()}
+    assert raw["a"]["n_rows"] == 16 and raw["a"]["weight"] == 4.0
+    assert raw["b"]["weight"] == 2.0
+    norm = {r["source"]: r["weight"] for r in temperature_weights(
+        df, "source", alpha=0.5).collect()}
+    assert abs(norm["a"] - 4 / 6) < 1e-12 and abs(norm["b"] - 2 / 6) < 1e-12
+    # alpha=1 keeps natural proportions; alpha=0 is uniform
+    nat = {r["source"]: r["weight"] for r in temperature_weights(
+        df, "source", alpha=1.0).collect()}
+    assert abs(nat["a"] - 0.8) < 1e-12
+    uni = {r["source"]: r["weight"] for r in temperature_weights(
+        df, "source", alpha=0.0).collect()}
+    assert abs(uni["a"] - 0.5) < 1e-12
+
+
+def test_with_temperature_weight_broadcast_join(spark):
+    from esdb_spark.operators.packing import with_temperature_weight
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), (None, 4)],
+        "source string, doc_id int",
+    )
+    out = with_temperature_weight(df, "source")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 4  # NULL-source row survives the left join
+    assert abs(rows[1]["weight"] - 2 ** 0.5) < 1e-12
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
