@@ -124,43 +124,82 @@ def _dct_basis() -> np.ndarray:
 _M = _dct_basis()
 
 
-def _canonical_codes(bits, vals):
-    """(length, code) -> symbol for a T.81 canonical huffman spec
-    (Annex C code construction)."""
-    table = {}
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _decode_lut(key):
+    """16-bit-prefix huffman LUT for a canonical T.81 table spec
+    ``key = (bits_tuple, vals_tuple)``: ``sym[peek16]`` is the decoded
+    symbol, ``ln[peek16]`` its code length (0 = invalid code). One
+    table lookup replaces up to 16 per-bit dict probes; the cache
+    amortizes the 64 KiB build across every image sharing the table
+    (in a corpus, nearly all of them — the Annex K tables dominate)."""
+    bits, vals = key
+    if sum(bits) != len(vals):
+        # a DHT truncated mid-segment must raise the contract error,
+        # not an IndexError from the table build
+        raise ValueError("jpeg: malformed DHT (value list truncated)")
+    sym = np.zeros(65536, dtype=np.uint8)
+    ln = np.zeros(65536, dtype=np.uint8)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            prefix = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[prefix : prefix + span] = vals[k]
+            ln[prefix : prefix + span] = length
             k += 1
             code += 1
         code <<= 1
-    return table
+    return sym, ln
 
 
 class _BitReader:
-    """MSB-first bit reader over already de-stuffed entropy bytes."""
+    """MSB-first bit reader over already de-stuffed entropy bytes —
+    byte-fed int accumulator, so a multi-bit read is one shift+mask
+    instead of a per-bit loop. Peeking past the stream end yields the
+    spec's 1-pad bits (the final byte is 1-padded by encoders); only
+    CONSUMING past the end raises, so truncation still surfaces as an
+    error, never as garbage pixels."""
+
+    __slots__ = ("data", "pos", "acc", "nbits", "consumed", "total")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
-        self.bit = 0
+        self.acc = 0
+        self.nbits = 0
+        self.consumed = 0
+        self.total = len(data) * 8
 
-    def read_bit(self) -> int:
-        if self.pos >= len(self.data):
+    def _fill(self, n: int) -> None:
+        while self.nbits < n:
+            if self.pos < len(self.data):
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.acc = (self.acc << 8) | 0xFF  # 1-pad past the end
+            self.nbits += 8
+
+    def peek(self, n: int) -> int:
+        self._fill(n)
+        return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        self.consumed += n
+        if self.consumed > self.total:
             raise ValueError("jpeg: entropy stream truncated")
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
+        self._fill(n)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        v = self.peek(n)
+        self.consume(n)
         return v
 
     def receive_extend(self, s: int) -> int:
@@ -173,16 +212,14 @@ class _BitReader:
             v -= (1 << s) - 1
         return v
 
-    def decode_symbol(self, table) -> int:
-        length = 0
-        code = 0
-        while length < 16:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("jpeg: invalid huffman code")
+    def decode_symbol(self, lut) -> int:
+        sym, ln = lut
+        p = self.peek(16)
+        length = ln[p]
+        if length == 0:
+            raise ValueError("jpeg: invalid huffman code")
+        self.consume(int(length))
+        return int(sym[p])
 
 
 def _split_scan(data: bytes):
@@ -277,11 +314,11 @@ def decode_jpeg_pixels(content: bytes):
             j = 0
             while j + 17 <= len(body):
                 tc, th = body[j] >> 4, body[j] & 0x0F
-                bits = list(body[j + 1 : j + 17])
+                bits = tuple(body[j + 1 : j + 17])
                 cnt = sum(bits)
-                vals = list(body[j + 17 : j + 17 + cnt])
+                vals = tuple(body[j + 17 : j + 17 + cnt])
                 j += 17 + cnt
-                tbl = _canonical_codes(bits, vals)
+                tbl = _decode_lut((bits, vals))
                 (dc_tables if tc == 0 else ac_tables)[th] = tbl
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -411,21 +448,24 @@ def _to_pixels(frame, planes):
 
 
 class _BitWriter:
+    """Accumulator-based MSB-first bit writer with 0xFF byte stuffing
+    — whole codes append in one shift, bytes drain in a tight loop."""
+
     def __init__(self):
         self.out = bytearray()
         self.acc = 0
         self.nbits = 0
 
     def write(self, value: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self.acc = 0
-                self.nbits = 0
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""

@@ -152,3 +152,12 @@ def test_fill_bytes_before_marker_are_skipped():
     enc[i:i] = b"\xff\xff"  # two fill bytes before SOF0
     dec = decode_jpeg_pixels(bytes(enc))
     assert dec is not None and dec.shape == (8, 8, 3)
+
+
+def test_truncated_mid_dht_raises_value_error():
+    """Cutting inside a DHT segment must raise the contract ValueError,
+    not an IndexError from the huffman table build (round-4 find)."""
+    enc = encode_jpeg(_test_image(16, 16))
+    i = enc.find(b"\xff\xc4")
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(enc[: i + 10])
