@@ -255,9 +255,10 @@ def _split_scan(data: bytes):
 def decode_jpeg_pixels(content: bytes):
     """Decode a baseline sequential JPEG to an (h, w, channels) uint8
     array (channels 3 for YCbCr color, 1 for grayscale), or None if the
-    payload is not a JPEG. Raises ValueError for JPEG features outside
-    baseline (progressive, arithmetic, 12-bit) — an explicit contract
-    beats silently wrong pixels.
+    payload is not a JPEG (no SOI magic). Raises ValueError for JPEG
+    features outside baseline (progressive, arithmetic, 12-bit) and
+    for damaged/truncated files — an explicit contract beats silently
+    wrong pixels.
 
     Covers: interleaved single-scan baseline, standard and custom
     huffman/quant tables, restart intervals, subsampling factors 1-2
@@ -361,7 +362,11 @@ def decode_jpeg_pixels(content: bytes):
             continue
         i += 2 + seg_len
     if out_planes is None or frame is None:
-        return None
+        # the SOI magic matched but no complete scan was decoded — a
+        # damaged/truncated JPEG, not a non-JPEG: raise, mirroring the
+        # mid-entropy truncation contract (None is reserved for
+        # payloads that are not JPEG at all)
+        raise ValueError("jpeg: no decodable scan (truncated file?)")
     return _to_pixels(frame, out_planes)
 
 
