@@ -2275,6 +2275,114 @@ def multimodal_jpeg_stats(spark, sf_dir):
     )
 
 
+def multimodal_video_meta(spark, sf_dir):
+    """REAL MP4 container parsing under an exact oracle: each document
+    becomes a minimal ISO-BMFF shell (ftyp + moov/mvhd/tkhd) whose
+    duration/geometry are pure functions of doc_id, and the query
+    parses them back with the box walker — certifying the real
+    metadata path for the video modality (frame essence stays opaque;
+    that is a codec library's job)."""
+    from pyspark.sql import types as T
+
+    from esdb_spark.operators.multimodal import (
+        encode_minimal_mp4,
+        extract_video_meta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def make_mp4(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = [
+                encode_minimal_mp4(
+                    duration_ms=1000 + int(d) % 60000,
+                    width=320 + int(d) % 8 * 160,
+                    height=240 + int(d) % 8 * 120,
+                    n_tracks=1 + int(d) % 3,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": out})
+
+    media = docs.select("doc_id").mapInPandas(
+        make_mp4,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        extract_video_meta(media)
+        .select(
+            "media_id",
+            "duration_ms",
+            F.col("n_tracks").cast("bigint").alias("n_tracks"),
+            F.col("width").cast("bigint").alias("width"),
+            F.col("height").cast("bigint").alias("height"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def multimodal_audio_spectral(spark, sf_dir):
+    """REAL FFT audio analysis under an exact oracle: each document
+    becomes a 1-second PCM16 WAV carrying a bin-aligned pure tone at
+    f(doc_id) Hz, and the query recovers the dominant frequency via
+    numpy rFFT — a bin-aligned sine puts all its energy in one bin, so
+    the recovered frequency equals the synthesized one bit-exactly
+    (rfftfreq bins at integer Hz are exact doubles)."""
+    from pyspark.sql import types as T
+
+    from esdb_spark.operators.multimodal import pcm_spectral_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = 2000  # 1 s window → 1 Hz bins; Nyquist 1000 > max tone 899
+
+    def make_and_analyze(batches):
+        import numpy as np
+        import pandas as pd
+
+        t = np.arange(rate) / rate
+        fmt = (
+            (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        )
+        for pdf in batches:
+            doms = []
+            for d in pdf["doc_id"]:
+                freq = 100 + int(d) % 800
+                x = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+                data = x.tobytes()
+                body = (
+                    b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                    + b"data" + len(data).to_bytes(4, "little") + data
+                )
+                wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+                doms.append(pcm_spectral_features(wav)[0])
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "dominant_hz": doms}
+            )
+
+    return (
+        docs.select("doc_id")
+        .mapInPandas(
+            make_and_analyze,
+            T.StructType(
+                [
+                    T.StructField("media_id", T.LongType()),
+                    T.StructField("dominant_hz", T.DoubleType()),
+                ]
+            ),
+        )
+        .orderBy("media_id")
+    )
+
+
 def decontaminate_docs(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of each training doc
     (doc_id % 20 != 0) against the eval split (doc_id % 20 == 0) —
@@ -3284,6 +3392,19 @@ _PIPELINE_ORACLES = {
                 + CAST((doc_id * 13) % 256 AS DOUBLE)) / 3.0 AS brightness
         FROM documents ORDER BY media_id
     """,
+    "multimodal_video_meta": """
+        SELECT doc_id AS media_id,
+               CAST(1000 + doc_id % 60000 AS BIGINT) AS duration_ms,
+               CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+               CAST(320 + (doc_id % 8) * 160 AS BIGINT) AS width,
+               CAST(240 + (doc_id % 8) * 120 AS BIGINT) AS height
+        FROM documents ORDER BY media_id
+    """,
+    "multimodal_audio_spectral": """
+        SELECT doc_id AS media_id,
+               CAST(100 + doc_id % 800 AS DOUBLE) AS dominant_hz
+        FROM documents ORDER BY media_id
+    """,
     # constant-gray JPEG: DC-only blocks survive unit-quant DCT⁻¹
     # exactly, so the decoded level equals the encoded one bit-for-bit
     "multimodal_jpeg_stats": """
@@ -3886,6 +4007,8 @@ def catalog() -> dict[str, Q]:
         ("multimodal_features", multimodal_features),
         ("multimodal_pixel_stats", multimodal_pixel_stats),
         ("multimodal_jpeg_stats", multimodal_jpeg_stats),
+        ("multimodal_video_meta", multimodal_video_meta),
+        ("multimodal_audio_spectral", multimodal_audio_spectral),
         ("heavy_hitter_users", heavy_hitter_users),
         ("decontaminate_docs", decontaminate_docs),
         ("pack_documents", pack_documents),

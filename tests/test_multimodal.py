@@ -471,3 +471,70 @@ def test_pixel_features_cover_gif(spark):
     row = extract_image_pixel_features(df).collect()[0]
     assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (10.0, 20.0, 30.0)
     assert (row["width"], row["height"]) == (4, 4)
+
+
+# --- round 4: MP4 container metadata + spectral audio features ---
+
+
+def _stereo_sine_wav(freq=1200, rate=8000, n_samples=8000):
+    import numpy as np
+
+    t = np.arange(n_samples) / rate
+    x = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    data = np.repeat(x, 2).tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 4).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_spectral_features_find_the_tone():
+    from esdb_spark.operators.multimodal import pcm_spectral_features
+
+    dom, cen = pcm_spectral_features(_sine_wav(freq=440, rate=8000))
+    assert abs(dom - 440) < 2  # FFT bin resolution at 1s/8kHz is 1 Hz
+    assert abs(cen - 440) < 30  # windowing leakage spreads a little
+    dom2, _ = pcm_spectral_features(_stereo_sine_wav(freq=1200))
+    assert abs(dom2 - 1200) < 2
+    assert pcm_spectral_features(b"not a wav") is None
+
+
+def test_mp4_meta_roundtrip():
+    from esdb_spark.operators.multimodal import (
+        encode_minimal_mp4,
+        parse_mp4_meta,
+    )
+
+    enc = encode_minimal_mp4(duration_ms=90_000, width=1920, height=1080)
+    assert parse_mp4_meta(enc) == ("video/mp4", 90_000, 1, 1920, 1080)
+    multi = encode_minimal_mp4(duration_ms=500, n_tracks=3)
+    mime, dur, tracks, w, h = parse_mp4_meta(multi)
+    assert (dur, tracks, w, h) == (500, 3, None, None)  # 0x0 → no geometry
+    assert parse_mp4_meta(b"nope") is None
+    # truncated/malformed boxes terminate the walk, never loop or raise
+    assert parse_mp4_meta(enc[:20])[1] is None
+
+
+def test_extract_video_meta_operator(spark):
+    from esdb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_minimal_mp4,
+        extract_video_meta,
+    )
+
+    rows = [
+        (1, "video", bytearray(encode_minimal_mp4(30_000, 640, 480)),
+         ("video/mp4", None, None, 30_000)),
+        (2, "video", bytearray(b"garbage"), (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_video_meta(df).collect()}
+    assert out[1]["duration_ms"] == 30_000
+    assert out[1]["width"] == 640 and out[1]["height"] == 480
+    assert out[2]["duration_ms"] is None  # non-MP4 → nulls
