@@ -228,11 +228,15 @@ def fake_decode_meta(content: bytes) -> tuple[int, int]:
 
 def decode_meta(content: bytes) -> tuple[int, int]:
     """(width, height) for a payload: real header parsing when the
-    bytes are a recognized image format, the deterministic fake
-    otherwise (synthetic fixtures, exotic formats)."""
+    bytes are a recognized image format or an MP4 with track geometry,
+    the deterministic fake otherwise (synthetic fixtures, exotic
+    formats)."""
     parsed = parse_image_dims(content)
     if parsed is not None:
         return (parsed[1], parsed[2])
+    mp4 = parse_mp4_meta(content)
+    if mp4 is not None and mp4[3] and mp4[4]:
+        return (mp4[3], mp4[4])
     return fake_decode_meta(content)
 
 
@@ -368,7 +372,10 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                 content = bytes(row["content"] or b"")
                 duration = row["duration_ms"]
                 if duration is None or pd.isna(duration):
-                    duration = 0
+                    # no metadata column? a real MP4 payload carries its
+                    # own duration in mvhd — parse rather than skip
+                    mp4 = parse_mp4_meta(content) if content else None
+                    duration = (mp4[1] if mp4 and mp4[1] else 0)
                 n_frames = max(1, int(duration // every_ms)) if content else 0
                 for i in range(n_frames):
                     lo = (i * len(content)) // max(n_frames, 1)

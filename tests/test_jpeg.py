@@ -161,3 +161,47 @@ def test_truncated_mid_dht_raises_value_error():
     i = enc.find(b"\xff\xc4")
     with pytest.raises(ValueError):
         decode_jpeg_pixels(enc[: i + 10])
+
+
+# --- property tests: arbitrary images round-trip within codec bounds ---
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31),
+    restart=st.sampled_from([0, 2]),
+)
+def test_roundtrip_property(h, w, gray, seed, restart):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(img, restart_interval=restart))
+    assert dec.shape == (h, w, 1 if gray else 3)
+    ref = img[:, :, None] if gray else img
+    # unit quant: DCT + (color) rounding only
+    assert np.abs(dec.astype(int) - ref.astype(int)).max() <= (1 if gray else 2)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 33),
+    w=st.integers(1, 33),
+    seed=st.integers(0, 2**31),
+)
+def test_420_roundtrip_property(h, w, seed):
+    """4:2:0 is chroma-lossy; luma must stay near-exact as long as no
+    RGB channel clips (Y is full resolution — mid-range pixels keep
+    R/G/B inside [0,255] even under worst-case chroma averaging, so
+    clipping cannot leak chroma error into recomputed luma)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(90, 166, (h, w, 3), dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(img, subsampling="420"))
+    assert dec.shape == (h, w, 3)
+    y_in = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    y_out = 0.299 * dec[..., 0] + 0.587 * dec[..., 1] + 0.114 * dec[..., 2]
+    assert np.abs(y_in - y_out).max() <= 3.0
