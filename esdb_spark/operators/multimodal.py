@@ -403,26 +403,11 @@ def pcm_signal_stats(content: bytes) -> tuple[float, float, float] | None:
     behind the same signature)."""
     import numpy as np
 
-    n = len(content)
-    if n < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+    parsed = _wav_pcm16(content)
+    if parsed is None:
         return None
-    fmt_tag = bits = None
-    data_off = data_size = None
-    i = 12
-    while i + 8 <= n:
-        cid = content[i : i + 4]
-        size = int.from_bytes(content[i + 4 : i + 8], "little")
-        body = i + 8
-        if cid == b"fmt " and body + 16 <= n:
-            fmt_tag = int.from_bytes(content[body : body + 2], "little")
-            bits = int.from_bytes(content[body + 14 : body + 16], "little")
-        elif cid == b"data":
-            data_off, data_size = body, size
-        i = body + size + (size & 1)
-    if fmt_tag != 1 or bits != 16 or data_off is None:
-        return None
-    end = min(data_off + (data_size or 0), n)
-    raw = content[data_off : end - ((end - data_off) % 2)]
+    _, _, data_off, data_len = parsed
+    raw = content[data_off : data_off + data_len - (data_len % 2)]
     if not raw:
         return (0.0, 0.0, 0.0)
     x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
@@ -479,6 +464,34 @@ def extract_audio_signal_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(op, out_schema)
 
 
+def _wav_pcm16(content: bytes):
+    """(channels, rate, data_off, data_len_bytes) for an uncompressed
+    16-bit PCM WAV, else None — the single shared fmt/data chunk walk
+    behind the signal/spectral features."""
+    n = len(content)
+    if n < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    fmt_tag = bits = channels = rate = None
+    data_off = data_size = None
+    i = 12
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        size = int.from_bytes(content[i + 4 : i + 8], "little")
+        body = i + 8
+        if cid == b"fmt " and body + 16 <= n:
+            fmt_tag = int.from_bytes(content[body : body + 2], "little")
+            channels = int.from_bytes(content[body + 2 : body + 4], "little")
+            rate = int.from_bytes(content[body + 4 : body + 8], "little")
+            bits = int.from_bytes(content[body + 14 : body + 16], "little")
+        elif cid == b"data":
+            data_off, data_size = body, size
+        i = body + size + (size & 1)
+    if fmt_tag != 1 or bits != 16 or data_off is None:
+        return None
+    end = min(data_off + (data_size or 0), n)
+    return (channels or 1, rate or 0, data_off, max(end - data_off, 0))
+
+
 def pcm_spectral_features(
     content: bytes, max_samples: int = 1 << 18
 ) -> tuple[float, float] | None:
@@ -486,37 +499,27 @@ def pcm_spectral_features(
     numpy's FFT — no audio library: ``(dominant_hz, centroid_hz)``
     where dominant is the peak rFFT bin (DC excluded) and centroid is
     the magnitude-weighted mean frequency. Channels are mixed to mono;
-    analysis window capped at ``max_samples`` (the leading ~6 s at
-    44.1 kHz — features of the head, bounded work per blob). Returns
-    None unless the payload is an uncompressed 16-bit WAV."""
+    only the leading ``max_samples`` mono frames are DECODED at all
+    (the byte slice happens before ``frombuffer``), so a multi-GB blob
+    costs one bounded head read — genuinely bounded work per blob.
+    Returns None unless the payload is an uncompressed 16-bit WAV."""
     import numpy as np
 
-    meta = parse_wav_meta(content)
-    if meta is None:
+    parsed = _wav_pcm16(content)
+    if parsed is None:
         return None
-    sig = pcm_signal_stats(content)
-    if sig is None:
-        return None
-    _, channels, rate, _ = meta
-    # re-walk to the data chunk (same walk as pcm_signal_stats)
-    n = len(content)
-    i = 12
-    data_off = data_size = None
-    while i + 8 <= n:
-        cid = content[i : i + 4]
-        size = int.from_bytes(content[i + 4 : i + 8], "little")
-        if cid == b"data":
-            data_off, data_size = i + 8, size
-        i = i + 8 + size + (size & 1)
-    end = min(data_off + (data_size or 0), n)
-    raw = content[data_off : end - ((end - data_off) % 2)]
+    channels, rate, data_off, data_len = parsed
+    ch = max(channels, 1)
+    # slice to the analysis head BEFORE decoding: max_samples mono
+    # frames = max_samples*ch int16 samples = *2 bytes, frame-aligned
+    want = max_samples * ch * 2
+    take = min(data_len, want)
+    take -= take % (2 * ch)
+    raw = content[data_off : data_off + take]
     if not raw:
         return (0.0, 0.0)
     x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    ch = max(channels or 1, 1)
-    usable = len(x) - (len(x) % ch)
-    mono = x[:usable].reshape(-1, ch).mean(axis=1)
-    mono = mono[:max_samples]
+    mono = x.reshape(-1, ch).mean(axis=1)
     if len(mono) < 2:
         return (0.0, 0.0)
     mag = np.abs(np.fft.rfft(mono))
@@ -577,12 +580,16 @@ def parse_mp4_meta(
                 if v == 1 and s2 + 32 <= e2:
                     timescale = int.from_bytes(content[s2 + 20 : s2 + 24], "big")
                     dur = int.from_bytes(content[s2 + 24 : s2 + 32], "big")
+                    unknown = dur == (1 << 64) - 1
                 elif s2 + 20 <= e2:
                     timescale = int.from_bytes(content[s2 + 12 : s2 + 16], "big")
                     dur = int.from_bytes(content[s2 + 16 : s2 + 20], "big")
+                    unknown = dur == (1 << 32) - 1
                 else:
                     continue
-                if timescale:
+                # all-ones duration is the spec's "unknown" sentinel
+                # (fragmented/live files) — surface None, not 4.3M ms
+                if timescale and not unknown:
                     duration_ms = dur * 1000 // timescale
             elif t2 == b"trak":
                 n_tracks += 1

@@ -358,6 +358,12 @@ def with_temperature_weight(
     that feeds :func:`interleave_sources` / :func:`upsample_by_weight`:
     the per-source table is source-count-sized, so the join back is a
     broadcast; the corpus never shuffles."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"with_temperature_weight: column {out_col!r} already exists "
+            "— pass a different out_col (a silent duplicate would make "
+            "every downstream reference ambiguous)"
+        )
     w = temperature_weights(df, source_col, alpha, normalize=False).select(
         source_col, F.col("weight").alias(out_col)
     )

@@ -155,11 +155,16 @@ def test_fill_bytes_before_marker_are_skipped():
 
 
 def test_truncated_mid_dht_raises_value_error():
-    """Cutting inside a DHT segment must raise the contract ValueError,
-    not an IndexError from the huffman table build (round-4 find)."""
+    """Cutting inside a DHT's VALUE LIST (past the 17-byte header, so
+    the table build actually runs on a short list) must raise the
+    malformed-DHT ValueError, not an IndexError (round-4 find). A
+    shallower cut (header incomplete) raises the no-decodable-scan
+    error instead — assert both paths with their messages."""
     enc = encode_jpeg(_test_image(16, 16))
     i = enc.find(b"\xff\xc4")
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="malformed DHT"):
+        decode_jpeg_pixels(enc[: i + 4 + 17 + 3])
+    with pytest.raises(ValueError, match="no decodable scan"):
         decode_jpeg_pixels(enc[: i + 10])
 
 
@@ -183,8 +188,11 @@ def test_roundtrip_property(h, w, gray, seed, restart):
     dec = decode_jpeg_pixels(encode_jpeg(img, restart_interval=restart))
     assert dec.shape == (h, w, 1 if gray else 3)
     ref = img[:, :, None] if gray else img
-    # unit quant: DCT + (color) rounding only
-    assert np.abs(dec.astype(int) - ref.astype(int)).max() <= (1 if gray else 2)
+    # unit quant: DCT rounding only for gray; color adds YCbCr forward+
+    # inverse rounding, where worst-case random blocks reach 3 (a 300-
+    # seed sweep found ~1% of 40x40 images at exactly 3 — a <=2 bound
+    # was measurably flaky)
+    assert np.abs(dec.astype(int) - ref.astype(int)).max() <= (1 if gray else 3)
 
 
 @settings(max_examples=15, deadline=None)

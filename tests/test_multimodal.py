@@ -538,3 +538,31 @@ def test_extract_video_meta_operator(spark):
     assert out[1]["duration_ms"] == 30_000
     assert out[1]["width"] == 640 and out[1]["height"] == 480
     assert out[2]["duration_ms"] is None  # non-MP4 → nulls
+
+
+def test_mp4_unknown_duration_sentinel_maps_to_none():
+    """All-ones mvhd duration is the spec's 'unknown' (fragmented/live
+    files) — must surface None, not 4.3M ms feeding a 4.3M-iteration
+    frame loop (round-4 review find)."""
+    from esdb_spark.operators.multimodal import (
+        encode_minimal_mp4,
+        parse_mp4_meta,
+    )
+
+    enc = bytearray(encode_minimal_mp4(duration_ms=1000))
+    i = enc.find(b"mvhd")
+    # mvhd v0 body starts at i+4; duration is bytes 16..20 of the body
+    enc[i + 4 + 16 : i + 4 + 20] = b"\xff\xff\xff\xff"
+    assert parse_mp4_meta(bytes(enc))[1] is None
+
+
+def test_spectral_head_cap_bounds_decode():
+    """Only the leading max_samples frames are decoded — a long tail
+    after the head must not change the result."""
+    from esdb_spark.operators.multimodal import pcm_spectral_features
+
+    short = _sine_wav(freq=300, rate=8000, n_samples=4096)
+    longer = _sine_wav(freq=300, rate=8000, n_samples=65536)
+    a = pcm_spectral_features(short, max_samples=4096)
+    b = pcm_spectral_features(longer, max_samples=4096)
+    assert a == b

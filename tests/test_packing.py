@@ -163,4 +163,11 @@ def test_with_temperature_weight_broadcast_join(spark):
     assert len(rows) == 4  # NULL-source row survives the left join
     assert abs(rows[1]["weight"] - 2 ** 0.5) < 1e-12
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    # the docstring's contract: the join back IS a broadcast (no
+    # corpus shuffle) — assert it positively
+    assert "BroadcastHashJoin" in plan, plan
+    # pre-existing out_col must be rejected, not silently duplicated
+    import pytest
+
+    with pytest.raises(ValueError, match="already exists"):
+        with_temperature_weight(out, "source")
