@@ -363,6 +363,27 @@ def iterative_shapes(n):
         "logistic_fit_i10",
         lambda: logistic_fit(feats, ["x1", "x2", "x3"], "label", iters=10),
     )
+    # spherical k-means assign over dim-32 vectors, n/10 rows: the
+    # shuffle-free broadcast-GEMM path — throughput should track the
+    # scan, not the cluster count
+    from esdb_spark.operators.cluster import kmeans_assign, kmeans_fit
+
+    n_vec = max(n // 10, 1000)
+    vecs = spark.range(n_vec).select(
+        F.col("id"),
+        F.array(
+            *[
+                (F.abs(F.xxhash64("id", F.lit(100 + j)) % 1000) / 500.0 - 1.0)
+                for j in range(32)
+            ]
+        ).alias("vec"),
+    ).localCheckpoint(eager=True)
+    cent = kmeans_fit(vecs, "vec", "id", k=64, fit_sample=20_000)
+    run(
+        "kmeans_assign",
+        lambda: kmeans_assign(vecs, cent, "vec", "id")
+        .agg(F.sum("cluster")).collect(),
+    )
     out["rows"] = n
     return out
 
