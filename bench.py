@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "doc_pagerank",
     "knn_join_embeddings",
     "multimodal_jpeg_stats",
+    "embedding_kmeans_docs",
 ]
 
 

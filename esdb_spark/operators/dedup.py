@@ -857,10 +857,14 @@ def dedup_by_cluster(
     id_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Transitive-closure dedup: cluster the near-dup pair graph
-    (:func:`dup_clusters`) and keep one representative — the min id —
-    per connected component.
+    (:func:`dup_clusters`) and keep one representative per connected
+    component — the min id by default, or the highest-``score_col``
+    row (ties → smaller id, so the choice stays deterministic) when a
+    quality signal is available: a real pipeline keeps the BEST copy
+    of a duplicated document, not the accidentally-smallest-keyed one.
 
     This is the correct second stage after any pairwise candidate
     generator (MinHash, SimHash, embedding cosine): dropping the larger
@@ -868,8 +872,35 @@ def dedup_by_cluster(
     drops B and C even when keeping C would be fine under a
     representative-per-cluster policy) and under-delete when pair lists
     are incomplete. Cost: the propagation rounds of dup_clusters plus
-    one anti-join; rows never in a pair pass through untouched.
+    one anti-join; rows never in a pair pass through untouched. The
+    score path adds one cluster-keyed ``max_by`` aggregate (map-side
+    combined — shuffle bounded by the cluster count) and joins scores
+    for clustered ids only, never the whole corpus.
     """
     clusters = dup_clusters(pairs, id_a, id_b)
-    drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    if score_col is None:
+        drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+        return df.join(drop, df[id_col] == drop["id"], "left_anti")
+    scores = df.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("_dq_score")
+    )
+    scored = clusters.join(scores, "id")
+    # keeper = argmax(score, tie → min id): one flat aggregate per
+    # cluster; (score, -id) ordering makes NULL scores lose to any
+    # real score (NULL-safe struct ordering would keep NULL-max rows
+    # — coalesce to -inf instead)
+    keeper = scored.groupBy("cluster_id").agg(
+        F.max_by(
+            "id",
+            F.struct(
+                F.coalesce(F.col("_dq_score"), F.lit(float("-inf"))).alias("s"),
+                (-F.col("id")).alias("nid"),
+            ),
+        ).alias("keep_id")
+    )
+    drop = (
+        scored.join(keeper, "cluster_id")
+        .filter(F.col("id") != F.col("keep_id"))
+        .select("id")
+    )
     return df.join(drop, df[id_col] == drop["id"], "left_anti")

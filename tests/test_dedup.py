@@ -222,3 +222,24 @@ def test_ngram_jaccard_bitset_and_inverted_agree(spark):
     }
     assert got_bitset == got_inverted
     assert got_bitset  # the corpus does contain qualifying pairs
+
+
+def test_dedup_by_cluster_quality_keeper(spark):
+    """score_col keeps the best-quality doc per component (ties ->
+    smaller id); default still keeps min id (round-4 addition)."""
+    from esdb_spark.operators.dedup import dedup_by_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (10, None), (11, 0.1)],
+        "doc_id int, quality double",
+    )
+    # components: {1,2,3} via chain, {10,11}; 4 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+    )
+    best = dedup_by_cluster(docs, pairs, "doc_id", score_col="quality")
+    kept = sorted(r["doc_id"] for r in best.collect())
+    # {1,2,3}: 2 and 3 tie at 0.9 -> keep 2; {10,11}: NULL loses -> 11
+    assert kept == [2, 4, 11]
+    default = dedup_by_cluster(docs, pairs, "doc_id")
+    assert sorted(r["doc_id"] for r in default.collect()) == [1, 4, 10]
