@@ -297,6 +297,9 @@ def decode_jpeg_pixels(content: bytes):
             while j < len(body):
                 pq, tq = body[j] >> 4, body[j] & 0x0F
                 j += 1
+                width = 64 if pq == 0 else 128
+                if j + width > len(body):
+                    raise ValueError("jpeg: truncated DQT segment")
                 if pq == 0:
                     vals = np.frombuffer(
                         body[j : j + 64], dtype=np.uint8
@@ -322,17 +325,28 @@ def decode_jpeg_pixels(content: bytes):
                 tbl = _decode_lut((bits, vals))
                 (dc_tables if tc == 0 else ac_tables)[th] = tbl
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("jpeg: truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(body) < 6:
+                raise ValueError("jpeg: truncated SOF segment")
             precision = body[0]
             if precision != 8:
                 raise ValueError(f"jpeg: {precision}-bit precision unsupported")
             h, w = struct.unpack(">HH", body[1:5])
             nc = body[5]
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("jpeg: truncated SOF component list")
             comps = []
             for c in range(nc):
                 cid, hv, tq_id = body[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(
+                        f"jpeg: invalid sampling factors {hs}x{vs}"
+                    )
+                comps.append((cid, hs, vs, tq_id))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -343,6 +357,8 @@ def decode_jpeg_pixels(content: bytes):
         elif marker == 0xDA:  # SOS → entropy-coded data follows
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("jpeg: truncated SOS header")
             ns = body[0]
             if ns != len(frame[2]):
                 raise ValueError(
@@ -393,8 +409,16 @@ def _decode_scan(frame, scan_tables, qt, dc_tables, ac_tables,
             pred = {cid: 0 for cid, *_ in comps}
         my, mx = divmod(mcu, mcux)
         for cid, hs, vs, tq_id in comps:
+            # every lookup can dangle in a corrupt file — each must be
+            # the contract ValueError, not a KeyError (fuzzer finds)
+            if cid not in scan_tables:
+                raise ValueError(f"jpeg: scan lacks component {cid}")
             dct, act = scan_tables[cid]
+            if dct not in dc_tables or act not in ac_tables:
+                raise ValueError("jpeg: scan references undefined huffman table")
             dc_tbl, ac_tbl = dc_tables[dct], ac_tables[act]
+            if tq_id not in qt:
+                raise ValueError("jpeg: frame references undefined quant table")
             q = qt[tq_id]
             for by in range(vs):
                 for bx in range(hs):

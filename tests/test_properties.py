@@ -586,3 +586,111 @@ def test_sample_uniform_in_unit_interval(spark):
     row = df.agg(F.min("u"), F.max("u"), F.avg("u")).collect()[0]
     assert 0 < row[0] and row[1] <= 1
     assert 0.4 < row[2] < 0.6  # roughly uniform
+
+
+# --- round 4: parser fuzzing — arbitrary bytes must never crash ---
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.binary(max_size=400))
+def test_metadata_parsers_never_raise(data):
+    """Header parsers return a tuple or None on ANY input — never an
+    exception (one corrupt blob among billions must not kill a task)."""
+    from esdb_spark.operators.multimodal import (
+        parse_image_dims,
+        parse_mp4_meta,
+        parse_wav_meta,
+    )
+
+    for fn in (parse_image_dims, parse_mp4_meta, parse_wav_meta):
+        out = fn(data)
+        assert out is None or isinstance(out, tuple)
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.binary(max_size=400))
+def test_metadata_parsers_never_raise_with_magic(data):
+    """Same, with valid magics prepended so the walkers actually run."""
+    from esdb_spark.operators.multimodal import (
+        parse_image_dims,
+        parse_mp4_meta,
+        parse_wav_meta,
+    )
+
+    for magic, fn in [
+        (b"\x89PNG\r\n\x1a\n", parse_image_dims),
+        (b"\xff\xd8", parse_image_dims),
+        (b"GIF89a", parse_image_dims),
+        (b"BM", parse_image_dims),
+        ((16).to_bytes(4, "big") + b"ftypisom" + bytes(8), parse_mp4_meta),
+        (b"RIFF\xff\xff\xff\xffWAVE", parse_wav_meta),
+    ]:
+        out = fn(magic + data)
+        assert out is None or isinstance(out, tuple)
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.binary(max_size=300))
+def test_pixel_decoders_raise_value_error_or_return(data):
+    """Pixel/sample decoders on arbitrary bytes: an array, None, or
+    ValueError — never any other exception, never garbage types."""
+    import numpy as np
+
+    from esdb_spark.operators.jpeg import decode_jpeg_pixels
+    from esdb_spark.operators.multimodal import (
+        decode_pixels,
+        pcm_signal_stats,
+        pcm_spectral_features,
+    )
+
+    for payload in (data, b"\xff\xd8" + data, b"\x89PNG\r\n\x1a\n" + data,
+                    b"GIF89a" + data, b"BM" + data):
+        for fn in (decode_pixels, decode_jpeg_pixels):
+            try:
+                out = fn(payload)
+            except ValueError:
+                continue
+            assert out is None or isinstance(out, np.ndarray)
+    for payload in (data, b"RIFF\x24\x00\x00\x00WAVE" + data):
+        for fn in (pcm_signal_stats, pcm_spectral_features):
+            out = fn(payload)
+            assert out is None or isinstance(out, tuple)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    pos=st.integers(2, 400),
+    val=st.integers(0, 255),
+    n_flips=st.integers(1, 8),
+    seed=st.integers(0, 2**31),
+)
+def test_mutated_valid_files_never_crash_decoders(pos, val, n_flips, seed):
+    """Byte-flip VALID files (reaches deep decode paths a random blob
+    never does): decoders must return pixels/None or raise ValueError
+    — nothing else, on every mutation."""
+    import numpy as np
+
+    from esdb_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+    from esdb_spark.operators.multimodal import (
+        decode_pixels,
+        encode_minimal_mp4,
+        encode_png,
+        parse_mp4_meta,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (12, 14, 3), dtype=np.uint8)
+    fixtures = [
+        (bytearray(encode_jpeg(img)), decode_jpeg_pixels),
+        (bytearray(encode_png(img)), decode_pixels),
+        (bytearray(encode_minimal_mp4(1234, 64, 48)), parse_mp4_meta),
+    ]
+    for buf, fn in fixtures:
+        for _ in range(n_flips):
+            p = (pos * 31 + int(rng.integers(0, len(buf)))) % len(buf)
+            buf[p] = (buf[p] ^ val) & 0xFF
+        try:
+            out = fn(bytes(buf))
+        except ValueError:
+            continue
+        assert out is None or isinstance(out, (np.ndarray, tuple))
