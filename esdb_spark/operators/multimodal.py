@@ -671,72 +671,35 @@ def extract_video_meta(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(op, out_schema)
 
 
-def decode_png_pixels(content: bytes):
-    """REAL PNG pixel decode with zero imaging dependencies: stdlib
-    ``zlib`` inflates the IDAT stream and numpy reverses the scanline
-    filters. Returns an ``(h, w, channels)`` uint8 array, or None if
-    the payload isn't a supported PNG.
+# Adam7 interlace passes: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4
-    (gray+alpha), 6 (RGBA), non-interlaced — i.e. what the PNG spec
-    calls the common case. All five scanline filters (None/Sub/Up/
-    Average/Paeth, RFC 2083 §6) are implemented: Sub is a mod-256
-    cumulative sum per byte lane (addition mod 256 is associative, so
-    ``np.cumsum % 256`` is exact), Up is vectorized against the prior
-    row, Average/Paeth are the spec's sequential recurrences.
-    Interlaced or 16-bit images return None rather than wrong pixels.
-    """
+
+def _png_defilter(raw: bytes, pos: int, h: int, stride: int, bpp: int):
+    """Reverse the five PNG scanline filters (RFC 2083 §6) for ``h``
+    rows of ``stride`` bytes starting at ``raw[pos]``; ``bpp`` is
+    BYTES per pixel (the left-neighbor offset — channels × depth/8).
+    Returns (uint8 (h, stride) array, next_pos), or None on a bad
+    filter byte / short stream. Sub is a mod-256 cumulative sum per
+    byte lane (mod-256 addition is associative, so cumsum is exact);
+    Up is vectorized; Average/Paeth are the spec's sequential
+    recurrences."""
     import numpy as np
-    import struct
-    import zlib
 
-    if len(content) < 8 or content[:8] != b"\x89PNG\r\n\x1a\n":
+    if len(raw) - pos < h * (stride + 1):
         return None
-    w = h = None
-    channels = None
-    idat = b""
-    i = 8
-    n = len(content)
-    while i + 8 <= n:
-        (clen,) = struct.unpack(">I", content[i : i + 4])
-        ctype = content[i + 4 : i + 8]
-        body = content[i + 8 : i + 8 + clen]
-        if ctype == b"IHDR":
-            if clen < 13:
-                return None
-            w, h, depth, color, comp, filt, inter = struct.unpack(
-                ">IIBBBBB", body[:13]
-            )
-            if depth != 8 or comp != 0 or filt != 0 or inter != 0:
-                return None
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-            if channels is None:
-                return None
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        i += 12 + clen
-    if not (w and h and channels and idat):
-        return None
-    try:
-        raw = zlib.decompress(idat)
-    except zlib.error:
-        return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        return None
-    bpp = channels
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
     for row in range(h):
         f = raw[pos]
         cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
         pos += stride + 1
         if f == 0:
             rec = cur.copy()
-        elif f == 1:  # Sub: per-lane mod-256 cumsum
+        elif f == 1:  # Sub
             rec = cur.copy()
             for lane in range(bpp):
                 rec[lane::bpp] = (
@@ -768,7 +731,104 @@ def decode_png_pixels(content: bytes):
             return None
         out[row] = rec
         prev = rec
-    return out.reshape(h, w, channels)
+    return out, pos
+
+
+def decode_png_pixels(content: bytes):
+    """REAL PNG pixel decode with zero imaging dependencies: stdlib
+    ``zlib`` inflates the IDAT stream and numpy reverses the scanline
+    filters. Returns an ``(h, w, channels)`` array — uint8 for 8-bit
+    depth, uint16 for 16-bit — or None if the payload isn't a
+    supported PNG.
+
+    Supported: 8- and 16-bit depths, color types 0 (gray), 2 (RGB),
+    4 (gray+alpha), 6 (RGBA), both non-interlaced and Adam7-interlaced
+    (each of the 7 passes is an independently-filtered sub-image,
+    de-filtered with the same kernel and scattered back on the
+    (x0, y0, dx, dy) grid). Palette (color type 3) returns None.
+    """
+    import numpy as np
+    import struct
+    import zlib
+
+    if len(content) < 8 or content[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w = h = None
+    channels = depth = inter = None
+    idat = b""
+    i = 8
+    n = len(content)
+    while i + 8 <= n:
+        (clen,) = struct.unpack(">I", content[i : i + 4])
+        ctype = content[i + 4 : i + 8]
+        body = content[i + 8 : i + 8 + clen]
+        if ctype == b"IHDR":
+            if clen < 13:
+                return None
+            w, h, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+            if depth not in (8, 16) or comp != 0 or filt != 0 or inter not in (0, 1):
+                return None
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                return None
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if not (w and h and channels and idat):
+        return None
+    try:
+        # cap the inflate (a corrupt/hostile stream may claim absurd
+        # output); leftover input past the cap means the image would
+        # exceed it — reject, don't allocate
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), 1 << 30)
+        if d.unconsumed_tail:
+            return None
+    except zlib.error:
+        return None
+    ps = depth // 8
+    bpp = channels * ps
+    # dimension sanity BEFORE any allocation: a byte-flipped IHDR can
+    # claim 4-billion-pixel images — the de-filtered size must be
+    # covered by the actual decompressed bytes (fuzzer-found: np.zeros
+    # on the claimed grid tried to allocate 100+ GiB)
+    if inter == 0:
+        if len(raw) < h * (w * bpp + 1):
+            return None
+        res = _png_defilter(raw, 0, h, w * bpp, bpp)
+        if res is None:
+            return None
+        out = res[0]
+    else:  # Adam7
+        need = 0
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # empty pass for small images
+            passes.append((x0, y0, dx, dy, wp, hp))
+            need += hp * (wp * bpp + 1)
+        if len(raw) < need:
+            return None
+        out = np.zeros((h, w * bpp), dtype=np.uint8)
+        grid = out.reshape(h, w, bpp)
+        pos = 0
+        for x0, y0, dx, dy, wp, hp in passes:
+            res = _png_defilter(raw, pos, hp, wp * bpp, bpp)
+            if res is None:
+                return None
+            sub, pos = res
+            grid[y0::dy, x0::dx, :] = sub.reshape(hp, wp, bpp)
+    if depth == 8:
+        return out.reshape(h, w, channels)
+    # 16-bit samples are big-endian byte pairs
+    pairs = out.reshape(h, w, channels, 2).astype(np.uint16)
+    return (pairs[..., 0] << 8) | pairs[..., 1]
 
 
 def decode_bmp_pixels(content: bytes):
@@ -882,10 +942,12 @@ def extract_image_pixel_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(op, out_schema)
 
 
-def encode_png(img) -> bytes:
-    """Minimal real PNG encoder (stdlib zlib only): 8-bit gray/
-    gray+alpha/RGB/RGBA from an ``(h, w, channels)`` uint8 array,
-    filter type 0 (None) per scanline. The write half of
+def encode_png(img, interlace: bool = False) -> bytes:
+    """Minimal real PNG encoder (stdlib zlib only): gray/gray+alpha/
+    RGB/RGBA from an ``(h, w, channels)`` array — uint8 → 8-bit depth,
+    uint16 → 16-bit (big-endian samples) — filter type 0 (None) per
+    scanline, optionally Adam7-interlaced (each pass's sub-image
+    emitted as its own filtered scanline run). The write half of
     :func:`decode_png_pixels` — thumbnails, visual fixtures, and the
     round-trip proof that the decoder is real."""
     import struct
@@ -893,7 +955,12 @@ def encode_png(img) -> bytes:
 
     import numpy as np
 
-    img = np.asarray(img, dtype=np.uint8)
+    img = np.asarray(img)
+    if img.dtype == np.uint16:
+        depth = 16
+    else:
+        img = img.astype(np.uint8)
+        depth = 8
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
@@ -905,8 +972,22 @@ def encode_png(img) -> bytes:
         c = struct.pack(">I", len(body)) + ctype + body
         return c + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    raw = b"".join(b"\x00" + img[row].tobytes() for row in range(h))
+    def rowbytes(a):  # one scanline's samples, big-endian for 16-bit
+        return (a.astype(">u2") if depth == 16 else a).tobytes()
+
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0
+    )
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx, :]
+            for row in range(sub.shape[0]):
+                if sub.shape[1]:
+                    parts.append(b"\x00" + rowbytes(sub[row]))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + rowbytes(img[row]) for row in range(h))
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

@@ -566,3 +566,39 @@ def test_spectral_head_cap_bounds_decode():
     a = pcm_spectral_features(short, max_samples=4096)
     b = pcm_spectral_features(longer, max_samples=4096)
     assert a == b
+
+
+def test_png_16bit_roundtrip():
+    """16-bit PNG: lossless round-trip of uint16 samples (big-endian
+    pairs through the same filter kernel — round-4 coverage add)."""
+    import numpy as np
+
+    from esdb_spark.operators.multimodal import decode_png_pixels, encode_png
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 65536, (9, 13, 3), dtype=np.uint16)
+    dec = decode_png_pixels(encode_png(img))
+    assert dec.dtype == np.uint16
+    assert np.array_equal(dec, img)
+    gray = rng.integers(0, 65536, (5, 7), dtype=np.uint16)
+    dec = decode_png_pixels(encode_png(gray))
+    assert np.array_equal(dec[:, :, 0], gray)
+
+
+def test_png_adam7_roundtrip():
+    """Adam7-interlaced PNG decodes pixel-identically to the plain
+    encoding, across sizes that exercise empty and partial passes."""
+    import numpy as np
+
+    from esdb_spark.operators.multimodal import decode_png_pixels, encode_png
+
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (2, 3), (7, 5), (8, 8), (13, 21)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        dec = decode_png_pixels(encode_png(img, interlace=True))
+        assert np.array_equal(dec, img), (h, w)
+    # 16-bit + interlace together
+    img16 = rng.integers(0, 65536, (11, 6, 4), dtype=np.uint16)
+    assert np.array_equal(
+        decode_png_pixels(encode_png(img16, interlace=True)), img16
+    )
