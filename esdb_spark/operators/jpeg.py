@@ -253,16 +253,19 @@ def _split_scan(data: bytes):
 
 
 def decode_jpeg_pixels(content: bytes):
-    """Decode a baseline sequential JPEG to an (h, w, channels) uint8
-    array (channels 3 for YCbCr color, 1 for grayscale), or None if the
-    payload is not a JPEG (no SOI magic). Raises ValueError for JPEG
-    features outside baseline (progressive, arithmetic, 12-bit) and
-    for damaged/truncated files — an explicit contract beats silently
-    wrong pixels.
+    """Decode a baseline-sequential OR progressive (SOF2) JPEG to an
+    (h, w, channels) uint8 array (channels 3 for YCbCr color, 1 for
+    grayscale), or None if the payload is not a JPEG (no SOI magic).
+    Raises ValueError for features outside those modes (arithmetic
+    coding, 12-bit, hierarchical) and for damaged/truncated files — an
+    explicit contract beats silently wrong pixels.
 
-    Covers: interleaved single-scan baseline, standard and custom
-    huffman/quant tables, restart intervals, subsampling factors 1-2
-    with box (pixel-replication) chroma upsampling, JFIF YCbCr→RGB.
+    Covers: interleaved single-scan baseline; full progressive —
+    spectral selection, successive approximation (DC and AC first +
+    refinement scans, G.2), EOB runs — accumulating coefficients
+    across scans and reconstructing once at EOI; standard and custom
+    huffman/quant tables; restart intervals; subsampling factors 1-2
+    with box (pixel-replication) chroma upsampling; JFIF YCbCr→RGB.
     """
     if len(content) < 3 or content[:2] != b"\xff\xd8":
         return None
@@ -271,6 +274,8 @@ def decode_jpeg_pixels(content: bytes):
     ac_tables: dict[int, dict] = {}
     restart_interval = 0
     frame = None  # (h, w, [(cid, hs, vs, tq), ...])
+    progressive = False
+    coef = None  # progressive: cid -> (bh, bw, 64) int32, raster-indexed
     i = 2
     n = len(content)
     out_planes = None
@@ -328,12 +333,13 @@ def decode_jpeg_pixels(content: bytes):
             if len(body) < 2:
                 raise ValueError("jpeg: truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             if len(body) < 6:
                 raise ValueError("jpeg: truncated SOF segment")
             precision = body[0]
             if precision != 8:
                 raise ValueError(f"jpeg: {precision}-bit precision unsupported")
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", body[1:5])
             nc = body[5]
             if len(body) < 6 + 3 * nc:
@@ -348,11 +354,11 @@ def decode_jpeg_pixels(content: bytes):
                     )
                 comps.append((cid, hs, vs, tq_id))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "jpeg: only baseline sequential DCT is supported "
-                f"(SOF marker 0x{marker:02X})"
+                "jpeg: only baseline sequential and progressive DCT are "
+                f"supported (SOF marker 0x{marker:02X})"
             )
         elif marker == 0xDA:  # SOS → entropy-coded data follows
             if frame is None:
@@ -360,23 +366,38 @@ def decode_jpeg_pixels(content: bytes):
             if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
                 raise ValueError("jpeg: truncated SOS header")
             ns = body[0]
-            if ns != len(frame[2]):
-                raise ValueError(
-                    "jpeg: non-interleaved multi-scan unsupported"
-                )
-            scan_tables = {}
+            if not 1 <= ns <= 4:
+                raise ValueError(f"jpeg: invalid scan component count {ns}")
+            scan_comps = []
             for c in range(ns):
                 cs, tda = body[1 + 2 * c : 3 + 2 * c]
-                scan_tables[cs] = (tda >> 4, tda & 0x0F)
+                scan_comps.append((cs, tda >> 4, tda & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             data_start = i + 2 + seg_len
             segments, consumed = _split_scan(content[data_start:])
-            out_planes = _decode_scan(
-                frame, scan_tables, qt, dc_tables, ac_tables,
-                restart_interval, segments,
-            )
+            if progressive:
+                if coef is None:
+                    coef = _alloc_coef(frame)
+                _decode_progressive_scan(
+                    frame, coef, scan_comps, dc_tables, ac_tables,
+                    ss, se, ahal >> 4, ahal & 0x0F,
+                    restart_interval, segments,
+                )
+            else:
+                if ns != len(frame[2]):
+                    raise ValueError(
+                        "jpeg: non-interleaved multi-scan unsupported"
+                    )
+                scan_tables = {cs: (td, ta) for cs, td, ta in scan_comps}
+                out_planes = _decode_scan(
+                    frame, scan_tables, qt, dc_tables, ac_tables,
+                    restart_interval, segments,
+                )
             i = data_start + consumed
             continue
         i += 2 + seg_len
+    if progressive and coef is not None:
+        out_planes = _reconstruct_progressive(frame, coef, qt)
     if out_planes is None or frame is None:
         # the SOI magic matched but no complete scan was decoded — a
         # damaged/truncated JPEG, not a non-JPEG: raise, mirroring the
@@ -424,6 +445,8 @@ def _decode_scan(frame, scan_tables, qt, dc_tables, ac_tables,
                 for bx in range(hs):
                     coeff = np.zeros(64, dtype=np.float64)
                     s = reader.decode_symbol(dc_tbl)
+                    if s > 15:
+                        raise ValueError("jpeg: DC category out of range")
                     pred[cid] += reader.receive_extend(s)
                     coeff[0] = pred[cid]
                     k = 1
@@ -445,6 +468,251 @@ def _decode_scan(frame, scan_tables, qt, dc_tables, ac_tables,
                     y0 = (my * vs + by) * 8
                     x0 = (mx * hs + bx) * 8
                     planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+    return planes
+
+
+def _geometry(frame):
+    """MCU and per-component block-grid geometry: (hmax, vmax, mcux,
+    mcuy, {cid: (bw_full, bh_full, bw_comp, bh_comp, hs, vs, tq)}).
+    ``*_full`` spans the MCU grid (interleaved scans), ``*_comp`` the
+    component's own ceil(size/8) grid (non-interleaved scans)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geo = {}
+    for cid, hs, vs, tq in comps:
+        cw = -(-(w * hs) // hmax)  # component samples
+        ch = -(-(h * vs) // vmax)
+        geo[cid] = (
+            mcux * hs, mcuy * vs, -(-cw // 8), -(-ch // 8), hs, vs, tq
+        )
+    return hmax, vmax, mcux, mcuy, geo
+
+
+def _alloc_coef(frame):
+    """Per-component DCT-coefficient store for progressive decoding:
+    raster-indexed (bh_full, bw_full, 64) int32 — scans accumulate
+    into it; reconstruction happens once at EOI."""
+    _, _, _, _, geo = _geometry(frame)
+    return {
+        cid: np.zeros((bh, bw, 64), dtype=np.int32)
+        for cid, (bw, bh, *_rest) in geo.items()
+    }
+
+
+def _decode_progressive_scan(
+    frame, coef, scan_comps, dc_tables, ac_tables,
+    ss, se, ah, al, restart_interval, segments,
+):
+    """One progressive scan (T.81 G.2): DC scans (ss == 0, interleaved
+    or single-component) and AC scans (single-component by spec),
+    first pass (ah == 0) or successive-approximation refinement.
+    Restart markers re-align the bitstream and reset DC predictors AND
+    the EOB run."""
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy, geo = _geometry(frame)
+    for cs, _td, _ta in scan_comps:
+        if cs not in coef:
+            raise ValueError(f"jpeg: scan lacks component {cs}")
+    if ss == 0:
+        if se != 0:
+            raise ValueError("jpeg: progressive DC scan with Se != 0")
+        _decode_dc_scan(
+            coef, scan_comps, dc_tables, ah, al,
+            restart_interval, segments, mcux, mcuy, geo,
+        )
+    else:
+        if len(scan_comps) != 1:
+            raise ValueError("jpeg: progressive AC scan must be 1 component")
+        if not 1 <= ss <= se <= 63:
+            raise ValueError("jpeg: bad progressive spectral band")
+        cs, _td, ta = scan_comps[0]
+        if ta not in ac_tables:
+            raise ValueError("jpeg: scan references undefined huffman table")
+        _decode_ac_scan(
+            coef[cs], ac_tables[ta], ss, se, ah, al,
+            restart_interval, segments, geo[cs],
+        )
+
+
+def _decode_dc_scan(coef, scan_comps, dc_tables, ah, al,
+                    restart_interval, segments, mcux, mcuy, geo):
+    interleaved = len(scan_comps) > 1
+    for cs, td, _ta in scan_comps:
+        if ah == 0 and td not in dc_tables:
+            raise ValueError("jpeg: scan references undefined huffman table")
+    pred = {cs: 0 for cs, *_ in scan_comps}
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        (cs0, *_r) = scan_comps[0]
+        bw, bh = geo[cs0][2], geo[cs0][3]  # component grid
+        units = bw * bh
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("jpeg: missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            pred = {cs: 0 for cs, *_ in scan_comps}
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for cs, td, _ta in scan_comps:
+                _bwf, _bhf, _bwc, _bhc, hs, vs, _tq = geo[cs]
+                for by in range(vs):
+                    for bx in range(hs):
+                        _dc_unit(
+                            reader, coef[cs], my * vs + by, mx * hs + bx,
+                            dc_tables.get(td), pred, cs, ah, al,
+                        )
+        else:
+            cs, td, _ta = scan_comps[0]
+            bw = geo[cs][2]
+            by, bx = divmod(u, bw)
+            _dc_unit(reader, coef[cs], by, bx, dc_tables.get(td),
+                     pred, cs, ah, al)
+
+
+def _dc_unit(reader, carr, by, bx, dc_tbl, pred, cs, ah, al):
+    if ah == 0:  # first scan: huffman diff, point-transformed
+        s = reader.decode_symbol(dc_tbl)
+        if s > 15:
+            raise ValueError("jpeg: DC category out of range")
+        pred[cs] += reader.receive_extend(s)
+        if abs(pred[cs]) << al > 1 << 30:
+            # legal DC magnitude is < 2^14; a corrupt stream can walk
+            # the predictor arbitrarily far and overflow the int32
+            # store — fail with the contract error instead
+            raise ValueError("jpeg: DC coefficient out of range")
+        carr[by, bx, 0] = pred[cs] << al
+    else:  # refinement: one raw bit per block
+        if reader.read_bits(1):
+            carr[by, bx, 0] |= 1 << al
+
+
+def _decode_ac_scan(carr, ac_tbl, ss, se, ah, al,
+                    restart_interval, segments, comp_geo):
+    bw, bh = comp_geo[2], comp_geo[3]
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    eobrun = 0
+    for u in range(bw * bh):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("jpeg: missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            eobrun = 0
+        by, bx = divmod(u, bw)
+        block = carr[by, bx]
+        if ah == 0:
+            eobrun = _ac_first_block(reader, block, ac_tbl, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine_block(
+                reader, block, ac_tbl, ss, se, al, eobrun
+            )
+
+
+def _ac_first_block(reader, block, ac_tbl, ss, se, al, eobrun):
+    """AC first pass over one block's band (T.81 G.2.2): run-length +
+    point-transformed values; EOBn codes start a run of all-zero-band
+    blocks. Returns the eobrun remaining AFTER this block."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            extra = reader.read_bits(r) if r else 0
+            return (1 << r) - 1 + extra  # EOBn: current block done
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC index out of band")
+        block[_ZIGZAG[k]] = reader.receive_extend(s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, block, ac_tbl, ss, se, al, eobrun):
+    """AC successive-approximation refinement (T.81 G.2 / the
+    correction-bit traversal): already-significant coefficients read
+    one bit each inline; (run, 1) symbols place new ±1<<al values at
+    the run-th zero-history position."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    extra = reader.read_bits(r) if r else 0
+                    eobrun = (1 << r) + extra  # includes THIS block
+                    break
+                # r == 15: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: refinement magnitude must be 1")
+                newval = p1 if reader.read_bits(1) else m1
+            while k <= se:
+                z = _ZIGZAG[k]
+                if block[z] != 0:  # already significant → correction bit
+                    if reader.read_bits(1) and (block[z] & p1) == 0:
+                        block[z] += p1 if block[z] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                block[_ZIGZAG[k]] = newval
+            k += 1
+    if eobrun > 0:
+        # EOB run: the rest of the band gets correction bits only
+        while k <= se:
+            z = _ZIGZAG[k]
+            if block[z] != 0:
+                if reader.read_bits(1) and (block[z] & p1) == 0:
+                    block[z] += p1 if block[z] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, coef, qt):
+    """Dequantize + IDCT every accumulated block (vectorized einsum —
+    one matmul pair over all blocks per component) into spatial
+    planes, MCU-grid sized like the baseline path."""
+    h, w, comps = frame
+    planes = {}
+    for cid, _hs, _vs, tq in comps:
+        if tq not in qt:
+            raise ValueError("jpeg: frame references undefined quant table")
+        q = qt[tq].astype(np.float64)  # (8, 8) raster
+        carr = coef[cid]
+        bh, bw = carr.shape[0], carr.shape[1]
+        blocks = carr.astype(np.float64).reshape(bh, bw, 8, 8) * q
+        # per-block 2-D matmuls, the EXACT expression the baseline
+        # path evaluates: batched einsum/matmul formulations change
+        # float association by a last ulp, which flips rint at .5 and
+        # breaks the progressive == baseline bit-equality contract
+        plane = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _M.T @ blocks[by, bx] @ _M + 128.0
+                )
+        planes[cid] = plane
     return planes
 
 
@@ -532,6 +800,266 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, code
 
 
+def _flat_table(symbols):
+    """A valid canonical huffman spec assigning every symbol the same
+    code length L (smallest L with len < 2^L): zero compression, but a
+    legal (incomplete) table — used by the progressive encoder, whose
+    EOBn symbols the Annex K baseline tables do not contain. Also
+    exercises the decoder's generic DHT handling."""
+    length = (len(symbols)).bit_length()
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    return bits, list(symbols)
+
+
+_PROG_DC_SPEC = _flat_table(list(range(12)))
+_PROG_AC_SPEC = _flat_table(
+    [r << 4 for r in range(15)]                      # EOB0..EOB14
+    + [0xF0]                                         # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+
+
+def _encode_progressive(comp_planes, sampling, h, w, nc, q, hmax, vmax):
+    """Emit a progressive (SOF2) stream from level-shifted padded
+    component planes: forward-DCT + quantize everything up front
+    (vectorized), then the 4-phase scan script described in
+    :func:`encode_jpeg`. Flat huffman tables (see :func:`_flat_table`)
+    because the Annex K baseline tables lack the EOBn symbols."""
+    al = 1  # one successive-approximation level
+
+    # --- coefficients per component, zigzag order -----------------------
+    coefz = []
+    comp_grids = []  # (bw_full, bh_full, bw_comp, bh_comp)
+    for ci, pp in enumerate(comp_planes):
+        bh, bw = pp.shape[0] // 8, pp.shape[1] // 8
+        # per-block 2-D matmuls — the EXACT float expression the
+        # baseline encoder evaluates, so both modes quantize identical
+        # coefficients (a batched einsum differed by a last ulp at
+        # rint boundaries, silently breaking the progressive ==
+        # baseline oracle)
+        cz = np.empty((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                c2 = np.rint((_M @ block @ _M.T) / q).astype(np.int64)
+                cz[by, bx] = c2.reshape(64)[_ZIGZAG]
+        coefz.append(cz)
+        hs, vs = sampling[ci]
+        # spec: non-interleaved scans cover ceil(comp_samples/8) blocks
+        # of the TRUE image size, which can be one block smaller than
+        # the MCU-padded grid (e.g. 2x2 sampling, w % 16 <= 8)
+        bw_c = -(-(-(-(w * hs) // hmax)) // 8)
+        bh_c = -(-(-(-(h * vs) // vmax)) // 8)
+        comp_grids.append((bw, bh, bw_c, bh_c))
+
+    # --- headers --------------------------------------------------------
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    zz_q = q.reshape(64)[_ZIGZAG]
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes(
+        int(x) for x in zz_q
+    )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for c in range(nc):
+        hs, vs = sampling[c]
+        out += bytes([c + 1, (hs << 4) | vs, 0])
+    for tclass, (bits, vals) in ((0x00, _PROG_DC_SPEC), (0x10, _PROG_AC_SPEC)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([tclass]) + bytes(bits) + bytes(vals)
+    dc_enc = _encode_table(*_PROG_DC_SPEC)
+    ac_enc = _encode_table(*_PROG_AC_SPEC)
+
+    def sos(comp_ids, ss, se, ah, al_):
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for c in comp_ids:
+            hdr += bytes([c + 1, 0x00])
+        return hdr + bytes([ss, se, (ah << 4) | al_])
+
+    mcux = comp_planes[0].shape[1] // (8 * sampling[0][0])
+    mcuy = comp_planes[0].shape[0] // (8 * sampling[0][1])
+
+    # --- scan 1: DC first, interleaved, point transform al --------------
+    out += sos(list(range(nc)), 0, 0, 0, al)
+    wtr = _BitWriter()
+    pred = [0] * nc
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci in range(nc):
+            hs, vs = sampling[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    dc = int(coefz[ci][my * vs + by, mx * hs + bx, 0]) >> al
+                    s, code = _magnitude(dc - pred[ci])
+                    pred[ci] = dc
+                    ln, huff = dc_enc[s]
+                    wtr.write(huff, ln)
+                    if s:
+                        wtr.write(code, s)
+    wtr.flush()
+    out += wtr.out
+
+    # --- scans 2..: AC first per component, full band, al ---------------
+    for ci in range(nc):
+        out += sos([ci], 1, 63, 0, al)
+        out += _encode_ac_first(coefz[ci], comp_grids[ci], ac_enc, 1, 63, al)
+
+    # --- DC refinement, interleaved -------------------------------------
+    out += sos(list(range(nc)), 0, 0, al, 0)
+    wtr = _BitWriter()
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci in range(nc):
+            hs, vs = sampling[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    wtr.write(
+                        int(coefz[ci][my * vs + by, mx * hs + bx, 0]) & 1, 1
+                    )
+    wtr.flush()
+    out += wtr.out
+
+    # --- AC refinement per component (Ah = al, Al = al - 1 = 0) ---------
+    for ci in range(nc):
+        out += sos([ci], 1, 63, al, 0)
+        out += _encode_ac_refine(coefz[ci], comp_grids[ci], ac_enc, 1, 63, 0)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_ac_first(cz, grid, ac_enc, ss, se, al):
+    """AC first scan (G.1.2.2): point-transformed magnitudes with run
+    lengths; all-zero bands accumulate into EOB runs."""
+    _bw, _bh, bw_c, bh_c = grid
+    wtr = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ln, huff = ac_enc[r << 4]
+            wtr.write(huff, ln)
+            if r:
+                wtr.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for u in range(bw_c * bh_c):
+        by, bx = divmod(u, bw_c)
+        band = cz[by, bx]
+        vals = [
+            (1 if band[k] > 0 else -1) * (abs(int(band[k])) >> al)
+            for k in range(ss, se + 1)
+        ]
+        nz = [j for j, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for j in range(nz[-1] + 1):
+            v = vals[j]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                ln, huff = ac_enc[0xF0]
+                wtr.write(huff, ln)
+                run -= 16
+            s, code = _magnitude(v)
+            ln, huff = ac_enc[(run << 4) | s]
+            wtr.write(huff, ln)
+            wtr.write(code, s)
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+    flush_eob()
+    wtr.flush()
+    return wtr.out
+
+
+def _encode_ac_refine(cz, grid, ac_enc, ss, se, al):
+    """AC refinement scan (G.1.2.3): newly-significant coefficients
+    emit (run, 1) + sign; already-significant ones contribute buffered
+    correction bits, emitted after the next symbol (or after the EOBn
+    that covers their blocks)."""
+    _bw, _bh, bw_c, bh_c = grid
+    ah = al + 1
+    wtr = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ln, huff = ac_enc[r << 4]
+            wtr.write(huff, ln)
+            if r:
+                wtr.write(eobrun - (1 << r), r)
+            for b in pending:
+                wtr.write(b, 1)
+            pending.clear()
+            eobrun = 0
+
+    def emit_pending():
+        for b in pending:
+            wtr.write(b, 1)
+        pending.clear()
+
+    for u in range(bw_c * bh_c):
+        by, bx = divmod(u, bw_c)
+        band = [int(cz[by, bx][k]) for k in range(ss, se + 1)]
+        newly = [
+            j
+            for j, c in enumerate(band)
+            if (abs(c) >> ah) == 0 and (abs(c) >> al) == 1
+        ]
+        if not newly:
+            eobrun += 1
+            for c in band:
+                if (abs(c) >> ah) != 0:
+                    pending.append((abs(c) >> al) & 1)
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        last_new = newly[-1]
+        for j in range(last_new + 1):
+            c = band[j]
+            if (abs(c) >> ah) != 0:  # already significant
+                pending.append((abs(c) >> al) & 1)
+                continue
+            if (abs(c) >> al) == 1:  # newly significant
+                while run >= 16:
+                    ln, huff = ac_enc[0xF0]
+                    wtr.write(huff, ln)
+                    emit_pending()
+                    run -= 16
+                ln, huff = ac_enc[(run << 4) | 1]
+                wtr.write(huff, ln)
+                wtr.write(1 if c > 0 else 0, 1)
+                emit_pending()
+                run = 0
+            else:
+                run += 1
+        if last_new < se - ss:
+            eobrun += 1
+            for c in band[last_new + 1 :]:
+                if (abs(c) >> ah) != 0:
+                    pending.append((abs(c) >> al) & 1)
+    flush_eob()
+    wtr.flush()
+    return wtr.out
+
+
 def _encode_block(writer, block, q, dc_tbl, ac_tbl, pred_dc: int) -> int:
     """Forward-DCT, quantize, and huffman-encode one 8×8 block; returns
     the new DC predictor."""
@@ -570,17 +1098,31 @@ def encode_jpeg(
     quant: np.ndarray | None = None,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode a uint8 image — (h, w) / (h, w, 1) grayscale or
-    (h, w, 3) RGB — as baseline sequential JFIF.
+    (h, w, 3) RGB — as baseline sequential JFIF, or progressive (SOF2)
+    when ``progressive=True``.
 
     ``quant`` is one 8×8 quantization table applied to every component
     (default: all ones — near-lossless, so decode(encode(x)) ≈ x within
     DCT rounding; the round-trip tests rely on this). ``subsampling``
     is ``"444"`` or ``"420"`` (2×2 box-averaged chroma);
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs. Edge padding is pixel replication, the standard
-    recommendation."""
+    MCUs (baseline only). Edge padding is pixel replication, the
+    standard recommendation.
+
+    The progressive scan script exercises every T.81 G path: DC first
+    (point transform Al=1) → per-component AC first (full band, Al=1,
+    EOB runs) → DC refinement → per-component AC refinement
+    (correction bits). Since both modes quantize identical DCT
+    coefficients, ``decode(progressive) == decode(baseline)``
+    bit-for-bit — the internal oracle the tests assert."""
+    if progressive and restart_interval:
+        raise ValueError(
+            "encode_jpeg: restart intervals are not emitted in "
+            "progressive mode"
+        )
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -656,6 +1198,10 @@ def encode_jpeg(
             pp = pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
             pp = np.rint(pp)
         comp_planes.append(pp - 128.0)
+    if progressive:
+        return _encode_progressive(
+            comp_planes, sampling, h, w, nc, q, hmax, vmax
+        )
     writer = _BitWriter()
     pred = [0] * nc
     mcux = pw // (8 * hmax)

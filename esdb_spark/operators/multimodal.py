@@ -7,11 +7,14 @@ codecs, all implemented from their published specs with stdlib + numpy
 only: a full PNG codec (:func:`decode_png_pixels` / :func:`encode_png`
 — zlib + numpy de-filtering), GIF (pure-Python LZW), 24-bit BMP
 (:func:`decode_bmp_pixels`), PCM16 WAV signal decode
-(:func:`pcm_signal_stats`), and baseline JPEG both directions
-(``operators.jpeg`` — huffman + dequant + IDCT, round-trip tested).
+(:func:`pcm_signal_stats`), and JPEG both directions — baseline AND
+progressive/SOF2 (``operators.jpeg`` — huffman + dequant + IDCT,
+spectral selection + successive approximation; progressive decode is
+bit-equal to baseline by construction).
 Nothing is stubbed; :func:`decode_pixels` raises a clear ValueError
-for formats outside those codecs' documented coverage (progressive
-JPEG, 16-bit PNG, compressed audio) rather than decoding wrongly.
+for formats outside those codecs' documented coverage
+(arithmetic-coded JPEG, palette PNG, compressed audio) rather than
+decoding wrongly.
 :func:`fake_decode_meta` remains as a deterministic stand-in for
 plumbing tests that want content-independent behavior.
 
@@ -68,7 +71,8 @@ def decode_image(content: bytes):
     if px is None:
         raise ValueError(
             "decode_image: unrecognized or unsupported image payload "
-            "(supported: PNG 8-bit, baseline JPEG, GIF, 24-bit BMP)"
+            "(supported: PNG 8/16-bit incl. Adam7, JPEG baseline + "
+            "progressive, GIF, 24-bit BMP)"
         )
     return px
 
@@ -867,11 +871,11 @@ def decode_bmp_pixels(content: bytes):
 
 def decode_pixels(content: bytes):
     """Format-sniffing real pixel decode: PNG (zlib + numpy
-    de-filtering), baseline JPEG (huffman + dequant + IDCT —
-    ``operators.jpeg``), GIF (pure-Python LZW + palette), or 24-bit
-    BMP. Returns (h, w, channels) uint8, or None for unrecognized
-    bytes; JPEG variants outside baseline raise ValueError from the
-    codec (explicit contract, never wrong pixels)."""
+    de-filtering), JPEG baseline or progressive (huffman + dequant +
+    IDCT — ``operators.jpeg``), GIF (pure-Python LZW + palette), or 24-bit
+    BMP. Returns (h, w, channels) uint8 (uint16 for 16-bit PNG), or
+    None for unrecognized bytes; variants outside the codecs' coverage
+    raise ValueError (explicit contract, never wrong pixels)."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(content)
     if content[:2] == b"\xff\xd8":

@@ -89,12 +89,57 @@ def test_non_jpeg_returns_none():
     assert decode_jpeg_pixels(b"") is None
 
 
-def test_progressive_sof_rejected():
+def test_unsupported_sof_rejected():
     enc = bytearray(encode_jpeg(_test_image(8, 8)))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    enc[i + 1] = 0xC3  # lossless sequential — genuinely unsupported
+    with pytest.raises(ValueError, match="SOF marker"):
         decode_jpeg_pixels(bytes(enc))
+
+
+# --- progressive (SOF2): full spectral selection + successive
+# --- approximation, bit-equal to the baseline decode by construction
+
+
+def test_progressive_equals_baseline_exactly():
+    """Both modes quantize identical coefficients, so the decoded
+    pixels must be bit-identical — the internal oracle that certifies
+    every progressive path (DC first/refine, AC first/refine, EOB
+    runs) end to end."""
+    for shape, sub in [
+        ((21, 34, 3), "444"),
+        ((24, 17), "444"),
+        ((37, 50, 3), "420"),
+        ((1, 1, 3), "444"),
+        ((8, 8), "444"),
+    ]:
+        img = _test_image(*shape[:2]) if len(shape) == 3 else np.random.default_rng(9).integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg_pixels(encode_jpeg(img, subsampling=sub))
+        prog = decode_jpeg_pixels(
+            encode_jpeg(img, subsampling=sub, progressive=True)
+        )
+        assert np.array_equal(base, prog), (shape, sub)
+
+
+def test_progressive_quantized_and_smooth_eobrun():
+    """A smooth quantized image drives long EOB runs (many all-zero
+    bands) through both encoder and decoder."""
+    h, w = 48, 40
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :, 0] = np.linspace(40, 200, w, dtype=np.uint8)[None, :]
+    img[:, :, 1] = 128
+    img[:, :, 2] = np.linspace(200, 40, h, dtype=np.uint8)[:, None]
+    q = np.full((8, 8), 24, int)
+    base = decode_jpeg_pixels(encode_jpeg(img, quant=q))
+    prog = decode_jpeg_pixels(encode_jpeg(img, quant=q, progressive=True))
+    assert np.array_equal(base, prog)
+    # and the progressive file is recognizably SOF2
+    assert b"\xff\xc2" in encode_jpeg(img, quant=q, progressive=True)
+
+
+def test_progressive_rejects_restart_interval():
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(_test_image(8, 8), progressive=True, restart_interval=2)
 
 
 def test_truncated_stream_raises_not_garbage():
