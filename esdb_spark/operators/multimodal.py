@@ -13,7 +13,7 @@ spectral selection + successive approximation; progressive decode is
 bit-equal to baseline by construction).
 Nothing is stubbed; :func:`decode_pixels` raises a clear ValueError
 for formats outside those codecs' documented coverage
-(arithmetic-coded JPEG, palette PNG, compressed audio) rather than
+(arithmetic-coded JPEG, sub-byte palette depths, compressed audio) rather than
 decoding wrongly.
 :func:`fake_decode_meta` remains as a deterministic stand-in for
 plumbing tests that want content-independent behavior.
@@ -746,10 +746,11 @@ def decode_png_pixels(content: bytes):
     supported PNG.
 
     Supported: 8- and 16-bit depths, color types 0 (gray), 2 (RGB),
-    4 (gray+alpha), 6 (RGBA), both non-interlaced and Adam7-interlaced
+    3 (8-bit palette — indices mapped through PLTE to RGB), 4
+    (gray+alpha), 6 (RGBA), both non-interlaced and Adam7-interlaced
     (each of the 7 passes is an independently-filtered sub-image,
     de-filtered with the same kernel and scattered back on the
-    (x0, y0, dx, dy) grid). Palette (color type 3) returns None.
+    (x0, y0, dx, dy) grid). Sub-byte palette depths return None.
     """
     import numpy as np
     import struct
@@ -758,8 +759,9 @@ def decode_png_pixels(content: bytes):
     if len(content) < 8 or content[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     w = h = None
-    channels = depth = inter = None
+    channels = depth = inter = color = None
     idat = b""
+    plte = None
     i = 8
     n = len(content)
     while i + 8 <= n:
@@ -774,9 +776,15 @@ def decode_png_pixels(content: bytes):
             )
             if depth not in (8, 16) or comp != 0 or filt != 0 or inter not in (0, 1):
                 return None
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if color == 3 and depth != 8:
+                return None  # 16-bit palette is illegal; 1/2/4-bit unsupported
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
             if channels is None:
                 return None
+        elif ctype == b"PLTE":
+            if clen % 3 or clen == 0 or clen > 768:
+                return None
+            plte = np.frombuffer(body[:clen], dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -784,6 +792,8 @@ def decode_png_pixels(content: bytes):
         i += 12 + clen
     if not (w and h and channels and idat):
         return None
+    if color == 3 and plte is None:
+        return None  # palette image without a PLTE chunk
     try:
         # cap the inflate (a corrupt/hostile stream may claim absurd
         # output); leftover input past the cap means the image would
@@ -828,6 +838,11 @@ def decode_png_pixels(content: bytes):
                 return None
             sub, pos = res
             grid[y0::dy, x0::dx, :] = sub.reshape(hp, wp, bpp)
+    if color == 3:
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("png: palette index out of range")
+        return plte[idx]  # (h, w, 3) RGB lookup
     if depth == 8:
         return out.reshape(h, w, channels)
     # 16-bit samples are big-endian byte pairs

@@ -602,3 +602,51 @@ def test_png_adam7_roundtrip():
     assert np.array_equal(
         decode_png_pixels(encode_png(img16, interlace=True)), img16
     )
+
+
+def test_png_palette_decode():
+    """Color-type-3 PNG: 8-bit indices map through PLTE to RGB
+    (round-4 coverage add; fixture hand-built from the spec)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from esdb_spark.operators.multimodal import decode_png_pixels
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    h, w = idx.shape
+
+    def chunk(ctype, body):
+        c = struct.pack(">I", len(body)) + ctype + body
+        return c + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(c) for c in palette)
+    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(h))
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    dec = decode_png_pixels(png)
+    assert dec.shape == (2, 3, 3)
+    for r in range(h):
+        for c in range(w):
+            assert tuple(dec[r, c]) == palette[idx[r, c]]
+    # out-of-range index raises the contract error
+    import pytest
+
+    bad_raw = b"\x00" + bytes([7, 0, 0]) + b"\x00" + bytes([0, 0, 0])
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(bad_raw)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette"):
+        decode_png_pixels(bad)
+    # palette image without PLTE → None, not a crash
+    noplte = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(noplte) is None
