@@ -32,6 +32,9 @@ import struct
 
 import numpy as np
 
+# reject SOF dimension claims above this (pre-allocation bomb guard)
+_MAX_PIXELS = 1 << 26
+
 # zigzag scan order -> raster index in a flat 8x8 block (T.81 fig. 5)
 _ZIGZAG = np.array(
     [
@@ -341,6 +344,16 @@ def decode_jpeg_pixels(content: bytes):
                 raise ValueError(f"jpeg: {precision}-bit precision unsupported")
             progressive = marker == 0xC2
             h, w = struct.unpack(">HH", body[1:5])
+            if h * w > _MAX_PIXELS:
+                # a corrupt/hostile SOF can claim 65535×65535 and
+                # drive multi-GiB allocations (coefficient store /
+                # spatial planes) before any entropy data is read —
+                # the same pre-allocation guard class the PNG decoder
+                # carries. 2^26 px ≈ 8K×8K, far above any fixture and
+                # big enough for real photographic content.
+                raise ValueError(
+                    "jpeg: claimed dimensions exceed the decoder limit"
+                )
             nc = body[5]
             if len(body) < 6 + 3 * nc:
                 raise ValueError("jpeg: truncated SOF component list")
@@ -845,13 +858,17 @@ def _encode_progressive(comp_planes, sampling, h, w, nc, q, hmax, vmax):
                 c2 = np.rint((_M @ block @ _M.T) / q).astype(np.int64)
                 cz[by, bx] = c2.reshape(64)[_ZIGZAG]
         coefz.append(cz)
-        hs, vs = sampling[ci]
-        # spec: non-interleaved scans cover ceil(comp_samples/8) blocks
-        # of the TRUE image size, which can be one block smaller than
-        # the MCU-padded grid (e.g. 2x2 sampling, w % 16 <= 8)
-        bw_c = -(-(-(-(w * hs) // hmax)) // 8)
-        bh_c = -(-(-(-(h * vs) // vmax)) // 8)
-        comp_grids.append((bw, bh, bw_c, bh_c))
+    # spec: non-interleaved scans cover ceil(comp_samples/8) blocks of
+    # the TRUE image size, which can be one block smaller than the
+    # MCU-padded grid (e.g. 2x2 sampling, w % 16 <= 8) — reuse the
+    # decoder's geometry so both sides share one formula
+    pseudo_frame = (
+        h, w, [(ci + 1, *sampling[ci], 0) for ci in range(nc)]
+    )
+    _, _, _, _, geo = _geometry(pseudo_frame)
+    for ci in range(nc):
+        bwf, bhf, bw_c, bh_c, *_rest = geo[ci + 1]
+        comp_grids.append((bwf, bhf, bw_c, bh_c))
 
     # --- headers --------------------------------------------------------
     out = bytearray(b"\xff\xd8")
@@ -985,15 +1002,21 @@ def _encode_ac_first(cz, grid, ac_enc, ss, se, al):
 
 
 def _encode_ac_refine(cz, grid, ac_enc, ss, se, al):
-    """AC refinement scan (G.1.2.3): newly-significant coefficients
-    emit (run, 1) + sign; already-significant ones contribute buffered
-    correction bits, emitted after the next symbol (or after the EOBn
-    that covers their blocks)."""
+    """AC refinement scan (G.1.2.3), emitted by SIMULATING the
+    decoder's consumption: the decoder reads correction bits inline
+    while traversing — a ZRL's bits are only those for significant
+    coefficients inside ITS 16-zero-history window, and the next
+    symbol's traversal picks up the rest. (An earlier revision
+    buffered ALL bits after the first ZRL, desyncing the stream on any
+    band with a ≥16-zero run followed by a significant coefficient —
+    review-found, reproduced as silently wrong pixels.) Per position:
+    'Z' = zero-history zero, 'S' = already significant (one correction
+    bit), 'N' = newly significant (symbol + sign)."""
     _bw, _bh, bw_c, bh_c = grid
     ah = al + 1
     wtr = _BitWriter()
     eobrun = 0
-    pending: list[int] = []
+    eob_bits: list[int] = []
 
     def flush_eob():
         nonlocal eobrun
@@ -1003,58 +1026,65 @@ def _encode_ac_refine(cz, grid, ac_enc, ss, se, al):
             wtr.write(huff, ln)
             if r:
                 wtr.write(eobrun - (1 << r), r)
-            for b in pending:
+            for b in eob_bits:
                 wtr.write(b, 1)
-            pending.clear()
+            eob_bits.clear()
             eobrun = 0
-
-    def emit_pending():
-        for b in pending:
-            wtr.write(b, 1)
-        pending.clear()
 
     for u in range(bw_c * bh_c):
         by, bx = divmod(u, bw_c)
         band = [int(cz[by, bx][k]) for k in range(ss, se + 1)]
-        newly = [
-            j
-            for j, c in enumerate(band)
-            if (abs(c) >> ah) == 0 and (abs(c) >> al) == 1
-        ]
+        # classify every band position the way the decoder sees it
+        cls = []  # ('Z', None) | ('S', bit) | ('N', sign_bit)
+        for c in band:
+            a = abs(c)
+            if (a >> ah) != 0:
+                cls.append(("S", (a >> al) & 1))
+            elif (a >> al) == 1:
+                cls.append(("N", 1 if c > 0 else 0))
+            else:
+                cls.append(("Z", None))
+        newly = [j for j, (t, _b) in enumerate(cls) if t == "N"]
         if not newly:
             eobrun += 1
-            for c in band:
-                if (abs(c) >> ah) != 0:
-                    pending.append((abs(c) >> al) & 1)
+            eob_bits.extend(b for t, b in cls if t == "S")
             if eobrun == 0x7FFF:
                 flush_eob()
             continue
         flush_eob()
-        run = 0
-        last_new = newly[-1]
-        for j in range(last_new + 1):
-            c = band[j]
-            if (abs(c) >> ah) != 0:  # already significant
-                pending.append((abs(c) >> al) & 1)
-                continue
-            if (abs(c) >> al) == 1:  # newly significant
-                while run >= 16:
-                    ln, huff = ac_enc[0xF0]
-                    wtr.write(huff, ln)
-                    emit_pending()
-                    run -= 16
-                ln, huff = ac_enc[(run << 4) | 1]
+        k = 0  # simulated decoder position within the band
+        for p in newly:
+            r = sum(1 for j in range(k, p) if cls[j][0] == "Z")
+            while r > 15:
+                # ZRL: decoder consumes exactly 16 zero-history
+                # positions, reading S bits encountered BEFORE the
+                # 16th zero — emit exactly those, in order
+                ln, huff = ac_enc[0xF0]
                 wtr.write(huff, ln)
-                wtr.write(1 if c > 0 else 0, 1)
-                emit_pending()
-                run = 0
-            else:
-                run += 1
-        if last_new < se - ss:
+                zcount = 0
+                while zcount < 16:
+                    t, b = cls[k]
+                    if t == "S":
+                        wtr.write(b, 1)
+                    elif t == "Z":
+                        zcount += 1
+                    k += 1
+                r -= 16
+            ln, huff = ac_enc[(r << 4) | 1]
+            wtr.write(huff, ln)
+            wtr.write(cls[p][1], 1)  # sign
+            # decoder traversal to the placement: S bits inline
+            while k < p:
+                if cls[k][0] == "S":
+                    wtr.write(cls[k][1], 1)
+                k += 1
+            k = p + 1  # placement position consumed
+        if k <= se - ss:
+            # trailing band: EOB covers it; its S bits ride the EOBn
             eobrun += 1
-            for c in band[last_new + 1 :]:
-                if (abs(c) >> ah) != 0:
-                    pending.append((abs(c) >> al) & 1)
+            eob_bits.extend(
+                cls[j][1] for j in range(k, se - ss + 1) if cls[j][0] == "S"
+            )
     flush_eob()
     wtr.flush()
     return wtr.out

@@ -60,7 +60,8 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def decode_image(content: bytes):
-    """Full pixel decode: (h, w, channels) uint8 for PNG/JPEG/GIF/BMP
+    """Full pixel decode: (h, w, channels) uint8 — uint16 for 16-bit
+    PNGs — for PNG/JPEG/GIF/BMP
     via the built-in spec codecs (see :func:`decode_pixels`). Raises
     ValueError for content no codec recognizes — the explicit contract
     that replaced the round-3 ``NotImplementedError`` stub (swap in a
@@ -934,6 +935,12 @@ def extract_image_pixel_features(df: DataFrame) -> DataFrame:
             img = None  # unsupported variant / truncated stream
         if img is None:
             return (None,) * 7
+        if img.dtype == np.uint16:
+            # 16-bit PNG samples: normalize to the 0-255 scale every
+            # other format reports, so mean/brightness columns stay
+            # unit-consistent across the corpus (review find: a lone
+            # 16-bit image would otherwise report brightness ~65535)
+            img = (img >> 8).astype(np.uint8)
         h, w, ch = img.shape
         means = img.reshape(-1, ch).mean(axis=0)
         if ch >= 3:

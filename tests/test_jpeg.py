@@ -258,3 +258,65 @@ def test_420_roundtrip_property(h, w, seed):
     y_in = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
     y_out = 0.299 * dec[..., 0] + 0.587 * dec[..., 1] + 0.114 * dec[..., 2]
     assert np.abs(y_in - y_out).max() <= 3.0
+
+
+def test_progressive_refine_zrl_with_bits_beyond_window():
+    """Bands with ≥16-zero-history runs followed by significant
+    coefficients: the refine encoder must emit correction bits
+    positionally per ZRL window, not lumped after the first ZRL
+    (review-found desync; the decoder reads bits inline while
+    traversing). Exercised through the public API with coarse
+    quantization, which produces exactly such bands."""
+    rng = np.random.default_rng(40)
+    for q in (16, 24, 32):
+        qt = np.full((8, 8), q, int)
+        for shape, sub in [((37, 50, 3), "444"), ((24, 17), "444"),
+                           ((37, 50, 3), "420")]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            base = decode_jpeg_pixels(encode_jpeg(img, subsampling=sub, quant=qt))
+            prog = decode_jpeg_pixels(
+                encode_jpeg(img, subsampling=sub, quant=qt, progressive=True)
+            )
+            assert np.array_equal(base, prog), (shape, sub, q)
+
+
+def test_progressive_refine_random_coefficient_bands():
+    """Direct refine-scan round-trip over random coefficient bands —
+    covers ZRL windows, EOB-run correction bits, and sign handling at
+    the scan layer (un-stuffed through _split_scan like the real
+    path)."""
+    import esdb_spark.operators.jpeg as J
+
+    ac_enc = J._encode_table(*J._PROG_AC_SPEC)
+    lut = J._decode_lut(
+        (tuple(J._PROG_AC_SPEC[0]), tuple(J._PROG_AC_SPEC[1]))
+    )
+    rng = np.random.default_rng(1)
+    for _ in range(300):
+        n = int(rng.integers(1, 63))
+        band = rng.choice([0, 0, 0, 0, 1, -1, 2, -2, 3, -3, 37, -40], size=n)
+        true_zz = np.zeros(64, dtype=np.int64)
+        true_zz[1 : 1 + n] = band
+        rb = bytes(
+            J._encode_ac_refine(
+                true_zz.reshape(1, 1, 64), (1, 1, 1, 1), ac_enc, 1, 63, 0
+            )
+        )
+        segs, _ = J._split_scan(rb + b"\xff\xd9")
+        coef = np.zeros((1, 1, 64), dtype=np.int32)
+        for k in range(1, 64):
+            c = int(true_zz[k])
+            coef[0, 0, J._ZIGZAG[k]] = ((1 if c > 0 else -1) * (abs(c) >> 1)) << 1
+        J._decode_ac_scan(coef, lut, 1, 63, 1, 0, 0, segs, (1, 1, 1, 1))
+        assert np.array_equal(coef[0, 0][J._ZIGZAG], true_zz)
+
+
+def test_sof_dimension_bomb_rejected():
+    """A corrupt SOF claiming 65535x65535 must raise, not attempt a
+    multi-GiB coefficient-store allocation (review-found)."""
+    for progressive in (False, True):
+        enc = bytearray(encode_jpeg(_test_image(8, 8), progressive=progressive))
+        i = enc.find(b"\xff\xc2" if progressive else b"\xff\xc0")
+        enc[i + 5 : i + 9] = (65535).to_bytes(2, "big") * 2
+        with pytest.raises(ValueError, match="decoder limit"):
+            decode_jpeg_pixels(bytes(enc))
