@@ -2222,14 +2222,17 @@ def multimodal_pixel_stats(spark, sf_dir):
 
 def multimodal_jpeg_stats(spark, sf_dir):
     """REAL JPEG decode under an exact oracle: each document becomes a
-    baseline JPEG (operators/jpeg.encode_jpeg — forward DCT + huffman)
-    of a CONSTANT gray level derived from doc_id, and the query decodes
-    it back (decode_jpeg_pixels: huffman + dequant + IDCT) to pixel
-    stats. A constant block has only a DC coefficient, which survives
-    unit-quantization DCT⁻¹ exactly, so DuckDB predicts every decoded
-    value bit-exactly — certifying the entropy decode, DC prediction
-    chain, and IDCT end-to-end. (Non-constant JPEG content is verified
-    by round-trip bounds in test_jpeg.py; it cannot be SQL-predicted
+    JPEG — BASELINE for even doc_ids, PROGRESSIVE (SOF2, full
+    successive-approximation scan script) for odd ones
+    (operators/jpeg.encode_jpeg) — of a CONSTANT gray level derived
+    from doc_id, and the query decodes it back (decode_jpeg_pixels) to
+    pixel stats. A constant block has only a DC coefficient, which
+    survives unit-quantization DCT⁻¹ exactly in BOTH modes, so DuckDB
+    predicts every decoded value bit-exactly — certifying the entropy
+    decode, DC prediction/refinement chain, and IDCT end-to-end for
+    the sequential AND progressive paths in one driver-gated row.
+    (Non-constant content is verified by the progressive==baseline
+    bit-equality tests in test_jpeg.py; it cannot be SQL-predicted
     because quantization rounding is codec-internal.)"""
     from pyspark.sql import types as T
 
@@ -2249,7 +2252,7 @@ def multimodal_jpeg_stats(spark, sf_dir):
                 side = did % 16 + 1
                 v = (did * 31) % 256
                 img = np.full((side, side), v, dtype=np.uint8)
-                out.append(encode_jpeg(img))
+                out.append(encode_jpeg(img, progressive=bool(did % 2)))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": out})
 
     media = docs.select("doc_id").mapInPandas(
