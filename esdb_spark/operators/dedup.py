@@ -904,3 +904,51 @@ def dedup_by_cluster(
         .select("id")
     )
     return df.join(drop, df[id_col] == drop["id"], "left_anti")
+
+
+def dedup_audit(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str | None = None,
+) -> DataFrame:
+    """The dedup DECISION LINEAGE: one row per dropped document —
+    (dropped_id, kept_id, cluster_id) — under the same
+    transitive-closure + keeper policy as :func:`dedup_by_cluster`
+    (min id, or argmax ``score_col``). A production pipeline keeps
+    this next to the deduped corpus: it answers "why is doc X gone
+    and which copy survived?" without re-running the dedup, and it
+    lets an incremental run re-attach new near-dups to their existing
+    keeper. Cost: the same cluster propagation, plus one keeper
+    aggregate (cluster-count-sized) — the audit rows are exactly the
+    dropped set, never the corpus."""
+    clusters = dup_clusters(pairs, id_a, id_b)
+    if score_col is None:
+        return (
+            clusters.filter(F.col("id") != F.col("cluster_id"))
+            .select(
+                F.col("id").alias("dropped_id"),
+                F.col("cluster_id").alias("kept_id"),
+                "cluster_id",
+            )
+        )
+    scores = df.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("_dq_score")
+    )
+    scored = clusters.join(scores, "id")
+    keeper = scored.groupBy("cluster_id").agg(
+        F.max_by(
+            "id",
+            F.struct(
+                F.coalesce(F.col("_dq_score"), F.lit(float("-inf"))).alias("s"),
+                (-F.col("id")).alias("nid"),
+            ),
+        ).alias("kept_id")
+    )
+    return (
+        scored.join(keeper, "cluster_id")
+        .filter(F.col("id") != F.col("kept_id"))
+        .select(F.col("id").alias("dropped_id"), "kept_id", "cluster_id")
+    )

@@ -2051,6 +2051,27 @@ def dedup_by_cluster_docs(spark, sf_dir):
     )
 
 
+def doc_dedup_audit(spark, sf_dir):
+    """Dedup decision lineage under the QUALITY-aware keeper policy:
+    (dropped_id, kept_id, cluster_id) for every document removed by
+    transitive-closure dedup of the Jaccard-0.9 graph, keeping the
+    highest-quality copy per component (operators/dedup.dedup_audit +
+    text.with_quality). Exact oracle: the recursive-CTE closure plus a
+    window keeper over the SQL-replayed quality score — certifying
+    both the closure and the argmax keeper rule."""
+    from esdb_spark.operators.dedup import dedup_audit, ngram_jaccard_pairs
+    from esdb_spark.operators.text import with_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_size=1, threshold=0.9
+    )
+    scored = with_quality(docs, "text")
+    return dedup_audit(
+        scored, pairs, "doc_id", score_col="quality_score"
+    ).orderBy("dropped_id")
+
+
 def similarity_topk(spark, sf_dir):
     """Brute-force cosine top-5 for the first 10 vectors. Output keeps
     ids + rank (ints); the cosine itself is float and stays internal."""
@@ -3266,6 +3287,53 @@ _PIPELINE_ORACLES = {
         SELECT id, min(root) AS cluster_id
         FROM reach GROUP BY id ORDER BY id
     """,
+    "doc_dedup_audit": f"""
+        WITH RECURSIVE sh AS (
+            SELECT DISTINCT doc_id AS id, unnest(list_distinct({_TOK})) AS shingle
+            FROM documents
+        ), sizes AS (
+            SELECT id, count(*) AS n FROM sh GROUP BY id
+        ), inter AS (
+            SELECT l.id AS id_a, r.id AS id_b, count(*) AS inter
+            FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.id < r.id
+            GROUP BY l.id, r.id
+        ), edges AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes na ON na.id = id_a
+            JOIN sizes nb ON nb.id = id_b
+            WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.9
+        ), sym AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION SELECT id_b, id_a FROM edges
+        ), reach(id, root) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.dst, reach.root FROM reach JOIN sym s ON s.src = reach.id
+        ), clusters AS (
+            SELECT id, min(root) AS cluster_id FROM reach GROUP BY id
+        ), q AS (
+            SELECT doc_id AS id,
+                   (
+                       CAST(length(text) BETWEEN 50 AND 20000 AS DOUBLE)
+                     + CAST((CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)/length(text) ELSE 0.0 END) <= 0.2 AS DOUBLE)
+                     + least((CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)/length(text) ELSE 0.0 END) * 1.25, 1.0)
+                     + least((CASE WHEN len({_TOK}) > 0 THEN CAST(len(list_filter({_TOK}, t -> list_contains({_STOPS}, t))) AS DOUBLE)/len({_TOK}) ELSE 0.0 END) * 10, 1.0)
+                   ) / 4.0 AS quality
+            FROM documents
+        ), ranked AS (
+            SELECT c.id, c.cluster_id, row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY q.quality DESC, c.id ASC
+                   ) AS rn
+            FROM clusters c JOIN q ON q.id = c.id
+        ), keeper AS (
+            SELECT cluster_id, id AS kept_id FROM ranked WHERE rn = 1
+        )
+        SELECT r.id AS dropped_id, k.kept_id, r.cluster_id
+        FROM ranked r JOIN keeper k ON k.cluster_id = r.cluster_id
+        WHERE r.id != k.kept_id
+        ORDER BY dropped_id
+    """,
     "dedup_by_cluster_docs": f"""
         WITH RECURSIVE sh AS (
             SELECT DISTINCT doc_id AS id, unnest(list_distinct({_TOK})) AS shingle
@@ -3999,6 +4067,7 @@ def catalog() -> dict[str, Q]:
         ("doc_unigram_jaccard_pairs", doc_unigram_jaccard_pairs),
         ("doc_dup_clusters", doc_dup_clusters),
         ("dedup_by_cluster_docs", dedup_by_cluster_docs),
+        ("doc_dedup_audit", doc_dedup_audit),
         ("doc_chunks", doc_chunks),
         ("doc_top_terms", doc_top_terms),
         ("doc_length_histogram", doc_length_histogram),

@@ -148,3 +148,29 @@ def test_null_and_ragged_vectors_degrade_to_null(spark):
     assert out[1]["cluster"] is None and out[1]["sim"] is None
     assert out[2]["cluster"] is None
     assert out[0]["cluster"] is not None and out[3]["cluster"] is not None
+
+
+def test_kmeans_assign_works_on_streams(spark, tmp_path):
+    """kmeans_assign is a stateless mapInPandas — it must compose with
+    Structured Streaming unchanged (fit offline, assign on the
+    stream)."""
+    import numpy as np
+
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    src = str(tmp_path / "vecs")
+    df.write.parquet(src)
+    cent = kmeans_fit(df, "embedding", "vec_id", k=3)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = kmeans_assign(stream, cent, "embedding", "vec_id")
+    q = (out.writeStream.format("memory").queryName("km_stream")
+         .outputMode("append").start())
+    q.processAllAvailable(); q.stop()
+    got = {r["id"]: r["cluster"] for r in spark.sql(
+        "SELECT * FROM km_stream").collect()}
+    assert len(got) == 30
+    batch = {r["id"]: r["cluster"] for r in kmeans_assign(
+        df, cent, "embedding", "vec_id").collect()}
+    assert got == batch  # stream == batch, row for row

@@ -243,3 +243,31 @@ def test_dedup_by_cluster_quality_keeper(spark):
     assert kept == [2, 4, 11]
     default = dedup_by_cluster(docs, pairs, "doc_id")
     assert sorted(r["doc_id"] for r in default.collect()) == [1, 4, 10]
+
+
+def test_dedup_audit_lineage(spark):
+    """dedup_audit emits (dropped, kept, cluster) consistent with
+    dedup_by_cluster under both keeper policies."""
+    from esdb_spark.operators.dedup import dedup_audit, dedup_by_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (10, None), (11, 0.1)],
+        "doc_id int, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+    )
+    audit = {r["dropped_id"]: r for r in dedup_audit(
+        docs, pairs, "doc_id", score_col="quality").collect()}
+    assert set(audit) == {1, 3, 10}
+    assert audit[1]["kept_id"] == 2 and audit[3]["kept_id"] == 2
+    assert audit[10]["kept_id"] == 11
+    # audit's dropped set == complement of dedup_by_cluster's kept set
+    kept = {r["doc_id"] for r in dedup_by_cluster(
+        docs, pairs, "doc_id", score_col="quality").collect()}
+    assert set(audit).isdisjoint(kept)
+    assert set(audit) | kept == {1, 2, 3, 4, 10, 11}
+    # min-id policy default
+    audit_min = {r["dropped_id"]: r["kept_id"] for r in dedup_audit(
+        docs, pairs, "doc_id").collect()}
+    assert audit_min == {2: 1, 3: 1, 11: 10}
