@@ -134,3 +134,21 @@ def test_no_inprogress_debris_after_success(spark, media_df, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("wds") / "clean")
     write_webdataset_shards(media_df, out, "sample_id", EXTS, n_shards=2)
     assert not [f for f in os.listdir(out) if "inprogress" in f]
+
+
+def test_writer_plan_single_shuffle(spark, media_df):
+    """The sink's distributed plan: ONE hash repartition on the shard
+    key, nothing else — the corpus crosses the network once."""
+    from esdb_spark.plans import shuffle_count
+    from pyspark.sql import functions as F
+
+    prepared = (
+        media_df.select("sample_id", "content")
+        .withColumn(
+            "_wds_shard",
+            F.pmod(F.xxhash64(F.col("sample_id").cast("string")), F.lit(4)).cast("int"),
+        )
+        .repartition(4, "_wds_shard")
+        .sortWithinPartitions("_wds_shard", "sample_id")
+    )
+    assert shuffle_count(prepared) == 1
