@@ -474,3 +474,39 @@ def char_bigram_lm_score(
             "lm_score"
         ),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair
+    (a ≤ b), how many DISTINCT content fingerprints appear in both —
+    the corpus-diagnostics view that tells you which feeds are
+    re-crawls of each other before you weight or dedup them (the
+    diagonal counts each source's own distinct contents).
+
+    Scale: shuffles only (md5, source) pairs, deduplicated FIRST
+    (one partial-aggregated distinct), so the self-join runs on
+    fingerprint-per-source rows, never documents; join key is the
+    16-byte fingerprint; output is |sources|² rows — metadata."""
+    fp = (
+        df.select(
+            F.md5(F.col(text_col)).alias("_fp"),
+            F.col(source_col).alias("_src"),
+        )
+        .filter(F.col("_fp").isNotNull())
+        .distinct()
+    )
+    a = fp.select(F.col("_fp"), F.col("_src").alias("source_a"))
+    b = fp.select(F.col("_fp").alias("_fp_b"), F.col("_src").alias("source_b"))
+    return (
+        a.join(
+            b,
+            (a["_fp"] == b["_fp_b"])
+            & (a["source_a"] <= b["source_b"]),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -2051,6 +2051,19 @@ def dedup_by_cluster_docs(spark, sf_dir):
     )
 
 
+def source_overlap_docs(spark, sf_dir):
+    """Cross-source duplication matrix (corpus.source_overlap_matrix):
+    distinct shared content fingerprints per source pair — which feeds
+    re-crawl each other. Exact oracle: the same distinct-then-self-join
+    in SQL."""
+    from esdb_spark.operators.corpus import source_overlap_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs, "text", "source").orderBy(
+        "source_a", "source_b"
+    )
+
+
 def doc_dedup_audit(spark, sf_dir):
     """Dedup decision lineage under the QUALITY-aware keeper policy:
     (dropped_id, kept_id, cluster_id) for every document removed by
@@ -3287,6 +3300,17 @@ _PIPELINE_ORACLES = {
         SELECT id, min(root) AS cluster_id
         FROM reach GROUP BY id ORDER BY id
     """,
+    "source_overlap_docs": """
+        WITH fp AS (
+            SELECT DISTINCT md5(text) AS f, source AS s
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT a.s AS source_a, b.s AS source_b,
+               count(*) AS n_shared
+        FROM fp a JOIN fp b ON a.f = b.f AND a.s <= b.s
+        GROUP BY a.s, b.s
+        ORDER BY source_a, source_b
+    """,
     "doc_dedup_audit": f"""
         WITH RECURSIVE sh AS (
             SELECT DISTINCT doc_id AS id, unnest(list_distinct({_TOK})) AS shingle
@@ -4068,6 +4092,7 @@ def catalog() -> dict[str, Q]:
         ("doc_dup_clusters", doc_dup_clusters),
         ("dedup_by_cluster_docs", dedup_by_cluster_docs),
         ("doc_dedup_audit", doc_dedup_audit),
+        ("source_overlap_docs", source_overlap_docs),
         ("doc_chunks", doc_chunks),
         ("doc_top_terms", doc_top_terms),
         ("doc_length_histogram", doc_length_histogram),

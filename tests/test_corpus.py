@@ -283,3 +283,20 @@ def test_corpus_token_divergence_partial_overlap(spark):
     assert r["vocab_jaccard"] == round(1 / 3, 6)
     # tf vectors (1,1,0)·(0,1,1) / (√2·√2) = 0.5
     assert r["tf_cosine"] == 0.5
+
+
+def test_source_overlap_matrix(spark):
+    from esdb_spark.operators.corpus import source_overlap_matrix
+
+    rows = [
+        (1, "shared text", "a"), (2, "shared text", "b"),
+        (3, "shared text", "b"),  # duplicate within b: counted once
+        (4, "only a", "a"), (5, "both again", "a"), (6, "both again", "b"),
+        (7, None, "a"),  # NULL text excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r["n_shared"]
+           for r in source_overlap_matrix(df).collect()}
+    assert out[("a", "b")] == 2      # shared text + both again
+    assert out[("a", "a")] == 3      # a's distinct contents
+    assert out[("b", "b")] == 2      # b's distinct contents
