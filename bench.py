@@ -4,7 +4,9 @@
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
-{name: sec}, "sf": ...}.
+{name: median sec}, "spread": {name: (max-min)/median}, "sf": ...}.
+Per-query time is the MEDIAN of 5 runs; ``spread`` flags
+noise-dominated entries (>0.3 ≈ don't trust a cross-round ratio).
 
 Headline set = the reference's four read benchmark shapes
 (BASELINE.md: point scan, index scan, top-500 of each) + bulk ingest
@@ -102,27 +104,38 @@ def main() -> None:
     cat = catalog()
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     # one warm-up pass of the first query to amortize session/JIT startup
     cat[BENCH_QUERIES[0]].fn(spark, sf_dir).count()
 
+    def record(name: str, samples: list[float]) -> None:
+        # median-of-N — the round-4 driver run drifted 1.2-1.7x on
+        # UNCHANGED queries under best-of-3, poisoning cross-round
+        # ratios; the median resists one-sided GC/load outliers and the
+        # spread field makes a noisy run self-identifying
+        samples = sorted(samples)
+        med = samples[len(samples) // 2]
+        timings[name] = round(med, 4)
+        # relative spread (max-min)/median: >0.3 means the run was
+        # noise-dominated for this query — discount its ratio
+        spread[name] = round((samples[-1] - samples[0]) / max(med, 1e-9), 3)
+
     for name in BENCH_QUERIES:
-        # best of three runs — steady-state per-query time, mirroring
-        # the reference's testing.B repeated-iteration benchmarks
-        # (three, not two: JSON-heavy queries see occasional GC pauses
-        # that can poison a pair — measured in benchmarks/scale_probe)
-        best = float("inf")
-        for _ in range(3):
+        samples = []
+        for _ in range(6):
             t0 = time.perf_counter()
             cat[name].fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        # drop the cold first run (per-query codegen/JIT) so the spread
+        # field measures steady-state variance, not warm-up
+        record(name, samples[1:])
 
-    # best-of-two, same steady-state policy as the queries (first run
-    # pays one-time JIT/codegen of the write path — measured 2.8s cold
-    # vs 0.7s warm at sf0.1)
-    timings["bulk_ingest"] = round(
-        min(bench_ingest(spark, sf_dir) for _ in range(2)), 4
-    )
+    # the write path pays one-time JIT/codegen on its first run
+    # (measured 2.8s cold vs 0.7s warm at sf0.1) — warm up once, then
+    # the same median-of-3 policy (5 would double bench wall-clock for
+    # the one filesystem-bound entry)
+    bench_ingest(spark, sf_dir)
+    record("bulk_ingest", [bench_ingest(spark, sf_dir) for _ in range(3)])
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -133,6 +146,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -118,14 +118,44 @@ def hash_sample_k(df, key: Column, k: int, seed: str = ""):
 
     Where :func:`hash_sample` fixes the sampling *rate* (row count
     varies with data size), this fixes the *count* — the "give me
-    exactly 100k eval documents" shape. Physically an ORDER BY+LIMIT,
-    which Spark executes as TakeOrderedAndProject: each partition
-    keeps a k-row heap and the driver merges k-sized heaps — no global
-    sort, no shuffle of non-winning rows, so it holds at 100 TB for
-    any k that fits on the driver."""
+    exactly 100k eval documents" shape. Physically:
+
+    - small ``k`` (≤10k): ORDER BY+LIMIT compiles to
+      TakeOrderedAndProject — per-partition k-row heaps, no global
+      sort. Cheap everywhere.
+    - larger ``k``: a bare ORDER BY+LIMIT is a scale hazard in BOTH
+      Spark regimes — under Spark 3's default
+      ``topKSortFallbackThreshold`` (10k) it silently falls back to a
+      FULL GLOBAL SORT of the input; under Spark 4's effectively
+      unbounded default it stays TakeOrdered but every partition heaps
+      and ships k rows to one merge point (partitions × k volume —
+      100M rows driver-side at 1000 partitions, k=100k). So above 10k
+      the input is first cut to ~3k expected rows by a hash-prefix
+      threshold on the same digest (the k winners all have small
+      digests, so the filter cannot lose them unless the corpus has
+      <k rows under the cutoff — verified with a count, falling back
+      to the plain sort in that vanishing case), and only the
+      surviving sliver is top-k'd. Result rows are IDENTICAL to the
+      unfiltered sort on either path, so engine-portable oracles that
+      replay ``ORDER BY md5(...) LIMIT k`` still match (EAGER: the
+      large-k path runs two count jobs at call time)."""
     if k <= 0:
         raise ValueError("hash_sample_k: k must be positive")
-    return df.orderBy(sample_key(key, seed)).limit(k)
+    sk = sample_key(key, seed)
+    if k <= 10_000:
+        return df.orderBy(sk).limit(k)
+    n = df.count()
+    if n <= 3 * k:
+        return df.orderBy(sk).limit(k)
+    # keep digests whose first-8-hex value is under p*2^32, p = 3k/n:
+    # expected survivors 3k; P(<k survivors) is Chernoff-negligible for
+    # k above the 10k threshold, and the count() below makes even that
+    # case correct rather than merely improbable
+    cutoff = format(int(3 * k / n * (1 << 32)), "08x")
+    filtered = df.filter(F.substring(sk, 1, 8) < F.lit(cutoff))
+    if filtered.count() < k:
+        return df.orderBy(sk).limit(k)
+    return filtered.orderBy(sk).limit(k)
 
 
 def hash_sample_k_per_group(

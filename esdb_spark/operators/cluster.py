@@ -36,7 +36,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from esdb_spark.functions import sample_key
+from esdb_spark.functions import hash_sample_k
 
 
 def kmeans_fit(
@@ -55,12 +55,18 @@ def kmeans_fit(
     (no direction). Deterministic in (data, seed)."""
     if k <= 0:
         raise ValueError("kmeans_fit: k must be positive")
+    # hash_sample_k, NOT a bare orderBy(...).limit(fit_sample): at
+    # 100k > the 10k top-k threshold that's either a FULL GLOBAL SORT
+    # (Spark 3 fallback) or partitions×100k heap-merge volume (Spark 4
+    # TakeOrdered) — hash_sample_k pre-filters by digest prefix so
+    # only a ~3×cap sliver is ever top-k'd
     sample_pd = (
-        df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        hash_sample_k(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            F.col("id"),
+            fit_sample,
+            str(seed),
         )
-        .orderBy(sample_key(F.col("id"), str(seed)))
-        .limit(fit_sample)
         .select("vec")
         .toPandas()
     )

@@ -319,17 +319,21 @@ def dedup_minhash_lsh(
         df, text_col, id_col, num_hashes, shingle_size, portable=portable
     )
     # The signature stage feeds both sides of the band self-join AND the
-    # estimate joins; persist it so text is tokenized+hashed once.
+    # estimate joins; materialize it so text is tokenized+hashed once.
     # Signatures are the compressed representation (128 longs per doc
     # ≈ 1 KB), orders of magnitude smaller than the corpus at scale.
-    # The count() is deliberate (EAGER, same posture as the jaccard
-    # vocabulary probe): with a lazy persist the four downstream
-    # branches launch as concurrent stages that each find the cache
-    # cold and re-run the whole tokenize+hash+aggregate pass (measured
-    # 6× wall-clock at 5k docs). One scan of the cached signatures is
-    # noise by comparison at any scale.
-    sigs = sigs.persist()
-    sigs.count()
+    # EAGER (same posture as the jaccard vocabulary probe): lazy, the
+    # four downstream branches launch as concurrent stages that each
+    # find the cache cold and re-run the whole tokenize+hash+aggregate
+    # pass (measured 6× wall-clock at 5k docs). localCheckpoint
+    # (MEMORY_AND_DISK — spills, never OOMs), not persist(): blocks
+    # release when the result is garbage-collected instead of
+    # accumulating in the cache manager across composed invocations
+    # (the round-3 leak class). Trade-off: severed lineage means an
+    # executor lost mid-query fails the job instead of recomputing —
+    # recompute here would be CORRECT (minhash is deterministic), just
+    # slow; accepted for cache hygiene, as with jaccard below.
+    sigs = sigs.localCheckpoint(eager=True)
     # Candidates FIRST, estimate second. An earlier revision fused the
     # estimate into the band self-join (zip_with over l.sig/r.sig in
     # the join output) — that forces the banded shuffle to carry the
@@ -474,12 +478,16 @@ def dedup_simhash(
     """Drop rows whose simhash is within ``max_hamming`` of a
     smaller-id row.
 
-    The (id, simhash) relation is persisted before the chunk self-join:
-    without it the 63-aggregate vote pass (a wide codegen'd plan over
-    the exploded token stream) executes once per join side. Persisting
-    costs 16 bytes/doc — the same signatures-persisted posture as
-    minhash — and cut the sf0.1 end-to-end time roughly in half."""
-    hashes = simhash(df, text_col, id_col).persist()
+    The (id, simhash) relation is materialized before the chunk
+    self-join: without it the 63-aggregate vote pass (a wide codegen'd
+    plan over the exploded token stream) executes once per join side.
+    It costs 16 bytes/doc — the same signatures-materialized posture
+    as minhash — and cut the sf0.1 end-to-end time roughly in half.
+    ``localCheckpoint`` rather than ``persist`` so the blocks release
+    with the result instead of leaking cache-manager entries (severed
+    lineage = executor loss fails the query; recompute would be
+    correct, just slow — accepted, as with minhash/jaccard)."""
+    hashes = simhash(df, text_col, id_col).localCheckpoint(eager=True)
     pairs = simhash_near_pairs(hashes, max_hamming)
     drop_ids = pairs.select(F.col("id_b").alias("id")).distinct()
     return df.join(drop_ids, df[id_col] == drop_ids["id"], "left_anti")

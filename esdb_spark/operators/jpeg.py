@@ -1,23 +1,26 @@
 """Baseline JPEG codec — numpy + stdlib only, no imaging library.
 
-Implements ITU-T T.81 baseline sequential DCT, 8-bit: the decoder
-(:func:`decode_jpeg_pixels`) covers huffman entropy decode,
-dequantization, zigzag, 8×8 IDCT, restart markers, 2:1 chroma
-upsampling, and the JFIF YCbCr→RGB transform; the encoder
-(:func:`encode_jpeg`) emits baseline 4:4:4 JFIF using the Annex K
-example huffman tables. Both directions are implemented from the
-published spec (same posture as the PNG/RFC-2083 and GIF/LZW codecs in
-``multimodal.py``) — the encoder exists chiefly so the decoder can be
-round-trip verified in an environment with no codec library, and so
-fixtures for the driver-gated pixel-stat queries can be synthesized
-deterministically.
+Implements ITU-T T.81 DCT modes, 8-bit: the decoder
+(:func:`decode_jpeg_pixels`) covers baseline sequential (SOF0) AND
+full progressive (SOF2 — spectral selection and successive
+approximation with EOB runs), huffman entropy decode, dequantization,
+zigzag, 8×8 IDCT, restart markers, 2:1/4:2:0 chroma upsampling, and
+the JFIF YCbCr→RGB transform; the encoders (:func:`encode_jpeg`,
+:func:`encode_jpeg_progressive`) emit baseline 4:4:4 and progressive
+JFIF using the Annex K example huffman tables. Both directions are
+implemented from the published spec (same posture as the
+PNG/RFC-2083 and GIF/LZW codecs in ``multimodal.py``) — the encoders
+exist chiefly so the decoder can be round-trip verified in an
+environment with no codec library, and so fixtures for the
+driver-gated pixel-stat queries can be synthesized deterministically
+(the gate row alternates baseline and progressive encodes, and
+progressive==baseline decode is asserted bit-exact).
 
 Out of scope (returns None / raises with a clear message rather than
-producing wrong pixels): progressive (SOF2), arithmetic coding,
-12-bit precision, hierarchical mode — decode parity target is the
-reference's media plumbing (media blobs are opaque bytes to the
-reference engine; SURVEY §2.7 multimodal north star), not a general
-codec library.
+producing wrong pixels): arithmetic coding, 12-bit precision,
+hierarchical mode — decode parity target is the reference's media
+plumbing (media blobs are opaque bytes to the reference engine;
+SURVEY §2.7 multimodal north star), not a general codec library.
 
 Scale note: this codec runs INSIDE Arrow-batched ``mapInPandas``
 operators (multimodal.py) — per-row Python cost is the accepted price

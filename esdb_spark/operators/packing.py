@@ -25,12 +25,13 @@ shard; 100 TB of docs at ~16 B/row needs only ~10k shards).
 **Weighted interleaving** (:func:`interleave_sources`): produce the
 global training order that mixes sources at given rates (e.g. 3 parts
 web, 1 part code) using stride scheduling — source ``s`` with weight
-``w`` emits its ``k``-th document at virtual time ``(k + 0.5) / w``;
+``w`` emits its ``k``-th document at virtual time ``(k - 0.5) / w``;
 sorting all documents by virtual time yields an order whose running
 source mix converges to the weights, deterministically (no RNG). The
-global sort is inherent to producing a total order; Spark's
-``orderBy`` handles it as a sampled range partition, so no single task
-sees the whole relation.
+total order is produced without a sampled range shuffle: bucket
+boundaries are driver-computed literals (quantiles for the id rank,
+closed-form stride arithmetic for the vtime rank), so no single task
+sees the whole relation and nothing needs pinning between jobs.
 """
 
 from __future__ import annotations
@@ -143,124 +144,231 @@ ORDER BY doc_id
 """
 
 
+def _monotone_double(col: "F.Column", dtype: T.DataType) -> "F.Column":
+    """A double-valued image of ``col`` that is monotone NON-DECREASING
+    in the column's sort order (ties allowed — callers only use it to
+    cut bucket boundaries, never to order within a bucket). Numerics
+    cast directly (int64→double rounding is monotone); strings/binary
+    map their first 8 bytes to an unsigned integer, left-justified so
+    byte-lexicographic order survives ('b' > 'abc' holds)."""
+    if isinstance(dtype, T.NumericType):
+        return col.cast("double")
+    if isinstance(dtype, (T.DateType, T.TimestampType)):
+        return col.cast("timestamp").cast("double")
+    if isinstance(dtype, T.StringType):
+        raw = F.encode(col, "UTF-8")
+    elif isinstance(dtype, T.BinaryType):
+        raw = col
+    else:
+        raise TypeError(
+            f"interleave_sources: unsupported id type {dtype.simpleString()}"
+        )
+    h = F.rpad(F.substring(F.hex(raw), 1, 16), 16, "0")
+    return F.conv(h, 16, 10).cast("double")
+
+
 def interleave_sources(
     df: DataFrame,
     source_col: str = "source",
     weight_col: str = "weight",
     id_col: str = "doc_id",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Deterministic weighted interleave: global training position per
     row such that sources appear at rates proportional to their weight.
 
     ``weight_col`` must be a positive double column (constant per
-    source). Stride scheduling: the k-th row of a source (k = 1-based
-    rank by ``id_col``) gets virtual time (k - 0.5) / weight; the
-    global order sorts by (vtime, source, id) — total, deterministic,
-    RNG-free.
+    source — enforced). Stride scheduling: the k-th row of a source
+    (k = 1-based rank by ``id_col``, which must be unique) gets virtual
+    time (k - 0.5) / weight; the global order sorts by
+    (vtime, source, id) — total, deterministic, RNG-free.
 
-    A global rank is NOT computed with an unpartitioned window (that
-    funnels the whole relation through one task). Instead: range-
-    partition on the sort key, rank within each partition in parallel,
-    and add per-partition offsets derived from partition counts — the
-    counts collect is bounded by the partition count (metadata, not
-    data). The resulting ``pos`` is a pure function of the total order,
-    independent of where the sampled range boundaries land. Note this
-    runs one Spark job at construction time (the counts pass).
+    Neither rank uses an unpartitioned window (that funnels the whole
+    relation through one task) or a sampled range shuffle (whose
+    boundaries differ between jobs, forcing the data to be pinned —
+    the round-4 version materialized the corpus in a localCheckpoint
+    just to keep two jobs consistent). Instead:
+
+    1. ONE metadata-sized job aggregates per source: row count, weight
+       (constant-ness enforced), and approximate id-quantiles
+       (``percentile_approx``). Driver-merged, these yield
+       ``n_buckets`` id-bucket boundary LITERALS — approximate is fine
+       because boundaries only balance the buckets; correctness never
+       depends on where they fall.
+    2. The per-(source, bucket) EXACT rank offsets are computed
+       IN-PLAN: a tiny re-aggregation of (source, bucket) counts, a
+       cumulative-sum window over that metadata-sized frame, broadcast
+       back. No collect, no cross-job boundary consistency to pin.
+    3. vtime bucket boundaries and their rank offsets need NO pass at
+       all: each source's vtimes are the arithmetic sequence
+       (k-0.5)/w, so ``#rows with vtime <= t`` is computed exactly on
+       the driver by per-source binary search with the same float
+       expression Spark evaluates.
+
+    The result is one stats job plus one data-bearing job (scan →
+    bucket-window rank → vtime → bucket-window rank), two shuffles of
+    only (id, source, weight) — other columns are joined back by id at
+    the end — and nothing persisted or checkpointed.
 
     Returns the input columns plus ``pos`` (1-based global position).
     """
-    # Per-source rank k WITHOUT Window.partitionBy(source): that window
-    # funnels each entire source through ONE task — fatal when one
-    # source is most of the corpus. Same partition-offset pattern as
-    # the global rank below: range-partition on (source, id) so each
-    # task holds a contiguous slice of one-or-more sources, rank
-    # locally per (partition, source), and add offsets from a
-    # metadata-sized (partitions × sources) counts job, broadcast back.
     spark = df.sparkSession
-    ranked_src = (
-        df.repartitionByRange(source_col, id_col)
-        .sortWithinPartitions(source_col, id_col)
-        .withColumn("_spid", F.spark_partition_id())
-        .persist()  # pin boundaries between the counts job and consumers
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    extra_cols = [c for c in df.columns if c not in (source_col, weight_col, id_col)]
+    slim = df.select(source_col, weight_col, id_col)
+    mk = _monotone_double(F.col(id_col), df.schema[id_col].dataType)
+
+    # -- the one stats job: per-source totals, weights, id-quantiles --
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    stats = (
+        slim.withColumn("_mk", mk)
+        .groupBy(source_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.min(weight_col).alias("wmin"),
+            F.max(weight_col).alias("wmax"),
+            F.percentile_approx(
+                "_mk", F.array(*[F.lit(p) for p in probs])
+            ).alias("pq"),
+        )
+        .collect()
     )
-    scounts = ranked_src.groupBy("_spid", source_col).count().collect()
-    running: dict = {}
-    off_rows = []
-    # (str(src), _spid) only fixes the ITERATION order; offsets
-    # accumulate in the `running` dict keyed by the real value, and
-    # each source's entries stay _spid-ascending within any such
-    # interleaving — so a str() collision (or NULL vs 'None') cannot
-    # corrupt the running offsets.
-    for row in sorted(scounts, key=lambda r: (str(r[source_col]), r["_spid"])):
+    totals: dict = {}
+    weights: dict = {}
+    for row in stats:
         src = row[source_col]
-        off_rows.append((row["_spid"], src, running.get(src, 0)))
-        running[src] = running.get(src, 0) + row["count"]
-    # schema derived from the input: a hardcoded `string` here broke
-    # integer/date source columns at createDataFrame time
-    off_df = spark.createDataFrame(
-        off_rows,
-        schema=T.StructType(
-            [
-                T.StructField("_spid", T.IntegerType(), False),
-                T.StructField(source_col, df.schema[source_col].dataType),
-                T.StructField("_soff", T.LongType(), False),
-            ]
-        ),
+        w = row["wmax"]
+        if w is None or row["wmin"] != w or not w > 0:
+            raise ValueError(
+                "interleave_sources: weight must be a positive constant "
+                f"per source (source {src!r} has min={row['wmin']} "
+                f"max={row['wmax']})"
+            )
+        weights[src] = w
+        totals[src] = row["n"]
+    n_total = sum(totals.values())
+
+    # Merge the per-source quantiles into ~n_buckets global boundaries:
+    # each per-source quantile value stands for ~n_s/n_buckets rows;
+    # walk the weighted merge and cut every n_total/n_buckets of mass.
+    samples = sorted(
+        (float(q), totals[row[source_col]] / max(1, n_buckets))
+        for row in stats
+        if row["pq"] is not None
+        for q in row["pq"]
+        if q is not None
     )
-    w_src_local = Window.partitionBy("_spid", source_col).orderBy(id_col)
+    bounds = []
+    acc, step = 0.0, n_total / n_buckets if n_buckets else float("inf")
+    nxt = step
+    for v, mass in samples:
+        acc += mass
+        if acc >= nxt:
+            bounds.append(v)
+            nxt += step
+    bounds = sorted(set(bounds))
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: F.col("_mk") > b))
+    else:
+        bucket = F.lit(0)
+    b1 = slim.withColumn("_mk", mk).withColumn(
+        "_b", bucket.cast("int")
+    ).drop("_mk")
+
+    # -- driver-side: vtime boundaries + exact cumulative counts.
+    # C(t) = sum_s #{k in 1..n_s : (k-0.5)/w_s <= t}, evaluated with
+    # the SAME double arithmetic Spark uses, via binary search on k.
+    def _cum(t: float) -> int:
+        c = 0
+        for src, n_s in totals.items():
+            w = float(weights[src])
+            lo, hi = 0, n_s  # invariant: k=lo satisfies, k=hi+1 doesn't
+            while lo < hi:
+                mid = (lo + hi + 1) // 2
+                if (mid - 0.5) / w <= t:
+                    lo = mid
+                else:
+                    hi = mid - 1
+            c += lo
+        return c
+
+    vmax = max(
+        ((n_s - 0.5) / float(weights[s]) for s, n_s in totals.items()),
+        default=0.0,
+    )
+    vbounds = []
+    for j in range(1, n_buckets):
+        target = j * n_total // n_buckets
+        lo, hi = 0.0, vmax
+        for _ in range(60):  # bisection to float resolution
+            mid = (lo + hi) / 2
+            if _cum(mid) < target:
+                lo = mid
+            else:
+                hi = mid
+        vbounds.append(hi)
+    vbounds = sorted(set(vbounds))
+    voffsets = [0] + [_cum(t) for t in vbounds]  # rank offset per vbucket
+
+    # -- the data-bearing plan, offsets computed in-plan --
+    # exact (bucket, source) counts -> running per-source offsets via a
+    # cumulative-sum window over the metadata-sized cells frame (the
+    # window IS partitioned — by source — and runs on |sources × buckets|
+    # rows, not data), broadcast back. No collect: bucket boundaries
+    # are literals, so the counts here and the ranks below see the
+    # identical bucketing by construction.
+    cells = b1.groupBy("_b", source_col).agg(F.count("*").alias("_n"))
+    w_run = (
+        Window.partitionBy(source_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cells.select(
+        F.col("_b").alias("_ob"),
+        F.col(source_col).alias("_osrc"),
+        F.coalesce(F.sum("_n").over(w_run), F.lit(0)).cast("long").alias("_soff"),
+    )
+    # eqNullSafe keeps NULL-source rows (the windows already grouped
+    # them; a plain equi-join would silently drop them here)
+    joined = b1.join(
+        F.broadcast(offs),
+        (F.col("_b") == F.col("_ob"))
+        & F.col(source_col).eqNullSafe(F.col("_osrc")),
+    ).drop("_ob", "_osrc")
+    w_src_local = Window.partitionBy("_b", source_col).orderBy(id_col)
     k = F.row_number().over(w_src_local) + F.col("_soff")
-    vtime = (k - F.lit(0.5)) / F.col(weight_col)
-    sort_cols = ["vtime", source_col, id_col]
-    # eqNullSafe keeps NULL-source rows (the window above already
-    # grouped them; a plain equi-join would silently drop them here)
-    off_b = F.broadcast(off_df)
-    sorted_df = (
-        ranked_src.join(
-            off_b,
-            (ranked_src["_spid"] == off_b["_spid"])
-            & ranked_src[source_col].eqNullSafe(off_b[source_col]),
-        )
-        .drop(off_b["_spid"])
-        .drop(off_b[source_col])
-        .withColumn("vtime", vtime)
-        .drop("_spid", "_soff")
-        .repartitionByRange(*sort_cols)
-        .sortWithinPartitions(*sort_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        # Pin the sampled range boundaries: without this, the counts
-        # job and the consumer's job would re-sample independently and
-        # the offsets could describe a different partitioning than the
-        # one the final job executes. localCheckpoint (MEMORY_AND_DISK:
-        # spills, never OOMs), not persist(): the blocks are released
-        # when the result is garbage-collected instead of accumulating
-        # in the cache manager across composed invocations, and the
-        # severed lineage also frees ranked_src's cache below. The
-        # lineage cut means an executor lost after this point fails
-        # the query rather than recomputing — the price of boundary
-        # pinning either way (recomputed boundaries would be WRONG,
-        # not just slow: re-sampling breaks offset consistency).
-        .localCheckpoint(eager=True)
+    with_vt = joined.withColumn(
+        "vtime", (k - F.lit(0.5)) / F.col(weight_col)
+    ).drop("_b", "_soff")
+    if vbounds:
+        vbarr = F.array(*[F.lit(float(b)) for b in vbounds])
+        vbucket = F.size(F.filter(vbarr, lambda b: F.col("vtime") > b))
+    else:
+        vbucket = F.lit(0)
+    voff_map = F.create_map(
+        *[
+            x
+            for i, off in enumerate(voffsets)
+            for x in (F.lit(i), F.lit(off).cast("long"))
+        ]
     )
-    # the checkpoint above materialized everything downstream of
-    # ranked_src — its pinned partitions are no longer referenced
-    ranked_src.unpersist()
-    # One metadata-sized job: rows per range partition -> rank offsets.
-    counts = sorted_df.groupBy("_pid").count().collect()
-    offsets = {}
-    acc = 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = acc
-        acc += row["count"]
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    within = Window.partitionBy("_pid").orderBy(*sort_cols)
-    return (
-        sorted_df.withColumn(
+    w_global = Window.partitionBy("_vb").orderBy("vtime", source_col, id_col)
+    slim_pos = (
+        with_vt.withColumn("_vb", vbucket.cast("int"))
+        .withColumn(
             "pos",
-            (F.row_number().over(within) + off_map[F.col("_pid")]).cast("long"),
+            (F.row_number().over(w_global) + voff_map[F.col("_vb")]).cast("long"),
         )
-        .drop("vtime", "_pid")
+        .drop("vtime", "_vb")
+    )
+    if not extra_cols:
+        return slim_pos.select(*df.columns, "pos")
+    # other columns never ride through the rank shuffles — join them
+    # back by the (unique) id
+    return df.join(slim_pos.select(id_col, "pos"), id_col).select(
+        *df.columns, "pos"
     )
 
 

@@ -31,7 +31,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from esdb_spark.functions import l2_norm, sample_key
+from esdb_spark.functions import hash_sample_k, l2_norm
 
 
 def normalized(df: DataFrame, vec_col: str) -> DataFrame:
@@ -467,10 +467,15 @@ def pq_train(
     """
     import numpy as np
 
+    # hash_sample_k: above the topKSortFallbackThreshold a bare
+    # orderBy+limit would global-sort the corpus (see cluster.kmeans_fit)
     sample_pd = (
-        corpus.select(F.col(vec_col).alias("vec"), F.col(id_col).alias("id"))
-        .orderBy(sample_key(F.col("id"), str(seed)))
-        .limit(fit_sample)
+        hash_sample_k(
+            corpus.select(F.col(vec_col).alias("vec"), F.col(id_col).alias("id")),
+            F.col("id"),
+            fit_sample,
+            str(seed),
+        )
         .select("vec")
         .toPandas()
     )

@@ -174,3 +174,27 @@ def test_kmeans_assign_works_on_streams(spark, tmp_path):
     batch = {r["id"]: r["cluster"] for r in kmeans_assign(
         df, cent, "embedding", "vec_id").collect()}
     assert got == batch  # stream == batch, row for row
+
+
+def test_fit_sample_never_global_sorts_the_corpus(spark):
+    """kmeans_fit/pq sample via hash_sample_k: above the 10k
+    topKSortFallbackThreshold a bare orderBy+limit compiles to a FULL
+    GLOBAL SORT of the input (verdict r4 #3). The large-k path must
+    instead sort only a digest-prefix sliver, and must return the
+    IDENTICAL rows (engine-portable oracles replay the unfiltered
+    ORDER BY md5 LIMIT k)."""
+    from pyspark.sql import functions as F
+
+    from esdb_spark.functions import hash_sample_k, sample_key
+
+    df = spark.range(40_000).select(F.col("id").alias("doc_id"))
+    k = 12_000  # > threshold (large-k path), 3k < 40k (filter engages)
+    sampled = hash_sample_k(df, F.col("doc_id"), k, seed="s")
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    # the sort's input is the prefix-filtered sliver, not the corpus
+    assert "substring(md5" in plan, plan
+    assert "Filter" in plan, plan
+    naive = df.orderBy(sample_key(F.col("doc_id"), "s")).limit(k)
+    got = sorted(r["doc_id"] for r in sampled.collect())
+    want = sorted(r["doc_id"] for r in naive.collect())
+    assert got == want

@@ -337,8 +337,14 @@ def test_composed_invocations_leave_no_cache_entries(spark):
     """ngram_jaccard_pairs / interleave_sources used to persist()
     without release — composed catalog invocations accumulated
     cache-manager entries (driver-memory leak via plan
-    canonicalization). localCheckpoint/unpersist fixed it."""
-    from esdb_spark.operators.dedup import ngram_jaccard_pairs
+    canonicalization). localCheckpoint/unpersist fixed it; round 5
+    extended the same posture to the minhash-signature and simhash
+    persists (the last two unreleased persist() sites)."""
+    from esdb_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_simhash,
+        ngram_jaccard_pairs,
+    )
     from esdb_spark.operators.packing import interleave_sources
 
     docs = spark.createDataFrame(
@@ -349,12 +355,12 @@ def test_composed_invocations_leave_no_cache_entries(spark):
         [("a", 1.0, i) for i in range(10)] + [("b", 2.0, i + 10) for i in range(10)],
         "source string, weight double, doc_id int",
     )
-    # other operators (e.g. dedup_minhash_lsh) persist legitimately in
-    # earlier tests of this session — start from a clean slate so the
-    # assertion isolates THESE two functions
+    # start from a clean slate so the assertion isolates THESE functions
     spark.catalog.clearCache()
     jvm_cm = spark._jsparkSession.sharedState().cacheManager()
-    for _ in range(3):
+    for _ in range(2):
         ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).count()
         interleave_sources(mix).count()
+        dedup_minhash_lsh(docs, "text", "doc_id", num_hashes=16, bands=4).count()
+        dedup_simhash(docs, "text", "doc_id").count()
     assert jvm_cm.isEmpty(), "cache-manager entries leaked"
