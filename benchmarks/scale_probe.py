@@ -404,3 +404,66 @@ print(json.dumps({
         for k in small_iter if k != "rows"
     },
 }, indent=1))
+
+
+# ---------------------------------------------------------------------------
+# Data movers at 100x (round-5 probe): weighted interleave + tar-shard sink
+# ---------------------------------------------------------------------------
+
+def mover_shapes(n):
+    """The two operators that *move* the corpus (round-4 verdict #7):
+    interleave_sources (two slim-column rank shuffles, driver-literal
+    boundaries) and write_webdataset_shards (one hash shuffle + per-row
+    tar write). Inputs synthesized from spark.range; payloads are 16 B
+    so the tar probe measures the writer loop + tar framing, not disk
+    bandwidth (tar's 1 KiB/member floor dominates bytes at this size).
+    """
+    from esdb_spark.operators.packing import interleave_sources
+    from esdb_spark.sources.webdataset import write_webdataset_shards
+
+    out = {}
+
+    def run(name, fn):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 2)
+
+    rows = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias("source"),
+        (F.lit(1.0) + (F.col("id") % 20) % 3).alias("weight"),
+        F.substring(F.md5(F.col("id").cast("string")), 1, 16)
+        .cast("binary").alias("content"),
+    ).localCheckpoint(eager=True)  # pin the generator: measure the movers
+
+    run("interleave", lambda: interleave_sources(
+        rows.drop("content"), "source", "weight", "doc_id"
+    ).agg(F.max("pos")).collect())
+
+    def _wds():
+        out_dir = f"/tmp/esdb_scale/wds_probe_{n}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        write_webdataset_shards(
+            rows, out_dir, "doc_id", {"content": "bin"},
+            n_shards=max(16, n // 250_000),
+        )
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    run("webdataset_write", _wds)
+    out["rows"] = n
+    return out
+
+
+small_mv = mover_shapes(100_000)
+big_mv = mover_shapes(10_000_000)
+print(json.dumps({
+    "movers_100k": small_mv,
+    "movers_10m": big_mv,
+    "mover_ratios_100x_rows": {
+        k: round(big_mv[k] / max(small_mv[k], 0.01), 1)
+        for k in small_mv if k != "rows"
+    },
+}, indent=1))

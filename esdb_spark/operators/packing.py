@@ -167,6 +167,25 @@ def _monotone_double(col: "F.Column", dtype: T.DataType) -> "F.Column":
     return F.conv(h, 16, 10).cast("double")
 
 
+def _bucket_expr(col: "F.Column", bounds: list[float]) -> "F.Column":
+    """``#{b in bounds : col > b}`` as a SUM OF COMPARISONS, not
+    ``size(filter(lit_array, x -> col > x))``: a higher-order function
+    hides the lambda body's column references from Catalyst's
+    constraint propagation, and when the aliased bucket later feeds a
+    join key, InferFiltersFromConstraints pushes the (apparently
+    column-free) expression onto the OTHER join side — an unbindable
+    ``!Filter`` that fails with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at
+    execution. Plain comparisons keep the reference set honest; at the
+    bucket counts used here (≈ shuffle partitions) the expression is a
+    short codegen'd add chain."""
+    if not bounds:
+        return F.lit(0)
+    e = F.lit(0)
+    for b in bounds:
+        e = e + F.when(col > F.lit(float(b)), 1).otherwise(0)
+    return e
+
+
 def interleave_sources(
     df: DataFrame,
     source_col: str = "source",
@@ -195,17 +214,18 @@ def interleave_sources(
        ``n_buckets`` id-bucket boundary LITERALS — approximate is fine
        because boundaries only balance the buckets; correctness never
        depends on where they fall.
-    2. The per-(source, bucket) EXACT rank offsets are computed
-       IN-PLAN: a tiny re-aggregation of (source, bucket) counts, a
-       cumulative-sum window over that metadata-sized frame, broadcast
-       back. No collect, no cross-job boundary consistency to pin.
+    2. one metadata-sized job collects exact (source, bucket) counts;
+       their running sums re-enter the plan as broadcast-joined
+       literals — the per-source rank offsets. Boundaries being
+       literals, this job and the final job see identical bucketing:
+       no cross-job consistency to pin.
     3. vtime bucket boundaries and their rank offsets need NO pass at
        all: each source's vtimes are the arithmetic sequence
        (k-0.5)/w, so ``#rows with vtime <= t`` is computed exactly on
        the driver by per-source binary search with the same float
        expression Spark evaluates.
 
-    The result is one stats job plus one data-bearing job (scan →
+    The result is two metadata jobs plus one data-bearing job (scan →
     bucket-window rank → vtime → bucket-window rank), two shuffles of
     only (id, source, weight) — other columns are joined back by id at
     the end — and nothing persisted or checkpointed.
@@ -268,13 +288,8 @@ def interleave_sources(
             bounds.append(v)
             nxt += step
     bounds = sorted(set(bounds))
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        bucket = F.size(F.filter(barr, lambda b: F.col("_mk") > b))
-    else:
-        bucket = F.lit(0)
     b1 = slim.withColumn("_mk", mk).withColumn(
-        "_b", bucket.cast("int")
+        "_b", _bucket_expr(F.col("_mk"), bounds).cast("int")
     ).drop("_mk")
 
     # -- driver-side: vtime boundaries + exact cumulative counts.
@@ -312,41 +327,51 @@ def interleave_sources(
     vbounds = sorted(set(vbounds))
     voffsets = [0] + [_cum(t) for t in vbounds]  # rank offset per vbucket
 
-    # -- the data-bearing plan, offsets computed in-plan --
-    # exact (bucket, source) counts -> running per-source offsets via a
-    # cumulative-sum window over the metadata-sized cells frame (the
-    # window IS partitioned — by source — and runs on |sources × buckets|
-    # rows, not data), broadcast back. No collect: bucket boundaries
-    # are literals, so the counts here and the ranks below see the
-    # identical bucketing by construction.
-    cells = b1.groupBy("_b", source_col).agg(F.count("*").alias("_n"))
-    w_run = (
-        Window.partitionBy(source_col)
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = cells.select(
-        F.col("_b").alias("_ob"),
-        F.col(source_col).alias("_osrc"),
-        F.coalesce(F.sum("_n").over(w_run), F.lit(0)).cast("long").alias("_soff"),
+    # -- exact (bucket, source) counts -> per-source rank offsets.
+    # A metadata-sized collect (|sources × buckets| rows), re-entering
+    # the plan as a createDataFrame with FRESH attribute ids. An
+    # in-plan formulation (cumsum window over the cells re-aggregation,
+    # self-joined back) was tried and reverted: the offs subtree shares
+    # b1's expression ids, and Catalyst's column pruning mis-bound the
+    # shared attributes under an aggregate consumer
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) — literal offsets make the
+    # counts and the ranks below agree by construction, with no
+    # cross-branch id sharing at all. Bucket boundaries are literals,
+    # so this job and the final job see identical bucketing.
+    cells = b1.groupBy(source_col, "_b").count().collect()
+    running: dict = {}
+    off_rows = []
+    # (str(src), _b) only fixes the ITERATION order; offsets accumulate
+    # in a dict keyed by the real value, and each source's entries stay
+    # _b-ascending within any such interleaving — so a str() collision
+    # (or NULL vs 'None') cannot corrupt the running offsets.
+    for row in sorted(cells, key=lambda r: (str(r[source_col]), r["_b"])):
+        src = row[source_col]
+        off_rows.append((row["_b"], src, running.get(src, 0)))
+        running[src] = running.get(src, 0) + row["count"]
+    off_df = spark.createDataFrame(
+        off_rows,
+        schema=T.StructType(
+            [
+                T.StructField("_ob", T.IntegerType(), False),
+                T.StructField("_osrc", df.schema[source_col].dataType),
+                T.StructField("_soff", T.LongType(), False),
+            ]
+        ),
     )
     # eqNullSafe keeps NULL-source rows (the windows already grouped
     # them; a plain equi-join would silently drop them here)
     joined = b1.join(
-        F.broadcast(offs),
-        (F.col("_b") == F.col("_ob"))
-        & F.col(source_col).eqNullSafe(F.col("_osrc")),
+        F.broadcast(off_df),
+        (b1["_b"] == off_df["_ob"])
+        & b1[source_col].eqNullSafe(off_df["_osrc"]),
     ).drop("_ob", "_osrc")
     w_src_local = Window.partitionBy("_b", source_col).orderBy(id_col)
     k = F.row_number().over(w_src_local) + F.col("_soff")
     with_vt = joined.withColumn(
         "vtime", (k - F.lit(0.5)) / F.col(weight_col)
     ).drop("_b", "_soff")
-    if vbounds:
-        vbarr = F.array(*[F.lit(float(b)) for b in vbounds])
-        vbucket = F.size(F.filter(vbarr, lambda b: F.col("vtime") > b))
-    else:
-        vbucket = F.lit(0)
+    vbucket = _bucket_expr(F.col("vtime"), vbounds)
     voff_map = F.create_map(
         *[
             x

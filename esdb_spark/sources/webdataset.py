@@ -30,10 +30,18 @@ Scale design:
   parallelism is free and no shuffle is needed to regroup samples
   (members of a sample are adjacent within one tar).
 
-Paths are POSIX-visible filesystem paths (local disk, NFS, fuse
-mounts): ``tarfile`` needs seekable file objects, which is exactly how
-webdataset shards are produced everywhere. Object-store output goes
-through a mounted path or a post-upload step.
+Paths are scheme-qualified or plain POSIX: driver-side metadata
+(shard listing, manifest existence/commit) goes through the Hadoop
+FileSystem API (``esdb_spark.fs`` — HDFS/S3A/file all resolve from the
+active Hadoop conf), and executor-side tar bytes stream through
+``pyarrow.fs`` (executors have no JVM gateway, and Arrow's C++
+filesystems speak the same ``file://``/``s3://``/``hdfs://`` schemes).
+Local behavior is unchanged — ``file://`` and bare paths take the
+identical code path a cluster would use. One caveat inherited from
+object stores: the rename that commits a finished shard is atomic on
+POSIX/HDFS but copy+delete on S3-like stores — the manifest is still
+written last, so readers keyed on ``_MANIFEST.json`` never see a
+partial corpus.
 """
 
 from __future__ import annotations
@@ -41,10 +49,19 @@ from __future__ import annotations
 import io
 import json
 import os
+import posixpath
 import tarfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
+
+from esdb_spark import fs as _hfs
+
+
+def _join(path: str, name: str) -> str:
+    """URI-safe child path (os.path.join would break on scheme URIs
+    under Windows-style semantics; shard layouts always use '/')."""
+    return path.rstrip("/") + "/" + name
 
 
 def _json_default(o):
@@ -96,9 +113,10 @@ def write_webdataset_shards(
             raise ValueError(f"write_webdataset_shards: missing column {c!r}")
     if not ext_cols:
         raise ValueError("write_webdataset_shards: ext_cols is empty")
-    if os.path.exists(os.path.join(out_path, "_MANIFEST.json")):
+    spark = df.sparkSession
+    if _hfs.exists(spark, _join(out_path, "_MANIFEST.json")):
         raise FileExistsError(f"webdataset at {out_path} already exists")
-    os.makedirs(out_path, exist_ok=True)
+    _hfs.mkdirs(spark, out_path)
     order = order_col or key_col
     exts = dict(ext_cols)
 
@@ -114,43 +132,60 @@ def write_webdataset_shards(
         import uuid
 
         import pandas as pd
+        import pyarrow.fs as pafs
 
+        # Executors have no JVM gateway, so the byte path is pyarrow's
+        # C++ filesystem resolved from the same URI the driver checked
+        # via Hadoop — file://, s3://, hdfs:// (and bare paths) all
+        # stream through the identical code path.
+        afs, root = pafs.FileSystem.from_uri(out_path)
         # Tar handles stay open ACROSS Arrow batches of this partition
         # (a shard's rows can span batches); memory is bounded by one
-        # batch — the tar writer streams to disk. Each attempt writes
-        # to its own temp name and atomically renames on success —
+        # batch — the tar writer streams to the output stream (tarfile
+        # '|' stream mode: sequential writes only, no seeks — exactly
+        # what object-store streams support). Each attempt writes to
+        # its own temp name and rename-promotes on success —
         # task-commit isolation, so a speculative or retried attempt
         # can never interleave bytes into a final shard (last completed
         # attempt wins whole, and both attempts produce identical
         # bytes by the determinism contract).
         attempt = uuid.uuid4().hex
         tars: dict[int, tarfile.TarFile] = {}
-        tmp_paths: dict[int, str] = {}
+        streams: dict = {}
+        tmp_names: dict[int, str] = {}
         counts: dict[int, int] = {}
         ok = False
         try:
+            col_exts = list(exts.items())
             for pdf in batches:
-                for _, row in pdf.iterrows():
-                    key = row[key_col]
+                # column-wise zip, not iterrows(): iterrows builds a
+                # Series per row (~100 µs) — 30-50x the cost of the
+                # actual tar write for small members
+                cols = [pdf[c] for c, _ in col_exts]
+                for key, shard, *vals in zip(
+                    pdf[key_col], pdf["_wds_shard"], *cols
+                ):
                     if pd.isna(key):
                         raise ValueError(
                             "write_webdataset_shards: NULL sample key — "
                             "keys name tar members and must be non-null"
                         )
-                    shard = int(row["_wds_shard"])
+                    shard = int(shard)
                     tf = tars.get(shard)
                     if tf is None:
-                        tmp = os.path.join(
-                            out_path,
+                        tmp = posixpath.join(
+                            root,
                             f".shard-{shard:06d}.tar.{attempt}.inprogress",
                         )
-                        tf = tarfile.open(tmp, "w")
+                        stream = afs.open_output_stream(tmp)
+                        tf = tarfile.open(fileobj=stream, mode="w|")
                         tars[shard] = tf
-                        tmp_paths[shard] = tmp
+                        streams[shard] = stream
+                        tmp_names[shard] = tmp
                         counts[shard] = 0
                     base = str(key).zfill(9)
-                    for col, ext in exts.items():
-                        payload = _to_bytes(row[col], ext)
+                    for (_, ext), value in zip(col_exts, vals):
+                        payload = _to_bytes(value, ext)
                         info = tarfile.TarInfo(name=f"{base}.{ext}")
                         info.size = len(payload)
                         info.mtime = 0
@@ -158,17 +193,18 @@ def write_webdataset_shards(
                     counts[shard] += 1
             ok = True
         finally:
-            for tf in tars.values():
+            for shard, tf in tars.items():
                 tf.close()
+                streams[shard].close()
             if ok:
-                for shard, tmp in tmp_paths.items():
-                    os.replace(
-                        tmp, os.path.join(out_path, f"shard-{shard:06d}.tar")
+                for shard, tmp in tmp_names.items():
+                    afs.move(
+                        tmp, posixpath.join(root, f"shard-{shard:06d}.tar")
                     )
             else:  # failed attempt leaves no debris
-                for tmp in tmp_paths.values():
+                for tmp in tmp_names.values():
                     try:
-                        os.remove(tmp)
+                        afs.delete_file(tmp)
                     except OSError:
                         pass
         yield pd.DataFrame(
@@ -191,8 +227,13 @@ def write_webdataset_shards(
         "extensions": exts,
         "key_col": key_col,
     }
-    with open(os.path.join(out_path, "_MANIFEST.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    # manifest LAST — readers keyed on its existence never see a
+    # partially-committed corpus (Hadoop FS create is scheme-agnostic)
+    _hfs.touch(
+        spark,
+        _join(out_path, "_MANIFEST.json"),
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
     return manifest
 
 
@@ -224,6 +265,7 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
 
     def unpack(batches):
         import pandas as pd
+        import pyarrow.fs as pafs
 
         flush_every = 256  # samples per emitted Arrow batch
         for pdf in batches:
@@ -238,7 +280,12 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                     keys.append(base.lstrip("0") or "0")
                     files.append(fmap)
 
-                with tarfile.open(p, "r") as tf:
+                # pyarrow input file: seekable random-access stream for
+                # any scheme the writer supports (see write side)
+                afs, fpath = pafs.FileSystem.from_uri(p)
+                with afs.open_input_file(fpath) as raw, tarfile.open(
+                    fileobj=raw, mode="r"
+                ) as tf:
                     cur_base, cur_files = None, {}
                     for m in tf:  # streaming iteration, member at a time
                         base, _, ext = m.name.rpartition(".")
@@ -259,12 +306,13 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                         {"shard": shards, "key": keys, "files": files}
                     )
 
+    # shard listing is driver-side metadata — Hadoop FS, not os.listdir
     names = sorted(
-        f
-        for f in os.listdir(path)
-        if f.startswith("shard-") and f.endswith(".tar")
+        name
+        for name, is_dir in _hfs.list_dir(spark, path)
+        if not is_dir and name.startswith("shard-") and name.endswith(".tar")
     )
     paths_df = spark.createDataFrame(
-        [(os.path.join(path, f),) for f in names], "path string"
+        [(_join(path, f),) for f in names], "path string"
     ).repartition(max(len(names), 1))
     return paths_df.mapInPandas(unpack, out_schema)

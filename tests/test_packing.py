@@ -171,3 +171,17 @@ def test_with_temperature_weight_broadcast_join(spark):
 
     with pytest.raises(ValueError, match="already exists"):
         with_temperature_weight(out, "source")
+
+
+def test_interleave_checkpointed_input(spark):
+    """Regression (round 5): the in-plan offsets self-join resolved
+    ambiguously when the input was a checkpointed frame
+    (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at bind time) — qualified
+    aliases in the join condition fix it. Checkpointed inputs are the
+    common composed shape (scale probe, pipeline stages)."""
+    rows = [(i, f"src{i % 3}", 1.0 + (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, weight double"
+    ).localCheckpoint(eager=True)
+    out = interleave_sources(df, "source", "weight", "doc_id").toPandas()
+    assert sorted(out["pos"]) == list(range(1, 61))

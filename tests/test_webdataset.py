@@ -152,3 +152,34 @@ def test_writer_plan_single_shuffle(spark, media_df):
         .sortWithinPartitions("_wds_shard", "sample_id")
     )
     assert shuffle_count(prepared) == 1
+
+
+def test_scheme_qualified_paths_roundtrip(spark, media_df, tmp_path_factory):
+    """Verdict r4 #5: shard IO must work through filesystem APIs, not
+    bare POSIX calls — write and read via a file:// URI (local FS
+    through the Hadoop/pyarrow scheme machinery, the same code path a
+    cluster's hdfs:///s3:// takes) and get byte-identical content to
+    the POSIX-path write."""
+    base = tmp_path_factory.mktemp("wds")
+    uri_out = "file://" + str(base / "via_uri")
+    posix_out = str(base / "via_posix")
+    m1 = write_webdataset_shards(media_df, uri_out, "sample_id", EXTS, n_shards=4)
+    m2 = write_webdataset_shards(media_df, posix_out, "sample_id", EXTS, n_shards=4)
+    assert m1 == m2
+    # the URI write landed real local files, byte-identical to POSIX's
+    for name in sorted(m1["samples_per_shard"]):
+        t = f"shard-{int(name):06d}.tar"
+        with open(str(base / "via_uri" / t), "rb") as a, open(
+            str(base / "via_posix" / t), "rb"
+        ) as b:
+            assert a.read() == b.read()
+    # read back THROUGH the URI
+    rows = {
+        r["key"]: r["files"]
+        for r in read_webdataset(spark, uri_out).collect()
+    }
+    assert len(rows) == 40
+    assert rows["7"]["txt"] == b"caption 7"
+    # overwrite refusal also goes through the scheme-aware check
+    with pytest.raises(FileExistsError):
+        write_webdataset_shards(media_df, uri_out, "sample_id", EXTS)
