@@ -248,6 +248,7 @@ def quantile_rollup(
     key_cols: list[str],
     probs: tuple[float, ...] = (0.25, 0.5, 0.75),
     accuracy: int = 10000,
+    exact: bool = False,
 ) -> DataFrame:
     """Per-key approximate quantiles: (key_cols..., q<pp> double ...)
     via ``percentile_approx`` — Spark's Greenwald-Khanna-style sketch,
@@ -262,9 +263,21 @@ def quantile_rollup(
     Estimates are data-deterministic up to sketch merge order, so gate
     queries exposing raw estimates are rows-only; the error bound vs
     exact quantiles is asserted in test_sketches.py.
+
+    ``exact=True`` swaps the sketch for Spark's exact interpolated
+    ``percentile`` aggregate — a sort-based per-group pass whose
+    interpolation is bit-identical to DuckDB ``quantile_cont``
+    (verified; see ``median_value_by_type``), making the rollup
+    oracle-exact. Use it when groups fit an aggregation buffer; the
+    sketch remains the 100 TB default.
     """
+    agg_fn = (
+        (lambda c, p: F.percentile(c, p))
+        if exact
+        else (lambda c, p: F.percentile_approx(c, p, accuracy))
+    )
     aggs = [
-        F.percentile_approx(F.col(value_col), float(p), accuracy)
+        agg_fn(F.col(value_col), float(p))
         .cast("double")
         .alias(f"q{int(round(p * 100)):02d}")
         for p in probs

@@ -1,0 +1,168 @@
+"""Incremental corpus versioning: snapshot MERGE (upsert + delete)
+and change accounting.
+
+A training corpus is rebuilt continuously — recrawls update documents,
+takedowns delete them, new sources append. The reference engine is
+append-only (writer.go builds immutable archives; nothing in its
+surface rewrites), so this is a §2.7 pipeline operator with no
+reference analog: the MERGE INTO shape (warehouse upsert) applied to
+corpus snapshots, composing with the incremental-dedup operators
+(``corpus.dedup_against``, ``bloom.dedup_against_bloom``) that decide
+WHAT goes into the update set.
+
+Semantics are deliberately engine-portable (exact DuckDB oracle):
+
+- ``merge_snapshot``: updates-wins upsert. A base row survives iff its
+  id is absent from the updates; update rows marked deleted remove the
+  id entirely; everything else from the updates enters as-is. With a
+  ``version_col``, the max-version update row wins per id (ties break
+  to the LARGEST row hash, so the result is a pure function of the
+  data, never of partitioning).
+- ``merge_stats``: the change summary a pipeline logs per corpus
+  release — added / updated / unchanged / deleted counts, where
+  "unchanged" is decided by an md5 row fingerprint over the compared
+  columns (portable across engines).
+
+Scale: one hash shuffle per side on the id (SMJ/anti-join); Catalyst
+broadcasts the updates when small — the common incremental case: a
+day's recrawl against a 100 TB base never moves the base. Neither
+function collects anything; stats output is 1 row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _row_fp(cols: list[str]) -> "F.Column":
+    """Portable row fingerprint: md5 over '|'-joined string casts with
+    an explicit NULL sentinel (concat_ws silently drops NULLs, which
+    would collide ('a', NULL) with ('a', ''))."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols
+    ]
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def merge_snapshot(
+    base: DataFrame,
+    updates: DataFrame,
+    id_col: str,
+    deleted_col: str | None = None,
+    version_col: str | None = None,
+) -> DataFrame:
+    """Next corpus snapshot: ``updates`` rows replace same-id ``base``
+    rows, deleted ids drop out, new ids append. Returns ``base``'s
+    columns exactly.
+
+    ``updates`` may carry multiple rows per id only when
+    ``version_col`` is given (max version wins; ties by row
+    fingerprint, so the winner is data-deterministic). ``deleted_col``
+    (boolean) marks tombstones — a deleted winner removes the id even
+    if older update rows also touched it. NULL ``deleted_col`` means
+    not deleted; a NULL id is rejected nowhere but matches only NULL
+    ids via the anti-join's null-safe semantics below.
+    """
+    out_cols = list(base.columns)
+    for c in [id_col, *([deleted_col] if deleted_col else []),
+              *([version_col] if version_col else [])]:
+        if c not in updates.columns:
+            raise ValueError(f"merge_snapshot: updates missing column {c!r}")
+    upd = updates
+    if version_col is not None:
+        # one winner per id: greatest (version, fingerprint) — the
+        # fingerprint tiebreak keeps the result a pure function of the
+        # data when two update rows share the max version
+        payload_cols = [c for c in upd.columns]
+        winner_key = F.struct(
+            F.col(version_col).alias("v"),
+            _row_fp(payload_cols).alias("fp"),
+        )
+        upd = (
+            upd.groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in upd.columns if c != id_col]),
+                    winner_key,
+                ).alias("_w")
+            )
+            .select(
+                id_col,
+                *[
+                    F.col(f"_w.{c}").alias(c)
+                    for c in upd.columns
+                    if c != id_col
+                ],
+            )
+        )
+    # base rows whose id the updates touch (update OR tombstone) drop;
+    # null-safe so a NULL-id update row shadows NULL-id base rows
+    # rather than silently keeping both
+    upd_ids = upd.select(F.col(id_col).alias("_mid")).distinct()
+    kept = base.join(
+        upd_ids, base[id_col].eqNullSafe(upd_ids["_mid"]), "left_anti"
+    )
+    live = upd
+    if deleted_col is not None:
+        live = live.filter(
+            ~F.coalesce(F.col(deleted_col), F.lit(False))
+        )
+    missing = [c for c in out_cols if c not in live.columns]
+    if missing:
+        raise ValueError(
+            f"merge_snapshot: updates missing base columns {missing}"
+        )
+    return kept.unionByName(live.select(*out_cols))
+
+
+def merge_stats(
+    base: DataFrame,
+    updates: DataFrame,
+    id_col: str,
+    compare_cols: list[str] | None = None,
+    deleted_col: str | None = None,
+) -> DataFrame:
+    """One-row change summary for a corpus release:
+    (n_added, n_updated, n_unchanged, n_deleted, n_untouched).
+
+    added = update id absent from base; deleted = tombstoned id present
+    in base; updated/unchanged split by the md5 fingerprint of
+    ``compare_cols`` (default: all shared non-id columns). Requires
+    unique ids per side (corpus snapshots are keyed); a full outer
+    null-safe join on the id is the whole plan.
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c
+            for c in base.columns
+            if c != id_col and c in updates.columns and c != deleted_col
+        ]
+    b = base.select(
+        F.col(id_col).alias("_bid"), _row_fp(compare_cols).alias("_bfp")
+    )
+    tomb = (
+        F.coalesce(F.col(deleted_col), F.lit(False))
+        if deleted_col is not None
+        else F.lit(False)
+    )
+    u = updates.select(
+        F.col(id_col).alias("_uid"),
+        _row_fp(compare_cols).alias("_ufp"),
+        tomb.alias("_del"),
+    )
+    j = b.join(u, b["_bid"].eqNullSafe(u["_uid"]), "full_outer")
+    in_b = F.col("_bfp").isNotNull()
+    in_u = F.col("_ufp").isNotNull()
+    return j.agg(
+        F.sum((in_u & ~in_b & ~F.col("_del")).cast("long")).alias("n_added"),
+        F.sum(
+            (in_u & in_b & ~F.col("_del") & (F.col("_bfp") != F.col("_ufp")))
+            .cast("long")
+        ).alias("n_updated"),
+        F.sum(
+            (in_u & in_b & ~F.col("_del") & (F.col("_bfp") == F.col("_ufp")))
+            .cast("long")
+        ).alias("n_unchanged"),
+        F.sum((in_u & in_b & F.col("_del")).cast("long")).alias("n_deleted"),
+        F.sum((in_b & ~in_u).cast("long")).alias("n_untouched"),
+    )

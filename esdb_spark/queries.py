@@ -1207,6 +1207,13 @@ _ANALYTIC_ORACLES = {
         SELECT event_type, quantile_cont(value, 0.5) AS median_value
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    "event_value_quantiles_exact": """
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q25,
+               quantile_cont(value, 0.5) AS q50,
+               quantile_cont(value, 0.75) AS q75
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "order_price_deciles": """
         SELECT quantile_cont(o_totalprice, 0.1) AS d10,
                quantile_cont(o_totalprice, 0.2) AS d20,
@@ -2061,6 +2068,91 @@ def source_overlap_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return source_overlap_matrix(docs, "text", "source").orderBy(
         "source_a", "source_b"
+    )
+
+
+def _merge_updates(docs):
+    """Deterministic synthetic release for the merge queries: recrawls
+    (id % 7 == 0, uppercased text), brand-new docs (id % 11 == 0,
+    offset ids), tombstones (id % 13 == 0 and not recrawled)."""
+    recrawl = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.upper("text").alias("text"),
+        "lang",
+        "source",
+        F.length(F.upper("text")).cast("bigint").alias("n_chars"),
+        F.lit(False).alias("deleted"),
+    )
+    fresh = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.reverse("text").alias("text"),
+        "lang",
+        F.lit("recrawl").alias("source"),
+        "n_chars",
+        F.lit(False).alias("deleted"),
+    )
+    tomb = docs.filter(
+        (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 7 != 0)
+    ).select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        F.lit(True).alias("deleted"),
+    )
+    return recrawl.unionByName(fresh).unionByName(tomb)
+
+
+_MERGE_UPDATES_SQL = """
+        SELECT doc_id, upper(text) AS text, lang, source,
+               CAST(length(upper(text)) AS BIGINT) AS n_chars,
+               FALSE AS deleted
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, reverse(text), lang, 'recrawl',
+               n_chars, FALSE
+        FROM documents WHERE doc_id % 11 = 0
+        UNION ALL
+        SELECT doc_id, text, lang, source, n_chars, TRUE
+        FROM documents WHERE doc_id % 13 = 0 AND doc_id % 7 <> 0
+"""
+
+
+def corpus_merge_docs(spark, sf_dir):
+    """Incremental corpus release: MERGE a synthetic update set
+    (recrawled texts, brand-new docs, takedown tombstones) into the
+    documents snapshot — updates-wins upsert + delete
+    (operators/versioning.merge_snapshot; no reference analog, the
+    reference archive is immutable by design, writer.go). Text comes
+    back as an md5 fingerprint so the oracle hash stays small. Exact
+    oracle: anti-join + union replayed in SQL."""
+    from esdb_spark.operators.versioning import merge_snapshot
+
+    docs = load_table(spark, sf_dir, "documents")
+    merged = merge_snapshot(
+        docs, _merge_updates(docs), "doc_id", deleted_col="deleted"
+    )
+    return merged.select(
+        "doc_id",
+        F.md5("text").alias("text_fp"),
+        "lang",
+        "source",
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+def corpus_merge_stats_docs(spark, sf_dir):
+    """The change summary logged per corpus release:
+    added/updated/unchanged/deleted/untouched counts over the same
+    synthetic update set as ``corpus_merge_docs``
+    (versioning.merge_stats: one full-outer null-safe join, md5 row
+    fingerprints decide updated vs unchanged). Exact oracle."""
+    from esdb_spark.operators.versioning import merge_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return merge_stats(
+        docs,
+        _merge_updates(docs),
+        "doc_id",
+        compare_cols=["text", "lang", "source", "n_chars"],
+        deleted_col="deleted",
     )
 
 
@@ -3311,6 +3403,62 @@ _PIPELINE_ORACLES = {
         GROUP BY a.s, b.s
         ORDER BY source_a, source_b
     """,
+    "corpus_merge_docs": f"""
+        WITH upd AS ({_MERGE_UPDATES_SQL}),
+        kept AS (
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM upd u WHERE u.doc_id = d.doc_id
+            )
+        ),
+        live AS (
+            SELECT doc_id, text, lang, source, n_chars
+            FROM upd WHERE NOT deleted
+        )
+        SELECT doc_id, md5(text) AS text_fp, lang, source, n_chars
+        FROM (SELECT * FROM kept UNION ALL SELECT * FROM live)
+        ORDER BY doc_id
+    """,
+    "corpus_merge_stats_docs": f"""
+        WITH upd AS ({_MERGE_UPDATES_SQL}),
+        b AS (
+            SELECT doc_id AS bid,
+                   md5(concat_ws('|',
+                       coalesce(CAST(text AS VARCHAR), chr(0) || 'null'),
+                       coalesce(CAST(lang AS VARCHAR), chr(0) || 'null'),
+                       coalesce(CAST(source AS VARCHAR), chr(0) || 'null'),
+                       coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'null')
+                   )) AS bfp
+            FROM documents
+        ),
+        u AS (
+            SELECT doc_id AS uid,
+                   md5(concat_ws('|',
+                       coalesce(CAST(text AS VARCHAR), chr(0) || 'null'),
+                       coalesce(CAST(lang AS VARCHAR), chr(0) || 'null'),
+                       coalesce(CAST(source AS VARCHAR), chr(0) || 'null'),
+                       coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'null')
+                   )) AS ufp,
+                   coalesce(deleted, FALSE) AS del
+            FROM upd
+        ),
+        j AS (SELECT * FROM b FULL OUTER JOIN u ON bid IS NOT DISTINCT FROM uid)
+        SELECT
+          CAST(sum(CASE WHEN ufp IS NOT NULL AND bfp IS NULL AND NOT del
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+          CAST(sum(CASE WHEN ufp IS NOT NULL AND bfp IS NOT NULL AND NOT del
+                             AND bfp <> ufp
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+          CAST(sum(CASE WHEN ufp IS NOT NULL AND bfp IS NOT NULL AND NOT del
+                             AND bfp = ufp
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+          CAST(sum(CASE WHEN ufp IS NOT NULL AND bfp IS NOT NULL AND del
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+          CAST(sum(CASE WHEN bfp IS NOT NULL AND ufp IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_untouched
+        FROM j
+    """,
     "doc_dedup_audit": f"""
         WITH RECURSIVE sh AS (
             SELECT DISTINCT doc_id AS id, unnest(list_distinct({_TOK})) AS shingle
@@ -3576,6 +3724,23 @@ def event_value_quantiles(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return quantile_rollup(
         ev, "value", ["event_type"], probs=(0.25, 0.5, 0.75)
+    ).orderBy("event_type")
+
+
+def event_value_quantiles_exact(spark, sf_dir):
+    """The oracle-exact twin of ``event_value_quantiles``: the same
+    per-event-type rollup through ``quantile_rollup(exact=True)`` —
+    Spark's exact interpolated ``percentile`` is bit-identical to
+    DuckDB ``quantile_cont`` (r4 verdict #8 oracle upgrade). The sketch
+    variant stays rows-only by nature (merge-order-dependent
+    estimates); this twin pins the rollup SHAPE (grouping, probe set,
+    column naming) to an exact oracle and is the cross-check
+    test_sketches.py bounds the sketch against."""
+    from esdb_spark.operators.sketches import quantile_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    return quantile_rollup(
+        ev, "value", ["event_type"], probs=(0.25, 0.5, 0.75), exact=True
     ).orderBy("event_type")
 
 
@@ -4046,6 +4211,7 @@ def catalog() -> dict[str, Q]:
         ("priority_bool_flags", priority_bool_flags),
         ("user_event_type_profile", user_event_type_profile),
         ("linear_fit_exact_per_type", linear_fit_exact_per_type),
+        ("event_value_quantiles_exact", event_value_quantiles_exact),
         ("similar_part_names", similar_part_names),
         ("priority_bag_difference", priority_bag_difference),
         ("priority_bag_intersection", priority_bag_intersection),
@@ -4093,6 +4259,8 @@ def catalog() -> dict[str, Q]:
         ("dedup_by_cluster_docs", dedup_by_cluster_docs),
         ("doc_dedup_audit", doc_dedup_audit),
         ("source_overlap_docs", source_overlap_docs),
+        ("corpus_merge_docs", corpus_merge_docs),
+        ("corpus_merge_stats_docs", corpus_merge_stats_docs),
         ("doc_chunks", doc_chunks),
         ("doc_top_terms", doc_top_terms),
         ("doc_length_histogram", doc_length_histogram),

@@ -1,0 +1,140 @@
+"""Corpus snapshot MERGE (operators/versioning.py): upsert/delete
+semantics, version-wins resolution, NULL handling, change accounting.
+No reference analog (the reference archive is immutable — writer.go);
+this is the §2.7 incremental-corpus-release operator."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from esdb_spark.operators.versioning import merge_snapshot, merge_stats
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha", "web"),
+            (2, "bravo", "web"),
+            (3, "charlie", "code"),
+            (None, "nullid", "web"),
+        ],
+        "doc_id int, text string, source string",
+    )
+
+
+def test_upsert_delete_append(spark, base):
+    updates = spark.createDataFrame(
+        [
+            (2, "bravo v2", "web", False),   # update
+            (3, None, None, True),            # tombstone
+            (9, "new doc", "crawl", False),   # append
+        ],
+        "doc_id int, text string, source string, deleted boolean",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in merge_snapshot(base, updates, "doc_id", "deleted").collect()
+    }
+    assert set(out) == {1, 2, 9, None}
+    assert out[2]["text"] == "bravo v2"
+    assert out[9]["source"] == "crawl"
+    assert out[1]["text"] == "alpha"  # untouched
+    assert out[None]["text"] == "nullid"  # NULL id untouched rides along
+
+
+def test_null_id_update_shadows_null_id_base(spark, base):
+    updates = spark.createDataFrame(
+        [(None, "nullid v2", "web", False)],
+        "doc_id int, text string, source string, deleted boolean",
+    )
+    rows = merge_snapshot(base, updates, "doc_id", "deleted").collect()
+    null_rows = [r for r in rows if r["doc_id"] is None]
+    # null-safe anti-join: the NULL-id base row is REPLACED, not kept
+    # alongside (a plain anti-join would keep both)
+    assert len(null_rows) == 1 and null_rows[0]["text"] == "nullid v2"
+    assert len(rows) == 4
+
+
+def test_version_wins_and_deterministic_tiebreak(spark, base):
+    updates = spark.createDataFrame(
+        [
+            (2, "old recrawl", "web", False, 1),
+            (2, "new recrawl", "web", False, 3),
+            (2, "mid recrawl", "web", False, 2),
+        ],
+        "doc_id int, text string, source string, deleted boolean, v int",
+    )
+    out = merge_snapshot(
+        base, updates, "doc_id", deleted_col="deleted", version_col="v"
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[2]["text"] == "new recrawl"
+    # a tombstone at the max version deletes even with older updates
+    updates2 = spark.createDataFrame(
+        [
+            (2, "recrawl", "web", False, 1),
+            (2, None, None, True, 5),
+        ],
+        "doc_id int, text string, source string, deleted boolean, v int",
+    )
+    out2 = merge_snapshot(
+        base, updates2, "doc_id", deleted_col="deleted", version_col="v"
+    )
+    assert 2 not in {r["doc_id"] for r in out2.collect()}
+
+
+def test_missing_columns_raise(spark, base):
+    bad = spark.createDataFrame([(2, False)], "doc_id int, deleted boolean")
+    with pytest.raises(ValueError, match="missing base columns"):
+        merge_snapshot(base, bad, "doc_id", "deleted")
+    with pytest.raises(ValueError, match="missing column"):
+        merge_snapshot(base, base, "doc_id", deleted_col="nope")
+
+
+def test_merge_stats_counts(spark, base):
+    updates = spark.createDataFrame(
+        [
+            (1, "alpha", "web", False),      # unchanged (same fp)
+            (2, "bravo v2", "web", False),   # updated
+            (3, "x", "code", True),          # deleted
+            (9, "new doc", "crawl", False),  # added
+        ],
+        "doc_id int, text string, source string, deleted boolean",
+    )
+    row = merge_stats(
+        base, updates, "doc_id",
+        compare_cols=["text", "source"], deleted_col="deleted",
+    ).collect()[0]
+    assert (
+        row["n_added"], row["n_updated"], row["n_unchanged"],
+        row["n_deleted"], row["n_untouched"],
+    ) == (1, 1, 1, 1, 1)  # untouched = the NULL-id base row
+
+
+def test_stats_fingerprint_null_vs_empty(spark):
+    """The row fingerprint must not collide NULL with '' (concat_ws
+    drops NULLs; the sentinel prevents it)."""
+    b = spark.createDataFrame([(1, None)], "doc_id int, text string")
+    u = spark.createDataFrame(
+        [(1, "", False)], "doc_id int, text string, deleted boolean"
+    )
+    row = merge_stats(b, u, "doc_id", deleted_col="deleted").collect()[0]
+    assert row["n_updated"] == 1 and row["n_unchanged"] == 0
+
+
+def test_snapshot_plus_stats_agree(spark, base):
+    updates = spark.createDataFrame(
+        [
+            (2, "bravo v2", "web", False),
+            (3, None, None, True),
+            (9, "new doc", "crawl", False),
+        ],
+        "doc_id int, text string, source string, deleted boolean",
+    )
+    merged_n = merge_snapshot(base, updates, "doc_id", "deleted").count()
+    s = merge_stats(
+        base, updates, "doc_id",
+        compare_cols=["text", "source"], deleted_col="deleted",
+    ).collect()[0]
+    assert merged_n == base.count() + s["n_added"] - s["n_deleted"]
