@@ -5,8 +5,8 @@ Implements ITU-T T.81 DCT modes, 8-bit: the decoder
 full progressive (SOF2 — spectral selection and successive
 approximation with EOB runs), huffman entropy decode, dequantization,
 zigzag, 8×8 IDCT, restart markers, 2:1/4:2:0 chroma upsampling, and
-the JFIF YCbCr→RGB transform; the encoders (:func:`encode_jpeg`,
-:func:`encode_jpeg_progressive`) emit baseline 4:4:4 and progressive
+the JFIF YCbCr→RGB transform; the encoder (:func:`encode_jpeg`, with
+``progressive=True`` for SOF2) emits baseline 4:4:4 and progressive
 JFIF using the Annex K example huffman tables. Both directions are
 implemented from the published spec (same posture as the
 PNG/RFC-2083 and GIF/LZW codecs in ``multimodal.py``) — the encoders

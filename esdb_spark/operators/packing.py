@@ -144,13 +144,19 @@ ORDER BY doc_id
 """
 
 
-def _monotone_double(col: "F.Column", dtype: T.DataType) -> "F.Column":
+def _monotone_double(
+    col: "F.Column", dtype: T.DataType, skip_prefix: int = 0
+) -> "F.Column":
     """A double-valued image of ``col`` that is monotone NON-DECREASING
     in the column's sort order (ties allowed — callers only use it to
     cut bucket boundaries, never to order within a bucket). Numerics
     cast directly (int64→double rounding is monotone); strings/binary
-    map their first 8 bytes to an unsigned integer, left-justified so
-    byte-lexicographic order survives ('b' > 'abc' holds)."""
+    skip their ``skip_prefix``-byte shared prefix (the caller passes
+    the corpus-wide longest common prefix — without it, URL-shaped ids
+    like 'https://example.com/...' collapse into ONE bucket and the
+    per-source rank funnels through a single task) and map the next 8
+    bytes to an unsigned integer, left-justified so byte-lexicographic
+    order survives ('b' > 'abc' holds)."""
     if isinstance(dtype, T.NumericType):
         return col.cast("double")
     if isinstance(dtype, (T.DateType, T.TimestampType)):
@@ -163,8 +169,29 @@ def _monotone_double(col: "F.Column", dtype: T.DataType) -> "F.Column":
         raise TypeError(
             f"interleave_sources: unsupported id type {dtype.simpleString()}"
         )
-    h = F.rpad(F.substring(F.hex(raw), 1, 16), 16, "0")
+    h = F.rpad(
+        F.substring(F.hex(raw), 2 * skip_prefix + 1, 16), 16, "0"
+    )
     return F.conv(h, 16, 10).cast("double")
+
+
+def _common_prefix_len(slim: DataFrame, id_col: str, dtype) -> int:
+    """Longest common byte-prefix of every id — for a SORTED domain
+    this is just lcp(min, max), one tiny aggregation."""
+    if not isinstance(dtype, (T.StringType, T.BinaryType)):
+        return 0
+    row = slim.agg(
+        F.min(id_col).alias("mn"), F.max(id_col).alias("mx")
+    ).collect()[0]
+    mn, mx = row["mn"], row["mx"]
+    if mn is None or mx is None:
+        return 0
+    bmn = mn.encode("utf-8") if isinstance(mn, str) else bytes(mn)
+    bmx = mx.encode("utf-8") if isinstance(mx, str) else bytes(mx)
+    i = 0
+    while i < min(len(bmn), len(bmx)) and bmn[i] == bmx[i]:
+        i += 1
+    return i
 
 
 def _bucket_expr(col: "F.Column", bounds: list[float]) -> "F.Column":
@@ -177,7 +204,14 @@ def _bucket_expr(col: "F.Column", bounds: list[float]) -> "F.Column":
     ``!Filter`` that fails with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at
     execution. Plain comparisons keep the reference set honest; at the
     bucket counts used here (≈ shuffle partitions) the expression is a
-    short codegen'd add chain."""
+    short codegen'd add chain. Compile cost is once per stage and
+    amortizes at scale (Spark splits long chains across generated
+    methods), but it IS visible in sub-second local micro-benches —
+    ~0.5 s across the three stages at 32 buckets. Thousands of buckets
+    (single-dominant-source corpora at extreme scale need
+    n_buckets ≈ rows/10M) pay seconds of one-time compile; if that
+    ever binds, the escape is a width_bucket-style uniform bucketing —
+    NOT the lambda form."""
     if not bounds:
         return F.lit(0)
     e = F.lit(0)
@@ -192,6 +226,7 @@ def interleave_sources(
     weight_col: str = "weight",
     id_col: str = "doc_id",
     n_buckets: int | None = None,
+    materialize_slim: bool = True,
 ) -> DataFrame:
     """Deterministic weighted interleave: global training position per
     row such that sources appear at rates proportional to their weight.
@@ -228,7 +263,16 @@ def interleave_sources(
     The result is two metadata jobs plus one data-bearing job (scan →
     bucket-window rank → vtime → bucket-window rank), two shuffles of
     only (id, source, weight) — other columns are joined back by id at
-    the end — and nothing persisted or checkpointed.
+    the end. With ``materialize_slim`` (the default) the
+    (id, source, weight) projection is materialized ONCE via
+    ``localCheckpoint`` so an expensive upstream lineage (a dedup or
+    filter pipeline) is not re-executed by the stats/counts/final
+    jobs; at three slim columns this is 50-100× smaller than
+    checkpointing the corpus (the round-4 design), and the blocks
+    release with the result. Pass ``materialize_slim=False`` when the
+    input is a bare table projection — re-scanning a column-pruned
+    parquet read three times is cheaper than writing it out once. The
+    corpus itself is never pinned either way.
 
     Returns the input columns plus ``pos`` (1-based global position).
     """
@@ -236,8 +280,15 @@ def interleave_sources(
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
     extra_cols = [c for c in df.columns if c not in (source_col, weight_col, id_col)]
+    # one execution of df's lineage for the three rank passes (the
+    # join-back at the end scans df itself once more for the payload)
     slim = df.select(source_col, weight_col, id_col)
-    mk = _monotone_double(F.col(id_col), df.schema[id_col].dataType)
+    if materialize_slim:
+        slim = slim.localCheckpoint(eager=True)
+    id_dtype = df.schema[id_col].dataType
+    mk = _monotone_double(
+        F.col(id_col), id_dtype, _common_prefix_len(slim, id_col, id_dtype)
+    )
 
     # -- the one stats job: per-source totals, weights, id-quantiles --
     probs = [i / n_buckets for i in range(1, n_buckets)]
@@ -294,38 +345,65 @@ def interleave_sources(
 
     # -- driver-side: vtime boundaries + exact cumulative counts.
     # C(t) = sum_s #{k in 1..n_s : (k-0.5)/w_s <= t}, evaluated with
-    # the SAME double arithmetic Spark uses, via binary search on k.
-    def _cum(t: float) -> int:
-        c = 0
-        for src, n_s in totals.items():
-            w = float(weights[src])
-            lo, hi = 0, n_s  # invariant: k=lo satisfies, k=hi+1 doesn't
-            while lo < hi:
-                mid = (lo + hi + 1) // 2
-                if (mid - 0.5) / w <= t:
-                    lo = mid
-                else:
-                    hi = mid - 1
-            c += lo
-        return c
+    # the SAME double arithmetic Spark uses (numpy float64 IS IEEE
+    # binary64, single-rounded like the JVM): a closed-form k estimate
+    # floor(t*w + 0.5) corrected by exact-float comparisons — the
+    # estimate is within ±1 for any k < 2^52, and the correction loops
+    # + the final invariant assert make even that assumption checked,
+    # not trusted. Vectorized over (sources × boundaries); the earlier
+    # pure-Python per-boundary bisection cost ~0.5 s of driver time at
+    # 32 buckets.
+    import numpy as np
 
-    vmax = max(
-        ((n_s - 0.5) / float(weights[s]) for s, n_s in totals.items()),
-        default=0.0,
+    ns = np.array(list(totals.values()), dtype=np.float64)
+    ws = np.array(
+        [float(weights[s]) for s in totals], dtype=np.float64
     )
-    vbounds = []
-    for j in range(1, n_buckets):
-        target = j * n_total // n_buckets
-        lo, hi = 0.0, vmax
-        for _ in range(60):  # bisection to float resolution
-            mid = (lo + hi) / 2
-            if _cum(mid) < target:
-                lo = mid
-            else:
-                hi = mid
-        vbounds.append(hi)
-    vbounds = sorted(set(vbounds))
-    voffsets = [0] + [_cum(t) for t in vbounds]  # rank offset per vbucket
+
+    def _cum_counts(ts: "np.ndarray") -> "np.ndarray":
+        if len(ns) == 0 or len(ts) == 0:
+            return np.zeros(len(ts), dtype=np.float64)
+        t = ts[None, :]
+        w = ws[:, None]
+        n = ns[:, None]
+        k = np.clip(np.floor(t * w + 0.5), 0.0, n)
+        for _ in range(4):  # (k+1 - 0.5) = k + 0.5
+            up = (k < n) & ((k + 0.5) / w <= t)
+            if not up.any():
+                break
+            k = k + up
+        for _ in range(4):
+            down = (k > 0.0) & ((k - 0.5) / w > t)
+            if not down.any():
+                break
+            k = k - down
+        # invariant: k is the EXACT count — k+1 fails, k passes
+        ok = ((k >= n) | ((k + 0.5) / w > t)) & (
+            (k <= 0.0) | ((k - 0.5) / w <= t)
+        )
+        if not ok.all():
+            raise AssertionError(
+                "interleave_sources: stride-count correction did not "
+                "converge (k beyond float estimate bounds)"
+            )
+        return k.sum(axis=0)
+
+    vmax = float(((ns - 0.5) / ws).max()) if len(ns) else 0.0
+    targets = np.array(
+        [j * n_total // n_buckets for j in range(1, n_buckets)],
+        dtype=np.int64,
+    )
+    lo = np.zeros(len(targets))
+    hi = np.full(len(targets), vmax)
+    for _ in range(60):  # bisection to float resolution, all at once
+        mid = (lo + hi) / 2
+        less = _cum_counts(mid) < targets
+        lo = np.where(less, mid, lo)
+        hi = np.where(less, hi, mid)
+    vbounds = sorted({float(x) for x in hi})
+    voffsets = [0] + [
+        int(c) for c in _cum_counts(np.array(vbounds, dtype=np.float64))
+    ]  # rank offset per vbucket
 
     # -- exact (bucket, source) counts -> per-source rank offsets.
     # A metadata-sized collect (|sources × buckets| rows), re-entering
@@ -391,9 +469,13 @@ def interleave_sources(
     if not extra_cols:
         return slim_pos.select(*df.columns, "pos")
     # other columns never ride through the rank shuffles — join them
-    # back by the (unique) id
-    return df.join(slim_pos.select(id_col, "pos"), id_col).select(
-        *df.columns, "pos"
+    # back by the (unique) id, NULL-SAFE: a plain name equi-join would
+    # silently drop a NULL-id row that the ranks above dutifully
+    # counted, leaving a hole in the pos sequence
+    pos_tbl = slim_pos.select(F.col(id_col).alias("_pos_id"), "pos")
+    return (
+        df.join(pos_tbl, df[id_col].eqNullSafe(pos_tbl["_pos_id"]))
+        .select(*df.columns, "pos")
     )
 
 

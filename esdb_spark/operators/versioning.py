@@ -35,11 +35,16 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _row_fp(cols: list[str]) -> "F.Column":
-    """Portable row fingerprint: md5 over '|'-joined string casts with
-    an explicit NULL sentinel (concat_ws silently drops NULLs, which
-    would collide ('a', NULL) with ('a', ''))."""
+    """Portable row fingerprint: md5 of the '|'-joined PER-FIELD md5s.
+    Each field is hashed first so the outer join is over fixed-width
+    tokens — a raw '|'-join is ambiguous across field boundaries
+    (('a|b','c') and ('a','b|c') would collide, and '|' is ordinary in
+    url/text columns). NULLs get an explicit sentinel (concat_ws
+    silently drops NULLs, which would collide ('a', NULL) with
+    ('a', ''))."""
     parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols
+        F.md5(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+        for c in cols
     ]
     return F.md5(F.concat_ws("|", *parts))
 

@@ -2073,8 +2073,10 @@ def source_overlap_docs(spark, sf_dir):
 
 def _merge_updates(docs):
     """Deterministic synthetic release for the merge queries: recrawls
-    (id % 7 == 0, uppercased text), brand-new docs (id % 11 == 0,
-    offset ids), tombstones (id % 13 == 0 and not recrawled)."""
+    (id % 7 == 0, uppercased text), brand-new docs (id % 11 == 0, ids
+    negated so they are disjoint from real non-negative ids at ANY
+    scale factor — an additive offset collided once the corpus passed
+    it), tombstones (id % 13 == 0 and not recrawled)."""
     recrawl = docs.filter(F.col("doc_id") % 7 == 0).select(
         "doc_id",
         F.upper("text").alias("text"),
@@ -2084,7 +2086,7 @@ def _merge_updates(docs):
         F.lit(False).alias("deleted"),
     )
     fresh = docs.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.reverse("text").alias("text"),
         "lang",
         F.lit("recrawl").alias("source"),
@@ -2106,7 +2108,7 @@ _MERGE_UPDATES_SQL = """
                FALSE AS deleted
         FROM documents WHERE doc_id % 7 = 0
         UNION ALL
-        SELECT doc_id + 1000000, reverse(text), lang, 'recrawl',
+        SELECT -doc_id - 1, reverse(text), lang, 'recrawl',
                n_chars, FALSE
         FROM documents WHERE doc_id % 11 = 0
         UNION ALL
@@ -2564,7 +2566,11 @@ def interleave_docs(spark, sf_dir):
         ).alias("weight"),
     )
     return (
-        interleave_sources(weighted, "source", "weight", "doc_id")
+        # materialize_slim=False: the input IS a column-pruned parquet
+        # projection — three re-scans are cheaper than one checkpoint
+        interleave_sources(
+            weighted, "source", "weight", "doc_id", materialize_slim=False
+        )
         .select("pos", "doc_id", "source")
         .orderBy("pos")
     )
@@ -3425,20 +3431,20 @@ _PIPELINE_ORACLES = {
         b AS (
             SELECT doc_id AS bid,
                    md5(concat_ws('|',
-                       coalesce(CAST(text AS VARCHAR), chr(0) || 'null'),
-                       coalesce(CAST(lang AS VARCHAR), chr(0) || 'null'),
-                       coalesce(CAST(source AS VARCHAR), chr(0) || 'null'),
-                       coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'null')
+                       md5(coalesce(CAST(text AS VARCHAR), chr(0) || 'null')),
+                       md5(coalesce(CAST(lang AS VARCHAR), chr(0) || 'null')),
+                       md5(coalesce(CAST(source AS VARCHAR), chr(0) || 'null')),
+                       md5(coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'null'))
                    )) AS bfp
             FROM documents
         ),
         u AS (
             SELECT doc_id AS uid,
                    md5(concat_ws('|',
-                       coalesce(CAST(text AS VARCHAR), chr(0) || 'null'),
-                       coalesce(CAST(lang AS VARCHAR), chr(0) || 'null'),
-                       coalesce(CAST(source AS VARCHAR), chr(0) || 'null'),
-                       coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'null')
+                       md5(coalesce(CAST(text AS VARCHAR), chr(0) || 'null')),
+                       md5(coalesce(CAST(lang AS VARCHAR), chr(0) || 'null')),
+                       md5(coalesce(CAST(source AS VARCHAR), chr(0) || 'null')),
+                       md5(coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'null'))
                    )) AS ufp,
                    coalesce(deleted, FALSE) AS del
             FROM upd

@@ -306,12 +306,24 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                         {"shard": shards, "key": keys, "files": files}
                     )
 
-    # shard listing is driver-side metadata — Hadoop FS, not os.listdir
+    # shard listing is driver-side metadata — Hadoop FS, not os.listdir.
+    # Fail FAST on a missing/typo'd path: list_dir maps absent dirs to
+    # [], and a silently-empty corpus is exactly the wrong-content
+    # class the fs module warns about (a pipeline would "train" on 0
+    # samples instead of erroring).
+    if not _hfs.exists(spark, path):
+        raise FileNotFoundError(f"read_webdataset: no such path {path!r}")
+    listing = _hfs.list_dir(spark, path)
     names = sorted(
         name
-        for name, is_dir in _hfs.list_dir(spark, path)
+        for name, is_dir in listing
         if not is_dir and name.startswith("shard-") and name.endswith(".tar")
     )
+    if not names and "_MANIFEST.json" not in {n for n, _ in listing}:
+        raise FileNotFoundError(
+            f"read_webdataset: {path!r} contains neither shards nor a "
+            "_MANIFEST.json — not a webdataset directory"
+        )
     paths_df = spark.createDataFrame(
         [(_join(path, f),) for f in names], "path string"
     ).repartition(max(len(names), 1))

@@ -185,3 +185,51 @@ def test_interleave_checkpointed_input(spark):
     ).localCheckpoint(eager=True)
     out = interleave_sources(df, "source", "weight", "doc_id").toPandas()
     assert sorted(out["pos"]) == list(range(1, 61))
+
+
+def test_interleave_extra_columns_keeps_null_id(spark):
+    """Review r5: the payload join-back used a null-unsafe name
+    equi-join, silently dropping a NULL-id row the ranks had counted
+    (hole in pos). eqNullSafe join-back fixes it."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, "x"), (2, "a", 1.0, "y"), (None, "b", 2.0, "z")],
+        "doc_id int, source string, weight double, text string",
+    )
+    out = interleave_sources(df, "source", "weight", "doc_id").collect()
+    assert len(out) == 3
+    assert sorted(r["pos"] for r in out) == [1, 2, 3]
+    assert {r["text"] for r in out} == {"x", "y", "z"}
+
+
+def test_interleave_url_ids_spread_buckets(spark):
+    """Review r5: string ids sharing a long common prefix (URL-shaped)
+    collapsed to ONE monotone key → one id-bucket → whole-source
+    single-task rank. The corpus-wide LCP is now stripped before the
+    8-byte cut."""
+    from pyspark.sql import functions as F, types as T
+
+    from esdb_spark.operators.packing import (
+        _common_prefix_len,
+        _monotone_double,
+    )
+
+    rows = [
+        (f"https://example.com/articles/{i:06d}", "web", 1.0)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, weight double")
+    lcp = _common_prefix_len(df, "doc_id", T.StringType())
+    assert lcp >= len("https://example.com/articles/")
+    n_keys = (
+        df.select(
+            _monotone_double(F.col("doc_id"), T.StringType(), lcp).alias("mk")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_keys == 500  # fully spread once the prefix is stripped
+    # and the operator end-to-end still yields an exact permutation
+    out = interleave_sources(df, "source", "weight", "doc_id").toPandas()
+    assert sorted(out["pos"]) == list(range(1, 501))
+    ordered = out.sort_values("pos")["doc_id"].tolist()
+    assert ordered == sorted(ordered)  # id order preserved within source

@@ -138,3 +138,17 @@ def test_snapshot_plus_stats_agree(spark, base):
         compare_cols=["text", "source"], deleted_col="deleted",
     ).collect()[0]
     assert merged_n == base.count() + s["n_added"] - s["n_deleted"]
+
+
+def test_fingerprint_field_boundary_unambiguous(spark):
+    """Review r5: a raw '|'-join collided ('a|b','c') with ('a','b|c');
+    per-field md5 tokens make boundaries fixed-width."""
+    b = spark.createDataFrame([(1, "a|b", "c")], "doc_id int, text string, lang string")
+    u = spark.createDataFrame(
+        [(1, "a", "b|c", False)],
+        "doc_id int, text string, lang string, deleted boolean",
+    )
+    row = merge_stats(
+        b, u, "doc_id", compare_cols=["text", "lang"], deleted_col="deleted"
+    ).collect()[0]
+    assert row["n_updated"] == 1 and row["n_unchanged"] == 0

@@ -183,3 +183,14 @@ def test_scheme_qualified_paths_roundtrip(spark, media_df, tmp_path_factory):
     # overwrite refusal also goes through the scheme-aware check
     with pytest.raises(FileExistsError):
         write_webdataset_shards(media_df, uri_out, "sample_id", EXTS)
+
+
+def test_missing_path_raises(spark, tmp_path_factory):
+    """Review r5: a missing/typo'd path must fail fast, not return an
+    empty corpus (list_dir maps absent dirs to [])."""
+    with pytest.raises(FileNotFoundError, match="no such path"):
+        read_webdataset(spark, "/tmp/definitely_missing_wds_xyz")
+    empty = str(tmp_path_factory.mktemp("wds") / "not_a_corpus")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError, match="neither shards"):
+        read_webdataset(spark, empty)
