@@ -1,0 +1,131 @@
+"""Embedding storage quantization: symmetric per-vector int8.
+
+At 100 TB an `array<double>` embedding column is the storage bill —
+8 bytes/dim. Symmetric int8 (one scale per vector, codes in [-127,
+127]) cuts it 8× with ~0.4% RMS error on unit vectors, and dot
+products against the codes reconstruct to within that error —
+standard vector-store practice, complementary to the PQ codebooks in
+``similarity.pq_encode`` (PQ is for ANN distance tables; int8 is the
+lossless-enough wire/storage format the corpus actually persists).
+
+No reference analog (the reference stores opaque payload bytes —
+space.go treats values as []byte); this is §2.7 pipeline
+infrastructure.
+
+Engine-portable by construction, so the codec itself is
+ORACLE-EXACT: the code is ``round_half_away(x / scale)`` implemented
+as sign(x)*floor(|x|/scale + 0.5) — floor and IEEE division are
+bit-identical across engines, unlike round() whose half-way rule
+differs between Spark and DuckDB (round3-state lesson). scale =
+max|x|/127 is a max-reduce (order-free), so even the scale is
+reproducible.
+
+All pure column expressions — transform/aggregate higher-order
+functions over the array, JVM-side, zero shuffle, scan-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _round_half_away(col):
+    """sign(x)*floor(|x|+0.5): the engine-portable round — floor is
+    exact everywhere; round()'s half-way handling is not."""
+    return F.signum(col) * F.floor(F.abs(col) + F.lit(0.5))
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str = "q8",
+    scale_col: str = "q8_scale",
+) -> DataFrame:
+    """Add ``out_col`` (array<tinyint>, codes in [-127, 127]) and
+    ``scale_col`` (double): code_i = round_half_away(x_i / scale),
+    scale = max|x| / 127. A zero (or all-NULL) vector gets scale 0 and
+    all-zero codes; a NULL vector yields NULL code/scale. NULL
+    elements inside a vector quantize to 0 (missing dimension =
+    origin), keeping the array length intact."""
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    # all-NULL-element vectors: array_max skips NULLs and returns NULL
+    # — coalesce so they get scale 0 / zero codes like zero vectors
+    scale = F.when(
+        v.isNotNull(), F.coalesce(absmax, F.lit(0.0)) / F.lit(127.0)
+    )
+    code = F.when(
+        F.col(scale_col) > 0,
+        F.transform(
+            v,
+            lambda x: _round_half_away(
+                F.coalesce(x.cast("double"), F.lit(0.0)) / F.col(scale_col)
+            ).cast("tinyint"),
+        ),
+    ).otherwise(
+        F.when(
+            v.isNotNull(),
+            F.transform(v, lambda x: F.lit(0).cast("tinyint")),
+        )
+    )
+    return df.withColumn(scale_col, scale).withColumn(out_col, code)
+
+
+def dequantize_int8(
+    df: DataFrame,
+    code_col: str = "q8",
+    scale_col: str = "q8_scale",
+    out_col: str = "vec_hat",
+) -> DataFrame:
+    """Reconstruct ``out_col`` (array<double>) = code_i * scale."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(code_col),
+            lambda c: c.cast("double") * F.col(scale_col),
+        ),
+    )
+
+
+def quantization_error_stats(
+    df: DataFrame,
+    vec_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Round-trip error accounting per group (or global with
+    ``group_cols=None``): vectors counted, mean/max RMS reconstruction
+    error, and the mean absolute error of the self-dot-product
+    |<v,v> - <v̂,v̂>| — a proxy for the similarity drift ANN inherits.
+    One scan, aggregation only; NULL vectors (and vectors containing
+    NULL elements) are excluded from the error means but counted in
+    n_vectors."""
+    q = dequantize_int8(
+        quantize_int8(df, vec_col), out_col="_vhat"
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("_vhat"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n_dim = F.size(F.col(vec_col))
+    rms = F.sqrt(diff2 / F.nullif(n_dim.cast("double"), F.lit(0.0)))
+    dot = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dot_err = F.abs(dot(F.col(vec_col), F.col(vec_col)) - dot(F.col("_vhat"), F.col("_vhat")))
+    enriched = q.withColumn("_rms", rms).withColumn("_dot_err", dot_err)
+    aggs = [
+        F.count("*").alias("n_vectors"),
+        F.avg("_rms").alias("mean_rms"),
+        F.max("_rms").alias("max_rms"),
+        F.avg("_dot_err").alias("mean_dot_err"),
+    ]
+    if group_cols:
+        return enriched.groupBy(*group_cols).agg(*aggs)
+    return enriched.agg(*aggs)

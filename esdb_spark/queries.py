@@ -2673,6 +2673,30 @@ ORDER BY doc_id, epoch_copy
 """
 
 
+def embedding_quantize_docs(spark, sf_dir):
+    """Symmetric per-vector int8 storage quantization of the
+    embeddings table (operators/quantize.py — the 8x storage codec a
+    100 TB vector column persists as). Output binds the codec tightly
+    (per-vector scale + code sum/min/max/length) while staying
+    hash-portable: the rounding is sign*floor(|x|+0.5), which both
+    engines evaluate bit-identically (round()'s half-way rule does
+    NOT port — round3-state lesson). Exact oracle."""
+    from esdb_spark.operators.quantize import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, "embedding")
+    return q.select(
+        "vec_id",
+        "q8_scale",
+        F.aggregate(
+            "q8", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("code_sum"),
+        F.array_min("q8").cast("bigint").alias("code_min"),
+        F.array_max("q8").cast("bigint").alias("code_max"),
+        F.size("q8").cast("bigint").alias("n_dim"),
+    ).orderBy("vec_id")
+
+
 def hard_negatives_topk(spark, sf_dir):
     """Contrastive hard-negative mining: per anchor (vec_id < 10), the
     5 most-cosine-similar embeddings with a DIFFERENT label
@@ -2760,6 +2784,33 @@ _PIPELINE_ORACLES = {
     "interleave_docs": _INTERLEAVE_ORACLE,
     "documents_shuffle_order": _SHUFFLE_ORDER_ORACLE,
     "hard_negatives_topk": _HARD_NEGATIVES_ORACLE,
+    "embedding_quantize_docs": """
+        WITH q AS (
+            SELECT vec_id,
+                   list_max(list_transform(
+                       embedding, x -> abs(CAST(x AS DOUBLE))
+                   )) / 127.0 AS q8_scale,
+                   embedding
+            FROM embeddings
+        ),
+        codes AS (
+            SELECT vec_id, q8_scale,
+                   CASE WHEN q8_scale > 0 THEN
+                       list_transform(embedding, x -> CAST(
+                           sign(CAST(x AS DOUBLE) / q8_scale)
+                           * floor(abs(CAST(x AS DOUBLE) / q8_scale) + 0.5)
+                       AS BIGINT))
+                   ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+                   END AS c
+            FROM q
+        )
+        SELECT vec_id, q8_scale,
+               CAST(list_sum(c) AS BIGINT) AS code_sum,
+               CAST(list_min(c) AS BIGINT) AS code_min,
+               CAST(list_max(c) AS BIGINT) AS code_max,
+               CAST(len(c) AS BIGINT) AS n_dim
+        FROM codes ORDER BY vec_id
+    """,
     "upsample_docs": _UPSAMPLE_ORACLE,
     "source_temperature_mix": """
         SELECT source, count(*) AS n_rows,
@@ -4286,6 +4337,7 @@ def catalog() -> dict[str, Q]:
         ("interleave_docs", interleave_docs),
         ("documents_shuffle_order", documents_shuffle_order),
         ("hard_negatives_topk", hard_negatives_topk),
+        ("embedding_quantize_docs", embedding_quantize_docs),
         ("upsample_docs", upsample_docs),
         ("source_temperature_mix", source_temperature_mix),
     ]:
