@@ -104,6 +104,80 @@ def zorder_key(
     return df.withColumn("_z", key)
 
 
+def with_zorder(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "zvalue",
+) -> DataFrame:
+    """ORACLE-EXACT z-value: min-max (equi-WIDTH) discretization in
+    pure 64-bit integer arithmetic, complementing :func:`zorder_key`'s
+    equi-depth variant (approx_percentile boundaries spread skewed
+    columns better but are sketch-merge-order-dependent, so not
+    engine-portable). Here: ``((v - min) * (2^bits - 1)) div
+    (max - min)`` with driver-collected literal bounds (EAGER: one
+    min/max aggregation job now) — truncating division equals floor
+    for these non-negative operands, and DuckDB replays it verbatim
+    with ``//``, so the whole curve is reproducible across engines
+    (the ``events_zorder_top200`` gate query). NULLs discretize to 0;
+    constant/all-NULL columns contribute constant bits; ranges too
+    wide for the 64-bit product are pre-shifted down (coarser low
+    bits, same curve — NOT mirrored in the oracle, whose test ranges
+    never need it). Timestamps go through the NTZ-safe ``epoch_us``.
+    """
+    from esdb_spark.functions import epoch_us
+
+    if out_col in df.columns:
+        raise ValueError(f"with_zorder: column {out_col!r} already exists")
+    n = len(cols)
+    if n == 0:
+        raise ValueError("with_zorder: need at least one column")
+    if n * bits > 63:
+        raise ValueError(
+            f"with_zorder: {n} cols x {bits} bits = {n * bits} > 63 bits"
+        )
+    casted = []
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        if dt in ("timestamp", "timestamp_ntz"):
+            casted.append(epoch_us(F.col(c)))
+        elif dt == "date":
+            casted.append(F.datediff(F.col(c), F.lit("1970-01-01")))
+        else:
+            casted.append(F.col(c).cast("long"))
+    row = df.agg(
+        *[F.min(e).alias(f"mn_{i}") for i, e in enumerate(casted)],
+        *[F.max(e).alias(f"mx_{i}") for i, e in enumerate(casted)],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    tmp = df
+    names = []
+    for i, e in enumerate(casted):
+        mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
+        name = f"_zq_{i}"
+        names.append(name)
+        if mn is None or mx is None or mx == mn:
+            tmp = tmp.withColumn(name, F.lit(0).cast("long"))
+            continue
+        shift = 0
+        while ((mx - mn) >> shift) * top >= (1 << 63):
+            shift += 1
+        span = (mx - mn) >> shift
+        shifted = F.coalesce(e, F.lit(mn).cast("long")) - F.lit(mn).cast("long")
+        if shift:
+            shifted = F.shiftright(shifted, shift)
+        tmp = tmp.withColumn(name, shifted)
+        # true integer division via the SQL `div` operator (float `/`
+        # + cast loses exactness above 2^53)
+        tmp = tmp.withColumn(name, F.expr(f"({name} * {top}L) div {span}L"))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, name in enumerate(names):
+            bit = F.shiftright(F.col(name), b).bitwiseAND(F.lit(1).cast("long"))
+            z = z + F.shiftleft(bit, b * n + i)
+    return tmp.withColumn(out_col, z).drop(*names)
+
+
 def cluster_zorder(
     df: DataFrame,
     cols: list[str],

@@ -2673,6 +2673,25 @@ ORDER BY doc_id, epoch_copy
 """
 
 
+def events_zorder_top200(spark, sf_dir):
+    """Z-order (Morton) layout key over (user_id, event time): the
+    multi-column data-skipping sort key (operators/layout.py — the
+    reference's writer clusters by one key only, writer.go; z-order
+    makes range filters on EITHER column prune row groups). All
+    integer arithmetic with driver-literal min/max bounds, so the
+    curve is reproducible and ORACLE-EXACT (DuckDB replays the
+    discretization with ``//`` and the same shift/AND interleave)."""
+    from esdb_spark.operators.layout import with_zorder
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        with_zorder(ev.select("event_id", "user_id", "ts"), ["user_id", "ts"])
+        .select("event_id", "zvalue")
+        .orderBy("zvalue", "event_id")
+        .limit(200)
+    )
+
+
 def embedding_quantize_docs(spark, sf_dir):
     """Symmetric per-vector int8 storage quantization of the
     embeddings table (operators/quantize.py — the 8x storage codec a
@@ -2784,6 +2803,31 @@ _PIPELINE_ORACLES = {
     "interleave_docs": _INTERLEAVE_ORACLE,
     "documents_shuffle_order": _SHUFFLE_ORDER_ORACLE,
     "hard_negatives_topk": _HARD_NEGATIVES_ORACLE,
+    "events_zorder_top200": """
+        WITH s AS (
+            SELECT min(user_id) AS mn0, max(user_id) AS mx0,
+                   min(epoch_us(ts)) AS mn1, max(epoch_us(ts)) AS mx1
+            FROM events
+        ),
+        q AS (
+            SELECT e.event_id,
+                   CASE WHEN s.mx0 = s.mn0 THEN CAST(0 AS BIGINT)
+                        ELSE ((coalesce(e.user_id, s.mn0) - s.mn0) * 65535)
+                             // (s.mx0 - s.mn0) END AS q0,
+                   CASE WHEN s.mx1 = s.mn1 THEN CAST(0 AS BIGINT)
+                        ELSE ((coalesce(epoch_us(e.ts), s.mn1) - s.mn1)
+                              * 65535) // (s.mx1 - s.mn1) END AS q1
+            FROM events e, s
+        )
+        SELECT event_id,
+               CAST(""" + " + ".join(
+        f"(((q0 >> {b}) & 1) << {2 * b}) + (((q1 >> {b}) & 1) << {2 * b + 1})"
+        for b in range(16)
+    ) + """ AS BIGINT) AS zvalue
+        FROM q
+        ORDER BY zvalue, event_id
+        LIMIT 200
+    """,
     "embedding_quantize_docs": """
         WITH q AS (
             SELECT vec_id,
@@ -4338,6 +4382,7 @@ def catalog() -> dict[str, Q]:
         ("documents_shuffle_order", documents_shuffle_order),
         ("hard_negatives_topk", hard_negatives_topk),
         ("embedding_quantize_docs", embedding_quantize_docs),
+        ("events_zorder_top200", events_zorder_top200),
         ("upsample_docs", upsample_docs),
         ("source_temperature_mix", source_temperature_mix),
     ]:

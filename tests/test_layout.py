@@ -76,3 +76,48 @@ def test_cluster_zorder_preserves_rows(spark, grid_df, tmp_path):
     assert back.count() == grid_df.count()
     assert back.columns == grid_df.columns  # _z dropped
     assert back.exceptAll(grid_df).count() == 0
+
+
+def test_with_zorder_exact_variant(spark, grid_df):
+    """The oracle-exact (min-max, integer-div) z-value added in r5:
+    deterministic, bounded, NULL-safe, and locality-equivalent to the
+    equi-depth variant on uniform data."""
+    from esdb_spark.operators.layout import with_zorder
+
+    out = with_zorder(grid_df, ["x", "y"], bits=10)
+    vals = out.select("zvalue").collect()
+    assert all(0 <= r["zvalue"] < (1 << 20) for r in vals)
+    again = with_zorder(grid_df, ["x", "y"], bits=10)
+    assert out.exceptAll(again).count() == 0
+    # NULLs and constants don't break it
+    df = spark.createDataFrame(
+        [(0, None, 5), (1, 10, 5), (2, 20, 5)], "id int, a long, b long"
+    )
+    z = {r["id"]: r["zvalue"] for r in with_zorder(df, ["a", "b"], bits=4).collect()}
+    assert z[0] == 0          # NULL -> min bucket; b constant -> 0 bits
+    assert z[1] == 0 or z[1] < z[2]
+    with pytest.raises(ValueError, match="already exists"):
+        with_zorder(df.withColumn("zvalue", F.lit(1)), ["a"])
+    with pytest.raises(ValueError, match="63 bits"):
+        with_zorder(grid_df, ["x", "y"], bits=32)
+
+
+def test_with_zorder_chunks_bound_both_dimensions(spark, grid_df):
+    """Same skipping property as the clustered write, checked on the
+    exact variant via contiguous chunks of the z-sorted frame."""
+    from esdb_spark.operators.layout import with_zorder
+
+    z = (
+        with_zorder(grid_df.limit(20_000), ["x", "y"], bits=10)
+        .orderBy("zvalue")
+        .toPandas()
+    )
+    k = 16
+    spans_x, spans_y = [], []
+    for i in range(k):
+        c = z.iloc[i * len(z) // k : (i + 1) * len(z) // k]
+        spans_x.append(c["x"].max() - c["x"].min())
+        spans_y.append(c["y"].max() - c["y"].min())
+    # both dimensions materially tighter than the 0..999 domain
+    assert sum(spans_x) / k < 600
+    assert sum(spans_y) / k < 600
