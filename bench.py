@@ -70,6 +70,11 @@ BENCH_QUERIES = [
     "knn_join_embeddings",
     "multimodal_jpeg_stats",
     "embedding_kmeans_docs",
+    # round-5 additions: corpus-release MERGE, the int8 embedding
+    # codec, and the engine-portable z-order layout key
+    "corpus_merge_docs",
+    "embedding_quantize_docs",
+    "events_zorder_top200",
 ]
 
 

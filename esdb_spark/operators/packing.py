@@ -195,29 +195,36 @@ def _common_prefix_len(slim: DataFrame, id_col: str, dtype) -> int:
 
 
 def _bucket_expr(col: "F.Column", bounds: list[float]) -> "F.Column":
-    """``#{b in bounds : col > b}`` as a SUM OF COMPARISONS, not
+    """``#{b in bounds : col > b}`` as a BINARY-SEARCH CASE TREE, not
     ``size(filter(lit_array, x -> col > x))``: a higher-order function
     hides the lambda body's column references from Catalyst's
     constraint propagation, and when the aliased bucket later feeds a
     join key, InferFiltersFromConstraints pushes the (apparently
     column-free) expression onto the OTHER join side — an unbindable
     ``!Filter`` that fails with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at
-    execution. Plain comparisons keep the reference set honest; at the
-    bucket counts used here (≈ shuffle partitions) the expression is a
-    short codegen'd add chain. Compile cost is once per stage and
-    amortizes at scale (Spark splits long chains across generated
-    methods), but it IS visible in sub-second local micro-benches —
-    ~0.5 s across the three stages at 32 buckets. Thousands of buckets
-    (single-dominant-source corpora at extreme scale need
-    n_buckets ≈ rows/10M) pay seconds of one-time compile; if that
-    ever binds, the escape is a width_bucket-style uniform bucketing —
-    NOT the lambda form."""
+    execution. Explicit comparisons keep the reference set honest, and
+    the tree costs log2(buckets) comparisons per row (the same shape
+    as ``layout._bucket_expr``) instead of a linear add-chain — at
+    thousands of buckets (single-dominant-source corpora at extreme
+    scale need n_buckets ≈ rows/10M) a linear chain is both slow per
+    row and seconds of one-time Janino compile. NULL input lands in
+    bucket 0 (every comparison fails down the ELSE side), matching
+    NULLS-FIRST window order."""
     if not bounds:
         return F.lit(0)
-    e = F.lit(0)
-    for b in bounds:
-        e = e + F.when(col > F.lit(float(b)), 1).otherwise(0)
-    return e
+
+    def tree(lo: int, hi: int) -> "F.Column":
+        # bucket id for values whose answer lies in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        # col > bounds[mid-1]  →  at least `mid` bounds are below
+        return (
+            F.when(col > F.lit(float(bounds[mid - 1])), tree(mid, hi))
+            .otherwise(tree(lo, mid - 1))
+        )
+
+    return tree(0, len(bounds))
 
 
 def interleave_sources(
