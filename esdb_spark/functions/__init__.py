@@ -10,6 +10,40 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
+def bucket_tree(col: Column, bounds: list[float], strict: bool = True) -> Column:
+    """``#{b in bounds : b < col}`` (``strict``, default) or
+    ``#{b : b <= col}`` as a binary-search CASE tree over sorted
+    literal boundaries — log2(len(bounds)) comparisons per row,
+    codegen'd.
+
+    This is the ONE bucket-search builder (packing's rank buckets and
+    layout's z-order buckets both delegate here; they differ only in
+    the tie convention, hence ``strict``). Two properties matter:
+    explicit comparisons keep the column references VISIBLE to
+    Catalyst — a ``size(filter(lit_array, lambda))`` formulation hides
+    them, and when the aliased bucket later feeds a join key,
+    InferFiltersFromConstraints pushes the apparently column-free
+    expression onto the other join side (unbindable ``!Filter``,
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution) — and the tree
+    depth stays log-bounded where a linear chain costs O(n) per row
+    and seconds of one-time Janino compile at thousands of buckets.
+    NULL input lands in bucket 0 (every comparison fails down the
+    ELSE side), matching NULLS-FIRST ordering."""
+    if not bounds:
+        return F.lit(0)
+
+    def tree(lo: int, hi: int) -> Column:
+        # bucket id for rows whose answer lies in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        b = F.lit(float(bounds[mid - 1]))
+        pred = (col > b) if strict else (col >= b)
+        return F.when(pred, tree(mid, hi)).otherwise(tree(lo, mid - 1))
+
+    return tree(0, len(bounds))
+
+
 def epoch_us(col) -> Column:
     """Epoch microseconds of a timestamp column, NTZ-safe.
 

@@ -356,11 +356,14 @@ def dedup_minhash_lsh(
     # candidate pairs (rare by construction), never the corpus.
     # The checkpointed sigs carry no size stats (LogicalRDD), so the
     # band self-join and the estimate joins would all fall back to
-    # sort-merge even at a few thousand docs. Gate explicit broadcasts
-    # on the INPUT's Catalyst size estimate (free — no job; parquet
-    # stats are real file bytes). Above the cutoff the shuffling
-    # plans ARE the right ones.
-    small = _estimated_input_bytes(df) <= 64 << 20  # corpus ≲ 64 MB
+    # sort-merge even at a few thousand docs. The broadcast payload
+    # scales with ROW COUNT (~1 KB of signature per doc), not input
+    # bytes — a 64 MB parquet of short docs holds millions of rows —
+    # so the gate is an exact row count: cheap here because sigs was
+    # just eagerly materialized (counting reads the stored blocks).
+    # 50k docs ≈ 50 MB sig broadcast / ~38 MB banded triples; above
+    # that the shuffling plans ARE the right ones.
+    small = sigs.count() <= 50_000
     cand = lsh_candidate_pairs(
         sigs,
         bands=bands,
@@ -547,7 +550,13 @@ def dedup_simhash(
     probe side then reads the stored blocks, exactly the single-pass
     shape the round-4 lazy persist had)."""
     hashes = simhash(df, text_col, id_col).localCheckpoint(eager=False)
-    small = _estimated_input_bytes(df) <= 64 << 20
+    # The broadcast side (exploded pieces) is rows × chunks × ~24 B —
+    # row-count-driven, and counting here would force an eager
+    # materialization job (defeating the lazy checkpoint). The byte
+    # gate is therefore CONSERVATIVE: 16 MB of input parquet is at
+    # most ~500k hundred-byte rows even at 3× compression → ≤ ~50 MB
+    # of pieces. Bigger inputs take the shuffle plans.
+    small = _estimated_input_bytes(df) <= 16 << 20
     pairs = simhash_near_pairs(hashes, max_hamming, broadcast=small)
     drop_ids = pairs.select(F.col("id_b").alias("id")).distinct()
     if small:  # drop set ⊆ corpus — same bound as the chunk broadcast

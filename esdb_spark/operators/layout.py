@@ -31,29 +31,18 @@ from pyspark.sql import DataFrame, functions as F
 
 def _bucket_expr(col: str, boundaries: list[float]) -> F.Column:
     """Equi-depth bucket id (0..len(boundaries)) of ``col`` given
-    sorted interior boundaries, as a codegen'd expression.
+    sorted interior boundaries — the shared binary-search CASE tree
+    (:func:`esdb_spark.functions.bucket_tree`; log2(buckets)
+    comparisons per row instead of the 2^bits a linear scan costs).
+    Non-strict: a value exactly on a boundary belongs to the UPPER
+    bucket (``#{b : b <= v}``) — the convention the original
+    expr-string tree used, preserved so existing clustered layouts
+    reproduce."""
+    from esdb_spark.functions import bucket_tree
 
-    Generated as a binary-search CASE tree — log2(buckets) comparisons
-    per row instead of the 2^bits a linear ``filter`` scan of the
-    boundary array costs (255 vs 8 at the default 8 bits; the bucket
-    pass runs over every row of the table being clustered, so the
-    inner loop matters)."""
-    v = f"cast(`{col}` as double)"
-
-    def tree(lo: int, hi: int) -> str:
-        # returns the bucket id for values in boundary range [lo, hi)
-        if lo == hi:
-            return str(lo)
-        mid = (lo + hi) // 2
-        # boundaries[mid] <= v  →  bucket > mid
-        return (
-            f"(CASE WHEN {repr(float(boundaries[mid]))} <= {v} "
-            f"THEN {tree(mid + 1, hi)} ELSE {tree(lo, mid)} END)"
-        )
-
-    if not boundaries:
-        return F.expr("0")
-    return F.expr(tree(0, len(boundaries)))
+    return bucket_tree(
+        F.expr(f"cast(`{col}` as double)"), list(boundaries), strict=False
+    )
 
 
 def zorder_key(
@@ -151,22 +140,39 @@ def with_zorder(
     ).collect()[0]
     top = (1 << bits) - 1
     tmp = df
+    # collision-proof temp names (an input column named _zq_0 would
+    # otherwise be silently clobbered AND dropped)
+    suffix = ""
+    while any(f"_zq{suffix}_{i}" in df.columns for i in range(len(casted))):
+        suffix += "x"
     names = []
     for i, e in enumerate(casted):
         mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
-        name = f"_zq_{i}"
+        name = f"_zq{suffix}_{i}"
         names.append(name)
         if mn is None or mx is None or mx == mn:
             tmp = tmp.withColumn(name, F.lit(0).cast("long"))
             continue
+        # Shift BEFORE subtracting: (v - mn) itself overflows signed 64
+        # when the column spans more than 2^63 (e.g. xxhash64-derived
+        # ids, mn ≈ -2^63, mx ≈ 2^63) — ANSI sessions raise, non-ANSI
+        # silently wraps. Arithmetic right-shift preserves order, and
+        # Python's >> on ints matches Java's >> on longs (floor), so
+        # the driver-side shifted bounds agree with the per-row
+        # expression bit-for-bit. The loop bounds BOTH the shifted
+        # span (subtraction fits) and the span*top product (div input
+        # fits).
         shift = 0
-        while ((mx - mn) >> shift) * top >= (1 << 63):
+        while ((mx >> shift) - (mn >> shift)) * top >= (1 << 63):
             shift += 1
-        span = (mx - mn) >> shift
-        shifted = F.coalesce(e, F.lit(mn).cast("long")) - F.lit(mn).cast("long")
+        smn, span = mn >> shift, (mx >> shift) - (mn >> shift)
+        sv = F.coalesce(e, F.lit(mn).cast("long"))
         if shift:
-            shifted = F.shiftright(shifted, shift)
-        tmp = tmp.withColumn(name, shifted)
+            sv = F.shiftright(sv, shift)
+        tmp = tmp.withColumn(name, sv - F.lit(smn).cast("long"))
+        if span == 0:  # range collapsed entirely under the shift
+            tmp = tmp.withColumn(name, F.lit(0).cast("long"))
+            continue
         # true integer division via the SQL `div` operator (float `/`
         # + cast loses exactness above 2^53)
         tmp = tmp.withColumn(name, F.expr(f"({name} * {top}L) div {span}L"))

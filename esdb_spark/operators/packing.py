@@ -195,36 +195,16 @@ def _common_prefix_len(slim: DataFrame, id_col: str, dtype) -> int:
 
 
 def _bucket_expr(col: "F.Column", bounds: list[float]) -> "F.Column":
-    """``#{b in bounds : col > b}`` as a BINARY-SEARCH CASE TREE, not
-    ``size(filter(lit_array, x -> col > x))``: a higher-order function
-    hides the lambda body's column references from Catalyst's
-    constraint propagation, and when the aliased bucket later feeds a
-    join key, InferFiltersFromConstraints pushes the (apparently
-    column-free) expression onto the OTHER join side — an unbindable
-    ``!Filter`` that fails with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at
-    execution. Explicit comparisons keep the reference set honest, and
-    the tree costs log2(buckets) comparisons per row (the same shape
-    as ``layout._bucket_expr``) instead of a linear add-chain — at
-    thousands of buckets (single-dominant-source corpora at extreme
-    scale need n_buckets ≈ rows/10M) a linear chain is both slow per
-    row and seconds of one-time Janino compile. NULL input lands in
-    bucket 0 (every comparison fails down the ELSE side), matching
-    NULLS-FIRST window order."""
-    if not bounds:
-        return F.lit(0)
+    """``#{b in bounds : col > b}`` — delegates to the shared
+    binary-search CASE tree (see :func:`esdb_spark.functions.
+    bucket_tree` for why: visible references beat HOF lambdas for
+    Catalyst constraint propagation, and log-depth beats a linear
+    chain at thousands of buckets). Strict comparison: a row exactly
+    on a boundary belongs to the LOWER bucket, consistently with the
+    driver-side ``_cum_counts`` (vtime <= t)."""
+    from esdb_spark.functions import bucket_tree
 
-    def tree(lo: int, hi: int) -> "F.Column":
-        # bucket id for values whose answer lies in [lo, hi]
-        if lo == hi:
-            return F.lit(lo)
-        mid = (lo + hi + 1) // 2
-        # col > bounds[mid-1]  →  at least `mid` bounds are below
-        return (
-            F.when(col > F.lit(float(bounds[mid - 1])), tree(mid, hi))
-            .otherwise(tree(lo, mid - 1))
-        )
-
-    return tree(0, len(bounds))
+    return bucket_tree(col, bounds, strict=True)
 
 
 def interleave_sources(

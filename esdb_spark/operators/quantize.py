@@ -46,7 +46,12 @@ def quantize_int8(
     scale = max|x| / 127. A zero (or all-NULL) vector gets scale 0 and
     all-zero codes; a NULL vector yields NULL code/scale. NULL
     elements inside a vector quantize to 0 (missing dimension =
-    origin), keeping the array length intact."""
+    origin), keeping the array length intact. Raises if ``out_col`` /
+    ``scale_col`` already exist — silently replacing previously
+    stored codes would corrupt a round-tripping pipeline."""
+    for c in (out_col, scale_col):
+        if c in df.columns:
+            raise ValueError(f"quantize_int8: column {c!r} already exists")
     v = F.col(vec_col)
     absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     # all-NULL-element vectors: array_max skips NULLs and returns NULL
@@ -78,6 +83,8 @@ def dequantize_int8(
     out_col: str = "vec_hat",
 ) -> DataFrame:
     """Reconstruct ``out_col`` (array<double>) = code_i * scale."""
+    if out_col in df.columns:
+        raise ValueError(f"dequantize_int8: column {out_col!r} already exists")
     return df.withColumn(
         out_col,
         F.transform(
@@ -98,9 +105,18 @@ def quantization_error_stats(
     |<v,v> - <v̂,v̂>| — a proxy for the similarity drift ANN inherits.
     One scan, aggregation only; NULL vectors (and vectors containing
     NULL elements) are excluded from the error means but counted in
-    n_vectors."""
+    n_vectors. Operates on a (group_cols, vec_col) projection, so it
+    composes with frames that already carry q8/q8_scale columns and
+    the scan stays column-pruned."""
+    slim_cols = [*(group_cols or []), vec_col]
+    reserved = {"q8", "q8_scale", "_vhat", "_rms", "_dot_err"}
+    clash = reserved.intersection(slim_cols)
+    if clash:
+        raise ValueError(
+            f"quantization_error_stats: reserved column name(s) {sorted(clash)}"
+        )
     q = dequantize_int8(
-        quantize_int8(df, vec_col), out_col="_vhat"
+        quantize_int8(df.select(*slim_cols), vec_col), out_col="_vhat"
     )
     diff2 = F.aggregate(
         F.zip_with(

@@ -2829,11 +2829,15 @@ _PIPELINE_ORACLES = {
         LIMIT 200
     """,
     "embedding_quantize_docs": """
+        -- mirrors quantize_int8's NULL contract exactly: NULL vector
+        -- -> NULL scale/codes; all-NULL elements -> scale 0, zero
+        -- codes; NULL elements -> code 0 (coalesce-to-origin)
         WITH q AS (
             SELECT vec_id,
-                   list_max(list_transform(
-                       embedding, x -> abs(CAST(x AS DOUBLE))
-                   )) / 127.0 AS q8_scale,
+                   CASE WHEN embedding IS NULL THEN NULL
+                        ELSE coalesce(list_max(list_transform(
+                                 embedding, x -> abs(CAST(x AS DOUBLE))
+                             )), 0.0) / 127.0 END AS q8_scale,
                    embedding
             FROM embeddings
         ),
@@ -2841,10 +2845,12 @@ _PIPELINE_ORACLES = {
             SELECT vec_id, q8_scale,
                    CASE WHEN q8_scale > 0 THEN
                        list_transform(embedding, x -> CAST(
-                           sign(CAST(x AS DOUBLE) / q8_scale)
-                           * floor(abs(CAST(x AS DOUBLE) / q8_scale) + 0.5)
+                           sign(coalesce(CAST(x AS DOUBLE), 0.0) / q8_scale)
+                           * floor(abs(coalesce(CAST(x AS DOUBLE), 0.0)
+                                       / q8_scale) + 0.5)
                        AS BIGINT))
-                   ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+                   WHEN embedding IS NOT NULL THEN
+                       list_transform(embedding, x -> CAST(0 AS BIGINT))
                    END AS c
             FROM q
         )

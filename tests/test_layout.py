@@ -121,3 +121,22 @@ def test_with_zorder_chunks_bound_both_dimensions(spark, grid_df):
     # both dimensions materially tighter than the 0..999 domain
     assert sum(spans_x) / k < 600
     assert sum(spans_y) / k < 600
+
+
+def test_with_zorder_full_range_and_name_collision(spark):
+    """Review r5.2: (v - min) overflowed signed 64 for full-range
+    (hash-derived) ids — the pre-shift now happens BEFORE the
+    subtraction; and an input column named _zq_0 must survive."""
+    from esdb_spark.operators.layout import with_zorder
+
+    df = spark.createDataFrame(
+        [(0, -(2**63), 1), (1, 0, 2), (2, 2**63 - 1, 3)],
+        "id int, h long, t long",
+    )
+    out = {r["id"]: r["zvalue"] for r in with_zorder(df, ["h", "t"], bits=8).collect()}
+    assert out[0] < out[1] < out[2]  # monotone in the wide column
+    df2 = spark.createDataFrame(
+        [(1, 10, "keep")], "a long, b long, _zq_0 string"
+    )
+    r = with_zorder(df2, ["a", "b"], bits=4).collect()[0]
+    assert r["_zq_0"] == "keep" and r["zvalue"] is not None

@@ -86,3 +86,25 @@ def test_rounding_is_half_away_from_zero(spark):
     r = quantize_int8(df, "embedding").collect()[0]
     assert r["q8_scale"] == 1.0
     assert r["q8"] == [127, 3, -3, 1, -1]  # .5 rounds AWAY, both signs
+
+
+def test_quantize_guards_and_composition(spark):
+    """Review r5.2: pre-existing q8/q8_scale/vec_hat columns must
+    raise, not be silently replaced; error stats compose with frames
+    that already carry codes (projection isolates them)."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id int, embedding array<double>"
+    )
+    q = quantize_int8(df, "embedding")
+    with pytest.raises(ValueError, match="already exists"):
+        quantize_int8(q, "embedding")
+    d = dequantize_int8(q)
+    with pytest.raises(ValueError, match="already exists"):
+        dequantize_int8(d)
+    # error stats on an already-quantized frame: fine (projection)
+    row = quantization_error_stats(q, "embedding").collect()[0]
+    assert row["n_vectors"] == 1
+    with pytest.raises(ValueError, match="reserved"):
+        quantization_error_stats(
+            q.withColumnRenamed("vec_id", "_rms"), "embedding", ["_rms"]
+        )
