@@ -2673,6 +2673,37 @@ ORDER BY doc_id, epoch_copy
 """
 
 
+def doc_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts (graph.triangle_count — degree-ordered
+    orientation, the O(m^1.5) distributed formulation; PageRank's
+    sibling for graph analytics). The edge list is a deterministic
+    2-out functional graph over doc ids (two affine hash edges mod
+    max_id+1), so the EXACT oracle replays both the construction and
+    all three joins in plain SQL — certifying orientation, the
+    one-wedge-per-triangle invariant, and the per-node rollup."""
+    from esdb_spark.operators.graph import triangle_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    # ring chords (i, i+1) and (i, i+2) guarantee a triangle per node
+    # at ANY scale factor; the affine-hash edges add irregular degree
+    # so the orientation logic is actually exercised
+    families = [
+        (F.col("doc_id") * 37 + 11) % F.lit(n),
+        (F.col("doc_id") + 1) % F.lit(n),
+        (F.col("doc_id") + 2) % F.lit(n),
+    ]
+    edges = None
+    for fam in families:
+        e = docs.select(F.col("doc_id").alias("src"), fam.alias("dst"))
+        edges = e if edges is None else edges.unionAll(e)
+    return (
+        triangle_count(edges)
+        .filter(F.col("triangles") > 0)
+        .orderBy("id")
+    )
+
+
 def events_zorder_top200(spark, sf_dir):
     """Z-order (Morton) layout key over (user_id, event time): the
     multi-column data-skipping sort key (operators/layout.py — the
@@ -2803,6 +2834,59 @@ _PIPELINE_ORACLES = {
     "interleave_docs": _INTERLEAVE_ORACLE,
     "documents_shuffle_order": _SHUFFLE_ORDER_ORACLE,
     "hard_negatives_topk": _HARD_NEGATIVES_ORACLE,
+    "doc_graph_triangles": """
+        WITH nmax AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        raw AS (
+            SELECT doc_id AS a, (doc_id * 37 + 11) % (SELECT n FROM nmax) AS b
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id + 1) % (SELECT n FROM nmax)
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id + 2) % (SELECT n FROM nmax)
+            FROM documents
+        ),
+        e AS (
+            SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+            FROM raw WHERE a <> b
+        ),
+        deg AS (
+            SELECT id, count(*) AS deg FROM (
+                SELECT u AS id FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY id
+        ),
+        oriented AS (
+            SELECT CASE WHEN (du.deg < dv.deg)
+                             OR (du.deg = dv.deg AND e.u < e.v)
+                        THEN e.u ELSE e.v END AS lo,
+                   CASE WHEN (du.deg < dv.deg)
+                             OR (du.deg = dv.deg AND e.u < e.v)
+                        THEN e.v ELSE e.u END AS hi
+            FROM e
+            JOIN deg du ON du.id = e.u
+            JOIN deg dv ON dv.id = e.v
+        ),
+        wedges AS (
+            SELECT w1.lo AS p, w1.hi AS x, w2.hi AS y
+            FROM oriented w1 JOIN oriented w2 ON w1.lo = w2.lo
+            WHERE w1.hi < w2.hi
+        ),
+        tri AS (
+            SELECT w.p, w.x, w.y
+            FROM wedges w JOIN e ON e.u = w.x AND e.v = w.y
+        ),
+        cnt AS (
+            SELECT id, count(*) AS triangles FROM (
+                SELECT p AS id FROM tri
+                UNION ALL SELECT x FROM tri
+                UNION ALL SELECT y FROM tri
+            ) GROUP BY id
+        )
+        SELECT d.id, CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles
+        FROM deg d LEFT JOIN cnt c ON c.id = d.id
+        WHERE coalesce(c.triangles, 0) > 0
+        ORDER BY d.id
+    """,
     "events_zorder_top200": """
         WITH s AS (
             SELECT min(user_id) AS mn0, max(user_id) AS mx0,
@@ -4389,6 +4473,7 @@ def catalog() -> dict[str, Q]:
         ("hard_negatives_topk", hard_negatives_topk),
         ("embedding_quantize_docs", embedding_quantize_docs),
         ("events_zorder_top200", events_zorder_top200),
+        ("doc_graph_triangles", doc_graph_triangles),
         ("upsample_docs", upsample_docs),
         ("source_temperature_mix", source_temperature_mix),
     ]:

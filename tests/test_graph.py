@@ -75,3 +75,74 @@ def test_null_edges_dropped_mass_conserved(spark):
     ranks = pagerank(df, iters=8).collect()
     assert {r["id"] for r in ranks} == {1, 2}
     assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-9
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 + pendant: every K4 node sits in 3 triangles, the pendant in
+    none; duplicate/reversed edges and self-loops are ignored."""
+    from esdb_spark.operators.graph import triangle_count
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (1, 0), (2, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["id"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from esdb_spark.operators.graph import triangle_count
+
+    random.seed(11)
+    n = 50
+    es = {tuple(sorted(random.sample(range(n), 2))) for _ in range(180)}
+    adj = {i: set() for i in range(n)}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {i: 0 for i in range(n)}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    got = {
+        r["id"]: r["triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(list(es), "src long, dst long")
+        ).collect()
+    }
+    assert all(got.get(i, 0) == want[i] for i in range(n))
+
+
+def test_triangle_count_hub_wedges_stay_bounded(spark):
+    """The degree-orientation property: a star (one hub, 200 leaves)
+    has zero triangles AND must produce zero wedge-join candidates at
+    the hub (the naive formulation explodes d^2 = 40k candidates)."""
+    from esdb_spark.operators.graph import triangle_count
+
+    star = [(0, i) for i in range(1, 201)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    out = triangle_count(df)
+    assert out.filter("triangles > 0").count() == 0
+    # every edge orients leaf -> hub (leaves have degree 1), so wedges
+    # exist only at leaves (none have 2 out-edges): the wedge relation
+    # is EMPTY — asserted via the same construction the operator uses
+    from pyspark.sql import functions as F
+
+    e = df.select(F.least("src", "dst").alias("u"),
+                  F.greatest("src", "dst").alias("v")).distinct()
+    deg = (e.select(F.col("u").alias("id")).unionAll(
+        e.select(F.col("v").alias("id"))).groupBy("id")
+        .agg(F.count("*").alias("deg")))
+    # canonical edges are (u=hub, v=leaf); the hub is `lo` (gets the
+    # out-edge) only if its (deg, id) sorts below the leaf's — never,
+    # since deg(hub)=200 vs deg(leaf)=1
+    hub_out = (e.join(deg.withColumnRenamed("id", "u")
+                      .withColumnRenamed("deg", "du"), "u")
+               .join(deg.withColumnRenamed("id", "v")
+                     .withColumnRenamed("deg", "dv"), "v")
+               .filter("du < dv or (du = dv and u < v)").count())
+    assert hub_out == 0  # hub never gets an out-edge
