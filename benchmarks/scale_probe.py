@@ -467,3 +467,41 @@ print(json.dumps({
         for k in small_mv if k != "rows"
     },
 }, indent=1))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting at 100x (round-5 probe)
+# ---------------------------------------------------------------------------
+
+def triangle_shapes(n_edges):
+    """graph.triangle_count over a synthetic power-law-ish edge list —
+    the degree-ordered orientation must keep hub wedges bounded, so
+    the ratio should track the edge count, not the max degree."""
+    from esdb_spark.operators.graph import triangle_count
+
+    n_nodes = max(n_edges // 10, 100)
+    edges = spark.range(n_edges).select(
+        (F.pow(F.abs(F.xxhash64("id", F.lit(20)) % 1_000_000) / 1e6, 2.0)
+         * n_nodes).cast("long").alias("src"),
+        (F.abs(F.xxhash64("id", F.lit(21))) % n_nodes).alias("dst"),
+    ).localCheckpoint(eager=True)  # pin the generator; measure the operator
+    out = {}
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        triangle_count(edges).agg(F.sum("triangles")).collect()
+        best = min(best, time.perf_counter() - t0)
+    out["triangle_count"] = round(best, 2)
+    out["edges"] = n_edges
+    return out
+
+
+small_tri = triangle_shapes(100_000)
+big_tri = triangle_shapes(10_000_000)
+print(json.dumps({
+    "triangles_100k_edges": small_tri,
+    "triangles_10m_edges": big_tri,
+    "triangle_ratio_100x_edges": round(
+        big_tri["triangle_count"] / max(small_tri["triangle_count"], 0.01), 1
+    ),
+}, indent=1))
