@@ -27,6 +27,12 @@ Scale: one hash shuffle per side on the id (SMJ/anti-join); Catalyst
 broadcasts the updates when small — the common incremental case: a
 day's recrawl against a 100 TB base never moves the base. Neither
 function collects anything; stats output is 1 row.
+
+Both are plain DataFrame transforms, so they compose with Structured
+Streaming unchanged: fold micro-batched update streams into
+successive snapshots with ``foreachBatch`` + :func:`merge_snapshot`
+(continuous corpus releases — tested in
+``test_versioning.py::test_streaming_release_folding``).
 """
 
 from __future__ import annotations

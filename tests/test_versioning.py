@@ -152,3 +152,57 @@ def test_fingerprint_field_boundary_unambiguous(spark):
         b, u, "doc_id", compare_cols=["text", "lang"], deleted_col="deleted"
     ).collect()[0]
     assert row["n_updated"] == 1 and row["n_unchanged"] == 0
+
+
+def test_streaming_release_folding(spark, tmp_path):
+    """Continuous corpus releases: micro-batched update streams fold
+    into successive snapshots via foreachBatch + merge_snapshot (the
+    operator is a plain DataFrame transform, so it composes with
+    Structured Streaming unchanged). Later releases override earlier
+    ones, tombstones delete across releases."""
+    import os
+
+    base = spark.createDataFrame(
+        [(1, "one", "web"), (2, "two", "web"), (3, "three", "code")],
+        "doc_id int, text string, source string",
+    )
+    v0 = str(tmp_path / "snap_v0")
+    base.write.parquet(v0)
+    upd_dir = str(tmp_path / "updates")
+    os.makedirs(upd_dir)
+    schema = "doc_id int, text string, source string, deleted boolean"
+    state = {"path": v0, "n": 0}
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        cur = spark.read.parquet(state["path"])
+        merged = merge_snapshot(cur, batch_df, "doc_id", "deleted")
+        state["n"] += 1
+        out = str(tmp_path / f"snap_v{state['n']}")
+        merged.write.parquet(out)
+        state["path"] = out
+
+    stream = spark.readStream.schema(schema).parquet(upd_dir)
+    q = stream.writeStream.foreachBatch(fold).start()
+    try:
+        # release 1: update doc 2, add doc 9
+        spark.createDataFrame(
+            [(2, "two v2", "web", False), (9, "nine", "crawl", False)], schema
+        ).write.mode("append").parquet(upd_dir)
+        q.processAllAvailable()
+        # release 2: tombstone doc 3, update doc 9 again
+        spark.createDataFrame(
+            [(3, None, None, True), (9, "nine v2", "crawl", False)], schema
+        ).write.mode("append").parquet(upd_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {
+        r["doc_id"]: r for r in spark.read.parquet(state["path"]).collect()
+    }
+    assert set(final) == {1, 2, 9}
+    assert final[2]["text"] == "two v2"
+    assert final[9]["text"] == "nine v2"  # release 2 overrode release 1
+    assert state["n"] >= 1  # at least one fold ran (micro-batches may
+    # coalesce, but the final state is release-order correct either way)
