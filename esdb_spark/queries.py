@@ -2673,6 +2673,34 @@ ORDER BY doc_id, epoch_copy
 """
 
 
+def part_name_linkage(spark, sf_dir):
+    """Record linkage (entity resolution): fuzzy-join a probe table of
+    truncated part names (first 3 chars dropped) back to the part
+    catalog by character-trigram Jaccard >= 0.55
+    (operators/linkage.py — exact inverted-index set-similarity join;
+    the cross-table sibling of near-dedup). sim is an int/int single
+    division, so even the float column hash-matches the oracle."""
+    from esdb_spark.operators.linkage import fuzzy_join_trigram
+
+    part = load_table(spark, sf_dir, "part")
+    probes = part.filter(F.col("p_partkey") % 20 == 0).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.expr("substring(p_name, 4)").alias("probe_name"),
+    )
+    return (
+        fuzzy_join_trigram(
+            probes,
+            part.select("p_partkey", "p_name"),
+            "probe_name",
+            "p_name",
+            "probe_id",
+            "p_partkey",
+            threshold=0.55,
+        )
+        .orderBy("left_id", "right_id")
+    )
+
+
 def doc_graph_triangles(spark, sf_dir):
     """Per-node triangle counts (graph.triangle_count — degree-ordered
     orientation, the O(m^1.5) distributed formulation; PageRank's
@@ -2834,6 +2862,39 @@ _PIPELINE_ORACLES = {
     "interleave_docs": _INTERLEAVE_ORACLE,
     "documents_shuffle_order": _SHUFFLE_ORDER_ORACLE,
     "hard_negatives_topk": _HARD_NEGATIVES_ORACLE,
+    "part_name_linkage": """
+        WITH probes AS (
+            SELECT p_partkey AS lid, lower(substring(p_name, 4)) AS s
+            FROM part WHERE p_partkey % 20 = 0
+        ),
+        cand AS (SELECT p_partkey AS rid, lower(p_name) AS s FROM part),
+        lt AS (
+            SELECT lid, len(tgs) AS ln, unnest(tgs) AS trigram FROM (
+                SELECT lid, list_distinct(list_transform(
+                    generate_series(1, greatest(length(s) - 2, 0)),
+                    i -> substring(s, i, 3))) AS tgs
+                FROM probes
+            ) WHERE len(tgs) > 0
+        ),
+        rt AS (
+            SELECT rid, len(tgs) AS rn, unnest(tgs) AS trigram FROM (
+                SELECT rid, list_distinct(list_transform(
+                    generate_series(1, greatest(length(s) - 2, 0)),
+                    i -> substring(s, i, 3))) AS tgs
+                FROM cand
+            ) WHERE len(tgs) > 0
+        ),
+        shared AS (
+            SELECT lid, rid, ln, rn, count(*) AS c
+            FROM lt JOIN rt USING (trigram)
+            GROUP BY lid, rid, ln, rn
+        )
+        SELECT lid AS left_id, rid AS right_id,
+               c / (ln + rn - c) AS sim
+        FROM shared
+        WHERE c / (ln + rn - c) >= 0.55
+        ORDER BY left_id, right_id
+    """,
     "doc_graph_triangles": """
         WITH nmax AS (SELECT max(doc_id) + 1 AS n FROM documents),
         raw AS (
@@ -4474,6 +4535,7 @@ def catalog() -> dict[str, Q]:
         ("embedding_quantize_docs", embedding_quantize_docs),
         ("events_zorder_top200", events_zorder_top200),
         ("doc_graph_triangles", doc_graph_triangles),
+        ("part_name_linkage", part_name_linkage),
         ("upsample_docs", upsample_docs),
         ("source_temperature_mix", source_temperature_mix),
     ]:
