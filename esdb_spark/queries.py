@@ -4379,13 +4379,20 @@ _GATE_WINDOW = [
     # catalogued + bench-tracked.
     "dedup_minhash_portable_docs",
     "corpus_vocab_top",
-    # TPC-H representatives
+    # TPC-H representatives (round 5: q9/q18/q21 demoted past the
+    # window — scan-heavy join/agg/subquery shapes stay represented by
+    # q1/q3/q5 and remain locally oracle-verified; their slots carry
+    # the round-5 operator families below)
     "q1_pricing_summary",
     "q3_top10_revenue",
     "q5_nation_revenue",
-    "q9_product_revenue",
-    "q18_large_volume_customers",
-    "q21_waiting_suppliers",
+    # round-5 families, all oracle-exact: incremental corpus MERGE,
+    # int8 embedding storage codec, z-order layout key, triangle
+    # counting (graph analytics beyond PageRank)
+    "corpus_merge_docs",
+    "embedding_quantize_docs",
+    "events_zorder_top200",
+    "doc_graph_triangles",
     # corpus-cleaning family (round 3): boilerplate strip, incremental
     # dedup, vocabulary, LM-quality score
     "doc_strip_boilerplate",
@@ -4402,11 +4409,14 @@ _GATE_WINDOW = [
     "events_customer_salted_join",
     # (orders_hash_sample demoted — md5-prefix rate sampling shares a
     # mechanism with documents_split_counts above; its slot showcases
-    # deterministic weighted sampling)
+    # deterministic weighted sampling. Round 5: events_stratified_sample
+    # demoted — per-group exact-k sampling shares the mechanism with
+    # documents_weighted_sample_k; similar_part_names demoted — its
+    # string-similarity family is now represented by the stronger
+    # cross-table linkage operator. Both stay locally oracle-verified.)
     "documents_weighted_sample_k",
-    "events_stratified_sample",
+    "part_name_linkage",
     "order_price_quartiles_scalable",
-    "similar_part_names",
     "heavy_hitter_users",
 ]
 assert len(_GATE_WINDOW) == 50
