@@ -25,20 +25,30 @@ Cost is sum over trigrams of |posting_left|x|posting_right| — the
 output-sensitive optimum for exact joins. Ultra-frequent trigrams
 (stop-grams: 'the', 'ing') dominate that product at corpus scale;
 ``max_posting`` drops trigrams whose LEFT+RIGHT posting count exceeds
-the cap, an explicit RECALL trade (a qualifying pair is missed only
-if ALL its shared trigrams are stop-grams — rare above moderate
-thresholds, impossible when any shared trigram is rare). Set sizes
-are recomputed over the pruned universe, so identical strings still
-score 1.0 under pruning. Default None = exact.
+the cap. Similarity is then computed over the PRUNED universe (set
+sizes recomputed, so identical strings still score 1.0), which moves
+results in BOTH directions relative to the full universe: a pair
+whose overlap was only stop-grams is missed entirely (recall), and a
+pair sharing one rare gram among mostly-pruned sets scores higher
+than its true Jaccard (precision) — the standard behavior of
+stop-word-filtered similarity; pick the cap accordingly. Default
+None = exact.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# The length guard is a CASE, not greatest(...): Spark's
+# sequence(1, 0) DEFAULTS TO STEP -1 and yields [1, 0] — a <3-char
+# string would produce a bogus pseudo-trigram (the whole string, or ''
+# for empty strings), silently linking every blank record to every
+# other at sim 1.0 and diverging from DuckDB's generate_series(1,0)=[]
 _TRIGRAMS = (
-    "array_distinct(transform(sequence(1, greatest(length({s}) - 2, 0)),"
+    "CASE WHEN length({s}) >= 3 THEN"
+    " array_distinct(transform(sequence(1, length({s}) - 2),"
     " i -> substring({s}, i, 3)))"
+    " ELSE CAST(array() AS ARRAY<STRING>) END"
 )
 
 
@@ -76,7 +86,10 @@ def fuzzy_join_trigram(
     if max_posting is not None:
         from pyspark.sql import Window
 
-        # posting length across BOTH sides; computed once, broadcast
+        # posting length across BOTH sides. No forced broadcast: the
+        # stop-gram set's cardinality is data-dependent (a CJK corpus
+        # with a tight cap can flag millions of trigrams) — AQE sizes
+        # the anti-joins at runtime and broadcasts when actually small.
         heavy = (
             lt.select("trigram")
             .unionAll(rt.select("trigram"))
@@ -85,8 +98,8 @@ def fuzzy_join_trigram(
             .filter(F.col("count") > max_posting)
             .select("trigram")
         )
-        lt = lt.join(F.broadcast(heavy), "trigram", "left_anti")
-        rt = rt.join(F.broadcast(heavy), "trigram", "left_anti")
+        lt = lt.join(heavy, "trigram", "left_anti")
+        rt = rt.join(heavy, "trigram", "left_anti")
         # set sizes must describe the PRUNED universe — keeping the
         # original sizes deflates sim for every record that contained
         # a stop-gram (identical strings scored 0.67, not 1.0, with

@@ -2704,11 +2704,13 @@ def part_name_linkage(spark, sf_dir):
 def doc_graph_triangles(spark, sf_dir):
     """Per-node triangle counts (graph.triangle_count — degree-ordered
     orientation, the O(m^1.5) distributed formulation; PageRank's
-    sibling for graph analytics). The edge list is a deterministic
-    2-out functional graph over doc ids (two affine hash edges mod
-    max_id+1), so the EXACT oracle replays both the construction and
-    all three joins in plain SQL — certifying orientation, the
-    one-wedge-per-triangle invariant, and the per-node rollup."""
+    sibling for graph analytics). The edge list is deterministic: one
+    affine hash edge (doc_id*37+11 mod max_id+1) for irregular degree
+    plus the (i, i+1) and (i, i+2) ring chords that guarantee a
+    triangle per node at any scale factor — so the EXACT oracle
+    replays both the construction and all three joins in plain SQL,
+    certifying orientation, the one-wedge-per-triangle invariant, and
+    the per-node rollup."""
     from esdb_spark.operators.graph import triangle_count
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")

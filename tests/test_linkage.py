@@ -94,3 +94,22 @@ def test_max_posting_drops_stop_grams_only(spark):
     want = {(r["left_id"], r["right_id"]) for r in exact.collect()}
     assert want == {(i, i + 100) for i in range(50)}
     assert got == want  # recall preserved when any shared gram is rare
+
+
+def test_short_and_empty_strings_match_nothing(spark):
+    """Review r5.3 (confirmed bug): Spark sequence(1, 0) steps -1 and
+    yielded [1, 0] — 'ab' got pseudo-trigram 'ab', '' got '', and every
+    blank record linked to every other at sim 1.0. The CASE guard
+    restores the documented no-trigram semantics (and DuckDB
+    generate_series parity)."""
+    left = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, None), (4, "abcd")], "lid int, name string"
+    )
+    right = spark.createDataFrame(
+        [(10, "AB"), (11, ""), (12, "abcd")], "rid int, name string"
+    )
+    out = fuzzy_join_trigram(
+        left, right, "name", "name", "lid", "rid", threshold=0.01
+    ).collect()
+    pairs = {(r["left_id"], r["right_id"]) for r in out}
+    assert pairs == {(4, 12)}  # only the real >=3-char match
