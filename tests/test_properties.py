@@ -694,3 +694,120 @@ def test_mutated_valid_files_never_crash_decoders(pos, val, n_flips, seed):
         except ValueError:
             continue
         assert out is None or isinstance(out, (np.ndarray, tuple))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators: interleave / quantize / z-order / merge / linkage
+# ---------------------------------------------------------------------------
+
+mix_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["w", "c", "m", None]),         # source (incl NULL)
+        st.sampled_from([0.5, 1.0, 2.0, 3.0]),          # weight per source
+        st.integers(min_value=-1000, max_value=1000),   # id
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[2],
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=mix_strategy)
+def test_interleave_matches_python_stride_model(spark, rows):
+    """pos is exactly the rank in the (vtime, source, id) total order
+    computed by a pure-Python model — same floats, same tie rules.
+    Weights are pinned per source (operator contract)."""
+    from esdb_spark.operators.packing import interleave_sources
+
+    src_w = {}
+    fixed = []
+    for s, w, i in rows:
+        w = src_w.setdefault(s, w)
+        fixed.append((s, w, i))
+    df = spark.createDataFrame(fixed, "source string, weight double, doc_id long")
+    got = {r["doc_id"]: r["pos"]
+           for r in interleave_sources(df, "source", "weight", "doc_id").collect()}
+    # model: per-source rank by id, vtime=(k-0.5)/w, sort by
+    # (vtime, source NULLS FIRST, id)
+    bysrc = {}
+    for s, w, i in fixed:
+        bysrc.setdefault(s, []).append(i)
+    keyed = []
+    for s, ids in bysrc.items():
+        for k, i in enumerate(sorted(ids), start=1):
+            keyed.append(((k - 0.5) / src_w[s], s is None, s or "", i))
+    keyed.sort(key=lambda t: (t[0], not t[1], t[2], t[3]))
+    want = {i: pos for pos, (_, _, _, i) in enumerate(keyed, start=1)}
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vecs=st.lists(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                       allow_nan=False, allow_infinity=False),
+             min_size=1, max_size=8),
+    min_size=1, max_size=20))
+def test_quantize_roundtrip_error_bound_property(spark, vecs):
+    """|x - x_hat| <= scale/2 for every element, any magnitudes."""
+    from esdb_spark.operators.quantize import dequantize_int8, quantize_int8
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = dequantize_int8(quantize_int8(df, "embedding")).collect()
+    for r in out:
+        scale = r["q8_scale"]
+        for x, xh in zip(r["embedding"], r["vec_hat"]):
+            assert abs(x - xh) <= scale / 2 + 1e-9 * max(1.0, abs(x))
+        assert all(-127 <= c <= 127 for c in r["q8"])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.tuples(st.integers(min_value=-(2**62), max_value=2**62),
+              st.integers(min_value=0, max_value=10**6)),
+    min_size=2, max_size=30, unique_by=lambda t: t))
+def test_zorder_single_column_monotone_property(spark, vals):
+    """With the second column constant, the z-value must be monotone
+    NON-DECREASING in the first column — any inversion means the curve
+    scrambles range locality (the overflow bug showed exactly as an
+    inversion)."""
+    from esdb_spark.operators.layout import with_zorder
+
+    rows = [(i, a, 7) for i, (a, _) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id int, a long, b long")
+    out = with_zorder(df, ["a", "b"], bits=12).collect()
+    by_a = sorted(((r["a"], r["zvalue"]) for r in out))
+    zs = [z for _, z in by_a]
+    assert all(z1 <= z2 for z1, z2 in zip(zs, zs[1:]))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(base=st.lists(st.tuples(st.integers(0, 30), st.text(max_size=4)),
+                     min_size=0, max_size=15, unique_by=lambda t: t[0]),
+       upd=st.lists(st.tuples(st.integers(0, 30), st.text(max_size=4),
+                              st.booleans()),
+                    min_size=0, max_size=15, unique_by=lambda t: t[0]))
+def test_merge_snapshot_matches_dict_model(spark, base, upd):
+    from esdb_spark.operators.versioning import merge_snapshot
+
+    bdf = spark.createDataFrame(base, "doc_id int, text string") \
+        if base else spark.createDataFrame([], "doc_id int, text string")
+    udf_rows = [(i, t, d) for i, t, d in upd]
+    udf = spark.createDataFrame(
+        udf_rows, "doc_id int, text string, deleted boolean"
+    ) if udf_rows else spark.createDataFrame(
+        [], "doc_id int, text string, deleted boolean")
+    got = {(r["doc_id"], r["text"])
+           for r in merge_snapshot(bdf, udf, "doc_id", "deleted").collect()}
+    model = {i: t for i, t in base}
+    for i, t, d in upd:
+        if d:
+            model.pop(i, None)
+        else:
+            model[i] = t
+    assert got == set(model.items())
