@@ -177,3 +177,114 @@ def merge_stats(
         F.sum((in_u & in_b & F.col("_del")).cast("long")).alias("n_deleted"),
         F.sum((in_b & ~in_u).cast("long")).alias("n_untouched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Release history: numbered snapshots + time travel
+# ---------------------------------------------------------------------------
+#
+# The storage half of the MERGE story: each release is an immutable
+# snapshot directory ``v{n}/`` under one root, committed by writing the
+# parquet FIRST and appending a one-line manifest entry LAST — readers
+# resolve versions through the manifest (``_RELEASES.json``), so a
+# crashed writer leaves an orphaned directory, never a visible
+# half-release. All path operations go through the Hadoop FS wrapper
+# (HDFS/S3A/file alike); the manifest is a full rewrite per release —
+# it is release-count-sized metadata, not data. Single-writer contract
+# (one release pipeline per corpus root), same as the reference's
+# archive lifecycle (writer.go finalize-once).
+
+import json as _json
+
+
+def _manifest_path(root: str) -> str:
+    return root.rstrip("/") + "/_RELEASES.json"
+
+
+def release_log(spark, root: str) -> list[dict]:
+    """The committed releases, oldest first: [{version, path, note}]."""
+    from esdb_spark import fs as _hfs
+
+    mp = _manifest_path(root)
+    if not _hfs.exists(spark, mp):
+        return []
+    return _json.loads(_hfs.read_text(spark, mp))
+
+
+def write_release(spark, root: str, df, note: str = "") -> int:
+    """Commit ``df`` as the next numbered snapshot; returns its
+    version. Parquet lands before the manifest entry, so readers never
+    see an uncommitted release."""
+    from esdb_spark import fs as _hfs
+
+    log = release_log(spark, root)
+    version = (log[-1]["version"] + 1) if log else 0
+    path = root.rstrip("/") + f"/v{version}"
+    if _hfs.exists(spark, path):
+        raise FileExistsError(
+            f"write_release: {path} exists but is not in the manifest — "
+            "orphan from a crashed writer; remove it or bump past it"
+        )
+    df.write.parquet(path)
+    log.append({"version": version, "path": path, "note": note})
+    _hfs.touch(spark, _manifest_path(root), _json.dumps(log, indent=1))
+    return version
+
+
+def read_release(spark, root: str, version: int | None = None):
+    """The snapshot at ``version`` (default: latest) — time travel
+    over the release history."""
+    log = release_log(spark, root)
+    if not log:
+        raise FileNotFoundError(f"read_release: no releases under {root}")
+    if version is None:
+        entry = log[-1]
+    else:
+        matches = [e for e in log if e["version"] == version]
+        if not matches:
+            raise FileNotFoundError(
+                f"read_release: version {version} not in "
+                f"{[e['version'] for e in log]}"
+            )
+        entry = matches[0]
+    return spark.read.parquet(entry["path"])
+
+
+def diff_releases(
+    spark,
+    root: str,
+    v_from: int,
+    v_to: int,
+    id_col: str,
+    compare_cols: list[str] | None = None,
+):
+    """Change accounting between two committed releases — the same
+    1-row summary ``merge_stats`` gives for a pending update set,
+    computed over history instead (deleted shows as n_untouched=0 side:
+    ids present in ``v_from`` but absent from ``v_to`` count as
+    n_deleted_rows)."""
+    a = read_release(spark, root, v_from)
+    b = read_release(spark, root, v_to)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in a.columns if c != id_col and c in b.columns
+        ]
+    fa = a.select(
+        F.col(id_col).alias("_aid"), _row_fp(compare_cols).alias("_afp")
+    )
+    fb = b.select(
+        F.col(id_col).alias("_bid2"), _row_fp(compare_cols).alias("_bfp2")
+    )
+    j = fa.join(fb, fa["_aid"].eqNullSafe(fb["_bid2"]), "full_outer")
+    in_a = F.col("_afp").isNotNull()
+    in_b = F.col("_bfp2").isNotNull()
+    return j.agg(
+        F.sum((in_b & ~in_a).cast("long")).alias("n_added"),
+        F.sum(
+            (in_a & in_b & (F.col("_afp") != F.col("_bfp2"))).cast("long")
+        ).alias("n_updated"),
+        F.sum(
+            (in_a & in_b & (F.col("_afp") == F.col("_bfp2"))).cast("long")
+        ).alias("n_unchanged"),
+        F.sum((in_a & ~in_b).cast("long")).alias("n_deleted_rows"),
+    )

@@ -206,3 +206,51 @@ def test_streaming_release_folding(spark, tmp_path):
     assert final[9]["text"] == "nine v2"  # release 2 overrode release 1
     assert state["n"] >= 1  # at least one fold ran (micro-batches may
     # coalesce, but the final state is release-order correct either way)
+
+
+def test_release_history_time_travel_and_diff(spark, tmp_path):
+    """write_release / read_release / diff_releases: numbered
+    immutable snapshots with a manifest-gated commit — the storage
+    half of the MERGE story."""
+    from esdb_spark.operators.versioning import (
+        diff_releases,
+        merge_snapshot,
+        read_release,
+        release_log,
+        write_release,
+    )
+
+    root = str(tmp_path / "corpus")
+    v0_df = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id int, text string"
+    )
+    assert write_release(spark, root, v0_df, note="initial") == 0
+    upd = spark.createDataFrame(
+        [(2, "two v2", False), (3, None, True), (9, "nine", False)],
+        "doc_id int, text string, deleted boolean",
+    )
+    v1_df = merge_snapshot(read_release(spark, root), upd, "doc_id", "deleted")
+    assert write_release(spark, root, v1_df, note="recrawl") == 1
+
+    # time travel: v0 still reads exactly as written
+    assert {r["doc_id"] for r in read_release(spark, root, 0).collect()} == {1, 2, 3}
+    assert {r["doc_id"] for r in read_release(spark, root).collect()} == {1, 2, 9}
+    log = release_log(spark, root)
+    assert [e["version"] for e in log] == [0, 1]
+    assert log[1]["note"] == "recrawl"
+
+    d = diff_releases(spark, root, 0, 1, "doc_id").collect()[0]
+    assert (d["n_added"], d["n_updated"], d["n_unchanged"],
+            d["n_deleted_rows"]) == (1, 1, 1, 1)
+
+    # unknown version fails fast; orphan dirs are refused, not adopted
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError, match="not in"):
+        read_release(spark, root, 7)
+    import os
+    os.makedirs(str(tmp_path / "corpus" / "v2"))
+    with _pt.raises(FileExistsError, match="orphan"):
+        write_release(spark, root, v0_df)
+    with _pt.raises(FileNotFoundError, match="no releases"):
+        read_release(spark, str(tmp_path / "nowhere"))
