@@ -188,7 +188,9 @@ def merge_stats(
 # parquet FIRST and appending a one-line manifest entry LAST — readers
 # resolve versions through the manifest (``_RELEASES.json``), so a
 # crashed writer leaves an orphaned directory, never a visible
-# half-release. All path operations go through the Hadoop FS wrapper
+# half-release (a later writer skips past the orphan rather than
+# adopting or wedging on it). All path operations go through the
+# Hadoop FS wrapper
 # (HDFS/S3A/file alike); the manifest is a full rewrite per release —
 # it is release-count-sized metadata, not data. Single-writer contract
 # (one release pipeline per corpus root), same as the reference's
@@ -219,12 +221,15 @@ def write_release(spark, root: str, df, note: str = "") -> int:
 
     log = release_log(spark, root)
     version = (log[-1]["version"] + 1) if log else 0
+    # Orphan directories (a writer that crashed after the parquet but
+    # before the manifest) are SKIPPED, never adopted: adopting could
+    # publish a torn snapshot, and refusing would wedge the corpus
+    # until manual cleanup. The manifest stays the single source of
+    # truth for what exists.
     path = root.rstrip("/") + f"/v{version}"
-    if _hfs.exists(spark, path):
-        raise FileExistsError(
-            f"write_release: {path} exists but is not in the manifest — "
-            "orphan from a crashed writer; remove it or bump past it"
-        )
+    while _hfs.exists(spark, path):
+        version += 1
+        path = root.rstrip("/") + f"/v{version}"
     df.write.parquet(path)
     log.append({"version": version, "path": path, "note": note})
     _hfs.touch(spark, _manifest_path(root), _json.dumps(log, indent=1))

@@ -243,14 +243,16 @@ def test_release_history_time_travel_and_diff(spark, tmp_path):
     assert (d["n_added"], d["n_updated"], d["n_unchanged"],
             d["n_deleted_rows"]) == (1, 1, 1, 1)
 
-    # unknown version fails fast; orphan dirs are refused, not adopted
+    # unknown version fails fast; orphan dirs (crashed writer) are
+    # SKIPPED, never adopted — the corpus self-heals to the next slot
     import pytest as _pt
 
     with _pt.raises(FileNotFoundError, match="not in"):
         read_release(spark, root, 7)
     import os
     os.makedirs(str(tmp_path / "corpus" / "v2"))
-    with _pt.raises(FileExistsError, match="orphan"):
-        write_release(spark, root, v0_df)
+    assert write_release(spark, root, v0_df) == 3
+    assert [e["version"] for e in release_log(spark, root)] == [0, 1, 3]
+    assert read_release(spark, root, 3).count() == 3
     with _pt.raises(FileNotFoundError, match="no releases"):
         read_release(spark, str(tmp_path / "nowhere"))
