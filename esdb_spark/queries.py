@@ -2673,6 +2673,42 @@ ORDER BY doc_id, epoch_copy
 """
 
 
+def documents_expectations(spark, sf_dir):
+    """Data-quality gate over the documents table
+    (operators/expectations.py): the full rule vocabulary — null
+    rates, uniqueness, ranges, accepted values, regex coverage, row
+    bounds — evaluated in ONE aggregation pass and emitted as
+    (rule, metric, passed) rows. Exact oracle: every metric is a
+    plain SQL aggregate; the summary unpivots via UNION ALL. A rule
+    designed to FAIL (n_chars <= 100) is included so the gate
+    certifies both verdict polarities."""
+    from esdb_spark.operators.expectations import (
+        accepted_values,
+        check,
+        in_range,
+        matches,
+        not_null,
+        null_rate_below,
+        row_count_between,
+        unique,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return check(
+        docs,
+        [
+            not_null("doc_id"),
+            unique("doc_id"),
+            null_rate_below("text", 0.5),
+            in_range("n_chars", 1, 1_000_000),
+            in_range("n_chars", 1, 100),  # deliberately failing rule
+            accepted_values("lang", ["en", "de", "fr", "es", "zh"]),
+            matches("source", "^src", p=1.0),
+            row_count_between(1, 1_000_000_000),
+        ],
+    ).orderBy("rule")
+
+
 def part_name_linkage(spark, sf_dir):
     """Record linkage (entity resolution): fuzzy-join a probe table of
     truncated part names (first 3 chars dropped) back to the part
@@ -2864,6 +2900,54 @@ _PIPELINE_ORACLES = {
     "interleave_docs": _INTERLEAVE_ORACLE,
     "documents_shuffle_order": _SHUFFLE_ORDER_ORACLE,
     "hard_negatives_topk": _HARD_NEGATIVES_ORACLE,
+    "documents_expectations": """
+        WITH agg AS (
+            SELECT
+                avg(CASE WHEN doc_id IS NULL THEN 1.0 ELSE 0.0 END)
+                    AS m_nn_id,
+                CAST(count(doc_id) - count(DISTINCT doc_id) AS DOUBLE)
+                    AS m_uniq,
+                avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END)
+                    AS m_nr_text,
+                CAST(coalesce(sum(CASE WHEN CAST(n_chars AS DOUBLE) < 1.0
+                         OR CAST(n_chars AS DOUBLE) > 1000000.0
+                         THEN 1.0 ELSE 0.0 END), 0) AS DOUBLE) AS m_rng_wide,
+                CAST(coalesce(sum(CASE WHEN CAST(n_chars AS DOUBLE) < 1.0
+                         OR CAST(n_chars AS DOUBLE) > 100.0
+                         THEN 1.0 ELSE 0.0 END), 0) AS DOUBLE) AS m_rng_tight,
+                CAST(coalesce(sum(CASE WHEN lang IS NOT NULL AND lang NOT IN
+                         ('en','de','fr','es','zh')
+                         THEN 1.0 ELSE 0.0 END), 0) AS DOUBLE) AS m_acc,
+                avg(CASE WHEN source IS NULL THEN NULL
+                         WHEN regexp_matches(source, '^src') THEN 1.0
+                         ELSE 0.0 END) AS m_match,
+                CAST(count(*) AS DOUBLE) AS m_rows
+            FROM documents
+        )
+        SELECT rule, metric, passed FROM (
+            SELECT 'not_null(doc_id)' AS rule, m_nn_id AS metric,
+                   m_nn_id = 0.0 AS passed FROM agg
+            UNION ALL
+            SELECT 'unique(doc_id)', m_uniq, m_uniq = 0.0 FROM agg
+            UNION ALL
+            SELECT 'null_rate_below(text,0.5)', m_nr_text,
+                   m_nr_text < 0.5 FROM agg
+            UNION ALL
+            SELECT 'in_range(n_chars,1.0,1000000.0)', m_rng_wide,
+                   m_rng_wide = 0.0 FROM agg
+            UNION ALL
+            SELECT 'in_range(n_chars,1.0,100.0)', m_rng_tight,
+                   m_rng_tight = 0.0 FROM agg
+            UNION ALL
+            SELECT 'accepted_values(lang)', m_acc, m_acc = 0.0 FROM agg
+            UNION ALL
+            SELECT 'matches(source)', m_match,
+                   coalesce(m_match >= 1.0, FALSE) FROM agg
+            UNION ALL
+            SELECT 'row_count_between(1,1000000000)', m_rows,
+                   m_rows >= 1 AND m_rows <= 1000000000 FROM agg
+        ) ORDER BY rule
+    """,
     "part_name_linkage": """
         WITH probes AS (
             SELECT p_partkey AS lid, lower(substring(p_name, 4)) AS s
@@ -4548,6 +4632,7 @@ def catalog() -> dict[str, Q]:
         ("events_zorder_top200", events_zorder_top200),
         ("doc_graph_triangles", doc_graph_triangles),
         ("part_name_linkage", part_name_linkage),
+        ("documents_expectations", documents_expectations),
         ("upsample_docs", upsample_docs),
         ("source_temperature_mix", source_temperature_mix),
     ]:
