@@ -4434,7 +4434,10 @@ _GATE_WINDOW = [
     # LLM-pipeline: text analysis
     "doc_quality",
     "doc_token_stats",
-    "doc_chunks",
+    # (doc_chunks demoted in round 5 — chunking shares the text family
+    # with the four rows here and stays locally oracle-verified; its
+    # slot carries the new data-quality-gate family)
+    "documents_expectations",
     "doc_redact_pii",
     "doc_winnow_fingerprints",
     # LLM-pipeline: decontamination / packing / mixture / mining (new
