@@ -213,12 +213,33 @@ def release_log(spark, root: str) -> list[dict]:
     return _json.loads(_hfs.read_text(spark, mp))
 
 
-def write_release(spark, root: str, df, note: str = "") -> int:
+def write_release(
+    spark, root: str, df, note: str = "", gate: list | None = None
+) -> int:
     """Commit ``df`` as the next numbered snapshot; returns its
     version. Parquet lands before the manifest entry, so readers never
-    see an uncommitted release."""
+    see an uncommitted release.
+
+    ``gate``: optional expectations rule list
+    (``operators.expectations``) — evaluated BEFORE anything is
+    written; a failing rule raises with the failing (rule, metric)
+    rows and the corpus root stays untouched. The guarded-release
+    shape: validation and promotion in one call, one extra scan."""
     from esdb_spark import fs as _hfs
 
+    if gate:
+        from esdb_spark.operators.expectations import check
+
+        failed = [
+            (r["rule"], r["metric"])
+            for r in check(df, gate).collect()
+            if not r["passed"]
+        ]
+        if failed:
+            raise ValueError(
+                f"write_release: expectations gate failed, nothing "
+                f"written: {failed}"
+            )
     log = release_log(spark, root)
     version = (log[-1]["version"] + 1) if log else 0
     # Orphan directories (a writer that crashed after the parquet but

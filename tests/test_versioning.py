@@ -256,3 +256,27 @@ def test_release_history_time_travel_and_diff(spark, tmp_path):
     assert read_release(spark, root, 3).count() == 3
     with _pt.raises(FileNotFoundError, match="no releases"):
         read_release(spark, str(tmp_path / "nowhere"))
+
+
+def test_gated_release_refuses_bad_snapshots(spark, tmp_path):
+    """Guarded releases: a failing expectations rule aborts the commit
+    BEFORE anything lands; a passing gate commits normally."""
+    from esdb_spark.operators.expectations import not_null, unique
+    from esdb_spark.operators.versioning import (
+        read_release,
+        release_log,
+        write_release,
+    )
+
+    root = str(tmp_path / "gated")
+    good = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id int, text string")
+    bad = spark.createDataFrame(
+        [(1, "a"), (1, "dup"), (None, "x")], "doc_id int, text string"
+    )
+    rules = [not_null("doc_id"), unique("doc_id")]
+    assert write_release(spark, root, good, gate=rules) == 0
+    with pytest.raises(ValueError, match="expectations gate failed"):
+        write_release(spark, root, bad, gate=rules)
+    # nothing landed: log unchanged, latest still the good snapshot
+    assert [e["version"] for e in release_log(spark, root)] == [0]
+    assert read_release(spark, root).count() == 2
