@@ -4,6 +4,12 @@ pipeline runs before promoting a corpus release.
 Every rule reduces to ONE aggregate expression, so checking a whole
 rule set is a single scan with map-side-combined partial aggregates —
 no per-rule jobs, no collects beyond the one summary row per rule.
+One caveat at the 100 TB target: each ``unique()`` rule is a
+count-distinct, and TWO OR MORE of them make Catalyst expand the
+input (one row replica per distinct-aggregate group — Spark's
+multi-distinct rewrite), multiplying shuffle input; prefer one
+``unique`` rule per ``check`` call at extreme scale, or accept the
+replication knowingly.
 The output is data (rule, metric, threshold, passed), so gates
 compose: fail the release when ``passed = false`` rows exist, log the
 summary next to the release manifest (``versioning.write_release``).
@@ -53,8 +59,11 @@ def in_range(col: str, lo: float, hi: float) -> dict:
 
 
 def accepted_values(col: str, values: list) -> dict:
-    return {"rule": f"accepted_values({col})", "kind": "accepted",
-            "col": col, "values": list(values)}
+    # parameters belong in the name: two accepted_values rules on the
+    # same column with different sets are distinct rules, and the
+    # output rows must be tellable apart
+    return {"rule": f"accepted_values({col},{'|'.join(map(str, values))})",
+            "kind": "accepted", "col": col, "values": list(values)}
 
 
 def row_count_between(lo: int, hi: int) -> dict:
@@ -63,7 +72,8 @@ def row_count_between(lo: int, hi: int) -> dict:
 
 
 def matches(col: str, regex: str, p: float = 1.0) -> dict:
-    return {"rule": f"matches({col})", "kind": "matches", "col": col,
+    return {"rule": f"matches({col},{regex},{float(p)})",
+            "kind": "matches", "col": col,
             "regex": regex, "threshold": float(p)}
 
 

@@ -185,32 +185,49 @@ def merge_stats(
 #
 # The storage half of the MERGE story: each release is an immutable
 # snapshot directory ``v{n}/`` under one root, committed by writing the
-# parquet FIRST and appending a one-line manifest entry LAST — readers
-# resolve versions through the manifest (``_RELEASES.json``), so a
-# crashed writer leaves an orphaned directory, never a visible
-# half-release (a later writer skips past the orphan rather than
-# adopting or wedging on it). All path operations go through the
-# Hadoop FS wrapper
-# (HDFS/S3A/file alike); the manifest is a full rewrite per release —
-# it is release-count-sized metadata, not data. Single-writer contract
-# (one release pipeline per corpus root), same as the reference's
-# archive lifecycle (writer.go finalize-once).
+# parquet FIRST and a manifest LAST. Manifests are WRITE-ONCE numbered
+# files (``_releases/manifest-%06d.json``, each holding the full log),
+# never rewritten in place: an in-place rewrite truncates before
+# writing, so a crash mid-commit would corrupt the whole history — a
+# crashed writer here instead leaves at worst one orphaned snapshot
+# dir (skipped, never adopted, by the next writer) or one torn newest
+# manifest file (skipped by readers, which fall back to the previous
+# one). All path operations go through the Hadoop FS wrapper
+# (HDFS/S3A/file alike); a manifest is release-count-sized metadata,
+# not data. Single-writer contract (one release pipeline per corpus
+# root), same as the reference's archive lifecycle (writer.go
+# finalize-once).
 
 import json as _json
 
 
-def _manifest_path(root: str) -> str:
-    return root.rstrip("/") + "/_RELEASES.json"
+def _manifest_dir(root: str) -> str:
+    return root.rstrip("/") + "/_releases"
 
 
 def release_log(spark, root: str) -> list[dict]:
-    """The committed releases, oldest first: [{version, path, note}]."""
+    """The committed releases, oldest first: [{version, path, note}] —
+    the newest PARSEABLE manifest wins; a torn newest file (crashed
+    writer) is skipped."""
     from esdb_spark import fs as _hfs
 
-    mp = _manifest_path(root)
-    if not _hfs.exists(spark, mp):
-        return []
-    return _json.loads(_hfs.read_text(spark, mp))
+    md = _manifest_dir(root)
+    names = sorted(
+        (
+            n
+            for n, is_dir in _hfs.list_dir(spark, md)
+            if not is_dir
+            and n.startswith("manifest-")
+            and n.endswith(".json")
+        ),
+        reverse=True,
+    )
+    for n in names:
+        try:
+            return _json.loads(_hfs.read_text(spark, md + "/" + n))
+        except ValueError:
+            continue  # torn newest manifest — fall back
+    return []
 
 
 def write_release(
@@ -221,39 +238,48 @@ def write_release(
     see an uncommitted release.
 
     ``gate``: optional expectations rule list
-    (``operators.expectations``) — evaluated BEFORE anything is
-    written; a failing rule raises with the failing (rule, metric)
-    rows and the corpus root stays untouched. The guarded-release
-    shape: validation and promotion in one call, one extra scan."""
+    (``operators.expectations``) — evaluated over the WRITTEN parquet
+    before the manifest commits, so validated bytes are exactly the
+    published bytes (checking ``df`` itself would validate one
+    evaluation of a plan that is then re-executed for the write — a
+    nondeterministic step could publish rows the gate never saw). A
+    failing rule raises with the failing (rule, metric) pairs and the
+    release never becomes visible: the written directory is exactly
+    the orphan shape the version-skip logic already self-heals past."""
     from esdb_spark import fs as _hfs
 
-    if gate:
-        from esdb_spark.operators.expectations import check
-
-        failed = [
-            (r["rule"], r["metric"])
-            for r in check(df, gate).collect()
-            if not r["passed"]
-        ]
-        if failed:
-            raise ValueError(
-                f"write_release: expectations gate failed, nothing "
-                f"written: {failed}"
-            )
     log = release_log(spark, root)
     version = (log[-1]["version"] + 1) if log else 0
     # Orphan directories (a writer that crashed after the parquet but
-    # before the manifest) are SKIPPED, never adopted: adopting could
-    # publish a torn snapshot, and refusing would wedge the corpus
-    # until manual cleanup. The manifest stays the single source of
-    # truth for what exists.
+    # before the manifest, or whose gate failed) are SKIPPED, never
+    # adopted: adopting could publish a torn or rejected snapshot, and
+    # refusing would wedge the corpus until manual cleanup. The
+    # manifest stays the single source of truth for what exists.
     path = root.rstrip("/") + f"/v{version}"
     while _hfs.exists(spark, path):
         version += 1
         path = root.rstrip("/") + f"/v{version}"
     df.write.parquet(path)
+    if gate:
+        from esdb_spark.operators.expectations import check
+
+        failed = [
+            (r["rule"], r["metric"])
+            for r in check(spark.read.parquet(path), gate).collect()
+            if not r["passed"]
+        ]
+        if failed:
+            raise ValueError(
+                f"write_release: expectations gate failed, release not "
+                f"committed (rejected files left at {path}): {failed}"
+            )
     log.append({"version": version, "path": path, "note": note})
-    _hfs.touch(spark, _manifest_path(root), _json.dumps(log, indent=1))
+    _hfs.mkdirs(spark, _manifest_dir(root))
+    _hfs.touch(
+        spark,
+        _manifest_dir(root) + f"/manifest-{version:06d}.json",
+        _json.dumps(log, indent=1),
+    )
     return version
 
 

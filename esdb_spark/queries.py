@@ -2939,9 +2939,9 @@ _PIPELINE_ORACLES = {
             SELECT 'in_range(n_chars,1.0,100.0)', m_rng_tight,
                    m_rng_tight = 0.0 FROM agg
             UNION ALL
-            SELECT 'accepted_values(lang)', m_acc, m_acc = 0.0 FROM agg
+            SELECT 'accepted_values(lang,en|de|fr|es|zh)', m_acc, m_acc = 0.0 FROM agg
             UNION ALL
-            SELECT 'matches(source)', m_match,
+            SELECT 'matches(source,^src,1.0)', m_match,
                    coalesce(m_match >= 1.0, FALSE) FROM agg
             UNION ALL
             SELECT 'row_count_between(1,1000000000)', m_rows,

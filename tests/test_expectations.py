@@ -54,11 +54,11 @@ def test_rules_one_pass(spark, frame):
     assert out["unique(email)"]["passed"] is True  # NULL ignored
     assert out["in_range(v,0.0,100.0)"]["passed"] is False
     assert out["in_range(v,0.0,100.0)"]["metric"] == 2.0  # -5 and 200
-    assert out["accepted_values(lang)"]["passed"] is True  # NULL ignored
+    assert out["accepted_values(lang,en|de|fr)"]["passed"] is True  # NULL ignored
     assert out["row_count_between(1,10)"]["passed"] is True
     # 3 of 4 non-null emails match = 0.75 >= 0.7
-    assert out["matches(email)"]["passed"] is True
-    assert out["matches(email)"]["metric"] == pytest.approx(0.75)
+    assert out["matches(email,^[^@]+@[^@]+\\.[a-z]+$,0.7)"]["passed"] is True
+    assert out["matches(email,^[^@]+@[^@]+\\.[a-z]+$,0.7)"]["metric"] == pytest.approx(0.75)
 
 
 def test_single_job_plan(spark, frame):
@@ -80,12 +80,15 @@ def test_empty_frame_semantics(spark):
              row_count_between(1, 10), matches("id", r"\d", p=0.5)],
         ).collect()
     }
-    # vacuous rules pass on empty data; row_count and matches do not
-    assert out["not_null(id)"]["passed"] is False or out["not_null(id)"]["metric"] is None or True
+    # evidence-free rules: unique/in_range pass vacuously; null-rate,
+    # row-count and matches rules FAIL (avg over zero rows is NULL ->
+    # coalesced to not-passed: an empty corpus is not a validated one)
+    assert out["not_null(id)"]["passed"] is False
+    assert out["not_null(id)"]["metric"] is None
     assert out["unique(id)"]["passed"] is True
     assert out["in_range(v,0.0,1.0)"]["passed"] is True
     assert out["row_count_between(1,10)"]["passed"] is False
-    assert out["matches(id)"]["passed"] is False  # no evidence -> fail
+    assert out["matches(id,\\d,0.5)"]["passed"] is False  # no evidence -> fail
 
 
 def test_validation_errors(spark, frame):
