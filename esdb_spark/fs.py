@@ -44,6 +44,31 @@ def touch(spark: SparkSession, path: str, content: str = "1") -> None:
         out.close()
 
 
+def touch_exclusive(spark: SparkSession, path: str, content: str) -> None:
+    """Create a small file with ``overwrite=False`` — the write-once
+    primitive. A pre-existing file raises ``FileExistsError`` instead
+    of silently replacing it: release manifests are numbered
+    write-once records, and a second writer racing to the same number
+    must fail LOUDLY rather than last-wins rewrite history. (HDFS
+    enforces this atomically server-side; local/file does a
+    create-check; S3A is check-then-put — the documented single-writer
+    contract still applies there, this just converts the silent
+    corruption into an error everywhere stronger semantics exist.)"""
+    fs, p = _fs_and_path(spark, path)
+    try:
+        out = fs.create(p, False)
+    except Exception as e:  # Py4J wraps FileAlreadyExistsException
+        if "exists" in str(e).lower():
+            raise FileExistsError(
+                f"touch_exclusive: {path} already exists"
+            ) from None
+        raise
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def read_text(spark: SparkSession, path: str) -> str:
     """Read a small file's full content. The bytes MUST materialize on
     the JVM side (``readAllBytes`` — Java 17) and come back as a

@@ -334,56 +334,82 @@ def remove_spans(
     normalized by construction — tokenization already collapsed it).
     Documents with no spans pass through with their normalized text.
 
-    Scale: tokens explode to (id, pos, token) and the spans attach via
-    a **left-anti join keyed on the document id** with the range
-    predicate as a secondary condition — an equi-join plan (SMJ /
-    broadcast under AQE), never a broadcast-nested-loop. Reassembly is
-    one per-document groupBy, the same linear text shuffle as
-    :func:`strip_boilerplate` — unavoidable: the rewritten corpus is
-    the output.
+    Scale: the span list collapses to ONE sorted array per document
+    (a per-doc groupBy over the already-small span frame — only
+    documents that contain duplicated spans appear), then attaches to
+    the corpus via a single **equi left join on the document id**; at
+    scale the span side is a small fraction of the corpus, so AQE
+    broadcasts it and the corpus never shuffles at all. The cut itself
+    is pure array arithmetic — ``aggregate`` walks the ≤ spans-per-doc
+    entries accumulating `slice`s of the token array between spans —
+    so no posexplode, no non-equi anti-join (whose sort-merge buffer
+    compares every token position against every span of its document:
+    O(tokens × spans/doc), the superlinear term the round-5 100× probe
+    measured at 5.6× vs detection's 4.2×), and no per-document
+    reassembly shuffle. The only corpus-sized movement left is the
+    output itself. The lambda runs interpreted, but over |spans(doc)|
+    elements per row, not per token.
     """
     toked = df.select(
         F.col(id_col).alias("_rs_id"), tokens(text_col).alias("_rs_toks")
     )
-    ex = toked.select(
-        "_rs_id",
-        F.posexplode_outer("_rs_toks").alias("_rs_pos", "_rs_tok"),
+    # (id, sorted non-overlapping-ish span array); sort_array on the
+    # (start, end) struct orders by start then end, and the cursor
+    # below clamps, so overlapping or adjacent caller spans still cut
+    # correctly
+    sp = (
+        spans.select(
+            F.col(id_col).alias("_rs_id"),
+            F.struct(
+                F.col("span_start").cast("long").alias("a"),
+                F.col("span_end").cast("long").alias("b"),
+            ).alias("_rs_sp"),
+        )
+        .groupBy("_rs_id")
+        .agg(F.sort_array(F.collect_list("_rs_sp")).alias("_rs_sps"))
     )
-    sp = spans.select(
-        F.col(id_col).alias("_rs_sid"),
-        F.col("span_start").alias("_rs_a"),
-        F.col("span_end").alias("_rs_b"),
-    )
-    kept = ex.join(
-        sp,
-        (ex["_rs_id"] == sp["_rs_sid"])
-        & (ex["_rs_pos"] >= sp["_rs_a"])
-        & (ex["_rs_pos"] <= sp["_rs_b"]),
-        "left_anti",
-    )
-    reassembled = kept.groupBy("_rs_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("_rs_pos", "_rs_tok"))
+    joined = toked.join(sp, "_rs_id", "left")
+    toks = F.col("_rs_toks")
+    nt = F.size(toks).cast("long")
+    # walk the spans left→right keeping the gaps: acc = (cursor = next
+    # unconsumed 0-based position, segs = kept slices so far); clamp
+    # the cursor so malformed/overlapping spans can't produce a
+    # negative slice length
+    acc_t = "struct<cur:bigint,segs:array<array<string>>>"
+    kept = F.aggregate(
+        F.coalesce(F.col("_rs_sps"), F.array().cast(
+            "array<struct<a:bigint,b:bigint>>"
+        )),
+        F.struct(
+            F.lit(0).cast("long").alias("cur"),
+            F.array().cast("array<array<string>>").alias("segs"),
+        ),
+        lambda acc, s: F.struct(
+            F.greatest(acc["cur"], s["b"] + 1).alias("cur"),
+            F.when(
+                s["a"] > acc["cur"],
+                F.concat(
+                    acc["segs"],
+                    F.array(
+                        F.slice(toks, acc["cur"] + 1, s["a"] - acc["cur"])
+                    ),
                 ),
-                lambda s: s["_rs_tok"],
-            ),
-        ).alias("clean_text"),
-        F.count("_rs_tok").alias("_rs_kept"),
+            ).otherwise(acc["segs"]).alias("segs"),
+        ).cast(acc_t),
+        lambda acc: F.flatten(
+            F.when(
+                nt > acc["cur"],
+                F.concat(
+                    acc["segs"],
+                    F.array(F.slice(toks, acc["cur"] + 1, nt - acc["cur"])),
+                ),
+            ).otherwise(acc["segs"])
+        ),
     )
-    totals = toked.select(
-        F.col("_rs_id").alias(id_col), F.size("_rs_toks").alias("_rs_total")
-    )
-    return totals.join(
-        reassembled, totals[id_col] == reassembled["_rs_id"], "left"
-    ).select(
-        id_col,
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        (
-            F.col("_rs_total") - F.coalesce(F.col("_rs_kept"), F.lit(0))
-        ).cast("long").alias("n_tokens_removed"),
+    return joined.select(
+        F.col("_rs_id").alias(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (nt - F.size(kept)).cast("long").alias("n_tokens_removed"),
     )
 
 

@@ -7,9 +7,9 @@ no per-rule jobs, no collects beyond the one summary row per rule.
 One caveat at the 100 TB target: each ``unique()`` rule is a
 count-distinct, and TWO OR MORE of them make Catalyst expand the
 input (one row replica per distinct-aggregate group — Spark's
-multi-distinct rewrite), multiplying shuffle input; prefer one
-``unique`` rule per ``check`` call at extreme scale, or accept the
-replication knowingly.
+multi-distinct rewrite), multiplying shuffle input; pass
+``check(..., split_distinct=True)`` at extreme scale to trade that
+replication for one extra scan per additional ``unique`` rule.
 The output is data (rule, metric, threshold, passed), so gates
 compose: fail the release when ``passed = false`` rows exist, log the
 summary next to the release manifest (``versioning.write_release``).
@@ -121,33 +121,70 @@ def _metric_and_pass(rule: dict):
     return metric, passed
 
 
-def check(df: DataFrame, rules: list[dict]) -> DataFrame:
+def check(
+    df: DataFrame, rules: list[dict], split_distinct: bool = False
+) -> DataFrame:
     """One summary row per rule: (rule, metric, passed) — computed in
     a SINGLE aggregation pass over ``df`` (all metrics are parallel
     aggregate expressions), then unpivoted to rows. ``metric`` is the
     rule's violation measure (null fraction, duplicate excess,
-    violation count, match fraction, row count)."""
+    violation count, match fraction, row count).
+
+    ``split_distinct``: the module-header caveat's escape hatch. Two
+    or more ``unique()`` rules in one aggregation trigger Spark's
+    multi-distinct rewrite — an Expand node that replicates every
+    input row once per distinct aggregate, multiplying shuffle volume
+    by the number of unique rules. With ``split_distinct=True`` the
+    rule set is partitioned so no aggregation carries more than one
+    count-distinct (the non-unique rules plus the first ``unique``
+    stay fused; each further ``unique`` becomes its own single-rule
+    pass) and the summaries are unioned back in the caller's rule
+    order. Trade: k extra scans of ``df`` instead of a k× Expand
+    replication through the shuffle — the right side of that trade at
+    corpus scale, and identical output either way."""
     if not rules:
         raise ValueError("expectations.check: empty rule list")
     names = [r["rule"] for r in rules]
     if len(set(names)) != len(names):
         raise ValueError("expectations.check: duplicate rule names")
-    aggs = []
-    for i, r in enumerate(rules):
-        metric, passed = _metric_and_pass(r)
-        aggs.append(metric.alias(f"_m{i}"))
-        aggs.append(passed.alias(f"_p{i}"))
-    row = df.agg(*aggs)
-    structs = F.array(
-        *[
-            F.struct(
-                F.lit(names[i]).alias("rule"),
-                F.col(f"_m{i}").cast("double").alias("metric"),
-                F.coalesce(F.col(f"_p{i}"), F.lit(False)).alias("passed"),
-            )
-            for i in range(len(rules))
-        ]
-    )
-    return row.select(F.explode(structs).alias("r")).select(
-        "r.rule", "r.metric", "r.passed"
-    )
+
+    def one_pass(indexed: list[tuple[int, dict]]) -> DataFrame:
+        aggs = []
+        for i, r in indexed:
+            metric, passed = _metric_and_pass(r)
+            aggs.append(metric.alias(f"_m{i}"))
+            aggs.append(passed.alias(f"_p{i}"))
+        row = df.agg(*aggs)
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("ord"),
+                    F.lit(names[i]).alias("rule"),
+                    F.col(f"_m{i}").cast("double").alias("metric"),
+                    F.coalesce(F.col(f"_p{i}"), F.lit(False)).alias(
+                        "passed"
+                    ),
+                )
+                for i, _ in indexed
+            ]
+        )
+        return row.select(F.explode(structs).alias("r")).select(
+            "r.ord", "r.rule", "r.metric", "r.passed"
+        )
+
+    indexed = list(enumerate(rules))
+    uniques = [(i, r) for i, r in indexed if r["kind"] == "unique"]
+    if not split_distinct or len(uniques) <= 1:
+        return one_pass(indexed).orderBy("ord").drop("ord")
+    fused = [
+        (i, r)
+        for i, r in indexed
+        if r["kind"] != "unique" or i == uniques[0][0]
+    ]
+    parts = [one_pass(fused)] + [one_pass([iu]) for iu in uniques[1:]]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    # rule-count-sized sort — restores the caller's rule order across
+    # the unioned passes
+    return out.orderBy("ord").drop("ord")

@@ -158,6 +158,110 @@ def pagerank(
     return ranks
 
 
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping_num: int = 17,
+    damping_den: int = 20,
+    iters: int = 10,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Integer fixed-point PageRank → ``(id, rank_scaled: bigint)`` —
+    the ENGINE-PORTABLE face of :func:`pagerank`. Float PageRank is
+    deterministic only to ~1e-9 (partition-order float sums), so its
+    gate row is rows-only; this variant does the whole power iteration
+    in scaled BIGINT arithmetic (total mass = ``scale``, damping =
+    ``damping_num/damping_den``, every division a floor-div), where
+    sums are associative and floor-div is bit-identical across
+    engines — DuckDB replays it exactly with a recursive CTE. A little
+    mass floors away each round (bounded by n + |edges| units of
+    1/scale); ranks are comparable, not normalized — the canonical-
+    document-selection ORDER is what pipelines consume.
+
+    Update rule (all integer ops, applied identically in the oracle):
+    ``r' = ((den-num)*(scale div n) + num*(Σ_in (r div outdeg))) div den``
+
+    REQUIRES a graph with no dangling nodes (raises otherwise): the
+    per-round dangling-mass scalar would need a second reference to
+    the previous iteration in the oracle's recursive CTE, which SQL
+    recursion forbids — symmetrize the graph first (undirected graphs
+    never have dangling nodes), or use :func:`pagerank`.
+
+    Scale shape: identical to :func:`pagerank` — edge list and
+    out-degrees checkpointed once, one broadcast-or-SMJ join + one
+    map-side-combined aggregation per round, rank vector
+    localCheckpointed so the plan stays O(1) in rounds. No per-round
+    driver action at all (the dangling collect is structurally zero).
+    """
+    if damping_den <= damping_num or damping_num <= 0:
+        raise ValueError("pagerank_exact: need 0 < num < den")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+        .select(F.col("src").alias("_d_src"), "outdeg")
+        .localCheckpoint()
+    )
+    if nodes.join(
+        outdeg, F.col("id") == F.col("_d_src"), "left_anti"
+    ).limit(1).count() > 0:
+        raise ValueError(
+            "pagerank_exact: graph has dangling nodes (no out-edges) — "
+            "symmetrize it or use pagerank()"
+        )
+    e2 = e.select(F.col("src").alias("_e_src"), F.col("dst").alias("_e_dst"))
+    broadcast_ranks = n <= 5_000_000
+    base = (damping_den - damping_num) * (scale // n)
+    ranks = nodes.withColumn(
+        "rank_scaled", F.lit(scale // n).cast("long")
+    )
+    for _ in range(iters):
+        rank_deg = ranks.join(outdeg, F.col("id") == F.col("_d_src"))
+        if broadcast_ranks:
+            rank_deg = F.broadcast(rank_deg)
+        # `div`, NOT floor(a / b): long / long is a DOUBLE division in
+        # Spark, and floor(correctly-rounded double quotient) can land
+        # one above the true integer quotient when it rounds up to an
+        # integer — `div` is exact integer semantics, same as the
+        # oracle's `//`
+        contribs = (
+            e2.join(rank_deg, F.col("id") == F.col("_e_src"))
+            .select(
+                F.col("_e_dst").alias("id"),
+                F.expr("rank_scaled div outdeg").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                F.expr(
+                    f"({base}L + {damping_num}L * coalesce(in_mass, 0L))"
+                    f" div {damping_den}L"
+                ).alias("rank_scaled"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

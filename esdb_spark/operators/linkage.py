@@ -75,10 +75,28 @@ def fuzzy_join_trigram(
     right_id: str = "right_id",
     threshold: float = 0.7,
     max_posting: int | None = None,
+    guard_product: int | None = None,
 ) -> DataFrame:
-    """Pairs (left_id, right_id, sim) with trigram-Jaccard
+    """SCALE WARNING — the default ``max_posting=None`` is EXACT but
+    unbounded: join cost is Σ_trigram |posting_left|×|posting_right|,
+    and at corpus scale the stop-grams ('the', 'ing', ' co') alone
+    make that product explode (10M records each containing ' in' =
+    10M×10M candidate rows from ONE trigram). On anything larger than
+    a dimension-table linkage, set ``max_posting`` (caps the posting
+    length, pruned-universe semantics per the module docstring) or at
+    least ``guard_product``.
+
+    Returns pairs (left_id, right_id, sim) with trigram-Jaccard
     ``sim >= threshold`` (see module docstring for the plan shape and
-    the ``max_posting`` recall trade)."""
+    the ``max_posting`` recall trade).
+
+    ``guard_product``: opt-in pre-flight probe — before building the
+    pair join, compute the exact predicted candidate-pair count
+    (one |vocabulary|-sized aggregation per side + a vocab-sized
+    join, a tiny fraction of the pair join it predicts) and raise
+    ``ValueError`` naming the worst trigrams if it exceeds the bound.
+    Opt-in because it runs an eager Spark job at plan-build time;
+    lazy composition (the driver-gate contract) stays the default."""
     if not 0 < threshold <= 1:
         raise ValueError("fuzzy_join_trigram: threshold must be in (0, 1]")
     lt = _trigram_sets(left, left_text, left_id, "l")
@@ -111,6 +129,32 @@ def fuzzy_join_trigram(
         rt = rt.withColumn(
             "r_n", F.count("*").over(Window.partitionBy("r_id"))
         )
+    if guard_product is not None:
+        per_gram = (
+            lt.groupBy("trigram")
+            .agg(F.count("*").alias("_nl"))
+            .join(
+                rt.groupBy("trigram").agg(F.count("*").alias("_nr")),
+                "trigram",
+            )
+            .select(
+                "trigram", (F.col("_nl") * F.col("_nr")).alias("_prod")
+            )
+        )
+        stats = per_gram.agg(
+            F.sum("_prod").alias("total"),
+            F.max_by("trigram", "_prod").alias("worst"),
+            F.max("_prod").alias("worst_prod"),
+        ).collect()[0]
+        if stats["total"] is not None and stats["total"] > guard_product:
+            raise ValueError(
+                f"fuzzy_join_trigram: predicted candidate-pair count "
+                f"{stats['total']} exceeds guard_product="
+                f"{guard_product}; worst trigram {stats['worst']!r} "
+                f"alone contributes {stats['worst_prod']} pairs — set "
+                f"max_posting to prune stop-grams (pruned-universe "
+                f"semantics) or raise the guard"
+            )
     shared = (
         lt.join(rt, "trigram")
         .groupBy("l_id", "r_id", "l_n", "r_n")

@@ -131,24 +131,45 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     )
 
 
-def _cms_buckets(col_expr, depth: int, width: int):
+def _cms_buckets(col_expr, depth: int, width: int, portable: bool = False):
     """(row, bucket) hash pairs for one value — xxhash64 with the row
-    index as seed, pmod'd into the width. Pure built-in expressions."""
+    index as seed, pmod'd into the width. Pure built-in expressions.
+
+    ``portable=True`` swaps xxhash64 for the repo's md5-derived 60-bit
+    hash family (``conv(substring(md5('cms{i}|' || value), 1, 15), 16,
+    10)`` — the same idiom as the portable minhash path): bucket
+    placement is then engine-replayable, so a DuckDB oracle rebuilds
+    the identical sketch cell-for-cell. md5 costs ~4× the xxhash mix;
+    the sketch pass is aggregation-bounded either way."""
+    def bucket(i: int):
+        if portable:
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(f"cms{i}"), col_expr)),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+        else:
+            h = F.xxhash64(col_expr, F.lit(i))
+        return F.pmod(h, F.lit(width))
+
     return F.array(
         *[
-            F.struct(
-                F.lit(i).alias("row"),
-                F.pmod(F.xxhash64(col_expr, F.lit(i)), F.lit(width)).alias(
-                    "bucket"
-                ),
-            )
+            F.struct(F.lit(i).alias("row"), bucket(i).alias("bucket"))
             for i in range(depth)
         ]
     )
 
 
 def count_min_table(
-    df: DataFrame, col: str, depth: int = 5, width: int = 2048
+    df: DataFrame,
+    col: str,
+    depth: int = 5,
+    width: int = 2048,
+    portable: bool = False,
 ) -> DataFrame:
     """Count-min sketch as a (row, bucket, cnt) DataFrame — at most
     depth × width rows regardless of input size.
@@ -168,11 +189,51 @@ def count_min_table(
     return (
         df.select(
             F.explode(
-                _cms_buckets(F.col(col).cast("string"), depth, width)
+                _cms_buckets(
+                    F.col(col).cast("string"), depth, width, portable
+                )
             ).alias("rb")
         )
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
         .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate_df(
+    table_df: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 5,
+    width: int = 2048,
+    portable: bool = False,
+) -> DataFrame:
+    """Lazy DataFrame face of :func:`cms_estimate`: point estimates
+    for every row of ``items`` → (item, est), no driver collect. The
+    probe side explodes to ``depth`` cells per item and left-joins the
+    (≤ depth×width row) sketch — AQE broadcasts whichever side is
+    small. Must be called with the same ``depth/width/portable`` the
+    table was built with (the hash family is part of the sketch)."""
+    probes = (
+        items.select(F.col(item_col).cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+        .select(
+            "item",
+            F.explode(
+                _cms_buckets(F.col("item"), depth, width, portable)
+            ).alias("rb"),
+        )
+        .select(
+            "item",
+            F.col("rb.row").alias("row"),
+            F.col("rb.bucket").alias("bucket"),
+        )
+    )
+    return (
+        probes.join(table_df, ["row", "bucket"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy("item")
+        .agg(F.min("cnt").alias("est"))
     )
 
 

@@ -275,7 +275,13 @@ def write_release(
             )
     log.append({"version": version, "path": path, "note": note})
     _hfs.mkdirs(spark, _manifest_dir(root))
-    _hfs.touch(
+    # write-once ENFORCED (overwrite=False), not just documented: two
+    # writers racing to the same manifest number would otherwise
+    # silently last-wins each other's history — the loser's snapshot
+    # would vanish from the log with no error anywhere. With exclusive
+    # create the second writer fails loudly and its parquet dir is
+    # left in the orphan shape the version-skip already heals past.
+    _hfs.touch_exclusive(
         spark,
         _manifest_dir(root) + f"/manifest-{version:06d}.json",
         _json.dumps(log, indent=1),

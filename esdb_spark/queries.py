@@ -2895,6 +2895,83 @@ ORDER BY pos
 
 
 _PIPELINE_ORACLES = {
+    # integer fixed-point PageRank (graph.pagerank_exact): scale 1e12,
+    # damping 17/20, 10 rounds, every division a nonneg bigint
+    # floor-div — the recursive term references the previous iteration
+    # exactly once (SQL recursion's single-reference rule), which the
+    # operator honors by requiring a dangling-free (symmetrized) graph
+    # so no second rank-sum pass exists. CASTs pin DuckDB's HUGEINT
+    # sums back to BIGINT so the schema matches Spark's.
+    "events_user_graph_pagerank": """
+        WITH RECURSIVE fwd AS (
+            SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+                   1000000 + CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT) AS dst
+            FROM events
+            WHERE user_id IS NOT NULL
+              AND json_extract_string(props, '$.k') IS NOT NULL
+        ), edges AS (
+            SELECT src, dst FROM fwd
+            UNION
+            SELECT dst AS src, src AS dst FROM fwd
+        ), deg AS (
+            SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+        ), nodes AS (
+            SELECT DISTINCT src AS id FROM edges
+        ), pr AS (
+            SELECT 0 AS it, id,
+                   CAST(1000000000000 // (SELECT COUNT(*) FROM nodes)
+                        AS BIGINT) AS rank_scaled
+            FROM nodes
+            UNION ALL
+            SELECT m.it + 1, m.id,
+                   CAST((3 * (1000000000000 //
+                              (SELECT COUNT(*) FROM nodes))
+                         + 17 * m.in_mass) // 20 AS BIGINT)
+            FROM (
+                SELECT e.dst AS id, MIN(p.it) AS it,
+                       CAST(SUM(p.rank_scaled // d.outdeg) AS BIGINT)
+                           AS in_mass
+                FROM pr p
+                JOIN deg d ON d.src = p.id
+                JOIN edges e ON e.src = p.id
+                WHERE p.it < 10
+                GROUP BY e.dst
+            ) m
+        )
+        SELECT id, rank_scaled FROM pr WHERE it = 10 ORDER BY id
+    """,
+    # portable count-min sketch: same md5-derived 60-bit bucket hash
+    # (conv(substr(md5('cms{i}|' || v), 1, 15), 16, 10) % width) on
+    # both engines, so the sketch cells — and therefore the min-read
+    # estimates — are identical, not just bounded
+    "event_type_freq_cms_portable": """
+        WITH i AS (SELECT UNNEST(range(0, 5)) AS row),
+        vals AS (
+            SELECT event_type AS v FROM events WHERE event_type IS NOT NULL
+        ),
+        cells AS (
+            SELECT i.row,
+                   CAST(concat('0x', substr(md5(concat_ws('|',
+                        'cms' || CAST(i.row AS VARCHAR), v)), 1, 15))
+                        AS BIGINT) % 1024 AS bucket,
+                   COUNT(*) AS cnt
+            FROM vals, i
+            GROUP BY 1, 2
+        ),
+        pb AS (
+            SELECT p.item, i.row,
+                   CAST(concat('0x', substr(md5(concat_ws('|',
+                        'cms' || CAST(i.row AS VARCHAR), p.item)), 1, 15))
+                        AS BIGINT) % 1024 AS bucket
+            FROM (SELECT DISTINCT v AS item FROM vals) p, i
+        )
+        SELECT pb.item AS event_type,
+               CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+        FROM pb LEFT JOIN cells c
+          ON c.row = pb.row AND c.bucket = pb.bucket
+        GROUP BY pb.item ORDER BY event_type
+    """,
     "decontaminate_docs": _decontam_oracle(),
     "pack_documents": _pack_oracle(),
     "interleave_docs": _INTERLEAVE_ORACLE,
@@ -4217,6 +4294,32 @@ def doc_pagerank(spark, sf_dir):
     )
 
 
+def events_user_graph_pagerank(spark, sf_dir):
+    """ORACLE-EXACT PageRank (operators/graph.pagerank_exact): integer
+    fixed-point power iteration (scale 1e12, damping 17/20, 10 rounds,
+    every division a bigint floor-div — associative sums, so DuckDB's
+    recursive CTE replays it bit-for-bit; the float operator's gate
+    row stays rows-only because float reductions are partition-order
+    dependent). Graph: the symmetrized user↔prop-key bipartite graph
+    from events — "user touched payload key k" — the interaction graph
+    a curation pipeline ranks users/keys on. Key nodes are offset by
+    1e6 to keep the id space disjoint."""
+    from esdb_spark.operators.graph import pagerank_exact
+
+    ev = load_table(spark, sf_dir, "events")
+    fwd = ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        (
+            F.lit(1_000_000)
+            + F.get_json_object("props", "$.k").cast("long")
+        ).alias("dst"),
+    ).distinct()
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank_exact(edges, iters=10).orderBy("id")
+
+
 def bpe_token_stats_docs(spark, sf_dir):
     """Exact per-doc token counts under a corpus-trained BPE tokenizer
     (operators/bpe.py: Sennrich merges learned from the bounded
@@ -4381,6 +4484,30 @@ def event_type_freq_cms(spark, sf_dir):
     )
 
 
+def event_type_freq_cms_portable(spark, sf_dir):
+    """ORACLE-EXACT count-min point estimates (sketches.count_min_table
+    / cms_estimate_df with the portable md5 hash family): DuckDB
+    rebuilds the identical depth×width sketch cell-for-cell and reads
+    off the same min-over-rows estimates — certifying the sketch MATH
+    (bucket placement, cell summation, min readout), not just the
+    estimate >= exact invariant the xxhash64 row asserts. Fully lazy:
+    probes are the distinct event types, joined against the sketch."""
+    from esdb_spark.operators.sketches import cms_estimate_df, count_min_table
+
+    ev = load_table(spark, sf_dir, "events")
+    table = count_min_table(
+        ev, "event_type", depth=5, width=1024, portable=True
+    )
+    return (
+        cms_estimate_df(
+            table, ev.select("event_type"), "event_type",
+            depth=5, width=1024, portable=True,
+        )
+        .select(F.col("item").alias("event_type"), "est")
+        .orderBy("event_type")
+    )
+
+
 def ann_topk_docs(spark, sf_dir):
     """Approximate top-k neighbors via deterministic sign-LSH buckets (similarity.ann_topk_lsh); rows-only, recall-checked vs exact cosine."""
     from esdb_spark.operators.similarity import ann_topk_lsh
@@ -4422,8 +4549,13 @@ _GATE_WINDOW = [
     "latest_per_grouping",
     "cursor_page",
     # LLM-pipeline: dedup / clustering / similarity
+    # (round 6: doc_unigram_jaccard_pairs demoted — the exact-Jaccard
+    # verifier shares the pair-similarity family with
+    # dedup_minhash_portable_docs below and stays locally
+    # oracle-verified; its slot certifies the previously rows-only
+    # PageRank family with the integer fixed-point exact variant)
     "dedup_events_exact",
-    "doc_unigram_jaccard_pairs",
+    "events_user_graph_pagerank",
     "dedup_embedding_docs",
     "doc_dup_clusters",
     # (dedup_by_cluster_docs demoted past the window in round 3 — same
@@ -4492,9 +4624,13 @@ _GATE_WINDOW = [
     # demoted past the window — their operator families stay
     # represented by sessionize_users / events_customer_salted_join —
     # and remain locally oracle-verified in test_oracle_parity)
+    # (round 6: click_purchase_window demoted — the event-sequence
+    # window family keeps sessionize_users and asof_enrich; its slot
+    # certifies the previously rows-only count-min family with the
+    # portable md5 hash variant whose cells DuckDB rebuilds exactly)
     "sessionize_users",
     "asof_enrich",
-    "click_purchase_window",
+    "event_type_freq_cms_portable",
     "events_customer_salted_join",
     # (orders_hash_sample demoted — md5-prefix rate sampling shares a
     # mechanism with documents_split_counts above; its slot showcases
@@ -4638,6 +4774,8 @@ def catalog() -> dict[str, Q]:
         ("documents_expectations", documents_expectations),
         ("upsample_docs", upsample_docs),
         ("source_temperature_mix", source_temperature_mix),
+        ("events_user_graph_pagerank", events_user_graph_pagerank),
+        ("event_type_freq_cms_portable", event_type_freq_cms_portable),
     ]:
         qs[name] = Q(fn, _PIPELINE_ORACLES[name])
     for name, fn in [

@@ -96,3 +96,30 @@ def test_validation_errors(spark, frame):
         check(frame, [])
     with pytest.raises(ValueError, match="duplicate rule"):
         check(frame, [not_null("id"), not_null("id")])
+
+
+def test_split_distinct_avoids_expand(spark, frame):
+    """split_distinct=True: with two unique() rules the default plan
+    carries Spark's multi-distinct Expand (input replicated per
+    distinct aggregate); split mode removes it — no Expand anywhere —
+    at the cost of one extra pass, with identical results in the
+    caller's rule order."""
+    rules = [
+        not_null("id"),
+        unique("id"),
+        unique("email"),
+        in_range("v", 0.0, 100.0),
+    ]
+    fused = check(frame, rules)
+    split = check(frame, rules, split_distinct=True)
+    fused_plan = fused._jdf.queryExecution().executedPlan().toString()
+    split_plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in fused_plan
+    assert "Expand" not in split_plan
+    f_rows = [tuple(r) for r in fused.collect()]
+    s_rows = [tuple(r) for r in split.collect()]
+    assert f_rows == s_rows
+    assert [r[0] for r in f_rows] == [r["rule"] for r in rules]
+    # degenerate split (≤1 unique rule): same single-pass plan as fused
+    one = check(frame, [not_null("id"), unique("id")], split_distinct=True)
+    assert "Expand" not in one._jdf.queryExecution().executedPlan().toString()

@@ -146,3 +146,43 @@ def test_triangle_count_hub_wedges_stay_bounded(spark):
                      .withColumnRenamed("deg", "dv"), "v")
                .filter("du < dv or (du = dv and u < v)").count())
     assert hub_out == 0  # hub never gets an out-edge
+
+
+def test_pagerank_exact_matches_python_model(spark):
+    """pagerank_exact: scaled-bigint power iteration equals a pure
+    python int model step for step (floor-div everywhere — the
+    property that makes the DuckDB recursive-CTE oracle bit-exact)."""
+    from esdb_spark.operators.graph import pagerank_exact
+
+    und = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (1, 5), (5, 2)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["rank_scaled"]
+        for r in pagerank_exact(df, iters=10).collect()
+    }
+
+    scale, num, den, iters = 10**12, 17, 20, 10
+    adj, nodes = {}, set()
+    for a, b in set(edges):
+        adj.setdefault(a, set()).add(b)
+        nodes.update((a, b))
+    n = len(nodes)
+    rank = {v: scale // n for v in nodes}
+    base = (den - num) * (scale // n)
+    for _ in range(iters):
+        in_mass = {v: 0 for v in nodes}
+        for a, outs in adj.items():
+            c = rank[a] // len(outs)
+            for b in outs:
+                in_mass[b] += c
+        rank = {v: (base + num * in_mass[v]) // den for v in nodes}
+    assert got == rank
+
+
+def test_pagerank_exact_rejects_dangling(spark):
+    from esdb_spark.operators.graph import pagerank_exact
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank_exact(df)

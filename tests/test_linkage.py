@@ -113,3 +113,33 @@ def test_short_and_empty_strings_match_nothing(spark):
     ).collect()
     pairs = {(r["left_id"], r["right_id"]) for r in out}
     assert pairs == {(4, 12)}  # only the real >=3-char match
+
+
+def test_guard_product_raises_on_predicted_blowup(spark):
+    """guard_product: the pre-flight probe predicts the candidate-pair
+    count and raises naming the worst stop-gram; with max_posting
+    pruning the prediction reflects the PRUNED plan and passes."""
+    rows = [(i, f"the company number {i}") for i in range(30)]
+    ldf = spark.createDataFrame(rows, "lid int, name string")
+    rdf = spark.createDataFrame(rows, "rid int, name string")
+    with pytest.raises(ValueError, match="guard_product"):
+        fuzzy_join_trigram(
+            ldf, rdf, "name", "name", "lid", "rid",
+            threshold=0.5, guard_product=100,
+        )
+    # generous bound: plan builds and runs normally
+    out = fuzzy_join_trigram(
+        ldf, rdf, "name", "name", "lid", "rid",
+        threshold=0.99, guard_product=10_000_000,
+    )
+    assert out.count() == 30
+    # the guard measures the plan that will RUN: with an aggressive
+    # max_posting the shared-prefix stop-grams are pruned away and the
+    # same tight bound passes
+    pruned = fuzzy_join_trigram(
+        ldf, rdf, "name", "name", "lid", "rid",
+        threshold=0.99, max_posting=3, guard_product=100,
+    )
+    # records whose every trigram was a stop-gram drop out of the
+    # pruned universe (documented); the ones left still self-match
+    assert 0 < pruned.count() <= 30

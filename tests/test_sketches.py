@@ -156,3 +156,55 @@ def test_quantile_rollup_schema(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     out = quantile_rollup(ev, "value", ["event_type"], probs=(0.1, 0.99))
     assert out.columns == ["event_type", "q10", "q99"]
+
+
+def test_count_min_portable_matches_python_model(spark, skewed):
+    """portable=True: md5-derived buckets are engine-replayable — a
+    pure-python md5 model reconstructs the identical sketch cells and
+    estimates (the property the DuckDB gate oracle relies on), and the
+    lazy cms_estimate_df face agrees with the collect-based one."""
+    import hashlib
+
+    from esdb_spark.operators.sketches import cms_estimate_df
+
+    depth, width = 5, 256
+    table = count_min_table(
+        skewed, "item", depth=depth, width=width, portable=True
+    )
+    cells = {(r["row"], r["bucket"]): r["cnt"] for r in table.collect()}
+
+    def bucket(i, v):
+        h = hashlib.md5(f"cms{i}|{v}".encode()).hexdigest()[:15]
+        return int(h, 16) % width
+
+    model = {}
+    for r in skewed.collect():
+        if r["item"] is None:
+            continue
+        for i in range(depth):
+            k = (i, bucket(i, r["item"]))
+            model[k] = model.get(k, 0) + 1
+    assert cells == model
+
+    items = ["hot", "warm", "tail77", "never-seen"]
+    model_est = {
+        v: min(model.get((i, bucket(i, v)), 0) for i in range(depth))
+        for v in items
+    }
+    df_est = {
+        r["item"]: r["est"]
+        for r in cms_estimate_df(
+            table,
+            spark.createDataFrame([(v,) for v in items], ["x"]),
+            "x",
+            depth=depth,
+            width=width,
+            portable=True,
+        ).collect()
+    }
+    assert df_est == model_est
+    exact = {
+        r["item"]: r["n"]
+        for r in skewed.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    assert df_est["hot"] >= exact["hot"]

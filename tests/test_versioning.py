@@ -280,3 +280,30 @@ def test_gated_release_refuses_bad_snapshots(spark, tmp_path):
     # nothing landed: log unchanged, latest still the good snapshot
     assert [e["version"] for e in release_log(spark, root)] == [0]
     assert read_release(spark, root).count() == 2
+
+
+def test_manifest_write_once_enforced(spark, tmp_path):
+    """A pre-existing manifest file at the number a writer is about to
+    commit makes write_release raise (exclusive create) instead of
+    silently last-wins rewriting history — the concurrent-writer race
+    fails loudly and the loser's parquet dir is a skippable orphan."""
+    from esdb_spark.operators.versioning import (
+        release_log,
+        write_release,
+    )
+
+    root = str(tmp_path / "excl")
+    df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    assert write_release(spark, root, df) == 0
+    # plant the manifest a racing writer would have claimed for v1:
+    # UNPARSEABLE, so release_log's torn-newest fallback still reads
+    # manifest-000000 and the next write targets version 1
+    marker = str(tmp_path / "excl" / "_releases" / "manifest-000001.json")
+    with open(marker, "w") as f:
+        f.write("{torn")
+    with pytest.raises(FileExistsError, match="already exists"):
+        write_release(spark, root, df, note="loser")
+    # history is untouched: the planted file still holds its bytes and
+    # the committed log still shows only v0
+    assert open(marker).read() == "{torn"
+    assert [e["version"] for e in release_log(spark, root)] == [0]
