@@ -37,7 +37,7 @@ successive snapshots with ``foreachBatch`` + :func:`merge_snapshot`
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _row_fp(cols: list[str]) -> "F.Column":
@@ -345,4 +345,73 @@ def diff_releases(
             (in_a & in_b & (F.col("_afp") == F.col("_bfp2"))).cast("long")
         ).alias("n_unchanged"),
         F.sum((in_a & ~in_b).cast("long")).alias("n_deleted_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Slowly-changing dimension (Type 2) from a change log
+# ---------------------------------------------------------------------------
+
+
+def scd2(
+    df: DataFrame,
+    id_cols: list[str],
+    tracked_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build a Type-2 slowly-changing dimension from a change log: one
+    output row per (entity, run of identical tracked values), with
+    ``valid_from`` / ``valid_to`` half-open validity bounds and an
+    ``is_current`` flag — the warehouse-standard versioned-dimension
+    shape (Kimball SCD2), the history face of :func:`merge_snapshot`
+    (MERGE folds snapshots forward; this reads the full change log
+    back out as intervals).
+
+    ``df`` holds observations ``(id_cols…, ts_col, tracked_cols…)``;
+    consecutive observations of an entity with identical tracked
+    values collapse into one version row anchored at the run's FIRST
+    timestamp. ``valid_to`` is the next version's ``valid_from``
+    (half-open, so an entity's intervals tile its observed lifetime
+    with no gaps or overlaps) and NULL on the current version.
+    ``tiebreak_cols`` must make the per-entity order total when one
+    timestamp can carry several observations — without a total order
+    the "previous row" is partition-luck, not data.
+
+    NULL semantics: a change is detected with null-safe equality
+    (``IS DISTINCT FROM``), so NULL→value and value→NULL transitions
+    open new versions and NULL==NULL does not.
+
+    Scale: ONE hash shuffle of the log on the entity id; both windows
+    (change detection, then ``lead`` over the surviving version rows)
+    share that partitioning and sort, so Catalyst plans a single
+    exchange + sort and the second window is sort-free. Nothing is
+    collected; output is bounded by the number of value changes, not
+    observations.
+    """
+    tiebreak_cols = list(tiebreak_cols or [])
+    w = Window.partitionBy(*id_cols).orderBy(
+        *[F.col(c).asc() for c in [ts_col, *tiebreak_cols]]
+    )
+    prev_differs = [
+        ~F.lag(F.col(c)).over(w).eqNullSafe(F.col(c))
+        for c in tracked_cols
+    ]
+    first_row = F.row_number().over(w) == 1
+    changed = first_row
+    for d in prev_differs:
+        changed = changed | d
+    versions = df.withColumn("_scd_new", changed).filter(F.col("_scd_new"))
+    return (
+        versions.withColumn(
+            "valid_to",
+            F.lead(F.col(ts_col)).over(w),
+        )
+        .select(
+            *id_cols,
+            *tracked_cols,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
     )

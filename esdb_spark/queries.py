@@ -446,6 +446,34 @@ def sessionize_users(spark, sf_dir):
     )
 
 
+def user_tier_scd2(spark, sf_dir):
+    """Type-2 slowly-changing dimension built from the event log
+    (operators.versioning.scd2): each user's value tier (high/low) as
+    gapless validity intervals with an is_current flag — the Kimball
+    SCD2 shape. Timestamps surface as epoch-microsecond bigints; the
+    per-user order carries event_id as tiebreaker so equal timestamps
+    stay deterministic."""
+    from esdb_spark.operators.versioning import scd2
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "user_id",
+        epoch_us("ts").alias("ts_us"),
+        "event_id",
+        F.when(F.col("value") >= 50, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("tier"),
+    )
+    dim = scd2(obs, ["user_id"], ["tier"], "ts_us", tiebreak_cols=["event_id"])
+    return dim.select(
+        "user_id",
+        "tier",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "is_current",
+    ).orderBy("user_id", "valid_from_us")
+
+
 def median_value_by_type(spark, sf_dir):
     """Exact interpolated median per event type (percentile /
     quantile_cont agree bit-for-bit — verified)."""
@@ -1505,6 +1533,30 @@ _ANALYTIC_ORACLES = {
               / (sqrt(CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
                * sqrt(CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))), 12) AS corr_price_disc
         FROM s
+    """,
+    "user_tier_scd2": """
+        WITH obs AS (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                   CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS tier
+            FROM events
+        ), marked AS (
+            SELECT user_id, ts_us, event_id, tier,
+                   lag(tier) OVER w AS prev_tier,
+                   row_number() OVER w AS rn
+            FROM obs
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts_us ASC, event_id ASC)
+        ), versions AS (
+            SELECT user_id, tier, ts_us, event_id FROM marked
+            WHERE rn = 1 OR tier IS DISTINCT FROM prev_tier
+        )
+        SELECT user_id, tier,
+               ts_us AS valid_from_us,
+               lead(ts_us) OVER w2 AS valid_to_us,
+               lead(ts_us) OVER w2 IS NULL AS is_current
+        FROM versions
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+        ORDER BY user_id, valid_from_us
     """,
 }
 
@@ -4673,6 +4725,7 @@ def catalog() -> dict[str, Q]:
         ("customers_without_orders", customers_without_orders),
         ("nations_customers_and_suppliers", nations_customers_and_suppliers),
         ("sessionize_users", sessionize_users),
+        ("user_tier_scd2", user_tier_scd2),
         ("asof_enrich", asof_enrich),
         ("click_purchase_window", click_purchase_window),
         ("event_value_pivot", event_value_pivot),

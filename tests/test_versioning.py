@@ -307,3 +307,107 @@ def test_manifest_write_once_enforced(spark, tmp_path):
     # the committed log still shows only v0
     assert open(marker).read() == "{torn"
     assert [e["version"] for e in release_log(spark, root)] == [0]
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension builder
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def change_log(spark):
+    # user 1: A→A→B→B→A (runs collapse, value revisits reopen)
+    # user 2: single observation
+    # user 3: NULL→X→NULL (null-safe transitions open versions)
+    return spark.createDataFrame(
+        [
+            (1, 10, "A"), (1, 20, "A"), (1, 30, "B"),
+            (1, 40, "B"), (1, 50, "A"),
+            (2, 10, "X"),
+            (3, 10, None), (3, 20, "X"), (3, 30, None),
+        ],
+        "uid int, ts int, status string",
+    )
+
+
+def test_scd2_runs_collapse_and_tile(spark, change_log):
+    from esdb_spark.operators.versioning import scd2
+
+    rows = sorted(
+        (r["uid"], r["valid_from"], r["valid_to"], r["status"],
+         r["is_current"])
+        for r in scd2(change_log, ["uid"], ["status"], "ts").collect()
+    )
+    assert rows == [
+        (1, 10, 30, "A", False),
+        (1, 30, 50, "B", False),
+        (1, 50, None, "A", True),
+        (2, 10, None, "X", True),
+        (3, 10, 20, None, False),
+        (3, 20, 30, "X", False),
+        (3, 30, None, None, True),
+    ]
+
+
+def test_scd2_intervals_are_gapless_per_entity(spark, change_log):
+    from esdb_spark.operators.versioning import scd2
+
+    out = scd2(change_log, ["uid"], ["status"], "ts").collect()
+    by_uid = {}
+    for r in out:
+        by_uid.setdefault(r["uid"], []).append(r)
+    for uid, vs in by_uid.items():
+        vs.sort(key=lambda r: r["valid_from"])
+        assert sum(v["is_current"] for v in vs) == 1
+        assert vs[-1]["valid_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+
+
+def test_scd2_tiebreak_makes_equal_ts_deterministic(spark):
+    from esdb_spark.operators.versioning import scd2
+
+    df = spark.createDataFrame(
+        [(1, 10, 1, "A"), (1, 10, 2, "B"), (1, 20, 3, "B")],
+        "uid int, ts int, seq int, status string",
+    )
+    rows = sorted(
+        (r["valid_from"], r["status"])
+        for r in scd2(
+            df, ["uid"], ["status"], "ts", tiebreak_cols=["seq"]
+        ).collect()
+    )
+    # seq orders the ts=10 pair: A then B; B run extends through ts=20
+    assert rows == [(10, "A"), (10, "B")]
+
+
+def test_scd2_multi_tracked_and_multi_id(spark):
+    from esdb_spark.operators.versioning import scd2
+
+    df = spark.createDataFrame(
+        [
+            ("s", 1, 10, "A", 1), ("s", 1, 20, "A", 2),
+            ("s", 1, 30, "A", 2), ("t", 1, 10, "A", 1),
+        ],
+        "src string, uid int, ts int, status string, tier int",
+    )
+    rows = sorted(
+        (r["src"], r["uid"], r["valid_from"], r["status"], r["tier"])
+        for r in scd2(
+            df, ["src", "uid"], ["status", "tier"], "ts"
+        ).collect()
+    )
+    assert rows == [
+        ("s", 1, 10, "A", 1),
+        ("s", 1, 20, "A", 2),
+        ("t", 1, 10, "A", 1),
+    ]
+
+
+def test_scd2_single_exchange_plan(spark, change_log):
+    from esdb_spark.operators.versioning import scd2
+
+    plan = scd2(change_log, ["uid"], ["status"], "ts")._jdf.queryExecution(
+    ).executedPlan().toString()
+    # both windows share one hash partitioning on the entity id
+    assert plan.count("hashpartitioning") <= 1
