@@ -1,0 +1,100 @@
+"""Item co-occurrence / market-basket analysis: which items appear
+together in the same group, with support counts and lift.
+
+The classic association shape (Agrawal & Srikant's frequent-itemset
+setting, restricted to pairs — the level that matters for "customers
+who bought X also bought Y" and for corpus work like "sources that
+co-cite", "tags that co-occur"). Counts are integers and lift is one
+fixed per-row IEEE expression, so the whole output is engine-exact.
+
+Scale posture: the only data-sized shuffle keys on the GROUP id (the
+basket). Pair generation is a per-group self-join — fanout is
+``s·(s-1)/2`` per basket of ``s`` distinct items, which is fine for
+real baskets (tens of items) and fatal for degenerate ones (a "basket"
+of a million items), so ``max_basket`` drops oversized groups BEFORE
+the join with pruned-universe semantics mirroring
+``linkage.fuzzy_join_trigram(max_posting=...)``: pair counts, item
+supports, and the group total are all computed over the surviving
+baskets only, keeping lift internally consistent. Item supports are a
+partial-agged (item) count whose join onto the pair table broadcasts
+(|items| ≪ |pairs|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_pairs: int = 1,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Pairwise co-occurrence counts with supports and lift.
+
+    Output: one row per unordered item pair seen in ≥ ``min_pairs``
+    groups — ``(item_a, item_b, n_both, n_a, n_b, n_groups, lift)``
+    with ``item_a < item_b``; ``n_a``/``n_b`` are the items' group
+    supports, ``n_groups`` the total group count, and
+    ``lift = (n_both·n_groups)/(n_a·n_b)`` (>1 ⇒ the pair co-occurs
+    more than independence predicts). Duplicate (group, item)
+    observations count once — baskets are sets.
+
+    ``max_basket``: drop groups with more distinct items than this
+    before pair generation (the s² guard); all counts then describe
+    the pruned universe.
+    """
+    basket = df.select(
+        F.col(group_col).alias("_co_g"), F.col(item_col).alias("_co_i")
+    ).distinct()
+    if max_basket is not None:
+        sizes = basket.groupBy("_co_g").agg(
+            F.count("*").alias("_co_sz")
+        )
+        basket = (
+            basket.join(sizes, "_co_g")
+            .filter(F.col("_co_sz") <= max_basket)
+            .drop("_co_sz")
+        )
+    totals = basket.agg(
+        F.countDistinct("_co_g").cast("long").alias("n_groups")
+    )
+    left = basket.select("_co_g", F.col("_co_i").alias("item_a"))
+    right = basket.select("_co_g", F.col("_co_i").alias("item_b"))
+    pairs = (
+        left.join(right, "_co_g")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= min_pairs)
+    )
+    support = basket.groupBy("_co_i").agg(
+        F.count("*").cast("long").alias("_co_n")
+    )
+    sa = support.select(
+        F.col("_co_i").alias("item_a"), F.col("_co_n").alias("n_a")
+    )
+    sb = support.select(
+        F.col("_co_i").alias("item_b"), F.col("_co_n").alias("n_b")
+    )
+    return (
+        pairs.join(sa, "item_a")
+        .join(sb, "item_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            "n_groups",
+            (
+                (F.col("n_both").cast("double")
+                 * F.col("n_groups").cast("double"))
+                / (F.col("n_a").cast("double")
+                   * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )

@@ -1,0 +1,65 @@
+"""Market-basket co-occurrence (operators/cooccur.py): pair counts,
+supports, lift, set semantics, the max_basket s² guard."""
+
+import pytest
+
+from esdb_spark.operators.cooccur import cooccurrence_pairs
+
+
+@pytest.fixture(scope="module")
+def baskets(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "a"),  # duplicate observation: counts once
+            (4, "b"), (4, "c"),
+        ],
+        "basket int, item string",
+    )
+
+
+def test_pair_counts_supports_and_lift(spark, baskets):
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in cooccurrence_pairs(baskets, "basket", "item").collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab["n_both"], ab["n_a"], ab["n_b"], ab["n_groups"]) == (
+        2, 3, 3, 4,
+    )
+    assert ab["lift"] == pytest.approx(2 * 4 / (3 * 3))
+    bc = out[("b", "c")]
+    assert (bc["n_both"], bc["n_a"], bc["n_b"]) == (2, 3, 2)
+
+
+def test_min_pairs_filters(spark, baskets):
+    out = cooccurrence_pairs(
+        baskets, "basket", "item", min_pairs=2
+    ).collect()
+    assert sorted((r["item_a"], r["item_b"]) for r in out) == [
+        ("a", "b"), ("b", "c"),
+    ]
+
+
+def test_max_basket_prunes_universe(spark, baskets):
+    # basket 1 (3 items) dropped; all counts describe the remainder
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in cooccurrence_pairs(
+            baskets, "basket", "item", max_basket=2
+        ).collect()
+    }
+    assert set(out) == {("a", "b"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab["n_both"], ab["n_a"], ab["n_b"], ab["n_groups"]) == (
+        1, 2, 2, 3,
+    )
+
+
+def test_single_item_baskets_yield_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "basket int, item string"
+    )
+    assert cooccurrence_pairs(df, "basket", "item").count() == 0

@@ -283,11 +283,15 @@ def test_duplicate_spans_windows_all_doc_partitioned(spark):
 
     docs = load_table(spark, SF_DIR, "documents")
     plan = physical_plan(duplicate_ngram_spans(docs, "text", "doc_id", n=4))
-    # every window spec must carry the per-document partition key — an
-    # unpartitioned window would funnel the corpus through one task
+    # every window spec must carry a high-cardinality partition key —
+    # the per-document id for the gram-build/island windows or the
+    # 128-bit gram hash for the frequency count (round-6 single-pass
+    # rewrite); an UNPARTITIONED window would funnel the corpus
+    # through one task
     for i in range(len(plan)):
         if plan.startswith("windowspecdefinition(", i):
-            assert "_dg_id" in plan[i : i + 60], plan[i : i + 120]
+            head = plan[i : i + 60]
+            assert "_dg_id" in head or "gh" in head, plan[i : i + 120]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
