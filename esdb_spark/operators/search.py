@@ -1,0 +1,337 @@
+"""Full-text retrieval over the corpus: inverted index, boolean
+keyword search, and exact phrase search.
+
+The reference engine's secondary indexes map ``name → newest event``
+per grouping (esdb index blocks, README.md "Index scans"); this is the
+text-retrieval face of the same idea at corpus scale — token → posting
+list instead of index name → head — with the query side expressed as
+ordinary DataFrame plans so Catalyst prunes and broadcasts.
+
+Tokenization is the engine-wide convention
+(:func:`esdb_spark.functions.tokens`: lowercased whitespace tokens),
+so index, search, dedup, and vocabulary operators all agree on what a
+term is.
+
+Scale posture:
+
+- :func:`build_inverted_index` shuffles (token, doc, tf) triples —
+  never text — with map-side partial aggregation folding each
+  document's repeated tokens before the exchange. Posting lists are
+  per-token arrays; a stop-word's posting list is the classic skew
+  cell, so the builder takes ``max_postings`` (keep the ``top_k`` most
+  frequent docs per token, flagged ``truncated``) for serving-index
+  builds where exactness of stop-word tails doesn't matter.
+- :func:`keyword_search` never materializes an index: query terms are
+  a LITERAL in-filter pushed to the parquet scan side of one explode,
+  so only rows containing a query term survive to the (doc, term)
+  aggregate — shuffle is O(matching tokens), and the top-k is a
+  TakeOrdered, not a global sort. AND semantics count distinct matched
+  terms per doc.
+- :func:`phrase_search` reuses the lead-window n-gram construction of
+  ``corpus.duplicate_ngram_spans`` (one per-doc window partitioning)
+  and compares against the phrase literal — the corpus shuffles once
+  by doc id, positions of hits aggregate per doc.
+
+All three are engine-portable (exact DuckDB oracles): integer scores
+and counts, no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from esdb_spark.functions import tokens
+
+
+def build_inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Token → posting-list table: one row per distinct token with
+    ``doc_freq`` (documents containing it), ``term_freq`` (total
+    occurrences), and ``postings`` — an array of ``(doc, tf)`` structs
+    sorted by doc id (deterministic, engine-portable).
+
+    ``max_postings``: cap each posting list at the ``max_postings``
+    HIGHEST-tf documents (ties to smallest doc id), set
+    ``truncated=true`` on capped rows, and leave doc_freq/term_freq
+    exact (they aggregate before the cap). This bounds the stop-word
+    skew cell: 'the' in a 100 TB corpus otherwise builds one
+    corpus-sized array in a single task.
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("token")
+    )
+    per_doc = ex.groupBy("token", "doc").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    idx = per_doc.groupBy("token").agg(
+        F.count("*").cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("term_freq"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("doc"), F.col("tf")))
+        ).alias("postings"),
+    )
+    if max_postings is None:
+        return idx.withColumn("truncated", F.lit(False))
+    # keep the top-tf entries: re-sort a copy by (-tf, doc) via a
+    # struct sort, slice, then restore doc order
+    by_tf = F.sort_array(
+        F.transform(
+            F.col("postings"),
+            lambda p: F.struct(
+                (-p["tf"]).alias("ntf"), p["doc"].alias("doc"),
+                p["tf"].alias("tf"),
+            ),
+        )
+    )
+    kept = F.slice(by_tf, 1, max_postings)
+    return idx.select(
+        "token",
+        "doc_freq",
+        "term_freq",
+        F.sort_array(
+            F.transform(
+                kept,
+                lambda p: F.struct(p["doc"].alias("doc"), p["tf"].alias("tf")),
+            )
+        ).alias("postings"),
+        (F.col("doc_freq") > max_postings).alias("truncated"),
+    )
+
+
+def keyword_search(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    require_all: bool = True,
+) -> DataFrame:
+    """Boolean keyword search: the ``k`` best documents for a bag of
+    query terms, scored by total matched-term occurrences (integer —
+    deterministic across engines; BM25-style float weighting belongs
+    in a ranking layer, not the correctness surface). With
+    ``require_all`` (AND semantics) a document must contain every
+    distinct query term; OR semantics otherwise. Ties break to the
+    smallest doc id, so top-k is total-ordered.
+
+    Returns ``(id_col, n_terms_matched, score)``.
+    """
+    qt = sorted({t.lower() for t in terms})
+    ex = df.select(
+        F.col(id_col).alias("_ks_id"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).filter(F.col("token").isin(qt))
+    hits = ex.groupBy("_ks_id").agg(
+        F.countDistinct("token").cast("long").alias("n_terms_matched"),
+        F.count("*").cast("long").alias("score"),
+    )
+    if require_all:
+        hits = hits.filter(F.col("n_terms_matched") == len(qt))
+    return (
+        hits.select(
+            F.col("_ks_id").alias(id_col), "n_terms_matched", "score"
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search: documents where the phrase's tokens occur
+    consecutively, with occurrence count and first hit position
+    (0-based token offset). Overlapping occurrences count separately
+    ('a a a' contains 'a a' twice).
+
+    Returns ``(id_col, n_occurrences, first_pos)``.
+    """
+    words = [w for w in phrase.lower().split() if w]
+    if not words:
+        raise ValueError("phrase_search: empty phrase")
+    n = len(words)
+    toked = df.select(
+        F.col(id_col).alias("_ps_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "_ps_tok"),
+    )
+    wseq = Window.partitionBy("_ps_id").orderBy("pos")
+    cond = F.col("_ps_tok") == F.lit(words[0])
+    for j in range(1, n):
+        cond = cond & (F.lead("_ps_tok", j).over(wseq) == F.lit(words[j]))
+    hits = toked.select("_ps_id", "pos", cond.alias("_ps_hit")).filter(
+        F.col("_ps_hit")
+    )
+    return (
+        hits.groupBy("_ps_id")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .select(F.col("_ps_id").alias(id_col), "n_occurrences", "first_pos")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked retrieval: the ``k`` best documents for a bag of
+    query terms under Okapi BM25 (Robertson et al.) with the
+    Lucene-style non-negative IDF ``ln(1 + (N - df + ½)/(df + ½))``.
+
+    Returns ``(id_col, n_terms_matched, bm25)`` ordered by score desc,
+    ties to the smallest id. The score is bit-DETERMINISTIC within
+    Spark — the per-term partial scores fold in sorted term order via
+    ``aggregate`` over a ``sort_array``-ed struct list, so partitioning
+    never reorders the float sum — but NOT engine-portable (``ln`` is
+    not IEEE-correctly-rounded, the round-4 lesson), so catalog rows
+    built on it are rows-only; :func:`keyword_search` is the
+    integer-exact twin the oracle certifies.
+
+    Scale posture (mirrors :func:`keyword_search`): query terms are a
+    LITERAL in-filter applied to the token explode before anything
+    shuffles, so the only data-sized exchange carries (doc, term, tf,
+    doclen) for MATCHING tokens only. Corpus stats (N, total tokens)
+    are one broadcast one-row crossJoin; per-term document frequencies
+    are a |terms|-row broadcast. Top-k is a TakeOrdered, never a
+    global sort.
+    """
+    qt = sorted({t.lower() for t in terms})
+    if not qt:
+        raise ValueError("bm25_search: empty term list")
+    lens = df.select(
+        F.col(id_col).alias("_bm_id"), tokens(text_col).alias("_bm_toks")
+    ).select(
+        "_bm_id",
+        F.size("_bm_toks").cast("double").alias("_bm_dl"),
+        "_bm_toks",
+    )
+    # corpus stats BEFORE the explode: a token-less document still
+    # counts toward N and avgdl (explode would silently drop it)
+    stats = lens.agg(
+        F.count("*").cast("double").alias("_bm_n"),
+        F.sum("_bm_dl").alias("_bm_total"),
+    )
+    toked = lens.select(
+        "_bm_id", "_bm_dl", F.explode("_bm_toks").alias("token")
+    )
+    hits = toked.filter(F.col("token").isin(qt))
+    per_doc = hits.groupBy("_bm_id", "token").agg(
+        F.count("*").cast("double").alias("_bm_tf"),
+        F.first("_bm_dl").alias("_bm_dl"),
+    )
+    dfreq = hits.groupBy("token").agg(
+        F.count_distinct("_bm_id").cast("double").alias("_bm_df")
+    )
+    # avgdl = total / N, so dl/avgdl folds as dl * N / total — one
+    # fixed per-row IEEE expression, no extra pass for the mean
+    scored = per_doc.join(F.broadcast(dfreq), "token").crossJoin(
+        F.broadcast(stats)
+    ).withColumn(
+        "_bm_s",
+        F.log(
+            F.lit(1.0)
+            + (F.col("_bm_n") - F.col("_bm_df") + F.lit(0.5))
+            / (F.col("_bm_df") + F.lit(0.5))
+        )
+        * (F.col("_bm_tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("_bm_tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b)
+                * (
+                    F.col("_bm_dl")
+                    * F.col("_bm_n")
+                    / F.col("_bm_total")
+                )
+            )
+        ),
+    )
+    folded = scored.groupBy("_bm_id").agg(
+        F.count("*").cast("long").alias("n_terms_matched"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("token"), F.col("_bm_s")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_bm_s"],
+        ).alias("bm25"),
+    )
+    return (
+        folded.select(F.col("_bm_id").alias(id_col), "n_terms_matched", "bm25")
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def with_rank(df: DataFrame, order_by: list, id_col: str = "doc_id") -> DataFrame:
+    """Attach a 1-based ``rank`` column under a TOTAL order (pass id
+    tiebreaks in ``order_by``). The window is global — use this ONLY on
+    already-bounded frames (top-k retrieval lists), never on a
+    data-sized relation; :func:`rrf_fuse` inputs are exactly that."""
+    w = Window.orderBy(*order_by)
+    return df.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.): combine several ranked
+    retrieval lists — each a DataFrame with ``id_col`` and a 1-based
+    ``rank`` column (see :func:`with_rank`) — into one list scored by
+    ``Σ 1/(c + rank)``, missing entries contributing 0.
+
+    Returns ``(id_col, n_lists, rrf)`` ordered by score desc, ties to
+    the smallest id, limited to ``k``. The float sum folds in list-
+    index order over a sorted struct array, so the score is
+    bit-deterministic; with TWO lists it is also engine-exact (IEEE
+    addition of two terms is order-free), which is how the catalog's
+    hybrid-search row carries a full value-hash oracle.
+
+    Scale posture: inputs are top-k bounded lists (that is RRF's
+    contract — it fuses *rankings*, not corpora), so the union,
+    aggregation, and global sort all run on ≤ Σkᵢ rows.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: no input rankings")
+    tagged = None
+    for i, r in enumerate(ranked):
+        t = r.select(
+            F.col(id_col).alias("_rf_id"),
+            F.lit(i).alias("_rf_list"),
+            F.col("rank").cast("long").alias("_rf_rank"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    fused = tagged.groupBy("_rf_id").agg(
+        F.count("*").cast("long").alias("n_lists"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_rf_list"), F.col("_rf_rank")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.lit(1.0) / (F.lit(float(c)) + x["_rf_rank"].cast("double")),
+        ).alias("rrf"),
+    )
+    return (
+        fused.select(F.col("_rf_id").alias(id_col), "n_lists", "rrf")
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )

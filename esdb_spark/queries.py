@@ -1684,6 +1684,183 @@ def corpus_vocab_top(spark, sf_dir):
     )
 
 
+def customers_k_anonymity(spark, sf_dir):
+    """Structural privacy audit (operators/privacy
+    .k_anonymity_report): customer quasi-identifier combinations
+    (nation, market segment) with group sizes, k=10 re-identification
+    flags, and l-diversity of the account-balance band."""
+    from esdb_spark.operators.privacy import (
+        generalize_numeric,
+        k_anonymity_report,
+    )
+
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", generalize_numeric("c_acctbal", 1000).cast("long")
+    )
+    return k_anonymity_report(
+        c, ["c_nationkey", "c_mktsegment"], k=10,
+        sensitive_col="bal_band", l=3,
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+def purchase_attribution(spark, sf_dir):
+    """Last-touch attribution (operators/attribution
+    .last_touch_attribution): every purchase credited to the same
+    user's most recent view/click within a 7-day lookback — one
+    window pass, no self-join."""
+    from esdb_spark.operators.attribution import last_touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "user_id",
+        epoch_us("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    out = last_touch_attribution(
+        obs,
+        "user_id",
+        "ts_us",
+        F.col("event_type").isin("view", "click"),
+        F.col("event_type") == "purchase",
+        carry_cols=["event_id", "event_type"],
+        lookback=7 * 86400 * 1_000_000,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        "ts_us",
+        "touch_event_id",
+        "touch_event_type",
+        "touch_gap",
+    ).orderBy("purchase_event_id")
+
+
+def customer_name_typo_pairs(spark, sf_dir):
+    """Edit-distance self-linkage (operators/linkage
+    .fuzzy_join_levenshtein): customer-name pairs within Levenshtein
+    distance 1, found via lossless symmetric-delete blocking and
+    verified with the exact metric — never a cross join."""
+    from esdb_spark.operators.linkage import fuzzy_join_levenshtein
+
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(F.col("c_custkey").alias("left_id"), "c_name")
+    b = c.select(F.col("c_custkey").alias("right_id"), "c_name")
+    pairs = fuzzy_join_levenshtein(
+        a, b, "c_name", "c_name", "left_id", "right_id", max_dist=1
+    )
+    return pairs.filter(F.col("left_id") < F.col("right_id")).orderBy(
+        "left_id", "right_id"
+    )
+
+
+def parts_bought_together(spark, sf_dir):
+    """Market-basket pair mining (operators/cooccur
+    .cooccurrence_pairs): the 30 part pairs most often ordered
+    together, with supports and lift — integer counts plus one
+    fixed-IEEE lift expression, engine-exact."""
+    from esdb_spark.operators.cooccur import cooccurrence_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_pairs=2)
+        .orderBy(F.desc("n_both"), F.asc("item_a"), F.asc("item_b"))
+        .limit(30)
+    )
+
+
+def docs_keyword_search(spark, sf_dir):
+    """Boolean AND keyword search (operators/search.keyword_search):
+    top-20 documents containing ALL of {spark, hash, merge}, scored by
+    total matched-term occurrences (integer, engine-exact), ties to
+    the smallest doc id."""
+    from esdb_spark.operators.search import keyword_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return keyword_search(
+        docs, ["spark", "hash", "merge"], "text", "doc_id", k=20
+    )
+
+
+def docs_phrase_search(spark, sf_dir):
+    """Exact phrase search (operators/search.phrase_search): documents
+    containing the consecutive-token phrase "fast table", with
+    occurrence count and first token offset."""
+    from esdb_spark.operators.search import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "fast table", "text", "doc_id").orderBy(
+        "doc_id"
+    )
+
+
+def docs_inverted_index(spark, sf_dir):
+    """Inverted-index build (operators/search.build_inverted_index)
+    restricted to a fixed probe vocabulary; posting lists surface as a
+    'doc:tf' string (sorted by doc id) so the cross-engine value hash
+    covers the full list content."""
+    from esdb_spark.operators.search import build_inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    probe = ["spark", "window", "sort", "batch"]
+    idx = build_inverted_index(docs, "text", "doc_id").filter(
+        F.col("token").isin(probe)
+    )
+    return idx.select(
+        "token",
+        "doc_freq",
+        "term_freq",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("postings"),
+                lambda p: F.concat_ws(":", p["doc"], p["tf"]),
+            ),
+        ).alias("postings_str"),
+    ).orderBy("token")
+
+
+def docs_bm25_topk(spark, sf_dir):
+    """BM25-ranked retrieval (operators/search.bm25_search): top-20
+    documents for {spark, hash, merge} under Okapi BM25 with Lucene
+    IDF. Scores fold bit-deterministically (sorted-term aggregate) but
+    ``ln`` is not engine-portable, so this row is rows-only;
+    docs_keyword_search is the integer-exact twin the oracle
+    certifies, and tests/test_search.py pins the scores to a pure-
+    Python model bit-for-bit."""
+    from esdb_spark.operators.search import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, ["spark", "hash", "merge"], "text", "doc_id", k=20)
+
+
+def docs_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (operators/search.rrf_fuse): reciprocal-rank
+    fusion of a keyword ranking (top-50 boolean AND search for
+    {spark, hash, merge}) and a vector ranking (top-50 cosine
+    neighbours of embedding 0) — the RAG-stack staple. Both input
+    rankings are totally ordered (integer scores / rank-only cosine
+    with id tiebreaks), and with exactly two lists the RRF sum is two
+    IEEE terms, so the fused score carries a full value-hash oracle."""
+    from esdb_spark.operators.search import keyword_search, rrf_fuse, with_rank
+    from esdb_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = with_rank(
+        keyword_search(docs, ["spark", "hash", "merge"], "text", "doc_id", k=50),
+        [F.desc("score"), F.asc("doc_id")],
+    )
+    vec = (
+        cosine_topk(
+            emb, emb.filter(F.col("vec_id") == 0), "embedding", "vec_id", k=50
+        )
+        .select(F.col("id").alias("doc_id"), F.col("rank").cast("long"))
+    )
+    return rrf_fuse([kw, vec], "doc_id", k=20, c=60)
+
+
 def doc_duplicate_spans(spark, sf_dir):
     """Exact duplicated-substring spans (operators/corpus
     .duplicate_ngram_spans): maximal token spans covered by a 4-gram
@@ -3294,6 +3471,161 @@ _PIPELINE_ORACLES = {
                     AS BIGINT) AS rank
         FROM cnt ORDER BY rank
     """,
+    "customers_k_anonymity": """
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS group_size,
+               CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) * 1000
+                                        AS BIGINT)) AS BIGINT)
+                   AS n_distinct_sensitive,
+               count(*) < 10 AS at_risk,
+               count(DISTINCT CAST(floor(c_acctbal / 1000) * 1000
+                                   AS BIGINT)) < 3 AS low_diversity
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+        ORDER BY c_nationkey, c_mktsegment
+    """,
+    "purchase_attribution": """
+        WITH obs AS (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+            FROM events
+        ), carried AS (
+            SELECT user_id, ts_us, event_id, event_type,
+                   last_value(CASE WHEN event_type IN ('view', 'click')
+                                   THEN ts_us END IGNORE NULLS)
+                       OVER w AS t_ts,
+                   last_value(CASE WHEN event_type IN ('view', 'click')
+                                   THEN event_id END IGNORE NULLS)
+                       OVER w AS t_eid,
+                   last_value(CASE WHEN event_type IN ('view', 'click')
+                                   THEN event_type END IGNORE NULLS)
+                       OVER w AS t_type
+            FROM obs
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts_us ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING)
+        )
+        SELECT user_id, event_id AS purchase_event_id, ts_us,
+               CASE WHEN t_ts IS NOT NULL
+                         AND ts_us - t_ts <= CAST(604800000000 AS BIGINT)
+                    THEN t_eid END AS touch_event_id,
+               CASE WHEN t_ts IS NOT NULL
+                         AND ts_us - t_ts <= CAST(604800000000 AS BIGINT)
+                    THEN t_type END AS touch_event_type,
+               CASE WHEN t_ts IS NOT NULL
+                         AND ts_us - t_ts <= CAST(604800000000 AS BIGINT)
+                    THEN ts_us - t_ts END AS touch_gap
+        FROM carried WHERE event_type = 'purchase'
+        ORDER BY purchase_event_id
+    """,
+    "customer_name_typo_pairs": """
+        SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+               CAST(levenshtein(lower(a.c_name), lower(b.c_name))
+                    AS BIGINT) AS dist
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(lower(a.c_name), lower(b.c_name)) <= 1
+        ORDER BY left_id, right_id
+    """,
+    "parts_bought_together": """
+        WITH basket AS (
+          SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        ),
+        tot AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_groups
+                FROM basket),
+        pairs AS (
+          SELECT a.i AS item_a, b.i AS item_b,
+                 CAST(count(*) AS BIGINT) AS n_both
+          FROM basket a JOIN basket b ON a.g = b.g AND a.i < b.i
+          GROUP BY a.i, b.i HAVING count(*) >= 2
+        ),
+        sup AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM basket
+                GROUP BY i)
+        SELECT item_a, item_b, n_both,
+               sa.n AS n_a, sb.n AS n_b, tot.n_groups,
+               (CAST(n_both AS DOUBLE) * CAST(tot.n_groups AS DOUBLE))
+                 / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) AS lift
+        FROM pairs
+        JOIN sup sa ON sa.i = item_a
+        JOIN sup sb ON sb.i = item_b
+        CROSS JOIN tot
+        ORDER BY n_both DESC, item_a ASC, item_b ASC LIMIT 30
+    """,
+    "docs_keyword_search": f"""
+        WITH ex AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+        m AS (SELECT doc_id, token FROM ex
+              WHERE token IN ('spark', 'hash', 'merge')),
+        h AS (
+          SELECT doc_id,
+                 CAST(count(DISTINCT token) AS BIGINT) AS n_terms_matched,
+                 CAST(count(*) AS BIGINT) AS score
+          FROM m GROUP BY doc_id
+          HAVING count(DISTINCT token) = 3
+        )
+        SELECT doc_id, n_terms_matched, score FROM h
+        ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+    "docs_phrase_search": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        p AS (
+          SELECT doc_id, unnest(generate_series(0, len(toks) - 2)) AS pos,
+                 toks
+          FROM t WHERE len(toks) >= 2
+        ),
+        hits AS (
+          SELECT doc_id, pos FROM p
+          WHERE toks[pos + 1] = 'fast' AND toks[pos + 2] = 'table'
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(min(pos) AS BIGINT) AS first_pos
+        FROM hits GROUP BY doc_id ORDER BY doc_id
+    """,
+    "docs_inverted_index": f"""
+        WITH ex AS (
+          SELECT doc_id AS doc, unnest({_TOK}) AS token FROM documents
+        ),
+        pd AS (
+          SELECT token, doc, count(*) AS tf FROM ex
+          WHERE token IN ('spark', 'window', 'sort', 'batch')
+          GROUP BY token, doc
+        )
+        SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+               CAST(sum(tf) AS BIGINT) AS term_freq,
+               string_agg(doc || ':' || tf, ',' ORDER BY doc)
+                   AS postings_str
+        FROM pd GROUP BY token ORDER BY token
+    """,
+    "docs_hybrid_rrf": f"""
+        WITH ex AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+        m AS (SELECT doc_id, token FROM ex
+              WHERE token IN ('spark', 'hash', 'merge')),
+        kw AS (
+          SELECT doc_id, count(*) AS score FROM m GROUP BY doc_id
+          HAVING count(DISTINCT token) = 3
+        ),
+        kwr AS (
+          SELECT doc_id, row_number() OVER (
+                   ORDER BY score DESC, doc_id ASC) AS rk
+          FROM kw QUALIFY rk <= 50
+        ),
+        vr AS (
+          SELECT doc_id, rk FROM (
+            SELECT c.vec_id AS doc_id, row_number() OVER (
+                     ORDER BY list_cosine_similarity(
+                         c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                     c.vec_id ASC) AS rk
+            FROM embeddings c
+            JOIN embeddings q ON q.vec_id = 0 AND c.vec_id != q.vec_id
+          ) WHERE rk <= 50
+        )
+        SELECT doc_id,
+               CAST((kwr.rk IS NOT NULL)::INT + (vr.rk IS NOT NULL)::INT
+                    AS BIGINT) AS n_lists,
+               coalesce(1.0 / (60.0 + kwr.rk::DOUBLE), 0.0)
+                 + coalesce(1.0 / (60.0 + vr.rk::DOUBLE), 0.0) AS rrf
+        FROM kwr FULL OUTER JOIN vr USING (doc_id)
+        ORDER BY rrf DESC, doc_id ASC LIMIT 20
+    """,
     "doc_duplicate_spans": f"""
         WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
         grams AS (
@@ -4768,6 +5100,14 @@ def catalog() -> dict[str, Q]:
         ("dedup_incremental_docs", dedup_incremental_docs),
         ("dedup_incremental_bloom_docs", dedup_incremental_bloom_docs),
         ("corpus_vocab_top", corpus_vocab_top),
+        ("customers_k_anonymity", customers_k_anonymity),
+        ("purchase_attribution", purchase_attribution),
+        ("customer_name_typo_pairs", customer_name_typo_pairs),
+        ("parts_bought_together", parts_bought_together),
+        ("docs_keyword_search", docs_keyword_search),
+        ("docs_hybrid_rrf", docs_hybrid_rrf),
+        ("docs_phrase_search", docs_phrase_search),
+        ("docs_inverted_index", docs_inverted_index),
         ("doc_duplicate_spans", doc_duplicate_spans),
         ("doc_remove_dup_spans", doc_remove_dup_spans),
         ("doc_strip_html", doc_strip_html),
@@ -4846,6 +5186,10 @@ def catalog() -> dict[str, Q]:
         ("doc_pagerank", doc_pagerank),
         ("knn_join_embeddings", knn_join_embeddings),
         ("embedding_kmeans_docs", embedding_kmeans_docs),
+        # BM25's ln() is not engine-portable (round-4 float lesson);
+        # docs_keyword_search is the oracle-certified integer twin and
+        # tests/test_search.py pins the scores to a Python model
+        ("docs_bm25_topk", docs_bm25_topk),
     ]:
         qs[name] = Q(fn, None)
     # Reorder: gate-window names first (in _GATE_WINDOW order), then

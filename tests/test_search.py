@@ -1,0 +1,192 @@
+"""Full-text retrieval (operators/search.py): inverted index,
+boolean keyword search, exact phrase search. The text face of the
+reference's name→head secondary indexes (README.md "Index scans")."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from esdb_spark.operators.search import (
+    build_inverted_index,
+    keyword_search,
+    phrase_search,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark joins tables fast"),
+            (2, "spark spark shuffle"),
+            (3, "tables and tables of data"),
+            (4, "  Spark   TABLES  "),  # case + whitespace normalize
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_inverted_index_counts_and_postings(spark, corpus):
+    idx = {
+        r["token"]: r for r in build_inverted_index(corpus).collect()
+    }
+    assert idx["spark"]["doc_freq"] == 3
+    assert idx["spark"]["term_freq"] == 4
+    assert [(p["doc"], p["tf"]) for p in idx["spark"]["postings"]] == [
+        (1, 1), (2, 2), (4, 1),
+    ]
+    assert idx["tables"]["doc_freq"] == 3
+    assert not idx["spark"]["truncated"]
+    assert "" not in idx  # blank doc contributes nothing
+
+
+def test_inverted_index_max_postings_keeps_top_tf(spark, corpus):
+    idx = {
+        r["token"]: r
+        for r in build_inverted_index(corpus, max_postings=2).collect()
+    }
+    # spark: tf=2 in doc 2 beats tf=1 docs; tie (docs 1,4) → smaller id
+    assert [(p["doc"], p["tf"]) for p in idx["spark"]["postings"]] == [
+        (1, 1), (2, 2),
+    ]
+    assert idx["spark"]["truncated"]
+    assert idx["spark"]["doc_freq"] == 3  # exact despite the cap
+    assert not idx["shuffle"]["truncated"]
+
+
+def test_keyword_search_and_or(spark, corpus):
+    both = keyword_search(corpus, ["spark", "tables"], k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in both] == [(1, 2), (4, 2)]
+    any_ = keyword_search(
+        corpus, ["spark", "tables"], k=10, require_all=False
+    ).collect()
+    # doc 3 has tables twice → score 2; order: score desc, id asc
+    assert [r["doc_id"] for r in any_] == [1, 2, 3, 4]
+
+
+def test_keyword_search_k_and_case(spark, corpus):
+    top1 = keyword_search(corpus, ["SPARK"], k=1).collect()
+    assert [(r["doc_id"], r["score"]) for r in top1] == [(2, 2)]
+
+
+def test_phrase_search_consecutive_and_overlap(spark, corpus):
+    hits = {
+        r["doc_id"]: r
+        for r in phrase_search(corpus, "spark spark").collect()
+    }
+    assert set(hits) == {2}
+    assert hits[2]["n_occurrences"] == 1
+    assert hits[2]["first_pos"] == 0
+    # overlap: 'tables and tables' has no 'tables tables'
+    assert phrase_search(corpus, "tables tables").count() == 0
+    ov = spark.createDataFrame(
+        [(9, "a a a")], "doc_id int, text string"
+    )
+    r = phrase_search(ov, "a a").collect()[0]
+    assert (r["n_occurrences"], r["first_pos"]) == (2, 0)
+
+
+def test_phrase_search_multiword(spark, corpus):
+    r = phrase_search(corpus, "Tables of data").collect()
+    assert [(x["doc_id"], x["first_pos"]) for x in r] == [(3, 2)]
+
+
+def test_keyword_search_pushes_term_filter_below_aggregate(spark, corpus):
+    plan = keyword_search(corpus, ["spark"], k=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # the literal in-filter must run before the aggregate, not after
+    agg_pos = plan.find("HashAggregate")
+    filt_pos = plan.find("spark")
+    assert agg_pos != -1 and filt_pos != -1
+    assert plan.find("TakeOrderedAndProject") != -1
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking + reciprocal-rank fusion (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _bm25_model(docs, terms, k1=1.2, b=0.75):
+    """Pure-Python Okapi BM25 with Lucene IDF, folding per-term scores
+    in sorted term order — the operator's bit-determinism contract."""
+    import math
+
+    toks = {d: t.lower().split() for d, t in docs}
+    n = len([d for d in toks])
+    total = sum(len(t) for t in toks.values())
+    out = {}
+    for d, t in toks.items():
+        dl = float(len(t))
+        score, matched = 0.0, 0
+        for term in sorted({w.lower() for w in terms}):
+            tf = float(t.count(term))
+            if tf == 0.0:
+                continue
+            matched += 1
+            df = float(sum(1 for tt in toks.values() if term in tt))
+            idf = math.log(1.0 + (float(n) - df + 0.5) / (df + 0.5))
+            denom = tf + k1 * (
+                (1.0 - b) + b * (dl * float(n) / float(total))
+            )
+            score += idf * (tf * (k1 + 1.0)) / denom
+        if matched:
+            out[d] = (matched, score)
+    return out
+
+
+def test_bm25_matches_python_model_bitwise(spark, corpus):
+    from esdb_spark.operators.search import bm25_search
+
+    rows = bm25_search(corpus, ["spark", "tables"], k=10).collect()
+    model = _bm25_model(
+        [(r["doc_id"], r["text"]) for r in corpus.collect()],
+        ["spark", "tables"],
+    )
+    assert {r["doc_id"] for r in rows} == set(model)
+    for r in rows:
+        m_matched, m_score = model[r["doc_id"]]
+        assert r["n_terms_matched"] == m_matched
+        assert r["bm25"] == m_score  # bit-exact: same fold order
+    # ranking: desc score, ties to smallest id
+    scores = [(r["bm25"], r["doc_id"]) for r in rows]
+    assert scores == sorted(scores, key=lambda s: (-s[0], s[1]))
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    from esdb_spark.operators.search import bm25_search
+
+    docs = spark.createDataFrame(
+        [(i, "common filler words here") for i in range(20)]
+        + [(100, "common rare"), (101, "common common common")],
+        "doc_id int, text string",
+    )
+    rows = bm25_search(docs, ["rare", "common"], k=3).collect()
+    assert rows[0]["doc_id"] == 100  # the rare term dominates
+
+
+def test_rrf_fuse_two_lists_model(spark):
+    from esdb_spark.operators.search import rrf_fuse, with_rank
+
+    a = spark.createDataFrame(
+        [(1, 10), (2, 5), (3, 1)], "doc_id int, score int"
+    )
+    b = spark.createDataFrame(
+        [(2, 9), (4, 7)], "doc_id int, score int"
+    )
+    ra = with_rank(a, [F.desc("score"), F.asc("doc_id")])
+    rb = with_rank(b, [F.desc("score"), F.asc("doc_id")])
+    out = {r["doc_id"]: r for r in rrf_fuse([ra, rb], k=10, c=60).collect()}
+    assert out[2]["n_lists"] == 2
+    assert out[2]["rrf"] == 1.0 / 62.0 + 1.0 / 61.0  # rank 2 in a, 1 in b
+    assert out[1]["rrf"] == 1.0 / 61.0
+    assert out[4]["rrf"] == 1.0 / 62.0
+    top = [r["doc_id"] for r in rrf_fuse([ra, rb], k=2).collect()]
+    assert top == [2, 1]  # fused winner appears in both lists
+
+
+def test_rrf_empty_input_raises(spark):
+    from esdb_spark.operators.search import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
