@@ -49,3 +49,56 @@ def profile_columns(
         .select("p.*")
         .orderBy("column_name")
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Per-group robust outlier flags via the MAD-based modified
+    z-score (Iglewicz & Hoaglin): ``z = 0.6745 · (x − median) / MAD``
+    where ``MAD = median(|x − median|)``. Unlike mean/stddev z-scores,
+    one extreme value cannot mask itself by inflating the scale.
+
+    Output: the input's ``(group_col, value_col)`` plus ``med``,
+    ``mad``, ``robust_z`` and ``is_outlier`` (|z| > ``threshold``;
+    groups with MAD = 0 — ≥ half the values identical — flag only
+    values different from the median, using the convention z = NULL,
+    outlier = x ≠ median).
+
+    Engine-exact: ``median``/``percentile(0.5)`` interpolates the two
+    middle values with one IEEE mean in both Spark and DuckDB, and the
+    z expression is fixed per-row arithmetic — so catalog rows carry
+    full value-hash oracles (the round-4 lesson: sums re-associate,
+    order statistics don't).
+
+    Scale posture: two hash aggregations on the group key (medians
+    need the deviations pass), then one broadcast-sized join of the
+    |groups|-row stats table back onto the data. Spark's ``median`` is
+    an exact sort-based aggregate — at extreme group cardinality swap
+    in ``percentile_approx`` and accept approximate cut-points; the
+    flag semantics are unchanged.
+    """
+    med = df.groupBy(group_col).agg(
+        F.median(value_col).alias("med")
+    )
+    dev = (
+        df.join(F.broadcast(med), group_col)
+        .withColumn("_ro_dev", F.abs(F.col(value_col) - F.col("med")))
+        .groupBy(group_col)
+        .agg(F.median("_ro_dev").alias("mad"), F.first("med").alias("med"))
+    )
+    out = df.join(F.broadcast(dev), group_col).withColumn(
+        "robust_z",
+        F.when(
+            F.col("mad") != 0.0,
+            F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad"),
+        ),
+    )
+    return out.withColumn(
+        "is_outlier",
+        F.when(F.col("mad") != 0.0, F.abs(F.col("robust_z")) > threshold)
+        .otherwise(F.col(value_col) != F.col("med")),
+    )

@@ -1737,6 +1737,42 @@ def purchase_attribution(spark, sf_dir):
     ).orderBy("purchase_event_id")
 
 
+def event_type_transitions(spark, sf_dir):
+    """First-order Markov matrix over the event log (operators/
+    sequence.event_transitions): which event type follows which, per
+    user, with counts and one-division probabilities — integer counts
+    plus a single fixed IEEE division, engine-exact."""
+    from esdb_spark.operators.sequence import event_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "user_id", epoch_us("ts").alias("ts_us"), "event_type", "event_id"
+    )
+    return event_transitions(
+        obs, "user_id", "ts_us", "event_type", tiebreak_cols=["event_id"]
+    ).orderBy("state", "next_state")
+
+
+def event_value_outliers(spark, sf_dir):
+    """MAD-based robust outliers (operators/profile.robust_outliers):
+    the 100 most extreme event values by modified z-score within their
+    event type. Medians are order statistics (engine-exact, unlike
+    re-associating float sums — the round-4 lesson), so the full z
+    value carries an oracle."""
+    from esdb_spark.operators.profile import robust_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = robust_outliers(ev, "event_type", "value", threshold=3.0)
+    return (
+        out.filter(F.col("is_outlier"))
+        .select("event_id", "event_type", "value", "med", "mad", "robust_z")
+        .orderBy(F.desc(F.abs(F.col("robust_z"))), F.asc("event_id"))
+        .limit(100)
+    )
+
+
 def customer_name_typo_pairs(spark, sf_dir):
     """Edit-distance self-linkage (operators/linkage
     .fuzzy_join_levenshtein): customer-name pairs within Levenshtein
@@ -3484,6 +3520,46 @@ _PIPELINE_ORACLES = {
         GROUP BY c_nationkey, c_mktsegment
         ORDER BY c_nationkey, c_mktsegment
     """,
+    "event_type_transitions": """
+        WITH seq AS (
+            SELECT event_type AS state,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts) ASC, event_id ASC
+                   ) AS next_state
+            FROM events
+        ),
+        c AS (
+            SELECT state, next_state, count(*) AS n FROM seq
+            WHERE next_state IS NOT NULL GROUP BY state, next_state
+        )
+        SELECT state, next_state, CAST(n AS BIGINT) AS n,
+               CAST(sum(n) OVER (PARTITION BY state) AS BIGINT) AS n_from,
+               n::DOUBLE / (sum(n) OVER (PARTITION BY state))::DOUBLE AS p
+        FROM c ORDER BY state, next_state
+    """,
+    "event_value_outliers": """
+        WITH med AS (
+            SELECT event_type, median(value) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type,
+                   median(abs(e.value - m.med)) AS mad, any_value(m.med) AS med
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type
+        ),
+        scored AS (
+            SELECT e.event_id, e.event_type, e.value, d.med, d.mad,
+                   CASE WHEN d.mad != 0.0
+                        THEN 0.6745 * (e.value - d.med) / d.mad END AS robust_z
+            FROM events e JOIN dev d USING (event_type)
+        )
+        SELECT event_id, event_type, value, med, mad, robust_z FROM scored
+        WHERE CASE WHEN mad != 0.0 THEN abs(robust_z) > 3.0
+                   ELSE value != med END
+        ORDER BY abs(robust_z) DESC, event_id ASC LIMIT 100
+    """,
     "purchase_attribution": """
         WITH obs AS (
             SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
@@ -5102,6 +5178,8 @@ def catalog() -> dict[str, Q]:
         ("corpus_vocab_top", corpus_vocab_top),
         ("customers_k_anonymity", customers_k_anonymity),
         ("purchase_attribution", purchase_attribution),
+        ("event_type_transitions", event_type_transitions),
+        ("event_value_outliers", event_value_outliers),
         ("customer_name_typo_pairs", customer_name_typo_pairs),
         ("parts_bought_together", parts_bought_together),
         ("docs_keyword_search", docs_keyword_search),

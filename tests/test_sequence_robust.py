@@ -1,0 +1,93 @@
+"""Markov event transitions (operators/sequence.py) and MAD robust
+outliers (operators/profile.robust_outliers)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from esdb_spark.operators.profile import robust_outliers
+from esdb_spark.operators.sequence import event_transitions, top_next_events
+
+
+@pytest.fixture(scope="module")
+def log(spark):
+    # user 1: a->b->a->c ; user 2: a->b->b ; user 3: c (no successor)
+    rows = [
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "a"), (1, 40, "c"),
+        (2, 10, "a"), (2, 20, "b"), (2, 30, "b"),
+        (3, 10, "c"),
+    ]
+    return spark.createDataFrame(rows, "u int, ts long, ev string")
+
+
+def test_transition_counts_and_probs(spark, log):
+    t = {
+        (r["state"], r["next_state"]): r
+        for r in event_transitions(log, "u", "ts", "ev").collect()
+    }
+    assert t[("a", "b")]["n"] == 2
+    assert t[("b", "a")]["n"] == 1
+    assert t[("b", "b")]["n"] == 1
+    assert t[("a", "c")]["n"] == 1
+    assert t[("a", "b")]["n_from"] == 3  # a->b twice, a->c once
+    assert t[("a", "b")]["p"] == 2.0 / 3.0
+    # last event of each user contributes nothing; user 3 has none
+    assert sum(r["n"] for r in t.values()) == 5
+
+
+def test_transition_max_gap_breaks_sequences(spark, log):
+    t = {
+        (r["state"], r["next_state"]): r["n"]
+        for r in event_transitions(log, "u", "ts", "ev", max_gap=10)
+        .collect()
+    }
+    assert sum(t.values()) == 5  # all gaps are exactly 10
+
+    t2 = event_transitions(log, "u", "ts", "ev", max_gap=5).count()
+    assert t2 == 0  # every gap exceeds 5
+
+
+def test_top_next_events_ranking(spark, log):
+    top = top_next_events(log, "u", "ts", "ev", k=1).collect()
+    by_state = {r["state"]: r for r in top}
+    assert by_state["a"]["next_state"] == "b"  # 2 beats 1
+    assert by_state["a"]["rank"] == 1
+    # b: b->a and b->b tie at 1 — lexicographically smallest wins
+    assert by_state["b"]["next_state"] == "a"
+
+
+def test_robust_outliers_flags_extreme_value(spark):
+    rows = [("g", float(v)) for v in [10, 11, 12, 11, 10, 11, 1000]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["v"]: r for r in robust_outliers(df, "g", "v").collect()}
+    assert out[1000.0]["is_outlier"] is True
+    assert out[10.0]["is_outlier"] is False
+    # model: median=11, deviations [1,0,1,0,1,0,989] -> MAD=1
+    assert out[1000.0]["med"] == 11.0
+    assert out[1000.0]["mad"] == 1.0
+    assert out[1000.0]["robust_z"] == 0.6745 * (1000.0 - 11.0) / 1.0
+    # mean/stddev z-score would have been masked: sd ~ 373, z ~ 2.3
+    # (below any usual cut) — the robust score is ~667
+
+
+def test_robust_outliers_zero_mad_convention(spark):
+    rows = [("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_outliers(df, "g", "v").collect()
+    by_v = {}
+    for r in out:
+        by_v.setdefault(r["v"], r)
+    assert by_v[5.0]["mad"] == 0.0
+    assert by_v[5.0]["robust_z"] is None
+    assert by_v[5.0]["is_outlier"] is False
+    assert by_v[9.0]["is_outlier"] is True
+
+
+def test_robust_outliers_grouped_independently(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+            ("b", 100.0), ("b", 101.0), ("b", 102.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_outliers(df, "g", "v", threshold=3.5).collect()
+    flags = {(r["g"], r["v"]): r["is_outlier"] for r in out}
+    assert flags[("a", 100.0)] is True
+    assert flags[("b", 100.0)] is False  # normal in its own group
