@@ -18,13 +18,14 @@ Scale design — the same iterative-DataFrame posture as
 - The edge list and out-degrees materialize ONCE (`localCheckpoint`)
   — without it every round would re-execute the upstream pair
   generation (the dup-graph is itself an LSH join).
-- `localCheckpoint` on the rank vector each round keeps the plan
-  O(1) instead of O(iterations).
+- `localCheckpoint` on the rank vector bounds the plan: dangling-free
+  graphs fuse `checkpoint_every` rounds per job (the plan grows
+  linearly within a span), graphs with dangling nodes checkpoint
+  every round because their round subtree references ranks twice and
+  would otherwise double per fused round.
 - The dangling-node SET is structural and computed once before the
-  loop; a graph with none (every undirected similarity graph) runs
-  the whole loop with ONE Spark action per round — no driver collect
-  at all. Only graphs that actually have dangling nodes pay the
-  per-round mass scalar (the set is fixed, the mass is not).
+  loop; the per-round mass scalar rides as a broadcast one-row frame,
+  so the driver never collects data inside the loop either way.
 - Otherwise the driver never sees data: a fixed iteration count
   (PageRank converges geometrically at rate = damping; 10-20 rounds
   ≈ 1e-4) avoids a per-round convergence collect entirely.
@@ -69,9 +70,16 @@ def pagerank(
     which matters more as iteration count grows. Within a fused span
     the plan depth grows ~7 operators/round — k ≤ ~8 keeps analysis
     time negligible; k=1 restores the old one-job-per-round shape.
+    Graphs WITH dangling nodes force k=1 internally: their round
+    subtree references the rank vector twice, so fusing would double
+    the plan per round (2^k growth), and per-round materialization is
+    the cheaper side of that trade.
     """
     if not 0 < damping < 1:
         raise ValueError("pagerank: damping must be in (0, 1)")
+    if checkpoint_every < 1:
+        # validate BEFORE the edge/node/degree materialization jobs
+        raise ValueError("pagerank: checkpoint_every must be >= 1")
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         # NULL endpoints would silently leak rank mass: a NULL dst's
@@ -131,8 +139,14 @@ def pagerank(
     # then just the map-side-combined contribution aggregate. Above
     # that, SMJ is the right plan and AQE handles skew.
     broadcast_ranks = n <= 5_000_000
-    if checkpoint_every < 1:
-        raise ValueError("pagerank: checkpoint_every must be >= 1")
+    # With dangling nodes each round references `ranks` TWICE (the
+    # mass aggregate and the contribution join), so fusing k rounds
+    # would embed 2^k copies of the round subtree in one plan —
+    # Catalyst analysis, not execution, becomes the bottleneck.
+    # Dangling graphs therefore checkpoint every round (plan stays
+    # O(1)); dangling-free graphs (every undirected similarity graph)
+    # reference ranks once per round and fuse linearly.
+    effective_ck = 1 if has_dangling else checkpoint_every
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(iters):
         if has_dangling:
@@ -173,7 +187,7 @@ def pagerank(
                 base + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
             ).alias("rank"),
         )
-        if (it + 1) % checkpoint_every == 0 or it == iters - 1:
+        if (it + 1) % effective_ck == 0 or it == iters - 1:
             ranks = ranks.localCheckpoint()
     return ranks
 

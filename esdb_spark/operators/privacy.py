@@ -80,8 +80,22 @@ def k_anonymity_summary(
 
 def generalize_numeric(col, width: int):
     """The standard k-anonymity repair for a numeric quasi-identifier:
-    bucket to ``width``-sized bands (floor division — engine-exact for
-    integers). Re-run the report on the generalized column until
-    ``k_min`` clears."""
+    bucket to ``width``-sized bands via ``floor(v / width) * width``.
+    Re-run the report on the generalized column until ``k_min`` clears.
+
+    The division is DOUBLE division (Spark widens longs), so bands are
+    exact only for |v| < 2⁵³ — fine for balances, ages, counts. For
+    64-bit id-like or epoch-microsecond columns use
+    :func:`generalize_integral`, which stays in integer arithmetic."""
     c = F.col(col) if isinstance(col, str) else col
     return F.floor(c / F.lit(width)) * F.lit(width)
+
+
+def generalize_integral(col, width: int):
+    """Exact ``width``-banding for integral quasi-identifiers:
+    ``v - pmod(v, width)`` never leaves 64-bit integer arithmetic, so
+    epoch-microsecond timestamps and full-range ids band correctly
+    where the double path of :func:`generalize_numeric` would round
+    past 2⁵³. pmod is non-negative, so negatives floor like SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c - F.pmod(c, F.lit(width))

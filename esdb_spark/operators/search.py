@@ -120,7 +120,11 @@ def keyword_search(
 
     Returns ``(id_col, n_terms_matched, score)``.
     """
-    qt = sorted({t.lower() for t in terms})
+    # blank terms can never match (tokens() never emits empty
+    # strings) — drop them so an all-blank query errors loudly
+    qt = sorted({t.lower() for t in terms if t and t.strip()})
+    if not qt:
+        raise ValueError("keyword_search: empty term list")
     ex = df.select(
         F.col(id_col).alias("_ks_id"),
         F.explode(tokens(text_col)).alias("token"),
@@ -208,7 +212,7 @@ def bm25_search(
     are a |terms|-row broadcast. Top-k is a TakeOrdered, never a
     global sort.
     """
-    qt = sorted({t.lower() for t in terms})
+    qt = sorted({t.lower() for t in terms if t and t.strip()})
     if not qt:
         raise ValueError("bm25_search: empty term list")
     lens = df.select(

@@ -291,7 +291,7 @@ def test_duplicate_spans_windows_all_doc_partitioned(spark):
     for i in range(len(plan)):
         if plan.startswith("windowspecdefinition(", i):
             head = plan[i : i + 60]
-            assert "_dg_id" in head or "gh" in head, plan[i : i + 120]
+            assert "_dg_id" in head or "gh#" in head, plan[i : i + 120]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 

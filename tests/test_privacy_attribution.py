@@ -111,3 +111,24 @@ def test_touch_conversion_same_event_credits_previous(spark):
     ).collect()
     got = {r["eid"]: r["touch_eid"] for r in out}
     assert got == {1: None, 2: 1}  # never self-attributes
+
+
+def test_generalize_integral_exact_past_2_53(spark):
+    from esdb_spark.operators.privacy import (
+        generalize_integral,
+        generalize_numeric,
+    )
+
+    v = 9007199254740995  # 2^53 + 3: double rounds it to ...996
+    df = spark.createDataFrame([(v,)], "x long")
+    exact = df.select(generalize_integral("x", 4).alias("b")).first()["b"]
+    assert exact == (v // 4) * 4  # 9007199254740992
+    # the double path demonstrably mis-bands here — that is WHY the
+    # integral variant exists
+    approx = df.select(
+        generalize_numeric("x", 4).cast("long").alias("b")
+    ).first()["b"]
+    assert approx != exact
+    # negatives floor like SQL, not truncate toward zero
+    dfn = spark.createDataFrame([(-7,)], "x long")
+    assert dfn.select(generalize_integral("x", 4).alias("b")).first()["b"] == -8

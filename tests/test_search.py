@@ -95,10 +95,13 @@ def test_phrase_search_multiword(spark, corpus):
 def test_keyword_search_pushes_term_filter_below_aggregate(spark, corpus):
     plan = keyword_search(corpus, ["spark"], k=5)._jdf.queryExecution(
     ).executedPlan().toString()
-    # the literal in-filter must run before the aggregate, not after
+    # the literal in-filter must run before the aggregate: in the
+    # top-down plan string the Filter node prints BELOW (after) the
+    # HashAggregate that consumes it
     agg_pos = plan.find("HashAggregate")
-    filt_pos = plan.find("spark")
+    filt_pos = plan.find("Filter (token")
     assert agg_pos != -1 and filt_pos != -1
+    assert filt_pos > agg_pos, plan
     assert plan.find("TakeOrderedAndProject") != -1
 
 
@@ -190,3 +193,10 @@ def test_rrf_empty_input_raises(spark):
 
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_keyword_search_empty_terms_raise(spark, corpus):
+    with pytest.raises(ValueError):
+        keyword_search(corpus, [])
+    with pytest.raises(ValueError):
+        keyword_search(corpus, ["", "  "])  # blank terms are dropped
