@@ -505,3 +505,102 @@ print(json.dumps({
         big_tri["triangle_count"] / max(small_tri["triangle_count"], 0.01), 1
     ),
 }, indent=1))
+
+
+# ---------------------------------------------------------------------------
+# Round-6 operator families at 100x: retrieval, linkage, co-occurrence,
+# sequences, robust stats
+# ---------------------------------------------------------------------------
+
+_R6_WORDS = ["spark", "hash", "merge", "table", "join", "sort", "batch",
+             "window", "shard", "token", "index", "query", "scan", "cache",
+             "shuffle", "plan", "the", "a", "of", "data"]
+
+
+def round6_shapes(n):
+    """New round-6 operators over synthesized inputs: keyword/BM25
+    retrieval (explode + literal in-filter), symmetric-delete
+    Levenshtein join (side tables n/10 — the linkage-sized input),
+    market-basket pairs (baskets of ~20), Markov transitions and MAD
+    outliers (event-shaped rows). All shapes shuffle hashes/ids only;
+    the text columns never leave the scan side."""
+    from esdb_spark.operators.cooccur import cooccurrence_pairs
+    from esdb_spark.operators.linkage import fuzzy_join_levenshtein
+    from esdb_spark.operators.profile import robust_outliers
+    from esdb_spark.operators.search import bm25_search, keyword_search
+    from esdb_spark.operators.sequence import event_transitions
+
+    out = {}
+
+    def run(name, fn):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 2)
+
+    parts = [
+        F.element_at(
+            F.array(*[F.lit(w) for w in _R6_WORDS]),
+            (F.abs(F.xxhash64("id", F.lit(i))) % 20 + 1).cast("int"),
+        )
+        for i in range(24)
+    ]
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *parts).alias("text")
+    ).localCheckpoint(eager=True)
+    run("keyword_search", lambda: keyword_search(
+        docs, ["spark", "hash", "merge"], k=20).count())
+    run("bm25_search", lambda: bm25_search(
+        docs, ["spark", "hash", "merge"], k=20).count())
+
+    names = spark.range(n // 10).select(
+        F.col("id").alias("rid"),
+        F.substring(F.md5(F.col("id").cast("string")), 1, 8).alias("name"),
+    ).localCheckpoint(eager=True)
+    a = names.select(F.col("rid").alias("left_id"), "name")
+    b = names.select(F.col("rid").alias("right_id"), "name")
+    run("levenshtein_join", lambda: fuzzy_join_levenshtein(
+        a, b, "name", "name", max_dist=1).count())
+
+    baskets = spark.range(n).select(
+        (F.col("id") % (n // 20)).alias("g"),
+        (F.abs(F.xxhash64("id", F.lit(7))) % 1000).alias("item"),
+    ).localCheckpoint(eager=True)
+    run("cooccurrence_pairs", lambda: cooccurrence_pairs(
+        baskets, "g", "item", min_pairs=2).count())
+
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.abs(F.xxhash64("id", F.lit(2))) % (n // 50)).alias("user_id"),
+        (F.lit(1704067200000000) + F.col("id") * 1000).alias("ts_us"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ["view", "click", "purchase", "error", "signup"]]),
+            (F.abs(F.xxhash64("id", F.lit(3))) % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.abs(F.xxhash64("id", F.lit(4)) % 10_000) / 100.0).alias("value"),
+    ).localCheckpoint(eager=True)
+    run("event_transitions", lambda: event_transitions(
+        ev, "user_id", "ts_us", "event_type",
+        tiebreak_cols=["event_id"]).count())
+    run("robust_outliers", lambda: robust_outliers(
+        ev, "event_type", "value").filter(F.col("is_outlier")).count())
+
+    for df in (docs, names, baskets, ev):
+        df.unpersist()
+    out["rows"] = n
+    return out
+
+
+small_r6 = round6_shapes(100_000)
+big_r6 = round6_shapes(10_000_000)
+print(json.dumps({
+    "r6_100k": small_r6,
+    "r6_10m": big_r6,
+    "r6_ratios_100x_rows": {
+        k: round(big_r6[k] / max(small_r6[k], 0.01), 1)
+        for k in small_r6 if k != "rows"
+    },
+}, indent=1))

@@ -1753,7 +1753,7 @@ def event_type_transitions(spark, sf_dir):
     ).orderBy("state", "next_state")
 
 
-def event_value_outliers(spark, sf_dir):
+def event_value_outliers_mad(spark, sf_dir):
     """MAD-based robust outliers (operators/profile.robust_outliers):
     the 100 most extreme event values by modified z-score within their
     event type. Medians are order statistics (engine-exact, unlike
@@ -3538,7 +3538,7 @@ _PIPELINE_ORACLES = {
                n::DOUBLE / (sum(n) OVER (PARTITION BY state))::DOUBLE AS p
         FROM c ORDER BY state, next_state
     """,
-    "event_value_outliers": """
+    "event_value_outliers_mad": """
         WITH med AS (
             SELECT event_type, median(value) AS med
             FROM events GROUP BY event_type
@@ -4997,6 +4997,15 @@ def ann_topk_docs(spark, sf_dir):
 # registered (positions 51+) and stays covered by the local
 # oracle-parity pytest suite.
 _GATE_WINDOW = [
+    # Round-6 curation: eight new operator families swapped in
+    # (hybrid RRF retrieval, edit-distance linkage, market-basket
+    # co-occurrence, k-anonymity, last-touch attribution, Markov
+    # transitions, MAD robust outliers, SCD Type-2), displacing eight
+    # rows whose FAMILIES stay represented by a sibling gate row
+    # (doc_token_stats, doc_strip_boilerplate, dedup_incremental_docs,
+    # documents_split_counts, event_value_ohlc, corpus_vocab_top,
+    # upsample_docs, heavy_hitter_users — all remain catalogued and
+    # locally oracle-verified; COVERAGE.md maps the cross-walk).
     # 10 reference-parity scans (esdb semantics)
     "scan_latest_1",
     "scan_top500",
@@ -5023,9 +5032,9 @@ _GATE_WINDOW = [
     # oracle-verified; its slot showcases the Bloom-membership path)
     "dedup_incremental_bloom_docs",
     "similarity_topk",
+    "docs_hybrid_rrf",
     # LLM-pipeline: text analysis
     "doc_quality",
-    "doc_token_stats",
     # (doc_chunks demoted in round 5 — chunking shares the text family
     # with the four rows here and stays locally oracle-verified; its
     # slot carries the new data-quality-gate family)
@@ -5040,7 +5049,6 @@ _GATE_WINDOW = [
     "decontaminate_docs",
     "pack_documents",
     "interleave_docs",
-    "upsample_docs",
     "hard_negatives_topk",
     # LLM-pipeline: multimodal, splits, event rollups
     # (round 3: the REAL-decode entry replaces the fake-decode
@@ -5048,8 +5056,6 @@ _GATE_WINDOW = [
     # aggregate under an exact oracle; multimodal_features stays
     # catalogued + locally verified)
     "multimodal_pixel_stats",
-    "documents_split_counts",
-    "event_value_ohlc",
     # round 4: the sketch slots went green. The minhash slot now runs
     # the md5-portable hash family (dedup_minhash_portable_docs) whose
     # keep/drop decision DuckDB replays exactly; the xxhash64 variant
@@ -5059,7 +5065,6 @@ _GATE_WINDOW = [
     # stays asserted in test_similarity.py and ann_topk_ivf_docs stays
     # catalogued + bench-tracked.
     "dedup_minhash_portable_docs",
-    "corpus_vocab_top",
     # TPC-H representatives (round 5: q9/q18/q21 demoted past the
     # window — scan-heavy join/agg/subquery shapes stay represented by
     # q1/q3/q5 and remain locally oracle-verified; their slots carry
@@ -5076,8 +5081,6 @@ _GATE_WINDOW = [
     "doc_graph_triangles",
     # corpus-cleaning family (round 3): boilerplate strip, incremental
     # dedup, vocabulary, LM-quality score
-    "doc_strip_boilerplate",
-    "dedup_incremental_docs",
     "user_value_ewma",
     "doc_lm_score",
     # analytic operators (funnel/cohort/forward-fill/salted-count are
@@ -5090,6 +5093,12 @@ _GATE_WINDOW = [
     # portable md5 hash variant whose cells DuckDB rebuilds exactly)
     "sessionize_users",
     "asof_enrich",
+    "parts_bought_together",
+    "customers_k_anonymity",
+    "purchase_attribution",
+    "event_type_transitions",
+    "event_value_outliers_mad",
+    "user_tier_scd2",
     "event_type_freq_cms_portable",
     "events_customer_salted_join",
     # (orders_hash_sample demoted — md5-prefix rate sampling shares a
@@ -5101,8 +5110,8 @@ _GATE_WINDOW = [
     # cross-table linkage operator. Both stay locally oracle-verified.)
     "documents_weighted_sample_k",
     "part_name_linkage",
+    "customer_name_typo_pairs",
     "order_price_quartiles_scalable",
-    "heavy_hitter_users",
 ]
 assert len(_GATE_WINDOW) == 50
 
@@ -5179,7 +5188,7 @@ def catalog() -> dict[str, Q]:
         ("customers_k_anonymity", customers_k_anonymity),
         ("purchase_attribution", purchase_attribution),
         ("event_type_transitions", event_type_transitions),
-        ("event_value_outliers", event_value_outliers),
+        ("event_value_outliers_mad", event_value_outliers_mad),
         ("customer_name_typo_pairs", customer_name_typo_pairs),
         ("parts_bought_together", parts_bought_together),
         ("docs_keyword_search", docs_keyword_search),
