@@ -75,6 +75,13 @@ BENCH_QUERIES = [
     "corpus_merge_docs",
     "embedding_quantize_docs",
     "events_zorder_top200",
+    # round-6 additions: hybrid keyword+vector retrieval, symmetric-
+    # delete edit-distance linkage, market-basket pairs, and the
+    # Markov transition matrix over the event log
+    "docs_hybrid_rrf",
+    "customer_name_typo_pairs",
+    "parts_bought_together",
+    "event_type_transitions",
 ]
 
 
