@@ -102,3 +102,77 @@ def robust_outliers(
         F.when(F.col("mad") != 0.0, F.abs(F.col("robust_z")) > threshold)
         .otherwise(F.col(value_col) != F.col("med")),
     )
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    cols: list[str] | None = None,
+    null_rate_jump: float = 0.01,
+    distinct_ratio_low: float = 0.5,
+) -> DataFrame:
+    """Snapshot-over-snapshot drift report — the check a pipeline runs
+    before swapping a refreshed corpus in: did a column's null rate
+    jump, did its cardinality collapse, did a column appear/disappear?
+
+    One row per column name seen in EITHER snapshot:
+    ``(column_name, old_rows, new_rows, old_nulls, new_nulls,
+    old_distinct, new_distinct, old_null_rate, new_null_rate,
+    null_rate_delta, distinct_ratio, flag_nulls, flag_distinct,
+    flag_missing)``. Rates are single IEEE divisions and counts are
+    integers, so the whole report is engine-exact. A column absent
+    from one side carries NULL stats and ``flag_missing`` — schema
+    drift is drift.
+
+    ``flag_nulls``: null-rate increase > ``null_rate_jump``.
+    ``flag_distinct``: new distinct count < ``distinct_ratio_low`` ×
+    old (cardinality collapse — the classic silent-join-bug symptom).
+
+    Scale: two :func:`profile_columns` aggregation passes (one per
+    snapshot — the module-header Expand caveat applies to each) joined
+    on the |columns|-row output. Nothing else moves.
+    """
+    po = profile_columns(old, cols).select(
+        "column_name",
+        F.col("n_rows").alias("old_rows"),
+        F.col("n_nulls").alias("old_nulls"),
+        F.col("n_distinct").alias("old_distinct"),
+    )
+    pn = profile_columns(new, cols).select(
+        "column_name",
+        F.col("n_rows").alias("new_rows"),
+        F.col("n_nulls").alias("new_nulls"),
+        F.col("n_distinct").alias("new_distinct"),
+    )
+    j = po.join(pn, "column_name", "full_outer")
+    old_rate = F.col("old_nulls") / F.col("old_rows")
+    new_rate = F.col("new_nulls") / F.col("new_rows")
+    return (
+        j.withColumn("old_null_rate", old_rate)
+        .withColumn("new_null_rate", new_rate)
+        .withColumn(
+            "null_rate_delta", F.col("new_null_rate") - F.col("old_null_rate")
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.col("new_distinct") / F.col("old_distinct"),
+        )
+        .withColumn(
+            "flag_nulls",
+            F.coalesce(
+                F.col("null_rate_delta") > F.lit(null_rate_jump), F.lit(False)
+            ),
+        )
+        .withColumn(
+            "flag_distinct",
+            F.coalesce(
+                F.col("distinct_ratio") < F.lit(distinct_ratio_low),
+                F.lit(False),
+            ),
+        )
+        .withColumn(
+            "flag_missing",
+            F.col("old_rows").isNull() | F.col("new_rows").isNull(),
+        )
+        .orderBy("column_name")
+    )

@@ -1773,6 +1773,40 @@ def event_value_outliers_mad(spark, sf_dir):
     )
 
 
+def orders_profile_drift(spark, sf_dir):
+    """Snapshot drift report (operators/profile.profile_drift): even-
+    vs odd-keyed halves of orders as 'yesterday vs today' — null-rate
+    deltas, cardinality ratios, and drift flags, all integer counts
+    plus fixed IEEE divisions (engine-exact)."""
+    from esdb_spark.operators.profile import profile_drift
+
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    return profile_drift(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        cols,
+    )
+
+
+def embedding_pca_docs(spark, sf_dir):
+    """Exact-covariance PCA (operators/reduce.pca_fit/pca_transform):
+    fit 4 components over the full embeddings table in one moment
+    aggregation (cardinality d²+d, never row-scaled), project every
+    vector with a broadcast GEMM. Rows-only: eigendecomposition floats
+    re-associate; the fit is numpy-cross-validated in test_reduce.py."""
+    from esdb_spark.operators.reduce import pca_fit, pca_transform
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=4)
+    out = pca_transform(emb, model, "embedding")
+    return out.select(
+        "vec_id",
+        F.size("pca").cast("long").alias("n_components"),
+        F.element_at("pca", 1).alias("pc1"),
+    ).orderBy("vec_id")
+
+
 def customer_name_typo_pairs(spark, sf_dir):
     """Edit-distance self-linkage (operators/linkage
     .fuzzy_join_levenshtein): customer-name pairs within Levenshtein
@@ -3520,6 +3554,74 @@ _PIPELINE_ORACLES = {
         GROUP BY c_nationkey, c_mktsegment
         ORDER BY c_nationkey, c_mktsegment
     """,
+    "orders_profile_drift": """
+        WITH po AS (
+            SELECT * FROM (
+                SELECT 'o_custkey' AS column_name, count(*) AS old_rows,
+                       count(*) - count(o_custkey) AS old_nulls,
+                       count(DISTINCT o_custkey) AS old_distinct
+                FROM orders WHERE o_orderkey % 2 = 0
+                UNION ALL
+                SELECT 'o_orderstatus', count(*),
+                       count(*) - count(o_orderstatus),
+                       count(DISTINCT o_orderstatus)
+                FROM orders WHERE o_orderkey % 2 = 0
+                UNION ALL
+                SELECT 'o_totalprice', count(*),
+                       count(*) - count(o_totalprice),
+                       count(DISTINCT o_totalprice)
+                FROM orders WHERE o_orderkey % 2 = 0
+                UNION ALL
+                SELECT 'o_orderpriority', count(*),
+                       count(*) - count(o_orderpriority),
+                       count(DISTINCT o_orderpriority)
+                FROM orders WHERE o_orderkey % 2 = 0
+            )
+        ),
+        pn AS (
+            SELECT * FROM (
+                SELECT 'o_custkey' AS column_name, count(*) AS new_rows,
+                       count(*) - count(o_custkey) AS new_nulls,
+                       count(DISTINCT o_custkey) AS new_distinct
+                FROM orders WHERE o_orderkey % 2 = 1
+                UNION ALL
+                SELECT 'o_orderstatus', count(*),
+                       count(*) - count(o_orderstatus),
+                       count(DISTINCT o_orderstatus)
+                FROM orders WHERE o_orderkey % 2 = 1
+                UNION ALL
+                SELECT 'o_totalprice', count(*),
+                       count(*) - count(o_totalprice),
+                       count(DISTINCT o_totalprice)
+                FROM orders WHERE o_orderkey % 2 = 1
+                UNION ALL
+                SELECT 'o_orderpriority', count(*),
+                       count(*) - count(o_orderpriority),
+                       count(DISTINCT o_orderpriority)
+                FROM orders WHERE o_orderkey % 2 = 1
+            )
+        )
+        SELECT column_name,
+               CAST(old_rows AS BIGINT) AS old_rows,
+               CAST(new_rows AS BIGINT) AS new_rows,
+               CAST(old_nulls AS BIGINT) AS old_nulls,
+               CAST(new_nulls AS BIGINT) AS new_nulls,
+               CAST(old_distinct AS BIGINT) AS old_distinct,
+               CAST(new_distinct AS BIGINT) AS new_distinct,
+               old_nulls::DOUBLE / old_rows::DOUBLE AS old_null_rate,
+               new_nulls::DOUBLE / new_rows::DOUBLE AS new_null_rate,
+               new_nulls::DOUBLE / new_rows::DOUBLE
+                 - old_nulls::DOUBLE / old_rows::DOUBLE AS null_rate_delta,
+               new_distinct::DOUBLE / old_distinct::DOUBLE AS distinct_ratio,
+               coalesce(new_nulls::DOUBLE / new_rows::DOUBLE
+                 - old_nulls::DOUBLE / old_rows::DOUBLE > 0.01, false)
+                   AS flag_nulls,
+               coalesce(new_distinct::DOUBLE / old_distinct::DOUBLE < 0.5,
+                        false) AS flag_distinct,
+               false AS flag_missing
+        FROM po JOIN pn USING (column_name)
+        ORDER BY column_name
+    """,
     "event_type_transitions": """
         WITH seq AS (
             SELECT event_type AS state,
@@ -5189,6 +5291,7 @@ def catalog() -> dict[str, Q]:
         ("purchase_attribution", purchase_attribution),
         ("event_type_transitions", event_type_transitions),
         ("event_value_outliers_mad", event_value_outliers_mad),
+        ("orders_profile_drift", orders_profile_drift),
         ("customer_name_typo_pairs", customer_name_typo_pairs),
         ("parts_bought_together", parts_bought_together),
         ("docs_keyword_search", docs_keyword_search),
@@ -5277,6 +5380,9 @@ def catalog() -> dict[str, Q]:
         # docs_keyword_search is the oracle-certified integer twin and
         # tests/test_search.py pins the scores to a Python model
         ("docs_bm25_topk", docs_bm25_topk),
+        # PCA eigendecomposition floats re-associate across partitions;
+        # numpy-cross-validated in test_reduce.py
+        ("embedding_pca_docs", embedding_pca_docs),
     ]:
         qs[name] = Q(fn, None)
     # Reorder: gate-window names first (in _GATE_WINDOW order), then

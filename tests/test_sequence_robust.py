@@ -91,3 +91,42 @@ def test_robust_outliers_grouped_independently(spark):
     flags = {(r["g"], r["v"]): r["is_outlier"] for r in out}
     assert flags[("a", 100.0)] is True
     assert flags[("b", 100.0)] is False  # normal in its own group
+
+
+# ---------------------------------------------------------------------------
+# profile_drift (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_profile_drift_flags(spark):
+    from esdb_spark.operators.profile import profile_drift
+
+    old = spark.createDataFrame(
+        [(i, f"u{i}", float(i)) for i in range(100)],
+        "id int, user string, v double",
+    )
+    # new snapshot: 10% null v (null-rate jump), user collapses to one
+    # value (cardinality collapse), id intact
+    new = spark.createDataFrame(
+        [
+            (i, "same", None if i < 10 else float(i))
+            for i in range(100)
+        ],
+        "id int, user string, v double",
+    )
+    out = {r["column_name"]: r for r in profile_drift(old, new).collect()}
+    assert out["v"]["flag_nulls"] and out["v"]["null_rate_delta"] == 0.1
+    assert out["user"]["flag_distinct"] and out["user"]["new_distinct"] == 1
+    assert not out["id"]["flag_nulls"] and not out["id"]["flag_distinct"]
+    assert not any(r["flag_missing"] for r in out.values())
+
+
+def test_profile_drift_schema_change(spark):
+    from esdb_spark.operators.profile import profile_drift
+
+    old = spark.createDataFrame([(1, "a")], "id int, gone string")
+    new = spark.createDataFrame([(1, 2.0)], "id int, added double")
+    out = {r["column_name"]: r for r in profile_drift(old, new).collect()}
+    assert out["gone"]["flag_missing"] and out["gone"]["new_rows"] is None
+    assert out["added"]["flag_missing"] and out["added"]["old_rows"] is None
+    assert not out["id"]["flag_missing"]
