@@ -132,21 +132,41 @@ def profile_drift(
     snapshot — the module-header Expand caveat applies to each) joined
     on the |columns|-row output. Nothing else moves.
     """
-    po = profile_columns(old, cols).select(
+    # an explicit cols list may name columns one snapshot dropped —
+    # that IS schema drift, so profile each side on the columns it
+    # actually has and let the full-outer join surface the rest as
+    # flag_missing (profiling a missing column would just crash)
+    if cols is not None:
+        gone = [c for c in cols if c not in old.columns
+                and c not in new.columns]
+        if gone:
+            raise ValueError(
+                f"profile_drift: columns in neither snapshot: {gone}"
+            )
+        cols_old = [c for c in cols if c in old.columns]
+        cols_new = [c for c in cols if c in new.columns]
+    else:
+        cols_old = cols_new = None
+    po = profile_columns(old, cols_old).select(
         "column_name",
         F.col("n_rows").alias("old_rows"),
         F.col("n_nulls").alias("old_nulls"),
         F.col("n_distinct").alias("old_distinct"),
     )
-    pn = profile_columns(new, cols).select(
+    pn = profile_columns(new, cols_new).select(
         "column_name",
         F.col("n_rows").alias("new_rows"),
         F.col("n_nulls").alias("new_nulls"),
         F.col("n_distinct").alias("new_distinct"),
     )
     j = po.join(pn, "column_name", "full_outer")
-    old_rate = F.col("old_nulls") / F.col("old_rows")
-    new_rate = F.col("new_nulls") / F.col("new_rows")
+    # try_divide: a zero-row side or an all-NULL column (n_distinct=0)
+    # is exactly the degenerate snapshot this report exists to flag —
+    # under ANSI (the session default) a bare `/` would abort the
+    # whole report with DIVIDE_BY_ZERO instead; NULL rates/ratios
+    # coalesce into un-flagged, and flag_missing still fires
+    old_rate = F.try_divide(F.col("old_nulls"), F.col("old_rows"))
+    new_rate = F.try_divide(F.col("new_nulls"), F.col("new_rows"))
     return (
         j.withColumn("old_null_rate", old_rate)
         .withColumn("new_null_rate", new_rate)
@@ -155,7 +175,7 @@ def profile_drift(
         )
         .withColumn(
             "distinct_ratio",
-            F.col("new_distinct") / F.col("old_distinct"),
+            F.try_divide(F.col("new_distinct"), F.col("old_distinct")),
         )
         .withColumn(
             "flag_nulls",

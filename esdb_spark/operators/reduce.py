@@ -75,6 +75,12 @@ def pca_fit(df: DataFrame, vec_col: str, k: int) -> PCAModel:
                     "pca_fit: ragged vector dimensions within a batch"
                 )
             d = x.shape[1]
+            if d == 0:
+                # a batch of zero-length vectors would emit an EMPTY
+                # moment array, posexplode to zero rows, and silently
+                # vanish from the aggregate — the ragged check below
+                # would never see it. Fail loudly here instead.
+                raise ValueError("pca_fit: zero-length vectors")
             gram = (x.T @ x).ravel()
             s = x.sum(axis=0)
             yield pd.DataFrame(
@@ -154,13 +160,21 @@ def pca_transform(
         mean, comps = bc.value
         for pdf in batches:
             vals = pdf[vec_col]
-            out = []
-            for v in vals:
-                if v is None:
-                    out.append(None)
-                else:
-                    x = np.asarray(v, dtype=np.float64) - mean
-                    out.append((comps @ x).tolist())
+            # one stacked (n, d) × (d, k) BLAS GEMM per Arrow batch —
+            # a per-row Python matvec loop is ~10× slower on exactly
+            # this operator's target workload
+            mask = np.array([v is not None for v in vals], dtype=bool)
+            out = [None] * len(vals)
+            if mask.any():
+                x = np.stack(
+                    [np.asarray(v, dtype=np.float64)
+                     for v, keep in zip(vals, mask) if keep]
+                )
+                proj = (x - mean) @ comps.T
+                rows = iter(proj.tolist())
+                for i, keep in enumerate(mask):
+                    if keep:
+                        out[i] = next(rows)
             pdf = pdf.copy()
             pdf[out_col] = out
             yield pdf

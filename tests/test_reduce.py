@@ -90,3 +90,16 @@ def test_pca_reconstruction_improves_with_k(spark, data):
         recon = proj @ m.components + m.mean
         errs.append(float(((x - recon) ** 2).mean()))
     assert errs[0] > errs[1] > errs[2]
+
+
+def test_pca_fit_zero_length_vectors_raise(spark):
+    # empty arrays in their OWN partition must still raise — a batch
+    # of d=0 vectors emits no moment rows, so only an in-batch check
+    # catches it (review finding: behavior must not depend on
+    # partitioning)
+    mixed = spark.createDataFrame(
+        [(1, []), (2, []), (3, [1.0, 2.0]), (4, [2.0, 1.0])],
+        "id int, vec array<float>",
+    ).repartition(2, "id")
+    with pytest.raises(Exception):
+        pca_fit(mixed, "vec", k=1)

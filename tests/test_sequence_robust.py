@@ -130,3 +130,35 @@ def test_profile_drift_schema_change(spark):
     assert out["gone"]["flag_missing"] and out["gone"]["new_rows"] is None
     assert out["added"]["flag_missing"] and out["added"]["old_rows"] is None
     assert not out["id"]["flag_missing"]
+
+
+def test_profile_drift_degenerate_snapshots_report_not_crash(spark):
+    # all-NULL column (n_distinct=0) and an empty new side: under ANSI
+    # a bare division would abort with DIVIDE_BY_ZERO; the report must
+    # come back with NULL rates instead (review finding)
+    from esdb_spark.operators.profile import profile_drift
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None)], "id int, v string"
+    )
+    new = spark.createDataFrame([], "id int, v string")
+    out = {r["column_name"]: r for r in profile_drift(old, new).collect()}
+    assert out["v"]["old_distinct"] == 0
+    assert out["v"]["distinct_ratio"] is None
+    assert out["v"]["new_null_rate"] is None
+    assert not out["v"]["flag_nulls"]
+
+
+def test_profile_drift_explicit_cols_missing_column_flags(spark):
+    from esdb_spark.operators.profile import profile_drift
+
+    old = spark.createDataFrame([(1, "a")], "id int, gone string")
+    new = spark.createDataFrame([(1,)], "id int")
+    out = {
+        r["column_name"]: r
+        for r in profile_drift(old, new, cols=["id", "gone"]).collect()
+    }
+    assert out["gone"]["flag_missing"] and out["gone"]["new_rows"] is None
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        profile_drift(old, new, cols=["nope"])
