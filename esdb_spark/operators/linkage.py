@@ -239,6 +239,15 @@ def fuzzy_join_levenshtein(
 
     def variants(df, text, idc, side):
         s = F.lower(F.col(text))
+        # The .distinct() is a DATA no-op (_deletion_variants dedupes
+        # within each row via array_union/array_distinct, so (id,
+        # variant) pairs are already unique) — but it is measurably
+        # the FASTER plan: the exchange it introduces materializes the
+        # explode+md5 pipeline once where the two structurally
+        # identical variant sides can share it, and gives AQE real
+        # sizes for the variant join. Round-6 in-session A/B on the
+        # sf0.1 self-join: with distinct 2.3-3.1 s, without 4.3-5.2 s
+        # across three interleaved reps. Don't "optimize" it away.
         return df.select(
             F.col(idc).alias(f"{side}_id"),
             F.explode(_deletion_variants(s, max_dist)).alias("_v"),
