@@ -1,0 +1,130 @@
+"""Incremental aggregate maintenance: refresh a keyed aggregate from
+a change feed without rescanning the base data.
+
+At 100 TB the expensive thing about a dashboard aggregate is not the
+math, it's the rescan. Sum/count (and anything derived from them —
+mean, rates) are *self-maintainable*: state' = state + delta, where
+the delta aggregates only the changed rows. This module is that
+contract made explicit:
+
+- :func:`snapshot_aggregate` — build the maintainable state from a
+  base snapshot: one hash aggregation → ``(keys…, n_rows,
+  sum_<measure>…)``.
+- :func:`apply_changes` — fold a change feed (rows tagged
+  insert/delete; an update is delete+insert of the same key) into the
+  state: ONE aggregation over the feed (cardinality = touched keys)
+  full-outer-joined onto the |keys|-row state. The base data is never
+  read.
+
+The invariant — ``apply_changes(snapshot_aggregate(base), feed) ==
+snapshot_aggregate(base ∘ feed)`` — is exactly checkable when the
+measures sum associatively: integers and DECIMALs re-associate
+losslessly, so the catalog row casts its measure to decimal and
+carries a full value-hash oracle that recomputes from scratch
+(``lineitem_incremental_agg``); float measures stay correct to
+re-association (the round-4 float-sum lesson) and are the caller's
+accepted noise.
+
+NOT maintainable here, by construction: min/max/distinct under
+deletes (a deleted extremum forces a rescan of its group — the
+classic non-distributive aggregates). Under an insert-only feed
+min/max ARE foldable; that restricted mode is deliberately out of
+scope until something needs it.
+
+Deletes must describe rows that exist in the base — this module
+applies arithmetic, it cannot validate membership without reading
+the base (which is the whole point of not reading it). A group whose
+row count reaches exactly zero drops from the state; a NEGATIVE
+count means the feed deleted rows that were never there, and
+``apply_changes`` raises by default (``allow_negative=True`` keeps
+the arithmetic result for forensic inspection instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_OPS = ("insert", "delete")
+
+
+def snapshot_aggregate(
+    df: DataFrame, keys: list[str], measures: list[str]
+) -> DataFrame:
+    """Maintainable aggregate state over a base snapshot: one row per
+    key combination with ``n_rows`` and ``sum_<m>`` for each measure
+    (NULL measure values contribute 0 to sums, like SQL SUM)."""
+    if not keys:
+        raise ValueError("snapshot_aggregate: keys must be non-empty")
+    aggs = [F.count("*").cast("long").alias("n_rows")] + [
+        F.sum(F.coalesce(F.col(m), F.lit(0))).alias(f"sum_{m}")
+        for m in measures
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def apply_changes(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    measures: list[str],
+    op_col: str = "op",
+    allow_negative: bool = False,
+) -> DataFrame:
+    """Fold a change feed into aggregate state (see module docstring).
+
+    ``changes`` carries the key columns, the measure columns, and
+    ``op_col`` ∈ {'insert', 'delete'}; any other op value raises at
+    execution time (a CASE with a raise_error arm — bad feeds must
+    not silently vanish). Returns the same schema as the state.
+
+    Plan shape: one hash aggregation over the feed keyed on the group
+    columns (map-side combined — the shuffle carries one row per
+    touched key per partition), one full-outer join against the
+    |keys|-row state, pure-column addition. The base table is never
+    touched; at 100 TB that is the entire value proposition.
+    """
+    sign = (
+        F.when(F.col(op_col) == "insert", F.lit(1))
+        .when(F.col(op_col) == "delete", F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("apply_changes: bad op (expected insert/delete): "),
+                    F.col(op_col).cast("string"),
+                )
+            )
+        )
+    )
+    delta_aggs = [F.sum(sign).cast("long").alias("_ia_dn")] + [
+        F.sum(sign * F.coalesce(F.col(m), F.lit(0))).alias(f"_ia_d_{m}")
+        for m in measures
+    ]
+    delta = changes.groupBy(*keys).agg(*delta_aggs)
+    j = state.join(delta, keys, "full_outer")
+    n = F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(
+        F.col("_ia_dn"), F.lit(0)
+    )
+    out = j.select(
+        *keys,
+        n.cast("long").alias("n_rows"),
+        *[
+            (
+                F.coalesce(F.col(f"sum_{m}"), F.lit(0))
+                + F.coalesce(F.col(f"_ia_d_{m}"), F.lit(0))
+            ).alias(f"sum_{m}")
+            for m in measures
+        ],
+    )
+    if not allow_negative:
+        out = out.withColumn(
+            "n_rows",
+            F.when(F.col("n_rows") >= 0, F.col("n_rows")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "apply_changes: negative group count — the feed "
+                        "deleted rows the base never had"
+                    )
+                )
+            ),
+        )
+    return out.filter(F.col("n_rows") != 0)

@@ -1773,6 +1773,47 @@ def event_value_outliers_mad(spark, sf_dir):
     )
 
 
+def lineitem_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance (operators/incremental):
+    build sum/count state per (returnflag, linestatus) over a
+    'yesterday' base (orderkey%10 ∉ {0}), then fold a change feed —
+    inserts (%10=0) and deletes (%10=1) — WITHOUT rereading the base.
+    Measures ride as decimal(18,3) so the sums re-associate
+    losslessly and the oracle can recompute the final state from
+    scratch: incremental == recompute, value-hash exact (the
+    linear_fit decimal-moment precedent)."""
+    from esdb_spark.operators.incremental import (
+        apply_changes,
+        snapshot_aggregate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(18,3)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,3)").alias("price"),
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+    base = li.filter(F.col("l_orderkey") % 10 != 0)
+    state = snapshot_aggregate(base, keys, ["qty", "price"])
+    feed = (
+        li.filter(F.col("l_orderkey") % 10 == 0)
+        .withColumn("op", F.lit("insert"))
+        .unionByName(
+            li.filter(F.col("l_orderkey") % 10 == 1)
+            .withColumn("op", F.lit("delete"))
+        )
+    )
+    out = apply_changes(state, feed, keys, ["qty", "price"])
+    return out.select(
+        *keys,
+        "n_rows",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+    ).orderBy(*keys)
+
+
 def orders_profile_drift(spark, sf_dir):
     """Snapshot drift report (operators/profile.profile_drift): even-
     vs odd-keyed halves of orders as 'yesterday vs today' — null-rate
@@ -3554,6 +3595,18 @@ _PIPELINE_ORACLES = {
         GROUP BY c_nationkey, c_mktsegment
         ORDER BY c_nationkey, c_mktsegment
     """,
+    "lineitem_incremental_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE)
+                   AS sum_price
+        FROM lineitem
+        WHERE l_orderkey % 10 != 1
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
     "orders_profile_drift": """
         WITH po AS (
             SELECT * FROM (
@@ -5292,6 +5345,7 @@ def catalog() -> dict[str, Q]:
         ("event_type_transitions", event_type_transitions),
         ("event_value_outliers_mad", event_value_outliers_mad),
         ("orders_profile_drift", orders_profile_drift),
+        ("lineitem_incremental_agg", lineitem_incremental_agg),
         ("customer_name_typo_pairs", customer_name_typo_pairs),
         ("parts_bought_together", parts_bought_together),
         ("docs_keyword_search", docs_keyword_search),

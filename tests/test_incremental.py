@@ -1,0 +1,88 @@
+"""Incremental aggregate maintenance (operators/incremental.py): the
+state' = state + delta invariant against from-scratch recomputation."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from esdb_spark.operators.incremental import apply_changes, snapshot_aggregate
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    rows = [(k, i, (k + 1) * 10 + i) for k in range(3) for i in range(4)]
+    return spark.createDataFrame(rows, "k int, i int, v long")
+
+
+def _as_dict(df):
+    return {r["k"]: (r["n_rows"], r["sum_v"]) for r in df.collect()}
+
+
+def test_invariant_matches_recompute(spark, base):
+    state = snapshot_aggregate(base, ["k"], ["v"])
+    # delete two rows of k=0, insert one row into k=1 and a NEW key 9
+    feed = spark.createDataFrame(
+        [
+            (0, 0, 10, "delete"),
+            (0, 1, 11, "delete"),
+            (1, 9, 100, "insert"),
+            (9, 0, 7, "insert"),
+        ],
+        "k int, i int, v long, op string",
+    )
+    updated = _as_dict(apply_changes(state, feed, ["k"], ["v"]))
+    # recompute from scratch on the edited base
+    edited = base.filter(~((F.col("k") == 0) & F.col("i").isin(0, 1))).unionByName(
+        spark.createDataFrame(
+            [(1, 9, 100), (9, 0, 7)], "k int, i int, v long"
+        )
+    )
+    direct = _as_dict(snapshot_aggregate(edited, ["k"], ["v"]))
+    assert updated == direct
+
+
+def test_group_emptied_by_deletes_drops(spark, base):
+    state = snapshot_aggregate(base, ["k"], ["v"])
+    feed = spark.createDataFrame(
+        [(2, i, 30 + i, "delete") for i in range(4)],
+        "k int, i int, v long, op string",
+    )
+    out = _as_dict(apply_changes(state, feed, ["k"], ["v"]))
+    assert 2 not in out
+    assert set(out) == {0, 1}
+
+
+def test_negative_count_raises_by_default(spark, base):
+    state = snapshot_aggregate(base, ["k"], ["v"])
+    feed = spark.createDataFrame(
+        [(5, 0, 1, "delete")],  # key 5 never existed
+        "k int, i int, v long, op string",
+    )
+    with pytest.raises(Exception):
+        apply_changes(state, feed, ["k"], ["v"]).collect()
+    out = _as_dict(
+        apply_changes(state, feed, ["k"], ["v"], allow_negative=True)
+    )
+    assert out[5] == (-1, -1)
+
+
+def test_bad_op_raises(spark, base):
+    state = snapshot_aggregate(base, ["k"], ["v"])
+    feed = spark.createDataFrame(
+        [(0, 0, 10, "upsert")], "k int, i int, v long, op string"
+    )
+    with pytest.raises(Exception):
+        apply_changes(state, feed, ["k"], ["v"]).collect()
+
+
+def test_null_measures_count_as_zero(spark):
+    base = spark.createDataFrame(
+        [(1, None), (1, 5)], "k int, v int"
+    )
+    state = snapshot_aggregate(base, ["k"], ["v"])
+    assert _as_dict(state.withColumnRenamed("sum_v", "sum_v"))[1] == (2, 5)
+    feed = spark.createDataFrame(
+        [(1, None, "delete")], "k int, v int, op string"
+    )
+    out = _as_dict(apply_changes(state, feed, ["k"], ["v"]))
+    assert out[1] == (1, 5)
