@@ -27,6 +27,8 @@ tail map (stream/open_stream.go:52-105). In Spark that maps to:
 
 from __future__ import annotations
 
+import posixpath
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from esdb_spark.stream import STREAM_SCHEMA, EventStream
@@ -448,3 +450,85 @@ def ewma_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def maintain_aggregate(
+    changes,
+    state_path: str,
+    keys: list[str],
+    measures: list[str],
+    op_col: str = "op",
+    checkpoint: str | None = None,
+    query_name: str = "maintain_aggregate",
+):
+    """Streaming face of :mod:`esdb_spark.operators.incremental`: keep
+    a sum/count aggregate continuously maintained from a change-feed
+    STREAM, never rescanning any base table.
+
+    State lives at ``state_path`` as write-once numbered parquet
+    versions ``state-<epoch id>`` (the release-manifest discipline from
+    ``versioning``): each micro-batch reads the newest version with a
+    LOWER epoch than its own, folds the batch in with
+    ``apply_changes``, and overwrites only its own version. Replays are
+    therefore idempotent — a retried epoch recomputes from the same
+    predecessor and rewrites the same directory, so a crash between
+    write and commit cannot double-apply a delta (the foreachBatch
+    at-least-once contract is exactly why state versions key on epoch,
+    not on "latest").
+
+    Returns the started StreamingQuery; the newest state is
+    ``read_maintained_aggregate(spark, state_path)``.
+    """
+    from esdb_spark.operators.incremental import (
+        apply_changes,
+        snapshot_aggregate,
+    )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = _newest_state_before(spark, state_path, epoch_id)
+        if prev is None:
+            # typed empty state derived from the batch itself
+            prev = snapshot_aggregate(
+                batch_df.filter(F.lit(False)), keys, measures
+            )
+        new_state = apply_changes(prev, batch_df, keys, measures, op_col)
+        out = posixpath.join(state_path, f"state-{epoch_id:012d}")
+        new_state.write.mode("overwrite").parquet(out)
+
+    writer = (
+        changes.writeStream.foreachBatch(fold)
+        .queryName(query_name)
+        .outputMode("update")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def _newest_state_before(spark: SparkSession, state_path: str, epoch_id: int):
+    from esdb_spark import fs as _fs
+
+    if not _fs.exists(spark, state_path):
+        return None
+    names = [
+        n
+        for n, is_dir in _fs.list_dir(spark, state_path)
+        if is_dir and n.startswith("state-")
+    ]
+    prior = sorted(
+        int(n.split("-", 1)[1]) for n in names
+        if n.split("-", 1)[1].isdigit() and int(n.split("-", 1)[1]) < epoch_id
+    )
+    if not prior:
+        return None
+    return spark.read.parquet(
+        posixpath.join(state_path, f"state-{prior[-1]:012d}")
+    )
+
+
+def read_maintained_aggregate(spark: SparkSession, state_path: str):
+    """Newest state version written by :func:`maintain_aggregate`
+    (None if nothing committed yet)."""
+    # one past the largest possible epoch: pick the newest overall
+    return _newest_state_before(spark, state_path, 1 << 62)

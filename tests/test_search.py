@@ -200,3 +200,41 @@ def test_keyword_search_empty_terms_raise(spark, corpus):
         keyword_search(corpus, [])
     with pytest.raises(ValueError):
         keyword_search(corpus, ["", "  "])  # blank terms are dropped
+
+
+def test_keyword_search_indexed_matches_corpus_search(spark, corpus):
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        keyword_search_indexed,
+    )
+
+    idx = build_inverted_index(corpus)
+    for terms, require_all in (
+        (["spark", "tables"], True),
+        (["spark", "tables"], False),
+        (["SPARK"], True),
+    ):
+        direct = [
+            (r["doc_id"], r["n_terms_matched"], r["score"])
+            for r in keyword_search(
+                corpus, terms, k=10, require_all=require_all
+            ).collect()
+        ]
+        served = [
+            (r["doc"], r["n_terms_matched"], r["score"])
+            for r in keyword_search_indexed(
+                idx, terms, k=10, require_all=require_all
+            ).collect()
+        ]
+        assert direct == served
+
+
+def test_keyword_search_indexed_rejects_truncated(spark, corpus):
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        keyword_search_indexed,
+    )
+
+    capped = build_inverted_index(corpus, max_postings=1)
+    with pytest.raises(Exception):
+        keyword_search_indexed(capped, ["spark"]).collect()
