@@ -5152,15 +5152,17 @@ def ann_topk_docs(spark, sf_dir):
 # registered (positions 51+) and stays covered by the local
 # oracle-parity pytest suite.
 _GATE_WINDOW = [
-    # Round-6 curation: eight new operator families swapped in
+    # Round-6 curation: ten new operator families swapped in
     # (hybrid RRF retrieval, edit-distance linkage, market-basket
     # co-occurrence, k-anonymity, last-touch attribution, Markov
-    # transitions, MAD robust outliers, SCD Type-2), displacing eight
+    # transitions, MAD robust outliers, SCD Type-2, incremental
+    # aggregate maintenance, snapshot drift profiling), displacing ten
     # rows whose FAMILIES stay represented by a sibling gate row
     # (doc_token_stats, doc_strip_boilerplate, dedup_incremental_docs,
     # documents_split_counts, event_value_ohlc, corpus_vocab_top,
-    # upsample_docs, heavy_hitter_users — all remain catalogued and
-    # locally oracle-verified; COVERAGE.md maps the cross-walk).
+    # upsample_docs, heavy_hitter_users, hard_negatives_topk,
+    # doc_lm_score — all remain catalogued and locally
+    # oracle-verified; COVERAGE.md maps the cross-walk).
     # 10 reference-parity scans (esdb semantics)
     "scan_latest_1",
     "scan_top500",
@@ -5204,7 +5206,6 @@ _GATE_WINDOW = [
     "decontaminate_docs",
     "pack_documents",
     "interleave_docs",
-    "hard_negatives_topk",
     # LLM-pipeline: multimodal, splits, event rollups
     # (round 3: the REAL-decode entry replaces the fake-decode
     # plumbing row in the window — encode_png → decode_png_pixels →
@@ -5237,7 +5238,6 @@ _GATE_WINDOW = [
     # corpus-cleaning family (round 3): boilerplate strip, incremental
     # dedup, vocabulary, LM-quality score
     "user_value_ewma",
-    "doc_lm_score",
     # analytic operators (funnel/cohort/forward-fill/salted-count are
     # demoted past the window — their operator families stay
     # represented by sessionize_users / events_customer_salted_join —
@@ -5254,6 +5254,8 @@ _GATE_WINDOW = [
     "event_type_transitions",
     "event_value_outliers_mad",
     "user_tier_scd2",
+    "lineitem_incremental_agg",
+    "orders_profile_drift",
     "event_type_freq_cms_portable",
     "events_customer_salted_join",
     # (orders_hash_sample demoted — md5-prefix rate sampling shares a
