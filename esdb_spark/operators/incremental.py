@@ -100,12 +100,29 @@ def apply_changes(
         for m in measures
     ]
     delta = changes.groupBy(*keys).agg(*delta_aggs)
-    j = state.join(delta, keys, "full_outer")
+    # NULL-SAFE key join: groupBy treats NULL as one group, but a plain
+    # equi-join never matches NULL=NULL — a NULL-keyed group would
+    # split into two rows (and a NULL-key delete would spuriously trip
+    # the negative-count check). eqNullSafe + key coalesce keeps the
+    # state' = recompute invariant for nullable keys.
+    delta = delta.select(
+        *[F.col(k).alias(f"_ia_k_{k}") for k in keys],
+        "_ia_dn",
+        *[f"_ia_d_{m}" for m in measures],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_ia_k_{k}"))
+        cond = c if cond is None else cond & c
+    j = state.join(delta, cond, "full_outer")
     n = F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(
         F.col("_ia_dn"), F.lit(0)
     )
     out = j.select(
-        *keys,
+        *[
+            F.coalesce(F.col(k), F.col(f"_ia_k_{k}")).alias(k)
+            for k in keys
+        ],
         n.cast("long").alias("n_rows"),
         *[
             (

@@ -43,6 +43,17 @@ from pyspark.sql import DataFrame, Window, functions as F
 from esdb_spark.functions import tokens
 
 
+
+def _normalize_terms(terms: list[str], caller: str) -> list[str]:
+    """Shared query-term normalization: lowercase, dedupe, drop blank
+    terms (tokens() never emits empty strings, so they can never
+    match), and error loudly on an effectively empty query."""
+    qt = sorted({t.lower() for t in terms if t and t.strip()})
+    if not qt:
+        raise ValueError(f"{caller}: empty term list")
+    return qt
+
+
 def build_inverted_index(
     df: DataFrame,
     text_col: str = "text",
@@ -120,11 +131,7 @@ def keyword_search(
 
     Returns ``(id_col, n_terms_matched, score)``.
     """
-    # blank terms can never match (tokens() never emits empty
-    # strings) — drop them so an all-blank query errors loudly
-    qt = sorted({t.lower() for t in terms if t and t.strip()})
-    if not qt:
-        raise ValueError("keyword_search: empty term list")
+    qt = _normalize_terms(terms, "keyword_search")
     ex = df.select(
         F.col(id_col).alias("_ks_id"),
         F.explode(tokens(text_col)).alias("token"),
@@ -212,9 +219,7 @@ def bm25_search(
     are a |terms|-row broadcast. Top-k is a TakeOrdered, never a
     global sort.
     """
-    qt = sorted({t.lower() for t in terms if t and t.strip()})
-    if not qt:
-        raise ValueError("bm25_search: empty term list")
+    qt = _normalize_terms(terms, "bm25_search")
     lens = df.select(
         F.col(id_col).alias("_bm_id"), tokens(text_col).alias("_bm_toks")
     ).select(
@@ -364,9 +369,7 @@ def keyword_search_indexed(
     the aggregate's input is O(Σ matching doc_freq) — independent of
     corpus size.
     """
-    qt = sorted({t.lower() for t in terms if t and t.strip()})
-    if not qt:
-        raise ValueError("keyword_search_indexed: empty term list")
+    qt = _normalize_terms(terms, "keyword_search_indexed")
     hit = index.filter(F.col("token").isin(qt))
     guarded = hit.withColumn(
         "_ki_post",

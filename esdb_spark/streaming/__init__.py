@@ -460,6 +460,7 @@ def maintain_aggregate(
     op_col: str = "op",
     checkpoint: str | None = None,
     query_name: str = "maintain_aggregate",
+    keep_versions: int = 10,
 ):
     """Streaming face of :mod:`esdb_spark.operators.incremental`: keep
     a sum/count aggregate continuously maintained from a change-feed
@@ -476,9 +477,19 @@ def maintain_aggregate(
     at-least-once contract is exactly why state versions key on epoch,
     not on "latest").
 
+    A version counts only once its ``_IA_COMMITTED`` marker lands
+    AFTER the parquet write — readers (and the fold itself) skip
+    uncommitted directories, so a crash mid-write can never surface a
+    partial aggregate as state. After committing, versions older than
+    the newest ``keep_versions`` are swept (a long-running stream
+    would otherwise accumulate one full |keys|-row snapshot per
+    micro-batch forever); correctness needs only the predecessor, the
+    tail is replay/forensics headroom.
+
     Returns the started StreamingQuery; the newest state is
     ``read_maintained_aggregate(spark, state_path)``.
     """
+    from esdb_spark import fs as _fs
     from esdb_spark.operators.incremental import (
         apply_changes,
         snapshot_aggregate,
@@ -495,6 +506,11 @@ def maintain_aggregate(
         new_state = apply_changes(prev, batch_df, keys, measures, op_col)
         out = posixpath.join(state_path, f"state-{epoch_id:012d}")
         new_state.write.mode("overwrite").parquet(out)
+        # commit marker AFTER the data: a reader never trusts a
+        # directory without it (plain touch, not exclusive — a replay
+        # deterministically rewrites the same version)
+        _fs.touch(spark, posixpath.join(out, _IA_MARKER))
+        _sweep_state_versions(spark, state_path, keep_versions)
 
     writer = (
         changes.writeStream.foreachBatch(fold)
@@ -506,25 +522,52 @@ def maintain_aggregate(
     return writer.start()
 
 
-def _newest_state_before(spark: SparkSession, state_path: str, epoch_id: int):
+_IA_MARKER = "_IA_COMMITTED"
+
+
+def _committed_state_epochs(spark: SparkSession, state_path: str):
     from esdb_spark import fs as _fs
 
     if not _fs.exists(spark, state_path):
-        return None
-    names = [
-        n
-        for n, is_dir in _fs.list_dir(spark, state_path)
-        if is_dir and n.startswith("state-")
+        return []
+    out = []
+    for n, is_dir in _fs.list_dir(spark, state_path):
+        if not (is_dir and n.startswith("state-")):
+            continue
+        suffix = n.split("-", 1)[1]
+        if not suffix.isdigit():
+            continue
+        # only COMMITTED versions exist as far as readers are
+        # concerned — a crash mid-write leaves a marker-less directory
+        # that the next replay of that epoch overwrites
+        if _fs.exists(
+            spark, posixpath.join(state_path, n, _IA_MARKER)
+        ):
+            out.append(int(suffix))
+    return sorted(out)
+
+
+def _newest_state_before(spark: SparkSession, state_path: str, epoch_id: int):
+    prior = [
+        e for e in _committed_state_epochs(spark, state_path) if e < epoch_id
     ]
-    prior = sorted(
-        int(n.split("-", 1)[1]) for n in names
-        if n.split("-", 1)[1].isdigit() and int(n.split("-", 1)[1]) < epoch_id
-    )
     if not prior:
         return None
     return spark.read.parquet(
         posixpath.join(state_path, f"state-{prior[-1]:012d}")
     )
+
+
+def _sweep_state_versions(
+    spark: SparkSession, state_path: str, keep_versions: int
+) -> None:
+    from esdb_spark import fs as _fs
+
+    epochs = _committed_state_epochs(spark, state_path)
+    for e in epochs[:-keep_versions] if keep_versions > 0 else []:
+        _fs.delete(
+            spark, posixpath.join(state_path, f"state-{e:012d}")
+        )
 
 
 def read_maintained_aggregate(spark: SparkSession, state_path: str):

@@ -80,7 +80,7 @@ def test_null_measures_count_as_zero(spark):
         [(1, None), (1, 5)], "k int, v int"
     )
     state = snapshot_aggregate(base, ["k"], ["v"])
-    assert _as_dict(state.withColumnRenamed("sum_v", "sum_v"))[1] == (2, 5)
+    assert _as_dict(state)[1] == (2, 5)
     feed = spark.createDataFrame(
         [(1, None, "delete")], "k int, v int, op string"
     )
@@ -171,11 +171,44 @@ def test_maintain_aggregate_replayed_epoch_is_idempotent(spark, tmp_path):
                 batch_df.filter("false"), ["k"], ["v"]
             )
         new_state = apply_changes(prev, batch_df, ["k"], ["v"])
-        new_state.write.mode("overwrite").parquet(
-            posixpath.join(state_path, f"state-{epoch_id:012d}")
-        )
+        out_dir = posixpath.join(state_path, f"state-{epoch_id:012d}")
+        new_state.write.mode("overwrite").parquet(out_dir)
+        from esdb_spark import fs as _fs
+        from esdb_spark.streaming import _IA_MARKER
+        _fs.touch(spark, posixpath.join(out_dir, _IA_MARKER))
 
     fold(batch, 0)
     fold(batch, 0)  # replay of the SAME epoch
     out = read_maintained_aggregate(spark, state_path).collect()
     assert [(r["k"], r["n_rows"], r["sum_v"]) for r in out] == [(0, 1, 10)]
+
+
+def test_null_keys_fold_as_one_group(spark):
+    """groupBy treats NULL as a group; the state join must too
+    (eqNullSafe — review finding, was a confirmed split into two
+    NULL-key rows)."""
+    from esdb_spark.operators.incremental import (
+        apply_changes,
+        snapshot_aggregate,
+    )
+
+    base = spark.createDataFrame([(None, 5), (1, 2)], "k int, v long")
+    state = snapshot_aggregate(base, ["k"], ["v"])
+    feed = spark.createDataFrame(
+        [(None, 3, "insert")], "k int, v long, op string"
+    )
+    got = {
+        r["k"]: (r["n_rows"], r["sum_v"])
+        for r in apply_changes(state, feed, ["k"], ["v"]).collect()
+    }
+    assert got == {None: (2, 8), 1: (1, 2)}
+    # a NULL-key delete of a row the base HAS must not trip the
+    # negative-count check
+    feed2 = spark.createDataFrame(
+        [(None, 5, "delete")], "k int, v long, op string"
+    )
+    got2 = {
+        r["k"]: (r["n_rows"], r["sum_v"])
+        for r in apply_changes(state, feed2, ["k"], ["v"]).collect()
+    }
+    assert got2 == {1: (1, 2)}  # emptied NULL group drops from state
