@@ -377,3 +377,88 @@ def triangle_count(
     return deg.join(per_node, "id", "left").select(
         "id", F.coalesce("triangles", F.lit(0).cast("long")).alias("triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation community detection → ``(id,
+    label)``: every node starts as its own label; each round a node
+    adopts the most frequent label among its in-neighbors (ties to the
+    SMALLEST label — fully deterministic, integer-only, which is what
+    lets a catalog row carry an exact unrolled-SQL oracle). Pass a
+    symmetrized edge list for undirected semantics, as with
+    :func:`triangle_count`.
+
+    Fixed ``iters`` synchronous rounds, NOT a fixpoint: synchronous
+    LPA can oscillate (bipartite graphs 2-color under it — the classic
+    caveat), so the result is "the labeling after k rounds", a
+    deterministic quantity. Raumer-style semi-synchronous variants
+    trade that determinism away; this engine keeps the oracle.
+
+    Scale: per round, ONE labels⋈edges join (labels broadcast under
+    the same ≤5M-node guard as :func:`pagerank`) and two hash
+    aggregations — (dst, label) counts, then a max_by struct argmax
+    per dst. The isolated-node set (no in-edges; their label can never
+    change) is structural and computed ONCE, so the per-round plan
+    references the carried label frame exactly once and rounds fuse
+    linearly between checkpoints (the 2^k dangling lesson from
+    :func:`pagerank` does not bite here).
+    """
+    if checkpoint_every < 1:
+        raise ValueError("label_propagation: checkpoint_every must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("label", F.lit(None).cast("long"))
+    e2 = e.select(F.col("src").alias("_lp_src"), F.col("dst").alias("_lp_dst"))
+    receivers = e.select(F.col("dst").alias("id")).distinct()
+    isolated = (
+        nodes.join(receivers, "id", "left_anti")
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    broadcast_labels = n <= 5_000_000
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for it in range(iters):
+        lbl = F.broadcast(labels) if broadcast_labels else labels
+        counts = (
+            e2.join(lbl, F.col("id") == F.col("_lp_src"))
+            .groupBy("_lp_dst", "label")
+            .agg(F.count("*").alias("_lp_c"))
+        )
+        updated = (
+            counts.groupBy("_lp_dst")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_lp_c").alias("c"),
+                        (-F.col("label")).alias("nl"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("_lp_m")
+            )
+            .select(
+                F.col("_lp_dst").alias("id"),
+                F.col("_lp_m.label").alias("label"),
+            )
+        )
+        labels = updated.unionByName(isolated)
+        if (it + 1) % checkpoint_every == 0 or it == iters - 1:
+            labels = labels.localCheckpoint()
+    return labels

@@ -3234,6 +3234,43 @@ ORDER BY pos
 """
 
 
+def _lpa_oracle_sql(rounds: int) -> str:
+    prev = "l0"
+    body = """
+        WITH fwd AS (
+            SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+                   1000000 + CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT) AS dst
+            FROM events
+            WHERE user_id IS NOT NULL
+              AND json_extract_string(props, '$.k') IS NOT NULL
+        ), edges AS (
+            SELECT src, dst FROM fwd
+            UNION
+            SELECT dst AS src, src AS dst FROM fwd
+        ), l0 AS (
+            SELECT DISTINCT src AS id, src AS label FROM edges
+        )"""
+    for t in range(1, rounds + 1):
+        body += f""", l{t} AS (
+            SELECT id, label FROM (
+                SELECT e.dst AS id, l.label, count(*) AS c,
+                       row_number() OVER (
+                           PARTITION BY e.dst
+                           ORDER BY count(*) DESC, l.label ASC
+                       ) AS rn
+                FROM edges e JOIN {prev} l ON e.src = l.id
+                GROUP BY e.dst, l.label
+            ) WHERE rn = 1
+        )"""
+        prev = f"l{t}"
+    body += f"""
+        SELECT id, label FROM {prev} ORDER BY id
+    """
+    return body
+
+
+
 _PIPELINE_ORACLES = {
     # integer fixed-point PageRank (graph.pagerank_exact): scale 1e12,
     # damping 17/20, 10 rounds, every division a nonneg bigint
@@ -3675,6 +3712,7 @@ _PIPELINE_ORACLES = {
         FROM po JOIN pn USING (column_name)
         ORDER BY column_name
     """,
+    "user_key_communities": _lpa_oracle_sql(4),
     "event_type_transitions": """
         WITH seq AS (
             SELECT event_type AS state,
@@ -4935,6 +4973,28 @@ def events_user_graph_pagerank(spark, sf_dir):
     return pagerank_exact(edges, iters=10).orderBy("id")
 
 
+def user_key_communities(spark, sf_dir):
+    """Synchronous label-propagation communities (operators/graph
+    .label_propagation) over the symmetrized user↔prop-key bipartite
+    graph — 4 fixed rounds, integer labels, smallest-label tie-break,
+    so the whole labeling is engine-exact and an unrolled 4-CTE DuckDB
+    oracle replays it row-for-row."""
+    from esdb_spark.operators.graph import label_propagation
+
+    ev = load_table(spark, sf_dir, "events")
+    fwd = ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        (
+            F.lit(1_000_000)
+            + F.get_json_object("props", "$.k").cast("long")
+        ).alias("dst"),
+    ).distinct()
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(edges, iters=4).orderBy("id")
+
+
 def bpe_token_stats_docs(spark, sf_dir):
     """Exact per-doc token counts under a corpus-trained BPE tokenizer
     (operators/bpe.py: Sennrich merges learned from the bounded
@@ -5414,6 +5474,7 @@ def catalog() -> dict[str, Q]:
         ("upsample_docs", upsample_docs),
         ("source_temperature_mix", source_temperature_mix),
         ("events_user_graph_pagerank", events_user_graph_pagerank),
+        ("user_key_communities", user_key_communities),
         ("event_type_freq_cms_portable", event_type_freq_cms_portable),
     ]:
         qs[name] = Q(fn, _PIPELINE_ORACLES[name])

@@ -186,3 +186,86 @@ def test_pagerank_exact_rejects_dangling(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="dangling"):
         pagerank_exact(df)
+
+
+# ---------------------------------------------------------------------------
+# label propagation (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _lpa_model(edges, iters):
+    """Definitional synchronous LPA: max-count in-neighbor label, ties
+    to smallest; nodes without in-edges keep their own id."""
+    nodes = sorted({x for e in edges for x in e})
+    in_nbrs = {}
+    for s, d in set(edges):
+        in_nbrs.setdefault(d, []).append(s)
+    labels = {v: v for v in nodes}
+    for _ in range(iters):
+        new = {}
+        for v in nodes:
+            nbs = in_nbrs.get(v)
+            if not nbs:
+                new[v] = labels[v]
+                continue
+            counts = {}
+            for s in nbs:
+                counts[labels[s]] = counts.get(labels[s], 0) + 1
+            new[v] = min(
+                counts, key=lambda lb: (-counts[lb], lb)
+            )
+        labels = new
+    return labels
+
+
+def test_label_propagation_two_cliques(spark):
+    from esdb_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge — communities must
+    # resolve to the min id of each triangle after a few rounds
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(3, 10)]
+    directed = tri1 + tri2 + bridge
+    edges = directed + [(b, a) for a, b in directed]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 2, 4):
+        got = {
+            r["id"]: r["label"]
+            for r in label_propagation(df, iters=iters).collect()
+        }
+        assert got == _lpa_model(edges, iters), iters
+
+
+def test_label_propagation_isolated_receiver_keeps_label(spark):
+    from esdb_spark.operators.graph import label_propagation
+
+    # 5 -> 6 only: node 5 has no in-edges and keeps its own label
+    df = spark.createDataFrame([(5, 6)], "src long, dst long")
+    got = {
+        r["id"]: r["label"] for r in label_propagation(df, iters=3).collect()
+    }
+    assert got == {5: 5, 6: 5}
+
+
+def test_label_propagation_tie_breaks_to_smallest(spark):
+    from esdb_spark.operators.graph import label_propagation
+
+    # node 9 hears labels {1, 2} once each -> must adopt 1
+    df = spark.createDataFrame([(1, 9), (2, 9)], "src long, dst long")
+    got = {
+        r["id"]: r["label"] for r in label_propagation(df, iters=1).collect()
+    }
+    assert got[9] == 1
+
+
+def test_label_propagation_validations(spark):
+    from esdb_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        label_propagation(df, checkpoint_every=0)
+    empty = df.filter("false")
+    assert label_propagation(empty, iters=2).count() == 0
