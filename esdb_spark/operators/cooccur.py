@@ -98,3 +98,67 @@ def cooccurrence_pairs(
             ).alias("lift"),
         )
     )
+
+
+def cooccurrence_similarity(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_pairs: int = 1,
+    max_basket: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Item-item collaborative-filtering similarity on top of
+    :func:`cooccurrence_pairs`: cosine over binary basket-membership
+    vectors, ``sim = n_both / sqrt(n_a · n_b)`` — the classic
+    "customers who bought X also bought Y" score with the popularity
+    correction lift lacks (a blockbuster item no longer dominates
+    every pair).
+
+    Output: ``(item_a, item_b, n_both, sim)`` with ``item_a <
+    item_b``; with ``k``, only each item's top-``k`` partners survive
+    (a pair stays if it is in EITHER side's top-k — the usual
+    serving-table contract), ranked by (sim desc, partner asc).
+
+    Engine-exact: integer counts, one multiply, one IEEE sqrt
+    (correctly rounded per IEEE-754 — the round-4 lesson's GOOD case),
+    one division — so catalog rows carry full value-hash oracles.
+
+    Scale: inherits :func:`cooccurrence_pairs`'s posture (the
+    ``max_basket`` s² guard, hash-only shuffles); the top-k pass is
+    two bounded windows over the pair table keyed by item.
+    """
+    pairs = cooccurrence_pairs(df, group_col, item_col, min_pairs, max_basket)
+    scored = pairs.select(
+        "item_a",
+        "item_b",
+        "n_both",
+        (
+            F.col("n_both")
+            / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("sim"),
+    )
+    if k is None:
+        return scored
+    from pyspark.sql import Window
+
+    both = scored.select(
+        F.col("item_a").alias("item"), F.col("item_b").alias("partner"),
+        "n_both", "sim",
+    ).unionByName(
+        scored.select(
+            F.col("item_b").alias("item"), F.col("item_a").alias("partner"),
+            "n_both", "sim",
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("sim"), F.asc("partner"))
+    kept = (
+        both.withColumn("_cs_rk", F.row_number().over(w))
+        .filter(F.col("_cs_rk") <= k)
+        .select(
+            F.least("item", "partner").alias("item_a"),
+            F.greatest("item", "partner").alias("item_b"),
+        )
+        .distinct()
+    )
+    return scored.join(kept, ["item_a", "item_b"], "left_semi")

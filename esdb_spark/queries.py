@@ -1881,6 +1881,21 @@ def parts_bought_together(spark, sf_dir):
     )
 
 
+def parts_also_bought(spark, sf_dir):
+    """Item-item collaborative filtering (operators/cooccur
+    .cooccurrence_similarity): the 30 part pairs most similar under
+    binary cosine — n_both / sqrt(n_a·n_b), integer counts through
+    one IEEE-exact sqrt and division, engine-exact."""
+    from esdb_spark.operators.cooccur import cooccurrence_similarity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        cooccurrence_similarity(li, "l_orderkey", "l_partkey", min_pairs=2)
+        .orderBy(F.desc("sim"), F.asc("item_a"), F.asc("item_b"))
+        .limit(30)
+    )
+
+
 def docs_keyword_search(spark, sf_dir):
     """Boolean AND keyword search (operators/search.keyword_search):
     top-20 documents containing ALL of {spark, hash, merge}, scored by
@@ -3820,6 +3835,26 @@ _PIPELINE_ORACLES = {
         CROSS JOIN tot
         ORDER BY n_both DESC, item_a ASC, item_b ASC LIMIT 30
     """,
+    "parts_also_bought": """
+        WITH basket AS (
+          SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        ),
+        pairs AS (
+          SELECT a.i AS item_a, b.i AS item_b,
+                 CAST(count(*) AS BIGINT) AS n_both
+          FROM basket a JOIN basket b ON a.g = b.g AND a.i < b.i
+          GROUP BY a.i, b.i HAVING count(*) >= 2
+        ),
+        sup AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM basket
+                GROUP BY i)
+        SELECT item_a, item_b, n_both,
+               CAST(n_both AS DOUBLE)
+                 / sqrt(CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) AS sim
+        FROM pairs
+        JOIN sup sa ON sa.i = item_a
+        JOIN sup sb ON sb.i = item_b
+        ORDER BY sim DESC, item_a ASC, item_b ASC LIMIT 30
+    """,
     "docs_keyword_search": f"""
         WITH ex AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
         m AS (SELECT doc_id, token FROM ex
@@ -5410,6 +5445,7 @@ def catalog() -> dict[str, Q]:
         ("lineitem_incremental_agg", lineitem_incremental_agg),
         ("customer_name_typo_pairs", customer_name_typo_pairs),
         ("parts_bought_together", parts_bought_together),
+        ("parts_also_bought", parts_also_bought),
         ("docs_keyword_search", docs_keyword_search),
         ("docs_hybrid_rrf", docs_hybrid_rrf),
         ("docs_phrase_search", docs_phrase_search),

@@ -63,3 +63,34 @@ def test_single_item_baskets_yield_nothing(spark):
         [(1, "x"), (2, "y")], "basket int, item string"
     )
     assert cooccurrence_pairs(df, "basket", "item").count() == 0
+
+
+def test_cooccurrence_similarity_cosine_model(spark):
+    from esdb_spark.operators.cooccur import cooccurrence_similarity
+
+    # baskets: {1,2} x3, {1,3} x1 -> support 1:4, 2:3, 3:1
+    rows = [(g, i) for g in range(3) for i in (1, 2)] + [(9, 1), (9, 3)]
+    df = spark.createDataFrame(rows, "g int, item int")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in cooccurrence_similarity(df, "g", "item").collect()
+    }
+    import math
+
+    assert out[(1, 2)]["n_both"] == 3
+    assert out[(1, 2)]["sim"] == 3 / math.sqrt(4.0 * 3.0)
+    assert out[(1, 3)]["sim"] == 1 / math.sqrt(4.0 * 1.0)
+
+
+def test_cooccurrence_similarity_topk(spark):
+    from esdb_spark.operators.cooccur import cooccurrence_similarity
+
+    # item 1 pairs with 2 (strong) and 3 (weak); k=1 keeps a pair if
+    # EITHER side ranks it top-1 -> (1,3) survives via item 3's list
+    rows = [(g, i) for g in range(5) for i in (1, 2)] + [(9, 1), (9, 3)]
+    df = spark.createDataFrame(rows, "g int, item int")
+    got = {
+        (r["item_a"], r["item_b"])
+        for r in cooccurrence_similarity(df, "g", "item", k=1).collect()
+    }
+    assert (1, 2) in got and (1, 3) in got
