@@ -128,6 +128,8 @@ def cooccurrence_similarity(
     ``max_basket`` s² guard, hash-only shuffles); the top-k pass is
     two bounded windows over the pair table keyed by item.
     """
+    if k is not None and k < 1:
+        raise ValueError("cooccurrence_similarity: k must be >= 1")
     pairs = cooccurrence_pairs(df, group_col, item_col, min_pairs, max_basket)
     scored = pairs.select(
         "item_a",
@@ -141,6 +143,12 @@ def cooccurrence_similarity(
     if k is None:
         return scored
     from pyspark.sql import Window
+
+    # the top-k path references `scored` three times (semi-join left
+    # side + both union branches) — a lazy localCheckpoint bounds the
+    # s² pair generation to ONE execution and GC-releases with the
+    # result (the graph.py reused-frame discipline)
+    scored = scored.localCheckpoint(eager=False)
 
     both = scored.select(
         F.col("item_a").alias("item"), F.col("item_b").alias("partner"),

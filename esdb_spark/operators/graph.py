@@ -37,7 +37,7 @@ Scale design — the same iterative-DataFrame posture as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def pagerank(
@@ -442,21 +442,18 @@ def label_propagation(
             .groupBy("_lp_dst", "label")
             .agg(F.count("*").alias("_lp_c"))
         )
+        # type-generic argmax: row_number over (count desc, label asc)
+        # — a struct-max with a negated label would crash on string ids
+        # under ANSI and order numeric strings numerically (review
+        # finding); the window partition is bounded by the distinct
+        # labels heard per node
+        wr = Window.partitionBy("_lp_dst").orderBy(
+            F.desc("_lp_c"), F.asc("label")
+        )
         updated = (
-            counts.groupBy("_lp_dst")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("_lp_c").alias("c"),
-                        (-F.col("label")).alias("nl"),
-                        F.col("label").alias("label"),
-                    )
-                ).alias("_lp_m")
-            )
-            .select(
-                F.col("_lp_dst").alias("id"),
-                F.col("_lp_m.label").alias("label"),
-            )
+            counts.withColumn("_lp_rn", F.row_number().over(wr))
+            .filter(F.col("_lp_rn") == 1)
+            .select(F.col("_lp_dst").alias("id"), "label")
         )
         labels = updated.unionByName(isolated)
         if (it + 1) % checkpoint_every == 0 or it == iters - 1:

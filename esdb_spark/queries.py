@@ -3249,10 +3249,7 @@ ORDER BY pos
 """
 
 
-def _lpa_oracle_sql(rounds: int) -> str:
-    prev = "l0"
-    body = """
-        WITH fwd AS (
+_UK_EDGES_CTES = """fwd AS (
             SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
                    1000000 + CAST(json_extract_string(props, '$.k')
                                   AS BIGINT) AS dst
@@ -3263,7 +3260,13 @@ def _lpa_oracle_sql(rounds: int) -> str:
             SELECT src, dst FROM fwd
             UNION
             SELECT dst AS src, src AS dst FROM fwd
-        ), l0 AS (
+        )"""
+
+
+def _lpa_oracle_sql(rounds: int) -> str:
+    prev = "l0"
+    body = f"""
+        WITH {_UK_EDGES_CTES}, l0 AS (
             SELECT DISTINCT src AS id, src AS label FROM edges
         )"""
     for t in range(1, rounds + 1):
@@ -3294,19 +3297,8 @@ _PIPELINE_ORACLES = {
     # operator honors by requiring a dangling-free (symmetrized) graph
     # so no second rank-sum pass exists. CASTs pin DuckDB's HUGEINT
     # sums back to BIGINT so the schema matches Spark's.
-    "events_user_graph_pagerank": """
-        WITH RECURSIVE fwd AS (
-            SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
-                   1000000 + CAST(json_extract_string(props, '$.k')
-                                  AS BIGINT) AS dst
-            FROM events
-            WHERE user_id IS NOT NULL
-              AND json_extract_string(props, '$.k') IS NOT NULL
-        ), edges AS (
-            SELECT src, dst FROM fwd
-            UNION
-            SELECT dst AS src, src AS dst FROM fwd
-        ), deg AS (
+    "events_user_graph_pagerank": f"""
+        WITH RECURSIVE {_UK_EDGES_CTES}, deg AS (
             SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
         ), nodes AS (
             SELECT DISTINCT src AS id FROM edges
@@ -4982,6 +4974,26 @@ def doc_pagerank(spark, sf_dir):
     )
 
 
+def _user_key_edges(spark, sf_dir):
+    """Symmetrized user↔prop-key bipartite interaction graph from
+    events ("user touched payload key k"); key nodes offset by 1e6 to
+    keep the id space disjoint. Shared by the PageRank and
+    label-propagation catalog rows — edit HERE, not per query."""
+    ev = load_table(spark, sf_dir, "events")
+    fwd = ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        (
+            F.lit(1_000_000)
+            + F.get_json_object("props", "$.k").cast("long")
+        ).alias("dst"),
+    ).distinct()
+    return fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+
+
 def events_user_graph_pagerank(spark, sf_dir):
     """ORACLE-EXACT PageRank (operators/graph.pagerank_exact): integer
     fixed-point power iteration (scale 1e12, damping 17/20, 10 rounds,
@@ -4994,18 +5006,9 @@ def events_user_graph_pagerank(spark, sf_dir):
     1e6 to keep the id space disjoint."""
     from esdb_spark.operators.graph import pagerank_exact
 
-    ev = load_table(spark, sf_dir, "events")
-    fwd = ev.select(
-        F.col("user_id").cast("long").alias("src"),
-        (
-            F.lit(1_000_000)
-            + F.get_json_object("props", "$.k").cast("long")
-        ).alias("dst"),
-    ).distinct()
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    return pagerank_exact(edges, iters=10).orderBy("id")
+    return pagerank_exact(
+        _user_key_edges(spark, sf_dir), iters=10
+    ).orderBy("id")
 
 
 def user_key_communities(spark, sf_dir):
@@ -5016,18 +5019,9 @@ def user_key_communities(spark, sf_dir):
     oracle replays it row-for-row."""
     from esdb_spark.operators.graph import label_propagation
 
-    ev = load_table(spark, sf_dir, "events")
-    fwd = ev.select(
-        F.col("user_id").cast("long").alias("src"),
-        (
-            F.lit(1_000_000)
-            + F.get_json_object("props", "$.k").cast("long")
-        ).alias("dst"),
-    ).distinct()
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    return label_propagation(edges, iters=4).orderBy("id")
+    return label_propagation(
+        _user_key_edges(spark, sf_dir), iters=4
+    ).orderBy("id")
 
 
 def bpe_token_stats_docs(spark, sf_dir):

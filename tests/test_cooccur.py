@@ -83,14 +83,26 @@ def test_cooccurrence_similarity_cosine_model(spark):
 
 
 def test_cooccurrence_similarity_topk(spark):
+    import pytest as _pt
+
     from esdb_spark.operators.cooccur import cooccurrence_similarity
 
-    # item 1 pairs with 2 (strong) and 3 (weak); k=1 keeps a pair if
-    # EITHER side ranks it top-1 -> (1,3) survives via item 3's list
-    rows = [(g, i) for g in range(5) for i in (1, 2)] + [(9, 1), (9, 3)]
+    # item 1 pairs strongly with 2 and weakly with 3 and 4; items 3,4
+    # pair strongly with each other. k=1: (1,2) survives (both sides'
+    # top-1), (3,4) survives, and the weak (1,3)/(1,4) pairs are
+    # top-1 on NEITHER side -> they must be EXCLUDED (the k filter
+    # must actually filter — review finding)
+    rows = (
+        [(g, i) for g in range(5) for i in (1, 2)]
+        + [(g, i) for g in range(10, 14) for i in (3, 4)]
+        + [(20, 1), (20, 3), (21, 1), (21, 4), (21, 3)]
+    )
     df = spark.createDataFrame(rows, "g int, item int")
     got = {
         (r["item_a"], r["item_b"])
         for r in cooccurrence_similarity(df, "g", "item", k=1).collect()
     }
-    assert (1, 2) in got and (1, 3) in got
+    assert (1, 2) in got and (3, 4) in got
+    assert (1, 3) not in got and (1, 4) not in got
+    with _pt.raises(ValueError):
+        cooccurrence_similarity(df, "g", "item", k=0)
