@@ -145,3 +145,35 @@ def apply_changes(
             ),
         )
     return out.filter(F.col("n_rows") != 0)
+
+
+def changes_between(
+    old: DataFrame, new: DataFrame, op_col: str = "op"
+) -> DataFrame:
+    """Derive the change feed that turns snapshot ``old`` into
+    snapshot ``new`` — the inverse of :func:`apply_changes`, closing
+    the loop when no upstream CDC exists: rows in ``new`` but not
+    ``old`` become inserts, rows in ``old`` but not ``new`` become
+    deletes, with MULTISET semantics (a row appearing 3× then 1×
+    yields 2 deletes), so
+    ``apply_changes(snapshot_aggregate(old), changes_between(old,
+    new)) == snapshot_aggregate(new)`` row-for-row — the composition
+    is pytest-asserted and the catalog row's oracle recomputes it.
+
+    Both inputs must share a schema (unionByName would mask drift;
+    mismatches raise). Implementation is two ``exceptAll``s — Spark
+    plans each as one hash aggregation over (row, side) counts, so the
+    shuffle carries row fingerprints once per side; at 100 TB this is
+    the one full-data pass a snapshot diff fundamentally requires
+    (compare ``versioning.merge_stats`` for the id-keyed variant that
+    can skip bodies).
+    """
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            "changes_between: snapshot schemas differ: "
+            f"{sorted(old.columns)} vs {sorted(new.columns)}"
+        )
+    new_aligned = new.select(*old.columns)
+    inserts = new_aligned.exceptAll(old).withColumn(op_col, F.lit("insert"))
+    deletes = old.exceptAll(new_aligned).withColumn(op_col, F.lit("delete"))
+    return inserts.unionByName(deletes)

@@ -1814,6 +1814,24 @@ def lineitem_incremental_agg(spark, sf_dir):
     ).orderBy(*keys)
 
 
+def lineitem_changefeed(spark, sf_dir):
+    """Snapshot diff → change feed (operators/incremental
+    .changes_between): the multiset EXCEPT-ALL feed that turns the
+    orderkey%10∉{0} slice into the %10∉{1} slice — the upstream half
+    of the incremental-maintenance loop (its composition with
+    apply_changes is pytest-asserted)."""
+    from esdb_spark.operators.incremental import changes_between
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    old = li.filter(F.col("l_orderkey") % 10 != 0)
+    new = li.filter(F.col("l_orderkey") % 10 != 1)
+    return changes_between(old, new).orderBy(
+        "op", "l_orderkey", "l_linenumber"
+    )
+
+
 def orders_profile_drift(spark, sf_dir):
     """Snapshot drift report (operators/profile.profile_drift): even-
     vs odd-keyed halves of orders as 'yesterday vs today' — null-rate
@@ -3651,6 +3669,22 @@ _PIPELINE_ORACLES = {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
+    "lineitem_changefeed": """
+        WITH li AS (
+            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+            FROM lineitem
+        ),
+        old AS (SELECT * FROM li WHERE l_orderkey % 10 != 0),
+        new AS (SELECT * FROM li WHERE l_orderkey % 10 != 1)
+        SELECT *, 'insert' AS op FROM (
+            SELECT * FROM new EXCEPT ALL SELECT * FROM old
+        )
+        UNION ALL
+        SELECT *, 'delete' AS op FROM (
+            SELECT * FROM old EXCEPT ALL SELECT * FROM new
+        )
+        ORDER BY op, l_orderkey, l_linenumber
+    """,
     "orders_profile_drift": """
         WITH po AS (
             SELECT * FROM (
@@ -5437,6 +5471,7 @@ def catalog() -> dict[str, Q]:
         ("event_value_outliers_mad", event_value_outliers_mad),
         ("orders_profile_drift", orders_profile_drift),
         ("lineitem_incremental_agg", lineitem_incremental_agg),
+        ("lineitem_changefeed", lineitem_changefeed),
         ("customer_name_typo_pairs", customer_name_typo_pairs),
         ("parts_bought_together", parts_bought_together),
         ("parts_also_bought", parts_also_bought),

@@ -212,3 +212,49 @@ def test_null_keys_fold_as_one_group(spark):
         for r in apply_changes(state, feed2, ["k"], ["v"]).collect()
     }
     assert got2 == {1: (1, 2)}  # emptied NULL group drops from state
+
+
+def test_changes_between_composes_with_apply_changes(spark):
+    """The closing-the-loop property: diffing two snapshots and
+    folding the diff into the old aggregate state reproduces the new
+    aggregate state exactly."""
+    from esdb_spark.operators.incremental import (
+        apply_changes,
+        changes_between,
+        snapshot_aggregate,
+    )
+
+    old = spark.createDataFrame(
+        [(0, 10), (0, 10), (0, 10), (1, 5), (2, 7)], "k int, v long"
+    )
+    new = spark.createDataFrame(
+        [(0, 10), (1, 5), (1, 6), (3, 9)], "k int, v long"
+    )
+    feed = changes_between(old, new)
+    # multiset: (0,10) 3x -> 1x yields TWO deletes
+    ops = sorted(
+        (r["k"], r["v"], r["op"]) for r in feed.collect()
+    )
+    assert ops.count((0, 10, "delete")) == 2
+    got = {
+        r["k"]: (r["n_rows"], r["sum_v"])
+        for r in apply_changes(
+            snapshot_aggregate(old, ["k"], ["v"]), feed, ["k"], ["v"]
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n_rows"], r["sum_v"])
+        for r in snapshot_aggregate(new, ["k"], ["v"]).collect()
+    }
+    assert got == want
+
+
+def test_changes_between_schema_mismatch_raises(spark):
+    from esdb_spark.operators.incremental import changes_between
+
+    a = spark.createDataFrame([(1, 2)], "k int, v long")
+    b = spark.createDataFrame([(1,)], "k int")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        changes_between(a, b)
