@@ -25,11 +25,13 @@ carries a full value-hash oracle that recomputes from scratch
 re-association (the round-4 float-sum lesson) and are the caller's
 accepted noise.
 
-NOT maintainable here, by construction: min/max/distinct under
-deletes (a deleted extremum forces a rescan of its group — the
-classic non-distributive aggregates). Under an insert-only feed
-min/max ARE foldable; that restricted mode is deliberately out of
-scope until something needs it.
+NOT maintainable under deletes, by construction: min/max/distinct
+(a deleted extremum forces a rescan of its group — the classic
+non-distributive aggregates). Under an INSERT-ONLY feed min/max ARE
+foldable: ``track_minmax=True`` adds ``min_<m>``/``max_<m>`` columns
+to the state, and ``apply_changes`` then REFUSES delete rows at
+execution time (a raise_error arm) rather than silently corrupting
+an extremum.
 
 Deletes must describe rows that exist in the base — this module
 applies arithmetic, it cannot validate membership without reading
@@ -48,17 +50,27 @@ _OPS = ("insert", "delete")
 
 
 def snapshot_aggregate(
-    df: DataFrame, keys: list[str], measures: list[str]
+    df: DataFrame,
+    keys: list[str],
+    measures: list[str],
+    track_minmax: bool = False,
 ) -> DataFrame:
     """Maintainable aggregate state over a base snapshot: one row per
     key combination with ``n_rows`` and ``sum_<m>`` for each measure
-    (NULL measure values contribute 0 to sums, like SQL SUM)."""
+    (NULL measure values contribute 0 to sums, like SQL SUM).
+    ``track_minmax`` adds ``min_<m>``/``max_<m>`` (NULLs ignored, like
+    SQL MIN/MAX) — maintainable only under insert-only feeds, which
+    :func:`apply_changes` then enforces."""
     if not keys:
         raise ValueError("snapshot_aggregate: keys must be non-empty")
     aggs = [F.count("*").cast("long").alias("n_rows")] + [
         F.sum(F.coalesce(F.col(m), F.lit(0))).alias(f"sum_{m}")
         for m in measures
     ]
+    if track_minmax:
+        for m in measures:
+            aggs.append(F.min(m).alias(f"min_{m}"))
+            aggs.append(F.max(m).alias(f"max_{m}"))
     return df.groupBy(*keys).agg(*aggs)
 
 
@@ -69,6 +81,7 @@ def apply_changes(
     measures: list[str],
     op_col: str = "op",
     allow_negative: bool = False,
+    track_minmax: bool = False,
 ) -> DataFrame:
     """Fold a change feed into aggregate state (see module docstring).
 
@@ -85,7 +98,17 @@ def apply_changes(
     """
     sign = (
         F.when(F.col(op_col) == "insert", F.lit(1))
-        .when(F.col(op_col) == "delete", F.lit(-1))
+        .when(
+            F.col(op_col) == "delete",
+            F.raise_error(
+                F.lit(
+                    "apply_changes: delete in a track_minmax feed — "
+                    "min/max are not maintainable under deletes"
+                )
+            ).cast("int")
+            if track_minmax
+            else F.lit(-1),
+        )
         .otherwise(
             F.raise_error(
                 F.concat(
@@ -99,6 +122,10 @@ def apply_changes(
         F.sum(sign * F.coalesce(F.col(m), F.lit(0))).alias(f"_ia_d_{m}")
         for m in measures
     ]
+    if track_minmax:
+        for m in measures:
+            delta_aggs.append(F.min(m).alias(f"_ia_min_{m}"))
+            delta_aggs.append(F.max(m).alias(f"_ia_max_{m}"))
     delta = changes.groupBy(*keys).agg(*delta_aggs)
     # NULL-SAFE key join: groupBy treats NULL as one group, but a plain
     # equi-join never matches NULL=NULL — a NULL-keyed group would
@@ -109,6 +136,11 @@ def apply_changes(
         *[F.col(k).alias(f"_ia_k_{k}") for k in keys],
         "_ia_dn",
         *[f"_ia_d_{m}" for m in measures],
+        *(
+            [c for m in measures for c in (f"_ia_min_{m}", f"_ia_max_{m}")]
+            if track_minmax
+            else []
+        ),
     )
     cond = None
     for k in keys:
@@ -131,6 +163,22 @@ def apply_changes(
             ).alias(f"sum_{m}")
             for m in measures
         ],
+        *(
+            [
+                c
+                for m in measures
+                for c in (
+                    F.least(F.col(f"min_{m}"), F.col(f"_ia_min_{m}")).alias(
+                        f"min_{m}"
+                    ),
+                    F.greatest(
+                        F.col(f"max_{m}"), F.col(f"_ia_max_{m}")
+                    ).alias(f"max_{m}"),
+                )
+            ]
+            if track_minmax
+            else []
+        ),
     )
     if not allow_negative:
         out = out.withColumn(

@@ -570,8 +570,13 @@ def _sweep_state_versions(
         )
 
 
-def read_maintained_aggregate(spark: SparkSession, state_path: str):
-    """Newest state version written by :func:`maintain_aggregate`
-    (None if nothing committed yet)."""
-    # one past the largest possible epoch: pick the newest overall
-    return _newest_state_before(spark, state_path, 1 << 62)
+def read_maintained_aggregate(
+    spark: SparkSession, state_path: str, as_of_epoch: int | None = None
+):
+    """Newest COMMITTED state version written by
+    :func:`maintain_aggregate` (None if nothing committed yet).
+    ``as_of_epoch`` time-travels: the newest committed version with
+    epoch ≤ that id — the same read-at-version contract
+    ``versioning.read_release`` gives corpus releases."""
+    bound = (1 << 62) if as_of_epoch is None else as_of_epoch + 1
+    return _newest_state_before(spark, state_path, bound)

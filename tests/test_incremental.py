@@ -258,3 +258,66 @@ def test_changes_between_schema_mismatch_raises(spark):
 
     with _pt.raises(ValueError):
         changes_between(a, b)
+
+
+def test_track_minmax_insert_only(spark):
+    from esdb_spark.operators.incremental import (
+        apply_changes,
+        snapshot_aggregate,
+    )
+
+    base = spark.createDataFrame(
+        [(0, 5), (0, 9), (1, 3)], "k int, v long"
+    )
+    state = snapshot_aggregate(base, ["k"], ["v"], track_minmax=True)
+    feed = spark.createDataFrame(
+        [(0, 2, "insert"), (1, 8, "insert"), (7, 4, "insert")],
+        "k int, v long, op string",
+    )
+    got = {
+        r["k"]: (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in apply_changes(
+            state, feed, ["k"], ["v"], track_minmax=True
+        ).collect()
+    }
+    edited = spark.createDataFrame(
+        [(0, 5), (0, 9), (1, 3), (0, 2), (1, 8), (7, 4)], "k int, v long"
+    )
+    want = {
+        r["k"]: (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in snapshot_aggregate(
+            edited, ["k"], ["v"], track_minmax=True
+        ).collect()
+    }
+    assert got == want
+    # deletes must be refused, not silently corrupt an extremum
+    bad = spark.createDataFrame(
+        [(0, 9, "delete")], "k int, v long, op string"
+    )
+    with pytest.raises(Exception):
+        apply_changes(state, bad, ["k"], ["v"], track_minmax=True).collect()
+
+
+def test_read_maintained_aggregate_as_of_epoch(spark, tmp_path):
+    import posixpath
+
+    from esdb_spark import fs as _fs
+    from esdb_spark.operators.incremental import snapshot_aggregate
+    from esdb_spark.streaming import _IA_MARKER, read_maintained_aggregate
+
+    state_path = str(tmp_path / "state")
+    for epoch, v in ((0, 10), (3, 20)):
+        out = posixpath.join(state_path, f"state-{epoch:012d}")
+        snapshot_aggregate(
+            spark.createDataFrame([(1, v)], "k int, v long"), ["k"], ["v"]
+        ).write.parquet(out)
+        _fs.touch(spark, posixpath.join(out, _IA_MARKER))
+    assert read_maintained_aggregate(spark, state_path).first()["sum_v"] == 20
+    assert (
+        read_maintained_aggregate(spark, state_path, as_of_epoch=2)
+        .first()["sum_v"]
+        == 10
+    )
+    assert read_maintained_aggregate(
+        spark, state_path, as_of_epoch=3
+    ).first()["sum_v"] == 20
