@@ -96,6 +96,20 @@ def apply_changes(
     |keys|-row state, pure-column addition. The base table is never
     touched; at 100 TB that is the entire value proposition.
     """
+    extrema_cols = [f"{p}_{m}" for m in measures for p in ("min", "max")]
+    present = [c for c in extrema_cols if c in state.columns]
+    if track_minmax and len(present) != len(extrema_cols):
+        raise ValueError(
+            "apply_changes: track_minmax=True but the state lacks "
+            f"{sorted(set(extrema_cols) - set(present))} — build it "
+            "with snapshot_aggregate(track_minmax=True)"
+        )
+    if not track_minmax and present:
+        raise ValueError(
+            f"apply_changes: the state carries extrema columns "
+            f"{present} but track_minmax=False — the fold would "
+            "silently drop them; pass track_minmax=True"
+        )
     sign = (
         F.when(F.col(op_col) == "insert", F.lit(1))
         .when(
@@ -208,20 +222,48 @@ def changes_between(
     new)) == snapshot_aggregate(new)`` row-for-row — the composition
     is pytest-asserted and the catalog row's oracle recomputes it.
 
-    Both inputs must share a schema (unionByName would mask drift;
-    mismatches raise). Implementation is two ``exceptAll``s — Spark
-    plans each as one hash aggregation over (row, side) counts, so the
-    shuffle carries row fingerprints once per side; at 100 TB this is
-    the one full-data pass a snapshot diff fundamentally requires
-    (compare ``versioning.merge_stats`` for the id-keyed variant that
-    can skip bodies).
+    Both inputs must agree column-for-column INCLUDING types (a
+    name-only check would let Spark's set-op coercion silently widen
+    a decimal measure to double, breaking the module's exactness
+    contract), and ``op_col`` must not collide with a data column
+    (it would be overwritten). Implementation is ONE pass over each
+    side: union tagged ±1, one hash aggregation over the row values,
+    then |Σtag| copies emitted per surviving row — the single
+    full-data pass a snapshot diff fundamentally requires (two
+    ``exceptAll``s would scan and shuffle both sides twice; compare
+    ``versioning.merge_stats`` for the id-keyed variant that can skip
+    bodies).
     """
-    if set(old.columns) != set(new.columns):
+    if op_col in old.columns:
         raise ValueError(
-            "changes_between: snapshot schemas differ: "
-            f"{sorted(old.columns)} vs {sorted(new.columns)}"
+            f"changes_between: op_col {op_col!r} collides with a "
+            "snapshot column"
         )
-    new_aligned = new.select(*old.columns)
-    inserts = new_aligned.exceptAll(old).withColumn(op_col, F.lit("insert"))
-    deletes = old.exceptAll(new_aligned).withColumn(op_col, F.lit("delete"))
-    return inserts.unionByName(deletes)
+    if dict(old.dtypes) != dict(new.dtypes) or len(
+        set(old.columns)
+    ) != len(old.columns):
+        raise ValueError(
+            "changes_between: snapshot schemas differ (names AND "
+            f"types must match): {sorted(old.dtypes)} vs "
+            f"{sorted(new.dtypes)}"
+        )
+    cols = old.columns
+    tagged = old.select(*cols, F.lit(-1).alias("_cb_tag")).unionByName(
+        new.select(*cols, F.lit(1).alias("_cb_tag"))
+    )
+    net = (
+        tagged.groupBy(*cols)
+        .agg(F.sum("_cb_tag").cast("long").alias("_cb_c"))
+        .filter(F.col("_cb_c") != 0)
+    )
+    # emit |c| copies per row; the filter above keeps sequence(1, n)
+    # well-formed (sequence(1, 0) steps -1 — the standing lesson)
+    return net.select(
+        *cols,
+        F.when(F.col("_cb_c") > 0, F.lit("insert"))
+        .otherwise(F.lit("delete"))
+        .alias(op_col),
+        F.explode(F.sequence(F.lit(1), F.abs(F.col("_cb_c")))).alias(
+            "_cb_i"
+        ),
+    ).drop("_cb_i")

@@ -461,6 +461,8 @@ def maintain_aggregate(
     checkpoint: str | None = None,
     query_name: str = "maintain_aggregate",
     keep_versions: int = 10,
+    track_minmax: bool = False,
+    allow_negative: bool = False,
 ):
     """Streaming face of :mod:`esdb_spark.operators.incremental`: keep
     a sum/count aggregate continuously maintained from a change-feed
@@ -501,9 +503,13 @@ def maintain_aggregate(
         if prev is None:
             # typed empty state derived from the batch itself
             prev = snapshot_aggregate(
-                batch_df.filter(F.lit(False)), keys, measures
+                batch_df.filter(F.lit(False)), keys, measures,
+                track_minmax=track_minmax,
             )
-        new_state = apply_changes(prev, batch_df, keys, measures, op_col)
+        new_state = apply_changes(
+            prev, batch_df, keys, measures, op_col,
+            allow_negative=allow_negative, track_minmax=track_minmax,
+        )
         out = posixpath.join(state_path, f"state-{epoch_id:012d}")
         new_state.write.mode("overwrite").parquet(out)
         # commit marker AFTER the data: a reader never trusts a

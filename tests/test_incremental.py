@@ -321,3 +321,33 @@ def test_read_maintained_aggregate_as_of_epoch(spark, tmp_path):
     assert read_maintained_aggregate(
         spark, state_path, as_of_epoch=3
     ).first()["sum_v"] == 20
+
+
+def test_state_flag_mismatch_raises_both_ways(spark):
+    from esdb_spark.operators.incremental import (
+        apply_changes,
+        snapshot_aggregate,
+    )
+
+    base = spark.createDataFrame([(0, 5)], "k int, v long")
+    feed = spark.createDataFrame(
+        [(0, 1, "insert")], "k int, v long, op string"
+    )
+    plain = snapshot_aggregate(base, ["k"], ["v"])
+    rich = snapshot_aggregate(base, ["k"], ["v"], track_minmax=True)
+    with pytest.raises(ValueError):
+        apply_changes(rich, feed, ["k"], ["v"])  # would drop extrema
+    with pytest.raises(ValueError):
+        apply_changes(plain, feed, ["k"], ["v"], track_minmax=True)
+
+
+def test_changes_between_guards(spark):
+    from esdb_spark.operators.incremental import changes_between
+
+    a = spark.createDataFrame([(1, 2.0)], "k int, v double")
+    b = spark.createDataFrame([(1, 2)], "k int, v long")  # type drift
+    with pytest.raises(ValueError):
+        changes_between(a, b)
+    c = spark.createDataFrame([(1, "x")], "k int, op string")
+    with pytest.raises(ValueError):
+        changes_between(c, c)  # op_col collision
