@@ -151,15 +151,21 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # key order puts the headline total LAST: the driver's artifact
+    # captures a bounded TAIL of stdout, and the r6 run truncated from
+    # the front — a value printed first survives only in /tmp. With
+    # value/total at the end, even a front-truncated tail still reads
+    # `..., "value": N, "total": N}`.
     print(
         json.dumps(
             {
                 "metric": "esdb_spark headline queries wall-clock",
-                "value": total,
                 "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "queries": timings,
                 "spread": spread,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "value": total,
+                "total": total,
             }
         )
     )

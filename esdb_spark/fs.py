@@ -57,8 +57,17 @@ def touch_exclusive(spark: SparkSession, path: str, content: str) -> None:
     fs, p = _fs_and_path(spark, path)
     try:
         out = fs.create(p, False)
-    except Exception as e:  # Py4J wraps FileAlreadyExistsException
-        if "exists" in str(e).lower():
+    except Exception as e:
+        # classify by the JAVA exception class, not message text: a
+        # permission/parent-path error whose message happens to contain
+        # "exists" must NOT be reported as a racing duplicate writer,
+        # and a differently-phrased already-exists must not slip
+        # through. Py4J exposes the cause as e.java_exception; Hadoop
+        # raises org.apache.hadoop.fs.FileAlreadyExistsException (HDFS,
+        # local) or the java.nio variant depending on scheme.
+        jexc = getattr(e, "java_exception", None)
+        jname = jexc.getClass().getName() if jexc is not None else ""
+        if jname.endswith("FileAlreadyExistsException"):
             raise FileExistsError(
                 f"touch_exclusive: {path} already exists"
             ) from None

@@ -31,6 +31,7 @@ def cooccurrence_pairs(
     item_col: str,
     min_pairs: int = 1,
     max_basket: int | None = None,
+    guard_basket: int | None = None,
 ) -> DataFrame:
     """Pairwise co-occurrence counts with supports and lift.
 
@@ -45,6 +46,17 @@ def cooccurrence_pairs(
     ``max_basket``: drop groups with more distinct items than this
     before pair generation (the s² guard); all counts then describe
     the pruned universe.
+
+    ``guard_basket``: opt-in pre-flight probe mirroring
+    ``linkage.fuzzy_join_trigram(guard_product=...)`` — before
+    building the pair join, compute the exact predicted pair fanout
+    ``Σ s·(s−1)/2`` over surviving baskets (one |groups|-row
+    aggregation, a tiny fraction of the join it predicts) and raise
+    ``ValueError`` naming the worst basket if it exceeds the bound. A
+    single degenerate basket (one group holding 10⁶ items) otherwise
+    detonates silently inside the self-join. Opt-in because it runs an
+    eager Spark job at plan-build time; lazy composition (the
+    driver-gate contract) stays the default.
     """
     basket = df.select(
         F.col(group_col).alias("_co_g"), F.col(item_col).alias("_co_i")
@@ -58,6 +70,31 @@ def cooccurrence_pairs(
             .filter(F.col("_co_sz") <= max_basket)
             .drop("_co_sz")
         )
+    if guard_basket is not None:
+        per_group = basket.groupBy("_co_g").agg(
+            F.count("*").cast("long").alias("_co_s")
+        )
+        # integer arithmetic: s·(s−1) is even, so the div is exact
+        fan = per_group.select(
+            "_co_g",
+            (F.col("_co_s") * (F.col("_co_s") - 1) / F.lit(2))
+            .cast("long")
+            .alias("_co_fan"),
+        )
+        stats = fan.agg(
+            F.sum("_co_fan").alias("total"),
+            F.max_by("_co_g", "_co_fan").alias("worst"),
+            F.max("_co_fan").alias("worst_fan"),
+        ).collect()[0]
+        if stats["total"] is not None and stats["total"] > guard_basket:
+            raise ValueError(
+                f"cooccurrence_pairs: predicted pair fanout "
+                f"{stats['total']} exceeds guard_basket={guard_basket}; "
+                f"worst basket {stats['worst']!r} alone contributes "
+                f"{stats['worst_fan']} pairs — set max_basket to drop "
+                f"oversized baskets (pruned-universe semantics) or "
+                f"raise the guard"
+            )
     totals = basket.agg(
         F.countDistinct("_co_g").cast("long").alias("n_groups")
     )
@@ -107,6 +144,7 @@ def cooccurrence_similarity(
     min_pairs: int = 1,
     max_basket: int | None = None,
     k: int | None = None,
+    guard_basket: int | None = None,
 ) -> DataFrame:
     """Item-item collaborative-filtering similarity on top of
     :func:`cooccurrence_pairs`: cosine over binary basket-membership
@@ -130,7 +168,9 @@ def cooccurrence_similarity(
     """
     if k is not None and k < 1:
         raise ValueError("cooccurrence_similarity: k must be >= 1")
-    pairs = cooccurrence_pairs(df, group_col, item_col, min_pairs, max_basket)
+    pairs = cooccurrence_pairs(
+        df, group_col, item_col, min_pairs, max_basket, guard_basket
+    )
     scored = pairs.select(
         "item_a",
         "item_b",

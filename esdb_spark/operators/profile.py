@@ -19,20 +19,58 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def profile_columns(
-    df: DataFrame, cols: list[str] | None = None, exact: bool = True
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact: bool = True,
+    split_distinct: bool = False,
 ) -> DataFrame:
     """Profile ``cols`` (default: all) → rows of
-    ``(column_name, n_rows, n_nulls, n_distinct)``, sorted by name."""
-    cols = cols or df.columns
+    ``(column_name, n_rows, n_nulls, n_distinct)``, sorted by name.
+
+    An explicit EMPTY list means "profile nothing" (zero rows) — not
+    "all columns"; :func:`profile_drift` relies on that to report a
+    side whose requested columns are all missing as pure schema drift
+    instead of profiling unrequested columns.
+
+    ``split_distinct``: the module-header Expand caveat's escape hatch
+    (same contract as ``expectations.check``). Multiple exact
+    ``countDistinct`` in one aggregation compile to an Expand that
+    replicates every input row once per distinct aggregate; with
+    ``split_distinct=True`` the first column's distinct stays fused
+    with the row/non-null counts and every further column's distinct
+    runs as its own single-distinct pass, the one-row results
+    recombined driver-free via one-row crossJoins. Trade: k extra
+    scans instead of a k× shuffle replication — identical output."""
+    if cols is None:
+        cols = df.columns
     distinct = F.countDistinct if exact else F.approx_count_distinct
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in cols:
+    if not cols:
+        return df.sparkSession.createDataFrame(
+            [],
+            "column_name string, n_rows bigint, "
+            "n_nulls bigint, n_distinct bigint",
+        )
+
+    def qcol(c: str):
         # backtick-quoted references: a column literally named "a.b"
         # must not be parsed as struct-field access
-        qc = F.col(f"`{c}`")
-        aggs.append(F.count(qc).alias(f"__nn_{c}"))  # non-null count
-        aggs.append(distinct(qc).alias(f"__d_{c}"))
-    row = df.agg(*aggs)
+        return F.col(f"`{c}`")
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(F.count(qcol(c)).alias(f"__nn_{c}"))  # non-null count
+    if not (split_distinct and exact and len(cols) > 1):
+        for c in cols:
+            aggs.append(distinct(qcol(c)).alias(f"__d_{c}"))
+        row = df.agg(*aggs)
+    else:
+        # fuse the first distinct with the counts pass; each further
+        # column gets a single-distinct pass (no Expand anywhere), and
+        # the one-row frames recombine with broadcast-able crossJoins
+        aggs.append(distinct(qcol(cols[0])).alias(f"__d_{cols[0]}"))
+        row = df.agg(*aggs)
+        for c in cols[1:]:
+            row = row.crossJoin(df.agg(distinct(qcol(c)).alias(f"__d_{c}")))
     stacked = F.array(
         *[
             F.struct(
@@ -75,22 +113,28 @@ def robust_outliers(
     order statistics don't).
 
     Scale posture: two hash aggregations on the group key (medians
-    need the deviations pass), then one broadcast-sized join of the
-    |groups|-row stats table back onto the data. Spark's ``median`` is
-    an exact sort-based aggregate — at extreme group cardinality swap
-    in ``percentile_approx`` and accept approximate cut-points; the
-    flag semantics are unchanged.
+    need the deviations pass), then joins of the |groups|-row stats
+    table back onto the data. The stats joins carry NO broadcast hint:
+    |groups| is unbounded by anything (per-user outliers over 10⁸
+    users is a legitimate call), and a forced broadcast there is an
+    OOM where AQE — which sees the actual runtime size — broadcasts
+    when small and falls back to a shuffle join when not (the same
+    unforced-is-right lesson ``linkage.py`` documents for its
+    stop-gram set). Spark's ``median`` is an exact sort-based
+    aggregate — at extreme group cardinality swap in
+    ``percentile_approx`` and accept approximate cut-points; the flag
+    semantics are unchanged.
     """
     med = df.groupBy(group_col).agg(
         F.median(value_col).alias("med")
     )
     dev = (
-        df.join(F.broadcast(med), group_col)
+        df.join(med, group_col)
         .withColumn("_ro_dev", F.abs(F.col(value_col) - F.col("med")))
         .groupBy(group_col)
         .agg(F.median("_ro_dev").alias("mad"), F.first("med").alias("med"))
     )
-    out = df.join(F.broadcast(dev), group_col).withColumn(
+    out = df.join(dev, group_col).withColumn(
         "robust_z",
         F.when(
             F.col("mad") != 0.0,
@@ -110,6 +154,7 @@ def profile_drift(
     cols: list[str] | None = None,
     null_rate_jump: float = 0.01,
     distinct_ratio_low: float = 0.5,
+    split_distinct: bool = False,
 ) -> DataFrame:
     """Snapshot-over-snapshot drift report — the check a pipeline runs
     before swapping a refreshed corpus in: did a column's null rate
@@ -135,7 +180,10 @@ def profile_drift(
     # an explicit cols list may name columns one snapshot dropped —
     # that IS schema drift, so profile each side on the columns it
     # actually has and let the full-outer join surface the rest as
-    # flag_missing (profiling a missing column would just crash)
+    # flag_missing (profiling a missing column would just crash). A
+    # side where EVERY requested column is absent profiles as an empty
+    # frame (profile_columns' explicit-[] contract), never "all
+    # columns" — unrequested rows must not leak into the report.
     if cols is not None:
         gone = [c for c in cols if c not in old.columns
                 and c not in new.columns]
@@ -147,13 +195,13 @@ def profile_drift(
         cols_new = [c for c in cols if c in new.columns]
     else:
         cols_old = cols_new = None
-    po = profile_columns(old, cols_old).select(
+    po = profile_columns(old, cols_old, split_distinct=split_distinct).select(
         "column_name",
         F.col("n_rows").alias("old_rows"),
         F.col("n_nulls").alias("old_nulls"),
         F.col("n_distinct").alias("old_distinct"),
     )
-    pn = profile_columns(new, cols_new).select(
+    pn = profile_columns(new, cols_new, split_distinct=split_distinct).select(
         "column_name",
         F.col("n_rows").alias("new_rows"),
         F.col("n_nulls").alias("new_nulls"),

@@ -106,3 +106,28 @@ def test_cooccurrence_similarity_topk(spark):
     assert (1, 3) not in got and (1, 4) not in got
     with _pt.raises(ValueError):
         cooccurrence_similarity(df, "g", "item", k=0)
+
+
+def test_guard_basket_raises_on_degenerate_basket(spark):
+    import pytest as _pt
+
+    from esdb_spark.operators.cooccur import cooccurrence_pairs
+
+    # one 40-item basket predicts 780 pairs; guard at 100 must raise
+    # naming the worst basket BEFORE the self-join runs
+    rows = [(1, i) for i in range(40)] + [(2, 1), (2, 2)]
+    df = spark.createDataFrame(rows, "g int, item int")
+    with _pt.raises(ValueError, match="worst basket 1"):
+        cooccurrence_pairs(df, "g", "item", guard_basket=100)
+    # under the bound: identical output to the unguarded call
+    guarded = cooccurrence_pairs(
+        df, "g", "item", guard_basket=10_000
+    ).collect()
+    plain = cooccurrence_pairs(df, "g", "item").collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, plain))
+    # max_basket prunes FIRST: the degenerate basket drops, so the
+    # guard sees only the surviving fanout and passes
+    pruned = cooccurrence_pairs(
+        df, "g", "item", max_basket=5, guard_basket=100
+    ).collect()
+    assert len(pruned) == 1  # just (1, 2) from basket 2

@@ -162,3 +162,60 @@ def test_profile_drift_explicit_cols_missing_column_flags(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         profile_drift(old, new, cols=["nope"])
+
+
+def test_profile_columns_empty_list_profiles_nothing(spark):
+    # explicit [] means "profile nothing" — NOT "all columns"; drift
+    # relies on this when one side dropped every requested column
+    from esdb_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    out = profile_columns(df, [])
+    assert out.count() == 0
+    assert out.columns == ["column_name", "n_rows", "n_nulls", "n_distinct"]
+
+
+def test_profile_columns_split_distinct_identical_no_expand(spark):
+    from esdb_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "a", None), (None, "b", 2.0)],
+        ["k", "v", "x"],
+    )
+    fused = profile_columns(df).collect()
+    split = profile_columns(df, split_distinct=True).collect()
+    assert fused == split
+    plan = profile_columns(df, split_distinct=True)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Expand" not in plan, plan
+    # the fused 3-distinct plan DOES expand — the hatch is the point
+    fused_plan = profile_columns(df)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Expand" in fused_plan
+
+
+def test_profile_drift_all_requested_cols_missing_one_side(spark):
+    # every requested column absent from `new`: the report must carry
+    # ONLY the requested columns (flag_missing on the gone ones), not
+    # silently profile all of new's columns (ADVICE r6)
+    from esdb_spark.operators.profile import profile_drift
+
+    old = spark.createDataFrame([(1, "a", "x")], "id int, g1 string, g2 string")
+    new = spark.createDataFrame([(1, "other")], "id int, unrelated string")
+    out = {
+        r["column_name"]: r
+        for r in profile_drift(old, new, cols=["g1", "g2"]).collect()
+    }
+    assert set(out) == {"g1", "g2"}
+    assert out["g1"]["flag_missing"] and out["g2"]["flag_missing"]
+    assert out["g1"]["new_rows"] is None
+
+
+def test_profile_drift_split_distinct_identical(spark):
+    from esdb_spark.operators.profile import profile_drift
+
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    new = spark.createDataFrame([(1, "a"), (2, None)], "id int, v string")
+    a = profile_drift(old, new).collect()
+    b = profile_drift(old, new, split_distinct=True).collect()
+    assert a == b
