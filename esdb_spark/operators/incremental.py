@@ -31,7 +31,16 @@ non-distributive aggregates). Under an INSERT-ONLY feed min/max ARE
 foldable: ``track_minmax=True`` adds ``min_<m>``/``max_<m>`` columns
 to the state, and ``apply_changes`` then REFUSES delete rows at
 execution time (a raise_error arm) rather than silently corrupting
-an extremum.
+an extremum. Distinct counts get the same insert-only treatment via
+``track_distinct=[cols]``: the state carries one mergeable HLL
+sketch (``hll_<c>``, binary) per tracked column — sketch state is
+the ONLY way a distinct count folds without re-reading the base
+(exact distinct state would be the base itself) — folded with
+``hll_union`` per feed batch and read through
+:func:`distinct_estimates`. Small cardinalities stay exact (the
+sketch's sparse mode stores raw coupons); large ones carry the
+standard ~2% HLL error, which is the accepted price of
+maintainability at 100 TB.
 
 Deletes must describe rows that exist in the base — this module
 applies arithmetic, it cannot validate membership without reading
@@ -54,13 +63,17 @@ def snapshot_aggregate(
     keys: list[str],
     measures: list[str],
     track_minmax: bool = False,
+    track_distinct: list[str] | None = None,
 ) -> DataFrame:
     """Maintainable aggregate state over a base snapshot: one row per
     key combination with ``n_rows`` and ``sum_<m>`` for each measure
     (NULL measure values contribute 0 to sums, like SQL SUM).
     ``track_minmax`` adds ``min_<m>``/``max_<m>`` (NULLs ignored, like
     SQL MIN/MAX) — maintainable only under insert-only feeds, which
-    :func:`apply_changes` then enforces."""
+    :func:`apply_changes` then enforces. ``track_distinct`` adds one
+    mergeable HLL sketch column ``hll_<c>`` (binary, NULLs ignored
+    like COUNT(DISTINCT)) per listed column — same insert-only
+    contract; read the estimates with :func:`distinct_estimates`."""
     if not keys:
         raise ValueError("snapshot_aggregate: keys must be non-empty")
     aggs = [F.count("*").cast("long").alias("n_rows")] + [
@@ -71,7 +84,33 @@ def snapshot_aggregate(
         for m in measures:
             aggs.append(F.min(m).alias(f"min_{m}"))
             aggs.append(F.max(m).alias(f"max_{m}"))
+    for c in track_distinct or []:
+        aggs.append(F.hll_sketch_agg(c).alias(f"hll_{c}"))
     return df.groupBy(*keys).agg(*aggs)
+
+
+def distinct_estimates(
+    state: DataFrame, cols: list[str], drop_sketches: bool = True
+) -> DataFrame:
+    """Read ``ndv_<c>`` distinct-count estimates off the ``hll_<c>``
+    sketch columns a ``track_distinct`` state carries (a group whose
+    tracked column was all-NULL estimates 0, like COUNT(DISTINCT)).
+    Estimates are exact while the sketch is in sparse mode (small
+    per-group cardinality) and ~2%-accurate beyond."""
+    out = state
+    for c in cols:
+        if f"hll_{c}" not in state.columns:
+            raise ValueError(
+                f"distinct_estimates: state lacks hll_{c} — build it "
+                "with snapshot_aggregate(track_distinct=[...])"
+            )
+        out = out.withColumn(
+            f"ndv_{c}",
+            F.coalesce(
+                F.hll_sketch_estimate(F.col(f"hll_{c}")), F.lit(0)
+            ).cast("long"),
+        )
+    return out.drop(*[f"hll_{c}" for c in cols]) if drop_sketches else out
 
 
 def apply_changes(

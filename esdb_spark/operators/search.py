@@ -88,7 +88,16 @@ def build_inverted_index(
     if max_postings is None:
         return idx.withColumn("truncated", F.lit(False))
     # keep the top-tf entries: re-sort a copy by (-tf, doc) via a
-    # struct sort, slice, then restore doc order
+    # struct sort, slice, then restore doc order (shared with the
+    # incremental-update re-cap)
+    return _cap_postings(idx, max_postings)
+
+
+def _cap_postings(idx: DataFrame, max_postings: int) -> DataFrame:
+    """Re-cap posting lists at the ``max_postings`` highest-tf docs
+    (ties to smallest doc id), flag ``truncated``, leave doc_freq /
+    term_freq exact — the shared tail of :func:`build_inverted_index`
+    and :func:`update_inverted_index`."""
     by_tf = F.sort_array(
         F.transform(
             F.col("postings"),
@@ -110,6 +119,199 @@ def build_inverted_index(
             )
         ).alias("postings"),
         (F.col("doc_freq") > max_postings).alias("truncated"),
+    )
+
+
+def update_inverted_index(
+    index: DataFrame,
+    docs_new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Extend an inverted index with APPENDED documents without
+    re-tokenizing the existing corpus — the reference's own
+    append-without-rebuild contract (stream/open_stream.go:52-105
+    extends index tails in place; close compacts,
+    open_stream.go:146-201) applied to the text index: a release that
+    appends 1% of documents must tokenize 1%, not 100%.
+
+    EXACT by construction: ``update_inverted_index(
+    build_inverted_index(old), new) == build_inverted_index(old ∪
+    new)`` value-for-value (the catalog row's oracle asserts exactly
+    this). Counts add; posting arrays merge with one sort; capped
+    indexes stay exact because every entry the cap dropped ranks
+    strictly below every kept one under (-tf, doc id), so the true
+    top-k of the grown list is the top-k of (kept ∪ delta) — pass the
+    SAME ``max_postings`` the index was built with (None for uncapped
+    builds; merging a truncated row without it raises at execution
+    time rather than silently shipping a stale cap).
+
+    ``docs_new`` must be genuinely new doc ids (an append, not an
+    upsert — re-ingesting an indexed doc would double-count its
+    postings). Tokens shared between the index and the delta are
+    guarded at execution time: an overlapping doc id raises. A
+    re-ingested doc NONE of whose tokens were previously indexed is
+    undetectable without a full posting scan — that is the delete
+    face's job (:func:`delete_from_inverted_index` first, then
+    update).
+
+    Scale posture: tokenize/shuffle the DELTA only; the existing
+    index joins by token (full-outer), so the per-token work is
+    bounded by the delta's vocabulary and the untouched tokens stream
+    through unchanged. Nothing about the base corpus is read.
+    """
+    delta = build_inverted_index(docs_new, text_col, id_col).select(
+        "token",
+        F.col("doc_freq").alias("_ui_df"),
+        F.col("term_freq").alias("_ui_tf"),
+        F.col("postings").alias("_ui_post"),
+    )
+    j = index.join(delta, "token", "full_outer")
+    both = F.col("postings").isNotNull() & F.col("_ui_post").isNotNull()
+    # appended docs must be NEW: on shared tokens, a doc id present on
+    # both sides means the caller re-ingested an indexed document
+    overlap = F.arrays_overlap(
+        F.transform(F.col("postings"), lambda p: p["doc"]),
+        F.transform(F.col("_ui_post"), lambda p: p["doc"]),
+    )
+    guarded = F.when(
+        both & overlap,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "update_inverted_index: delta re-ingests a doc "
+                    "already indexed under token: "
+                ),
+                F.col("token"),
+            )
+        ).cast(index.schema["postings"].dataType),
+    ).otherwise(F.col("postings"))
+    # a truncated row can only merge exactly under the build-time cap
+    trunc_ok = (
+        F.lit(True)
+        if max_postings is not None
+        else F.when(
+            F.coalesce(F.col("truncated"), F.lit(False)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "update_inverted_index: truncated posting list "
+                        "(built with max_postings) — pass the same "
+                        "max_postings to re-cap; token: "
+                    ),
+                    F.col("token"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    merged = j.filter(trunc_ok).select(
+        "token",
+        (
+            F.coalesce(F.col("doc_freq"), F.lit(0))
+            + F.coalesce(F.col("_ui_df"), F.lit(0))
+        ).cast("long").alias("doc_freq"),
+        (
+            F.coalesce(F.col("term_freq"), F.lit(0))
+            + F.coalesce(F.col("_ui_tf"), F.lit(0))
+        ).cast("long").alias("term_freq"),
+        F.when(both, F.sort_array(F.concat(guarded, F.col("_ui_post"))))
+        .otherwise(F.coalesce(guarded, F.col("_ui_post")))
+        .alias("postings"),
+    )
+    if max_postings is None:
+        return merged.withColumn("truncated", F.lit(False))
+    return _cap_postings(merged, max_postings)
+
+
+def delete_from_inverted_index(
+    index: DataFrame,
+    docs_removed: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove documents from an inverted index without a rebuild —
+    the compaction face of :func:`update_inverted_index` (the
+    reference's close-compacts contract, stream/open_stream.go:146-201).
+
+    ``docs_removed`` carries the SAME text the documents were indexed
+    with (tokenization is deterministic, so the removed postings are
+    recomputable from it). EXACT: ``delete_from_inverted_index(
+    build(all), removed) == build(all − removed)``; integrity is
+    enforced at execution time — after filtering, every touched row's
+    posting-list length must equal its decremented doc_freq, so
+    deleting a document the index never had (or had with different
+    text) raises instead of silently corrupting counts. Truncated
+    rows raise: the cap dropped entries nobody can subtract from.
+    Tokens whose doc_freq reaches zero drop from the index.
+
+    Scale posture: tokenize/shuffle the REMOVED batch only; untouched
+    tokens stream through a left join unchanged; per-token array
+    filtering is bounded by that token's posting length.
+    """
+    delta = build_inverted_index(docs_removed, text_col, id_col).select(
+        "token",
+        F.col("doc_freq").alias("_di_df"),
+        F.col("term_freq").alias("_di_tf"),
+        F.transform(F.col("postings"), lambda p: p["doc"]).alias("_di_docs"),
+    )
+    j = index.join(delta, "token", "left")
+    touched = F.col("_di_docs").isNotNull()
+    not_trunc = F.when(
+        touched & F.col("truncated"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "delete_from_inverted_index: truncated posting list "
+                    "cannot be maintained under deletes; token: "
+                ),
+                F.col("token"),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    filtered = F.filter(
+        F.col("postings"),
+        lambda p: ~F.array_contains(F.col("_di_docs"), p["doc"]),
+    )
+    # tf actually removed — must equal the delete batch's term_freq,
+    # or the "same text" premise is violated (same tokens, new counts)
+    removed_tf = F.aggregate(
+        F.filter(
+            F.col("postings"),
+            lambda p: F.array_contains(F.col("_di_docs"), p["doc"]),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + p["tf"],
+    )
+    new_df = (F.col("doc_freq") - F.coalesce(F.col("_di_df"), F.lit(0))).cast(
+        "long"
+    )
+    checked = F.when(
+        touched
+        & ((F.size(filtered) != new_df) | (removed_tf != F.col("_di_tf"))),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "delete_from_inverted_index: removed docs do not "
+                    "match indexed postings (deleting a doc the index "
+                    "never had, or with different text); token: "
+                ),
+                F.col("token"),
+            )
+        ).cast(index.schema["postings"].dataType),
+    ).otherwise(F.when(touched, filtered).otherwise(F.col("postings")))
+    return (
+        j.filter(not_trunc)
+        .select(
+            "token",
+            new_df.alias("doc_freq"),
+            (
+                F.col("term_freq") - F.coalesce(F.col("_di_tf"), F.lit(0))
+            ).cast("long").alias("term_freq"),
+            checked.alias("postings"),
+            F.col("truncated"),
+        )
+        .filter(F.col("doc_freq") > 0)
     )
 
 
@@ -224,7 +426,13 @@ def bm25_search(
         F.col(id_col).alias("_bm_id"), tokens(text_col).alias("_bm_toks")
     ).select(
         "_bm_id",
-        F.size("_bm_toks").cast("double").alias("_bm_dl"),
+        # NULL text → NULL token array → size() is NULL: coalesce to 0
+        # so the document counts toward N AND contributes a zero length
+        # to avgdl's numerator, same as an empty-string doc — without
+        # it, NULL-text docs inflate N while silently skipping the
+        # total, biasing avgdl low
+        F.coalesce(F.size("_bm_toks"), F.lit(0)).cast("double")
+        .alias("_bm_dl"),
         "_bm_toks",
     )
     # corpus stats BEFORE the explode: a token-less document still

@@ -662,6 +662,135 @@ def ann_topk_pq(
     )
 
 
+def mips_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k maximum-inner-product retrieval over int8-QUANTIZED
+    vectors — the score-on-codes path every vector store serves from
+    once embeddings are stored quantized (``quantize.quantize_int8``).
+
+    Both sides quantize with the engine-portable int8 codec (scale =
+    max|x|/127, code = sign(v)·floor(|v|+0.5) with v = x/scale — floor
+    and single IEEE divisions are bit-identical across engines), the
+    match score is the integer code dot product (int64, EXACT — 64
+    dims × 127² ≈ 2²⁰, nowhere near overflow), and the ranking key is
+    ``score = corpus_scale × dot`` — the reconstructed inner product
+    with the query's scale dropped (constant per query, so
+    rank-invariant) — which is ONE IEEE multiplication of two
+    engine-exact values. Every quantity is therefore engine-portable:
+    unlike float-cosine ranking, near-ties can never rank-flip in the
+    last ulp between engines, which is what lets hybrid-retrieval
+    catalog rows built on this leg carry full value-hash oracles
+    (ADVICE r6 on ``docs_hybrid_rrf``).
+
+    Returns (query_id, id, dot, score, rank) — rank 1-based by (score
+    desc, id asc), self-matches (same id) excluded, NULL vectors
+    dropped, zero vectors score 0 against everything.
+
+    Scale posture (same contract as :func:`cosine_topk`): queries
+    broadcast, the corpus — the 100 TB side — never shuffles; scoring
+    is one exact int64 matmul per Arrow batch with per-batch top-k
+    pruning (boundary ties kept) before the |queries|·k-row window.
+    """
+    query_id_col = query_id_col or id_col
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    def _quantize(m: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+        # mirrors quantize.quantize_int8 bit-for-bit: per-op IEEE
+        # float64 arithmetic, so the codes match the column-expression
+        # codec (and the DuckDB replay) exactly
+        scale = np.abs(m).max(axis=1) / 127.0
+        v = np.divide(
+            m, scale[:, None], out=np.zeros_like(m), where=scale[:, None] > 0
+        )
+        return np.sign(v) * np.floor(np.abs(v) + 0.5), scale
+
+    q_pd = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("vec")
+        )
+        .filter(F.col("vec").isNotNull())
+        .toPandas()
+    )
+    q_ids = q_pd["query_id"].to_numpy()
+    qm = (
+        np.array(q_pd["vec"].tolist(), dtype=np.float64)
+        if len(q_pd)
+        else np.zeros((0, 1))
+    )
+    q_codes, _ = _quantize(qm) if len(q_pd) else (qm, qm)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (q_ids, q_codes.astype(np.int64).T if len(q_pd) else q_codes)
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", queries.schema[query_id_col].dataType),
+            StructField("id", corpus.schema[id_col].dataType),
+            StructField("dot", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):
+        q_ids, q_t = bc.value
+        if len(q_ids) == 0:
+            return
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            m = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            codes, scales = _quantize(m)
+            dots = codes.astype(np.int64) @ q_t  # exact integer matmul
+            # one IEEE multiply per pair: int64→float64 conversion is
+            # exact here (|dot| ≤ dims·127² ≪ 2⁵³)
+            scores = scales[:, None] * dots.astype(np.float64)
+            for j, qid in enumerate(q_ids):
+                col_s, col_d = scores[:, j], dots[:, j]
+                cand = np.nonzero(ids != qid)[0]  # no self-matches
+                if len(cand) == 0:
+                    continue
+                if len(cand) > k:
+                    kth = np.partition(col_s[cand], len(cand) - k)[
+                        len(cand) - k
+                    ]
+                    cand = cand[col_s[cand] >= kth]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "id": ids[cand],
+                        "dot": col_d[cand],
+                        "score": col_s[cand],
+                    }
+                )
+
+    cand = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .filter(F.col("vec").isNotNull())
+        .mapInPandas(score_batches, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def hard_negatives(
     corpus: DataFrame,
     anchors: DataFrame,

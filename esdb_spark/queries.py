@@ -1965,6 +1965,73 @@ def docs_inverted_index(spark, sf_dir):
     ).orderBy("token")
 
 
+def docs_inverted_index_updated(spark, sf_dir):
+    """Incremental index maintenance, the UPDATE face (operators/
+    search.update_inverted_index): build the inverted index over the
+    90% of documents with doc_id % 10 != 0, then fold the remaining
+    10% in WITHOUT re-tokenizing the base — the reference's
+    append-without-rebuild contract (stream/open_stream.go:52-105)
+    for the text index. The oracle rebuilds from the FULL corpus, so
+    the gate asserts update(build(old), delta) == build(all)
+    value-hash-exact. Same probe-vocabulary projection as
+    docs_inverted_index."""
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        update_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = update_inverted_index(
+        build_inverted_index(old, "text", "doc_id"), delta, "text", "doc_id"
+    ).filter(F.col("token").isin(["spark", "window", "sort", "batch"]))
+    return idx.select(
+        "token",
+        "doc_freq",
+        "term_freq",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("postings"),
+                lambda p: F.concat_ws(":", p["doc"], p["tf"]),
+            ),
+        ).alias("postings_str"),
+    ).orderBy("token")
+
+
+def docs_inverted_index_deleted(spark, sf_dir):
+    """Incremental index maintenance, the DELETE face (operators/
+    search.delete_from_inverted_index): build the full index, then
+    subtract the doc_id % 10 == 0 documents' postings — the
+    close-compacts contract (stream/open_stream.go:146-201). The
+    oracle rebuilds from the surviving 90%, so the row asserts
+    delete(build(all), removed) == build(all − removed)
+    value-hash-exact."""
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        delete_from_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    removed = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = delete_from_inverted_index(
+        build_inverted_index(docs, "text", "doc_id"), removed, "text", "doc_id"
+    ).filter(F.col("token").isin(["spark", "window", "sort", "batch"]))
+    return idx.select(
+        "token",
+        "doc_freq",
+        "term_freq",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("postings"),
+                lambda p: F.concat_ws(":", p["doc"], p["tf"]),
+            ),
+        ).alias("postings_str"),
+    ).orderBy("token")
+
+
 def docs_bm25_topk(spark, sf_dir):
     """BM25-ranked retrieval (operators/search.bm25_search): top-20
     documents for {spark, hash, merge} under Okapi BM25 with Lucene
@@ -1982,11 +2049,41 @@ def docs_bm25_topk(spark, sf_dir):
 def docs_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval (operators/search.rrf_fuse): reciprocal-rank
     fusion of a keyword ranking (top-50 boolean AND search for
-    {spark, hash, merge}) and a vector ranking (top-50 cosine
-    neighbours of embedding 0) — the RAG-stack staple. Both input
-    rankings are totally ordered (integer scores / rank-only cosine
-    with id tiebreaks), and with exactly two lists the RRF sum is two
-    IEEE terms, so the fused score carries a full value-hash oracle."""
+    {spark, hash, merge}) and a vector ranking (top-50 quantized
+    max-inner-product neighbours of embedding 0 via
+    similarity.mips_topk_int8) — the RAG-stack staple. EVERY quantity
+    is engine-exact: integer keyword scores, int8 codes + integer code
+    dots ranked by one IEEE multiply (so near-ties can never
+    rank-flip between engines — the r6 ADVICE on the float-cosine
+    leg), and with exactly two lists the RRF sum is two IEEE terms —
+    so the fused score carries a full value-hash oracle by
+    construction, not by luck. The float-cosine flavour stays
+    catalogued rows-only as docs_hybrid_rrf_cosine."""
+    from esdb_spark.operators.search import keyword_search, rrf_fuse, with_rank
+    from esdb_spark.operators.similarity import mips_topk_int8
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = with_rank(
+        keyword_search(docs, ["spark", "hash", "merge"], "text", "doc_id", k=50),
+        [F.desc("score"), F.asc("doc_id")],
+    )
+    vec = (
+        mips_topk_int8(
+            emb, emb.filter(F.col("vec_id") == 0), "embedding", "vec_id", k=50
+        )
+        .select(F.col("id").alias("doc_id"), F.col("rank").cast("long"))
+    )
+    return rrf_fuse([kw, vec], "doc_id", k=20, c=60)
+
+
+def docs_hybrid_rrf_cosine(spark, sf_dir):
+    """The float-cosine flavour of hybrid retrieval: same keyword leg,
+    vector leg ranked by exact float64 cosine (similarity.cosine_topk).
+    Rows-only: cosine ranks come from different expression orders in
+    the two engines (numpy normalized GEMM vs any SQL replay), so
+    near-tie documents can rank-flip in the last ulp — the quantized
+    docs_hybrid_rrf row is the value-hashed face of this query."""
     from esdb_spark.operators.search import keyword_search, rrf_fuse, with_rank
     from esdb_spark.operators.similarity import cosine_topk
 
@@ -3925,6 +4022,41 @@ _PIPELINE_ORACLES = {
                    AS postings_str
         FROM pd GROUP BY token ORDER BY token
     """,
+    # the update face's oracle REBUILDS from the full corpus — the
+    # gate row therefore asserts update(build(90%), 10%) == build(all)
+    "docs_inverted_index_updated": f"""
+        WITH ex AS (
+          SELECT doc_id AS doc, unnest({_TOK}) AS token FROM documents
+        ),
+        pd AS (
+          SELECT token, doc, count(*) AS tf FROM ex
+          WHERE token IN ('spark', 'window', 'sort', 'batch')
+          GROUP BY token, doc
+        )
+        SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+               CAST(sum(tf) AS BIGINT) AS term_freq,
+               string_agg(doc || ':' || tf, ',' ORDER BY doc)
+                   AS postings_str
+        FROM pd GROUP BY token ORDER BY token
+    """,
+    # the delete face's oracle rebuilds from the SURVIVORS —
+    # delete(build(all), removed) == build(all − removed)
+    "docs_inverted_index_deleted": f"""
+        WITH ex AS (
+          SELECT doc_id AS doc, unnest({_TOK}) AS token FROM documents
+          WHERE doc_id % 10 != 0
+        ),
+        pd AS (
+          SELECT token, doc, count(*) AS tf FROM ex
+          WHERE token IN ('spark', 'window', 'sort', 'batch')
+          GROUP BY token, doc
+        )
+        SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+               CAST(sum(tf) AS BIGINT) AS term_freq,
+               string_agg(doc || ':' || tf, ',' ORDER BY doc)
+                   AS postings_str
+        FROM pd GROUP BY token ORDER BY token
+    """,
     "docs_hybrid_rrf": f"""
         WITH ex AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
         m AS (SELECT doc_id, token FROM ex
@@ -3938,14 +4070,38 @@ _PIPELINE_ORACLES = {
                    ORDER BY score DESC, doc_id ASC) AS rk
           FROM kw QUALIFY rk <= 50
         ),
+        -- vector leg: int8-quantized max-inner-product (mirrors
+        -- similarity.mips_topk_int8 / quantize.quantize_int8 bit-for-
+        -- bit: scale = max|x|/127, code = sign(v)*floor(|v|+0.5) with
+        -- v = x/scale, rank key = corpus_scale * integer code dot)
+        emq AS (
+          SELECT vec_id,
+                 coalesce(list_max(list_transform(
+                     embedding, x -> abs(CAST(x AS DOUBLE))
+                 )), 0.0) / 127.0 AS s,
+                 embedding
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        emc AS (
+          SELECT vec_id, s,
+                 CASE WHEN s > 0 THEN
+                     list_transform(embedding, x -> CAST(
+                         sign(CAST(x AS DOUBLE) / s)
+                         * floor(abs(CAST(x AS DOUBLE) / s) + 0.5)
+                     AS BIGINT))
+                 ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+                 END AS code
+          FROM emq
+        ),
         vr AS (
           SELECT doc_id, rk FROM (
             SELECT c.vec_id AS doc_id, row_number() OVER (
-                     ORDER BY list_cosine_similarity(
-                         c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                     ORDER BY c.s * CAST(list_sum(list_transform(
+                         list_zip(c.code, q.code), p -> p[1] * p[2]
+                     )) AS DOUBLE) DESC,
                      c.vec_id ASC) AS rk
-            FROM embeddings c
-            JOIN embeddings q ON q.vec_id = 0 AND c.vec_id != q.vec_id
+            FROM emc c
+            JOIN emc q ON q.vec_id = 0 AND c.vec_id != q.vec_id
           ) WHERE rk <= 50
         )
         SELECT doc_id,
@@ -5320,7 +5476,14 @@ _GATE_WINDOW = [
     # slot carries the new data-quality-gate family)
     "documents_expectations",
     "doc_redact_pii",
-    "doc_winnow_fingerprints",
+    # (round 7: doc_winnow_fingerprints demoted — winnowing shares the
+    # fingerprint/near-dup family with doc_dup_clusters and
+    # dedup_minhash_portable_docs and stays catalogued + locally
+    # oracle-verified; its slot certifies the new incremental
+    # inverted-index maintenance family, whose oracle REBUILDS from
+    # the full corpus so the gate asserts update(build(90%), 10%) ==
+    # build(all) value-hash-exact — the r6 verdict's #1 ask)
+    "docs_inverted_index_updated",
     # LLM-pipeline: decontamination / packing / mixture / mining (new
     # families; doc_fingerprint, doc_language_guess,
     # doc_repetition_stats, doc_domain_counts, doc_top_terms stay
@@ -5479,6 +5642,8 @@ def catalog() -> dict[str, Q]:
         ("docs_hybrid_rrf", docs_hybrid_rrf),
         ("docs_phrase_search", docs_phrase_search),
         ("docs_inverted_index", docs_inverted_index),
+        ("docs_inverted_index_updated", docs_inverted_index_updated),
+        ("docs_inverted_index_deleted", docs_inverted_index_deleted),
         ("doc_duplicate_spans", doc_duplicate_spans),
         ("doc_remove_dup_spans", doc_remove_dup_spans),
         ("doc_strip_html", doc_strip_html),
@@ -5562,6 +5727,10 @@ def catalog() -> dict[str, Q]:
         # docs_keyword_search is the oracle-certified integer twin and
         # tests/test_search.py pins the scores to a Python model
         ("docs_bm25_topk", docs_bm25_topk),
+        # float-cosine hybrid: vector ranks can flip in the last ulp
+        # between engines (r6 ADVICE); the quantized-MIPS
+        # docs_hybrid_rrf gate row is the value-hashed face
+        ("docs_hybrid_rrf_cosine", docs_hybrid_rrf_cosine),
         # PCA eigendecomposition floats re-associate across partitions;
         # numpy-cross-validated in test_reduce.py
         ("embedding_pca_docs", embedding_pca_docs),

@@ -238,3 +238,162 @@ def test_keyword_search_indexed_rejects_truncated(spark, corpus):
     capped = build_inverted_index(corpus, max_postings=1)
     with pytest.raises(Exception):
         keyword_search_indexed(capped, ["spark"]).collect()
+
+
+def test_bm25_null_text_counts_as_zero_length(spark):
+    # a NULL-text doc must count toward N with doc length 0 — exactly
+    # like an empty-string doc — not inflate N while skipping avgdl's
+    # numerator (ADVICE r6: size(NULL) is NULL, biasing avgdl low)
+    from esdb_spark.operators.search import bm25_search
+
+    base = [
+        (1, "spark joins tables"),
+        (2, "spark spark streaming"),
+        (3, "unrelated words here"),
+    ]
+    with_null = spark.createDataFrame(
+        base + [(4, None)], "doc_id int, text string"
+    )
+    with_empty = spark.createDataFrame(
+        base + [(4, "")], "doc_id int, text string"
+    )
+    got_null = [tuple(r) for r in bm25_search(with_null, ["spark"]).collect()]
+    got_empty = [tuple(r) for r in bm25_search(with_empty, ["spark"]).collect()]
+    assert got_null == got_empty and got_null
+    model = _bm25_model(base + [(4, "")], ["spark"])
+    for doc_id, matched, score in got_null:
+        assert (matched, score) == model[doc_id]
+
+
+# ---------------------------------------------------------------------------
+# Incremental inverted-index maintenance (round 7)
+# ---------------------------------------------------------------------------
+
+
+def _idx_rows(df):
+    return sorted(
+        (
+            r["token"],
+            r["doc_freq"],
+            r["term_freq"],
+            tuple((p["doc"], p["tf"]) for p in r["postings"]),
+            r["truncated"],
+        )
+        for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def grown_corpus(spark):
+    base = [
+        (1, "spark joins tables fast"),
+        (2, "spark spark shuffle"),
+        (3, "tables and tables of data"),
+        (4, "sort merge join"),
+    ]
+    delta = [
+        (5, "spark sort spark sort sort"),
+        (6, "brand new tokens only"),
+        (7, "tables tables tables"),
+    ]
+    old = spark.createDataFrame(base, "doc_id int, text string")
+    new = spark.createDataFrame(delta, "doc_id int, text string")
+    full = spark.createDataFrame(base + delta, "doc_id int, text string")
+    return old, new, full
+
+
+def test_update_inverted_index_equals_rebuild(spark, grown_corpus):
+    from esdb_spark.operators.search import update_inverted_index
+
+    old, new, full = grown_corpus
+    updated = update_inverted_index(build_inverted_index(old), new)
+    assert _idx_rows(updated) == _idx_rows(build_inverted_index(full))
+
+
+def test_update_inverted_index_capped_equals_capped_rebuild(
+    spark, grown_corpus
+):
+    from esdb_spark.operators.search import update_inverted_index
+
+    old, new, full = grown_corpus
+    updated = update_inverted_index(
+        build_inverted_index(old, max_postings=2), new, max_postings=2
+    )
+    assert _idx_rows(updated) == _idx_rows(
+        build_inverted_index(full, max_postings=2)
+    )
+
+
+def test_update_inverted_index_rejects_reingested_doc(spark, grown_corpus):
+    from esdb_spark.operators.search import update_inverted_index
+
+    old, _, _ = grown_corpus
+    dup = spark.createDataFrame(
+        [(2, "spark again")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="re-ingests"):
+        update_inverted_index(build_inverted_index(old), dup).collect()
+
+
+def test_update_inverted_index_truncated_needs_cap(spark, grown_corpus):
+    from esdb_spark.operators.search import update_inverted_index
+
+    old, new, _ = grown_corpus
+    capped = build_inverted_index(old, max_postings=1)
+    with pytest.raises(Exception, match="truncated"):
+        update_inverted_index(capped, new).collect()
+
+
+def test_delete_from_inverted_index_equals_rebuild(spark, grown_corpus):
+    from esdb_spark.operators.search import delete_from_inverted_index
+
+    old, new, full = grown_corpus
+    # delete the delta back out of the full index -> the old index
+    pruned = delete_from_inverted_index(build_inverted_index(full), new)
+    assert _idx_rows(pruned) == _idx_rows(build_inverted_index(old))
+
+
+def test_delete_from_inverted_index_integrity_raises(spark, grown_corpus):
+    from esdb_spark.operators.search import delete_from_inverted_index
+
+    old, _, full = grown_corpus
+    idx = build_inverted_index(full)
+    # a doc the index never had (id 99 shares token 'spark')
+    ghost = spark.createDataFrame(
+        [(99, "spark ghost")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="do not match"):
+        delete_from_inverted_index(idx, ghost).collect()
+    # same doc id, different text (tf drift on shared token 'spark')
+    drift = spark.createDataFrame(
+        [(2, "spark shuffle")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="do not match"):
+        delete_from_inverted_index(idx, drift).collect()
+    # truncated rows cannot be maintained under deletes
+    capped = build_inverted_index(full, max_postings=1)
+    victim = spark.createDataFrame(
+        [(2, "spark spark shuffle")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="truncated"):
+        delete_from_inverted_index(capped, victim).collect()
+
+
+def test_updated_index_serves_search_parity(spark, grown_corpus):
+    from esdb_spark.operators.search import (
+        keyword_search_indexed,
+        update_inverted_index,
+    )
+
+    old, new, full = grown_corpus
+    updated = update_inverted_index(build_inverted_index(old), new)
+    terms = ["spark", "tables"]
+    served = keyword_search_indexed(updated, terms, k=10, require_all=False)
+    direct = keyword_search(full, terms, "text", "doc_id", k=10,
+                            require_all=False)
+    assert [
+        (r["doc"], r["n_terms_matched"], r["score"]) for r in served.collect()
+    ] == [
+        (r["doc_id"], r["n_terms_matched"], r["score"])
+        for r in direct.collect()
+    ]

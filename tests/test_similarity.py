@@ -196,3 +196,102 @@ def test_ann_lsh_empty_corpus_returns_empty(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert ann_topk_lsh(empty, empty, "embedding", "vec_id", k=3).count() == 0
     assert hyperplane_buckets(empty, "embedding", "vec_id").count() == 0
+
+
+def test_mips_topk_int8_matches_numpy_model(spark):
+    # quantized max-inner-product: int8 codes, integer dot, one IEEE
+    # multiply as the rank key — verify against a literal numpy replay
+    import numpy as np
+
+    from esdb_spark.operators.similarity import mips_topk_int8
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).astype(np.float32)
+    vecs[5] = 0.0  # zero vector: scale 0, scores 0 against everything
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = mips_topk_int8(
+        df, df.filter("vec_id = 3"), "embedding", "vec_id", k=5
+    ).collect()
+
+    m = vecs.astype(np.float64)
+    scale = np.abs(m).max(axis=1) / 127.0
+    v = np.divide(m, scale[:, None], out=np.zeros_like(m),
+                  where=scale[:, None] > 0)
+    codes = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+    dots = codes @ codes[3]
+    scores = scale * dots.astype(np.float64)
+    order = sorted(
+        (i for i in range(30) if i != 3),
+        key=lambda i: (-scores[i], i),
+    )[:5]
+    got = sorted(out, key=lambda r: r["rank"])
+    assert [r["id"] for r in got] == order
+    for r in got:
+        assert r["dot"] == int(dots[r["id"]])
+        assert r["score"] == scores[r["id"]]  # bit-exact
+    assert all(r["id"] != 3 for r in out)  # self-match excluded
+
+
+def test_mips_topk_int8_agrees_with_duckdb_replay(spark):
+    # the engine-portability claim itself: the same quantization +
+    # integer dot + single multiply replayed in DuckDB SQL produces
+    # the identical ranking (this is what lets hybrid-RRF rows carry
+    # full value-hash oracles)
+    import duckdb
+    import numpy as np
+
+    from esdb_spark.operators.similarity import mips_topk_int8
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(25, 6).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(25)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = [
+        (r["id"], r["dot"], r["score"])
+        for r in mips_topk_int8(
+            df, df.filter("vec_id = 0"), "embedding", "vec_id", k=6
+        ).orderBy("rank").collect()
+    ]
+    # register as a real float32 arrow table — an SQL literal would
+    # round-trip through DECIMAL parsing and perturb the float32s,
+    # which is exactly the class of drift the operator eliminates
+    import pyarrow as pa
+
+    arrow = pa.table(
+        {
+            "vec_id": pa.array(range(25), pa.int32()),
+            "embedding": pa.array(
+                [vecs[i].tolist() for i in range(25)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("e", arrow)
+    want = con.execute("""
+        WITH q AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s,
+                 embedding
+          FROM e
+        ),
+        c AS (
+          SELECT vec_id, s,
+                 CASE WHEN s > 0 THEN list_transform(embedding, x -> CAST(
+                     sign(CAST(x AS DOUBLE) / s)
+                     * floor(abs(CAST(x AS DOUBLE) / s) + 0.5) AS BIGINT))
+                 ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+                 END AS code
+          FROM q
+        )
+        SELECT a.vec_id,
+               CAST(list_sum(list_transform(list_zip(a.code, b.code),
+                    p -> p[1] * p[2])) AS BIGINT) AS dot,
+               a.s * CAST(list_sum(list_transform(list_zip(a.code, b.code),
+                    p -> p[1] * p[2])) AS DOUBLE) AS score
+        FROM c a JOIN c b ON b.vec_id = 0 AND a.vec_id != 0
+        ORDER BY score DESC, a.vec_id ASC LIMIT 6
+    """).fetchall()
+    assert got == [(v, d, s) for v, d, s in want]
