@@ -121,6 +121,7 @@ def apply_changes(
     op_col: str = "op",
     allow_negative: bool = False,
     track_minmax: bool = False,
+    track_distinct: list[str] | None = None,
 ) -> DataFrame:
     """Fold a change feed into aggregate state (see module docstring).
 
@@ -132,9 +133,11 @@ def apply_changes(
     Plan shape: one hash aggregation over the feed keyed on the group
     columns (map-side combined — the shuffle carries one row per
     touched key per partition), one full-outer join against the
-    |keys|-row state, pure-column addition. The base table is never
-    touched; at 100 TB that is the entire value proposition.
+    |keys|-row state, pure-column addition (plus one ``hll_union``
+    per ``track_distinct`` column). The base table is never touched;
+    at 100 TB that is the entire value proposition.
     """
+    track_distinct = track_distinct or []
     extrema_cols = [f"{p}_{m}" for m in measures for p in ("min", "max")]
     present = [c for c in extrema_cols if c in state.columns]
     if track_minmax and len(present) != len(extrema_cols):
@@ -149,17 +152,35 @@ def apply_changes(
             f"{present} but track_minmax=False — the fold would "
             "silently drop them; pass track_minmax=True"
         )
+    sketch_cols = [f"hll_{c}" for c in track_distinct]
+    sk_present = [c for c in state.columns if c.startswith("hll_")]
+    if sorted(sketch_cols) != sorted(sk_present):
+        if track_distinct and not sk_present:
+            raise ValueError(
+                "apply_changes: track_distinct set but the state lacks "
+                f"{sketch_cols} — build it with "
+                "snapshot_aggregate(track_distinct=[...])"
+            )
+        raise ValueError(
+            f"apply_changes: state sketch columns {sorted(sk_present)} "
+            f"do not match track_distinct={track_distinct!r} — a "
+            "mismatched fold would silently drop or miss sketches"
+        )
+    insert_only = track_minmax or bool(track_distinct)
+    insert_only_why = (
+        "min/max" if track_minmax else "distinct sketches"
+    )
     sign = (
         F.when(F.col(op_col) == "insert", F.lit(1))
         .when(
             F.col(op_col) == "delete",
             F.raise_error(
                 F.lit(
-                    "apply_changes: delete in a track_minmax feed — "
-                    "min/max are not maintainable under deletes"
+                    f"apply_changes: delete in a {insert_only_why}-"
+                    "tracking feed — not maintainable under deletes"
                 )
             ).cast("int")
-            if track_minmax
+            if insert_only
             else F.lit(-1),
         )
         .otherwise(
@@ -179,6 +200,8 @@ def apply_changes(
         for m in measures:
             delta_aggs.append(F.min(m).alias(f"_ia_min_{m}"))
             delta_aggs.append(F.max(m).alias(f"_ia_max_{m}"))
+    for c in track_distinct:
+        delta_aggs.append(F.hll_sketch_agg(c).alias(f"_ia_hll_{c}"))
     delta = changes.groupBy(*keys).agg(*delta_aggs)
     # NULL-SAFE key join: groupBy treats NULL as one group, but a plain
     # equi-join never matches NULL=NULL — a NULL-keyed group would
@@ -194,6 +217,7 @@ def apply_changes(
             if track_minmax
             else []
         ),
+        *[f"_ia_hll_{c}" for c in track_distinct],
     )
     cond = None
     for k in keys:
@@ -232,6 +256,20 @@ def apply_changes(
             if track_minmax
             else []
         ),
+        # hll_union(NULL, s) is NULL — union only when both sides have
+        # a sketch (a key new to either side keeps the one it has)
+        *[
+            F.when(
+                F.col(f"hll_{c}").isNotNull()
+                & F.col(f"_ia_hll_{c}").isNotNull(),
+                F.hll_union(F.col(f"hll_{c}"), F.col(f"_ia_hll_{c}")),
+            )
+            .otherwise(
+                F.coalesce(F.col(f"hll_{c}"), F.col(f"_ia_hll_{c}"))
+            )
+            .alias(f"hll_{c}")
+            for c in track_distinct
+        ],
     )
     if not allow_negative:
         out = out.withColumn(

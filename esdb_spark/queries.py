@@ -1814,6 +1814,39 @@ def lineitem_incremental_agg(spark, sf_dir):
     ).orderBy(*keys)
 
 
+def lineitem_incremental_distinct(spark, sf_dir):
+    """Maintainable DISTINCT-count state (operators/incremental
+    track_distinct): per-(returnflag, linestatus) distinct-supplier
+    counts kept as mergeable HLL sketch state, folded from an
+    insert-only feed (orderkey%10=0) without rereading the base —
+    the dashboard aggregate sums can't give you. Rows-only: the
+    sketch binary is engine-specific; the estimates are cross-
+    validated against an exact countDistinct recompute at gate scale
+    in tests/test_incremental.py (sparse-mode sketches are exact at
+    these cardinalities)."""
+    from esdb_spark.operators.incremental import (
+        apply_changes,
+        distinct_estimates,
+        snapshot_aggregate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_suppkey"
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+    base = li.filter(F.col("l_orderkey") % 10 != 0)
+    state = snapshot_aggregate(base, keys, [], track_distinct=["l_suppkey"])
+    feed = li.filter(F.col("l_orderkey") % 10 == 0).withColumn(
+        "op", F.lit("insert")
+    )
+    out = apply_changes(
+        state, feed, keys, [], track_distinct=["l_suppkey"]
+    )
+    return distinct_estimates(out, ["l_suppkey"]).select(
+        *keys, "n_rows", "ndv_l_suppkey"
+    ).orderBy(*keys)
+
+
 def lineitem_changefeed(spark, sf_dir):
     """Snapshot diff → change feed (operators/incremental
     .changes_between): the multiset EXCEPT-ALL feed that turns the
@@ -5731,6 +5764,9 @@ def catalog() -> dict[str, Q]:
         # between engines (r6 ADVICE); the quantized-MIPS
         # docs_hybrid_rrf gate row is the value-hashed face
         ("docs_hybrid_rrf_cosine", docs_hybrid_rrf_cosine),
+        # HLL sketch binaries are engine-specific; estimates cross-
+        # validated vs exact countDistinct in test_incremental.py
+        ("lineitem_incremental_distinct", lineitem_incremental_distinct),
         # PCA eigendecomposition floats re-associate across partitions;
         # numpy-cross-validated in test_reduce.py
         ("embedding_pca_docs", embedding_pca_docs),

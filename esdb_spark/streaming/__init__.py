@@ -463,6 +463,7 @@ def maintain_aggregate(
     keep_versions: int = 10,
     track_minmax: bool = False,
     allow_negative: bool = False,
+    track_distinct: list[str] | None = None,
 ):
     """Streaming face of :mod:`esdb_spark.operators.incremental`: keep
     a sum/count aggregate continuously maintained from a change-feed
@@ -504,11 +505,12 @@ def maintain_aggregate(
             # typed empty state derived from the batch itself
             prev = snapshot_aggregate(
                 batch_df.filter(F.lit(False)), keys, measures,
-                track_minmax=track_minmax,
+                track_minmax=track_minmax, track_distinct=track_distinct,
             )
         new_state = apply_changes(
             prev, batch_df, keys, measures, op_col,
             allow_negative=allow_negative, track_minmax=track_minmax,
+            track_distinct=track_distinct,
         )
         out = posixpath.join(state_path, f"state-{epoch_id:012d}")
         new_state.write.mode("overwrite").parquet(out)

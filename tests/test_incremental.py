@@ -351,3 +351,147 @@ def test_changes_between_guards(spark):
     c = spark.createDataFrame([(1, "x")], "k int, op string")
     with pytest.raises(ValueError):
         changes_between(c, c)  # op_col collision
+
+
+def test_track_distinct_insert_only_matches_recompute(spark):
+    from esdb_spark.operators.incremental import (
+        apply_changes,
+        distinct_estimates,
+        snapshot_aggregate,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (0, "a"), (1, "x"), (2, None)],
+        "k int, u string",
+    )
+    state = snapshot_aggregate(base, ["k"], [], track_distinct=["u"])
+    feed = spark.createDataFrame(
+        # overlap (a again), new value (c), brand-new key (7),
+        # all-NULL tracked value on key 2
+        [(0, "a", "insert"), (0, "c", "insert"), (7, "z", "insert"),
+         (2, None, "insert")],
+        "k int, u string, op string",
+    )
+    folded = apply_changes(
+        state, feed, ["k"], [], track_distinct=["u"]
+    )
+    got = {
+        r["k"]: (r["n_rows"], r["ndv_u"])
+        for r in distinct_estimates(folded, ["u"]).collect()
+    }
+    # sparse-mode sketches are exact at this cardinality: cross-
+    # validate against an exact countDistinct recompute
+    merged = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (0, "a"), (1, "x"), (2, None),
+         (0, "a"), (0, "c"), (7, "z"), (2, None)],
+        "k int, u string",
+    )
+    want = {
+        r["k"]: (r["n_rows"], r["ndv"])
+        for r in merged.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("u").cast("long").alias("ndv"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert got[2] == (2, 0)  # all-NULL group estimates 0
+
+    # deletes must be refused — a distinct sketch cannot un-see a value
+    bad = spark.createDataFrame(
+        [(0, "a", "delete")], "k int, u string, op string"
+    )
+    with pytest.raises(Exception):
+        apply_changes(
+            state, bad, ["k"], [], track_distinct=["u"]
+        ).collect()
+
+
+def test_track_distinct_state_mismatch_raises_both_ways(spark):
+    from esdb_spark.operators.incremental import (
+        apply_changes,
+        snapshot_aggregate,
+    )
+
+    base = spark.createDataFrame([(0, "a")], "k int, u string")
+    plain = snapshot_aggregate(base, ["k"], [])
+    sketched = snapshot_aggregate(base, ["k"], [], track_distinct=["u"])
+    feed = spark.createDataFrame(
+        [(0, "b", "insert")], "k int, u string, op string"
+    )
+    with pytest.raises(ValueError, match="lacks"):
+        apply_changes(plain, feed, ["k"], [], track_distinct=["u"])
+    with pytest.raises(ValueError, match="do not match"):
+        apply_changes(sketched, feed, ["k"], [])
+
+
+def test_maintain_aggregate_streaming_track_distinct(spark, tmp_path):
+    # the streaming face threads sketches through parquet state
+    # versions: binary round-trip + hll_union across micro-batches
+    from esdb_spark.operators.incremental import distinct_estimates
+    from esdb_spark.streaming import (
+        maintain_aggregate,
+        read_maintained_aggregate,
+    )
+
+    src = str(tmp_path / "feed")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k int, u string, op string"
+    spark.createDataFrame(
+        [(0, "a", "insert"), (0, "b", "insert"), (1, "x", "insert")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema(schema).json(src)
+    q = maintain_aggregate(
+        stream, state, ["k"], [], checkpoint=ckpt,
+        query_name="mad_distinct_test", track_distinct=["u"],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark.createDataFrame(
+        [(0, "a", "insert"), (0, "c", "insert")], schema
+    ).coalesce(1).write.mode("append").json(src)
+    stream = spark.readStream.schema(schema).json(src)
+    q = maintain_aggregate(
+        stream, state, ["k"], [], checkpoint=ckpt,
+        query_name="mad_distinct_test2", track_distinct=["u"],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["k"]: (r["n_rows"], r["ndv_u"])
+        for r in distinct_estimates(
+            read_maintained_aggregate(spark, state), ["u"]
+        ).collect()
+    }
+    assert got == {0: (4, 3), 1: (1, 1)}
+
+
+def test_lineitem_incremental_distinct_matches_exact_recompute(spark):
+    # gate-scale cross-validation of the rows-only catalog entry: at
+    # sf0.01 cardinalities the HLL sketches are in sparse (exact)
+    # mode, so the maintained estimates must EQUAL a from-scratch
+    # exact countDistinct over base+feed
+    from esdb_spark.queries import lineitem_incremental_distinct
+    from esdb_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = [tuple(r) for r in lineitem_incremental_distinct(spark, sf).collect()]
+    li = load_table(spark, sf, "lineitem")
+    want = [
+        tuple(r)
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("l_suppkey").cast("long").alias("ndv_l_suppkey"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+        .collect()
+    ]
+    assert got == want and got
