@@ -195,6 +195,71 @@ def bpe_encode(
     return df.withColumn(out_col, enc(F.col(text_col)))
 
 
+def fixed_merge_token_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Per-document token counts under a FIXED merge table applied in
+    rank order — the Sennrich apply-in-order subword rule (each merge
+    rewrites all its left-to-right non-overlapping occurrences before
+    the next applies), as opposed to :func:`bpe_encode`'s GPT-2-style
+    lowest-rank-first rule. With a literal merge list the whole
+    segmentation is pure string arithmetic, so the row is
+    ENGINE-EXACT and carries a full value-hash oracle — the portable
+    twin of the corpus-trained ``bpe_token_stats`` (rows-only: its
+    trainer is an iterative driver fit).
+
+    Implementation is entirely column expressions, no UDF: every
+    non-space character is wrapped in sentinel pairs
+    (``x`` → ``␟x␟``), a merge (a, b) is the literal replacement
+    ``␟a␟␟b␟ → ␟ab␟`` (the doubled sentinel can never span the
+    whitespace between words, and symbols never contain the
+    sentinel), and the token count reads off the sentinel count / 2.
+    Both engines' ``replace`` rewrites left-to-right non-overlapping,
+    so the outputs match byte-for-byte. ``sep`` must not occur in the
+    text (0x1f, the ASCII unit separator, by default); occurrences
+    raise at execution time rather than corrupt counts.
+
+    Returns ``(id_col, n_words, n_tokens, n_chars)`` — all integers.
+
+    Scale posture: scan-parallel per-row string rewriting (k literal
+    replaces per document), one shuffle only if the caller
+    aggregates; nothing collects.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    guarded = F.when(
+        F.contains(text, F.lit(sep)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "fixed_merge_token_stats: sentinel byte present in "
+                    "document "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("string"),
+    ).otherwise(F.lower(text))
+    s = F.regexp_replace(guarded, r"(\S)", f"{sep}$1{sep}")
+    for a, b in merges:
+        s = F.replace(
+            s, F.lit(f"{sep}{a}{sep}{sep}{b}{sep}"), F.lit(f"{sep}{a}{b}{sep}")
+        )
+    n_sent = F.length(s) - F.length(F.replace(s, F.lit(sep), F.lit("")))
+    return df.select(
+        F.col(id_col),
+        F.coalesce(F.size(tokens(text_col)), F.lit(0)).cast("long").alias(
+            "n_words"
+        ),
+        (n_sent / 2).cast("long").alias("n_tokens"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
+            "n_chars"
+        ),
+    )
+
+
 def bpe_token_stats(
     df: DataFrame,
     merges: list[tuple[str, str]],

@@ -554,6 +554,69 @@ def rrf_fuse(
     )
 
 
+def rrf_fuse_exact(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """:func:`rrf_fuse` with an ENGINE-EXACT score for ANY number of
+    lists. The float fold is exact only for two lists (two IEEE terms
+    are order-free); here the rational Σ 1/(c+rᵢ) = S/P is computed in
+    INTEGER arithmetic — one order-invariant fold carrying
+    ``P = Π(c+rᵢ)`` and ``S = Σⱼ Π_{i≠j}(c+rᵢ)`` (both symmetric in
+    the ranks, so aggregation order cannot matter) — and the score is
+    the single correctly-rounded IEEE division S/P, identical in any
+    engine. Same output shape as :func:`rrf_fuse`; ``rrf`` values
+    equal the float fold to within its re-association noise but are
+    reproducible bit-for-bit.
+
+    Bounds: P ≤ (c + max rank)^m for m lists — bigint-safe for the
+    practical regime (c=60, k≤60, m≤9); past that the multiply
+    overflows LOUDLY under ANSI mode (the session default) instead of
+    wrapping.
+
+    Scale posture: identical to :func:`rrf_fuse` — inputs are
+    bounded top-k rankings, so everything downstream runs on ≤ Σkᵢ
+    rows.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse_exact: no input rankings")
+    tagged = None
+    for i, r in enumerate(ranked):
+        t = r.select(
+            F.col(id_col).alias("_rf_id"),
+            F.col("rank").cast("long").alias("_rf_rank"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    fused = tagged.groupBy("_rf_id").agg(
+        F.count("*").cast("long").alias("n_lists"),
+        F.aggregate(
+            F.collect_list("_rf_rank"),
+            F.struct(
+                F.lit(1).cast("long").alias("p"),
+                F.lit(0).cast("long").alias("s"),
+            ),
+            lambda acc, r: F.struct(
+                (acc["p"] * (F.lit(c) + r)).alias("p"),
+                (acc["s"] * (F.lit(c) + r) + acc["p"]).alias("s"),
+            ),
+        ).alias("_rf_ps"),
+    )
+    return (
+        fused.select(
+            F.col("_rf_id").alias(id_col),
+            "n_lists",
+            (
+                F.col("_rf_ps")["s"].cast("double")
+                / F.col("_rf_ps")["p"].cast("double")
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def keyword_search_indexed(
     index: DataFrame,
     terms: list[str],

@@ -1569,6 +1569,22 @@ _ANALYTIC_ORACLES = {
 _TOK = (
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t != '')"
 )
+
+
+def _fixed_merge_expr(merges: list[tuple[str, str]]) -> str:
+    """DuckDB replay of bpe.fixed_merge_token_stats' segmentation:
+    sentinel-wrap every non-space char, then the same chained literal
+    replaces in merge-rank order."""
+    expr = (
+        "regexp_replace(lower(coalesce(text, '')), '(\\S)', "
+        "chr(31)||'\\1'||chr(31), 'g')"
+    )
+    for a, b in merges:
+        expr = (
+            f"replace({expr}, chr(31)||'{a}'||chr(31)||chr(31)||'{b}'"
+            f"||chr(31), chr(31)||'{a}{b}'||chr(31))"
+        )
+    return expr
 _STOPS = "['the','and','of','to','in','is','that','for','a','with','as','on','it','by']"
 
 
@@ -2133,6 +2149,65 @@ def docs_hybrid_rrf_cosine(spark, sf_dir):
         .select(F.col("id").alias("doc_id"), F.col("rank").cast("long"))
     )
     return rrf_fuse([kw, vec], "doc_id", k=20, c=60)
+
+
+_FIXED_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("in", "g"), ("o", "n"),
+]
+_FM = _fixed_merge_expr(_FIXED_MERGES)
+
+
+def doc_token_counts_fixed(spark, sf_dir):
+    """Subword token counts under a FIXED literal merge table
+    (operators/bpe.fixed_merge_token_stats — the Sennrich
+    apply-in-order rule as pure string arithmetic). ENGINE-EXACT by
+    construction: sentinel-framed chained literal replaces produce
+    byte-identical segmentations in both engines, upgrading the BPE
+    family from rows-only to a full value-hash oracle (the
+    corpus-trained bpe_token_stats_docs stays catalogued rows-only —
+    its trainer is an iterative driver fit)."""
+    from esdb_spark.operators.bpe import fixed_merge_token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fixed_merge_token_stats(docs, _FIXED_MERGES).orderBy("doc_id")
+
+
+def docs_hybrid_rrf3(spark, sf_dir):
+    """THREE-list hybrid retrieval under exact reciprocal-rank fusion
+    (operators/search.rrf_fuse_exact): keyword AND-search, quantized
+    MIPS vector ranking, and exact phrase-occurrence ranking, fused by
+    the integer (P, S) fold — Σ 1/(c+rᵢ) as the correctly-rounded
+    division of two exact bigints, engine-exact for ANY list count
+    (the two-list IEEE argument stops at two; this row certifies the
+    general mechanism)."""
+    from esdb_spark.operators.search import (
+        keyword_search,
+        phrase_search,
+        rrf_fuse_exact,
+        with_rank,
+    )
+    from esdb_spark.operators.similarity import mips_topk_int8
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = with_rank(
+        keyword_search(docs, ["spark", "hash", "merge"], "text", "doc_id", k=50),
+        [F.desc("score"), F.asc("doc_id")],
+    )
+    vec = (
+        mips_topk_int8(
+            emb, emb.filter(F.col("vec_id") == 0), "embedding", "vec_id", k=50
+        )
+        .select(F.col("id").alias("doc_id"), F.col("rank").cast("long"))
+    )
+    ph = with_rank(
+        phrase_search(docs, "fast table", "text", "doc_id")
+        .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+        .limit(50),
+        [F.desc("n_occurrences"), F.asc("doc_id")],
+    )
+    return rrf_fuse_exact([kw, vec, ph], "doc_id", k=20, c=60)
 
 
 def doc_duplicate_spans(spark, sf_dir):
@@ -4055,6 +4130,17 @@ _PIPELINE_ORACLES = {
                    AS postings_str
         FROM pd GROUP BY token ORDER BY token
     """,
+    # fixed-merge subword segmentation replayed as the same chained
+    # sentinel-framed literal replaces (see bpe.fixed_merge_token_stats)
+    "doc_token_counts_fixed": f"""
+        WITH seg AS (SELECT doc_id, text, {_FM} AS s FROM documents)
+        SELECT doc_id,
+               CAST(coalesce(len({_TOK}), 0) AS BIGINT) AS n_words,
+               CAST((length(s) - length(replace(s, chr(31), ''))) / 2
+                    AS BIGINT) AS n_tokens,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+        FROM seg ORDER BY doc_id
+    """,
     # the update face's oracle REBUILDS from the full corpus — the
     # gate row therefore asserts update(build(90%), 10%) == build(all)
     "docs_inverted_index_updated": f"""
@@ -4144,6 +4230,92 @@ _PIPELINE_ORACLES = {
                  + coalesce(1.0 / (60.0 + vr.rk::DOUBLE), 0.0) AS rrf
         FROM kwr FULL OUTER JOIN vr USING (doc_id)
         ORDER BY rrf DESC, doc_id ASC LIMIT 20
+    """,
+    # three-list exact RRF: Σ 1/(c+rᵢ) as the correctly-rounded
+    # division of two exact bigints (P = Π(c+rᵢ), S = Σⱼ Π_{{i≠j}})
+    "docs_hybrid_rrf3": f"""
+        WITH ex AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+        m AS (SELECT doc_id, token FROM ex
+              WHERE token IN ('spark', 'hash', 'merge')),
+        kw AS (
+          SELECT doc_id, count(*) AS score FROM m GROUP BY doc_id
+          HAVING count(DISTINCT token) = 3
+        ),
+        kwr AS (
+          SELECT doc_id, row_number() OVER (
+                   ORDER BY score DESC, doc_id ASC) AS rk
+          FROM kw QUALIFY rk <= 50
+        ),
+        emq AS (
+          SELECT vec_id,
+                 coalesce(list_max(list_transform(
+                     embedding, x -> abs(CAST(x AS DOUBLE))
+                 )), 0.0) / 127.0 AS s,
+                 embedding
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        emc AS (
+          SELECT vec_id, s,
+                 CASE WHEN s > 0 THEN
+                     list_transform(embedding, x -> CAST(
+                         sign(CAST(x AS DOUBLE) / s)
+                         * floor(abs(CAST(x AS DOUBLE) / s) + 0.5)
+                     AS BIGINT))
+                 ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+                 END AS code
+          FROM emq
+        ),
+        vr AS (
+          SELECT doc_id, rk FROM (
+            SELECT c.vec_id AS doc_id, row_number() OVER (
+                     ORDER BY c.s * CAST(list_sum(list_transform(
+                         list_zip(c.code, q.code), p -> p[1] * p[2]
+                     )) AS DOUBLE) DESC,
+                     c.vec_id ASC) AS rk
+            FROM emc c
+            JOIN emc q ON q.vec_id = 0 AND c.vec_id != q.vec_id
+          ) WHERE rk <= 50
+        ),
+        t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        pp AS (
+          SELECT doc_id, unnest(generate_series(0, len(toks) - 2)) AS pos,
+                 toks
+          FROM t WHERE len(toks) >= 2
+        ),
+        phits AS (
+          SELECT doc_id FROM pp
+          WHERE toks[pos + 1] = 'fast' AND toks[pos + 2] = 'table'
+        ),
+        pcnt AS (
+          SELECT doc_id, count(*) AS n_occ FROM phits GROUP BY doc_id
+        ),
+        pr AS (
+          SELECT doc_id, row_number() OVER (
+                   ORDER BY n_occ DESC, doc_id ASC) AS rk
+          FROM pcnt QUALIFY rk <= 50
+        ),
+        joined AS (
+          SELECT doc_id,
+                 60 + kwr.rk AS t1, 60 + vr.rk AS t2, 60 + pr.rk AS t3
+          FROM kwr FULL OUTER JOIN vr USING (doc_id)
+                   FULL OUTER JOIN pr USING (doc_id)
+        ),
+        ps AS (
+          SELECT doc_id,
+                 CAST((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+                      + (t3 IS NOT NULL)::INT AS BIGINT) AS n_lists,
+                 coalesce(t1, 1) * coalesce(t2, 1) * coalesce(t3, 1) AS p,
+                 coalesce(coalesce(t1, 1) * coalesce(t2, 1)
+                          * coalesce(t3, 1) // t1, 0)
+                 + coalesce(coalesce(t1, 1) * coalesce(t2, 1)
+                            * coalesce(t3, 1) // t2, 0)
+                 + coalesce(coalesce(t1, 1) * coalesce(t2, 1)
+                            * coalesce(t3, 1) // t3, 0) AS s
+          FROM joined
+        )
+        SELECT doc_id, n_lists,
+               CAST(s AS DOUBLE) / CAST(p AS DOUBLE) AS rrf
+        FROM ps ORDER BY rrf DESC, doc_id ASC LIMIT 20
     """,
     "doc_duplicate_spans": f"""
         WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
@@ -5677,6 +5849,8 @@ def catalog() -> dict[str, Q]:
         ("docs_inverted_index", docs_inverted_index),
         ("docs_inverted_index_updated", docs_inverted_index_updated),
         ("docs_inverted_index_deleted", docs_inverted_index_deleted),
+        ("doc_token_counts_fixed", doc_token_counts_fixed),
+        ("docs_hybrid_rrf3", docs_hybrid_rrf3),
         ("doc_duplicate_spans", doc_duplicate_spans),
         ("doc_remove_dup_spans", doc_remove_dup_spans),
         ("doc_strip_html", doc_strip_html),

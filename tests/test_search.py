@@ -397,3 +397,54 @@ def test_updated_index_serves_search_parity(spark, grown_corpus):
         (r["doc_id"], r["n_terms_matched"], r["score"])
         for r in direct.collect()
     ]
+
+
+def test_rrf_fuse_exact_rational(spark):
+    # the (P, S) integer fold must produce EXACTLY the correctly-
+    # rounded double of the true rational sum 1/(c+r1)+1/(c+r2)+1/(c+r3)
+    from esdb_spark.operators.search import rrf_fuse_exact
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id int, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2), (4, 3)], "doc_id int, rank int")
+    c = spark.createDataFrame([(3, 1), (1, 2), (5, 3)], "doc_id int, rank int")
+    out = {r["doc_id"]: r for r in rrf_fuse_exact([a, b, c], k=10).collect()}
+    # doc 3: ranks 3, 2, 1
+    p = 63 * 62 * 61
+    s = 62 * 61 + 63 * 61 + 63 * 62
+    assert out[3]["rrf"] == s / p and out[3]["n_lists"] == 3
+    # doc 4: only one list, rank 3
+    assert out[4]["rrf"] == 1.0 / 63.0 and out[4]["n_lists"] == 1
+    # ranking: doc 3 (top in one list, high in all) first
+    ranked = sorted(out.values(), key=lambda r: (-r["rrf"], r["doc_id"]))
+    assert ranked[0]["doc_id"] == 3
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rrf_fuse_exact([])
+
+
+def test_fixed_merge_token_stats_hand_example(spark):
+    from esdb_spark.operators.bpe import fixed_merge_token_stats
+
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+              ("an", "d"), ("e", "r")]
+    df = spark.createDataFrame(
+        [(1, "the thin and other band"), (2, ""), (3, None), (4, "a a a")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars"])
+           for r in fixed_merge_token_stats(df, merges).collect()}
+    # the→the(1) thin→th,in(2) and→and(1) other→o,the,r(3) band→b,and(2)
+    assert got[1] == (5, 9, 23)
+    assert got[2] == (0, 0, 0)
+    assert got[3] == (0, 0, 0)
+    assert got[4] == (3, 3, 5)  # bare chars, no merge applies
+
+
+def test_fixed_merge_token_stats_sentinel_collision_raises(spark):
+    from esdb_spark.operators.bpe import fixed_merge_token_stats
+
+    df = spark.createDataFrame(
+        [(1, "bad \x1f byte")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="sentinel"):
+        fixed_merge_token_stats(df, [("t", "h")]).collect()
