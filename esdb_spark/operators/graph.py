@@ -459,3 +459,72 @@ def label_propagation(
         if (it + 1) % checkpoint_every == 0 or it == iters - 1:
             labels = labels.localCheckpoint()
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Multi-source BFS hop distances → ``(id, dist)``: the minimum
+    number of directed edges from ANY source node, up to ``max_hops``
+    (unreached nodes are absent — at graph scale "the rest of the
+    graph" is almost everything, and emitting it would be a node-table
+    cross join). Integer-only and deterministic, so catalog rows carry
+    an exact recursive-CTE oracle. Pass a symmetrized edge list for
+    undirected semantics, as with :func:`triangle_count`.
+
+    ``sources`` is a one-column frame of starting node ids (distance
+    0). Frontier expansion is the textbook level-synchronous BFS:
+    round k joins the CURRENT FRONTIER (not the full visited set)
+    against the edge list, then anti-joins out already-visited nodes —
+    per-round shuffles carry the frontier's out-edges only, which is
+    the output-sensitive cost BFS fundamentally has. Visited and
+    frontier frames are localCheckpointed on the
+    ``checkpoint_every`` cadence: the round subtree references the
+    carried frontier TWICE (join + anti-join), which is exactly the
+    2^k fused-plan regime :func:`pagerank`'s dangling branch hit —
+    checkpoints bound the lineage (the round-6 lesson).
+
+    Reference anchor: the reference engine walks index chains hop by
+    hop (stream/open_stream.go tail-pointer follows); this is the
+    graph-global face of the same traversal.
+    """
+    if max_hops < 0:
+        raise ValueError("bfs_distances: max_hops must be >= 0")
+    if checkpoint_every < 1:
+        raise ValueError("bfs_distances: checkpoint_every must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("_bf_s"), F.col(dst).alias("_bf_d"))
+        .filter(F.col("_bf_s").isNotNull() & F.col("_bf_d").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    frontier = (
+        sources.select(F.col(sources.columns[0]).alias("id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    visited = frontier.select("id", F.lit(0).cast("long").alias("dist"))
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, F.col("id") == F.col("_bf_s"))
+            .select(F.col("_bf_d").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+        )
+        frontier = nxt
+        new_rows = frontier.select(
+            "id", F.lit(hop).cast("long").alias("dist")
+        )
+        visited = visited.unionByName(new_rows)
+        if hop % checkpoint_every == 0 or hop == max_hops:
+            # the NEXT round references frontier twice (expand +
+            # anti-join) and visited twice (anti-join + union) — bound
+            # the fused lineage before it exponentiates
+            frontier = frontier.localCheckpoint(eager=False)
+            visited = visited.localCheckpoint(eager=False)
+    return visited

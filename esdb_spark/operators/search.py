@@ -128,6 +128,7 @@ def update_inverted_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_postings: int | None = None,
+    guard_overlap: bool = True,
 ) -> DataFrame:
     """Extend an inverted index with APPENDED documents without
     re-tokenizing the existing corpus — the reference's own
@@ -135,6 +136,19 @@ def update_inverted_index(
     extends index tails in place; close compacts,
     open_stream.go:146-201) applied to the text index: a release that
     appends 1% of documents must tokenize 1%, not 100%.
+
+    THE LSM PATTERN — when to merge at all: this function produces
+    one MERGED index, which necessarily materializes O(index) output
+    however small the delta, so it is the COMPACTION face, run on an
+    amortized cadence. The O(delta) append face needs no merge:
+    ``build_inverted_index(delta)`` alone makes a SEGMENT, and
+    :func:`keyword_search_indexed` serves the union of segment
+    indexes directly (per-token segment rows aggregate inside the
+    search — doc sets are disjoint across segments, so counts are
+    exact; parity is pytest-asserted). Append = O(delta) segment
+    build; serve = |segments| rows per matching token; compact = this
+    function. That is precisely the reference's
+    append-updates-tails / close-compacts split.
 
     EXACT by construction: ``update_inverted_index(
     build_inverted_index(old), new) == build_inverted_index(old ∪
@@ -149,11 +163,15 @@ def update_inverted_index(
 
     ``docs_new`` must be genuinely new doc ids (an append, not an
     upsert — re-ingesting an indexed doc would double-count its
-    postings). Tokens shared between the index and the delta are
-    guarded at execution time: an overlapping doc id raises. A
+    postings). With ``guard_overlap`` (default), tokens shared
+    between the index and the delta are guarded at execution time: an
+    overlapping doc id raises. The guard is two array projections +
+    an intersection probe per shared token (~30% of merge cost
+    measured at 100k docs) — a trusted append pipeline that already
+    enforces id monotonicity can pass ``guard_overlap=False``. A
     re-ingested doc NONE of whose tokens were previously indexed is
-    undetectable without a full posting scan — that is the delete
-    face's job (:func:`delete_from_inverted_index` first, then
+    undetectable without a full posting scan either way — that is the
+    delete face's job (:func:`delete_from_inverted_index` first, then
     update).
 
     Scale posture: tokenize/shuffle the DELTA only; the existing
@@ -169,24 +187,27 @@ def update_inverted_index(
     )
     j = index.join(delta, "token", "full_outer")
     both = F.col("postings").isNotNull() & F.col("_ui_post").isNotNull()
-    # appended docs must be NEW: on shared tokens, a doc id present on
-    # both sides means the caller re-ingested an indexed document
-    overlap = F.arrays_overlap(
-        F.transform(F.col("postings"), lambda p: p["doc"]),
-        F.transform(F.col("_ui_post"), lambda p: p["doc"]),
-    )
-    guarded = F.when(
-        both & overlap,
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "update_inverted_index: delta re-ingests a doc "
-                    "already indexed under token: "
-                ),
-                F.col("token"),
-            )
-        ).cast(index.schema["postings"].dataType),
-    ).otherwise(F.col("postings"))
+    if guard_overlap:
+        # appended docs must be NEW: on shared tokens, a doc id present
+        # on both sides means the caller re-ingested an indexed document
+        overlap = F.arrays_overlap(
+            F.transform(F.col("postings"), lambda p: p["doc"]),
+            F.transform(F.col("_ui_post"), lambda p: p["doc"]),
+        )
+        guarded = F.when(
+            both & overlap,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "update_inverted_index: delta re-ingests a doc "
+                        "already indexed under token: "
+                    ),
+                    F.col("token"),
+                )
+            ).cast(index.schema["postings"].dataType),
+        ).otherwise(F.col("postings"))
+    else:
+        guarded = F.col("postings")
     # a truncated row can only merge exactly under the build-time cap
     trunc_ok = (
         F.lit(True)

@@ -3548,6 +3548,20 @@ _PIPELINE_ORACLES = {
         )
         SELECT id, rank_scaled FROM pr WHERE it = 10 ORDER BY id
     """,
+    # BFS = min hop count per reached node; UNION (not UNION ALL)
+    # dedups (id, dist) pairs so the recursion terminates at the hop
+    # bound with |V|·hops worst-case state
+    "user_key_bfs_hops": f"""
+        WITH RECURSIVE {_UK_EDGES_CTES}, r AS (
+            SELECT CAST(1000000 AS BIGINT) AS id, 0 AS dist
+            UNION
+            SELECT e.dst AS id, r.dist + 1
+            FROM r JOIN edges e ON e.src = r.id
+            WHERE r.dist < 4
+        )
+        SELECT id, CAST(MIN(dist) AS BIGINT) AS dist
+        FROM r GROUP BY id ORDER BY id
+    """,
     # portable count-min sketch: same md5-derived 60-bit bucket hash
     # (conv(substr(md5('cms{i}|' || v), 1, 15), 16, 10) % width) on
     # both engines, so the sketch cells — and therefore the min-read
@@ -5419,6 +5433,21 @@ def user_key_communities(spark, sf_dir):
     ).orderBy("id")
 
 
+def user_key_bfs_hops(spark, sf_dir):
+    """Multi-hop reachability (operators/graph.bfs_distances):
+    level-synchronous BFS hop distances from the k=0 prop-key node
+    over the symmetrized user↔prop-key graph, 4 hops — "everything
+    within N interactions of this entity", the traversal face of the
+    reference's hop-by-hop index-chain walks. Integer distances, so
+    the row carries an exact recursive-CTE oracle (min hop count per
+    reached node)."""
+    from esdb_spark.operators.graph import bfs_distances
+
+    edges = _user_key_edges(spark, sf_dir)
+    sources = spark.createDataFrame([(1_000_000,)], "id long")
+    return bfs_distances(edges, sources, max_hops=4).orderBy("id")
+
+
 def bpe_token_stats_docs(spark, sf_dir):
     """Exact per-doc token counts under a corpus-trained BPE tokenizer
     (operators/bpe.py: Sennrich merges learned from the bounded
@@ -5912,6 +5941,7 @@ def catalog() -> dict[str, Q]:
         ("source_temperature_mix", source_temperature_mix),
         ("events_user_graph_pagerank", events_user_graph_pagerank),
         ("user_key_communities", user_key_communities),
+        ("user_key_bfs_hops", user_key_bfs_hops),
         ("event_type_freq_cms_portable", event_type_freq_cms_portable),
     ]:
         qs[name] = Q(fn, _PIPELINE_ORACLES[name])

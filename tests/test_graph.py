@@ -269,3 +269,34 @@ def test_label_propagation_validations(spark):
         label_propagation(df, checkpoint_every=0)
     empty = df.filter("false")
     assert label_propagation(empty, iters=2).count() == 0
+
+
+def test_bfs_distances_hand_graph(spark):
+    from esdb_spark.operators.graph import bfs_distances
+
+    # 0->1->2->3->4 chain plus a shortcut 0->3 and an unreachable 9<-8
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (8, 9)],
+        "src long, dst long",
+    )
+    src = spark.createDataFrame([(0,)], "id long")
+    got = {r["id"]: r["dist"] for r in bfs_distances(edges, src, max_hops=10).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+    # hop bound truncates; unreached nodes absent
+    got2 = {r["id"]: r["dist"] for r in bfs_distances(edges, src, max_hops=1).collect()}
+    assert got2 == {0: 0, 1: 1, 3: 1}
+
+
+def test_bfs_distances_multi_source_min(spark):
+    from esdb_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 2), (2, 3)], "src long, dst long"
+    )
+    src = spark.createDataFrame([(0,), (5,)], "id long")
+    got = {r["id"]: r["dist"] for r in bfs_distances(edges, src, max_hops=5).collect()}
+    # node 2 reachable at hop 2 from 0 but hop 1 from 5 -> min wins
+    assert got == {0: 0, 5: 0, 1: 1, 2: 1, 3: 2}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bfs_distances(edges, src, max_hops=-1)

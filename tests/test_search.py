@@ -448,3 +448,34 @@ def test_fixed_merge_token_stats_sentinel_collision_raises(spark):
     )
     with pytest.raises(Exception, match="sentinel"):
         fixed_merge_token_stats(df, [("t", "h")]).collect()
+
+
+def test_segment_union_serving_parity(spark, grown_corpus):
+    # the O(delta) append face: a new segment index unions with the
+    # base index and keyword_search_indexed serves the union exactly —
+    # per-token segment rows aggregate inside the search (doc sets are
+    # disjoint across segments), no merge/compaction required
+    from esdb_spark.operators.search import keyword_search_indexed
+
+    old, new, full = grown_corpus
+    segs = build_inverted_index(old).unionByName(build_inverted_index(new))
+    terms = ["spark", "tables"]
+    served = keyword_search_indexed(segs, terms, k=10, require_all=False)
+    direct = keyword_search(full, terms, "text", "doc_id", k=10,
+                            require_all=False)
+    assert [
+        (r["doc"], r["n_terms_matched"], r["score"]) for r in served.collect()
+    ] == [
+        (r["doc_id"], r["n_terms_matched"], r["score"])
+        for r in direct.collect()
+    ]
+
+
+def test_update_inverted_index_guard_overlap_off(spark, grown_corpus):
+    from esdb_spark.operators.search import update_inverted_index
+
+    old, new, full = grown_corpus
+    updated = update_inverted_index(
+        build_inverted_index(old), new, guard_overlap=False
+    )
+    assert _idx_rows(updated) == _idx_rows(build_inverted_index(full))
