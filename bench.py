@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     "customer_name_typo_pairs",
     "parts_bought_together",
     "event_type_transitions",
+    # round-7 additions: incremental inverted-index maintenance (the
+    # append-without-rebuild compaction) and the portable fixed-merge
+    # subword tokenizer (string-rewrite-bound scan shape)
+    "docs_inverted_index_updated",
+    "doc_token_counts_fixed",
 ]
 
 

@@ -176,6 +176,63 @@ def corpus_vocab(
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_col: str = "token",
+) -> DataFrame:
+    """Per-document tokenizer-vocabulary coverage report: how much of
+    each document a fixed vocabulary explains — the go/no-go check
+    before committing a tokenizer (or a stopword list, or a keep-list
+    filter) to a 100 TB pretraining run. A corpus whose OOV mass
+    jumped between releases is a different corpus.
+
+    Output: ``(id_col, n_tokens, n_oov, n_distinct_oov, oov_rate)``
+    per document (token-less documents report 0 tokens, 0 OOV, NULL
+    rate — ``try_divide``, the degenerate-input-is-the-report rule).
+    Counts are integers and the rate one IEEE division, so catalog
+    rows carry full value-hash oracles.
+
+    Scale posture: one explode keyed by doc id; the vocabulary joins
+    as a broadcast-sized (|vocab|-row) left-semi lookup — tokens and
+    ids shuffle, never text, and the vocabulary is by definition the
+    small side (a tokenizer vocab is ≤ a few hundred k rows whatever
+    the corpus size). Use ``corpus_vocab(...).select("token")`` to
+    audit a candidate frequency-derived vocabulary against its own
+    corpus, or a literal frame for a fixed tokenizer.
+    """
+    v = vocab.select(F.col(vocab_col).alias("_vc_tok")).distinct()
+    ex = df.select(
+        F.col(id_col).alias("_vc_id"),
+        F.explode_outer(tokens(text_col)).alias("_vc_t"),
+    )
+    tagged = ex.join(
+        F.broadcast(v), F.col("_vc_t") == F.col("_vc_tok"), "left"
+    )
+    # a token-less document survives explode_outer as one NULL-token
+    # row — it must report 0 tokens AND 0 OOV, so the OOV predicate
+    # requires a real token that failed the lookup
+    oov = F.col("_vc_tok").isNull() & F.col("_vc_t").isNotNull()
+    agg = tagged.groupBy("_vc_id").agg(
+        F.count("_vc_t").cast("long").alias("n_tokens"),
+        F.count(F.when(oov, F.lit(1))).cast("long").alias("n_oov"),
+        F.count_distinct(
+            F.when(oov, F.col("_vc_t"))
+        ).cast("long").alias("n_distinct_oov"),
+    )
+    return agg.select(
+        F.col("_vc_id").alias(id_col),
+        "n_tokens",
+        "n_oov",
+        "n_distinct_oov",
+        F.try_divide(
+            F.col("n_oov").cast("double"), F.col("n_tokens").cast("double")
+        ).alias("oov_rate"),
+    )
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     text_col: str = "text",

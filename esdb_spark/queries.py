@@ -3548,6 +3548,36 @@ _PIPELINE_ORACLES = {
         )
         SELECT id, rank_scaled FROM pr WHERE it = 10 ORDER BY id
     """,
+    "docs_vocab_coverage": f"""
+        WITH ex AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+        vc AS (
+          SELECT t AS token FROM ex GROUP BY t
+          ORDER BY count(*) DESC, t ASC LIMIT 500
+        ),
+        j AS (
+          SELECT doc_id, t,
+                 t IN (SELECT token FROM vc) AS iv
+          FROM ex
+        ),
+        agg AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(count(CASE WHEN NOT iv THEN 1 END) AS BIGINT)
+                     AS n_oov,
+                 CAST(count(DISTINCT CASE WHEN NOT iv THEN t END)
+                      AS BIGINT) AS n_distinct_oov
+          FROM j GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.n_oov, 0) AS n_oov,
+               coalesce(a.n_distinct_oov, 0) AS n_distinct_oov,
+               CASE WHEN coalesce(a.n_tokens, 0) > 0
+                    THEN CAST(a.n_oov AS DOUBLE)
+                         / CAST(a.n_tokens AS DOUBLE) END AS oov_rate
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """,
     # BFS = min hop count per reached node; UNION (not UNION ALL)
     # dedups (id, dist) pairs so the recursion terminates at the hop
     # bound with |V|·hops worst-case state
@@ -5433,6 +5463,19 @@ def user_key_communities(spark, sf_dir):
     ).orderBy("id")
 
 
+def docs_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocabulary coverage audit (operators/corpus
+    .vocab_coverage): per-document OOV counts and rate against the
+    corpus's own top-500 frequency vocabulary (corpus_vocab) — the
+    release gate for committing a tokenizer to a pretraining run.
+    Integer counts + one IEEE division → full value-hash oracle."""
+    from esdb_spark.operators.corpus import corpus_vocab, vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = corpus_vocab(docs, top_n=500).select("token")
+    return vocab_coverage(docs, vocab).orderBy("doc_id")
+
+
 def user_key_bfs_hops(spark, sf_dir):
     """Multi-hop reachability (operators/graph.bfs_distances):
     level-synchronous BFS hop distances from the k=0 prop-key node
@@ -5942,6 +5985,7 @@ def catalog() -> dict[str, Q]:
         ("events_user_graph_pagerank", events_user_graph_pagerank),
         ("user_key_communities", user_key_communities),
         ("user_key_bfs_hops", user_key_bfs_hops),
+        ("docs_vocab_coverage", docs_vocab_coverage),
         ("event_type_freq_cms_portable", event_type_freq_cms_portable),
     ]:
         qs[name] = Q(fn, _PIPELINE_ORACLES[name])

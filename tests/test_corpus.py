@@ -300,3 +300,30 @@ def test_source_overlap_matrix(spark):
     assert out[("a", "b")] == 2      # shared text + both again
     assert out[("a", "a")] == 3      # a's distinct contents
     assert out[("b", "b")] == 2      # b's distinct contents
+
+
+def test_vocab_coverage_counts(spark):
+    from esdb_spark.operators.corpus import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "zebra quark zebra"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("on",), ("mat",)], "token string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_oov"], r["n_distinct_oov"], r["oov_rate"]
+        )
+        for r in vocab_coverage(docs, vocab).collect()
+    }
+    assert got[1] == (6, 1, 1, 1 / 6)  # only 'sat' is OOV
+    assert got[2] == (3, 3, 2, 1.0)  # zebra x2 + quark, 2 distinct
+    assert got[3] == (0, 0, 0, None)  # token-less: zero counts, NULL rate
+    assert got[4] == (0, 0, 0, None)
