@@ -642,14 +642,26 @@ def round7_shapes(path, n):
             best = min(best, time.time() - t0)
         out[name] = round(best, 2)
 
-    run("index_rebuild_full", lambda: build_inverted_index(docs).count())
+    # force the POSTING ARRAYS, not just the row count: .count() lets
+    # Catalyst prune the collect_list/sort/merge expressions and the
+    # probe would time only the grouping (review finding — the same
+    # pruning silently voided the first published numbers)
+    def _force_index(idx):
+        idx.select(
+            F.sum(F.size("postings")), F.sum("term_freq"), F.sum("doc_freq")
+        ).collect()
+
+    run(
+        "index_rebuild_full",
+        lambda: _force_index(build_inverted_index(docs)),
+    )
     base_idx = build_inverted_index(
         docs.filter(F.col("doc_id") % 100 != 0)
     ).localCheckpoint()
     delta = docs.filter(F.col("doc_id") % 100 == 0)
     run(
         "index_update_1pct",
-        lambda: update_inverted_index(base_idx, delta).count(),
+        lambda: _force_index(update_inverted_index(base_idx, delta)),
     )
 
     merges = [("w", "1"), ("w1", "2"), ("w", "2"), ("w", "3"),
@@ -657,7 +669,7 @@ def round7_shapes(path, n):
     run(
         "fixed_merge_tokens",
         lambda: fixed_merge_token_stats(docs, merges)
-        .agg(F.sum("n_tokens")).count(),
+        .agg(F.sum("n_tokens")).collect(),
     )
 
     nvec = max(n // 10, 1000)
@@ -695,7 +707,7 @@ def round7_shapes(path, n):
         lambda: distinct_estimates(
             apply_changes(state, feed, ["k"], [], track_distinct=["u"]),
             ["u"],
-        ).count(),
+        ).agg(F.sum("ndv_u"), F.sum("n_rows")).collect(),
     )
     return out
 

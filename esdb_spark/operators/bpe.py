@@ -229,6 +229,20 @@ def fixed_merge_token_stats(
     replaces per document), one shuffle only if the caller
     aggregates; nothing collects.
     """
+    for a, b in merges:
+        for sym in (a, b):
+            if (
+                not sym
+                or sep in sym
+                or any(ch.isspace() for ch in sym)
+                or sym != sym.lower()
+            ):
+                raise ValueError(
+                    "fixed_merge_token_stats: merge symbols must be "
+                    "non-empty, lowercase, and free of whitespace and "
+                    f"the sentinel byte — got {(a, b)!r} (a bad symbol "
+                    "would silently corrupt every count)"
+                )
     text = F.coalesce(F.col(text_col), F.lit(""))
     guarded = F.when(
         F.contains(text, F.lit(sep)),

@@ -74,12 +74,12 @@ def cooccurrence_pairs(
         per_group = basket.groupBy("_co_g").agg(
             F.count("*").cast("long").alias("_co_s")
         )
-        # integer arithmetic: s·(s−1) is even, so the div is exact
+        # integer arithmetic end-to-end: `div` is bigint floor-div
+        # (s·(s−1) is even, so it is exact) — a float `/` would lose
+        # precision past 2^53 and contradict the guard's exactness
         fan = per_group.select(
             "_co_g",
-            (F.col("_co_s") * (F.col("_co_s") - 1) / F.lit(2))
-            .cast("long")
-            .alias("_co_fan"),
+            F.expr("_co_s * (_co_s - 1) div 2").alias("_co_fan"),
         )
         stats = fan.agg(
             F.sum("_co_fan").alias("total"),

@@ -505,6 +505,7 @@ def bfs_distances(
     )
     frontier = (
         sources.select(F.col(sources.columns[0]).alias("id"))
+        .filter(F.col("id").isNotNull())
         .distinct()
         .localCheckpoint(eager=False)
     )

@@ -208,11 +208,32 @@ def update_inverted_index(
         ).otherwise(F.col("postings"))
     else:
         guarded = F.col("postings")
-    # a truncated row can only merge exactly under the build-time cap
-    trunc_ok = (
-        F.lit(True)
-        if max_postings is not None
-        else F.when(
+    # a truncated row can only merge exactly under a cap ≤ the
+    # build-time cap: tightening is exact (entries dropped by the old
+    # cap rank strictly below its kept ones, so they can never enter a
+    # smaller top-k), but RAISING the cap would need entries the old
+    # cap already threw away. max_postings=None on a truncated row is
+    # the degenerate raise; a LARGER cap is detectable at execution
+    # time — a truncated row holds exactly its build-cap's worth of
+    # entries, so size(postings) < max_postings proves the mismatch.
+    if max_postings is not None:
+        trunc_ok = F.when(
+            F.coalesce(F.col("truncated"), F.lit(False))
+            & (F.size(F.col("postings")) < max_postings),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "update_inverted_index: max_postings exceeds the "
+                        "cap this index was built with — entries beyond "
+                        "the old cap were already dropped and cannot be "
+                        "recovered; token: "
+                    ),
+                    F.col("token"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    else:
+        trunc_ok = F.when(
             F.coalesce(F.col("truncated"), F.lit(False)),
             F.raise_error(
                 F.concat(
@@ -225,7 +246,6 @@ def update_inverted_index(
                 )
             ).cast("boolean"),
         ).otherwise(F.lit(True))
-    )
     merged = j.filter(trunc_ok).select(
         "token",
         (
@@ -603,8 +623,10 @@ def rrf_fuse_exact(
     """
     if not ranked:
         raise ValueError("rrf_fuse_exact: no input rankings")
+    # no per-list tag needed (unlike rrf_fuse): the (P, S) fold is
+    # symmetric in the ranks, so list identity never matters
     tagged = None
-    for i, r in enumerate(ranked):
+    for r in ranked:
         t = r.select(
             F.col(id_col).alias("_rf_id"),
             F.col("rank").cast("long").alias("_rf_rank"),

@@ -1574,15 +1574,18 @@ _TOK = (
 def _fixed_merge_expr(merges: list[tuple[str, str]]) -> str:
     """DuckDB replay of bpe.fixed_merge_token_stats' segmentation:
     sentinel-wrap every non-space char, then the same chained literal
-    replaces in merge-rank order."""
+    replaces in merge-rank order. Symbols splice into SQL string
+    literals, so quotes are doubled (the operator itself additionally
+    rejects whitespace/sentinel/empty symbols at call time)."""
     expr = (
         "regexp_replace(lower(coalesce(text, '')), '(\\S)', "
         "chr(31)||'\\1'||chr(31), 'g')"
     )
     for a, b in merges:
+        qa, qb = a.replace("'", "''"), b.replace("'", "''")
         expr = (
-            f"replace({expr}, chr(31)||'{a}'||chr(31)||chr(31)||'{b}'"
-            f"||chr(31), chr(31)||'{a}{b}'||chr(31))"
+            f"replace({expr}, chr(31)||'{qa}'||chr(31)||chr(31)||'{qb}'"
+            f"||chr(31), chr(31)||'{qa}{qb}'||chr(31))"
         )
     return expr
 _STOPS = "['the','and','of','to','in','is','that','for','a','with','as','on','it','by']"

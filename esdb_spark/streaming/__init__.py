@@ -588,3 +588,80 @@ def read_maintained_aggregate(
     ``versioning.read_release`` gives corpus releases."""
     bound = (1 << 62) if as_of_epoch is None else as_of_epoch + 1
     return _newest_state_before(spark, state_path, bound)
+
+
+def maintain_inverted_index(
+    docs,
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: str | None = None,
+    query_name: str = "maintain_inverted_index",
+    keep_versions: int = 10,
+    max_postings: int | None = None,
+    guard_overlap: bool = True,
+):
+    """Streaming face of ``search.update_inverted_index``: keep a text
+    inverted index continuously maintained from a document-append
+    STREAM — the reference's live append-updates-tails contract
+    (stream/open_stream.go:52-105) for the corpus index, with the same
+    crash-safety discipline as :func:`maintain_aggregate`.
+
+    Each micro-batch tokenizes ONLY its own documents and folds them
+    into the previous committed index version (first batch builds from
+    scratch); versions are write-once ``state-<epoch>`` parquet
+    directories counted only once their ``_IA_COMMITTED`` marker
+    lands, so replays are idempotent and readers never see a partial
+    index. Probe-measured: a 1% fold costs ~4× less than a rebuild at
+    100k docs, and the gap widens with corpus size (SCALE.md round-7
+    table). Read the newest committed index with
+    :func:`read_maintained_index`; it serves
+    ``search.keyword_search_indexed`` directly.
+
+    ``guard_overlap`` (default on) makes a re-delivered document id
+    raise instead of double-counting — with foreachBatch's
+    at-least-once delivery the epoch-keyed versions already absorb
+    whole-batch replays, and the guard catches UPSTREAM duplicates.
+    """
+    from esdb_spark import fs as _fs
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        update_inverted_index,
+    )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = _newest_state_before(spark, state_path, epoch_id)
+        if prev is None:
+            new_state = build_inverted_index(
+                batch_df, text_col, id_col, max_postings
+            )
+        else:
+            new_state = update_inverted_index(
+                prev, batch_df, text_col, id_col, max_postings,
+                guard_overlap=guard_overlap,
+            )
+        out = posixpath.join(state_path, f"state-{epoch_id:012d}")
+        new_state.write.mode("overwrite").parquet(out)
+        _fs.touch(spark, posixpath.join(out, _IA_MARKER))
+        _sweep_state_versions(spark, state_path, keep_versions)
+
+    writer = (
+        docs.writeStream.foreachBatch(fold)
+        .queryName(query_name)
+        .outputMode("update")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_maintained_index(
+    spark: SparkSession, state_path: str, as_of_epoch: int | None = None
+):
+    """Newest COMMITTED index version written by
+    :func:`maintain_inverted_index` (None if nothing committed yet);
+    ``as_of_epoch`` time-travels like
+    :func:`read_maintained_aggregate`."""
+    bound = (1 << 62) if as_of_epoch is None else as_of_epoch + 1
+    return _newest_state_before(spark, state_path, bound)

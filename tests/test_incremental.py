@@ -495,3 +495,60 @@ def test_lineitem_incremental_distinct_matches_exact_recompute(spark):
         .collect()
     ]
     assert got == want and got
+
+
+def test_maintain_inverted_index_streaming(spark, tmp_path):
+    # streaming appends fold into the committed index exactly like a
+    # from-scratch build over everything seen; serving parity via
+    # keyword_search_indexed
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        keyword_search_indexed,
+    )
+    from esdb_spark.streaming import (
+        maintain_inverted_index,
+        read_maintained_index,
+    )
+
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id int, text string"
+    batch1 = [(1, "spark joins tables"), (2, "spark shuffle")]
+    batch2 = [(3, "tables of data"), (4, "spark tables spark")]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(src)
+    stream = spark.readStream.schema(schema).json(src)
+    q = maintain_inverted_index(stream, state, checkpoint=ckpt,
+                                query_name="mii_test")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).json(src)
+    stream = spark.readStream.schema(schema).json(src)
+    q = maintain_inverted_index(stream, state, checkpoint=ckpt,
+                                query_name="mii_test2")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = read_maintained_index(spark, state)
+    want = build_inverted_index(
+        spark.createDataFrame(batch1 + batch2, schema)
+    )
+
+    def key(df):
+        return sorted(
+            (r["token"], r["doc_freq"], r["term_freq"],
+             tuple((p["doc"], p["tf"]) for p in r["postings"]),
+             r["truncated"])
+            for r in df.collect()
+        )
+
+    assert key(got) == key(want)
+    served = keyword_search_indexed(got, ["spark"], k=5).collect()
+    assert [(r["doc"], r["score"]) for r in served] == [(4, 2), (1, 1), (2, 1)]

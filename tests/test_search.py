@@ -479,3 +479,53 @@ def test_update_inverted_index_guard_overlap_off(spark, grown_corpus):
         build_inverted_index(old), new, guard_overlap=False
     )
     assert _idx_rows(updated) == _idx_rows(build_inverted_index(full))
+
+
+def test_update_inverted_index_raising_cap_raises(spark):
+    # built with cap 2, updated with cap 3: entries beyond the old cap
+    # were already dropped — silently returning a short "top 3" would
+    # be wrong, so the mismatch must raise (review finding). Needs a
+    # token whose doc_freq exceeds the cap so truncation actually fires
+    from esdb_spark.operators.search import update_inverted_index
+
+    base_rows = [(i, "common word" + str(i % 2)) for i in range(1, 5)]
+    delta_rows = [(9, "common fresh")]
+    old = spark.createDataFrame(base_rows, "doc_id int, text string")
+    new = spark.createDataFrame(delta_rows, "doc_id int, text string")
+    full = spark.createDataFrame(
+        base_rows + delta_rows, "doc_id int, text string"
+    )
+    capped = build_inverted_index(old, max_postings=2)
+    with pytest.raises(Exception, match="exceeds the cap"):
+        update_inverted_index(capped, new, max_postings=3).collect()
+    # TIGHTENING is exact: cap 3 -> cap 2 equals a from-scratch cap-2
+    # build (dropped entries rank strictly below kept ones)
+    loose = build_inverted_index(old, max_postings=3)
+    tightened = update_inverted_index(loose, new, max_postings=2)
+    assert _idx_rows(tightened) == _idx_rows(
+        build_inverted_index(full, max_postings=2)
+    )
+    # same cap round-trips exactly
+    same = update_inverted_index(capped, new, max_postings=2)
+    assert _idx_rows(same) == _idx_rows(
+        build_inverted_index(full, max_postings=2)
+    )
+
+
+def test_fixed_merge_token_stats_rejects_bad_merges(spark):
+    from esdb_spark.operators.bpe import fixed_merge_token_stats
+
+    df = spark.createDataFrame([(1, "ok text")], "doc_id int, text string")
+    for bad in [("", "x"), ("a b", "c"), ("A", "b"), ("a", "x\x1fy")]:
+        with pytest.raises(ValueError, match="merge symbols"):
+            fixed_merge_token_stats(df, [bad])
+
+
+def test_bfs_distances_null_source_dropped(spark):
+    from esdb_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    src = spark.createDataFrame([(0,), (None,)], "id long")
+    got = {r["id"]: r["dist"]
+           for r in bfs_distances(edges, src, max_hops=2).collect()}
+    assert got == {0: 0, 1: 1}  # no spurious NULL row
