@@ -280,11 +280,15 @@ def delete_from_inverted_index(
     recomputable from it). EXACT: ``delete_from_inverted_index(
     build(all), removed) == build(all − removed)``; integrity is
     enforced at execution time — after filtering, every touched row's
-    posting-list length must equal its decremented doc_freq, so
-    deleting a document the index never had (or had with different
-    text) raises instead of silently corrupting counts. Truncated
-    rows raise: the cap dropped entries nobody can subtract from.
-    Tokens whose doc_freq reaches zero drop from the index.
+    posting-list length must equal its decremented doc_freq AND the
+    subtracted tf must reconcile, so deleting a document the index
+    never had (or had with different text) raises on every token the
+    two sides share instead of silently corrupting counts. (A removed
+    document NONE of whose tokens appear in the index touches no row
+    and is a silent no-op — there is nothing to subtract and nothing
+    to corrupt.) Truncated rows raise: the cap dropped entries nobody
+    can subtract from. Tokens whose doc_freq reaches zero drop from
+    the index.
 
     Scale posture: tokenize/shuffle the REMOVED batch only; untouched
     tokens stream through a left join unchanged; per-token array
