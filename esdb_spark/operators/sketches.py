@@ -344,3 +344,26 @@ def quantile_rollup(
         for p in probs
     ]
     return df.groupBy(*key_cols).agg(*aggs)
+
+
+def merge_count_min(tables: list[DataFrame]) -> DataFrame:
+    """Merge count-min sketch tables built by :func:`count_min_table`
+    with the SAME (depth, width, hash family): cell-wise count
+    addition — ``merge(cms(A), cms(B)) == cms(A ∪ B)`` EXACTLY, which
+    is the whole point of a linear sketch and what makes CMS state
+    incrementally maintainable (fold each new partition/day/feed's
+    tiny table into the standing one; the base data is never
+    rescanned). With the portable hash family the invariant is
+    engine-portable, so catalog rows carry full value-hash oracles.
+
+    Scale posture: inputs are ≤ depth × width rows each whatever the
+    data size; the merge is one union + one tiny aggregation.
+    """
+    if not tables:
+        raise ValueError("merge_count_min: no input tables")
+    u = tables[0]
+    for t in tables[1:]:
+        u = u.unionByName(t)
+    return u.groupBy("row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )

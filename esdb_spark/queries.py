@@ -5198,6 +5198,13 @@ _PIPELINE_ORACLES = {
     """,
 }
 
+# the incremental-CMS row's oracle is the SAME full-data rebuild:
+# merge(cms(A), cms(B)) == cms(A ∪ B) is the linear-sketch invariant
+# the row exists to assert
+_PIPELINE_ORACLES["event_type_freq_cms_incremental"] = _PIPELINE_ORACLES[
+    "event_type_freq_cms_portable"
+]
+
 
 # ---------------------------------------------------------------------------
 # Rows-only queries (no SQL oracle: xxhash64-based sketches)
@@ -5710,6 +5717,39 @@ def ann_topk_docs(spark, sf_dir):
 # family lands a driver-gated row. Everything NOT listed here is still
 # registered (positions 51+) and stays covered by the local
 # oracle-parity pytest suite.
+def event_type_freq_cms_incremental(spark, sf_dir):
+    """Incrementally-maintained count-min sketch (sketches
+    .merge_count_min): the events table splits into two feeds
+    (event_id % 10), each builds its own portable CMS table, and the
+    cell-wise merge serves the point estimates — the linear-sketch
+    maintenance invariant merge(cms(A), cms(B)) == cms(A ∪ B) is
+    asserted by the oracle, which rebuilds the sketch from ALL events
+    in DuckDB and reads the same estimates."""
+    from esdb_spark.operators.sketches import (
+        cms_estimate_df,
+        count_min_table,
+        merge_count_min,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    part_a = ev.filter(F.col("event_id") % 10 != 0)
+    part_b = ev.filter(F.col("event_id") % 10 == 0)
+    table = merge_count_min([
+        count_min_table(part_a, "event_type", depth=5, width=1024,
+                        portable=True),
+        count_min_table(part_b, "event_type", depth=5, width=1024,
+                        portable=True),
+    ])
+    return (
+        cms_estimate_df(
+            table, ev.select("event_type"), "event_type",
+            depth=5, width=1024, portable=True,
+        )
+        .select(F.col("item").alias("event_type"), "est")
+        .orderBy("event_type")
+    )
+
+
 _GATE_WINDOW = [
     # Round-6 curation: ten new operator families swapped in
     # (hybrid RRF retrieval, edit-distance linkage, market-basket
@@ -5990,6 +6030,7 @@ def catalog() -> dict[str, Q]:
         ("user_key_bfs_hops", user_key_bfs_hops),
         ("docs_vocab_coverage", docs_vocab_coverage),
         ("event_type_freq_cms_portable", event_type_freq_cms_portable),
+        ("event_type_freq_cms_incremental", event_type_freq_cms_incremental),
     ]:
         qs[name] = Q(fn, _PIPELINE_ORACLES[name])
     for name, fn in [

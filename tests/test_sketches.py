@@ -208,3 +208,28 @@ def test_count_min_portable_matches_python_model(spark, skewed):
         for r in skewed.groupBy("item").agg(F.count("*").alias("n")).collect()
     }
     assert df_est["hot"] >= exact["hot"]
+
+
+def test_merge_count_min_equals_rebuild(spark):
+    # the linear-sketch invariant: cell-wise merge of two partial
+    # sketches EQUALS the sketch of the union, cell for cell
+    import pytest as _pt
+
+    from esdb_spark.operators.sketches import (
+        count_min_table,
+        merge_count_min,
+    )
+
+    rows = [(i, f"v{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, v string")
+    a = df.filter("id % 3 = 0")
+    b = df.filter("id % 3 != 0")
+    merged = merge_count_min([
+        count_min_table(a, "v", depth=3, width=64),
+        count_min_table(b, "v", depth=3, width=64),
+    ])
+    full = count_min_table(df, "v", depth=3, width=64)
+    key = lambda d: sorted((r["row"], r["bucket"], r["cnt"]) for r in d.collect())
+    assert key(merged) == key(full)
+    with _pt.raises(ValueError):
+        merge_count_min([])
