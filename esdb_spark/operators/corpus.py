@@ -203,7 +203,18 @@ def vocab_coverage(
     audit a candidate frequency-derived vocabulary against its own
     corpus, or a literal frame for a fixed tokenizer.
     """
-    v = vocab.select(F.col(vocab_col).alias("_vc_tok")).distinct()
+    # normalize the vocab side the same way tokens() normalizes the
+    # corpus side (lowercase, trimmed) — a literal vocab row 'The' or
+    # 'the ' would otherwise never match anything and silently inflate
+    # the OOV rate on a go/no-go gate (review finding; the
+    # search._normalize_terms convention)
+    v = (
+        vocab.select(
+            F.lower(F.trim(F.col(vocab_col))).alias("_vc_tok")
+        )
+        .filter(F.col("_vc_tok") != "")
+        .distinct()
+    )
     ex = df.select(
         F.col(id_col).alias("_vc_id"),
         F.explode_outer(tokens(text_col)).alias("_vc_t"),

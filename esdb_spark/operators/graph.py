@@ -468,6 +468,7 @@ def bfs_distances(
     dst: str = "dst",
     max_hops: int = 10,
     checkpoint_every: int = 5,
+    early_exit: bool = False,
 ) -> DataFrame:
     """Multi-source BFS hop distances → ``(id, dist)``: the minimum
     number of directed edges from ANY source node, up to ``max_hops``
@@ -488,6 +489,13 @@ def bfs_distances(
     carried frontier TWICE (join + anti-join), which is exactly the
     2^k fused-plan regime :func:`pagerank`'s dangling branch hit —
     checkpoints bound the lineage (the round-6 lesson).
+
+    ``early_exit``: stop expanding once the frontier empties, checked
+    at each checkpoint boundary. Saves dead rounds when ``max_hops``
+    exceeds the graph's eccentricity, at the cost of eager actions at
+    plan-BUILD time — the catalog/gate contract composes lazily, so
+    lazy is the default; flip it on for interactive traversals with a
+    generous hop budget.
 
     Reference anchor: the reference engine walks index chains hop by
     hop (stream/open_stream.go tail-pointer follows); this is the
@@ -528,4 +536,6 @@ def bfs_distances(
             # the fused lineage before it exponentiates
             frontier = frontier.localCheckpoint(eager=False)
             visited = visited.localCheckpoint(eager=False)
+            if early_exit and hop < max_hops and frontier.isEmpty():
+                break
     return visited

@@ -189,12 +189,18 @@ def update_inverted_index(
     both = F.col("postings").isNotNull() & F.col("_ui_post").isNotNull()
     if guard_overlap:
         # appended docs must be NEW: on shared tokens, a doc id present
-        # on both sides means the caller re-ingested an indexed document
+        # on both sides means the caller re-ingested an indexed
+        # document. The raise lives in a FILTER, not inside the
+        # postings projection: a projection-embedded guard is pruned
+        # away for any consumer that never reads postings (exactly the
+        # Catalyst-pruning failure mode SCALE.md documents for the
+        # probe), which would let doc_freq/term_freq double-count
+        # silently — review finding.
         overlap = F.arrays_overlap(
             F.transform(F.col("postings"), lambda p: p["doc"]),
             F.transform(F.col("_ui_post"), lambda p: p["doc"]),
         )
-        guarded = F.when(
+        overlap_ok = F.when(
             both & overlap,
             F.raise_error(
                 F.concat(
@@ -204,10 +210,9 @@ def update_inverted_index(
                     ),
                     F.col("token"),
                 )
-            ).cast(index.schema["postings"].dataType),
-        ).otherwise(F.col("postings"))
-    else:
-        guarded = F.col("postings")
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+        j = j.filter(overlap_ok)
     # a truncated row can only merge exactly under a cap ≤ the
     # build-time cap: tightening is exact (entries dropped by the old
     # cap rank strictly below its kept ones, so they can never enter a
@@ -256,8 +261,10 @@ def update_inverted_index(
             F.coalesce(F.col("term_freq"), F.lit(0))
             + F.coalesce(F.col("_ui_tf"), F.lit(0))
         ).cast("long").alias("term_freq"),
-        F.when(both, F.sort_array(F.concat(guarded, F.col("_ui_post"))))
-        .otherwise(F.coalesce(guarded, F.col("_ui_post")))
+        F.when(
+            both, F.sort_array(F.concat(F.col("postings"), F.col("_ui_post")))
+        )
+        .otherwise(F.coalesce(F.col("postings"), F.col("_ui_post")))
         .alias("postings"),
     )
     if max_postings is None:
@@ -331,7 +338,12 @@ def delete_from_inverted_index(
     new_df = (F.col("doc_freq") - F.coalesce(F.col("_di_df"), F.lit(0))).cast(
         "long"
     )
-    checked = F.when(
+    # the integrity raise lives in a FILTER, not the postings
+    # projection — a projection-embedded guard would be pruned for
+    # consumers that only read the counts, letting a ghost delete
+    # corrupt doc_freq silently (same review finding as the update
+    # face's overlap guard)
+    integrity_ok = F.when(
         touched
         & ((F.size(filtered) != new_df) | (removed_tf != F.col("_di_tf"))),
         F.raise_error(
@@ -343,17 +355,20 @@ def delete_from_inverted_index(
                 ),
                 F.col("token"),
             )
-        ).cast(index.schema["postings"].dataType),
-    ).otherwise(F.when(touched, filtered).otherwise(F.col("postings")))
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
     return (
         j.filter(not_trunc)
+        .filter(integrity_ok)
         .select(
             "token",
             new_df.alias("doc_freq"),
             (
                 F.col("term_freq") - F.coalesce(F.col("_di_tf"), F.lit(0))
             ).cast("long").alias("term_freq"),
-            checked.alias("postings"),
+            F.when(touched, filtered).otherwise(F.col("postings")).alias(
+                "postings"
+            ),
             F.col("truncated"),
         )
         .filter(F.col("doc_freq") > 0)

@@ -346,7 +346,11 @@ def quantile_rollup(
     return df.groupBy(*key_cols).agg(*aggs)
 
 
-def merge_count_min(tables: list[DataFrame]) -> DataFrame:
+def merge_count_min(
+    tables: list[DataFrame],
+    depth: int | None = None,
+    width: int | None = None,
+) -> DataFrame:
     """Merge count-min sketch tables built by :func:`count_min_table`
     with the SAME (depth, width, hash family): cell-wise count
     addition — ``merge(cms(A), cms(B)) == cms(A ∪ B)`` EXACTLY, which
@@ -356,6 +360,14 @@ def merge_count_min(tables: list[DataFrame]) -> DataFrame:
     rescanned). With the portable hash family the invariant is
     engine-portable, so catalog rows carry full value-hash oracles.
 
+    Merging sketches of DIFFERENT geometry is silent corruption (the
+    min-readout can then UNDER-count, breaking CMS's over-count-only
+    bound) and nothing in a (row, bucket, cnt) table records its
+    geometry — pass ``depth``/``width`` to get an execution-time raise
+    on any cell outside the declared grid (catches a bigger sketch
+    mixed in; a smaller-geometry table is indistinguishable from a
+    sparsely-populated one, so declare geometry everywhere you can).
+
     Scale posture: inputs are ≤ depth × width rows each whatever the
     data size; the merge is one union + one tiny aggregation.
     """
@@ -364,6 +376,24 @@ def merge_count_min(tables: list[DataFrame]) -> DataFrame:
     u = tables[0]
     for t in tables[1:]:
         u = u.unionByName(t)
+    if depth is not None or width is not None:
+        bad = F.lit(False)
+        if depth is not None:
+            bad = bad | (F.col("row") >= depth) | (F.col("row") < 0)
+        if width is not None:
+            bad = bad | (F.col("bucket") >= width) | (F.col("bucket") < 0)
+        u = u.filter(
+            F.when(
+                bad,
+                F.raise_error(
+                    F.lit(
+                        "merge_count_min: cell outside the declared "
+                        f"depth={depth} width={width} grid — inputs were "
+                        "built with mismatched sketch geometry"
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
     return u.groupBy("row", "bucket").agg(
         F.sum("cnt").cast("long").alias("cnt")
     )

@@ -452,6 +452,25 @@ def ewma_stream(
     )
 
 
+def _commit_state_version(
+    spark, state_path: str, epoch_id: int, new_state: DataFrame,
+    keep_versions: int,
+) -> None:
+    """The shared write-once commit tail of every maintained-state
+    store (aggregate and inverted-index): parquet write, THEN the
+    commit marker, THEN the sweep — one definition so the commit
+    protocol cannot silently diverge between stores."""
+    from esdb_spark import fs as _fs
+
+    out = posixpath.join(state_path, f"state-{epoch_id:012d}")
+    new_state.write.mode("overwrite").parquet(out)
+    # commit marker AFTER the data: a reader never trusts a directory
+    # without it (plain touch, not exclusive — a replay
+    # deterministically rewrites the same version)
+    _fs.touch(spark, posixpath.join(out, _IA_MARKER))
+    _sweep_state_versions(spark, state_path, keep_versions)
+
+
 def maintain_aggregate(
     changes,
     state_path: str,
@@ -492,7 +511,6 @@ def maintain_aggregate(
     Returns the started StreamingQuery; the newest state is
     ``read_maintained_aggregate(spark, state_path)``.
     """
-    from esdb_spark import fs as _fs
     from esdb_spark.operators.incremental import (
         apply_changes,
         snapshot_aggregate,
@@ -512,13 +530,9 @@ def maintain_aggregate(
             allow_negative=allow_negative, track_minmax=track_minmax,
             track_distinct=track_distinct,
         )
-        out = posixpath.join(state_path, f"state-{epoch_id:012d}")
-        new_state.write.mode("overwrite").parquet(out)
-        # commit marker AFTER the data: a reader never trusts a
-        # directory without it (plain touch, not exclusive — a replay
-        # deterministically rewrites the same version)
-        _fs.touch(spark, posixpath.join(out, _IA_MARKER))
-        _sweep_state_versions(spark, state_path, keep_versions)
+        _commit_state_version(
+            spark, state_path, epoch_id, new_state, keep_versions
+        )
 
     writer = (
         changes.writeStream.foreachBatch(fold)
@@ -623,7 +637,6 @@ def maintain_inverted_index(
     at-least-once delivery the epoch-keyed versions already absorb
     whole-batch replays, and the guard catches UPSTREAM duplicates.
     """
-    from esdb_spark import fs as _fs
     from esdb_spark.operators.search import (
         build_inverted_index,
         update_inverted_index,
@@ -641,10 +654,9 @@ def maintain_inverted_index(
                 prev, batch_df, text_col, id_col, max_postings,
                 guard_overlap=guard_overlap,
             )
-        out = posixpath.join(state_path, f"state-{epoch_id:012d}")
-        new_state.write.mode("overwrite").parquet(out)
-        _fs.touch(spark, posixpath.join(out, _IA_MARKER))
-        _sweep_state_versions(spark, state_path, keep_versions)
+        _commit_state_version(
+            spark, state_path, epoch_id, new_state, keep_versions
+        )
 
     writer = (
         docs.writeStream.foreachBatch(fold)
@@ -661,7 +673,7 @@ def read_maintained_index(
 ):
     """Newest COMMITTED index version written by
     :func:`maintain_inverted_index` (None if nothing committed yet);
-    ``as_of_epoch`` time-travels like
-    :func:`read_maintained_aggregate`."""
-    bound = (1 << 62) if as_of_epoch is None else as_of_epoch + 1
-    return _newest_state_before(spark, state_path, bound)
+    ``as_of_epoch`` time-travels. Same versioned-state protocol as the
+    aggregate store, so this IS :func:`read_maintained_aggregate` —
+    delegation, not a copy, so a commit-protocol fix lands once."""
+    return read_maintained_aggregate(spark, state_path, as_of_epoch)

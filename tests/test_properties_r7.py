@@ -7,8 +7,6 @@ from fractions import Fraction
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
-from pyspark.sql import functions as F
-
 _SETTINGS = dict(
     max_examples=8,
     deadline=None,
@@ -76,8 +74,8 @@ def test_delete_index_equals_rebuild_property(spark, texts, drop):
     )
 
     rows = [(i, t) for i, t in enumerate(texts)]
-    removed = [r for r in rows if r[0] == drop and r[0] < len(texts)]
-    kept = [r for r in rows if not (r[0] == drop and r[0] < len(texts))]
+    removed = [r for r in rows if r[0] == drop]
+    kept = [r for r in rows if r[0] != drop]
     full = build_inverted_index(
         spark.createDataFrame(rows, "doc_id int, text string")
     )

@@ -529,3 +529,30 @@ def test_bfs_distances_null_source_dropped(spark):
     got = {r["id"]: r["dist"]
            for r in bfs_distances(edges, src, max_hops=2).collect()}
     assert got == {0: 0, 1: 1}  # no spurious NULL row
+
+
+def test_index_guards_survive_column_pruning(spark, grown_corpus):
+    # the guards live in FILTERS: a consumer that reads only the
+    # counts must still trip them — a projection-embedded raise would
+    # be pruned away and let doc_freq double-count silently (review
+    # finding)
+    from esdb_spark.operators.search import (
+        delete_from_inverted_index,
+        update_inverted_index,
+    )
+
+    old, _, full = grown_corpus
+    dup = spark.createDataFrame(
+        [(2, "spark again")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="re-ingests"):
+        update_inverted_index(build_inverted_index(old), dup).select(
+            "token", "doc_freq"
+        ).collect()
+    ghost = spark.createDataFrame(
+        [(99, "spark ghost")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="do not match"):
+        delete_from_inverted_index(
+            build_inverted_index(full), ghost
+        ).select("token", "doc_freq").collect()
