@@ -244,6 +244,80 @@ def vocab_coverage(
     )
 
 
+def dedup_lines_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide exact LINE dedup, C4-style: every line that occurs
+    more than once across the whole corpus keeps only its FIRST
+    occurrence (smallest doc id, then smallest line position) and is
+    cut everywhere else — the classic boilerplate/chrome remover for
+    crawl corpora, complementary to :func:`strip_boilerplate` (which
+    thresholds on per-source frequency rather than deduping globally).
+
+    Lines shorter than ``min_chars`` are exempt (always kept):
+    deduplicating empty lines or bare punctuation would mangle
+    document structure for no dedup value — the C4 heuristic.
+
+    Output: ``(id_col, text, n_lines, n_lines_removed)`` with the
+    surviving lines rejoined in original order (a doc whose every
+    line was cut keeps an empty text). Deterministic, string-exact,
+    integer counts → full value-hash oracle.
+
+    Scale posture: one shuffle partitioned ON THE LINE VALUE for the
+    keep-first window (exact string equality — no hash-collision risk;
+    rows carry (line, doc, pos) only) and one shuffle by doc id for
+    the reassembly. Both carry line text, which is the operator's
+    irreducible payload; positions bound every window.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_dl_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("_dl_pos", "_dl_line"),
+    )
+    w = Window.partitionBy("_dl_line").orderBy("_dl_id", "_dl_pos")
+    flagged = lines.withColumn(
+        "_dl_keep",
+        (F.length("_dl_line") < min_chars)
+        | (F.row_number().over(w) == 1),
+    )
+    return (
+        flagged.groupBy("_dl_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum((~F.col("_dl_keep")).cast("long")).alias(
+                "n_lines_removed"
+            ),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    # collect_list already skips the NULLs the un-kept
+                    # lines' CASE produces; sort restores line order
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("_dl_keep"),
+                                F.struct(
+                                    F.col("_dl_pos").alias("pos"),
+                                    F.col("_dl_line").alias("line"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            ).alias(text_col),
+        )
+        .select(
+            F.col("_dl_id").alias(id_col), text_col, "n_lines",
+            "n_lines_removed",
+        )
+    )
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -3551,6 +3551,42 @@ _PIPELINE_ORACLES = {
         )
         SELECT id, rank_scaled FROM pr WHERE it = 10 ORDER BY id
     """,
+    # keep-first global line dedup over boilerplate-framed pages;
+    # UNNEST WITH ORDINALITY is 1-based, Spark posexplode 0-based —
+    # only the ORDER matters (ties impossible: (doc, pos) is unique)
+    "doc_dedup_lines": """
+        WITH framed AS (
+          SELECT doc_id,
+                 'navigation header for ' || source || chr(10) || text ||
+                 chr(10) || 'copyright footer shared across the corpus'
+                   AS mtext
+          FROM documents
+        ),
+        split AS (
+          SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM framed
+        ),
+        pos AS (
+          SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos, ls
+          FROM split
+        ),
+        lines AS (
+          SELECT doc_id, pos, ls[pos] AS line FROM pos
+        ),
+        flagged AS (
+          SELECT doc_id, pos, line,
+                 (length(line) < 1) OR (row_number() OVER (
+                     PARTITION BY line ORDER BY doc_id, pos) = 1)
+                     AS keep
+          FROM lines
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN keep THEN line END,
+                                   chr(10) ORDER BY pos), '') AS text,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_lines_removed
+        FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
     "docs_vocab_coverage": f"""
         WITH ex AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
         vc AS (
@@ -5486,6 +5522,28 @@ def docs_vocab_coverage(spark, sf_dir):
     return vocab_coverage(docs, vocab).orderBy("doc_id")
 
 
+def doc_dedup_lines(spark, sf_dir):
+    """Corpus-wide exact line dedup (operators/corpus
+    .dedup_lines_global): documents framed as crawl pages (the
+    doc_strip_boilerplate framing — shared nav header per source,
+    shared footer) keep only the FIRST occurrence of every duplicated
+    line, C4-style. String-exact keep-first semantics with integer
+    counts → full value-hash oracle."""
+    from esdb_spark.operators.corpus import dedup_lines_global
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("navigation header for "),
+            F.col("source"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\ncopyright footer shared across the corpus"),
+        ).alias("text"),
+    )
+    return dedup_lines_global(docs).orderBy("doc_id")
+
+
 def user_key_bfs_hops(spark, sf_dir):
     """Multi-hop reachability (operators/graph.bfs_distances):
     level-synchronous BFS hop distances from the k=0 prop-key node
@@ -6033,6 +6091,7 @@ def catalog() -> dict[str, Q]:
         ("user_key_communities", user_key_communities),
         ("user_key_bfs_hops", user_key_bfs_hops),
         ("docs_vocab_coverage", docs_vocab_coverage),
+        ("doc_dedup_lines", doc_dedup_lines),
         ("event_type_freq_cms_portable", event_type_freq_cms_portable),
         ("event_type_freq_cms_incremental", event_type_freq_cms_incremental),
     ]:

@@ -327,3 +327,48 @@ def test_vocab_coverage_counts(spark):
     assert got[2] == (3, 3, 2, 1.0)  # zebra x2 + quark, 2 distinct
     assert got[3] == (0, 0, 0, None)  # token-less: zero counts, NULL rate
     assert got[4] == (0, 0, 0, None)
+
+
+def test_dedup_lines_global_keep_first(spark):
+    from esdb_spark.operators.corpus import dedup_lines_global
+
+    docs = spark.createDataFrame(
+        [
+            (1, "header\nunique one\nfooter"),
+            (2, "header\nunique two\nfooter"),
+            (3, "header\nheader\nfooter"),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines_global(docs).collect()}
+    # doc 1 is the first occurrence of header+footer: intact
+    assert out[1]["text"] == "header\nunique one\nfooter"
+    assert out[1]["n_lines_removed"] == 0
+    # doc 2 loses both boilerplate lines
+    assert out[2]["text"] == "unique two"
+    assert out[2]["n_lines_removed"] == 2
+    # doc 3: both its lines are dups of doc 1's -> emptied
+    assert out[3]["text"] == "" and out[3]["n_lines_removed"] == 3
+    # empty doc: its one empty line is exempt (min_chars) and kept
+    assert out[4]["text"] == "" and out[4]["n_lines"] == 1
+    assert out[4]["n_lines_removed"] == 0
+
+
+def test_dedup_lines_global_min_chars_exemption(spark):
+    from esdb_spark.operators.corpus import dedup_lines_global
+
+    docs = spark.createDataFrame(
+        [(1, "aa\n\nbb"), (2, "aa\n\nbb")], "doc_id int, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines_global(docs, min_chars=3).collect()
+    }
+    # every line is under min_chars -> nothing dedups, blank preserved
+    assert out[2]["text"] == "aa\n\nbb"
+    out2 = {
+        r["doc_id"]: r for r in dedup_lines_global(docs).collect()
+    }
+    # default min_chars=1: 'aa'/'bb' dedup, the EMPTY line is exempt
+    assert out2[2]["text"] == "" and out2[2]["n_lines_removed"] == 2
