@@ -83,10 +83,12 @@ BENCH_QUERIES = [
     "parts_bought_together",
     "event_type_transitions",
     # round-7 additions: incremental inverted-index maintenance (the
-    # append-without-rebuild compaction) and the portable fixed-merge
-    # subword tokenizer (string-rewrite-bound scan shape)
+    # append-without-rebuild compaction), the portable fixed-merge
+    # subword tokenizer (string-rewrite-bound scan shape), and the
+    # C4-style global line dedup (corpus-moving keep-first window)
     "docs_inverted_index_updated",
     "doc_token_counts_fixed",
+    "doc_dedup_lines",
 ]
 
 

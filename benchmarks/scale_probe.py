@@ -690,6 +690,34 @@ def round7_shapes(path, n):
         ).count(),
     )
 
+    from esdb_spark.operators.corpus import (
+        corpus_vocab,
+        dedup_lines_global,
+        vocab_coverage,
+    )
+
+    # line dedup moves the corpus (its irreducible payload): frame
+    # docs as 3-line pages so the shared chrome actually dedups
+    framed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("shared header line\n"), F.col("text"),
+            F.lit("\nshared footer line"),
+        ).alias("text"),
+    )
+    run(
+        "dedup_lines_global",
+        lambda: dedup_lines_global(framed)
+        .agg(F.sum("n_lines_removed"), F.sum(F.length("text"))).collect(),
+    )
+
+    vocab = corpus_vocab(docs, top_n=500).select("token").localCheckpoint()
+    run(
+        "vocab_coverage",
+        lambda: vocab_coverage(docs, vocab)
+        .agg(F.sum("n_oov"), F.sum("n_tokens")).collect(),
+    )
+
     ev = spark.range(n).select(
         (F.abs(F.xxhash64("id", F.lit(1))) % 1000).alias("k"),
         (F.abs(F.xxhash64("id", F.lit(2))) % 100_000).alias("u"),
