@@ -614,6 +614,132 @@ def rrf_fuse(
     )
 
 
+def build_doc_lengths(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token lengths ``(doc, dl)`` — the side table BM25
+    serving needs next to the inverted index (the index stores
+    per-token tf; document length and the corpus averages live here).
+    NULL text counts as length 0, matching :func:`bm25_search`'s
+    avgdl contract. Build it once with the index; maintain it by
+    appending the delta's rows (lengths are per-doc facts — an append
+    IS the update)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.coalesce(F.size(tokens(text_col)), F.lit(0))
+        .cast("double")
+        .alias("dl"),
+    )
+
+
+def bm25_search_indexed(
+    index: DataFrame,
+    doc_lengths: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """:func:`bm25_search` served from a PREBUILT inverted index plus
+    the :func:`build_doc_lengths` side table — completing the serving
+    story: keyword, hybrid, AND ranked retrieval all run without
+    touching the corpus. BIT-EXACT parity with the from-corpus path
+    (pytest-asserted): per-term df comes from the index's exact
+    ``doc_freq``, N/avgdl from one aggregate over the lengths table,
+    and the score uses the identical expression and sorted-term fold,
+    so the same IEEE operations run in the same order. Truncated
+    posting lists raise — a capped list loses tf entries and would
+    silently mis-score (same contract as
+    :func:`keyword_search_indexed`).
+
+    Scale posture: the term in-filter hits the index scan; the
+    explode fans out O(Σ matching doc_freq) rows which join the
+    lengths table on doc id (AQE sizes that join — the postings side
+    is query-bounded); corpus stats are one |docs|-row aggregate of
+    the SIDE table, never a corpus scan. Top-k is a TakeOrdered.
+    """
+    qt = _normalize_terms(terms, "bm25_search_indexed")
+    hit = index.filter(F.col("token").isin(qt))
+    guarded = hit.withColumn(
+        "_bi_post",
+        F.when(~F.col("truncated"), F.col("postings")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "bm25_search_indexed: truncated posting list "
+                        "for term: "
+                    ),
+                    F.col("token"),
+                )
+            )
+        ),
+    )
+    ex = guarded.select(
+        "token",
+        F.col("doc_freq").cast("double").alias("_bm_df"),
+        F.explode("_bi_post").alias("p"),
+    ).select(
+        "token",
+        "_bm_df",
+        F.col("p.doc").alias("_bm_id"),
+        F.col("p.tf").cast("double").alias("_bm_tf"),
+    )
+    stats = doc_lengths.agg(
+        F.count("*").cast("double").alias("_bm_n"),
+        F.sum("dl").alias("_bm_total"),
+    )
+    scored = (
+        ex.join(
+            doc_lengths.select(
+                F.col("doc").alias("_bm_id"), F.col("dl").alias("_bm_dl")
+            ),
+            "_bm_id",
+        )
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_bm_s",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_bm_n") - F.col("_bm_df") + F.lit(0.5))
+                / (F.col("_bm_df") + F.lit(0.5))
+            )
+            * (F.col("_bm_tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("_bm_tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * (
+                        F.col("_bm_dl")
+                        * F.col("_bm_n")
+                        / F.col("_bm_total")
+                    )
+                )
+            ),
+        )
+    )
+    folded = scored.groupBy("_bm_id").agg(
+        F.count("*").cast("long").alias("n_terms_matched"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("token"), F.col("_bm_s")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_bm_s"],
+        ).alias("bm25"),
+    )
+    return (
+        folded.select(
+            F.col("_bm_id").alias("doc"), "n_terms_matched", "bm25"
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc"))
+        .limit(k)
+    )
+
+
 def rrf_fuse_exact(
     ranked: list[DataFrame],
     id_col: str = "doc_id",

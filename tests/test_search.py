@@ -556,3 +556,56 @@ def test_index_guards_survive_column_pruning(spark, grown_corpus):
         delete_from_inverted_index(
             build_inverted_index(full), ghost
         ).select("token", "doc_freq").collect()
+
+
+def test_bm25_indexed_bitwise_parity_with_corpus_search(spark, corpus):
+    # the serving story's last piece: BM25 from index + lengths table
+    # must be BIT-exact with the from-corpus path (same expression,
+    # same sorted-term fold)
+    from esdb_spark.operators.search import (
+        bm25_search,
+        bm25_search_indexed,
+        build_doc_lengths,
+    )
+
+    idx = build_inverted_index(corpus)
+    dl = build_doc_lengths(corpus)
+    for terms in (["spark", "tables"], ["spark"], ["data", "shuffle"]):
+        served = bm25_search_indexed(idx, dl, terms, k=10).collect()
+        direct = bm25_search(corpus, terms, k=10).collect()
+        assert [
+            (r["doc"], r["n_terms_matched"], r["bm25"]) for r in served
+        ] == [
+            (r["doc_id"], r["n_terms_matched"], r["bm25"]) for r in direct
+        ]
+
+
+def test_bm25_indexed_truncated_raises(spark, corpus):
+    from esdb_spark.operators.search import (
+        bm25_search_indexed,
+        build_doc_lengths,
+    )
+
+    capped = build_inverted_index(corpus, max_postings=1)
+    dl = build_doc_lengths(corpus)
+    with pytest.raises(Exception, match="truncated"):
+        bm25_search_indexed(capped, dl, ["spark"]).collect()
+
+
+def test_bm25_indexed_over_maintained_index(spark, grown_corpus):
+    # serving parity holds over an UPDATED index + appended lengths
+    from esdb_spark.operators.search import (
+        bm25_search,
+        bm25_search_indexed,
+        build_doc_lengths,
+        update_inverted_index,
+    )
+
+    old, new, full = grown_corpus
+    idx = update_inverted_index(build_inverted_index(old), new)
+    dl = build_doc_lengths(old).unionByName(build_doc_lengths(new))
+    served = bm25_search_indexed(idx, dl, ["spark", "sort"], k=10).collect()
+    direct = bm25_search(full, ["spark", "sort"], k=10).collect()
+    assert [(r["doc"], r["bm25"]) for r in served] == [
+        (r["doc_id"], r["bm25"]) for r in direct
+    ]
