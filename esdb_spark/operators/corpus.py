@@ -266,11 +266,18 @@ def dedup_lines_global(
     line was cut keeps an empty text). Deterministic, string-exact,
     integer counts → full value-hash oracle.
 
-    Scale posture: one shuffle partitioned ON THE LINE VALUE for the
-    keep-first window (exact string equality — no hash-collision risk;
-    rows carry (line, doc, pos) only) and one shuffle by doc id for
-    the reassembly. Both carry line text, which is the operator's
-    irreducible payload; positions bound every window.
+    Scale posture: the first occurrence per line is a ``min(struct(
+    doc, pos))`` HASH AGGREGATION keyed on the line value — map-side
+    combined, so the corpus-wide footer (the operator's own target,
+    and the classic skew key) collapses to one row per input partition
+    before anything shuffles. A window partitioned by line would
+    instead sort that footer's entire corpus-wide partition in ONE
+    task (AQE skew-splits joins, not windows) — the review finding
+    this shape replaces. The keep flags join back on the line value
+    (AQE-skew-splittable; exact string equality, no hash-collision
+    risk), min_chars-exempt lines skip that path entirely, and the
+    reassembly shuffles by doc id. Line text rides the shuffles — the
+    operator's irreducible payload.
     """
     lines = df.select(
         F.col(id_col).alias("_dl_id"),
@@ -278,11 +285,27 @@ def dedup_lines_global(
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
         ).alias("_dl_pos", "_dl_line"),
     )
-    w = Window.partitionBy("_dl_line").orderBy("_dl_id", "_dl_pos")
-    flagged = lines.withColumn(
+    exempt = F.length("_dl_line") < min_chars
+    firsts = (
+        lines.filter(~exempt)
+        .groupBy("_dl_line")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("_dl_id").alias("id"), F.col("_dl_pos").alias("pos")
+                )
+            ).alias("_dl_first")
+        )
+    )
+    flagged = lines.join(firsts, "_dl_line", "left").withColumn(
         "_dl_keep",
-        (F.length("_dl_line") < min_chars)
-        | (F.row_number().over(w) == 1),
+        exempt
+        | (
+            F.struct(
+                F.col("_dl_id").alias("id"), F.col("_dl_pos").alias("pos")
+            )
+            == F.col("_dl_first")
+        ),
     )
     return (
         flagged.groupBy("_dl_id")

@@ -625,7 +625,12 @@ def build_doc_lengths(
     NULL text counts as length 0, matching :func:`bm25_search`'s
     avgdl contract. Build it once with the index; maintain it by
     appending the delta's rows (lengths are per-doc facts — an append
-    IS the update)."""
+    IS the update), and on the delete face anti-join the removed ids
+    (``lengths.join(removed_ids, "doc", "left_anti")``) — stale
+    lengths shift N/avgdl for every surviving doc.
+    :func:`bm25_search_indexed` raises on duplicate or missing doc
+    rows, so a forgotten or doubled maintenance step fails loudly
+    instead of silently mis-scoring."""
     return df.select(
         F.col(id_col).alias("doc"),
         F.coalesce(F.size(tokens(text_col)), F.lit(0))
@@ -649,10 +654,14 @@ def bm25_search_indexed(
     (pytest-asserted): per-term df comes from the index's exact
     ``doc_freq``, N/avgdl from one aggregate over the lengths table,
     and the score uses the identical expression and sorted-term fold,
-    so the same IEEE operations run in the same order. Truncated
-    posting lists raise — a capped list loses tf entries and would
-    silently mis-score (same contract as
-    :func:`keyword_search_indexed`).
+    so the same IEEE operations run in the same order. Every
+    side-table integrity failure raises at execution time instead of
+    silently shifting scores (review findings, empirically confirmed
+    silent before the guards): truncated posting lists (a capped list
+    loses tf entries), DUPLICATE doc rows in the lengths table (a
+    re-appended delta would double-count matches and inflate N), and
+    a matched doc MISSING from the lengths table (a forgotten append
+    would both drop the doc and skew N/avgdl for everyone else).
 
     Scale posture: the term in-filter hits the index scan; the
     explode fans out O(Σ matching doc_freq) rows which join the
@@ -686,16 +695,58 @@ def bm25_search_indexed(
         F.col("p.doc").alias("_bm_id"),
         F.col("p.tf").cast("double").alias("_bm_tf"),
     )
-    stats = doc_lengths.agg(
+    # duplicate-doc guard: one aggregation over the SIDE table (cheap
+    # relative to any corpus pass) — a doubled maintenance append must
+    # raise, not fan the join out and inflate N
+    dl_checked = (
+        doc_lengths.groupBy("doc")
+        .agg(F.count("*").alias("_bi_c"), F.max("dl").alias("dl"))
+        .filter(
+            F.when(
+                F.col("_bi_c") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "bm25_search_indexed: duplicate doc_lengths "
+                            "row for doc: "
+                        ),
+                        F.col("doc").cast("string"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+        .select("doc", "dl")
+    )
+    stats = dl_checked.agg(
         F.count("*").cast("double").alias("_bm_n"),
         F.sum("dl").alias("_bm_total"),
     )
     scored = (
         ex.join(
-            doc_lengths.select(
+            dl_checked.select(
                 F.col("doc").alias("_bm_id"), F.col("dl").alias("_bm_dl")
             ),
             "_bm_id",
+            "left",
+        )
+        # missing-doc guard: an indexed doc absent from the lengths
+        # table means the lengths append was forgotten — raise (the
+        # inner join this replaces silently DROPPED the doc). A FILTER,
+        # not a projection: projection-embedded guards get pruned
+        # (build_doc_lengths never emits NULL dl, so NULL ⇔ join miss)
+        .filter(
+            F.when(
+                F.col("_bm_dl").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "bm25_search_indexed: indexed doc missing "
+                            "from doc_lengths: "
+                        ),
+                        F.col("_bm_id").cast("string"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
         )
         .crossJoin(F.broadcast(stats))
         .withColumn(

@@ -3557,9 +3557,9 @@ _PIPELINE_ORACLES = {
     "doc_dedup_lines": """
         WITH framed AS (
           SELECT doc_id,
-                 'navigation header for ' || source || chr(10) || text ||
-                 chr(10) || 'copyright footer shared across the corpus'
-                   AS mtext
+                 'navigation header for ' || coalesce(source, '') ||
+                 chr(10) || coalesce(text, '') || chr(10) ||
+                 'copyright footer shared across the corpus' AS mtext
           FROM documents
         ),
         split AS (
@@ -5533,11 +5533,14 @@ def doc_dedup_lines(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
+        # coalesce both fields: a NULL source/text would NULL the whole
+        # concat, which the operator reads as one empty line while the
+        # oracle's unnest would drop the doc — framings must agree
         F.concat(
             F.lit("navigation header for "),
-            F.col("source"),
+            F.coalesce(F.col("source"), F.lit("")),
             F.lit("\n"),
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit("\ncopyright footer shared across the corpus"),
         ).alias("text"),
     )

@@ -372,3 +372,16 @@ def test_dedup_lines_global_min_chars_exemption(spark):
     }
     # default min_chars=1: 'aa'/'bb' dedup, the EMPTY line is exempt
     assert out2[2]["text"] == "" and out2[2]["n_lines_removed"] == 2
+
+
+def test_dedup_lines_global_null_text(spark):
+    from esdb_spark.operators.corpus import dedup_lines_global
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "line a\nline a")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup_lines_global(docs).collect()}
+    # NULL text reads as one empty (exempt) line
+    assert out[1]["text"] == "" and out[1]["n_lines"] == 1
+    # within-doc duplicate: second occurrence cut
+    assert out[2]["text"] == "line a" and out[2]["n_lines_removed"] == 1

@@ -609,3 +609,21 @@ def test_bm25_indexed_over_maintained_index(spark, grown_corpus):
     assert [(r["doc"], r["bm25"]) for r in served] == [
         (r["doc_id"], r["bm25"]) for r in direct
     ]
+
+
+def test_bm25_indexed_lengths_integrity_raises(spark, corpus):
+    # a forgotten or doubled lengths append must raise, not silently
+    # drop docs / inflate scores (review findings, confirmed silent
+    # before the guards)
+    from esdb_spark.operators.search import (
+        bm25_search_indexed,
+        build_doc_lengths,
+    )
+
+    idx = build_inverted_index(corpus)
+    dl = build_doc_lengths(corpus)
+    with pytest.raises(Exception, match="duplicate doc_lengths"):
+        bm25_search_indexed(idx, dl.unionByName(dl), ["spark"]).collect()
+    missing = dl.filter(F.col("doc") != 2)  # doc 2 matches 'spark'
+    with pytest.raises(Exception, match="missing from doc_lengths"):
+        bm25_search_indexed(idx, missing, ["spark"]).collect()
