@@ -639,6 +639,128 @@ def build_doc_lengths(
     )
 
 
+def update_doc_lengths(
+    doc_lengths: DataFrame,
+    docs_new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    guard_overlap: bool = True,
+) -> DataFrame:
+    """Append face of doc-lengths maintenance: fold NEW documents'
+    ``(doc, dl)`` rows into an existing :func:`build_doc_lengths`
+    table without touching the base corpus — lengths are per-doc
+    facts, so an append IS the update (the module-level analog of
+    ``update_inverted_index`` for the BM25 side table; together they
+    keep ALL of :func:`bm25_search_indexed`'s serving state
+    maintained, the reference's close-compacts contract covering
+    every lookup structure, stream/open_stream.go:146-201).
+
+    ``guard_overlap`` (default): a delta doc id already present in
+    the table raises at execution time — a re-appended delta would
+    otherwise double N and (via the serve-time duplicate guard) only
+    fail when a query happens to match that doc. The guard is one
+    broadcast semi-probe of the state against the delta's ids
+    (delta-bounded build side; the state never shuffles), expressed
+    as a FILTER so no consumer can prune it away.
+    """
+    delta = build_doc_lengths(docs_new, text_col, id_col)
+    if guard_overlap:
+        dup_ids = F.broadcast(delta.select("doc"))
+        # left join marks state rows the delta re-appends; the raise
+        # lives in a FILTER (projection-embedded guards get pruned)
+        marked = doc_lengths.join(
+            dup_ids.withColumn("_ul_dup", F.lit(True)), "doc", "left"
+        ).filter(
+            F.when(
+                F.col("_ul_dup").isNotNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "update_doc_lengths: delta re-appends a doc "
+                            "already in the lengths table: "
+                        ),
+                        F.col("doc").cast("string"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        ).select("doc", "dl")
+        return marked.unionByName(delta)
+    return doc_lengths.unionByName(delta)
+
+
+def delete_doc_lengths(
+    doc_lengths: DataFrame,
+    removed_ids: DataFrame,
+    id_col: str = "doc_id",
+    guard_missing: bool = True,
+) -> DataFrame:
+    """Delete face of doc-lengths maintenance: drop the removed doc
+    ids' rows so N/avgdl track the surviving corpus — a stale length
+    shifts BM25 scores for EVERY surviving document, which is why the
+    side table must maintain in lockstep with the index
+    (:func:`delete_from_inverted_index`).
+
+    ``removed_ids`` carries ``id_col`` (extra columns ignored). With
+    ``guard_missing`` (default) a removed id absent from the table
+    raises at execution time — a ghost delete means the caller's
+    view of what is indexed has diverged, exactly the corruption the
+    serve-time guards exist to catch, surfaced at maintenance time
+    instead.
+
+    Plan shape: the output is one broadcast ANTI probe of the state
+    (the removal batch is the build side — the state never shuffles;
+    a full-outer formulation would SortMergeJoin the whole table per
+    delete batch, measured, since the broadcast hint is ignored for
+    full outer). The guard is a second broadcast SEMI probe counted
+    against the batch's distinct-id count — matched < removed means a
+    ghost delete; matched > removed means the state itself holds
+    duplicate rows. Two scans, zero shuffles of the side table. The
+    guard rides the output as a zero-row UNION leg (explode of an
+    empty array whose mismatch branch raises) rather than a filter on
+    the kept rows: a filter-carried guard silently skips the one case
+    where the check matters most — a delete that empties the table
+    leaves no row for the filter to evaluate.
+    """
+    rm = removed_ids.select(F.col(id_col).alias("doc")).distinct()
+    kept = doc_lengths.join(F.broadcast(rm), "doc", "left_anti")
+    if not guard_missing:
+        return kept
+    expected = rm.agg(F.count("*").alias("_dl_n_rm"))
+    matched = doc_lengths.join(F.broadcast(rm), "doc", "left_semi").agg(
+        F.count("*").alias("_dl_n_hit")
+    )
+    doc_type = dict(doc_lengths.dtypes)["doc"]
+    probe = (
+        expected.crossJoin(matched)
+        .select(
+            F.explode(
+                F.when(
+                    F.col("_dl_n_hit") == F.col("_dl_n_rm"),
+                    F.array().cast("array<int>"),
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "delete_doc_lengths: removed ids do not "
+                                "match the lengths table (ghost delete, or "
+                                "duplicate state rows): matched "
+                            ),
+                            F.col("_dl_n_hit").cast("string"),
+                            F.lit(" of "),
+                            F.col("_dl_n_rm").cast("string"),
+                        )
+                    ).cast("array<int>")
+                )
+            ).alias("_g")
+        )
+        .select(
+            F.lit(None).cast(doc_type).alias("doc"),
+            F.lit(None).cast("double").alias("dl"),
+        )
+    )
+    return kept.select("doc", "dl").unionByName(probe)
+
+
 def bm25_search_indexed(
     index: DataFrame,
     doc_lengths: DataFrame,
@@ -854,6 +976,222 @@ def rrf_fuse_exact(
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _segment_net_rows(
+    segments: list[DataFrame],
+    tombstones: list[DataFrame] | None,
+    caller: str,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """Shared core of the LSM segment path: union live segments (+1)
+    and tombstone segments (−1), explode postings, and net them per
+    (token, doc) under execution-time integrity guards. Returns
+    ``(token, doc, tf)`` for surviving entries — exactly the per-doc
+    rows of ``build_inverted_index`` over the surviving corpus.
+
+    ``terms`` (serving path) is a literal in-filter applied BEFORE the
+    explode; Catalyst pushes it into every segment leg's scan, so a
+    query touches |terms| rows per segment, never whole segments.
+
+    Guards (all FILTERs — the projection-pruning lesson): truncated
+    rows raise (capped postings cannot merge or subtract exactly); a
+    doc appearing in MORE than one live segment raises (segments hold
+    disjoint docs — delete-then-reappend requires compacting first,
+    the reference's own close-compacts discipline,
+    stream/open_stream.go:146-201); a duplicate tombstone raises; a
+    tombstone for a doc no live segment holds raises (ghost delete);
+    a tombstone whose tf differs from the live entry raises (the doc
+    was tombstoned with different text).
+    """
+    if not segments:
+        raise ValueError(f"{caller}: no segments")
+    tagged = None
+    for s in segments:
+        t = s.select(
+            "token", F.lit(1).alias("_sg_sign"), "postings", "truncated"
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    for s in tombstones or []:
+        tagged = tagged.unionByName(
+            s.select(
+                "token", F.lit(-1).alias("_sg_sign"), "postings",
+                "truncated",
+            )
+        )
+    if terms is not None:
+        tagged = tagged.filter(F.col("token").isin(terms))
+    not_trunc = F.when(
+        F.col("truncated"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{caller}: truncated posting list in a segment — "
+                    "capped indexes cannot merge or subtract exactly; "
+                    "token: "
+                ),
+                F.col("token"),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    ex = (
+        tagged.filter(not_trunc)
+        .select("token", "_sg_sign", F.explode("postings").alias("p"))
+        .select(
+            "token",
+            "_sg_sign",
+            F.col("p.doc").alias("doc"),
+            F.col("p.tf").alias("tf"),
+        )
+    )
+    pos = F.col("_sg_sign") == 1
+    per = ex.groupBy("token", "doc").agg(
+        F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("_sg_npos"),
+        F.sum(F.when(~pos, 1).otherwise(0)).cast("long").alias("_sg_nneg"),
+        F.sum(F.when(pos, F.col("tf")).otherwise(0))
+        .cast("long")
+        .alias("_sg_tfpos"),
+        F.sum(F.when(~pos, F.col("tf")).otherwise(0))
+        .cast("long")
+        .alias("_sg_tfneg"),
+    )
+    where = F.concat(
+        F.lit("; token: "), F.col("token"), F.lit(", doc: "),
+        F.col("doc").cast("string"),
+    )
+    # ONE CASE whose otherwise IS the keep decision — NOT a raising
+    # filter followed by .filter(nneg == 0). Two conjuncts let
+    # Catalyst constraint-propagate `nneg = 0` INTO the guard and
+    # delete every raise arm conditioned on nneg != 0 as unreachable
+    # (verified in the optimized plan: only the npos arm survived) —
+    # the round-8 sharpening of the guards-belong-in-filters lesson.
+    keep = (
+        F.when(
+            F.col("_sg_npos") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{caller}: doc indexed in more than one live "
+                        "segment (re-append without compaction)"
+                    ),
+                    where,
+                )
+            ).cast("boolean"),
+        )
+        .when(
+            F.col("_sg_nneg") > 1,
+            F.raise_error(
+                F.concat(F.lit(f"{caller}: duplicate tombstone"), where)
+            ).cast("boolean"),
+        )
+        .when(
+            (F.col("_sg_nneg") == 1) & (F.col("_sg_npos") == 0),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{caller}: tombstone for a doc no live segment "
+                        "holds (ghost delete)"
+                    ),
+                    where,
+                )
+            ).cast("boolean"),
+        )
+        .when(
+            (F.col("_sg_nneg") == 1)
+            & (F.col("_sg_tfneg") != F.col("_sg_tfpos")),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{caller}: tombstone tf differs from the live "
+                        "entry (doc tombstoned with different text)"
+                    ),
+                    where,
+                )
+            ).cast("boolean"),
+        )
+        .otherwise(F.col("_sg_nneg") == 0)
+    )
+    return per.filter(keep).select(
+        "token", "doc", F.col("_sg_tfpos").alias("tf")
+    )
+
+
+def compact_segments(
+    segments: list[DataFrame],
+    tombstones: list[DataFrame] | None = None,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Merge LSM index segments — subtracting tombstone segments —
+    into ONE standard inverted index: the compaction face of the
+    segment story (the reference's close-compacts contract,
+    stream/open_stream.go:146-201). Segments are
+    ``build_inverted_index`` outputs over disjoint appended batches;
+    a TOMBSTONE segment is ``build_inverted_index`` over the removed
+    documents' original text — the delete marker the serving union
+    subtracts, which is what lets deletes stay O(delta) appends too
+    (write a tombstone now, pay the merge at compaction cadence).
+
+    EXACT by construction: ``compact_segments(segs, tombs) ==
+    build_inverted_index(∪segs − ∪tombs)`` value-for-value
+    (pytest-asserted, and the catalog row's oracle rebuilds from the
+    survivors). Integrity violations raise at execution time — see
+    :func:`_segment_net_rows` for the five guards (truncation,
+    re-append, duplicate/ghost/mismatched tombstone).
+
+    Scale posture: segments union by token (no corpus read); the one
+    shuffle keys on (token, doc) — entries, not text; the rebuild
+    aggregation is the same map-side-combined shape as
+    ``build_inverted_index``'s second aggregate.
+    """
+    net = _segment_net_rows(segments, tombstones, "compact_segments")
+    idx = net.groupBy("token").agg(
+        F.count("*").cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("term_freq"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("doc"), F.col("tf")))
+        ).alias("postings"),
+    )
+    if max_postings is None:
+        return idx.withColumn("truncated", F.lit(False))
+    return _cap_postings(idx, max_postings)
+
+
+def keyword_search_segments(
+    segments: list[DataFrame],
+    terms: list[str],
+    k: int = 10,
+    require_all: bool = True,
+    tombstones: list[DataFrame] | None = None,
+) -> DataFrame:
+    """:func:`keyword_search_indexed` served directly from LSM
+    segments AND tombstones — no compaction needed to answer queries
+    after a delete: ``serve(segments ∪ tombstones) ==
+    keyword_search(build(survivors))`` exactly (pytest-asserted; the
+    catalog row's oracle recomputes from the surviving corpus).
+    Same output shape and tie-breaks as the other keyword faces.
+    Integrity guards fire for corruption the query TOUCHES: the term
+    in-filter runs before the net, so a ghost/mismatched tombstone
+    whose tokens miss the query terms is invisible here by design
+    (serving is O(terms), not an integrity sweep —
+    :func:`compact_segments` sees everything).
+
+    Scale posture: the term in-filter lands below the union, so each
+    segment scan reads |terms| rows; the net/aggregate runs on
+    O(Σ matching doc_freq × |segments touched|) entries; top-k is a
+    TakeOrdered. Serving cost grows with segment count — SCALE.md's
+    segment-count probe gives the compaction-cadence knee.
+    """
+    qt = _normalize_terms(terms, "keyword_search_segments")
+    net = _segment_net_rows(
+        segments, tombstones, "keyword_search_segments", terms=qt
+    )
+    agg = net.groupBy("doc").agg(
+        F.count_distinct("token").cast("long").alias("n_terms_matched"),
+        F.sum("tf").cast("long").alias("score"),
+    )
+    if require_all:
+        agg = agg.filter(F.col("n_terms_matched") == len(qt))
+    return agg.orderBy(F.desc("score"), F.asc("doc")).limit(k)
 
 
 def keyword_search_indexed(

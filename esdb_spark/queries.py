@@ -2084,6 +2084,117 @@ def docs_inverted_index_deleted(spark, sf_dir):
     ).orderBy("token")
 
 
+def docs_doc_lengths_maintained(spark, sf_dir):
+    """BM25 side-table maintenance (operators/search.update_doc_lengths
+    + delete_doc_lengths — the round-8 completion of the serving-state
+    story): build the doc-lengths table over the 90% of documents with
+    doc_id % 10 != 0, append the remaining 10% WITHOUT re-tokenizing
+    the base, then delete the doc_id % 7 == 0 documents' rows. The
+    oracle rebuilds the table from the SURVIVING corpus, so the gate
+    asserts delete(update(build(90%), 10%), removed) ==
+    build(survivors) value-hash-exact — the reference's close-compacts
+    contract covers ALL of bm25_search_indexed's lookup state, not
+    just postings (stream/open_stream.go:146-201). The ln-scored BM25
+    serve over this exact state is the rows-only twin
+    docs_bm25_maintained; pytest asserts it bit-exact vs the
+    from-corpus path."""
+    from esdb_spark.operators.search import (
+        build_doc_lengths,
+        delete_doc_lengths,
+        update_doc_lengths,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    removed = docs.filter(F.col("doc_id") % 7 == 0)
+    lengths = delete_doc_lengths(
+        update_doc_lengths(build_doc_lengths(old), delta),
+        removed.select("doc_id"),
+    )
+    return lengths.orderBy("doc")
+
+
+def docs_keyword_search_segments(spark, sf_dir):
+    """LSM segment serving WITH tombstone deletes (operators/search.
+    keyword_search_segments): the corpus is indexed as three disjoint
+    append segments (doc_id % 3 buckets — each a plain
+    build_inverted_index output, the O(delta) append face), the
+    doc_id % 7 == 0 documents are deleted as a TOMBSTONE segment
+    (build_inverted_index over their text — a delete is an O(delta)
+    append too), and the query is answered directly from the four
+    segments, no compaction. The oracle recomputes the keyword search
+    from the SURVIVING corpus, so the gate asserts
+    serve(segments ∪ tombstones) == keyword_search(build(survivors))
+    value-hash-exact — the reference's append-updates-tails /
+    close-compacts split (stream/open_stream.go:52-105,146-201) with
+    the delete face completed."""
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        keyword_search_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    segs = [
+        build_inverted_index(
+            docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+        )
+        for i in range(3)
+    ]
+    tomb = [
+        build_inverted_index(
+            docs.filter(F.col("doc_id") % 7 == 0), "text", "doc_id"
+        )
+    ]
+    return keyword_search_segments(
+        segs, ["spark", "hash"], k=15, require_all=False, tombstones=tomb
+    )
+
+
+def docs_bm25_maintained(spark, sf_dir):
+    """BM25 served from FULLY MAINTAINED state — the index carried
+    through update+delete (docs_inverted_index_updated/_deleted's
+    faces) and the lengths side table through append+anti-join
+    (docs_doc_lengths_maintained's faces) — never touching the
+    corpus. Rows-only like every ln-scored row (the round-4 float
+    lesson); the exact value-hashed twins are
+    docs_doc_lengths_maintained (the state itself) and
+    docs_keyword_search_segments (integer-scored serving), and pytest
+    asserts this serve bit-exact vs bm25_search over the survivors."""
+    from esdb_spark.operators.search import (
+        bm25_search_indexed,
+        build_doc_lengths,
+        build_inverted_index,
+        delete_doc_lengths,
+        delete_from_inverted_index,
+        update_doc_lengths,
+        update_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    removed = docs.filter(F.col("doc_id") % 7 == 0)
+    idx = delete_from_inverted_index(
+        update_inverted_index(
+            build_inverted_index(old, "text", "doc_id"),
+            delta,
+            "text",
+            "doc_id",
+        ),
+        removed,
+        "text",
+        "doc_id",
+    )
+    lengths = delete_doc_lengths(
+        update_doc_lengths(build_doc_lengths(old), delta),
+        removed.select("doc_id"),
+    )
+    return bm25_search_indexed(
+        idx, lengths, ["spark", "hash", "merge"], k=20
+    )
+
+
 def docs_bm25_topk(spark, sf_dir):
     """BM25-ranked retrieval (operators/search.bm25_search): top-20
     documents for {spark, hash, merge} under Okapi BM25 with Lucene
@@ -4259,6 +4370,33 @@ _PIPELINE_ORACLES = {
                    AS postings_str
         FROM pd GROUP BY token ORDER BY token
     """,
+    # the lengths-maintenance oracle rebuilds the side table from the
+    # SURVIVING corpus — delete(update(build(90%), 10%), removed) ==
+    # build(survivors)
+    "docs_doc_lengths_maintained": f"""
+        SELECT doc_id AS doc,
+               CAST(coalesce(len({_TOK}), 0) AS DOUBLE) AS dl
+        FROM documents WHERE doc_id % 7 != 0 ORDER BY doc
+    """,
+    # the segment-serving oracle recomputes the keyword search from
+    # the surviving corpus — serve(segments ∪ tombstones) ==
+    # keyword_search(build(survivors))
+    "docs_keyword_search_segments": f"""
+        WITH ex AS (
+          SELECT doc_id, unnest({_TOK}) AS token FROM documents
+          WHERE doc_id % 7 != 0
+        ),
+        m AS (SELECT doc_id, token FROM ex
+              WHERE token IN ('spark', 'hash')),
+        h AS (
+          SELECT doc_id,
+                 CAST(count(DISTINCT token) AS BIGINT) AS n_terms_matched,
+                 CAST(count(*) AS BIGINT) AS score
+          FROM m GROUP BY doc_id
+        )
+        SELECT doc_id AS doc, n_terms_matched, score FROM h
+        ORDER BY score DESC, doc ASC LIMIT 15
+    """,
     "docs_hybrid_rrf": f"""
         WITH ex AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
         m AS (SELECT doc_id, token FROM ex
@@ -6029,6 +6167,8 @@ def catalog() -> dict[str, Q]:
         ("docs_inverted_index", docs_inverted_index),
         ("docs_inverted_index_updated", docs_inverted_index_updated),
         ("docs_inverted_index_deleted", docs_inverted_index_deleted),
+        ("docs_doc_lengths_maintained", docs_doc_lengths_maintained),
+        ("docs_keyword_search_segments", docs_keyword_search_segments),
         ("doc_token_counts_fixed", doc_token_counts_fixed),
         ("docs_hybrid_rrf3", docs_hybrid_rrf3),
         ("doc_duplicate_spans", doc_duplicate_spans),
@@ -6122,6 +6262,11 @@ def catalog() -> dict[str, Q]:
         # between engines (r6 ADVICE); the quantized-MIPS
         # docs_hybrid_rrf gate row is the value-hashed face
         ("docs_hybrid_rrf_cosine", docs_hybrid_rrf_cosine),
+        # ln-scored BM25 over fully maintained state (rows-only like
+        # every ln row); exact twins: docs_doc_lengths_maintained
+        # (the state) + docs_keyword_search_segments (integer serve);
+        # bit-exact vs the from-corpus path in tests/test_search.py
+        ("docs_bm25_maintained", docs_bm25_maintained),
         # HLL sketch binaries are engine-specific; estimates cross-
         # validated vs exact countDistinct in test_incremental.py
         ("lineitem_incremental_distinct", lineitem_incremental_distinct),

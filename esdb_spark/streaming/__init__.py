@@ -668,6 +668,105 @@ def maintain_inverted_index(
     return writer.start()
 
 
+def maintain_doc_lengths(
+    changes,
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    op_col: str = "op",
+    checkpoint: str | None = None,
+    query_name: str = "maintain_doc_lengths",
+    keep_versions: int = 10,
+):
+    """Streaming maintenance for the BM25 doc-lengths side table —
+    completing the serving-state story :func:`maintain_inverted_index`
+    started: the reference's close-compacts contract seals ALL lookup
+    state, not just postings (stream/open_stream.go:146-201), and
+    ``bm25_search_indexed`` needs N/avgdl from this table next to the
+    index. Before this face the table was maintained by hand (append
+    the delta / anti-join removed ids) and a missed step only failed
+    at query time; here the discipline is packaged the way
+    :func:`maintain_aggregate` packages sums.
+
+    ``changes`` is a document change STREAM carrying ``text_col``,
+    ``id_col``, and ``op_col`` ∈ {'insert', 'delete'} (an unknown op
+    raises at execution time — ``search.update_doc_lengths`` /
+    ``delete_doc_lengths`` do the folding, so a re-appended insert and
+    a ghost delete each raise too, per their guards; within one batch
+    inserts apply before deletes, so an insert+delete pair nets to
+    absent). State versions follow the shared write-once
+    ``state-<epoch>`` + ``_IA_COMMITTED`` protocol
+    (:func:`_commit_state_version`) — replays recompute from the same
+    predecessor and rewrite the same version, so at-least-once
+    delivery cannot double-apply. Read with
+    :func:`read_maintained_doc_lengths`; pytest asserts the
+    maintained index + maintained lengths serve ``bm25_search_indexed``
+    bit-exact vs the from-corpus path across an epoch sequence with
+    appends AND deletes.
+
+    Scale posture: each fold tokenizes the batch's INSERT rows only
+    (one pass over the delta); the delete face is two broadcast
+    probes of the state (never a state shuffle); the state parquet
+    rewrite is the per-epoch floor every maintained store pays.
+    """
+    from esdb_spark.operators.search import (
+        build_doc_lengths,
+        delete_doc_lengths,
+        update_doc_lengths,
+    )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        op_ok = F.when(
+            F.col(op_col).isin("insert", "delete"), F.lit(True)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "maintain_doc_lengths: bad op (expected "
+                        "insert/delete): "
+                    ),
+                    F.col(op_col).cast("string"),
+                )
+            ).cast("boolean")
+        )
+        batch = batch_df.filter(op_ok)
+        ins = batch.filter(F.col(op_col) == "insert")
+        rm = batch.filter(F.col(op_col) == "delete").select(id_col)
+        prev = _newest_state_before(spark, state_path, epoch_id)
+        if prev is None:
+            state = build_doc_lengths(ins, text_col, id_col)
+        else:
+            state = update_doc_lengths(prev, ins, text_col, id_col)
+        # cheap local emptiness probe is NOT free on a lazy frame —
+        # apply the delete face unconditionally; an empty removal
+        # batch anti-joins nothing and the guard compares 0 == 0
+        state = delete_doc_lengths(state, rm, id_col)
+        _commit_state_version(
+            spark, state_path, epoch_id, state, keep_versions
+        )
+
+    writer = (
+        changes.writeStream.foreachBatch(fold)
+        .queryName(query_name)
+        .outputMode("update")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_maintained_doc_lengths(
+    spark: SparkSession, state_path: str, as_of_epoch: int | None = None
+):
+    """Newest COMMITTED lengths version written by
+    :func:`maintain_doc_lengths` (None if nothing committed yet);
+    ``as_of_epoch`` time-travels. Same versioned-state protocol as the
+    aggregate and index stores — delegation, not a copy, so a
+    commit-protocol fix lands once."""
+    return read_maintained_aggregate(spark, state_path, as_of_epoch)
+
+
 def read_maintained_index(
     spark: SparkSession, state_path: str, as_of_epoch: int | None = None
 ):

@@ -552,3 +552,131 @@ def test_maintain_inverted_index_streaming(spark, tmp_path):
     assert key(got) == key(want)
     served = keyword_search_indexed(got, ["spark"], k=5).collect()
     assert [(r["doc"], r["score"]) for r in served] == [(4, 2), (1, 1), (2, 1)]
+
+
+def test_maintain_doc_lengths_streaming(spark, tmp_path):
+    # the BM25 side table maintains through the same epoch protocol as
+    # the index: appends AND deletes fold across micro-batches, and the
+    # maintained index + maintained lengths serve bm25_search_indexed
+    # bit-exact vs the from-corpus path over the survivors
+    from esdb_spark.operators.search import (
+        bm25_search,
+        bm25_search_indexed,
+        build_inverted_index,
+        delete_from_inverted_index,
+        update_inverted_index,
+    )
+    from esdb_spark.streaming import (
+        maintain_doc_lengths,
+        read_maintained_doc_lengths,
+    )
+
+    src = str(tmp_path / "chg")
+    state = str(tmp_path / "dl")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id int, text string, op string"
+    batch1 = [
+        (1, "spark joins tables", "insert"),
+        (2, "spark shuffle spark", "insert"),
+        (3, "tables of data", "insert"),
+    ]
+    # epoch 2 appends two docs and deletes doc 3 (text rides the
+    # delete row so the index face can subtract postings too)
+    batch2 = [
+        (4, "spark tables spark", "insert"),
+        (5, "sort merge spark", "insert"),
+        (3, "tables of data", "delete"),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(src)
+    stream = spark.readStream.schema(schema).json(src)
+    q = maintain_doc_lengths(stream, state, checkpoint=ckpt,
+                             query_name="mdl_test")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).json(src)
+    stream = spark.readStream.schema(schema).json(src)
+    q = maintain_doc_lengths(stream, state, checkpoint=ckpt,
+                             query_name="mdl_test2")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    survivors = spark.createDataFrame(
+        [(1, "spark joins tables"), (2, "spark shuffle spark"),
+         (4, "spark tables spark"), (5, "sort merge spark")],
+        "doc_id int, text string",
+    )
+    dl = read_maintained_doc_lengths(spark, state)
+    assert sorted(map(tuple, dl.collect())) == [
+        (1, 3.0), (2, 3.0), (4, 3.0), (5, 3.0)
+    ]
+    # serving parity over the jointly-maintained state
+    base = spark.createDataFrame(
+        [r[:2] for r in batch1], "doc_id int, text string"
+    )
+    idx = delete_from_inverted_index(
+        update_inverted_index(
+            build_inverted_index(base),
+            spark.createDataFrame(
+                [r[:2] for r in batch2 if r[2] == "insert"],
+                "doc_id int, text string",
+            ),
+        ),
+        spark.createDataFrame(
+            [r[:2] for r in batch2 if r[2] == "delete"],
+            "doc_id int, text string",
+        ),
+    )
+    served = bm25_search_indexed(idx, dl, ["spark", "tables"], k=5).collect()
+    direct = bm25_search(survivors, ["spark", "tables"], k=5).collect()
+    assert served and [(r["doc"], r["bm25"]) for r in served] == [
+        (r["doc_id"], r["bm25"]) for r in direct
+    ]
+
+
+def test_maintain_doc_lengths_bad_op_and_replay(spark, tmp_path):
+    from esdb_spark.streaming import (
+        maintain_doc_lengths,
+        read_maintained_doc_lengths,
+    )
+
+    src = str(tmp_path / "chg")
+    state = str(tmp_path / "dl")
+    schema = "doc_id int, text string, op string"
+    spark.createDataFrame(
+        [(1, "a b c", "upsert")], schema
+    ).coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema(schema).json(src)
+    q = maintain_doc_lengths(stream, state,
+                             checkpoint=str(tmp_path / "ck1"),
+                             query_name="mdl_badop")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="bad op"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # a replayed epoch recomputes from the same predecessor and
+    # rewrites the same version: run the SAME source twice through two
+    # fresh checkpoints — the second run's epoch 0 overwrites version
+    # 0 instead of double-applying
+    spark.createDataFrame(
+        [(1, "a b c", "insert"), (2, "d e", "insert")], schema
+    ).coalesce(1).write.mode("overwrite").json(src)
+    for i, name in enumerate(["mdl_r1", "mdl_r2"]):
+        stream = spark.readStream.schema(schema).json(src)
+        q = maintain_doc_lengths(stream, state,
+                                 checkpoint=str(tmp_path / f"ckr{i}"),
+                                 query_name=name)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    dl = read_maintained_doc_lengths(spark, state)
+    assert sorted(map(tuple, dl.collect())) == [(1, 3.0), (2, 2.0)]

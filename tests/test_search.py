@@ -627,3 +627,215 @@ def test_bm25_indexed_lengths_integrity_raises(spark, corpus):
     missing = dl.filter(F.col("doc") != 2)  # doc 2 matches 'spark'
     with pytest.raises(Exception, match="missing from doc_lengths"):
         bm25_search_indexed(idx, missing, ["spark"]).collect()
+
+
+def test_doc_lengths_maintenance_equals_rebuild(spark, grown_corpus):
+    # append + delete faces compose to the from-scratch build over the
+    # survivors — lengths are per-doc facts, so the invariant is exact
+    from esdb_spark.operators.search import (
+        build_doc_lengths,
+        delete_doc_lengths,
+        update_doc_lengths,
+    )
+
+    old, new, full = grown_corpus
+    removed = full.filter(F.col("doc_id").isin(2, 6)).select("doc_id")
+    survivors = full.filter(~F.col("doc_id").isin(2, 6))
+    maintained = delete_doc_lengths(
+        update_doc_lengths(build_doc_lengths(old), new), removed
+    )
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, build_doc_lengths(survivors).collect())
+    )
+
+
+def test_update_doc_lengths_reappend_raises(spark, grown_corpus):
+    from esdb_spark.operators.search import (
+        build_doc_lengths,
+        update_doc_lengths,
+    )
+
+    old, new, full = grown_corpus
+    dl = build_doc_lengths(old)
+    with pytest.raises(Exception, match="re-appends"):
+        update_doc_lengths(dl, old.limit(1)).collect()
+    # guard off: trusted pipelines skip the probe (dup then caught at
+    # serve time by bm25_search_indexed's duplicate guard)
+    n = update_doc_lengths(dl, old.limit(1), guard_overlap=False).count()
+    assert n == old.count() + 1
+
+
+def test_delete_doc_lengths_ghost_raises_even_when_output_empty(
+    spark, grown_corpus
+):
+    from esdb_spark.operators.search import (
+        build_doc_lengths,
+        delete_doc_lengths,
+    )
+
+    old, new, full = grown_corpus
+    dl = build_doc_lengths(full)
+    ghost = spark.createDataFrame([(999,)], "doc_id int")
+    with pytest.raises(Exception, match="ghost delete"):
+        delete_doc_lengths(dl, ghost).collect()
+    # the hard case: a delete that empties the table leaves no kept
+    # row for a filter-carried guard to evaluate — the union-leg probe
+    # must still raise
+    everything_plus_ghost = full.select("doc_id").unionByName(ghost)
+    with pytest.raises(Exception, match="ghost delete"):
+        delete_doc_lengths(dl, everything_plus_ghost).collect()
+    # legitimate delete-everything is fine (empty result, no raise)
+    assert delete_doc_lengths(dl, full.select("doc_id")).count() == 0
+
+
+def test_bm25_indexed_bit_exact_over_maintained_state_with_deletes(
+    spark, grown_corpus
+):
+    # THE round-8 contract: maintained index + maintained lengths serve
+    # bm25_search_indexed bit-exact vs the from-corpus path across an
+    # epoch sequence with appends AND deletes (the close-compacts
+    # contract covers ALL serving state, open_stream.go:146-201)
+    from esdb_spark.operators.search import (
+        bm25_search,
+        bm25_search_indexed,
+        build_doc_lengths,
+        build_inverted_index,
+        delete_doc_lengths,
+        delete_from_inverted_index,
+        update_doc_lengths,
+        update_inverted_index,
+    )
+
+    old, new, full = grown_corpus
+    removed = full.filter(F.col("doc_id").isin(2, 7))
+    survivors = full.filter(~F.col("doc_id").isin(2, 7))
+    idx = delete_from_inverted_index(
+        update_inverted_index(build_inverted_index(old), new), removed
+    )
+    dl = delete_doc_lengths(
+        update_doc_lengths(build_doc_lengths(old), new),
+        removed.select("doc_id"),
+    )
+    served = bm25_search_indexed(idx, dl, ["spark", "sort"], k=10).collect()
+    direct = bm25_search(survivors, ["spark", "sort"], k=10).collect()
+    assert served and [(r["doc"], r["bm25"]) for r in served] == [
+        (r["doc_id"], r["bm25"]) for r in direct
+    ]
+
+
+@pytest.fixture(scope="module")
+def lsm_segments(spark, grown_corpus):
+    from esdb_spark.operators.search import build_inverted_index as bii
+
+    old, new, full = grown_corpus
+    seg1 = bii(old)
+    seg2 = bii(new)
+    removed = full.filter(F.col("doc_id").isin(2, 5))
+    survivors = full.filter(~F.col("doc_id").isin(2, 5))
+    tomb = bii(removed)
+    return seg1, seg2, tomb, removed, survivors
+
+
+def test_compact_segments_with_tombstones_equals_rebuild(
+    spark, lsm_segments
+):
+    from esdb_spark.operators.search import compact_segments
+
+    seg1, seg2, tomb, removed, survivors = lsm_segments
+    got = _idx_rows(compact_segments([seg1, seg2], [tomb]))
+    want = _idx_rows(build_inverted_index(survivors))
+    assert got == want and got
+
+
+def test_keyword_search_segments_with_tombstones_parity(
+    spark, lsm_segments
+):
+    # THE round-8 contract: serve(segments ∪ tombstones) ==
+    # keyword_search(build(survivors)) — deletes answered without
+    # compacting first
+    from esdb_spark.operators.search import keyword_search_segments
+
+    seg1, seg2, tomb, removed, survivors = lsm_segments
+    served = keyword_search_segments(
+        [seg1, seg2], ["spark", "tables"], k=10, require_all=False,
+        tombstones=[tomb],
+    ).collect()
+    direct = keyword_search(
+        survivors, ["spark", "tables"], k=10, require_all=False
+    ).collect()
+    assert served and [tuple(r) for r in served] == [
+        tuple(r) for r in direct
+    ]
+
+
+def test_segment_tombstone_guards_raise(spark, lsm_segments):
+    from esdb_spark.operators.search import (
+        build_inverted_index as bii,
+        compact_segments,
+        keyword_search_segments,
+    )
+
+    seg1, seg2, tomb, removed, survivors = lsm_segments
+    ghost = bii(
+        spark.createDataFrame([(99, "zzqq nonsense")], "doc_id int, text string")
+    )
+    with pytest.raises(Exception, match="ghost delete"):
+        compact_segments([seg1, seg2], [ghost]).collect()
+    with pytest.raises(Exception, match="more than one live segment"):
+        compact_segments([seg1, seg2, seg1]).collect()
+    with pytest.raises(Exception, match="duplicate tombstone"):
+        compact_segments([seg1, seg2], [tomb, tomb]).collect()
+    # tombstoned with different text: double every token's tf
+    mism = bii(
+        removed.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" "), F.col("text"))
+        )
+    )
+    with pytest.raises(Exception, match="differs from the live entry"):
+        compact_segments([seg1, seg2], [mism]).collect()
+    with pytest.raises(Exception, match="truncated"):
+        compact_segments([_idx_capped(seg1)]).collect()
+    # serving face carries the same guards — for corruption the query
+    # TOUCHES: the term in-filter runs before the net, so a ghost
+    # whose tokens miss the query is invisible by design (serving
+    # cost is O(terms), not an integrity sweep; compaction sees all)
+    spark_ghost = bii(
+        spark.createDataFrame([(99, "spark zzqq")], "doc_id int, text string")
+    )
+    with pytest.raises(Exception, match="ghost delete"):
+        keyword_search_segments([seg1, seg2], ["spark"],
+                                tombstones=[spark_ghost]).collect()
+    assert (
+        keyword_search_segments(
+            [seg1, seg2], ["spark"], tombstones=[ghost]
+        ).count()
+        > 0
+    )  # non-intersecting ghost: query unaffected, no raise
+
+
+def _idx_capped(seg):
+    # a truncated row without rebuilding: flip the flag on one token
+    return seg.withColumn(
+        "truncated", F.col("token") == F.lit("spark")
+    )
+
+
+def test_segment_guards_survive_constraint_propagation(
+    spark, lsm_segments
+):
+    # round-8 Catalyst lesson: a raising guard filter followed by a
+    # separate keep filter lets the optimizer constraint-propagate the
+    # keep predicate INTO the guard and delete raise arms conditioned
+    # on the contradicted column as unreachable (observed: only 1 of 4
+    # arms survived in the optimized plan). The fused-CASE shape keeps
+    # all arms; this pins the behavior under the pruning-prone count()
+    # consumer.
+    from esdb_spark.operators.search import compact_segments
+
+    seg1, seg2, tomb, removed, survivors = lsm_segments
+    with pytest.raises(Exception, match="duplicate tombstone"):
+        compact_segments([seg1, seg2], [tomb, tomb]).count()
+    with pytest.raises(Exception, match="ghost delete"):
+        compact_segments(
+            [seg1.filter(F.col("token") != "spark"), seg2], [tomb]
+        ).count()
