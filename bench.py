@@ -89,6 +89,11 @@ BENCH_QUERIES = [
     "docs_inverted_index_updated",
     "doc_token_counts_fixed",
     "doc_dedup_lines",
+    # round-8 additions: LSM segment serving with tombstone deletes
+    # (the no-compaction query path) and IVF-pruned int8 ANN (the
+    # quantized vector-serving shape)
+    "docs_keyword_search_segments",
+    "docs_ann_int8",
 ]
 
 
@@ -158,11 +163,30 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # environment context so a noisy run self-identifies IN the
+    # committed artifact (the r7 driver run inflated ~1.2-1.3×
+    # uniformly and the idle-box counter-evidence lived only in /tmp):
+    # os load average (1/5/15 min, taken at the END so it reflects the
+    # run itself) plus a fixed JVM-side calibration query timed the
+    # same median-of-5 way — a loaded box shows up as load ≫ cpus
+    # and/or calibration drift, independent of any query change.
+    def calibrate() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 20_000_000, 1, 8).selectExpr(
+            "sum(id * 3 % 7) as s"
+        ).collect()
+        return time.perf_counter() - t0
+
+    cal = sorted(calibrate() for _ in range(5))[2]
+    try:
+        load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load = None
     # key order puts the headline total LAST: the driver's artifact
     # captures a bounded TAIL of stdout, and the r6 run truncated from
     # the front — a value printed first survives only in /tmp. With
     # value/total at the end, even a front-truncated tail still reads
-    # `..., "value": N, "total": N}`.
+    # `..., "calibration_sec": c, "value": N, "total": N}`.
     print(
         json.dumps(
             {
@@ -171,6 +195,9 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "queries": timings,
                 "spread": spread,
+                "loadavg": load,
+                "cpus": os.cpu_count(),
+                "calibration_sec": round(cal, 4),
                 "value": total,
                 "total": total,
             }

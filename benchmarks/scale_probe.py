@@ -740,6 +740,113 @@ def round7_shapes(path, n):
     return out
 
 
+def round8_shapes(path, n):
+    """Round-8 additions: the redesigned line dedup (hash-agg keep-
+    first + exempt-line bypass — the r7 row measured the rejected
+    window shape), segment-count serve scaling for the compaction-
+    cadence policy, and IVF-pruned int8 ANN vs the brute MIPS it
+    accelerates."""
+    from esdb_spark.operators.corpus import dedup_lines_global
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        keyword_search_segments,
+    )
+    from esdb_spark.operators.similarity import ann_topk_int8, mips_topk_int8
+
+    docs = spark.read.parquet(path)
+    out = {}
+
+    def run(name, fn):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 2)
+
+    framed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("shared header line\n"), F.col("text"),
+            F.lit("\nshared footer line"),
+        ).alias("text"),
+    )
+    run(
+        "dedup_lines_global",
+        lambda: dedup_lines_global(framed)
+        .agg(F.sum("n_lines_removed"), F.sum(F.length("text"))).collect(),
+    )
+
+    # segment-count scaling at FIXED corpus size: serve latency over
+    # k = 1/4/16/64 segments — |segments| rows per matching token, so
+    # the knee sets the compaction cadence
+    for nseg in (1, 4, 16, 64):
+        segs = [
+            build_inverted_index(
+                docs.filter(F.col("doc_id") % nseg == i), "text", "doc_id"
+            ).localCheckpoint()
+            for i in range(nseg)
+        ]
+        run(
+            f"keyword_serve_{nseg}_segments",
+            lambda segs=segs: keyword_search_segments(
+                segs, ["w100", "w200"], k=10, require_all=False
+            ).collect(),
+        )
+
+    # vector serving at 1M×32d — brute, one-call ANN (inline fit),
+    # and the pay-once path: fit + assign + partitionBy(cell) store,
+    # then serve with partition-pruned scans (the SCALE.md table)
+    from esdb_spark.operators.cluster import kmeans_assign, kmeans_fit
+
+    nvec = 1_000_000 if n >= NDOCS else 10_000
+    vpath = f"/tmp/esdb_scale/vecs_{nvec}.parquet"
+    if not os.path.exists(vpath):
+        spark.range(nvec).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda i: (
+                    (F.abs(F.xxhash64(F.col("id"), i)) % 2000 - 1000)
+                    / 1000.0
+                ).cast("float"),
+            ).alias("embedding"),
+        ).write.mode("overwrite").parquet(vpath)
+    vecs = spark.read.parquet(vpath)
+    qv = vecs.filter(F.col("vec_id") < 8)
+    run(
+        "mips_topk_int8_brute",
+        lambda: mips_topk_int8(vecs, qv, "embedding", "vec_id", k=10).count(),
+    )
+    run(
+        "ann_topk_int8_onecall",
+        lambda: ann_topk_int8(
+            vecs, qv, "embedding", "vec_id", k=10, n_centroids=256, n_probe=8
+        ).count(),
+    )
+    c = vecs.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    t0 = time.perf_counter()
+    cent = kmeans_fit(c, "vec", "id", 256, iters=20, seed=42)
+    (
+        kmeans_assign(c, cent, "vec", "id", keep_vec=True)
+        .filter(F.col("cluster").isNotNull())
+        .select("id", "vec", F.col("cluster").alias("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(f"/tmp/esdb_scale/ivf_{nvec}")
+    )
+    out["ann_index_build_payonce"] = round(time.perf_counter() - t0, 2)
+    store = spark.read.parquet(f"/tmp/esdb_scale/ivf_{nvec}")
+    run(
+        "ann_topk_int8_serve_prebuilt",
+        lambda: ann_topk_int8(
+            vecs, qv, "embedding", "vec_id", k=10, n_centroids=256,
+            n_probe=8, centroids=cent, assigned=store,
+        ).count(),
+    )
+    out["rows"] = n
+    return out
+
+
 small_r7 = round7_shapes("/root/testdata/sf0.1/documents.parquet", 5_000)
 big_r7 = round7_shapes(DOCS, NDOCS)
 print(json.dumps({
@@ -748,5 +855,16 @@ print(json.dumps({
     "r7_ratios_20x_docs": {
         k: round(big_r7[k] / max(small_r7[k], 0.01), 1)
         for k in small_r7 if k != "rows"
+    },
+}, indent=1))
+
+small_r8 = round8_shapes("/root/testdata/sf0.1/documents.parquet", 5_000)
+big_r8 = round8_shapes(DOCS, NDOCS)
+print(json.dumps({
+    "r8_5k": small_r8,
+    "r8_100k": big_r8,
+    "r8_ratios_20x_docs": {
+        k: round(big_r8[k] / max(small_r8[k], 0.01), 1)
+        for k in small_r8 if k != "rows"
     },
 }, indent=1))

@@ -275,9 +275,14 @@ def dedup_lines_global(
     task (AQE skew-splits joins, not windows) — the review finding
     this shape replaces. The keep flags join back on the line value
     (AQE-skew-splittable; exact string equality, no hash-collision
-    risk), min_chars-exempt lines skip that path entirely, and the
-    reassembly shuffles by doc id. Line text rides the shuffles — the
-    operator's irreducible payload.
+    risk); min_chars-exempt lines BYPASS both the aggregate and the
+    join entirely — they are always kept, and empty lines are the
+    single most common line value in a crawl corpus, i.e. the
+    dominant skew key, so routing them around the value-keyed join
+    (filter + union, round-8 fix) keeps that key off the wire
+    instead of leaning on AQE to split it. The reassembly shuffles by
+    doc id. Line text rides the shuffles — the operator's irreducible
+    payload.
     """
     lines = df.select(
         F.col(id_col).alias("_dl_id"),
@@ -286,26 +291,34 @@ def dedup_lines_global(
         ).alias("_dl_pos", "_dl_line"),
     )
     exempt = F.length("_dl_line") < min_chars
-    firsts = (
-        lines.filter(~exempt)
-        .groupBy("_dl_line")
-        .agg(
-            F.min(
-                F.struct(
-                    F.col("_dl_id").alias("id"), F.col("_dl_pos").alias("pos")
-                )
-            ).alias("_dl_first")
-        )
-    )
-    flagged = lines.join(firsts, "_dl_line", "left").withColumn(
-        "_dl_keep",
-        exempt
-        | (
+    nonexempt = lines.filter(~exempt)
+    firsts = nonexempt.groupBy("_dl_line").agg(
+        F.min(
             F.struct(
                 F.col("_dl_id").alias("id"), F.col("_dl_pos").alias("pos")
             )
-            == F.col("_dl_first")
-        ),
+        ).alias("_dl_first")
+    )
+    flagged = (
+        nonexempt.join(firsts, "_dl_line", "left")
+        .select(
+            "_dl_id",
+            "_dl_pos",
+            "_dl_line",
+            (
+                F.struct(
+                    F.col("_dl_id").alias("id"),
+                    F.col("_dl_pos").alias("pos"),
+                )
+                == F.col("_dl_first")
+            ).alias("_dl_keep"),
+        )
+        .unionByName(
+            lines.filter(exempt).select(
+                "_dl_id", "_dl_pos", "_dl_line",
+                F.lit(True).alias("_dl_keep"),
+            )
+        )
     )
     return (
         flagged.groupBy("_dl_id")

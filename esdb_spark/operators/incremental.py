@@ -153,7 +153,17 @@ def apply_changes(
             "silently drop them; pass track_minmax=True"
         )
     sketch_cols = [f"hll_{c}" for c in track_distinct]
-    sk_present = [c for c in state.columns if c.startswith("hll_")]
+    # sketch state is identified by name prefix AND BinaryType — a
+    # legitimate key or carried column that merely happens to be
+    # named hll_something must not trip the mismatch check (ADVICE r7)
+    from pyspark.sql.types import BinaryType
+
+    sk_present = [
+        c
+        for c in state.columns
+        if c.startswith("hll_")
+        and isinstance(state.schema[c].dataType, BinaryType)
+    ]
     if sorted(sketch_cols) != sorted(sk_present):
         if track_distinct and not sk_present:
             raise ValueError(

@@ -172,7 +172,15 @@ def update_inverted_index(
     re-ingested doc NONE of whose tokens were previously indexed is
     undetectable without a full posting scan either way — that is the
     delete face's job (:func:`delete_from_inverted_index` first, then
-    update).
+    update). CAPPED-INDEX blind spot (same root cause): the guard
+    probes the STORED postings, so on a ``max_postings``-capped index
+    a re-ingested doc whose posting entry the cap dropped escapes the
+    probe and double-counts doc_freq/term_freq — membership simply
+    cannot be verified for entries the cap threw away. On capped
+    indexes the guard is therefore best-effort (it still catches
+    re-ingestion of any doc that SURVIVED a cap); an append pipeline
+    that cannot enforce id monotonicity upstream should not run a
+    capped index through this face.
 
     Scale posture: tokenize/shuffle the DELTA only; the existing
     index joins by token (full-outer), so the per-token work is

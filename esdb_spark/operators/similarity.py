@@ -662,6 +662,21 @@ def ann_topk_pq(
     )
 
 
+def _quantize_int8_np(m):
+    """Shared numpy face of the int8 codec — mirrors
+    ``quantize.quantize_int8`` bit-for-bit (per-op IEEE float64
+    arithmetic: scale = max|x|/127, code = sign(v)·floor(|v|+0.5)
+    with v = x/scale), so codes match the column-expression codec
+    (and the DuckDB replay) exactly. Returns (codes, scales)."""
+    import numpy as np
+
+    scale = np.abs(m).max(axis=1) / 127.0
+    v = np.divide(
+        m, scale[:, None], out=np.zeros_like(m), where=scale[:, None] > 0
+    )
+    return np.sign(v) * np.floor(np.abs(v) + 0.5), scale
+
+
 def mips_topk_int8(
     corpus: DataFrame,
     queries: DataFrame,
@@ -707,15 +722,7 @@ def mips_topk_int8(
         StructType,
     )
 
-    def _quantize(m: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
-        # mirrors quantize.quantize_int8 bit-for-bit: per-op IEEE
-        # float64 arithmetic, so the codes match the column-expression
-        # codec (and the DuckDB replay) exactly
-        scale = np.abs(m).max(axis=1) / 127.0
-        v = np.divide(
-            m, scale[:, None], out=np.zeros_like(m), where=scale[:, None] > 0
-        )
-        return np.sign(v) * np.floor(np.abs(v) + 0.5), scale
+    _quantize = _quantize_int8_np
 
     q_pd = (
         queries.select(
@@ -787,6 +794,211 @@ def mips_topk_int8(
         F.col("score").desc(), F.col("id").asc()
     )
     return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ann_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    query_id_col: str | None = None,
+    centroids=None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-pruned retrieval over int8-QUANTIZED codes — the serving
+    shape a 100 TB vector store actually runs: probe the ``n_probe``
+    nearest k-means cells per query (:func:`cluster.kmeans_fit`
+    centroids), then score ONLY vectors in probed cells with the
+    exact int8 machinery of :func:`mips_topk_int8` (integer code dots
+    ranked by one IEEE multiply, boundary-tie-safe per-batch top-k).
+
+    Queries are a BOUNDED batch (mips' contract too — they broadcast)
+    and probing happens DRIVER-SIDE, which is what lets the corpus
+    pass be a single shuffle-free ``mapInPandas``: each corpus row
+    scores only the queries whose probes include its cell. A first
+    cut cogrouped corpus and queries by cell — measured 13.6 s vs
+    brute's 0.98 s at 1M×32d, because the cogroup re-shuffles the
+    corpus per call and the bundled fit re-pays per call; this shape
+    replaces it.
+
+    The pay-once index: pass ``centroids`` (a :func:`kmeans_fit`
+    array) to skip the fit, and ``assigned`` (a
+    ``kmeans_assign(keep_vec=True)`` frame ``(id, vec, cell)``,
+    normally ``spark.read.parquet`` of a store written
+    ``partitionBy("cell")``) to skip assignment — the probed-cell
+    in-filter then PRUNES PARTITIONS, so a query batch reads
+    ~n_probe/n_centroids of the corpus instead of scanning it. With
+    neither, the fit+assign happen inline (index build and first
+    query in one pass — fine for one-shot jobs, wasteful for serving).
+
+    WITHIN probed cells the ranking is exactly
+    :func:`mips_topk_int8`'s (same codec, same integer dots, same
+    (score desc, id asc) ties — recall-asserted in
+    tests/test_similarity.py); what ANN gives up is only cells the
+    probe skipped. ``n_probe = n_centroids`` degenerates to the exact
+    brute ranking (value-for-value, pytest). Deterministic in (data,
+    seed); NULL query/corpus vectors drop; zero vectors score 0; in
+    the ``assigned`` path, rows kmeans_assign marked corrupt (NULL
+    cell) never match the cell filter and drop from serving.
+
+    Returns (query_id, id, dot, score, rank), rank 1-based per query
+    by (score desc, id asc), self-matches excluded.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from esdb_spark.operators.cluster import kmeans_fit
+
+    query_id_col = query_id_col or id_col
+    spark = corpus.sparkSession
+    q_pd = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("vec")
+        )
+        .filter(F.col("vec").isNotNull())
+        .toPandas()
+    )
+    q_ids = q_pd["query_id"].to_numpy()
+    qm = (
+        np.array(q_pd["vec"].tolist(), dtype=np.float64)
+        if len(q_pd)
+        else np.zeros((0, 1))
+    )
+    q_codes, _ = _quantize_int8_np(qm) if len(q_pd) else (qm, qm)
+
+    if centroids is None:
+        centroids = kmeans_fit(
+            corpus.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+            ).filter(F.col("vec").isNotNull()),
+            "vec",
+            "id",
+            n_centroids,
+            iters=20,
+            seed=seed,
+        )
+    cent = np.asarray(centroids, dtype=np.float64)
+    k_eff = len(cent)
+    n_probe_eff = min(n_probe, k_eff)
+
+    # driver-side probe (queries are bounded): normalized float GEMM
+    # against the centroids, ties to the smaller cell id — identical
+    # policy to ann_topk_ivf; probing is the approximate part either
+    # way, scoring inside the cells is what must be exact
+    if len(q_pd):
+        qn = np.linalg.norm(qm, axis=1)
+        qn[qn == 0.0] = 1.0
+        sims = (qm / qn[:, None]) @ cent.T
+        order = np.lexsort(
+            (np.arange(k_eff)[None, :].repeat(len(qm), 0), -sims), axis=1
+        )
+        probes = order[:, :n_probe_eff]  # (nq, n_probe)
+    else:
+        probes = np.zeros((0, 0), dtype=int)
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(len(q_pd)):
+        for cell in probes[qi]:
+            cell_to_q.setdefault(int(cell), []).append(qi)
+    bc = spark.sparkContext.broadcast(
+        (
+            q_ids,
+            q_codes.astype(np.int64) if len(q_pd) else q_codes,
+            {c: np.asarray(v) for c, v in cell_to_q.items()},
+            cent,
+        )
+    )
+
+    if assigned is not None:
+        # pay-once index: the probed-cell in-filter prunes partitions
+        # of a cell-partitioned store — the scan reads
+        # ~n_probe/n_centroids of the corpus
+        src = assigned.filter(
+            F.col("cell").isin(sorted(cell_to_q))
+        ).select("id", "vec", F.col("cell").cast("int").alias("cell"))
+        has_cell = True
+    else:
+        src = corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).filter(F.col("vec").isNotNull())
+        has_cell = False
+
+    out_schema = StructType(
+        [
+            StructField("query_id", queries.schema[query_id_col].dataType),
+            StructField("id", corpus.schema[id_col].dataType),
+            StructField("dot", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):
+        q_ids, q_codes_i64, cell_q, cent = bc.value
+        if len(q_ids) == 0 or not cell_q:
+            return
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            m = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            if has_cell:
+                cells = pdf["cell"].to_numpy()
+            else:
+                # inline assignment, same rule as kmeans_assign:
+                # normalized GEMM argmax (first max → smaller cell id)
+                nrm = np.linalg.norm(m, axis=1)
+                nrm[nrm == 0.0] = 1.0
+                cells = ((m / nrm[:, None]) @ cent.T).argmax(axis=1)
+            codes, scales = _quantize_int8_np(m)
+            codes_i64 = codes.astype(np.int64)
+            for cell in np.unique(cells):
+                qidx = cell_q.get(int(cell))
+                if qidx is None:
+                    continue
+                rows = np.nonzero(cells == cell)[0]
+                # exact int64 code matmul, rows of this cell × the
+                # queries that probed it; one IEEE multiply per pair
+                dots = codes_i64[rows] @ q_codes_i64[qidx].T
+                scores = scales[rows][:, None] * dots.astype(np.float64)
+                for j, qi in enumerate(qidx):
+                    qid = q_ids[qi]
+                    col_s, col_d = scores[:, j], dots[:, j]
+                    cand = np.nonzero(ids[rows] != qid)[0]
+                    if len(cand) == 0:
+                        continue
+                    if len(cand) > k:
+                        # boundary ties kept (>= kth), window dedups —
+                        # mips_topk_int8's pruning contract
+                        kth = np.partition(col_s[cand], len(cand) - k)[
+                            len(cand) - k
+                        ]
+                        cand = cand[col_s[cand] >= kth]
+                    sel = rows[cand]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "id": ids[sel],
+                            "dot": col_d[cand],
+                            "score": col_s[cand],
+                        }
+                    )
+
+    cands = src.mapInPandas(score_batches, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return cands.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
 

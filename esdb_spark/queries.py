@@ -5801,6 +5801,33 @@ def ann_topk_ivf_docs(spark, sf_dir):
     )
 
 
+def docs_ann_int8(spark, sf_dir):
+    """IVF-pruned ANN over int8-quantized codes (operators/similarity.
+    ann_topk_int8) — the composed serving shape a 100 TB vector store
+    runs: prune cells with k-means, score the probed cells with EXACT
+    integer code dots (the round-7 MIPS machinery). Rows-only like
+    every IVF row (centroids are numpy-RNG engine-specific), but the
+    in-cell ranking is engine-exact: the degenerate full-probe equals
+    mips_topk_int8 value-for-value and recall is asserted against it
+    in tests/test_similarity.py — mips_topk_int8 (the docs_hybrid_rrf
+    vector leg) is the exact gate-certified twin."""
+    from esdb_spark.operators.similarity import ann_topk_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return (
+        ann_topk_int8(
+            emb, queries, "embedding", "vec_id", k=5, n_centroids=8,
+            n_probe=3,
+        )
+        .select(
+            "query_id", "id", "dot",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_kmeans_docs(spark, sf_dir):
     """Spherical k-means over the embeddings table (operators/cluster):
     per-cluster size + cohesion rollup. Rows-only: centroid fit is
@@ -6037,13 +6064,24 @@ _GATE_WINDOW = [
     "q1_pricing_summary",
     "q3_top10_revenue",
     "q5_nation_revenue",
-    # round-5 families, all oracle-exact: incremental corpus MERGE,
-    # int8 embedding storage codec, z-order layout key, triangle
-    # counting (graph analytics beyond PageRank)
+    # round-5 families: incremental corpus MERGE and the z-order
+    # layout key stay; round 8 demotes embedding_quantize_docs (the
+    # int8 codec family stays gate-certified — docs_hybrid_rrf's
+    # vector leg IS the codec, replayed bit-for-bit in its oracle)
+    # and doc_graph_triangles (graph family stays represented by
+    # events_user_graph_pagerank; both demotions stay catalogued +
+    # locally oracle-verified). Their slots carry the round-8
+    # serving-state families:
     "corpus_merge_docs",
-    "embedding_quantize_docs",
     "events_zorder_top200",
-    "doc_graph_triangles",
+    # BM25 side-table maintenance — oracle rebuilds the lengths table
+    # from the surviving corpus, so the gate asserts
+    # delete(update(build(90%), 10%), removed) == build(survivors)
+    "docs_doc_lengths_maintained",
+    # LSM tombstone-segment serving — oracle recomputes the keyword
+    # search from the surviving corpus, so the gate asserts
+    # serve(segments ∪ tombstones) == keyword_search(build(survivors))
+    "docs_keyword_search_segments",
     # corpus-cleaning family (round 3): boilerplate strip, incremental
     # dedup, vocabulary, LM-quality score
     "user_value_ewma",
@@ -6244,6 +6282,11 @@ def catalog() -> dict[str, Q]:
         ("dedup_simhash_docs", dedup_simhash_docs),
         ("ann_topk_docs", ann_topk_docs),
         ("ann_topk_ivf_docs", ann_topk_ivf_docs),
+        # IVF cells × int8 code dots — rows-only (engine-specific
+        # centroids); exact twin mips_topk_int8 serves the gate's
+        # docs_hybrid_rrf vector leg, and the degenerate full probe
+        # equals it value-for-value (test_similarity.py)
+        ("docs_ann_int8", docs_ann_int8),
         ("linear_fit_per_type", linear_fit_per_type),
         ("event_type_freq_cms", event_type_freq_cms),
         ("approx_distinct_users", approx_distinct_users),

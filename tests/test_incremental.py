@@ -680,3 +680,24 @@ def test_maintain_doc_lengths_bad_op_and_replay(spark, tmp_path):
             q.stop()
     dl = read_maintained_doc_lengths(spark, state)
     assert sorted(map(tuple, dl.collect())) == [(1, 3.0), (2, 2.0)]
+
+
+def test_apply_changes_tolerates_nonbinary_hll_named_column(spark):
+    # ADVICE r7: a legitimate KEY named hll_* (string, not a sketch)
+    # with track_distinct=[] must not trip the sketch-mismatch check —
+    # sketch state is name-prefix AND BinaryType
+    from esdb_spark.operators.incremental import (
+        apply_changes,
+        snapshot_aggregate,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "hll_region string, v double"
+    )
+    state = snapshot_aggregate(base, ["hll_region"], ["v"])
+    feed = spark.createDataFrame(
+        [("a", 3.0, "insert")], "hll_region string, v double, op string"
+    )
+    out = apply_changes(state, feed, ["hll_region"], ["v"])
+    got = {r["hll_region"]: (r["n_rows"], r["sum_v"]) for r in out.collect()}
+    assert got == {"a": (2, 4.0), "b": (1, 2.0)}

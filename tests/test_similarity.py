@@ -295,3 +295,76 @@ def test_mips_topk_int8_agrees_with_duckdb_replay(spark):
         ORDER BY score DESC, a.vec_id ASC LIMIT 6
     """).fetchall()
     assert got == [(v, d, s) for v, d, s in want]
+
+
+def test_ann_int8_recall_vs_exact_mips(spark, emb):
+    # the round-8 composition: IVF cell pruning over int8 code scoring —
+    # recall measured against the EXACT quantized ranking it serves
+    from esdb_spark.operators.similarity import ann_topk_int8, mips_topk_int8
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = mips_topk_int8(emb, queries, "embedding", "vec_id", k=10)
+    ann = ann_topk_int8(
+        emb, queries, "embedding", "vec_id", k=10, n_centroids=8, n_probe=3
+    )
+    e = {(r.query_id, r.id) for r in exact.collect()}
+    a = {(r.query_id, r.id) for r in ann.collect()}
+    recall = len(e & a) / len(e)
+    # probing 3/8 cells on uniform random vectors tracks the probed
+    # fraction; assert clearly above chance (2%)
+    assert recall > 0.3, f"recall {recall}"
+    counts = ann.groupBy("query_id").count().collect()
+    assert all(r["count"] == 10 for r in counts)
+
+
+def test_ann_int8_full_probe_equals_exact_mips(spark, emb):
+    # n_probe = n_centroids degenerates to the exact quantized ranking
+    # VALUE-for-value: same codec, same integer dots, same one-multiply
+    # score, same (score desc, id asc) ties
+    from esdb_spark.operators.similarity import ann_topk_int8, mips_topk_int8
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = mips_topk_int8(emb, queries, "embedding", "vec_id", k=5)
+    full = ann_topk_int8(
+        emb, queries, "embedding", "vec_id", k=5, n_centroids=4, n_probe=4
+    )
+    e = sorted(tuple(r) for r in exact.collect())
+    f = sorted(tuple(r) for r in full.collect())
+    assert e == f and e  # dot, score, AND rank all identical
+
+
+def test_ann_int8_prebuilt_index_matches_inline(spark, emb, tmp_path):
+    # the pay-once serving path: prebuilt centroids + cell-partitioned
+    # assignment must serve the SAME results as the inline fit+assign
+    # (same probes, same in-cell scoring), with the probed-cell
+    # in-filter pruning the store's partitions
+    from esdb_spark.operators.cluster import kmeans_assign, kmeans_fit
+    from esdb_spark.operators.similarity import ann_topk_int8
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    inline = ann_topk_int8(
+        emb, queries, "embedding", "vec_id", k=5, n_centroids=8, n_probe=3
+    )
+    c = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cent = kmeans_fit(c, "vec", "id", 8, iters=20, seed=42)
+    store_path = str(tmp_path / "ivf")
+    (
+        kmeans_assign(c, cent, "vec", "id", keep_vec=True)
+        .filter(F.col("cluster").isNotNull())
+        .select("id", "vec", F.col("cluster").alias("cell"))
+        .write.partitionBy("cell")
+        .parquet(store_path)
+    )
+    served = ann_topk_int8(
+        emb, queries, "embedding", "vec_id", k=5, n_centroids=8, n_probe=3,
+        centroids=cent, assigned=spark.read.parquet(store_path),
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, served.collect())
+    )
+    # partition pruning reaches the store scan: the probed-cell
+    # in-filter appears as a PartitionFilter
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan

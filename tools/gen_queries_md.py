@@ -44,11 +44,70 @@ One row per catalog query (regenerate with
 50-row CORRECTNESS window (`queries._GATE_WINDOW`); every oracle-backed
 query is also locally verified against DuckDB by
 `tests/test_oracle_parity.py` at sf0.01 with exact float equality.
-Rows-only queries (engine-specific hashes / numpy fits) are
-cross-validated against exact counterparts in the test suite.
+Every rows-only query (engine-specific hashes / floats / numpy fits)
+names its exactness anchor inline: the oracle-backed EXACT TWIN that
+certifies the same decision/mechanism, and/or the cross-validation
+test that pins it to an exact recompute — no rows-only row stands
+alone.
 
 | # | Query | Check | Gate | What it exercises |
 |---|---|---|---|---|"""
+
+# Exactness anchor per rows-only row (verdict r7 ask #7): the
+# oracle-backed twin certifying the same decision, or the test that
+# cross-validates against an exact recompute.
+ROWS_ONLY_ANCHORS = {
+    "dedup_minhash_docs": "exact twin `dedup_minhash_portable_docs` "
+    "(gate; same banded-LSH keep/drop with md5-portable hashes)",
+    "dedup_simhash_docs": "exact twin `doc_unigram_jaccard_pairs` "
+    "(oracle exact Jaccard); cross-validated in test_dedup.py",
+    "ann_topk_docs": "exact twin `similarity_topk` (oracle); recall "
+    "asserted vs exact cosine in test_similarity.py",
+    "ann_topk_ivf_docs": "exact twin `similarity_topk` (oracle); "
+    "full-probe == brute + recall asserted in test_similarity.py",
+    "docs_ann_int8": "exact twin `mips_topk_int8` — the gate-certified "
+    "`docs_hybrid_rrf` vector leg; full-probe == it value-for-value "
+    "(test_similarity.py)",
+    "linear_fit_per_type": "exact twin `linear_fit_exact_per_type` "
+    "(oracle; integer-moment fixed-point fit)",
+    "event_type_freq_cms": "exact twin `event_type_freq_cms_portable` "
+    "(gate; md5-portable cells) + estimate ≥ exact invariant in "
+    "test_sketches.py",
+    "approx_distinct_users": "cross-validated vs exact countDistinct "
+    "in test_sketches.py (sparse-mode sketches exact at gate scale)",
+    "ann_topk_pq_docs": "exact twin `similarity_topk` (oracle); recall "
+    "asserted vs exact cosine in test_similarity.py",
+    "bpe_token_stats_docs": "exact twin `doc_token_counts_fixed` "
+    "(oracle; fixed-merge portable variant) + property-tested trainer",
+    "event_value_quantiles": "exact twin `event_value_quantiles_exact` "
+    "(oracle; percentile_disc semantics)",
+    "doc_quality_model_scores": "exact twin `doc_quality` (oracle "
+    "feature layer); the logistic fit is numpy-cross-validated in "
+    "test_model.py",
+    "doc_pagerank": "exact twin `events_user_graph_pagerank` (gate; "
+    "integer fixed-point PageRank) + float-vs-exact agreement in "
+    "test_graph.py",
+    "knn_join_embeddings": "exact twin `similarity_topk` (oracle; same "
+    "scoring) — the join IS brute-force-exact per pair, rows-only for "
+    "float rank hashes; pinned in test_similarity.py",
+    "embedding_kmeans_docs": "assignment optimality + cohesion "
+    "cross-validated vs numpy in test_cluster.py (no SQL-expressible "
+    "twin: seeded-RNG centroid fit)",
+    "docs_bm25_topk": "exact twin `docs_keyword_search` (gate) + "
+    "bitwise Python-model pin in test_search.py",
+    "docs_bm25_maintained": "exact twins `docs_doc_lengths_maintained` "
+    "(the maintained state) and `docs_keyword_search_segments` "
+    "(integer-scored serving); bit-exact vs the from-corpus path in "
+    "test_search.py",
+    "docs_hybrid_rrf_cosine": "exact twin `docs_hybrid_rrf` (gate; "
+    "int8-MIPS vector leg)",
+    "lineitem_incremental_distinct": "cross-validated vs exact "
+    "countDistinct recompute at gate scale in test_incremental.py "
+    "(sparse-mode sketches exact there)",
+    "embedding_pca_docs": "numpy eigendecomposition cross-validation "
+    "in test_reduce.py (exact-covariance moments ARE oracle-shaped; "
+    "the eigenbasis is not SQL-expressible)",
+}
 
 
 def describe(name: str, fn) -> str:
@@ -67,8 +126,22 @@ def describe(name: str, fn) -> str:
 
 def main() -> None:
     lines = [HEADER]
-    for i, (name, q) in enumerate(catalog().items(), 1):
-        check = "oracle" if q.oracle else "rows-only"
+    cat = catalog()
+    missing = [
+        n for n, q in cat.items() if not q.oracle and n not in ROWS_ONLY_ANCHORS
+    ]
+    if missing:
+        raise SystemExit(
+            f"rows-only rows without an exactness anchor: {missing} — "
+            "add them to ROWS_ONLY_ANCHORS (no orphan rows-only entries)"
+        )
+    for i, (name, q) in enumerate(cat.items(), 1):
+        if q.oracle:
+            check = "oracle"
+        else:
+            check = "rows-only — " + ROWS_ONLY_ANCHORS[name].replace(
+                "|", "\\|"
+            )
         gate = "✓" if name in _GATE_WINDOW else ""
         lines.append(
             f"| {i} | `{name}` | {check} | {gate} | {describe(name, q.fn)} |"
