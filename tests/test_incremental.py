@@ -701,3 +701,140 @@ def test_apply_changes_tolerates_nonbinary_hll_named_column(spark):
     out = apply_changes(state, feed, ["hll_region"], ["v"])
     got = {r["hll_region"]: (r["n_rows"], r["sum_v"]) for r in out.collect()}
     assert got == {"a": (2, 4.0), "b": (1, 2.0)}
+
+
+def _lsm_feed(spark, tmp_path, batches, compact_above=16):
+    """Drive maintain_inverted_index_lsm over successive micro-batches
+    (one streaming restart per batch so each gets its own epoch)."""
+    from esdb_spark.streaming import maintain_inverted_index_lsm
+
+    src = str(tmp_path / "chg")
+    state = str(tmp_path / "lsm")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id int, text string, op string"
+    for i, batch in enumerate(batches):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            mode
+        ).json(src)
+        stream = spark.readStream.schema(schema).json(src)
+        q = maintain_inverted_index_lsm(
+            stream, state, op_col="op", checkpoint=ckpt,
+            query_name=f"lsm_{i}", compact_above=compact_above,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return state
+
+
+def test_maintain_index_lsm_appends_and_deletes(spark, tmp_path):
+    # per-epoch O(delta) segments, deletes as tombstone segments,
+    # serving parity vs a from-scratch build over the survivors
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        keyword_search,
+        keyword_search_segments,
+    )
+    from esdb_spark.streaming import read_maintained_index_segments
+
+    batches = [
+        [(1, "spark joins tables", "insert"),
+         (2, "spark shuffle spark", "insert")],
+        [(3, "tables of data", "insert"),
+         (4, "spark tables spark", "insert")],
+        [(2, "spark shuffle spark", "delete"),
+         (5, "sort merge spark", "insert")],
+    ]
+    state = _lsm_feed(spark, tmp_path, batches)
+    live, tomb = read_maintained_index_segments(spark, state)
+    assert len(live) == 3 and len(tomb) == 1  # no compaction yet
+    survivors = spark.createDataFrame(
+        [(1, "spark joins tables"), (3, "tables of data"),
+         (4, "spark tables spark"), (5, "sort merge spark")],
+        "doc_id int, text string",
+    )
+    served = keyword_search_segments(
+        live, ["spark", "tables"], k=10, require_all=False,
+        tombstones=tomb,
+    ).collect()
+    direct = keyword_search(
+        survivors, ["spark", "tables"], k=10, require_all=False
+    ).collect()
+    assert served and [tuple(r) for r in served] == [
+        tuple(r) for r in direct
+    ]
+
+
+def test_maintain_index_lsm_compaction_folds_tombstones(spark, tmp_path):
+    # crossing compact_above folds everything into ONE live segment
+    # equal to a rebuild over the survivors; tombstones disappear
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        keyword_search,
+        keyword_search_segments,
+    )
+    from esdb_spark.streaming import read_maintained_index_segments
+
+    batches = [
+        [(1, "spark joins tables", "insert"),
+         (2, "spark shuffle spark", "insert")],
+        [(3, "tables of data", "insert")],
+        [(2, "spark shuffle spark", "delete"),
+         (4, "sort merge spark", "insert")],
+    ]
+    state = _lsm_feed(spark, tmp_path, batches, compact_above=3)
+    live, tomb = read_maintained_index_segments(spark, state)
+    assert len(live) == 1 and len(tomb) == 0  # compacted
+    survivors = spark.createDataFrame(
+        [(1, "spark joins tables"), (3, "tables of data"),
+         (4, "sort merge spark")],
+        "doc_id int, text string",
+    )
+
+    def key(df):
+        return sorted(
+            (r["token"], r["doc_freq"], r["term_freq"],
+             tuple((p["doc"], p["tf"]) for p in r["postings"]))
+            for r in df.collect()
+        )
+
+    assert key(live[0]) == key(build_inverted_index(survivors))
+    served = keyword_search_segments(live, ["spark"], k=10).collect()
+    direct = keyword_search(survivors, ["spark"], k=10).collect()
+    assert served and [tuple(r) for r in served] == [
+        tuple(r) for r in direct
+    ]
+
+
+def test_maintain_index_lsm_replay_idempotent(spark, tmp_path):
+    # the same source through two fresh checkpoints: the second run's
+    # epoch 0 rewrites the same segments + manifest instead of
+    # doubling them (foreachBatch at-least-once)
+    from esdb_spark.operators.search import keyword_search_segments
+    from esdb_spark.streaming import (
+        maintain_inverted_index_lsm,
+        read_maintained_index_segments,
+    )
+
+    src = str(tmp_path / "chg")
+    state = str(tmp_path / "lsm")
+    schema = "doc_id int, text string, op string"
+    spark.createDataFrame(
+        [(1, "spark a", "insert"), (2, "spark b", "insert")], schema
+    ).coalesce(1).write.mode("overwrite").json(src)
+    for i in range(2):
+        stream = spark.readStream.schema(schema).json(src)
+        q = maintain_inverted_index_lsm(
+            stream, state, op_col="op",
+            checkpoint=str(tmp_path / f"ck{i}"), query_name=f"lsmr_{i}",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    live, tomb = read_maintained_index_segments(spark, state)
+    assert len(live) == 1 and not tomb
+    served = keyword_search_segments(live, ["spark"], k=10).collect()
+    assert [(r["doc"], r["score"]) for r in served] == [(1, 1), (2, 1)]
