@@ -666,13 +666,39 @@ def update_doc_lengths(
     ``guard_overlap`` (default): a delta doc id already present in
     the table raises at execution time — a re-appended delta would
     otherwise double N and (via the serve-time duplicate guard) only
-    fail when a query happens to match that doc. The guard is one
-    broadcast semi-probe of the state against the delta's ids
-    (delta-bounded build side; the state never shuffles), expressed
-    as a FILTER so no consumer can prune it away.
+    fail when a query happens to match that doc. Duplicate ids WITHIN
+    the delta raise too (an upstream feed delivering the same insert
+    twice in one batch would otherwise append two rows — the same
+    deferred-failure corruption, review finding): one delta-bounded
+    aggregation keyed on doc. The state-side probe is one broadcast
+    left join against the delta's ids (delta-bounded build side; the
+    state never shuffles), expressed as a FILTER so no consumer can
+    prune it away.
     """
     delta = build_doc_lengths(docs_new, text_col, id_col)
     if guard_overlap:
+        # intra-delta dup check: one aggregation over the DELTA (the
+        # bounded side); the raise is the filter's only condition, so
+        # no sibling conjunct can constraint-propagate it away
+        delta = (
+            delta.groupBy("doc")
+            .agg(F.count("*").alias("_ul_c"), F.max("dl").alias("dl"))
+            .filter(
+                F.when(
+                    F.col("_ul_c") > 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "update_doc_lengths: duplicate doc id "
+                                "within the delta: "
+                            ),
+                            F.col("doc").cast("string"),
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+            )
+            .select("doc", "dl")
+        )
         dup_ids = F.broadcast(delta.select("doc"))
         # left join marks state rows the delta re-appends; the raise
         # lives in a FILTER (projection-embedded guards get pruned)
@@ -761,9 +787,15 @@ def delete_doc_lengths(
                 )
             ).alias("_g")
         )
+        # the probe leg's columns derive from the exploded value, NOT
+        # NULL literals: a consumer filtering/joining on doc makes
+        # Catalyst push isnotnull(doc) into this leg, and over a NULL
+        # literal that folds to false and prunes the entire raise leg
+        # away (review finding, empirically confirmed) — over a
+        # column-dependent cast it must evaluate the explode first
         .select(
-            F.lit(None).cast(doc_type).alias("doc"),
-            F.lit(None).cast("double").alias("dl"),
+            F.col("_g").cast(doc_type).alias("doc"),
+            F.col("_g").cast("double").alias("dl"),
         )
     )
     return kept.select("doc", "dl").unionByName(probe)

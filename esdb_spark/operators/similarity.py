@@ -862,6 +862,16 @@ def ann_topk_int8(
     from esdb_spark.operators.cluster import kmeans_fit
 
     query_id_col = query_id_col or id_col
+    if assigned is not None and centroids is None:
+        # probing against a fresh fit while filtering a store built
+        # under a DIFFERENT fit's cell ids would silently return
+        # arbitrary candidates (review finding) — the pay-once path is
+        # only correct when both artifacts come from the same fit
+        raise ValueError(
+            "ann_topk_int8: `assigned` requires the `centroids` it was "
+            "built with — a fresh inline fit would probe cell ids the "
+            "store does not share"
+        )
     spark = corpus.sparkSession
     q_pd = (
         queries.select(

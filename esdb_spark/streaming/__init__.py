@@ -852,9 +852,11 @@ def maintain_inverted_index_lsm(
 
     Crash safety follows the manifest pattern (versioning.py's
     release discipline): each epoch writes its segment parquet dirs,
-    then one write-once ``manifest-<epoch>`` TEXT file listing every
-    live/tomb segment current as of that epoch — the manifest IS the
-    commit point; a segment dir no manifest references is invisible.
+    then one ``manifest-<epoch>`` TEXT file listing every live/tomb
+    segment current as of that epoch — the manifest IS the commit
+    point, published atomically via temp + rename (never created in
+    place, so readers can never see a torn or empty manifest); a
+    segment dir no manifest references is invisible.
     Replays recompute from the predecessor manifest and rewrite the
     same dirs + manifest (foreachBatch at-least-once → idempotent).
     Compaction epochs fold all current segments through
@@ -897,18 +899,27 @@ def maintain_inverted_index_lsm(
             ins = batch.filter(F.col(op_col) == "insert")
             rm = batch.filter(F.col(op_col) == "delete")
         new_entries = list(entries)
+
+        def write_segment(docs_part, dirname: str) -> bool:
+            # write unconditionally, then derive emptiness from the
+            # WRITTEN parquet (a footer-only probe) — pre-checking
+            # with limit(1).count() would re-scan the micro-batch and
+            # re-run the op guard as an extra job per epoch (the
+            # not-free-on-a-lazy-frame lesson, review finding). An
+            # empty dir stays on disk unreferenced until the sweep.
+            out = posixpath.join(state_path, dirname)
+            build_inverted_index(docs_part, text_col, id_col).write.mode(
+                "overwrite"
+            ).parquet(out)
+            return bool(spark.read.parquet(out).limit(1).count())
+
         seg_dir = f"seg-{epoch_id:012d}"
-        if ins.limit(1).count():
-            build_inverted_index(ins, text_col, id_col).write.mode(
-                "overwrite"
-            ).parquet(posixpath.join(state_path, seg_dir))
+        if write_segment(ins, seg_dir):
             new_entries.append(("live", seg_dir))
-        tomb_dir = f"tomb-{epoch_id:012d}"
-        if rm is not None and rm.limit(1).count():
-            build_inverted_index(rm, text_col, id_col).write.mode(
-                "overwrite"
-            ).parquet(posixpath.join(state_path, tomb_dir))
-            new_entries.append(("tomb", tomb_dir))
+        if rm is not None:
+            tomb_dir = f"tomb-{epoch_id:012d}"
+            if write_segment(rm, tomb_dir):
+                new_entries.append(("tomb", tomb_dir))
         if len(new_entries) > compact_above:
             live = [
                 spark.read.parquet(posixpath.join(state_path, n))
@@ -925,13 +936,27 @@ def maintain_inverted_index_lsm(
                 "overwrite"
             ).parquet(posixpath.join(state_path, cdir))
             new_entries = [("live", cdir)]
-        # the manifest is the commit point — written LAST, whole
+        # the manifest is the commit point — published ATOMICALLY via
+        # temp + rename, never created in place: fs.touch makes the
+        # file visible (empty) before its content lands, so a reader
+        # racing the write — or a crash mid-write — would see a
+        # torn/empty manifest as committed state and silently drop
+        # segments (review finding). The ".tmp" suffix fails the
+        # manifest listing's isdigit() check, so an orphaned temp is
+        # invisible; a replay overwrites it.
         _fs.mkdirs(spark, state_path)
+        mpath = posixpath.join(state_path, f"{_LSM_MANIFEST}{epoch_id:012d}")
+        tmp = mpath + ".tmp"
         _fs.touch(
-            spark,
-            posixpath.join(state_path, f"{_LSM_MANIFEST}{epoch_id:012d}"),
-            "".join(f"{kind} {n}\n" for kind, n in new_entries),
+            spark, tmp, "".join(f"{kind} {n}\n" for kind, n in new_entries)
         )
+        if _fs.exists(spark, mpath):
+            # replay of an already-published epoch: recomputed content
+            # is deterministic — swap whole (rename fails on existing
+            # destinations; the gap leaves readers one epoch behind,
+            # never torn)
+            _fs.delete(spark, mpath)
+        _fs.rename(spark, tmp, mpath)
         # sweep: drop manifests beyond the keep window, then segment
         # dirs no kept manifest references
         kept = _lsm_manifests(spark, state_path)

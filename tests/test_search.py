@@ -839,3 +839,58 @@ def test_segment_guards_survive_constraint_propagation(
         compact_segments(
             [seg1.filter(F.col("token") != "spark"), seg2], [tomb]
         ).count()
+
+
+def test_delete_doc_lengths_guard_survives_join_and_filter_consumers(
+    spark, grown_corpus
+):
+    # review finding: with NULL-literal probe columns, a consumer
+    # joining/filtering on doc lets Catalyst push isnotnull(doc) into
+    # the probe leg, fold it to false over the literal, and prune the
+    # raise away entirely. The probe columns now derive from the
+    # exploded value, so the guard survives these consumers.
+    from esdb_spark.operators.search import (
+        build_doc_lengths,
+        delete_doc_lengths,
+    )
+
+    old, new, full = grown_corpus
+    dl = build_doc_lengths(full)
+    ghost = spark.createDataFrame([(999,)], "doc_id int")
+    out = delete_doc_lengths(dl, ghost)
+    other = full.select(F.col("doc_id").alias("doc"))
+    with pytest.raises(Exception, match="ghost delete"):
+        out.join(other, "doc").collect()
+    with pytest.raises(Exception, match="ghost delete"):
+        out.filter(F.col("doc").isNotNull()).collect()
+    # and a legitimate delete still works under the same consumers
+    ok = delete_doc_lengths(dl, full.limit(1).select("doc_id"))
+    assert ok.join(other, "doc").count() == full.count() - 1
+
+
+def test_update_doc_lengths_intra_delta_duplicate_raises(
+    spark, grown_corpus
+):
+    # review finding: a feed delivering the same insert twice in ONE
+    # batch appended two rows (N inflated) with the failure deferred
+    # to serve time — now raises at maintenance time
+    from esdb_spark.operators.search import (
+        build_doc_lengths,
+        update_doc_lengths,
+    )
+
+    old, new, full = grown_corpus
+    dl = build_doc_lengths(old)
+    doubled = new.unionByName(new.limit(1))
+    with pytest.raises(Exception, match="duplicate doc id within"):
+        update_doc_lengths(dl, doubled).collect()
+
+
+def test_ann_int8_assigned_requires_centroids(spark, grown_corpus):
+    from esdb_spark.operators.similarity import ann_topk_int8
+
+    dummy = spark.range(1).select(
+        F.col("id"), F.array(F.lit(1.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="requires the `centroids`"):
+        ann_topk_int8(dummy, dummy, "embedding", "id", assigned=dummy)
