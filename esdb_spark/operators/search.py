@@ -857,6 +857,29 @@ def bm25_search_indexed(
         F.col("p.doc").alias("_bm_id"),
         F.col("p.tf").cast("double").alias("_bm_tf"),
     )
+    return _bm25_score_hits(
+        ex, doc_lengths, "bm25_search_indexed", k, k1, b
+    )
+
+
+def _bm25_score_hits(
+    ex: DataFrame,
+    doc_lengths: DataFrame,
+    caller: str,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared BM25 serving tail: ``ex`` carries one row per matching
+    (token, doc) — ``(token, _bm_df, _bm_id, _bm_tf)`` with df/tf as
+    doubles — however the index was stored (one merged index or LSM
+    segments). Joins the :func:`build_doc_lengths` side table for
+    dl/N/avgdl under the duplicate- and missing-doc guards, scores
+    with the identical IEEE expression and sorted-term fold as
+    :func:`bm25_search`, so every face is bit-exact with the
+    from-corpus path by construction (ONE definition of the float
+    expression — a fork could drift an operand order and break the
+    parity contract silently)."""
     # duplicate-doc guard: one aggregation over the SIDE table (cheap
     # relative to any corpus pass) — a doubled maintenance append must
     # raise, not fan the join out and inflate N
@@ -869,7 +892,7 @@ def bm25_search_indexed(
                 F.raise_error(
                     F.concat(
                         F.lit(
-                            "bm25_search_indexed: duplicate doc_lengths "
+                            f"{caller}: duplicate doc_lengths "
                             "row for doc: "
                         ),
                         F.col("doc").cast("string"),
@@ -902,7 +925,7 @@ def bm25_search_indexed(
                 F.raise_error(
                     F.concat(
                         F.lit(
-                            "bm25_search_indexed: indexed doc missing "
+                            f"{caller}: indexed doc missing "
                             "from doc_lengths: "
                         ),
                         F.col("_bm_id").cast("string"),
@@ -950,6 +973,52 @@ def bm25_search_indexed(
         )
         .orderBy(F.desc("bm25"), F.asc("doc"))
         .limit(k)
+    )
+
+
+def bm25_search_segments(
+    segments: list[DataFrame],
+    doc_lengths: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    tombstones: list[DataFrame] | None = None,
+) -> DataFrame:
+    """:func:`bm25_search` served directly from LSM segments AND
+    tombstones plus the maintained :func:`build_doc_lengths` table —
+    no compaction on the ranked-retrieval path either: together with
+    :func:`keyword_search_segments` every retrieval face (boolean,
+    phrase-via-corpus, BM25, hybrid legs) now answers from maintained
+    state. BIT-exact with ``bm25_search`` over the surviving corpus
+    (pytest-asserted): per-term df is the net row count per token
+    (equal to the survivors' doc_freq by the segment algebra), dl and
+    N/avgdl come from the side table, and the score reuses the ONE
+    shared expression + sorted-term fold (:func:`_bm25_score_hits`).
+    The lengths table must be maintained in lockstep with the
+    tombstones (``delete_doc_lengths`` the tombstoned ids) — its
+    duplicate/missing guards raise on drift, and the segment algebra's
+    five guards apply to corruption the query touches.
+
+    Scale posture: term in-filter below the segment union, net rows
+    O(Σ matching doc_freq × segments touched), one |terms|-row
+    broadcast df join, lengths join on doc id, TakeOrdered top-k.
+    """
+    qt = _normalize_terms(terms, "bm25_search_segments")
+    net = _segment_net_rows(
+        segments, tombstones, "bm25_search_segments", terms=qt
+    )
+    dfreq = net.groupBy("token").agg(
+        F.count("*").cast("double").alias("_bm_df")
+    )
+    ex = net.join(F.broadcast(dfreq), "token").select(
+        "token",
+        "_bm_df",
+        F.col("doc").alias("_bm_id"),
+        F.col("tf").cast("double").alias("_bm_tf"),
+    )
+    return _bm25_score_hits(
+        ex, doc_lengths, "bm25_search_segments", k, k1, b
     )
 
 

@@ -894,3 +894,57 @@ def test_ann_int8_assigned_requires_centroids(spark, grown_corpus):
     )
     with pytest.raises(ValueError, match="requires the `centroids`"):
         ann_topk_int8(dummy, dummy, "embedding", "id", assigned=dummy)
+
+
+def test_bm25_segments_bit_exact_with_corpus_path(spark, lsm_segments):
+    # every retrieval face now serves from maintained state: BM25
+    # directly over live ∪ tombstone segments + the maintained lengths
+    # table equals the from-corpus score bit-for-bit
+    from esdb_spark.operators.search import (
+        bm25_search,
+        bm25_search_segments,
+        build_doc_lengths,
+        delete_doc_lengths,
+    )
+
+    seg1, seg2, tomb, removed, survivors = lsm_segments
+    full = survivors.unionByName(removed)
+    lengths = delete_doc_lengths(
+        build_doc_lengths(full), removed.select("doc_id")
+    )
+    served = bm25_search_segments(
+        [seg1, seg2], lengths, ["spark", "sort"], k=10, tombstones=[tomb]
+    ).collect()
+    direct = bm25_search(survivors, ["spark", "sort"], k=10).collect()
+    assert served and [(r["doc"], r["n_terms_matched"], r["bm25"])
+                       for r in served] == [
+        (r["doc_id"], r["n_terms_matched"], r["bm25"]) for r in direct
+    ]
+
+
+def test_bm25_segments_lengths_drift_raises(spark, lsm_segments):
+    # lengths NOT maintained in lockstep with the tombstones: the
+    # tombstoned doc is still in the table (its row shifts N/avgdl),
+    # and conversely a tombstoned doc's matching tokens now miss the
+    # lengths row — both must raise, not mis-score
+    from esdb_spark.operators.search import (
+        bm25_search_segments,
+        build_doc_lengths,
+    )
+
+    seg1, seg2, tomb, removed, survivors = lsm_segments
+    full = survivors.unionByName(removed)
+    stale = build_doc_lengths(full)  # forgot the delete face
+    # stale lengths do NOT raise by themselves (every matched doc has
+    # a row) — that drift is N/avgdl skew, the documented lockstep
+    # contract; but a MISSING row for a matched doc does raise
+    missing = build_doc_lengths(survivors.filter(F.col("doc_id") != 1))
+    with pytest.raises(Exception, match="missing from doc_lengths"):
+        bm25_search_segments(
+            [seg1, seg2], missing, ["spark"], tombstones=[tomb]
+        ).collect()
+    with pytest.raises(Exception, match="duplicate doc_lengths"):
+        bm25_search_segments(
+            [seg1, seg2], stale.unionByName(stale), ["spark"],
+            tombstones=[tomb],
+        ).collect()
