@@ -388,3 +388,84 @@ def test_read_schema_columns_nested_and_shuffle_reuse(spark):
     )
     joined = agg.alias("a").join(agg.alias("b"), "event_type")
     assert shuffle_count(joined) <= 2
+
+
+def test_segment_serving_pushes_term_filter_into_every_leg(spark, tmp_path):
+    # round-8 plan contract: the term in-filter must reach EVERY
+    # segment leg's parquet scan (PushedFilters) — a query touches
+    # |terms| rows per segment, never whole segments
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        keyword_search_segments,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"seg{i}")
+        build_inverted_index(
+            docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+        ).write.parquet(p)
+        paths.append(p)
+    segs = [spark.read.parquet(p) for p in paths]
+    q = keyword_search_segments(segs, ["spark", "hash"], k=10,
+                                require_all=False)
+    plan = physical_plan(q)
+    # one pushed token filter per segment scan
+    assert plan.count("PushedFilters: [In(token") == 3, plan
+    assert has_top_k(q)
+
+
+def test_delete_doc_lengths_state_never_shuffles(spark):
+    # the anti+semi probes broadcast the removal batch; the lengths
+    # table must reach both joins without an exchange of its own —
+    # only the guard's tiny aggregates exchange (single-row)
+    from esdb_spark.operators.search import (
+        build_doc_lengths,
+        delete_doc_lengths,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    dl = build_doc_lengths(docs)
+    rm = docs.limit(5).select("doc_id")
+    out = delete_doc_lengths(dl, rm)
+    plan = physical_plan(out)
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # anti + semi
+    # no hash-partitioned exchange of the doc-keyed state (broadcast
+    # exchanges and the one-row aggregate exchanges are fine)
+    assert "hashpartitioning(doc" not in plan, plan
+
+
+def test_ann_int8_prebuilt_store_partition_pruned(spark, emb_store):
+    # covered functionally in test_similarity; here assert the plan:
+    # the probed-cell in-filter must land in PartitionFilters of the
+    # cell-partitioned store scan
+    store, cent = emb_store
+    from esdb_spark.operators.similarity import ann_topk_int8
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = ann_topk_int8(
+        emb, emb.filter(F.col("vec_id") < 3), "embedding", "vec_id",
+        k=5, n_centroids=8, n_probe=2, centroids=cent, assigned=store,
+    )
+    plan = physical_plan(q)
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+
+
+@pytest.fixture(scope="module")
+def emb_store(spark, tmp_path_factory):
+    from esdb_spark.operators.cluster import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    c = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cent = kmeans_fit(c, "vec", "id", 8, iters=10, seed=42)
+    p = str(tmp_path_factory.mktemp("plans") / "ivf")
+    (
+        kmeans_assign(c, cent, "vec", "id", keep_vec=True)
+        .filter(F.col("cluster").isNotNull())
+        .select("id", "vec", F.col("cluster").alias("cell"))
+        .write.partitionBy("cell").parquet(p)
+    )
+    return spark.read.parquet(p), cent
