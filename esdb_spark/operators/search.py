@@ -459,6 +459,113 @@ def phrase_search(
     )
 
 
+def build_positional_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token → positional posting list: one row per distinct token
+    with ``doc_freq``, ``term_freq``, and ``postings`` — an array of
+    ``(doc, pos)`` structs sorted by doc id, where ``pos`` is the
+    sorted array of 0-based token offsets at which the token occurs
+    in that document. The positional sibling of
+    :func:`build_inverted_index`, and what
+    :func:`phrase_search_indexed` needs to answer phrase queries
+    without touching the corpus (the last retrieval face that still
+    scanned it).
+
+    No ``max_postings`` cap: a capped positional list cannot answer
+    phrase queries exactly (a missing position is a missed phrase),
+    and the classic stop-word mitigation for positional indexes is
+    structural (nextword/phrase indexes), not truncation — the
+    stop-word row IS the skew cell here, documented below.
+
+    Scale posture: one posexplode; the (token, doc) aggregate is
+    map-side combined; position arrays ship integers, never text. A
+    stop-word's postings row carries every position of the most
+    common token — the skew cell. Because doc sets are disjoint
+    across LSM segments, positional SEGMENT unions serve phrases
+    exactly too (pytest-asserted), so the index participates in the
+    same O(delta) append / amortized-compact economics as the
+    boolean index.
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    )
+    per_doc = ex.groupBy("token", "doc").agg(
+        F.sort_array(F.collect_list("pos")).alias("pos"),
+    )
+    return per_doc.groupBy("token").agg(
+        F.count("*").cast("long").alias("doc_freq"),
+        F.sum(F.size("pos")).cast("long").alias("term_freq"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("doc"), F.col("pos")))
+        ).alias("postings"),
+    )
+
+
+def phrase_search_indexed(
+    index: DataFrame,
+    phrase: str,
+    k: int | None = None,
+) -> DataFrame:
+    """:func:`phrase_search` served from a PREBUILT positional index
+    (:func:`build_positional_index`) — identical semantics and output
+    shape ``(doc, n_occurrences, first_pos)``, value-exact with the
+    from-corpus path (pytest parity + the catalog row's oracle
+    recomputes from the corpus). Pass a UNION of positional segments
+    to serve LSM state: docs are disjoint across segments, so the
+    per-(doc, start) aggregation is exact over the union.
+
+    Mechanics: the phrase's j-th word matching at position p means
+    the phrase starts at p − j, so each term's positions explode to
+    candidate starts and a start with ALL n distinct word-slots
+    present is an occurrence — ``groupBy(doc, start) having
+    count(distinct slot) = n``. Duplicate words in the phrase work
+    because slots, not tokens, are counted.
+
+    Scale posture: the term in-filter hits the index scan; the
+    explode fans out O(Σ matching positions) integer rows (for a
+    phrase containing a stop word, that stop-word row's full position
+    fan-out is the inherent positional-index cost); the aggregate is
+    map-side combined on (doc, start). ``k`` caps the output via
+    TakeOrdered (docs ascending, the from-corpus face's order) —
+    None returns all matches like :func:`phrase_search`.
+    """
+    words = [w for w in phrase.lower().split() if w]
+    if not words:
+        raise ValueError("phrase_search_indexed: empty phrase")
+    n = len(words)
+    slots = None
+    for j, w in enumerate(words):
+        s = index.filter(F.col("token") == w).select(
+            F.lit(j).alias("_pi_slot"), F.explode("postings").alias("p")
+        )
+        slots = s if slots is None else slots.unionByName(s)
+    starts = slots.select(
+        "_pi_slot",
+        F.col("p.doc").alias("doc"),
+        F.explode("p.pos").alias("_pi_pos"),
+    ).select(
+        "_pi_slot", "doc", (F.col("_pi_pos") - F.col("_pi_slot")).alias(
+            "_pi_start"
+        ),
+    ).filter(F.col("_pi_start") >= 0)
+    occ = (
+        starts.groupBy("doc", "_pi_start")
+        .agg(F.count_distinct("_pi_slot").alias("_pi_n"))
+        .filter(F.col("_pi_n") == n)
+    )
+    out = occ.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.min("_pi_start").cast("long").alias("first_pos"),
+    )
+    if k is None:
+        return out.orderBy("doc")
+    return out.orderBy("doc").limit(k)
+
+
 def bm25_search(
     df: DataFrame,
     terms: list[str],

@@ -2084,6 +2084,26 @@ def docs_inverted_index_deleted(spark, sf_dir):
     ).orderBy("token")
 
 
+def docs_phrase_search_indexed(spark, sf_dir):
+    """Index-served exact phrase search (operators/search.
+    build_positional_index + phrase_search_indexed): positions fold
+    into the index once, each phrase query then explodes only the
+    phrase terms' position lists — start = pos − slot, an occurrence
+    is a (doc, start) holding all n slots. The oracle recomputes the
+    phrase hits from the CORPUS, so the row asserts index-served ==
+    corpus-computed value-hash-exact; with this face, every retrieval
+    shape (boolean, BM25, hybrid, phrase) answers without scanning
+    text. Same phrase as docs_phrase_search for comparability."""
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        phrase_search_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_positional_index(docs, "text", "doc_id")
+    return phrase_search_indexed(idx, "fast table")
+
+
 def docs_doc_lengths_maintained(spark, sf_dir):
     """BM25 side-table maintenance (operators/search.update_doc_lengths
     + delete_doc_lengths — the round-8 completion of the serving-state
@@ -4370,6 +4390,23 @@ _PIPELINE_ORACLES = {
                    AS postings_str
         FROM pd GROUP BY token ORDER BY token
     """,
+    # index-served phrase search: the oracle recomputes from the
+    # corpus, so the row asserts index == corpus value-hash-exact
+    "docs_phrase_search_indexed": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        p AS (
+          SELECT doc_id, unnest(generate_series(0, len(toks) - 2)) AS pos,
+                 toks
+          FROM t WHERE len(toks) >= 2
+        ),
+        hits AS (
+          SELECT doc_id, pos FROM p
+          WHERE toks[pos + 1] = 'fast' AND toks[pos + 2] = 'table'
+        )
+        SELECT doc_id AS doc, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(min(pos) AS BIGINT) AS first_pos
+        FROM hits GROUP BY doc_id ORDER BY doc
+    """,
     # the lengths-maintenance oracle rebuilds the side table from the
     # SURVIVING corpus — delete(update(build(90%), 10%), removed) ==
     # build(survivors)
@@ -6207,6 +6244,7 @@ def catalog() -> dict[str, Q]:
         ("docs_inverted_index_deleted", docs_inverted_index_deleted),
         ("docs_doc_lengths_maintained", docs_doc_lengths_maintained),
         ("docs_keyword_search_segments", docs_keyword_search_segments),
+        ("docs_phrase_search_indexed", docs_phrase_search_indexed),
         ("doc_token_counts_fixed", doc_token_counts_fixed),
         ("docs_hybrid_rrf3", docs_hybrid_rrf3),
         ("doc_duplicate_spans", doc_duplicate_spans),

@@ -948,3 +948,46 @@ def test_bm25_segments_lengths_drift_raises(spark, lsm_segments):
             [seg1, seg2], stale.unionByName(stale), ["spark"],
             tombstones=[tomb],
         ).collect()
+
+
+def test_phrase_search_indexed_parity_and_overlap(spark, corpus):
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        phrase_search_indexed,
+    )
+
+    idx = build_positional_index(corpus)
+    for ph in ["spark spark", "tables of data", "spark tables"]:
+        a = sorted(
+            tuple(r) for r in phrase_search_indexed(idx, ph).collect()
+        )
+        b = sorted(
+            tuple(r) for r in phrase_search(corpus, ph).collect()
+        )
+        assert a == b, ph
+    ov = spark.createDataFrame(
+        [(9, "a a a")], "doc_id int, text string"
+    )
+    r = phrase_search_indexed(
+        build_positional_index(ov), "a a"
+    ).collect()[0]
+    assert (r["doc"], r["n_occurrences"], r["first_pos"]) == (9, 2, 0)
+    with pytest.raises(ValueError):
+        phrase_search_indexed(idx, "   ")
+
+
+def test_phrase_search_indexed_over_segment_union(spark, grown_corpus):
+    # docs are disjoint across segments, so a union of positional
+    # segments serves phrases exactly — the LSM economics carry over
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        phrase_search_indexed,
+    )
+
+    old, new, full = grown_corpus
+    u = build_positional_index(old).unionByName(
+        build_positional_index(new)
+    )
+    a = sorted(tuple(r) for r in phrase_search_indexed(u, "spark sort").collect())
+    b = sorted(tuple(r) for r in phrase_search(full, "spark sort").collect())
+    assert a == b and a
