@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     # quantized vector-serving shape)
     "docs_keyword_search_segments",
     "docs_ann_int8",
+    # index-served exact phrase search (positional index built inline)
+    "docs_phrase_search_indexed",
 ]
 
 

@@ -525,24 +525,31 @@ def phrase_search_indexed(
     count(distinct slot) = n``. Duplicate words in the phrase work
     because slots, not tokens, are counted.
 
-    Scale posture: the term in-filter hits the index scan; the
-    explode fans out O(Σ matching positions) integer rows (for a
-    phrase containing a stop word, that stop-word row's full position
-    fan-out is the inherent positional-index cost); the aggregate is
-    map-side combined on (doc, start). ``k`` caps the output via
-    TakeOrdered (docs ascending, the from-corpus face's order) —
-    None returns all matches like :func:`phrase_search`.
+    Scale posture: ONE index scan — the distinct phrase words are a
+    literal in-filter on the token column, and a broadcast
+    (token → slot) map fans matching rows out per word slot (a
+    per-word filter loop unioned together would scan — or, served
+    inline, fully RECOMPUTE — the index once per word; review
+    finding). The explode fans out O(Σ matching positions) integer
+    rows (for a phrase containing a stop word, that stop-word row's
+    full position fan-out is the inherent positional-index cost); the
+    aggregate is map-side combined on (doc, start). ``k`` caps the
+    output (docs ascending, the from-corpus face's order) — None
+    returns all matches like :func:`phrase_search`.
     """
     words = [w for w in phrase.lower().split() if w]
     if not words:
         raise ValueError("phrase_search_indexed: empty phrase")
     n = len(words)
-    slots = None
-    for j, w in enumerate(words):
-        s = index.filter(F.col("token") == w).select(
-            F.lit(j).alias("_pi_slot"), F.explode("postings").alias("p")
-        )
-        slots = s if slots is None else slots.unionByName(s)
+    spark = index.sparkSession
+    slot_map = spark.createDataFrame(
+        [(w, j) for j, w in enumerate(words)], "token string, _pi_slot int"
+    )
+    slots = (
+        index.filter(F.col("token").isin(sorted(set(words))))
+        .join(F.broadcast(slot_map), "token")
+        .select("_pi_slot", F.explode("postings").alias("p"))
+    )
     starts = slots.select(
         "_pi_slot",
         F.col("p.doc").alias("doc"),
@@ -631,8 +638,19 @@ def bm25_search(
     # fixed per-row IEEE expression, no extra pass for the mean
     scored = per_doc.join(F.broadcast(dfreq), "token").crossJoin(
         F.broadcast(stats)
-    ).withColumn(
-        "_bm_s",
+    ).withColumn("_bm_s", _bm25_term_score(k1, b))
+    return _bm25_fold(scored, id_col).limit(k)
+
+
+def _bm25_term_score(k1: float, b: float):
+    """THE per-(doc, term) Okapi BM25 partial score with Lucene
+    non-negative IDF, over the conventional ``_bm_tf/_bm_df/_bm_dl/
+    _bm_n/_bm_total`` columns — defined ONCE so the corpus,
+    merged-index, and segment faces cannot drift an operand order
+    apart (bit-exact cross-face parity is the module's contract, and
+    two verbatim copies of a float expression are exactly how it
+    breaks silently — review finding)."""
+    return (
         F.log(
             F.lit(1.0)
             + (F.col("_bm_n") - F.col("_bm_df") + F.lit(0.5))
@@ -651,8 +669,15 @@ def bm25_search(
                     / F.col("_bm_total")
                 )
             )
-        ),
+        )
     )
+
+
+def _bm25_fold(scored: DataFrame, id_out: str) -> DataFrame:
+    """THE per-doc fold of BM25 partial scores: sorted-term aggregate
+    (bit-deterministic under any partitioning) + (score desc, id asc)
+    total order — shared by every face for the same one-definition
+    reason as :func:`_bm25_term_score`. Caller applies ``limit``."""
     folded = scored.groupBy("_bm_id").agg(
         F.count("*").cast("long").alias("n_terms_matched"),
         F.aggregate(
@@ -663,11 +688,9 @@ def bm25_search(
             lambda acc, x: acc + x["_bm_s"],
         ).alias("bm25"),
     )
-    return (
-        folded.select(F.col("_bm_id").alias(id_col), "n_terms_matched", "bm25")
-        .orderBy(F.desc("bm25"), F.asc(id_col))
-        .limit(k)
-    )
+    return folded.select(
+        F.col("_bm_id").alias(id_out), "n_terms_matched", "bm25"
+    ).orderBy(F.desc("bm25"), F.asc(id_out))
 
 
 def with_rank(df: DataFrame, order_by: list, id_col: str = "doc_id") -> DataFrame:
@@ -1041,46 +1064,9 @@ def _bm25_score_hits(
             ).otherwise(F.lit(True))
         )
         .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "_bm_s",
-            F.log(
-                F.lit(1.0)
-                + (F.col("_bm_n") - F.col("_bm_df") + F.lit(0.5))
-                / (F.col("_bm_df") + F.lit(0.5))
-            )
-            * (F.col("_bm_tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("_bm_tf")
-                + F.lit(k1)
-                * (
-                    F.lit(1.0 - b)
-                    + F.lit(b)
-                    * (
-                        F.col("_bm_dl")
-                        * F.col("_bm_n")
-                        / F.col("_bm_total")
-                    )
-                )
-            ),
-        )
+        .withColumn("_bm_s", _bm25_term_score(k1, b))
     )
-    folded = scored.groupBy("_bm_id").agg(
-        F.count("*").cast("long").alias("n_terms_matched"),
-        F.aggregate(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("token"), F.col("_bm_s")))
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x["_bm_s"],
-        ).alias("bm25"),
-    )
-    return (
-        folded.select(
-            F.col("_bm_id").alias("doc"), "n_terms_matched", "bm25"
-        )
-        .orderBy(F.desc("bm25"), F.asc("doc"))
-        .limit(k)
-    )
+    return _bm25_fold(scored, "doc").limit(k)
 
 
 def bm25_search_segments(

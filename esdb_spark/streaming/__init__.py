@@ -953,10 +953,21 @@ def maintain_inverted_index_lsm(
         if _fs.exists(spark, mpath):
             # replay of an already-published epoch: recomputed content
             # is deterministic — swap whole (rename fails on existing
-            # destinations; the gap leaves readers one epoch behind,
-            # never torn)
+            # destinations; readers tolerate the delete→rename gap by
+            # falling back to the next-older manifest on a vanished
+            # file, see read_maintained_index_segments)
             _fs.delete(spark, mpath)
-        _fs.rename(spark, tmp, mpath)
+        if not _fs.rename(spark, tmp, mpath):
+            # rename reports failure as a BOOLEAN — ignoring it would
+            # lose the epoch silently AND let the same-epoch sweep
+            # collect the freshly written segment dirs (no manifest
+            # references them), while the streaming checkpoint commits
+            # the batch as done (review finding). Raise so foreachBatch
+            # fails the epoch and the replay re-publishes.
+            raise IOError(
+                f"maintain_inverted_index_lsm: manifest publish failed "
+                f"(rename {tmp} -> {mpath})"
+            )
         # sweep: drop manifests beyond the keep window, then segment
         # dirs no kept manifest references
         kept = _lsm_manifests(spark, state_path)
@@ -998,9 +1009,19 @@ def read_maintained_index_segments(
     stream's management."""
     bound = (1 << 62) if as_of_epoch is None else as_of_epoch
     epochs = [e for e in _lsm_manifests(spark, state_path) if e <= bound]
-    if not epochs:
+    entries = None
+    # a replay republishes the newest manifest via delete→rename; a
+    # reader that listed BEFORE the delete and reads after would crash
+    # on the vanished file (review finding) — fall back one epoch (the
+    # replay rewrites identical content, so older manifests are a
+    # consistent, merely staler view)
+    while epochs and entries is None:
+        try:
+            entries = _lsm_read_manifest(spark, state_path, epochs[-1])
+        except Exception:
+            epochs.pop()
+    if entries is None:
         return [], []
-    entries = _lsm_read_manifest(spark, state_path, epochs[-1])
     live = [
         spark.read.parquet(posixpath.join(state_path, n))
         for kind, n in entries

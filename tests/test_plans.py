@@ -449,7 +449,15 @@ def test_ann_int8_prebuilt_store_partition_pruned(spark, emb_store):
         k=5, n_centroids=8, n_probe=2, centroids=cent, assigned=store,
     )
     plan = physical_plan(q)
-    assert "PartitionFilters" in plan and "cell" in plan, plan
+    # NOT just substring presence: 'PartitionFilters: [...]' prints
+    # (possibly empty) on every partitioned scan and 'cell' matches
+    # schema text — assert the probed-cell IN-predicate itself
+    # (review finding: the loose form passes with zero pruning)
+    import re as _re
+
+    assert _re.search(
+        r"PartitionFilters: \[[^\]]*cell#\d+[^\]]* IN \(", plan
+    ), plan  # tolerate the partition-type cast some sessions add
 
 
 @pytest.fixture(scope="module")

@@ -367,4 +367,8 @@ def test_ann_int8_prebuilt_index_matches_inline(spark, emb, tmp_path):
     # partition pruning reaches the store scan: the probed-cell
     # in-filter appears as a PartitionFilter
     plan = served._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "cell" in plan
+    import re as _re
+
+    assert _re.search(
+        r"PartitionFilters: \[[^\]]*cell#\d+[^\]]* IN \(", plan
+    ), plan  # tolerate the partition-type cast some sessions add
