@@ -838,3 +838,79 @@ def test_maintain_index_lsm_replay_idempotent(spark, tmp_path):
     assert len(live) == 1 and not tomb
     served = keyword_search_segments(live, ["spark"], k=10).collect()
     assert [(r["doc"], r["score"]) for r in served] == [(1, 1), (2, 1)]
+
+
+def test_streaming_lsm_plus_lengths_serve_bm25_end_to_end(spark, tmp_path):
+    # the round-8 capstone: ONE change feed (inserts + deletes) drives
+    # BOTH maintained stores — the LSM segment index and the
+    # doc-lengths side table — and ranked retrieval serves from the
+    # two maintained states bit-exact vs the from-corpus path over the
+    # survivors. No compaction, no corpus scan, anywhere on the query
+    # path.
+    from esdb_spark.operators.search import (
+        bm25_search,
+        bm25_search_segments,
+    )
+    from esdb_spark.streaming import (
+        maintain_doc_lengths,
+        maintain_inverted_index_lsm,
+        read_maintained_doc_lengths,
+        read_maintained_index_segments,
+    )
+
+    src = str(tmp_path / "chg")
+    schema = "doc_id int, text string, op string"
+    batches = [
+        [(1, "spark joins tables", "insert"),
+         (2, "spark shuffle spark", "insert"),
+         (3, "tables of data", "insert")],
+        [(4, "spark tables spark", "insert"),
+         (5, "sort merge spark", "insert"),
+         (2, "spark shuffle spark", "delete")],
+    ]
+    for i, batch in enumerate(batches):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            mode
+        ).json(src)
+        for face, state, ck in (
+            ("idx", "lsm", "ck_idx"),
+            ("dl", "dls", "ck_dl"),
+        ):
+            stream = spark.readStream.schema(schema).json(src)
+            if face == "idx":
+                q = maintain_inverted_index_lsm(
+                    stream, str(tmp_path / state), op_col="op",
+                    checkpoint=str(tmp_path / ck),
+                    query_name=f"e2e_idx_{i}",
+                )
+            else:
+                q = maintain_doc_lengths(
+                    stream, str(tmp_path / state),
+                    checkpoint=str(tmp_path / ck),
+                    query_name=f"e2e_dl_{i}",
+                )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+    live, tomb = read_maintained_index_segments(
+        spark, str(tmp_path / "lsm")
+    )
+    lengths = read_maintained_doc_lengths(spark, str(tmp_path / "dls"))
+    survivors = spark.createDataFrame(
+        [(1, "spark joins tables"), (3, "tables of data"),
+         (4, "spark tables spark"), (5, "sort merge spark")],
+        "doc_id int, text string",
+    )
+    served = bm25_search_segments(
+        live, lengths, ["spark", "tables"], k=5, tombstones=tomb or None
+    ).collect()
+    direct = bm25_search(
+        survivors, ["spark", "tables"], k=5
+    ).collect()
+    assert served and [
+        (r["doc"], r["n_terms_matched"], r["bm25"]) for r in served
+    ] == [
+        (r["doc_id"], r["n_terms_matched"], r["bm25"]) for r in direct
+    ]
