@@ -807,14 +807,27 @@ def update_doc_lengths(
     """
     delta = build_doc_lengths(docs_new, text_col, id_col)
     if guard_overlap:
-        # intra-delta dup check: one aggregation over the DELTA (the
-        # bounded side); the raise is the filter's only condition, so
-        # no sibling conjunct can constraint-propagate it away
+        # intra-delta dup + NULL-id check: one aggregation over the
+        # DELTA (the bounded side). A NULL doc id would bypass every
+        # equality-keyed guard downstream (joins never match NULL) and
+        # become a permanently undeletable row skewing N/avgdl —
+        # review finding. The raise is the filter's only condition, so
+        # no sibling conjunct can constraint-propagate it away.
         delta = (
             delta.groupBy("doc")
             .agg(F.count("*").alias("_ul_c"), F.max("dl").alias("dl"))
             .filter(
                 F.when(
+                    F.col("doc").isNull(),
+                    F.raise_error(
+                        F.lit(
+                            "update_doc_lengths: NULL doc id in the "
+                            "delta — equality-keyed guards and the "
+                            "delete face can never match it"
+                        )
+                    ).cast("boolean"),
+                )
+                .when(
                     F.col("_ul_c") > 1,
                     F.raise_error(
                         F.concat(
@@ -825,11 +838,20 @@ def update_doc_lengths(
                             F.col("doc").cast("string"),
                         )
                     ).cast("boolean"),
-                ).otherwise(F.lit(True))
+                )
+                .otherwise(F.lit(True))
             )
             .select("doc", "dl")
         )
-        dup_ids = F.broadcast(delta.select("doc"))
+        # probe ids come from the RAW delta ids (distinct), not the
+        # guarded aggregate — reusing the guarded subtree as the
+        # broadcast build side would tokenize + aggregate the delta
+        # twice per action (column pruning defeats exchange reuse;
+        # review finding). The guards still run: the guarded frame is
+        # the union leg below.
+        dup_ids = F.broadcast(
+            docs_new.select(F.col(id_col).alias("doc")).distinct()
+        )
         # left join marks state rows the delta re-appends; the raise
         # lives in a FILTER (projection-embedded guards get pruned)
         marked = doc_lengths.join(

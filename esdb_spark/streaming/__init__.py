@@ -452,6 +452,19 @@ def ewma_stream(
     )
 
 
+def _require_keep_versions(keep_versions: int, caller: str) -> None:
+    """Replays recompute from the PREDECESSOR version; keep_versions=1
+    lets the same-epoch sweep delete it, so a crash before the
+    streaming checkpoint commits would replay the epoch as a FIRST
+    epoch and silently rebuild state from one micro-batch (review
+    finding, shared by every epoch-versioned store)."""
+    if keep_versions < 2:
+        raise ValueError(
+            f"{caller}: keep_versions must be >= 2 — a replayed epoch "
+            "recomputes from its predecessor version"
+        )
+
+
 def _commit_state_version(
     spark, state_path: str, epoch_id: int, new_state: DataFrame,
     keep_versions: int,
@@ -515,6 +528,8 @@ def maintain_aggregate(
         apply_changes,
         snapshot_aggregate,
     )
+
+    _require_keep_versions(keep_versions, "maintain_aggregate")
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -642,6 +657,8 @@ def maintain_inverted_index(
         update_inverted_index,
     )
 
+    _require_keep_versions(keep_versions, "maintain_inverted_index")
+
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         prev = _newest_state_before(spark, state_path, epoch_id)
@@ -715,22 +732,13 @@ def maintain_doc_lengths(
         update_doc_lengths,
     )
 
+    _require_keep_versions(keep_versions, "maintain_doc_lengths")
+
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        op_ok = F.when(
-            F.col(op_col).isin("insert", "delete"), F.lit(True)
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "maintain_doc_lengths: bad op (expected "
-                        "insert/delete): "
-                    ),
-                    F.col(op_col).cast("string"),
-                )
-            ).cast("boolean")
+        batch = batch_df.filter(
+            _op_guard(op_col, "maintain_doc_lengths", id_col=id_col)
         )
-        batch = batch_df.filter(op_ok)
         ins = batch.filter(F.col(op_col) == "insert")
         rm = batch.filter(F.col(op_col) == "delete").select(id_col)
         prev = _newest_state_before(spark, state_path, epoch_id)
@@ -778,6 +786,63 @@ def read_maintained_index(
     return read_maintained_aggregate(spark, state_path, as_of_epoch)
 
 
+def _op_guard(op_col: str, caller: str, id_col: str | None = None,
+              text_col: str | None = None):
+    """ONE definition of the change-feed validation CASE (the
+    one-definition discipline of ``_bm25_term_score`` — the guard
+    shape has been re-fought enough times that three drifting copies
+    would be a liability): a bad op raises; with ``id_col``, a NULL
+    id raises (it would bypass every equality-keyed guard downstream
+    and can never be deleted); with ``text_col``, a DELETE row with
+    NULL text raises — key-only deletes (the common CDC shape) cannot
+    subtract postings, so the doc would keep serving forever with no
+    guard able to see it (an EMPTY string stays legal: deleting a
+    legitimately token-less doc is a correct no-op). All arms live in
+    one CASE whose otherwise is True, so no sibling conjunct can
+    constraint-propagate a raise arm away."""
+    guard = F.when(
+        ~F.col(op_col).isin("insert", "delete"),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{caller}: bad op (expected insert/delete): "),
+                F.col(op_col).cast("string"),
+            )
+        ).cast("boolean"),
+    )
+    if id_col is not None:
+        guard = guard.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"{caller}: NULL {id_col} in the change feed — "
+                    "equality-keyed guards and the delete face can "
+                    "never match it"
+                )
+            ).cast("boolean"),
+        )
+    if text_col is not None:
+        guard = guard.when(
+            (F.col(op_col) == "delete") & F.col(text_col).isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{caller}: key-only delete (NULL {text_col}) — "
+                        "the tombstone needs the original text to "
+                        "subtract postings; a token-less delete would "
+                        "silently keep the doc serving forever; "
+                        f"{id_col or 'doc'}: "
+                    ),
+                    (
+                        F.col(id_col).cast("string")
+                        if id_col
+                        else F.lit("?")
+                    ),
+                )
+            ).cast("boolean"),
+        )
+    return guard.otherwise(F.lit(True))
+
+
 _LSM_MANIFEST = "manifest-"
 
 
@@ -794,6 +859,33 @@ def _lsm_manifests(spark: SparkSession, state_path: str) -> list[int]:
         if suffix.isdigit():
             out.append(int(suffix))
     return sorted(out)
+
+
+def _lsm_sweep(
+    spark: SparkSession, state_path: str, keep_versions: int
+) -> None:
+    """Drop manifests beyond the keep window, then segment dirs no
+    kept manifest references (a dir referenced by ANY kept manifest —
+    incl. the predecessor a replay would need — survives)."""
+    from esdb_spark import fs as _fs
+
+    kept = _lsm_manifests(spark, state_path)
+    old = kept[:-keep_versions] if keep_versions > 0 else []
+    for e in old:
+        _fs.delete(
+            spark, posixpath.join(state_path, f"{_LSM_MANIFEST}{e:012d}")
+        )
+    kept = [e for e in kept if e not in old]
+    referenced = set()
+    for e in kept:
+        referenced.update(
+            n for _, n in _lsm_read_manifest(spark, state_path, e)
+        )
+    for n, is_dir in _fs.list_dir(spark, state_path):
+        if is_dir and n not in referenced and (
+            n.startswith("seg-") or n.startswith("tomb-")
+        ):
+            _fs.delete(spark, posixpath.join(state_path, n))
 
 
 def _lsm_read_manifest(
@@ -873,8 +965,20 @@ def maintain_inverted_index_lsm(
         compact_segments,
     )
 
+    _require_keep_versions(keep_versions, "maintain_inverted_index_lsm")
+
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        mpath = posixpath.join(state_path, f"{_LSM_MANIFEST}{epoch_id:012d}")
+        if _fs.exists(spark, mpath):
+            # this epoch already PUBLISHED (crash landed between the
+            # manifest rename and the checkpoint commit): skip the
+            # recompute entirely instead of rewriting referenced
+            # segment dirs in place under readers (write.mode
+            # 'overwrite' deletes-then-writes — review finding); only
+            # the sweep might be unfinished, so just re-run it
+            _lsm_sweep(spark, state_path, keep_versions)
+            return
         prior = [e for e in _lsm_manifests(spark, state_path) if e < epoch_id]
         entries = (
             _lsm_read_manifest(spark, state_path, prior[-1]) if prior else []
@@ -882,20 +986,12 @@ def maintain_inverted_index_lsm(
         if op_col is None:
             ins, rm = batch_df, None
         else:
-            op_ok = F.when(
-                F.col(op_col).isin("insert", "delete"), F.lit(True)
-            ).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "maintain_inverted_index_lsm: bad op "
-                            "(expected insert/delete): "
-                        ),
-                        F.col(op_col).cast("string"),
-                    )
-                ).cast("boolean")
+            batch = batch_df.filter(
+                _op_guard(
+                    op_col, "maintain_inverted_index_lsm",
+                    id_col=id_col, text_col=text_col,
+                )
             )
-            batch = batch_df.filter(op_ok)
             ins = batch.filter(F.col(op_col) == "insert")
             rm = batch.filter(F.col(op_col) == "delete")
         new_entries = list(entries)
@@ -945,18 +1041,14 @@ def maintain_inverted_index_lsm(
         # manifest listing's isdigit() check, so an orphaned temp is
         # invisible; a replay overwrites it.
         _fs.mkdirs(spark, state_path)
-        mpath = posixpath.join(state_path, f"{_LSM_MANIFEST}{epoch_id:012d}")
         tmp = mpath + ".tmp"
         _fs.touch(
             spark, tmp, "".join(f"{kind} {n}\n" for kind, n in new_entries)
         )
-        if _fs.exists(spark, mpath):
-            # replay of an already-published epoch: recomputed content
-            # is deterministic — swap whole (rename fails on existing
-            # destinations; readers tolerate the delete→rename gap by
-            # falling back to the next-older manifest on a vanished
-            # file, see read_maintained_index_segments)
-            _fs.delete(spark, mpath)
+        # mpath cannot exist here: the fold short-circuits on a
+        # published epoch, and this stream is the single writer — so
+        # the rename never needs a delete-first (whose gap would
+        # strand a racing reader)
         if not _fs.rename(spark, tmp, mpath):
             # rename reports failure as a BOOLEAN — ignoring it would
             # lose the epoch silently AND let the same-epoch sweep
@@ -968,25 +1060,7 @@ def maintain_inverted_index_lsm(
                 f"maintain_inverted_index_lsm: manifest publish failed "
                 f"(rename {tmp} -> {mpath})"
             )
-        # sweep: drop manifests beyond the keep window, then segment
-        # dirs no kept manifest references
-        kept = _lsm_manifests(spark, state_path)
-        old = kept[:-keep_versions] if keep_versions > 0 else []
-        for e in old:
-            _fs.delete(
-                spark, posixpath.join(state_path, f"{_LSM_MANIFEST}{e:012d}")
-            )
-        kept = [e for e in kept if e not in old]
-        referenced = set()
-        for e in kept:
-            referenced.update(
-                n for _, n in _lsm_read_manifest(spark, state_path, e)
-            )
-        for n, is_dir in _fs.list_dir(spark, state_path):
-            if is_dir and n not in referenced and (
-                n.startswith("seg-") or n.startswith("tomb-")
-            ):
-                _fs.delete(spark, posixpath.join(state_path, n))
+        _lsm_sweep(spark, state_path, keep_versions)
 
     writer = (
         changes.writeStream.foreachBatch(fold)
@@ -1007,18 +1081,25 @@ def read_maintained_index_segments(
     tombstones=tomb or None)``; compact by hand with
     ``search.compact_segments`` when taking the index out of the
     stream's management."""
+    from esdb_spark import fs as _fs
+
     bound = (1 << 62) if as_of_epoch is None else as_of_epoch
     epochs = [e for e in _lsm_manifests(spark, state_path) if e <= bound]
     entries = None
-    # a replay republishes the newest manifest via delete→rename; a
-    # reader that listed BEFORE the delete and reads after would crash
-    # on the vanished file (review finding) — fall back one epoch (the
-    # replay rewrites identical content, so older manifests are a
-    # consistent, merely staler view)
+    # the sweep can delete an old manifest between our listing and the
+    # read — fall back one epoch, but ONLY for the anticipated
+    # vanished-file case: a bare except would mask persistent
+    # IO/permission errors as "nothing committed yet" and serve an
+    # empty index instead of surfacing the outage (review finding)
     while epochs and entries is None:
+        mp = posixpath.join(
+            state_path, f"{_LSM_MANIFEST}{epochs[-1]:012d}"
+        )
         try:
             entries = _lsm_read_manifest(spark, state_path, epochs[-1])
         except Exception:
+            if _fs.exists(spark, mp):
+                raise  # real read failure, not a vanished file
             epochs.pop()
     if entries is None:
         return [], []

@@ -914,3 +914,115 @@ def test_streaming_lsm_plus_lengths_serve_bm25_end_to_end(spark, tmp_path):
     ] == [
         (r["doc_id"], r["n_terms_matched"], r["bm25"]) for r in direct
     ]
+
+
+def test_maintainers_reject_keep_versions_below_two(spark, tmp_path):
+    # keep_versions=1 lets the same-epoch sweep delete the predecessor
+    # a replay needs — a crash before the checkpoint commit would then
+    # silently rebuild state from one micro-batch (review finding)
+    from esdb_spark.streaming import (
+        maintain_aggregate,
+        maintain_doc_lengths,
+        maintain_inverted_index,
+        maintain_inverted_index_lsm,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a", "insert")], "doc_id int, text string, op string"
+    ).coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("doc_id int, text string, op string").json(
+        src
+    )
+    for fn, kwargs in [
+        (maintain_aggregate, dict(keys=["doc_id"], measures=[])),
+        (maintain_inverted_index, {}),
+        (maintain_doc_lengths, {}),
+        (maintain_inverted_index_lsm, dict(op_col="op")),
+    ]:
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="keep_versions must be >= 2"):
+            fn(stream, str(tmp_path / "st"), keep_versions=1, **kwargs)
+
+
+def test_lsm_key_only_delete_raises(spark, tmp_path):
+    # a delete row with NULL text cannot subtract postings — the doc
+    # would keep serving forever with no guard able to see it (review
+    # finding); an EMPTY-text delete of a token-less doc stays legal
+    from esdb_spark.streaming import maintain_inverted_index_lsm
+
+    src = str(tmp_path / "chg")
+    schema = "doc_id int, text string, op string"
+    spark.createDataFrame(
+        [(1, "spark things", "insert"), (1, None, "delete")], schema
+    ).coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema(schema).json(src)
+    q = maintain_inverted_index_lsm(
+        stream, str(tmp_path / "lsm"), op_col="op",
+        checkpoint=str(tmp_path / "ck"), query_name="lsm_keyonly",
+    )
+    with pytest.raises(Exception, match="key-only delete"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+
+def test_update_doc_lengths_null_id_raises(spark):
+    from esdb_spark.operators.search import (
+        build_doc_lengths,
+        update_doc_lengths,
+    )
+
+    base = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    bad = spark.createDataFrame([(None, "c d")], "doc_id int, text string")
+    with pytest.raises(Exception, match="NULL doc id"):
+        update_doc_lengths(build_doc_lengths(base), bad).collect()
+
+
+def test_lsm_replay_skips_published_epoch_without_rewrite(spark, tmp_path):
+    # a replayed epoch whose manifest already landed must short-circuit
+    # (no in-place rewrite of referenced segment dirs under readers):
+    # same source through two checkpoints, then verify the segment
+    # dir's parquet files were NOT rewritten by the second run
+    import glob
+    import os
+
+    from esdb_spark.streaming import (
+        maintain_inverted_index_lsm,
+        read_maintained_index_segments,
+    )
+
+    src = str(tmp_path / "chg")
+    state = str(tmp_path / "lsm")
+    schema = "doc_id int, text string, op string"
+    spark.createDataFrame(
+        [(1, "spark a", "insert")], schema
+    ).coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema(schema).json(src)
+    q = maintain_inverted_index_lsm(
+        stream, state, op_col="op", checkpoint=str(tmp_path / "ck0"),
+        query_name="lsm_rp0",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    seg_files = sorted(glob.glob(os.path.join(state, "seg-*", "*.parquet")))
+    mtimes = {f: os.path.getmtime(f) for f in seg_files}
+    assert mtimes
+    # second run, fresh checkpoint → epoch 0 replays; the manifest
+    # exists, so the fold must skip the recompute
+    stream = spark.readStream.schema(schema).json(src)
+    q = maintain_inverted_index_lsm(
+        stream, state, op_col="op", checkpoint=str(tmp_path / "ck1"),
+        query_name="lsm_rp1",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    after = {f: os.path.getmtime(f) for f in seg_files}
+    assert after == mtimes  # untouched — no in-place rewrite
+    live, tomb = read_maintained_index_segments(spark, state)
+    assert len(live) == 1 and not tomb
