@@ -458,10 +458,13 @@ def _require_keep_versions(keep_versions: int, caller: str) -> None:
     streaming checkpoint commits would replay the epoch as a FIRST
     epoch and silently rebuild state from one micro-batch (review
     finding, shared by every epoch-versioned store)."""
-    if keep_versions < 2:
+    # 0 = never sweep (keep everything) — strictly replay-safe and
+    # still supported; only 1 is the trap (sweeps the predecessor)
+    if keep_versions != 0 and keep_versions < 2:
         raise ValueError(
-            f"{caller}: keep_versions must be >= 2 — a replayed epoch "
-            "recomputes from its predecessor version"
+            f"{caller}: keep_versions must be >= 2 (or 0 to keep every "
+            "version) — a replayed epoch recomputes from its "
+            "predecessor version"
         )
 
 
@@ -736,7 +739,7 @@ def maintain_doc_lengths(
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.filter(
+        batch = _null_safe_op(batch_df, op_col).filter(
             _op_guard(op_col, "maintain_doc_lengths", id_col=id_col)
         )
         ins = batch.filter(F.col(op_col) == "insert")
@@ -800,6 +803,16 @@ def _op_guard(op_col: str, caller: str, id_col: str | None = None,
     legitimately token-less doc is a correct no-op). All arms live in
     one CASE whose otherwise is True, so no sibling conjunct can
     constraint-propagate a raise arm away."""
+    # Callers MUST pass a NON-NULLABLE op column (the _null_safe_op
+    # coalesce helper), and split insert/delete on that SAME column.
+    # Guarding the raw column cannot work however it is spelled: the
+    # downstream `op = 'insert'` split filters make
+    # InferFiltersFromConstraints derive isnotnull(op) and push it to
+    # the SCAN, below any guard filter — a NULL-op row is dropped
+    # before the guard ever sees it (fourth-review regression,
+    # empirically confirmed; the deeper form of the
+    # constraint-propagation lesson). Over the coalesced column the
+    # sentinel fails isin and raises like any bad op.
     guard = F.when(
         ~F.col(op_col).isin("insert", "delete"),
         F.raise_error(
@@ -821,15 +834,26 @@ def _op_guard(op_col: str, caller: str, id_col: str | None = None,
             ).cast("boolean"),
         )
     if text_col is not None:
+        # NULL text is rejected on BOTH ops, not only deletes: a
+        # NULL-text insert is a legal corpus shape elsewhere, but its
+        # faithful delete would necessarily carry NULL text and then
+        # be indistinguishable from a key-only delete of a doc that
+        # HAS postings (the silent forever-serving hazard) — an
+        # asymmetric guard wedges the stream on that legal lifecycle
+        # (fourth-review finding). The index change-feed contract is
+        # therefore: every row carries text; represent an empty
+        # document as '' (which indexes nothing and deletes as a
+        # correct no-op).
         guard = guard.when(
-            (F.col(op_col) == "delete") & F.col(text_col).isNull(),
+            F.col(text_col).isNull(),
             F.raise_error(
                 F.concat(
                     F.lit(
-                        f"{caller}: key-only delete (NULL {text_col}) — "
-                        "the tombstone needs the original text to "
-                        "subtract postings; a token-less delete would "
-                        "silently keep the doc serving forever; "
+                        f"{caller}: NULL {text_col} in the change feed — "
+                        "the index needs every row's text (a key-only "
+                        "delete cannot subtract postings, and a "
+                        "NULL-text insert could then never be deleted); "
+                        "represent an empty document as ''; "
                         f"{id_col or 'doc'}: "
                     ),
                     (
@@ -841,6 +865,17 @@ def _op_guard(op_col: str, caller: str, id_col: str | None = None,
             ).cast("boolean"),
         )
     return guard.otherwise(F.lit(True))
+
+
+def _null_safe_op(df: DataFrame, op_col: str) -> DataFrame:
+    """Rewrite ``op_col`` as ``coalesce(op, 'NULL')`` so a row missing
+    its op reaches :func:`_op_guard` and raises as a bad op instead of
+    being dropped by scan-pushed inferred isnotnull filters (see
+    _op_guard's contract note). 'NULL' is safe as a sentinel: a feed
+    genuinely carrying the string 'NULL' raises identically."""
+    return df.withColumn(
+        op_col, F.coalesce(F.col(op_col), F.lit("NULL"))
+    )
 
 
 _LSM_MANIFEST = "manifest-"
@@ -986,7 +1021,7 @@ def maintain_inverted_index_lsm(
         if op_col is None:
             ins, rm = batch_df, None
         else:
-            batch = batch_df.filter(
+            batch = _null_safe_op(batch_df, op_col).filter(
                 _op_guard(
                     op_col, "maintain_inverted_index_lsm",
                     id_col=id_col, text_col=text_col,
@@ -1084,25 +1119,35 @@ def read_maintained_index_segments(
     from esdb_spark import fs as _fs
 
     bound = (1 << 62) if as_of_epoch is None else as_of_epoch
-    epochs = [e for e in _lsm_manifests(spark, state_path) if e <= bound]
     entries = None
-    # the sweep can delete an old manifest between our listing and the
-    # read — fall back one epoch, but ONLY for the anticipated
-    # vanished-file case: a bare except would mask persistent
-    # IO/permission errors as "nothing committed yet" and serve an
-    # empty index instead of surfacing the outage (review finding)
-    while epochs and entries is None:
+    # the sweep can delete a manifest between our listing and the
+    # read. The sweep removes the OLDEST manifests, so when the newest
+    # listed one vanished, every OLDER listed one is gone too —
+    # walking backward through the stale listing would return an
+    # empty index during the exact race this handles (fourth-review
+    # finding). RE-LIST instead: whenever a listed manifest was swept,
+    # a newer one exists. Only the anticipated vanished-file case
+    # retries — a manifest that still exists but fails to read is a
+    # real IO error and surfaces.
+    for _attempt in range(5):
+        epochs = [e for e in _lsm_manifests(spark, state_path) if e <= bound]
+        if not epochs:
+            return [], []
         mp = posixpath.join(
             state_path, f"{_LSM_MANIFEST}{epochs[-1]:012d}"
         )
         try:
             entries = _lsm_read_manifest(spark, state_path, epochs[-1])
+            break
         except Exception:
             if _fs.exists(spark, mp):
                 raise  # real read failure, not a vanished file
-            epochs.pop()
     if entries is None:
-        return [], []
+        raise IOError(
+            "read_maintained_index_segments: newest manifest kept "
+            "vanishing across 5 re-listings — sweep churn outpaces "
+            "the reader (raise keep_versions) or the store is unstable"
+        )
     live = [
         spark.read.parquet(posixpath.join(state_path, n))
         for kind, n in entries

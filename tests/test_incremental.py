@@ -1026,3 +1026,63 @@ def test_lsm_replay_skips_published_epoch_without_rewrite(spark, tmp_path):
     assert after == mtimes  # untouched — no in-place rewrite
     live, tomb = read_maintained_index_segments(spark, state)
     assert len(live) == 1 and not tomb
+
+
+def test_op_guard_null_op_and_null_text_raise(spark, tmp_path):
+    # fourth-review regressions: (a) ~isin over a NULL op is NULL, so
+    # a row missing its op field slipped the guard and was silently
+    # dropped; (b) the key-only-delete guard was asymmetric — a legal
+    # NULL-text insert could never be faithfully deleted, wedging the
+    # stream. The contract is now: op NULL raises, text NULL raises on
+    # BOTH ops (represent an empty doc as '').
+    from esdb_spark.streaming import maintain_inverted_index_lsm
+
+    schema = "doc_id int, text string, op string"
+
+    def run_batch(rows, name):
+        src = str(tmp_path / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(src)
+        stream = spark.readStream.schema(schema).json(src)
+        q = maintain_inverted_index_lsm(
+            stream, str(tmp_path / (name + "_st")), op_col="op",
+            checkpoint=str(tmp_path / (name + "_ck")), query_name=name,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    with pytest.raises(Exception, match="bad op"):
+        run_batch([(1, "spark a", None)], "nullop")
+    with pytest.raises(Exception, match="NULL text"):
+        run_batch([(1, None, "insert")], "nulltext")
+    # empty-string docs live a full legal lifecycle
+    run_batch([(1, "", "insert"), (1, "", "delete")], "emptytext")
+
+
+def test_maintainers_accept_keep_versions_zero(spark, tmp_path):
+    # 0 = never sweep (keep everything) — replay-safe, must not be
+    # rejected by the >= 2 validation (fourth-review finding)
+    from esdb_spark.streaming import (
+        maintain_doc_lengths,
+        read_maintained_doc_lengths,
+    )
+
+    src = str(tmp_path / "src")
+    schema = "doc_id int, text string, op string"
+    spark.createDataFrame(
+        [(1, "a b", "insert")], schema
+    ).coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema(schema).json(src)
+    q = maintain_doc_lengths(
+        stream, str(tmp_path / "st"), checkpoint=str(tmp_path / "ck"),
+        query_name="kv0", keep_versions=0,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    dl = read_maintained_doc_lengths(spark, str(tmp_path / "st"))
+    assert sorted(map(tuple, dl.collect())) == [(1, 2.0)]
