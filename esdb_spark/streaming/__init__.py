@@ -712,9 +712,13 @@ def maintain_doc_lengths(
     ``id_col``, and ``op_col`` ∈ {'insert', 'delete'} (an unknown op
     raises at execution time — ``search.update_doc_lengths`` /
     ``delete_doc_lengths`` do the folding, so a re-appended insert and
-    a ghost delete each raise too, per their guards; within one batch
-    inserts apply before deletes, so an insert+delete pair nets to
-    absent). State versions follow the shared write-once
+    a ghost delete each raise too, per their guards). An id under
+    BOTH ops in one batch is CDC-resolved (the r8 ADVICE — a fixed
+    insert-before-delete order wedged the common update shape on the
+    overlap guard): if the doc is in the previous state it is
+    REPLACED (delete folds first, then the insert), and if it is
+    brand-new the pair NETS TO ABSENT. State versions follow the
+    shared write-once
     ``state-<epoch>`` + ``_IA_COMMITTED`` protocol
     (:func:`_commit_state_version`) — replays recompute from the same
     predecessor and rewrite the same version, so at-least-once
@@ -743,16 +747,50 @@ def maintain_doc_lengths(
             _op_guard(op_col, "maintain_doc_lengths", id_col=id_col)
         )
         ins = batch.filter(F.col(op_col) == "insert")
-        rm = batch.filter(F.col(op_col) == "delete").select(id_col)
+        rm = batch.filter(F.col(op_col) == "delete").select(
+            F.col(id_col).alias("doc")
+        )
         prev = _newest_state_before(spark, state_path, epoch_id)
+        # Same-batch ids appearing under BOTH ops split two ways (the
+        # r8 ADVICE: a naive insert-then-delete order wedges the
+        # common CDC update shape — delete old + re-insert same doc in
+        # one batch — on update_doc_lengths' overlap guard, raising
+        # identically on every replay):
+        #   id ∈ prev state  → REPLACE: the delete applies to prev
+        #                      first, then the insert folds in
+        #   id ∉ prev state  → NET TO ABSENT: an insert+delete pair of
+        #                      a brand-new doc drops out entirely
+        # Single-op ids keep their guards: an insert of an existing,
+        # un-deleted id raises (re-append); a delete of an absent,
+        # un-inserted id raises (ghost). All probe frames below are
+        # delta-bounded; `prev` is only ever the broadcast-probe side,
+        # never shuffled.
+        both = (
+            ins.select(F.col(id_col).alias("doc"))
+            .distinct()
+            .join(rm.distinct(), "doc", "left_semi")
+        )
         if prev is None:
-            state = build_doc_lengths(ins, text_col, id_col)
+            net_absent = both
         else:
-            state = update_doc_lengths(prev, ins, text_col, id_col)
-        # cheap local emptiness probe is NOT free on a lazy frame —
-        # apply the delete face unconditionally; an empty removal
-        # batch anti-joins nothing and the guard compares 0 == 0
-        state = delete_doc_lengths(state, rm, id_col)
+            present = prev.join(F.broadcast(both), "doc", "left_semi")
+            net_absent = both.join(F.broadcast(present), "doc", "left_anti")
+        rm_eff = rm.join(F.broadcast(net_absent), "doc", "left_anti")
+        ins_eff = ins.join(
+            F.broadcast(net_absent.withColumnRenamed("doc", id_col)),
+            id_col,
+            "left_anti",
+        )
+        # deletes fold FIRST so a replaced doc is gone before its
+        # re-insert meets the overlap guard; an empty removal batch
+        # anti-joins nothing and the guard compares 0 == 0 (a local
+        # emptiness probe is NOT free on a lazy frame)
+        if prev is None:
+            state = build_doc_lengths(ins_eff, text_col, id_col)
+            state = delete_doc_lengths(state, rm_eff, "doc")
+        else:
+            state = delete_doc_lengths(prev, rm_eff, "doc")
+            state = update_doc_lengths(state, ins_eff, text_col, id_col)
         _commit_state_version(
             spark, state_path, epoch_id, state, keep_versions
         )
@@ -941,6 +979,51 @@ def _lsm_read_manifest(
     return out
 
 
+def _lsm_publish(
+    spark: SparkSession,
+    state_path: str,
+    epoch_id: int,
+    entries: list[tuple[str, str]],
+    keep_versions: int,
+    caller: str,
+) -> None:
+    """Publish an epoch's manifest — the commit point of every LSM
+    maintainer — then sweep versions beyond the keep window. ONE
+    definition shared by the boolean and positional maintainers so
+    the hard-won protocol fixes land once (the ``_bm25_term_score``
+    one-definition discipline).
+
+    The manifest is published ATOMICALLY via temp + rename, never
+    created in place: fs.touch makes the file visible (empty) before
+    its content lands, so a reader racing the write — or a crash
+    mid-write — would see a torn/empty manifest as committed state
+    and silently drop segments (review finding). The ".tmp" suffix
+    fails the manifest listing's isdigit() check, so an orphaned temp
+    is invisible; a replay overwrites it. The target cannot exist
+    here: every fold short-circuits on a published epoch and the
+    stream is the single writer — so the rename never needs a
+    delete-first (whose gap would strand a racing reader). rename
+    reports failure as a BOOLEAN — ignoring it would lose the epoch
+    silently AND let the same-epoch sweep collect the freshly written
+    segment dirs (no manifest references them), while the streaming
+    checkpoint commits the batch as done (review finding); raising
+    fails the epoch so the replay re-publishes.
+    """
+    from esdb_spark import fs as _fs
+
+    mpath = posixpath.join(state_path, f"{_LSM_MANIFEST}{epoch_id:012d}")
+    _fs.mkdirs(spark, state_path)
+    tmp = mpath + ".tmp"
+    _fs.touch(
+        spark, tmp, "".join(f"{kind} {n}\n" for kind, n in entries)
+    )
+    if not _fs.rename(spark, tmp, mpath):
+        raise IOError(
+            f"{caller}: manifest publish failed (rename {tmp} -> {mpath})"
+        )
+    _lsm_sweep(spark, state_path, keep_versions)
+
+
 def maintain_inverted_index_lsm(
     changes,
     state_path: str,
@@ -1067,35 +1150,10 @@ def maintain_inverted_index_lsm(
                 "overwrite"
             ).parquet(posixpath.join(state_path, cdir))
             new_entries = [("live", cdir)]
-        # the manifest is the commit point — published ATOMICALLY via
-        # temp + rename, never created in place: fs.touch makes the
-        # file visible (empty) before its content lands, so a reader
-        # racing the write — or a crash mid-write — would see a
-        # torn/empty manifest as committed state and silently drop
-        # segments (review finding). The ".tmp" suffix fails the
-        # manifest listing's isdigit() check, so an orphaned temp is
-        # invisible; a replay overwrites it.
-        _fs.mkdirs(spark, state_path)
-        tmp = mpath + ".tmp"
-        _fs.touch(
-            spark, tmp, "".join(f"{kind} {n}\n" for kind, n in new_entries)
+        _lsm_publish(
+            spark, state_path, epoch_id, new_entries, keep_versions,
+            "maintain_inverted_index_lsm",
         )
-        # mpath cannot exist here: the fold short-circuits on a
-        # published epoch, and this stream is the single writer — so
-        # the rename never needs a delete-first (whose gap would
-        # strand a racing reader)
-        if not _fs.rename(spark, tmp, mpath):
-            # rename reports failure as a BOOLEAN — ignoring it would
-            # lose the epoch silently AND let the same-epoch sweep
-            # collect the freshly written segment dirs (no manifest
-            # references them), while the streaming checkpoint commits
-            # the batch as done (review finding). Raise so foreachBatch
-            # fails the epoch and the replay re-publishes.
-            raise IOError(
-                f"maintain_inverted_index_lsm: manifest publish failed "
-                f"(rename {tmp} -> {mpath})"
-            )
-        _lsm_sweep(spark, state_path, keep_versions)
 
     writer = (
         changes.writeStream.foreachBatch(fold)
@@ -1112,10 +1170,22 @@ def read_maintained_index_segments(
 ):
     """(live_frames, tombstone_frames) from the newest committed LSM
     manifest (``as_of_epoch`` time-travels; ``([], [])`` if nothing
-    committed). Serve with ``search.keyword_search_segments(live,
-    tombstones=tomb or None)``; compact by hand with
-    ``search.compact_segments`` when taking the index out of the
-    stream's management."""
+    committed). For a :func:`maintain_inverted_index_lsm` store, serve
+    with ``search.keyword_search_segments(live, tombstones=tomb or
+    None)`` and compact by hand with ``search.compact_segments``; for
+    a :func:`maintain_positional_index_lsm` store the same manifest
+    protocol applies — serve with ``search.phrase_search_segments``
+    and compact with ``search.compact_positional_segments`` (there the
+    tombstone frames carry doc ids, not postings).
+
+    The returned DataFrames are LAZY plans over the manifest's segment
+    directories — consume them (or ``localCheckpoint()`` first) while
+    that manifest is still inside the ``keep_versions`` window: if the
+    stream advances ``keep_versions`` more epochs while a caller holds
+    the result, the sweep deletes the referenced seg-/tomb- dirs and a
+    later action on the stale plan fails (the same sweep-churn caveat
+    as the manifest retry loop above, which only protects the manifest
+    READ, not later scans)."""
     from esdb_spark import fs as _fs
 
     bound = (1 << 62) if as_of_epoch is None else as_of_epoch
@@ -1159,3 +1229,141 @@ def read_maintained_index_segments(
         if kind == "tomb"
     ]
     return live, tomb
+
+
+def maintain_positional_index_lsm(
+    changes,
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    op_col: str | None = None,
+    checkpoint: str | None = None,
+    query_name: str = "maintain_positional_index_lsm",
+    keep_versions: int = 10,
+    compact_above: int = 16,
+):
+    """The LSM streaming face of the POSITIONAL index — phrase serving
+    stays maintained under appends AND deletes, completing the
+    maintenance matrix the boolean index got in round 8
+    (:func:`maintain_inverted_index_lsm`; the reference's
+    append-updates-state + close-compacts discipline,
+    stream/open_stream.go:52-105, 146-201). Per-epoch cost is
+    O(delta): insert rows become a live segment
+    (``search.build_positional_index`` over just the batch — the FLAT
+    (token, doc, positions) layout, so no per-token megarow ever
+    builds), delete rows a tombstone of DOC IDS ONLY — positional
+    deletes are cheaper than boolean ones because a doc's occurrences
+    live wholly in its own rows and segments hold disjoint docs, so
+    subtraction is an anti-join on doc, no position algebra and no
+    tombstone text stored. Compaction folds everything through
+    ``search.compact_positional_segments`` above ``compact_above``
+    segments (the measured 16-segment knee, SCALE.md).
+
+    The change feed carries the SAME contract as the boolean
+    maintainer (``op_col`` ∈ {'insert','delete'}, text on every row,
+    NULL id/text raise): the delete row's text is not STORED, but it
+    decides whether the doc had any postings — a token-less doc
+    ('' text) deletes as a correct no-op instead of writing a ghost
+    tombstone that compaction's integrity sweep would (rightly) raise
+    on. ``op_col=None`` treats every row as an insert.
+
+    Serving reads the newest committed manifest
+    (:func:`read_maintained_index_segments` — the manifest protocol is
+    shared) and answers through ``search.phrase_search_segments(live,
+    phrase, tombstones=tomb)``: deletes are visible immediately, no
+    compaction on the query path, and the integrity guards (re-append
+    across live segments, duplicate tombstone, NULL tombstone id;
+    ghost deletes at compaction) apply as-is. Crash safety is the
+    shared :func:`_lsm_publish` temp+rename manifest commit; replays
+    short-circuit on a published epoch.
+    """
+    from esdb_spark import fs as _fs
+    from esdb_spark.functions import tokens
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        compact_positional_segments,
+    )
+
+    _require_keep_versions(keep_versions, "maintain_positional_index_lsm")
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        mpath = posixpath.join(state_path, f"{_LSM_MANIFEST}{epoch_id:012d}")
+        if _fs.exists(spark, mpath):
+            # epoch already published (crash between manifest rename
+            # and checkpoint commit): never rewrite referenced segment
+            # dirs in place under readers — just finish the sweep
+            _lsm_sweep(spark, state_path, keep_versions)
+            return
+        prior = [e for e in _lsm_manifests(spark, state_path) if e < epoch_id]
+        entries = (
+            _lsm_read_manifest(spark, state_path, prior[-1]) if prior else []
+        )
+        if op_col is None:
+            ins, rm = batch_df, None
+        else:
+            batch = _null_safe_op(batch_df, op_col).filter(
+                _op_guard(
+                    op_col, "maintain_positional_index_lsm",
+                    id_col=id_col, text_col=text_col,
+                )
+            )
+            ins = batch.filter(F.col(op_col) == "insert")
+            rm = batch.filter(F.col(op_col) == "delete")
+        new_entries = list(entries)
+
+        def write_parquet(df: DataFrame, dirname: str) -> bool:
+            # write unconditionally, then derive emptiness from the
+            # WRITTEN parquet (footer-only probe) — a pre-check would
+            # re-run the batch + op guard as an extra job per epoch;
+            # an empty dir stays on disk unreferenced until the sweep
+            out = posixpath.join(state_path, dirname)
+            df.write.mode("overwrite").parquet(out)
+            return bool(spark.read.parquet(out).limit(1).count())
+
+        seg_dir = f"seg-{epoch_id:012d}"
+        if write_parquet(
+            build_positional_index(ins, text_col, id_col), seg_dir
+        ):
+            new_entries.append(("live", seg_dir))
+        if rm is not None:
+            # ids only — but only of docs that HAVE postings: a
+            # token-less doc indexed nothing, so tombstoning it would
+            # plant a guaranteed ghost for the compaction sweep
+            tomb_ids = (
+                rm.filter(F.size(tokens(text_col)) > 0)
+                .select(F.col(id_col).alias("doc"))
+                .distinct()
+            )
+            tomb_dir = f"tomb-{epoch_id:012d}"
+            if write_parquet(tomb_ids, tomb_dir):
+                new_entries.append(("tomb", tomb_dir))
+        if len(new_entries) > compact_above:
+            live = [
+                spark.read.parquet(posixpath.join(state_path, n))
+                for kind, n in new_entries
+                if kind == "live"
+            ]
+            tomb = [
+                spark.read.parquet(posixpath.join(state_path, n))
+                for kind, n in new_entries
+                if kind == "tomb"
+            ]
+            cdir = f"seg-{epoch_id:012d}-c"
+            compact_positional_segments(live, tomb or None).write.mode(
+                "overwrite"
+            ).parquet(posixpath.join(state_path, cdir))
+            new_entries = [("live", cdir)]
+        _lsm_publish(
+            spark, state_path, epoch_id, new_entries, keep_versions,
+            "maintain_positional_index_lsm",
+        )
+
+    writer = (
+        changes.writeStream.foreachBatch(fold)
+        .queryName(query_name)
+        .outputMode("update")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -1086,3 +1086,185 @@ def test_maintainers_accept_keep_versions_zero(spark, tmp_path):
         q.stop()
     dl = read_maintained_doc_lengths(spark, str(tmp_path / "st"))
     assert sorted(map(tuple, dl.collect())) == [(1, 2.0)]
+
+
+def _lsm_feed_positional(spark, tmp_path, batches, compact_above=16):
+    """Drive maintain_positional_index_lsm over successive
+    micro-batches (one streaming restart per batch = one epoch)."""
+    from esdb_spark.streaming import maintain_positional_index_lsm
+
+    src = str(tmp_path / "pchg")
+    state = str(tmp_path / "plsm")
+    ckpt = str(tmp_path / "pck")
+    schema = "doc_id int, text string, op string"
+    for i, batch in enumerate(batches):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            mode
+        ).json(src)
+        stream = spark.readStream.schema(schema).json(src)
+        q = maintain_positional_index_lsm(
+            stream, state, op_col="op", checkpoint=ckpt,
+            query_name=f"plsm_{i}", compact_above=compact_above,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return state
+
+
+def test_maintain_positional_lsm_appends_and_deletes(spark, tmp_path):
+    # phrase serving from maintained positional state across an epoch
+    # sequence with appends AND deletes == phrase_search(survivors);
+    # tombstones carry DOC IDS only (no position algebra)
+    from esdb_spark.operators.search import (
+        phrase_search,
+        phrase_search_segments,
+    )
+    from esdb_spark.streaming import read_maintained_index_segments
+
+    batches = [
+        [(1, "spark joins tables fast", "insert"),
+         (2, "fast table scans", "insert")],
+        [(3, "a fast table and a fast table", "insert"),
+         (4, "sort merge join", "insert")],
+        [(2, "fast table scans", "delete"),
+         (5, "one more fast table here", "insert")],
+    ]
+    state = _lsm_feed_positional(spark, tmp_path, batches)
+    live, tomb = read_maintained_index_segments(spark, state)
+    assert len(live) == 3 and len(tomb) == 1
+    assert tomb[0].columns == ["doc"]  # ids only — the cheap tombstone
+    survivors = spark.createDataFrame(
+        [(1, "spark joins tables fast"),
+         (3, "a fast table and a fast table"),
+         (4, "sort merge join"),
+         (5, "one more fast table here")],
+        "doc_id int, text string",
+    )
+    served = phrase_search_segments(
+        live, "fast table", tombstones=tomb
+    ).collect()
+    direct = sorted(
+        (r["doc_id"], r["n_occurrences"], r["first_pos"])
+        for r in phrase_search(survivors, "fast table").collect()
+    )
+    assert [tuple(r) for r in served] == direct and direct
+
+
+def test_maintain_positional_lsm_compaction_and_replay(spark, tmp_path):
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        phrase_search_segments,
+    )
+    from esdb_spark.streaming import (
+        maintain_positional_index_lsm,
+        read_maintained_index_segments,
+    )
+
+    batches = [
+        [(1, "spark joins tables fast", "insert"),
+         (2, "fast table scans", "insert")],
+        [(3, "fast table fast table", "insert")],
+        [(2, "fast table scans", "delete"),
+         (4, "fast table again", "insert")],
+    ]
+    state = _lsm_feed_positional(spark, tmp_path, batches, compact_above=3)
+    live, tomb = read_maintained_index_segments(spark, state)
+    assert len(live) == 1 and len(tomb) == 0  # compacted
+    survivors = spark.createDataFrame(
+        [(1, "spark joins tables fast"), (3, "fast table fast table"),
+         (4, "fast table again")],
+        "doc_id int, text string",
+    )
+
+    def key(df):
+        return sorted(
+            (r["token"], r["doc"], tuple(r["positions"]))
+            for r in df.collect()
+        )
+
+    assert key(live[0]) == key(build_positional_index(survivors))
+    # replay: same source through two fresh checkpoints — epoch 0
+    # rewrites the same segments + manifest instead of doubling
+    src = str(tmp_path / "rchg")
+    rstate = str(tmp_path / "rplsm")
+    schema = "doc_id int, text string, op string"
+    spark.createDataFrame(
+        [(1, "fast table a", "insert"), (2, "fast table b", "insert")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").json(src)
+    for i in range(2):
+        stream = spark.readStream.schema(schema).json(src)
+        q = maintain_positional_index_lsm(
+            stream, rstate, op_col="op",
+            checkpoint=str(tmp_path / f"rck{i}"), query_name=f"plsmr_{i}",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    live, tomb = read_maintained_index_segments(spark, rstate)
+    assert len(live) == 1 and not tomb
+    served = phrase_search_segments(live, "fast table").collect()
+    assert [r["doc"] for r in served] == [1, 2]
+
+
+def test_maintain_positional_lsm_tokenless_delete_is_noop(spark, tmp_path):
+    # a ''-text doc indexes nothing; deleting it must NOT write a
+    # tombstone (compaction's ghost sweep would rightly raise on one)
+    from esdb_spark.operators.search import compact_positional_segments
+    from esdb_spark.streaming import read_maintained_index_segments
+
+    batches = [
+        [(1, "fast table", "insert"), (2, "", "insert")],
+        [(2, "", "delete")],
+    ]
+    state = _lsm_feed_positional(spark, tmp_path, batches)
+    live, tomb = read_maintained_index_segments(spark, state)
+    assert len(tomb) == 0  # the token-less delete wrote no tombstone
+    compacted = compact_positional_segments(live).collect()
+    assert sorted(r["doc"] for r in compacted) == [1, 1]  # fast, table
+
+
+def test_maintain_doc_lengths_cdc_update_same_batch(spark, tmp_path):
+    # the r8 ADVICE: delete + re-insert of an EXISTING doc in one
+    # batch is the common CDC update shape — it must replace, not wedge
+    # the stream on the overlap guard; insert+delete of a brand-new
+    # doc still nets to absent
+    from esdb_spark.streaming import (
+        maintain_doc_lengths,
+        read_maintained_doc_lengths,
+    )
+
+    src = str(tmp_path / "chg")
+    state = str(tmp_path / "dl")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id int, text string, op string"
+    spark.createDataFrame(
+        [(1, "a b c", "insert"), (2, "d e", "insert")], schema
+    ).coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema(schema).json(src)
+    q = maintain_doc_lengths(stream, state, checkpoint=ckpt,
+                             query_name="cdc_b1")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # batch 2: CDC update of doc 1 (delete old + insert new text),
+    # plus an insert+delete pair of brand-new doc 9 (nets to absent)
+    spark.createDataFrame(
+        [(1, "a b c", "delete"), (1, "x y z w", "insert"),
+         (9, "ephemeral doc", "insert"), (9, "ephemeral doc", "delete")],
+        schema,
+    ).coalesce(1).write.mode("append").json(src)
+    stream = spark.readStream.schema(schema).json(src)
+    q = maintain_doc_lengths(stream, state, checkpoint=ckpt,
+                             query_name="cdc_b2")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    dl = read_maintained_doc_lengths(spark, state)
+    assert sorted(map(tuple, dl.collect())) == [(1, 4.0), (2, 2.0)]
