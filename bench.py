@@ -96,6 +96,13 @@ BENCH_QUERIES = [
     "docs_ann_int8",
     # index-served exact phrase search (positional index built inline)
     "docs_phrase_search_indexed",
+    # round-9 additions: phrase served from positional LSM segments
+    # with doc-id tombstone deletes; the engine-exact literal-centroid
+    # ANN pipeline; the full maintained-state RAG stack (keyword
+    # segments + maintained int8 store + maintained lengths, exact RRF)
+    "docs_phrase_search_segments",
+    "docs_ann_int8_exact",
+    "docs_hybrid_rrf_maintained",
 ]
 
 

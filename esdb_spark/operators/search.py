@@ -1143,43 +1143,51 @@ def delete_doc_lengths(
     (the removal batch is the build side — the state never shuffles;
     a full-outer formulation would SortMergeJoin the whole table per
     delete batch, measured, since the broadcast hint is ignored for
-    full outer). The guard is a second broadcast SEMI probe counted
-    against the batch's distinct-id count — matched < removed means a
-    ghost delete; matched > removed means the state itself holds
-    duplicate rows. Two scans, zero shuffles of the side table. The
-    guard rides the output as a zero-row UNION leg (explode of an
-    empty array whose mismatch branch raises) rather than a filter on
-    the kept rows: a filter-carried guard silently skips the one case
-    where the check matters most — a delete that empties the table
-    leaves no row for the filter to evaluate.
+    full outer). The guard is a second broadcast SEMI probe whose
+    matched rows — a delta-bounded subset — aggregate to a count PER
+    REMOVED ID, checked against exactly 1: 0 is a ghost delete, >1 is
+    duplicate state rows. Per-id, not a batch-total equality, so a
+    ghost and a duplicate in the same batch cannot cancel each other
+    out (r8 ADVICE — matched == expected held under both corruptions
+    at once). Two scans, zero shuffles of the side TABLE (the guard's
+    one exchange keys the delta-bounded matched rows). The guard rides
+    the output as a zero-row UNION leg (explode of an empty array
+    whose mismatch branch raises) rather than a filter on the kept
+    rows: a filter-carried guard silently skips the one case where the
+    check matters most — a delete that empties the table leaves no row
+    for the filter to evaluate.
     """
     rm = removed_ids.select(F.col(id_col).alias("doc")).distinct()
     kept = doc_lengths.join(F.broadcast(rm), "doc", "left_anti")
     if not guard_missing:
         return kept
-    expected = rm.agg(F.count("*").alias("_dl_n_rm"))
-    matched = doc_lengths.join(F.broadcast(rm), "doc", "left_semi").agg(
-        F.count("*").alias("_dl_n_hit")
+    cnt = (
+        doc_lengths.join(F.broadcast(rm), "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.count("*").cast("long").alias("_dl_n"))
+    )
+    checked = rm.join(cnt, "doc", "left").select(
+        "doc", F.coalesce(F.col("_dl_n"), F.lit(0)).alias("_dl_n")
     )
     doc_type = dict(doc_lengths.dtypes)["doc"]
     probe = (
-        expected.crossJoin(matched)
-        .select(
+        checked.select(
             F.explode(
                 F.when(
-                    F.col("_dl_n_hit") == F.col("_dl_n_rm"),
+                    F.col("_dl_n") == 1,
                     F.array().cast("array<int>"),
                 ).otherwise(
                     F.raise_error(
                         F.concat(
                             F.lit(
-                                "delete_doc_lengths: removed ids do not "
-                                "match the lengths table (ghost delete, or "
-                                "duplicate state rows): matched "
+                                "delete_doc_lengths: removed id matches "
                             ),
-                            F.col("_dl_n_hit").cast("string"),
-                            F.lit(" of "),
-                            F.col("_dl_n_rm").cast("string"),
+                            F.col("_dl_n").cast("string"),
+                            F.lit(
+                                " lengths rows (0 = ghost delete, >1 = "
+                                "duplicate state rows); doc: "
+                            ),
+                            F.col("doc").cast("string"),
                         )
                     ).cast("array<int>")
                 )

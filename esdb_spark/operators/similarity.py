@@ -810,6 +810,7 @@ def ann_topk_int8(
     query_id_col: str | None = None,
     centroids=None,
     assigned: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-pruned retrieval over int8-QUANTIZED codes — the serving
     shape a 100 TB vector store actually runs: probe the ``n_probe``
@@ -846,6 +847,20 @@ def ann_topk_int8(
     seed); NULL query/corpus vectors drop; zero vectors score 0; in
     the ``assigned`` path, rows kmeans_assign marked corrupt (NULL
     cell) never match the cell filter and drop from serving.
+
+    ``tombstones`` (a frame of deleted ids, column matching
+    ``id_col``'s name in the ``assigned`` path's ``id`` / the corpus
+    ``id_col`` otherwise — extra columns ignored) serves DELETES
+    without rewriting the store: one broadcast ANTI probe on the
+    candidate rows AFTER the cell filter, so partition pruning is
+    untouched and the delete delta is the build side. Duplicate
+    tombstone ids are harmless (the probe runs on distinct ids);
+    GHOST tombstones are structurally invisible here — a pruned
+    partition is never read, so serve cannot distinguish "deleted id
+    in an unprobed cell" from "never existed" (the same
+    serving-vs-audit split as ``keyword_search_segments``);
+    :func:`ann_store_delete` is the maintenance-time face whose
+    per-id guards see everything.
 
     Returns (query_id, id, dot, score, rank), rank 1-based per query
     by (score desc, id asc), self-matches excluded.
@@ -943,6 +958,15 @@ def ann_topk_int8(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         ).filter(F.col("vec").isNotNull())
         has_cell = False
+    if tombstones is not None:
+        rm_col = "id" if "id" in tombstones.columns else id_col
+        src = src.join(
+            F.broadcast(
+                tombstones.select(F.col(rm_col).alias("id")).distinct()
+            ),
+            "id",
+            "left_anti",
+        )
 
     out_schema = StructType(
         [
@@ -1011,6 +1035,336 @@ def ann_topk_int8(
     return cands.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ann_store_append(
+    store: DataFrame,
+    new_vectors: DataFrame,
+    centroids,
+    vec_col: str,
+    id_col: str,
+    guard_overlap: bool = True,
+) -> DataFrame:
+    """Append face of the pay-once IVF store
+    (:func:`ann_topk_int8`'s ``assigned`` path): assign NEW vectors to
+    cells under the SAME centroids the store was built with and return
+    the delta rows ``(id, vec, cell)`` — write them with
+    ``delta.write.mode("append").partitionBy("cell").parquet(path)``,
+    which touches only the delta's cell partitions. This is the
+    reference's append-updates-state discipline
+    (stream/open_stream.go:52-105) applied to the vector store: new
+    vectors become servable without re-fitting or rewriting anything.
+
+    Guards (maintenance wants LOUD, the doc-lengths contract): a NULL
+    or wrong-dimension vector raises — ``kmeans_assign`` marks those
+    NULL-cell and a store append that silently drops an insert is CDC
+    divergence (the serving path's drop-corrupt contract is for
+    read-only corpora); duplicate ids WITHIN the delta raise (one
+    delta-bounded aggregation); with ``guard_overlap`` (default) a
+    delta id already present in the store raises via a broadcast SEMI
+    probe riding the output as a zero-row union leg — that probe scans
+    the store (ids live in every cell), so feeds that guarantee fresh
+    ids can disable it and keep appends O(delta).
+
+    Centroid drift is the cost of the same-centroids contract: cells
+    fit on an old corpus mis-bucket a drifted one and recall decays
+    (measured in SCALE.md's drift probe) — re-fit + rebuild the store
+    when the appended fraction crosses the policy knee documented
+    there.
+    """
+    from esdb_spark.operators.cluster import kmeans_assign
+
+    delta = kmeans_assign(
+        new_vectors, centroids, vec_col, id_col, keep_vec=True
+    ).select(
+        "id",
+        "vec",
+        F.col("cluster").cast("int").alias("cell"),
+        F.col("sim").alias("_aa_sim"),
+    )
+    where = F.concat(F.lit("; id: "), F.col("id").cast("string"))
+    per = delta.groupBy("id").agg(
+        F.count("*").alias("_aa_n"),
+        F.first("vec").alias("vec"),
+        F.first("cell").alias("cell"),
+        F.max(F.col("cell").isNull().cast("int")).alias("_aa_bad"),
+    )
+    guarded = per.filter(
+        F.when(
+            F.col("id").isNull(),
+            F.raise_error(
+                F.lit(
+                    "ann_store_append: NULL id in the delta — "
+                    "equality-keyed guards and the delete face can "
+                    "never match it"
+                )
+            ).cast("boolean"),
+        )
+        .when(
+            F.col("_aa_n") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("ann_store_append: duplicate id within the delta"),
+                    where,
+                )
+            ).cast("boolean"),
+        )
+        .when(
+            F.col("_aa_bad") == 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "ann_store_append: NULL or wrong-dimension vector "
+                        "in the delta (kmeans_assign marked it corrupt)"
+                    ),
+                    where,
+                )
+            ).cast("boolean"),
+        )
+        .otherwise(F.lit(True))
+    ).select("id", "vec", "cell")
+    if not guard_overlap:
+        return guarded
+    dup = store.join(
+        F.broadcast(new_vectors.select(F.col(id_col).alias("id")).distinct()),
+        "id",
+        "left_semi",
+    ).agg(F.count("*").cast("long").alias("_aa_hit"))
+    id_type = dict(store.dtypes)["id"]
+    vec_type = dict(store.dtypes)["vec"]
+    probe = dup.select(
+        F.explode(
+            F.when(
+                F.col("_aa_hit") == 0, F.array().cast("array<int>")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "ann_store_append: delta re-appends ids already "
+                            "in the store (count: "
+                        ),
+                        F.col("_aa_hit").cast("string"),
+                        F.lit(") — delete them first or compact"),
+                    )
+                ).cast("array<int>")
+            )
+        ).alias("_g")
+    ).select(
+        # columns derive from the exploded value, never NULL literals
+        # (pushed isnotnull folds a literal-NULL leg away entirely)
+        F.col("_g").cast(id_type).alias("id"),
+        F.array(F.col("_g").cast("double")).cast(vec_type).alias("vec"),
+        F.col("_g").cast("int").alias("cell"),
+    )
+    return guarded.unionByName(probe)
+
+
+def ann_store_delete(
+    store: DataFrame,
+    removed_ids: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """Delete face of the pay-once IVF store: the SURVIVING
+    ``(id, vec, cell)`` rows for a compaction rewrite, under PER-ID
+    integrity guards. For serve-time deletes with no rewrite, pass the
+    ids to :func:`ann_topk_int8` as ``tombstones=`` instead (an anti
+    probe inside the probed cells — O(delta), partition pruning
+    intact); this face is the audit that sees every cell: each removed
+    id must match EXACTLY ONE store row — 0 is a ghost delete, >1 is
+    duplicate store rows. The check is per-id, not an aggregate count
+    equality, so a ghost and a duplicate in the same batch cannot
+    cancel each other out (r8 ADVICE on ``delete_doc_lengths``).
+
+    Plan shape: the survivors are one broadcast ANTI probe of the
+    store (the removal batch is the build side — the store never
+    shuffles); the guard is a per-id count over the SEMI-matched rows
+    (delta-bounded output) left-joined back to the removed ids, riding
+    the output as a zero-row union leg whose columns derive from the
+    exploded value.
+    """
+    rm = removed_ids.select(F.col(id_col).alias("id")).distinct()
+    kept = store.select("id", "vec", "cell").join(
+        F.broadcast(rm), "id", "left_anti"
+    )
+    cnt = (
+        store.join(F.broadcast(rm), "id", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("_ad_n"))
+    )
+    checked = rm.join(cnt, "id", "left").select(
+        "id", F.coalesce(F.col("_ad_n"), F.lit(0)).alias("_ad_n")
+    )
+    id_type = dict(store.dtypes)["id"]
+    vec_type = dict(store.dtypes)["vec"]
+    probe = checked.select(
+        F.explode(
+            F.when(
+                F.col("_ad_n") == 1, F.array().cast("array<int>")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "ann_store_delete: removed id matches "
+                        ),
+                        F.col("_ad_n").cast("string"),
+                        F.lit(
+                            " store rows (0 = ghost delete, >1 = "
+                            "duplicate store rows); id: "
+                        ),
+                        F.col("id").cast("string"),
+                    )
+                ).cast("array<int>")
+            )
+        ).alias("_g")
+    ).select(
+        F.col("_g").cast(id_type).alias("id"),
+        F.array(F.col("_g").cast("double")).cast(vec_type).alias("vec"),
+        F.col("_g").cast("int").alias("cell"),
+    )
+    return kept.unionByName(probe)
+
+
+def ivf_topk_int8_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_probe: int = 2,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF-pruned int8 retrieval with LITERAL centroids and
+    column-expression-only plumbing — the ANN family's first fully
+    ENGINE-EXACT face: every quantity an external engine can replay
+    bit-for-bit, so a catalog row built on it carries a complete
+    value-hash oracle (probe + quantize + dot + top-k), which
+    :func:`ann_topk_int8`'s k-means fit (iterative, numpy GEMM
+    tie-break order) structurally cannot.
+
+    ``centroids`` is a small literal table ``[(cell_id, [floats])]``
+    fixed in the query text. EVERYTHING downstream is per-op IEEE or
+    integer arithmetic, identical in any engine: vectors (and the
+    literal centroids) quantize with the portable int8 codec
+    (scale = max|x|/127, code = sign·floor(|v|+0.5) — exactly
+    ``quantize.quantize_int8``); a row's cell is the argmax over
+    centroids of ``cent_scale × integer-code-dot`` (ONE IEEE multiply
+    per candidate; ties to the smaller cell id) — inner-product cell
+    assignment, the IVF-for-MIPS convention matching this family's
+    scoring; each query probes its top ``n_probe`` cells under the
+    same rule; in-cell scoring is :func:`mips_topk_int8`'s exact rank
+    key (corpus_scale × integer code dot), ties (score desc, id asc),
+    self-matches excluded.
+
+    Scale posture: assignment is a higher-order fold over the literal
+    centroid array INSIDE the projection — no explode, no shuffle, no
+    UDF; the corpus never repartitions. Candidates (corpus rows in
+    probed cells — ~n_probe/n_cells of the corpus) flow into one
+    per-query top-k window; at true scale :func:`ann_topk_int8`'s
+    per-batch pruned mapInPandas is the serving shape — THIS face
+    exists to certify the semantics, and stays honest by sharing them
+    exactly (pytest: full-probe == mips_topk_int8).
+
+    Returns (query_id, id, dot, score, rank) like the other ANN faces.
+    """
+    import math
+
+    query_id_col = query_id_col or id_col
+    if not centroids:
+        raise ValueError("ivf_topk_int8_exact: no centroids")
+    n_probe_eff = min(n_probe, len(centroids))
+
+    # pre-quantize the literal centroids in pure Python — the codec is
+    # per-op IEEE (abs/max/divide/floor all correctly rounded), so
+    # these codes are bit-identical to quantize_int8 / any SQL replay
+    cent_q = []
+    for cell, vec in centroids:
+        s = max(abs(float(x)) for x in vec) / 127.0
+        code = [
+            int(math.copysign(math.floor(abs(float(x) / s) + 0.5), x))
+            if s > 0
+            else 0
+            for x in vec
+        ]
+        cent_q.append((int(cell), code, s))
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(*[F.lit(c).cast("long") for c in code]).alias(
+                    "code"
+                ),
+                F.lit(s).alias("s"),
+            )
+            for cell, code, s in cent_q
+        ]
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def _scored(code_col):
+        # (score, -cell) structs: array_max picks max score, then max
+        # negcell = MIN cell — the tie rule, engine-portable because
+        # struct comparison is lexicographic everywhere
+        return F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                (c["s"] * _dot(code_col, c["code"])).alias("score"),
+                (-c["cell"]).alias("negcell"),
+            ),
+        )
+
+    def _quantized(df, idc, out_id):
+        from esdb_spark.operators.quantize import quantize_int8
+
+        return quantize_int8(
+            df.select(
+                F.col(idc).alias(out_id), F.col(vec_col).alias("_iv_vec")
+            ).filter(F.col("_iv_vec").isNotNull()),
+            "_iv_vec",
+            out_col="_iv_code",
+            scale_col="_iv_s",
+        ).select(out_id, "_iv_code", "_iv_s")
+
+    cq = _quantized(corpus, id_col, "id").withColumn(
+        "cell", -F.array_max(_scored(F.col("_iv_code")))["negcell"]
+    )
+    qq = _quantized(queries, query_id_col, "query_id").withColumn(
+        "_iv_probes",
+        F.transform(
+            F.slice(F.sort_array(_scored(F.col("_iv_code")), False), 1,
+                    n_probe_eff),
+            lambda sc: -sc["negcell"],
+        ),
+    )
+    qprobe = qq.select(
+        "query_id",
+        F.col("_iv_code").alias("_iv_qcode"),
+        F.explode("_iv_probes").alias("cell"),
+    )
+    cand = cq.join(F.broadcast(qprobe), "cell").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "id",
+        _dot(F.col("_iv_code"), F.col("_iv_qcode")).alias("dot"),
+        (
+            F.col("_iv_s")
+            * _dot(F.col("_iv_code"), F.col("_iv_qcode")).cast("double")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
 
 
 def hard_negatives(

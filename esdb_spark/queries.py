@@ -2171,6 +2171,138 @@ def docs_keyword_search_segments(spark, sf_dir):
     )
 
 
+def docs_phrase_search_segments(spark, sf_dir):
+    """Phrase search served from positional LSM segments WITH doc-id
+    tombstone deletes (operators/search.phrase_search_segments — the
+    round-9 completion of the positional maintenance matrix): the
+    corpus is indexed as three disjoint FLAT positional segments
+    (doc_id % 3 buckets), the doc_id % 7 == 0 documents are deleted
+    as a tombstone of DOC IDS ONLY (positional deletes need no
+    position algebra — a doc's occurrences live wholly in its own
+    rows), and the phrase is answered from the four frames, no
+    compaction. The oracle recomputes the phrase hits from the
+    SURVIVING corpus, so the gate-grade assertion is
+    serve(segments ∪ doc-id tombstones) == phrase_search(survivors)
+    value-hash-exact. Same phrase as docs_phrase_search_indexed for
+    comparability."""
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        phrase_search_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    segs = [
+        build_positional_index(
+            docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+        )
+        for i in range(3)
+    ]
+    tomb = [
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.col("doc_id").alias("doc")
+        )
+    ]
+    return phrase_search_segments(segs, "fast table", tombstones=tomb)
+
+
+def docs_hybrid_rrf_maintained(spark, sf_dir):
+    """The round-9 capstone: the FULL RAG serving stack answered from
+    MAINTAINED state in one row — keyword leg from LSM segments with
+    a tombstone delete (search.keyword_search_segments), vector leg
+    from the pay-once int8 IVF store carried through its append AND
+    delete faces (similarity.ann_store_append + serve-time
+    tombstones, full probe so in-cell exactness covers the whole
+    survivor set), document lengths from the maintained side table
+    (search.update_doc_lengths + delete_doc_lengths) riding the
+    output — fused by the engine-exact rational RRF
+    (search.rrf_fuse_exact). The oracle rebuilds EVERYTHING from the
+    surviving corpus: keyword ranks from surviving text, vector ranks
+    from int8-quantized MIPS over surviving embeddings (the portable
+    codec replayed bit-for-bit), lengths from surviving token counts
+    — so one value hash certifies that every maintained store equals
+    its from-scratch rebuild AND that serving composes them
+    correctly. Every quantity is engine-exact: integer keyword
+    scores, integer code dots ranked by one IEEE multiply, the (P, S)
+    bigint RRF fold, integer-valued lengths."""
+    from esdb_spark.operators.cluster import kmeans_assign, kmeans_fit
+    from esdb_spark.operators.search import (
+        build_doc_lengths,
+        build_inverted_index,
+        delete_doc_lengths,
+        keyword_search_segments,
+        rrf_fuse_exact,
+        update_doc_lengths,
+        with_rank,
+    )
+    from esdb_spark.operators.similarity import (
+        ann_store_append,
+        ann_topk_int8,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # keyword leg: three append segments + a tombstone segment
+    segs = [
+        build_inverted_index(
+            docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+        )
+        for i in range(3)
+    ]
+    tomb = [
+        build_inverted_index(
+            docs.filter(F.col("doc_id") % 7 == 0), "text", "doc_id"
+        )
+    ]
+    kw = with_rank(
+        keyword_search_segments(
+            segs, ["spark", "hash", "merge"], k=50, tombstones=tomb
+        ).withColumnRenamed("doc", "doc_id"),
+        [F.desc("score"), F.asc("doc_id")],
+    )
+    # vector leg: store fit+assigned on the 90%, the 10% appended
+    # under the SAME centroids via the append face, deletes served as
+    # tombstones; full probe ⇒ exact int8 MIPS over the survivors
+    old_e = emb.filter(F.col("vec_id") % 10 != 0)
+    growth = emb.filter(F.col("vec_id") % 10 == 0)
+    c_in = old_e.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cent = kmeans_fit(c_in, "vec", "id", 8, iters=10, seed=42)
+    store = (
+        kmeans_assign(c_in, cent, "vec", "id", keep_vec=True)
+        .filter(F.col("cluster").isNotNull())
+        .select("id", "vec", F.col("cluster").cast("int").alias("cell"))
+    )
+    grown = store.unionByName(
+        ann_store_append(store, growth, cent, "embedding", "vec_id")
+    )
+    removed_e = emb.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("id")
+    )
+    vec = ann_topk_int8(
+        emb, emb.filter(F.col("vec_id") == 0), "embedding", "vec_id",
+        k=50, n_centroids=8, n_probe=8, centroids=cent, assigned=grown,
+        tombstones=removed_e,
+    ).select(F.col("id").alias("doc_id"), F.col("rank").cast("long"))
+    fused = rrf_fuse_exact([kw, vec], "doc_id", k=20, c=60)
+    # lengths from the maintained side table ride the output — the
+    # same hash certifies the third store
+    lengths = delete_doc_lengths(
+        update_doc_lengths(
+            build_doc_lengths(docs.filter(F.col("doc_id") % 10 != 0)),
+            docs.filter(F.col("doc_id") % 10 == 0),
+        ),
+        docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+    )
+    return (
+        fused.join(
+            lengths.withColumnRenamed("doc", "doc_id"), "doc_id", "left"
+        )
+        .select("doc_id", "n_lists", "rrf", "dl")
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+    )
+
+
 def docs_bm25_maintained(spark, sf_dir):
     """BM25 served from FULLY MAINTAINED state — the index carried
     through update+delete (docs_inverted_index_updated/_deleted's
@@ -4434,6 +4566,191 @@ _PIPELINE_ORACLES = {
         SELECT doc_id AS doc, n_terms_matched, score FROM h
         ORDER BY score DESC, doc ASC LIMIT 15
     """,
+    # the positional-segment oracle recomputes the phrase from the
+    # surviving corpus — serve(segments ∪ doc-id tombstones) ==
+    # phrase_search(survivors)
+    "docs_phrase_search_segments": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOK} AS toks FROM documents
+          WHERE doc_id % 7 != 0
+        ),
+        p AS (
+          SELECT doc_id, unnest(generate_series(0, len(toks) - 2)) AS pos,
+                 toks
+          FROM t WHERE len(toks) >= 2
+        ),
+        hits AS (
+          SELECT doc_id, pos FROM p
+          WHERE toks[pos + 1] = 'fast' AND toks[pos + 2] = 'table'
+        )
+        SELECT doc_id AS doc, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(min(pos) AS BIGINT) AS first_pos
+        FROM hits GROUP BY doc_id ORDER BY doc
+    """,
+    # the maintained-stack oracle rebuilds EVERY store from the
+    # surviving corpus: keyword ranks from surviving text, vector
+    # ranks from int8 MIPS over surviving embeddings (portable codec
+    # replayed bit-for-bit), lengths from surviving token counts;
+    # exact two-list rational RRF (P, S) with integer division
+    "docs_hybrid_rrf_maintained": f"""
+        WITH ex AS (
+          SELECT doc_id, unnest({_TOK}) AS token FROM documents
+          WHERE doc_id % 7 != 0
+        ),
+        m AS (SELECT doc_id, token FROM ex
+              WHERE token IN ('spark', 'hash', 'merge')),
+        kw AS (
+          SELECT doc_id, count(*) AS score FROM m GROUP BY doc_id
+          HAVING count(DISTINCT token) = 3
+        ),
+        kwr AS (
+          SELECT doc_id, row_number() OVER (
+                   ORDER BY score DESC, doc_id ASC) AS rk
+          FROM kw QUALIFY rk <= 50
+        ),
+        emq AS (
+          SELECT vec_id,
+                 coalesce(list_max(list_transform(
+                     embedding, x -> abs(CAST(x AS DOUBLE))
+                 )), 0.0) / 127.0 AS s,
+                 embedding
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        emc AS (
+          SELECT vec_id, s,
+                 CASE WHEN s > 0 THEN
+                     list_transform(embedding, x -> CAST(
+                         sign(CAST(x AS DOUBLE) / s)
+                         * floor(abs(CAST(x AS DOUBLE) / s) + 0.5)
+                     AS BIGINT))
+                 ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+                 END AS code
+          FROM emq
+        ),
+        vr AS (
+          SELECT doc_id, rk FROM (
+            SELECT c.vec_id AS doc_id, row_number() OVER (
+                     ORDER BY c.s * CAST(list_sum(list_transform(
+                         list_zip(c.code, q.code), p -> p[1] * p[2]
+                     )) AS DOUBLE) DESC,
+                     c.vec_id ASC) AS rk
+            FROM emc c
+            JOIN emc q ON q.vec_id = 0 AND c.vec_id != q.vec_id
+            WHERE c.vec_id % 7 != 0
+          ) WHERE rk <= 50
+        ),
+        joined AS (
+          SELECT doc_id, 60 + kwr.rk AS t1, 60 + vr.rk AS t2
+          FROM kwr FULL OUTER JOIN vr USING (doc_id)
+        ),
+        ps AS (
+          SELECT doc_id,
+                 CAST((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+                      AS BIGINT) AS n_lists,
+                 coalesce(t1, 1) * coalesce(t2, 1) AS p,
+                 coalesce(coalesce(t1, 1) * coalesce(t2, 1) // t1, 0)
+                 + coalesce(coalesce(t1, 1) * coalesce(t2, 1) // t2, 0)
+                   AS s
+          FROM joined
+        ),
+        fused AS (
+          SELECT doc_id, n_lists,
+                 CAST(s AS DOUBLE) / CAST(p AS DOUBLE) AS rrf
+          FROM ps ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        )
+        SELECT f.doc_id, f.n_lists, f.rrf,
+               CAST(coalesce(len({_TOK}), 0) AS DOUBLE) AS dl
+        FROM fused f
+        LEFT JOIN (SELECT doc_id, text FROM documents
+                   WHERE doc_id % 7 != 0) d USING (doc_id)
+        ORDER BY f.rrf DESC, f.doc_id ASC
+    """,
+    # the engine-exact ANN oracle replays the WHOLE pipeline: literal
+    # centroids from the same integer formula, portable int8 codec,
+    # inner-product cell assignment (ties to the smaller cell), top-2
+    # probes per query, exact in-cell int8 MIPS, per-query top-5
+    "docs_ann_int8_exact": f"""
+        WITH cents AS (
+          SELECT j AS cell,
+                 list_transform(range(0, 64),
+                                i -> ((i * 7 + j * 13) % 19 - 9) / 10.0
+                 ) AS cv
+          FROM range(0, 4) t(j)
+        ),
+        cq0 AS (
+          SELECT cell,
+                 list_max(list_transform(cv, x -> abs(x))) / 127.0 AS s,
+                 cv
+          FROM cents
+        ),
+        cq AS (
+          SELECT cell, s,
+                 list_transform(cv, x -> CAST(
+                     sign(x / s) * floor(abs(x / s) + 0.5) AS BIGINT
+                 )) AS code
+          FROM cq0
+        ),
+        emq AS (
+          SELECT vec_id,
+                 coalesce(list_max(list_transform(
+                     embedding, x -> abs(CAST(x AS DOUBLE))
+                 )), 0.0) / 127.0 AS s,
+                 embedding
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        emc AS (
+          SELECT vec_id, s,
+                 CASE WHEN s > 0 THEN
+                     list_transform(embedding, x -> CAST(
+                         sign(CAST(x AS DOUBLE) / s)
+                         * floor(abs(CAST(x AS DOUBLE) / s) + 0.5)
+                     AS BIGINT))
+                 ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+                 END AS code
+          FROM emq
+        ),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell, row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY c.s * CAST(list_sum(list_transform(
+                         list_zip(e.code, c.code), p -> p[1] * p[2]
+                     )) AS DOUBLE) DESC, c.cell ASC) AS rk
+            FROM emc e CROSS JOIN cq c
+          ) WHERE rk = 1
+        ),
+        qprobe AS (
+          SELECT vec_id AS qid, cell FROM (
+            SELECT e.vec_id, c.cell, row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY c.s * CAST(list_sum(list_transform(
+                         list_zip(e.code, c.code), p -> p[1] * p[2]
+                     )) AS DOUBLE) DESC, c.cell ASC) AS rk
+            FROM emc e CROSS JOIN cq c WHERE e.vec_id < 3
+          ) WHERE rk <= 2
+        ),
+        cand AS (
+          SELECT p.qid AS query_id, e.vec_id AS id,
+                 CAST(list_sum(list_transform(
+                     list_zip(e.code, q.code), z -> z[1] * z[2]
+                 )) AS BIGINT) AS dot,
+                 e.s * CAST(list_sum(list_transform(
+                     list_zip(e.code, q.code), z -> z[1] * z[2]
+                 )) AS DOUBLE) AS score
+          FROM assign a
+          JOIN emc e ON a.vec_id = e.vec_id
+          JOIN qprobe p ON a.cell = p.cell
+          JOIN emc q ON q.vec_id = p.qid
+          WHERE e.vec_id != p.qid
+        )
+        SELECT query_id, id, dot, score, CAST(rk AS BIGINT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, id ASC) AS rk
+          FROM cand
+        ) WHERE rk <= 5 ORDER BY query_id, rank
+    """,
     "docs_hybrid_rrf": f"""
         WITH ex AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
         m AS (SELECT doc_id, token FROM ex
@@ -5865,6 +6182,36 @@ def docs_ann_int8(spark, sf_dir):
     )
 
 
+# literal IVF centroids for the engine-exact ANN row: generated from
+# integer arithmetic + ONE division so the oracle derives bit-identical
+# doubles from the same formula (values in [-0.9, 0.9], dim 64)
+_ANN_EXACT_CENTS = [
+    (j, [((i * 7 + j * 13) % 19 - 9) / 10.0 for i in range(64)])
+    for j in range(4)
+]
+
+
+def docs_ann_int8_exact(spark, sf_dir):
+    """The ANN family's first FULL value-hash row (operators/
+    similarity.ivf_topk_int8_exact): IVF-pruned int8 retrieval whose
+    centroids are a LITERAL table, so probing becomes deterministic
+    arithmetic DuckDB replays — quantize (the portable int8 codec),
+    assign (argmax of cent_scale × integer code dot, ties to the
+    smaller cell), probe the top-2 of 4 cells per query, score probed
+    cells with the exact int8 MIPS rank key. The k-means-fit rows
+    (docs_ann_int8 / ann_topk_ivf_docs) stay rows-only — an iterative
+    numpy fit has no SQL replay — and this row certifies the ENTIRE
+    serving pipeline those rows share downstream of the fit."""
+    from esdb_spark.operators.similarity import ivf_topk_int8_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivf_topk_int8_exact(
+        emb, queries, _ANN_EXACT_CENTS, "embedding", "vec_id", k=5,
+        n_probe=2,
+    ).orderBy("query_id", "rank")
+
+
 def embedding_kmeans_docs(spark, sf_dir):
     """Spherical k-means over the embeddings table (operators/cluster):
     per-cluster size + cohesion rollup. Rows-only: centroid fit is
@@ -6048,14 +6395,33 @@ _GATE_WINDOW = [
     # PageRank family with the integer fixed-point exact variant)
     "dedup_events_exact",
     "events_user_graph_pagerank",
-    "dedup_embedding_docs",
+    # (round 9: dedup_embedding_docs demoted — embedding-similarity
+    # stays gate-certified by docs_ann_int8_exact below and the hybrid
+    # rows' int8-MIPS legs, and the near-dup family keeps four window
+    # rows; it stays catalogued + locally oracle-verified. Its slot
+    # carries the r8-verdict ask: index-served phrase search, whose
+    # oracle recomputes the hits from the corpus so the gate asserts
+    # index-served == corpus-computed value-hash-exact)
+    "docs_phrase_search_indexed",
     "doc_dup_clusters",
     # (dedup_by_cluster_docs demoted past the window in round 3 — same
     # connected-components family as doc_dup_clusters, still locally
     # oracle-verified; its slot showcases the Bloom-membership path)
     "dedup_incremental_bloom_docs",
-    "similarity_topk",
-    "docs_hybrid_rrf",
+    # (round 9: similarity_topk demoted — brute-force cosine top-k
+    # stays catalogued + locally oracle-verified; its slot gives the
+    # ANN family its FIRST full value-hash certification: literal
+    # centroids make probe + quantize + dot + top-k all
+    # SQL-replayable, the r8 verdict's ask #5)
+    "docs_ann_int8_exact",
+    # (round 9: docs_hybrid_rrf demoted for its own MAINTAINED face —
+    # same legs, same exact fusion, but every store now carried
+    # through its append+delete maintenance faces and the oracle
+    # rebuilds all three from the surviving corpus: the full RAG
+    # serving stack certified from maintained state in one hash, the
+    # r8 verdict's ask #7; the plain row stays catalogued + locally
+    # oracle-verified)
+    "docs_hybrid_rrf_maintained",
     # LLM-pipeline: text analysis
     "doc_quality",
     # (doc_chunks demoted in round 5 — chunking shares the text family
@@ -6245,6 +6611,9 @@ def catalog() -> dict[str, Q]:
         ("docs_doc_lengths_maintained", docs_doc_lengths_maintained),
         ("docs_keyword_search_segments", docs_keyword_search_segments),
         ("docs_phrase_search_indexed", docs_phrase_search_indexed),
+        ("docs_phrase_search_segments", docs_phrase_search_segments),
+        ("docs_hybrid_rrf_maintained", docs_hybrid_rrf_maintained),
+        ("docs_ann_int8_exact", docs_ann_int8_exact),
         ("doc_token_counts_fixed", doc_token_counts_fixed),
         ("docs_hybrid_rrf3", docs_hybrid_rrf3),
         ("doc_duplicate_spans", doc_duplicate_spans),

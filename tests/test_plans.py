@@ -431,9 +431,11 @@ def test_delete_doc_lengths_state_never_shuffles(spark):
     out = delete_doc_lengths(dl, rm)
     plan = physical_plan(out)
     assert plan.count("BroadcastHashJoin") >= 2, plan  # anti + semi
-    # no hash-partitioned exchange of the doc-keyed state (broadcast
-    # exchanges and the one-row aggregate exchanges are fine)
-    assert "hashpartitioning(doc" not in plan, plan
+    # the doc-keyed STATE never exchanges: the only hashpartitioning
+    # on doc allowed is the per-id guard's aggregate over the SEMI
+    # output — a delta-bounded subset, not the table (r9: the guard
+    # went per-id so a ghost and a duplicate cannot cancel)
+    assert plan.count("hashpartitioning(doc") <= 1, plan
 
 
 def test_ann_int8_prebuilt_store_partition_pruned(spark, emb_store):
@@ -477,3 +479,50 @@ def emb_store(spark, tmp_path_factory):
         .write.partitionBy("cell").parquet(p)
     )
     return spark.read.parquet(p), cent
+
+
+def test_positional_segment_serving_pushes_term_filter(spark, tmp_path):
+    # round-9 plan contract, positional flavor: the phrase's term
+    # in-filter must reach every positional segment leg's parquet scan
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        phrase_search_segments,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"pseg{i}")
+        build_positional_index(
+            docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+        ).write.parquet(p)
+        paths.append(p)
+    segs = [spark.read.parquet(p) for p in paths]
+    tomb = [docs.limit(3).select(F.col("doc_id").alias("doc"))]
+    q = phrase_search_segments(segs, "fast table", tombstones=tomb)
+    plan = physical_plan(q)
+    assert plan.count("PushedFilters: [In(token") == 3, plan
+    # the tombstone probe broadcasts the delete delta — the segment
+    # rows never hash-exchange on doc for the subtraction itself
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivf_exact_corpus_never_shuffles_before_topk(spark):
+    # the engine-exact ANN face: assignment is a projection-level HOF
+    # fold (no explode/shuffle of the corpus); candidates meet the
+    # per-query window through ONE broadcast join, and the partial
+    # WindowGroupLimit prunes to k before the only exchange
+    from esdb_spark.operators.similarity import ivf_topk_int8_exact
+    from esdb_spark.queries import _ANN_EXACT_CENTS
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = ivf_topk_int8_exact(
+        emb, emb.filter(F.col("vec_id") < 3), _ANN_EXACT_CENTS,
+        "embedding", "vec_id", k=5, n_probe=2,
+    )
+    plan = physical_plan(q)
+    assert "Python" not in plan and "InPandas" not in plan, plan
+    # exactly one explode — the tiny query-side probe fan-out
+    assert plan.count("Generate explode") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan

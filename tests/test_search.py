@@ -1116,3 +1116,26 @@ def test_compact_positional_segments_exact(spark, grown_corpus):
         tuple(r) for r in phrase_search(survivors, "spark sort").collect()
     )
     assert got == want
+
+
+def test_delete_doc_lengths_ghost_and_dup_cannot_cancel(spark):
+    # r8 ADVICE: the old guard compared batch TOTALS (matched ==
+    # removed), so a ghost delete plus a duplicated state row for
+    # another removed id summed to equality and both corruptions
+    # passed. The per-id guard must raise on this exact batch.
+    from esdb_spark.operators.search import delete_doc_lengths
+
+    dl = spark.createDataFrame(
+        [(1, 3.0), (2, 4.0), (2, 4.0), (3, 5.0)], "doc int, dl double"
+    )  # doc 2 duplicated (corrupt state)
+    rm = spark.createDataFrame([(2,), (999,)], "doc_id int")
+    # matched = 2 (two doc-2 rows), removed = 2 → totals cancel
+    with pytest.raises(Exception, match="ghost delete|duplicate state"):
+        delete_doc_lengths(dl, rm).collect()
+    # each corruption alone still raises with its count in the message
+    with pytest.raises(Exception, match="removed id matches 0"):
+        delete_doc_lengths(dl, spark.createDataFrame(
+            [(999,)], "doc_id int")).collect()
+    with pytest.raises(Exception, match="removed id matches 2"):
+        delete_doc_lengths(dl, spark.createDataFrame(
+            [(2,)], "doc_id int")).collect()

@@ -372,3 +372,129 @@ def test_ann_int8_prebuilt_index_matches_inline(spark, emb, tmp_path):
     assert _re.search(
         r"PartitionFilters: \[[^\]]*cell#\d+[^\]]* IN \(", plan
     ), plan  # tolerate the partition-type cast some sessions add
+
+
+def test_ann_int8_tombstones_serve_deletes(spark, emb):
+    # serve-time deletes: full probe + tombstones == exact MIPS over
+    # the surviving corpus, value-for-value (same codec/dots/ties)
+    from esdb_spark.operators.similarity import ann_topk_int8, mips_topk_int8
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    rm = emb.filter((F.col("vec_id") % 5 == 4) & (F.col("vec_id") >= 3))
+    survivors = emb.join(
+        rm.select("vec_id"), "vec_id", "left_anti"
+    )
+    served = ann_topk_int8(
+        emb, queries, "embedding", "vec_id", k=5, n_centroids=4,
+        n_probe=4, tombstones=rm.select(F.col("vec_id").alias("id")),
+    )
+    direct = mips_topk_int8(survivors, queries, "embedding", "vec_id", k=5)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_ann_store_append_and_delete_faces(spark, emb, tmp_path):
+    # the pay-once store maintains: append new vectors under the SAME
+    # centroids, delete by id — serving from the maintained store
+    # equals inline serving over the current corpus
+    from esdb_spark.operators.cluster import kmeans_assign, kmeans_fit
+    from esdb_spark.operators.similarity import (
+        ann_store_append,
+        ann_store_delete,
+        ann_topk_int8,
+    )
+
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    growth = emb.filter(F.col("vec_id") % 10 == 0)
+    c = old.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cent = kmeans_fit(c, "vec", "id", 8, iters=20, seed=42)
+    store_path = str(tmp_path / "ivf")
+    (
+        kmeans_assign(c, cent, "vec", "id", keep_vec=True)
+        .filter(F.col("cluster").isNotNull())
+        .select("id", "vec", F.col("cluster").alias("cell"))
+        .write.partitionBy("cell")
+        .parquet(store_path)
+    )
+    store = spark.read.parquet(store_path)
+    # append face: the delta lands in the delta's cells only
+    delta = ann_store_append(store, growth, cent, "embedding", "vec_id")
+    delta.write.mode("append").partitionBy("cell").parquet(store_path)
+    grown_store = spark.read.parquet(store_path)
+    queries = emb.filter(F.col("vec_id") < 4)
+    served = ann_topk_int8(
+        emb, queries, "embedding", "vec_id", k=5, n_centroids=8,
+        n_probe=3, centroids=cent, assigned=grown_store,
+    )
+    inline = ann_topk_int8(
+        emb, queries, "embedding", "vec_id", k=5, n_centroids=8,
+        n_probe=3, centroids=cent,
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    # append guards: re-append raises; duplicate delta id raises
+    with pytest.raises(Exception, match="re-appends"):
+        ann_store_append(
+            grown_store, growth.limit(1), cent, "embedding", "vec_id"
+        ).collect()
+    dup = growth.limit(1).unionByName(growth.limit(1))
+    with pytest.raises(Exception, match="duplicate id within the delta"):
+        ann_store_append(
+            store, dup, cent, "embedding", "vec_id", guard_overlap=False
+        ).collect()
+    # delete face: survivors for a compaction rewrite, per-id guards
+    rm = grown_store.select("id").filter(F.col("id") % 7 == 1).limit(20)
+    kept = ann_store_delete(grown_store, rm)
+    n_rm = rm.count()
+    assert kept.count() == grown_store.count() - n_rm
+    ghost = spark.createDataFrame([(99999999,)], "id bigint")
+    with pytest.raises(Exception, match="ghost delete"):
+        ann_store_delete(grown_store, ghost).collect()
+    # ghost + duplicate cannot cancel (per-id check, the r8 ADVICE)
+    corrupt = grown_store.limit(1).unionByName(grown_store.limit(1))
+    both = corrupt.select("id").unionByName(ghost)
+    with pytest.raises(Exception, match="matches 0|matches 2"):
+        ann_store_delete(
+            corrupt.unionByName(grown_store.limit(0)), both
+        ).collect()
+
+
+def test_ivf_topk_int8_exact_full_probe_equals_mips(spark, emb):
+    # the engine-exact literal-centroid face: probing every cell must
+    # reproduce mips_topk_int8 value-for-value (same codec, same
+    # integer dots, same one-multiply rank key, same ties)
+    from esdb_spark.operators.similarity import (
+        ivf_topk_int8_exact,
+        mips_topk_int8,
+    )
+
+    dim = len(emb.select("embedding").first()[0])
+    cents = [
+        (0, [1.0 if i % 4 == 0 else 0.1 for i in range(dim)]),
+        (1, [-1.0 if i % 4 == 1 else 0.2 for i in range(dim)]),
+        (2, [0.5 if i % 4 == 2 else -0.3 for i in range(dim)]),
+        (3, [-0.5 if i % 4 == 3 else 0.4 for i in range(dim)]),
+    ]
+    queries = emb.filter(F.col("vec_id") < 3)
+    full = ivf_topk_int8_exact(
+        emb, queries, cents, "embedding", "vec_id", k=5, n_probe=4
+    )
+    exact = mips_topk_int8(emb, queries, "embedding", "vec_id", k=5)
+    got = sorted(map(tuple, full.collect()))
+    want = sorted(
+        (r["query_id"], r["id"], r["dot"], r["score"], r["rank"])
+        for r in exact.collect()
+    )
+    assert got == want and got
+    # pruned probing returns k rows per query and is a subset-ranking
+    pruned = ivf_topk_int8_exact(
+        emb, queries, cents, "embedding", "vec_id", k=5, n_probe=2
+    )
+    counts = pruned.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)
+    with pytest.raises(ValueError, match="no centroids"):
+        ivf_topk_int8_exact(emb, queries, [], "embedding", "vec_id")
