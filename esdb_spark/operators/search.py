@@ -611,6 +611,19 @@ def _positional_net_rows(
     position algebra, no tombstone text (the boolean face must net
     tf sums; here the netting is set subtraction keyed on doc).
 
+    The flip side of doc-keyed tombstones is an ORDERING contract the
+    caller owes: a tombstone subtracts its doc from EVERY live segment
+    passed, so a segment written AFTER the tombstone must not contain
+    that doc — the tombstone would net the re-inserted rows too and
+    the doc silently vanishes (the (token, doc) re-append guard only
+    fires when old and new text share a token the query touches;
+    review finding, reproduced). ``maintain_positional_index_lsm``
+    enforces this by raising on inserts of currently-tombstoned ids —
+    compaction folds tombstones away, after which re-insert is legal
+    (the reference's close-compacts rule). The boolean
+    :func:`_segment_net_rows` has no such contract: its tombstones
+    are content-keyed and cancel only the matching old rows.
+
     ``terms`` (serving path) is a literal in-filter applied BEFORE
     anything shuffles; Catalyst pushes it into every segment leg's
     scan. Guards (the house rules): the keep decision is ONE CASE
@@ -764,7 +777,10 @@ def phrase_search_segments(
 
     ``tombstones`` are frames of DOC IDS (column ``doc``) — deleting
     a doc's phrases needs no position algebra because its occurrences
-    live wholly in its own flat rows (:func:`_positional_net_rows`).
+    live wholly in its own flat rows (:func:`_positional_net_rows` —
+    note its ordering contract: a tombstone nets its doc from EVERY
+    segment passed, so never pass a post-tombstone re-insert segment;
+    the streaming maintainer raises on that insert instead).
     Integrity guards fire for corruption the query TOUCHES (the term
     in-filter runs first); ghost tombstones are structurally
     invisible under a term filter and surface at

@@ -1076,12 +1076,7 @@ def ann_store_append(
 
     delta = kmeans_assign(
         new_vectors, centroids, vec_col, id_col, keep_vec=True
-    ).select(
-        "id",
-        "vec",
-        F.col("cluster").cast("int").alias("cell"),
-        F.col("sim").alias("_aa_sim"),
-    )
+    ).select("id", "vec", F.col("cluster").cast("int").alias("cell"))
     where = F.concat(F.lit("; id: "), F.col("id").cast("string"))
     per = delta.groupBy("id").agg(
         F.count("*").alias("_aa_n"),
@@ -1350,14 +1345,20 @@ def ivf_topk_int8_exact(
     cand = cq.join(F.broadcast(qprobe), "cell").filter(
         F.col("id") != F.col("query_id")
     )
+    # fold the O(dim) integer dot ONCE per candidate and derive the
+    # score from the column — HOF lambdas are not reliably covered by
+    # subexpression elimination, so repeating the aggregate would
+    # double the hot loop (review finding)
     scored = cand.select(
         "query_id",
         "id",
         _dot(F.col("_iv_code"), F.col("_iv_qcode")).alias("dot"),
-        (
-            F.col("_iv_s")
-            * _dot(F.col("_iv_code"), F.col("_iv_qcode")).cast("double")
-        ).alias("score"),
+        "_iv_s",
+    ).select(
+        "query_id",
+        "id",
+        "dot",
+        (F.col("_iv_s") * F.col("dot").cast("double")).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("id").asc()

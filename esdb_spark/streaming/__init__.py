@@ -765,10 +765,37 @@ def maintain_doc_lengths(
         # un-inserted id raises (ghost). All probe frames below are
         # delta-bounded; `prev` is only ever the broadcast-probe side,
         # never shuffled.
+        # A both-ops id must be exactly ONE insert + ONE delete (the
+        # CDC update / ephemeral-doc shapes). Guarded HERE because the
+        # net-to-absent branch would otherwise anti-join duplicated
+        # rows away before update_doc_lengths' duplicate-in-delta
+        # guard could see them — a feed delivering the same insert
+        # twice would commit silently (review finding; maintenance
+        # wants LOUD).
         both = (
-            ins.select(F.col(id_col).alias("doc"))
-            .distinct()
-            .join(rm.distinct(), "doc", "left_semi")
+            ins.groupBy(F.col(id_col).alias("doc"))
+            .agg(F.count("*").alias("_mb_i"))
+            .join(rm.groupBy("doc").agg(F.count("*").alias("_mb_d")), "doc")
+            .filter(
+                F.when(
+                    (F.col("_mb_i") > 1) | (F.col("_mb_d") > 1),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "maintain_doc_lengths: an id under both "
+                                "ops in one batch must be exactly one "
+                                "insert + one delete; got "
+                            ),
+                            F.col("_mb_i").cast("string"),
+                            F.lit(" inserts / "),
+                            F.col("_mb_d").cast("string"),
+                            F.lit(" deletes for doc: "),
+                            F.col("doc").cast("string"),
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+            )
+            .select("doc")
         )
         if prev is None:
             net_absent = both
@@ -1024,6 +1051,105 @@ def _lsm_publish(
     _lsm_sweep(spark, state_path, keep_versions)
 
 
+def _lsm_fold(
+    state_path: str,
+    caller: str,
+    op_col: str | None,
+    id_col: str,
+    text_col: str,
+    keep_versions: int,
+    compact_above: int,
+    build_live,
+    build_tombstone,
+    compact,
+    guard_insert=None,
+):
+    """ONE foreachBatch fold shared by every LSM maintainer (the
+    ``_lsm_publish`` one-definition discipline extended to the whole
+    epoch protocol — review finding: the boolean and positional folds
+    had copy-pasted short-circuit / op-split / emptiness-probe /
+    compaction blocks, so the next protocol fix would have to land
+    twice or silently diverge). The index-specific pieces plug in:
+
+    - ``build_live(ins)`` → the epoch's live segment DataFrame
+    - ``build_tombstone(rm)`` → the epoch's tombstone DataFrame
+    - ``compact(live_frames, tomb_frames_or_None)`` → one folded
+      segment
+    - ``guard_insert(spark, ins, rm, prior_entries)`` → optionally
+      rewrite ``ins`` with execution-time guards that need the prior
+      manifest (the positional re-insert-of-tombstoned-id check)
+    """
+    from esdb_spark import fs as _fs
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        mpath = posixpath.join(state_path, f"{_LSM_MANIFEST}{epoch_id:012d}")
+        if _fs.exists(spark, mpath):
+            # this epoch already PUBLISHED (crash landed between the
+            # manifest rename and the checkpoint commit): skip the
+            # recompute entirely instead of rewriting referenced
+            # segment dirs in place under readers (write.mode
+            # 'overwrite' deletes-then-writes — review finding); only
+            # the sweep might be unfinished, so just re-run it
+            _lsm_sweep(spark, state_path, keep_versions)
+            return
+        prior = [e for e in _lsm_manifests(spark, state_path) if e < epoch_id]
+        entries = (
+            _lsm_read_manifest(spark, state_path, prior[-1]) if prior else []
+        )
+        if op_col is None:
+            ins, rm = batch_df, None
+        else:
+            batch = _null_safe_op(batch_df, op_col).filter(
+                _op_guard(op_col, caller, id_col=id_col, text_col=text_col)
+            )
+            ins = batch.filter(F.col(op_col) == "insert")
+            rm = batch.filter(F.col(op_col) == "delete")
+        if guard_insert is not None:
+            ins = guard_insert(spark, ins, rm, entries)
+        new_entries = list(entries)
+
+        def write_segment(df: DataFrame, dirname: str) -> bool:
+            # write unconditionally, then derive emptiness from the
+            # WRITTEN parquet (a footer-only probe) — pre-checking
+            # with limit(1).count() would re-scan the micro-batch and
+            # re-run the op guard as an extra job per epoch (the
+            # not-free-on-a-lazy-frame lesson, review finding). An
+            # empty dir stays on disk unreferenced until the sweep.
+            out = posixpath.join(state_path, dirname)
+            df.write.mode("overwrite").parquet(out)
+            return bool(spark.read.parquet(out).limit(1).count())
+
+        seg_dir = f"seg-{epoch_id:012d}"
+        if write_segment(build_live(ins), seg_dir):
+            new_entries.append(("live", seg_dir))
+        if rm is not None:
+            tomb_dir = f"tomb-{epoch_id:012d}"
+            if write_segment(build_tombstone(rm), tomb_dir):
+                new_entries.append(("tomb", tomb_dir))
+        if len(new_entries) > compact_above:
+            live = [
+                spark.read.parquet(posixpath.join(state_path, n))
+                for kind, n in new_entries
+                if kind == "live"
+            ]
+            tomb = [
+                spark.read.parquet(posixpath.join(state_path, n))
+                for kind, n in new_entries
+                if kind == "tomb"
+            ]
+            cdir = f"seg-{epoch_id:012d}-c"
+            compact(live, tomb or None).write.mode("overwrite").parquet(
+                posixpath.join(state_path, cdir)
+            )
+            new_entries = [("live", cdir)]
+        _lsm_publish(
+            spark, state_path, epoch_id, new_entries, keep_versions, caller
+        )
+
+    return fold
+
+
 def maintain_inverted_index_lsm(
     changes,
     state_path: str,
@@ -1077,84 +1203,28 @@ def maintain_inverted_index_lsm(
     double-count — old manifests still see the old world, the new one
     only the compacted segment).
     """
-    from esdb_spark import fs as _fs
     from esdb_spark.operators.search import (
         build_inverted_index,
         compact_segments,
     )
 
     _require_keep_versions(keep_versions, "maintain_inverted_index_lsm")
-
-    def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        mpath = posixpath.join(state_path, f"{_LSM_MANIFEST}{epoch_id:012d}")
-        if _fs.exists(spark, mpath):
-            # this epoch already PUBLISHED (crash landed between the
-            # manifest rename and the checkpoint commit): skip the
-            # recompute entirely instead of rewriting referenced
-            # segment dirs in place under readers (write.mode
-            # 'overwrite' deletes-then-writes — review finding); only
-            # the sweep might be unfinished, so just re-run it
-            _lsm_sweep(spark, state_path, keep_versions)
-            return
-        prior = [e for e in _lsm_manifests(spark, state_path) if e < epoch_id]
-        entries = (
-            _lsm_read_manifest(spark, state_path, prior[-1]) if prior else []
-        )
-        if op_col is None:
-            ins, rm = batch_df, None
-        else:
-            batch = _null_safe_op(batch_df, op_col).filter(
-                _op_guard(
-                    op_col, "maintain_inverted_index_lsm",
-                    id_col=id_col, text_col=text_col,
-                )
-            )
-            ins = batch.filter(F.col(op_col) == "insert")
-            rm = batch.filter(F.col(op_col) == "delete")
-        new_entries = list(entries)
-
-        def write_segment(docs_part, dirname: str) -> bool:
-            # write unconditionally, then derive emptiness from the
-            # WRITTEN parquet (a footer-only probe) — pre-checking
-            # with limit(1).count() would re-scan the micro-batch and
-            # re-run the op guard as an extra job per epoch (the
-            # not-free-on-a-lazy-frame lesson, review finding). An
-            # empty dir stays on disk unreferenced until the sweep.
-            out = posixpath.join(state_path, dirname)
-            build_inverted_index(docs_part, text_col, id_col).write.mode(
-                "overwrite"
-            ).parquet(out)
-            return bool(spark.read.parquet(out).limit(1).count())
-
-        seg_dir = f"seg-{epoch_id:012d}"
-        if write_segment(ins, seg_dir):
-            new_entries.append(("live", seg_dir))
-        if rm is not None:
-            tomb_dir = f"tomb-{epoch_id:012d}"
-            if write_segment(rm, tomb_dir):
-                new_entries.append(("tomb", tomb_dir))
-        if len(new_entries) > compact_above:
-            live = [
-                spark.read.parquet(posixpath.join(state_path, n))
-                for kind, n in new_entries
-                if kind == "live"
-            ]
-            tomb = [
-                spark.read.parquet(posixpath.join(state_path, n))
-                for kind, n in new_entries
-                if kind == "tomb"
-            ]
-            cdir = f"seg-{epoch_id:012d}-c"
-            compact_segments(live, tomb or None).write.mode(
-                "overwrite"
-            ).parquet(posixpath.join(state_path, cdir))
-            new_entries = [("live", cdir)]
-        _lsm_publish(
-            spark, state_path, epoch_id, new_entries, keep_versions,
-            "maintain_inverted_index_lsm",
-        )
-
+    fold = _lsm_fold(
+        state_path,
+        "maintain_inverted_index_lsm",
+        op_col,
+        id_col,
+        text_col,
+        keep_versions,
+        compact_above,
+        # a tombstone is the index of the removed docs' text — the
+        # content-keyed delete marker the serving union subtracts
+        build_live=lambda ins: build_inverted_index(ins, text_col, id_col),
+        build_tombstone=lambda rm: build_inverted_index(
+            rm, text_col, id_col
+        ),
+        compact=compact_segments,
+    )
     writer = (
         changes.writeStream.foreachBatch(fold)
         .queryName(query_name)
@@ -1277,7 +1347,6 @@ def maintain_positional_index_lsm(
     shared :func:`_lsm_publish` temp+rename manifest commit; replays
     short-circuit on a published epoch.
     """
-    from esdb_spark import fs as _fs
     from esdb_spark.functions import tokens
     from esdb_spark.operators.search import (
         build_positional_index,
@@ -1286,79 +1355,84 @@ def maintain_positional_index_lsm(
 
     _require_keep_versions(keep_versions, "maintain_positional_index_lsm")
 
-    def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        mpath = posixpath.join(state_path, f"{_LSM_MANIFEST}{epoch_id:012d}")
-        if _fs.exists(spark, mpath):
-            # epoch already published (crash between manifest rename
-            # and checkpoint commit): never rewrite referenced segment
-            # dirs in place under readers — just finish the sweep
-            _lsm_sweep(spark, state_path, keep_versions)
-            return
-        prior = [e for e in _lsm_manifests(spark, state_path) if e < epoch_id]
-        entries = (
-            _lsm_read_manifest(spark, state_path, prior[-1]) if prior else []
-        )
-        if op_col is None:
-            ins, rm = batch_df, None
-        else:
-            batch = _null_safe_op(batch_df, op_col).filter(
-                _op_guard(
-                    op_col, "maintain_positional_index_lsm",
-                    id_col=id_col, text_col=text_col,
-                )
+    def guard_insert(spark, ins, rm, entries):
+        # Re-inserting a doc whose id sits in a CURRENT tombstone must
+        # raise: positional tombstones are DOC-KEYED, so at serve time
+        # they would net the re-inserted rows too — the doc silently
+        # vanishes with no guard able to see it (review finding,
+        # reproduced: the (token, doc) re-append guard only fires when
+        # old and new text share a token the query touches). THIS
+        # batch's tombstone-bound ids carry the same hazard (a
+        # same-batch delete+insert writes a live segment and a
+        # tombstone that nets it). The boolean maintainer needs no
+        # such guard: its tombstones are content-keyed (token + tf)
+        # and cancel only the old rows. Compaction folds tombstones
+        # away, after which the id is insertable again — the
+        # reference's close-compacts rule.
+        tomb_ids = None
+        for kind, n in entries:
+            if kind != "tomb":
+                continue
+            t = spark.read.parquet(posixpath.join(state_path, n)).select(
+                F.col("doc").alias("_pl_tdoc")
             )
-            ins = batch.filter(F.col(op_col) == "insert")
-            rm = batch.filter(F.col(op_col) == "delete")
-        new_entries = list(entries)
-
-        def write_parquet(df: DataFrame, dirname: str) -> bool:
-            # write unconditionally, then derive emptiness from the
-            # WRITTEN parquet (footer-only probe) — a pre-check would
-            # re-run the batch + op guard as an extra job per epoch;
-            # an empty dir stays on disk unreferenced until the sweep
-            out = posixpath.join(state_path, dirname)
-            df.write.mode("overwrite").parquet(out)
-            return bool(spark.read.parquet(out).limit(1).count())
-
-        seg_dir = f"seg-{epoch_id:012d}"
-        if write_parquet(
-            build_positional_index(ins, text_col, id_col), seg_dir
-        ):
-            new_entries.append(("live", seg_dir))
+            tomb_ids = t if tomb_ids is None else tomb_ids.unionByName(t)
         if rm is not None:
-            # ids only — but only of docs that HAVE postings: a
-            # token-less doc indexed nothing, so tombstoning it would
-            # plant a guaranteed ghost for the compaction sweep
-            tomb_ids = (
-                rm.filter(F.size(tokens(text_col)) > 0)
-                .select(F.col(id_col).alias("doc"))
-                .distinct()
+            batch_tomb = rm.filter(F.size(tokens(text_col)) > 0).select(
+                F.col(id_col).alias("_pl_tdoc")
             )
-            tomb_dir = f"tomb-{epoch_id:012d}"
-            if write_parquet(tomb_ids, tomb_dir):
-                new_entries.append(("tomb", tomb_dir))
-        if len(new_entries) > compact_above:
-            live = [
-                spark.read.parquet(posixpath.join(state_path, n))
-                for kind, n in new_entries
-                if kind == "live"
-            ]
-            tomb = [
-                spark.read.parquet(posixpath.join(state_path, n))
-                for kind, n in new_entries
-                if kind == "tomb"
-            ]
-            cdir = f"seg-{epoch_id:012d}-c"
-            compact_positional_segments(live, tomb or None).write.mode(
-                "overwrite"
-            ).parquet(posixpath.join(state_path, cdir))
-            new_entries = [("live", cdir)]
-        _lsm_publish(
-            spark, state_path, epoch_id, new_entries, keep_versions,
-            "maintain_positional_index_lsm",
+            tomb_ids = (
+                batch_tomb
+                if tomb_ids is None
+                else tomb_ids.unionByName(batch_tomb)
+            )
+        if tomb_ids is None:
+            return ins
+        return (
+            ins.join(
+                F.broadcast(tomb_ids.withColumn("_pl_tomb", F.lit(True))),
+                F.col(id_col) == F.col("_pl_tdoc"),
+                "left",
+            )
+            .filter(
+                F.when(
+                    F.col("_pl_tomb").isNotNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "maintain_positional_index_lsm: "
+                                "re-insert of a tombstoned doc — "
+                                "doc-keyed tombstones would net the "
+                                "new rows too; compact first; doc: "
+                            ),
+                            F.col(id_col).cast("string"),
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+            )
+            .drop("_pl_tdoc", "_pl_tomb")
         )
 
+    fold = _lsm_fold(
+        state_path,
+        "maintain_positional_index_lsm",
+        op_col,
+        id_col,
+        text_col,
+        keep_versions,
+        compact_above,
+        build_live=lambda ins: build_positional_index(ins, text_col, id_col),
+        # ids only — but only of docs that HAVE postings: a token-less
+        # doc indexed nothing, so tombstoning it would plant a
+        # guaranteed ghost for the compaction sweep
+        build_tombstone=lambda rm: (
+            rm.filter(F.size(tokens(text_col)) > 0)
+            .select(F.col(id_col).alias("doc"))
+            .distinct()
+        ),
+        compact=compact_positional_segments,
+        guard_insert=guard_insert,
+    )
     writer = (
         changes.writeStream.foreachBatch(fold)
         .queryName(query_name)

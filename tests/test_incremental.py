@@ -1268,3 +1268,133 @@ def test_maintain_doc_lengths_cdc_update_same_batch(spark, tmp_path):
         q.stop()
     dl = read_maintained_doc_lengths(spark, state)
     assert sorted(map(tuple, dl.collect())) == [(1, 4.0), (2, 2.0)]
+
+
+def test_maintain_positional_lsm_reinsert_after_delete_raises(
+    spark, tmp_path
+):
+    # doc-keyed tombstones net the re-inserted rows too, so the
+    # maintainer must REJECT an insert of a currently-tombstoned id
+    # (review finding: with token-disjoint new text nothing else can
+    # see the corruption and the doc silently vanishes)
+    from esdb_spark.streaming import maintain_positional_index_lsm
+
+    src = str(tmp_path / "chg")
+    state = str(tmp_path / "plsm")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id int, text string, op string"
+    batches = [
+        [(7, "alpha beta", "insert"), (8, "keep me", "insert")],
+        [(7, "alpha beta", "delete")],
+        [(7, "gamma delta", "insert")],  # token-disjoint re-insert
+    ]
+    import pytest as _pytest
+
+    for i, batch in enumerate(batches):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            mode
+        ).json(src)
+        stream = spark.readStream.schema(schema).json(src)
+        q = maintain_positional_index_lsm(
+            stream, state, op_col="op", checkpoint=ckpt,
+            query_name=f"ri_{i}",
+        )
+        if i < 2:
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        else:
+            with _pytest.raises(Exception, match="re-insert of a tomb"):
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+
+
+def test_maintain_positional_lsm_same_batch_delete_insert_raises(
+    spark, tmp_path
+):
+    from esdb_spark.streaming import maintain_positional_index_lsm
+
+    src = str(tmp_path / "chg")
+    state = str(tmp_path / "plsm")
+    schema = "doc_id int, text string, op string"
+    spark.createDataFrame(
+        [(7, "alpha beta", "insert")], schema
+    ).coalesce(1).write.mode("overwrite").json(src)
+    q = maintain_positional_index_lsm(
+        spark.readStream.schema(schema).json(src), state, op_col="op",
+        checkpoint=str(tmp_path / "c0"), query_name="sb_0",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # delete + re-insert of doc 7 in ONE batch: the epoch would write
+    # both a live segment and a tombstone that nets it
+    spark.createDataFrame(
+        [(7, "alpha beta", "delete"), (7, "gamma delta", "insert")],
+        schema,
+    ).coalesce(1).write.mode("append").json(src)
+    import pytest as _pytest
+
+    q = maintain_positional_index_lsm(
+        spark.readStream.schema(schema).json(src), state, op_col="op",
+        checkpoint=str(tmp_path / "c0"), query_name="sb_1",
+    )
+    with _pytest.raises(Exception, match="re-insert of a tomb"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+
+def test_maintain_positional_lsm_reinsert_legal_after_compaction(
+    spark, tmp_path
+):
+    # compaction folds tombstones away — the id becomes insertable
+    # again and phrase serving sees the NEW text (close-compacts rule)
+    from esdb_spark.operators.search import phrase_search_segments
+    from esdb_spark.streaming import read_maintained_index_segments
+
+    batches = [
+        [(7, "alpha beta", "insert"), (8, "keep me here", "insert")],
+        [(7, "alpha beta", "delete")],  # crosses compact_above=1
+        [(7, "gamma delta", "insert")],
+    ]
+    state = _lsm_feed_positional(spark, tmp_path, batches, compact_above=1)
+    live, tomb = read_maintained_index_segments(spark, state)
+    assert not tomb  # epoch 2 compacted the tombstone away
+    got = phrase_search_segments(live, "gamma delta").collect()
+    assert [r["doc"] for r in got] == [7]
+    assert phrase_search_segments(live, "alpha beta").count() == 0
+
+
+def test_maintain_doc_lengths_dup_insert_of_netted_id_raises(
+    spark, tmp_path
+):
+    # review finding: the net-to-absent branch must not swallow a
+    # duplicated insert — a both-ops id is exactly 1 insert + 1 delete
+    from esdb_spark.streaming import maintain_doc_lengths
+
+    src = str(tmp_path / "chg")
+    state = str(tmp_path / "dl")
+    schema = "doc_id int, text string, op string"
+    spark.createDataFrame(
+        [(9, "dup doc", "insert"), (9, "dup doc", "insert"),
+         (9, "dup doc", "delete"), (1, "fine", "insert")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").json(src)
+    import pytest as _pytest
+
+    q = maintain_doc_lengths(
+        spark.readStream.schema(schema).json(src), state,
+        checkpoint=str(tmp_path / "ck"), query_name="dupnet",
+    )
+    with _pytest.raises(Exception, match="exactly one insert"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
