@@ -618,9 +618,11 @@ def _positional_net_rows(
     the doc silently vanishes (the (token, doc) re-append guard only
     fires when old and new text share a token the query touches;
     review finding, reproduced). ``maintain_positional_index_lsm``
-    enforces this by raising on inserts of currently-tombstoned ids —
-    compaction folds tombstones away, after which re-insert is legal
-    (the reference's close-compacts rule). The boolean
+    enforces this by SELF-HEALING: an insert of a currently-tombstoned
+    id triggers a pre-compaction that folds the tombstones away first
+    (the reference's close-compacts rule, automated), and a same-batch
+    delete+insert of an indexed doc raises (one doc-keyed tombstone
+    cannot net the old rows without the new). The boolean
     :func:`_segment_net_rows` has no such contract: its tombstones
     are content-keyed and cancel only the matching old rows.
 
@@ -780,7 +782,8 @@ def phrase_search_segments(
     live wholly in its own flat rows (:func:`_positional_net_rows` —
     note its ordering contract: a tombstone nets its doc from EVERY
     segment passed, so never pass a post-tombstone re-insert segment;
-    the streaming maintainer raises on that insert instead).
+    the streaming maintainer pre-compacts the tombstones away before
+    accepting such an insert).
     Integrity guards fire for corruption the query TOUCHES (the term
     in-filter runs first); ghost tombstones are structurally
     invisible under a term filter and surface at

@@ -813,7 +813,14 @@ def maintain_doc_lengths(
         # anti-joins nothing and the guard compares 0 == 0 (a local
         # emptiness probe is NOT free on a lazy frame)
         if prev is None:
-            state = build_doc_lengths(ins_eff, text_col, id_col)
+            # fold the FIRST batch through the update face too (empty
+            # base): build_doc_lengths is a plain select with no
+            # duplicate-in-delta guard, so a feed delivering the same
+            # single-op insert twice in epoch 0 would commit two rows
+            # silently — the exact deferred-failure class every later
+            # epoch already rejects (second-review finding)
+            empty = build_doc_lengths(ins.limit(0), text_col, id_col)
+            state = update_doc_lengths(empty, ins_eff, text_col, id_col)
             state = delete_doc_lengths(state, rm_eff, "doc")
         else:
             state = delete_doc_lengths(prev, rm_eff, "doc")
@@ -1062,7 +1069,7 @@ def _lsm_fold(
     build_live,
     build_tombstone,
     compact,
-    guard_insert=None,
+    prepare=None,
 ):
     """ONE foreachBatch fold shared by every LSM maintainer (the
     ``_lsm_publish`` one-definition discipline extended to the whole
@@ -1075,9 +1082,11 @@ def _lsm_fold(
     - ``build_tombstone(rm)`` → the epoch's tombstone DataFrame
     - ``compact(live_frames, tomb_frames_or_None)`` → one folded
       segment
-    - ``guard_insert(spark, ins, rm, prior_entries)`` → optionally
-      rewrite ``ins`` with execution-time guards that need the prior
-      manifest (the positional re-insert-of-tombstoned-id check)
+    - ``prepare(spark, ins, rm, entries, epoch_id)`` →
+      ``(ins, entries)``: optionally rewrite the insert frame with
+      execution-time guards and/or the entry list (the positional
+      maintainer's self-healing pre-compaction on re-insert of a
+      tombstoned id)
     """
     from esdb_spark import fs as _fs
 
@@ -1105,8 +1114,8 @@ def _lsm_fold(
             )
             ins = batch.filter(F.col(op_col) == "insert")
             rm = batch.filter(F.col(op_col) == "delete")
-        if guard_insert is not None:
-            ins = guard_insert(spark, ins, rm, entries)
+        if prepare is not None:
+            ins, entries = prepare(spark, ins, rm, entries, epoch_id)
         new_entries = list(entries)
 
         def write_segment(df: DataFrame, dirname: str) -> bool:
@@ -1337,6 +1346,16 @@ def maintain_positional_index_lsm(
     tombstone that compaction's integrity sweep would (rightly) raise
     on. ``op_col=None`` treats every row as an insert.
 
+    Re-inserting a deleted doc: doc-keyed tombstones net their doc
+    from every segment in the serving union, so a post-tombstone
+    insert cannot simply append. A CROSS-EPOCH re-insert (the CDC
+    update shape: delete in N, insert in N+1) SELF-HEALS — the fold
+    pre-compacts the prior state (folding its tombstones away), then
+    appends; a SAME-BATCH delete+insert of an indexed doc raises
+    (split it across two epochs), while a same-batch insert+delete of
+    a brand-new doc nets to absent, matching
+    :func:`maintain_doc_lengths`'s convention.
+
     Serving reads the newest committed manifest
     (:func:`read_maintained_index_segments` — the manifest protocol is
     shared) and answers through ``search.phrase_search_segments(live,
@@ -1355,63 +1374,125 @@ def maintain_positional_index_lsm(
 
     _require_keep_versions(keep_versions, "maintain_positional_index_lsm")
 
-    def guard_insert(spark, ins, rm, entries):
-        # Re-inserting a doc whose id sits in a CURRENT tombstone must
-        # raise: positional tombstones are DOC-KEYED, so at serve time
-        # they would net the re-inserted rows too — the doc silently
-        # vanishes with no guard able to see it (review finding,
-        # reproduced: the (token, doc) re-append guard only fires when
-        # old and new text share a token the query touches). THIS
-        # batch's tombstone-bound ids carry the same hazard (a
-        # same-batch delete+insert writes a live segment and a
-        # tombstone that nets it). The boolean maintainer needs no
-        # such guard: its tombstones are content-keyed (token + tf)
-        # and cancel only the old rows. Compaction folds tombstones
-        # away, after which the id is insertable again — the
-        # reference's close-compacts rule.
-        tomb_ids = None
-        for kind, n in entries:
-            if kind != "tomb":
-                continue
-            t = spark.read.parquet(posixpath.join(state_path, n)).select(
-                F.col("doc").alias("_pl_tdoc")
+    def prepare(spark, ins, rm, entries, epoch_id):
+        # Doc-keyed tombstones impose an ordering contract: a tombstone
+        # nets its doc from EVERY segment in the serving union, so a
+        # live segment written AFTER a tombstone must never contain
+        # that doc — the re-inserted rows would be netted too and the
+        # doc silently vanishes when old and new text share no
+        # query-touched token (review finding, reproduced). The boolean
+        # maintainer needs none of this: its tombstones are
+        # content-keyed (token + tf) and cancel only the old rows.
+        #
+        # CROSS-EPOCH re-insert (the common CDC update: delete in N,
+        # insert in N+1) SELF-HEALS: when any insert id sits in a
+        # current tombstone, fold the prior state through compaction
+        # first (seg-<epoch>-pre) — compaction subtracts the tombstones
+        # from exactly the segments they were written against, after
+        # which this epoch appends against a tombstone-free state. The
+        # probe is one delta-bounded broadcast semi count; the
+        # compaction is the close-compacts payment the re-insert
+        # requires anyway (second-review finding: raising here was a
+        # permanent poison pill — the replayed batch re-raised forever
+        # and no public API could force the compaction).
+        tomb_entries = [n for kind, n in entries if kind == "tomb"]
+        if tomb_entries:
+            tomb_ids = None
+            for n in tomb_entries:
+                t = spark.read.parquet(
+                    posixpath.join(state_path, n)
+                ).select("doc")
+                tomb_ids = t if tomb_ids is None else tomb_ids.unionByName(t)
+            hit = (
+                ins.select(F.col(id_col).alias("doc"))
+                .join(F.broadcast(tomb_ids), "doc", "left_semi")
+                .limit(1)
+                .count()
             )
-            tomb_ids = t if tomb_ids is None else tomb_ids.unionByName(t)
+            if hit:
+                live = [
+                    spark.read.parquet(posixpath.join(state_path, n))
+                    for kind, n in entries
+                    if kind == "live"
+                ]
+                tomb = [
+                    spark.read.parquet(posixpath.join(state_path, n))
+                    for kind, n in entries
+                    if kind == "tomb"
+                ]
+                pre = f"seg-{epoch_id:012d}-pre"
+                # unreferenced by any manifest yet → no reader can hold
+                # it, so a replay's overwrite is safe (same argument as
+                # the epoch's own segment dirs)
+                compact_positional_segments(live, tomb or None).write.mode(
+                    "overwrite"
+                ).parquet(posixpath.join(state_path, pre))
+                entries = [("live", pre)]
+        # SAME-BATCH delete+insert splits two ways: a BRAND-NEW doc
+        # nets to absent by construction (its only rows are this
+        # epoch's, which its own tombstone subtracts — the
+        # maintain_doc_lengths convention); a doc already in a live
+        # segment must raise — one doc-keyed tombstone cannot net the
+        # old rows without also netting the new ones, so the update
+        # must split across two epochs (where the pre-compaction above
+        # heals it).
         if rm is not None:
-            batch_tomb = rm.filter(F.size(tokens(text_col)) > 0).select(
-                F.col(id_col).alias("_pl_tdoc")
+            both = (
+                ins.select(F.col(id_col).alias("doc"))
+                .distinct()
+                .join(
+                    rm.filter(F.size(tokens(text_col)) > 0)
+                    .select(F.col(id_col).alias("doc"))
+                    .distinct(),
+                    "doc",
+                    "left_semi",
+                )
             )
-            tomb_ids = (
-                batch_tomb
-                if tomb_ids is None
-                else tomb_ids.unionByName(batch_tomb)
-            )
-        if tomb_ids is None:
-            return ins
-        return (
-            ins.join(
-                F.broadcast(tomb_ids.withColumn("_pl_tomb", F.lit(True))),
-                F.col(id_col) == F.col("_pl_tdoc"),
-                "left",
-            )
-            .filter(
-                F.when(
-                    F.col("_pl_tomb").isNotNull(),
-                    F.raise_error(
-                        F.concat(
-                            F.lit(
-                                "maintain_positional_index_lsm: "
-                                "re-insert of a tombstoned doc — "
-                                "doc-keyed tombstones would net the "
-                                "new rows too; compact first; doc: "
+            if both.limit(1).count():
+                live_docs = None
+                for kind, n in entries:
+                    if kind != "live":
+                        continue
+                    d = spark.read.parquet(
+                        posixpath.join(state_path, n)
+                    ).select("doc")
+                    live_docs = (
+                        d if live_docs is None else live_docs.unionByName(d)
+                    )
+                if live_docs is not None:
+                    poison = both.join(
+                        live_docs.distinct(), "doc", "left_semi"
+                    ).select(F.col("doc").alias("_pl_tdoc"))
+                    ins = (
+                        ins.join(
+                            F.broadcast(
+                                poison.withColumn("_pl_bad", F.lit(True))
                             ),
-                            F.col(id_col).cast("string"),
+                            F.col(id_col) == F.col("_pl_tdoc"),
+                            "left",
                         )
-                    ).cast("boolean"),
-                ).otherwise(F.lit(True))
-            )
-            .drop("_pl_tdoc", "_pl_tomb")
-        )
+                        .filter(
+                            F.when(
+                                F.col("_pl_bad").isNotNull(),
+                                F.raise_error(
+                                    F.concat(
+                                        F.lit(
+                                            "maintain_positional_index_lsm"
+                                            ": same-batch delete+insert "
+                                            "of an indexed doc — a "
+                                            "doc-keyed tombstone would "
+                                            "net the new rows too; "
+                                            "split the update across "
+                                            "two epochs; doc: "
+                                        ),
+                                        F.col(id_col).cast("string"),
+                                    )
+                                ).cast("boolean"),
+                            ).otherwise(F.lit(True))
+                        )
+                        .drop("_pl_tdoc", "_pl_bad")
+                    )
+        return ins, entries
 
     fold = _lsm_fold(
         state_path,
@@ -1431,7 +1512,7 @@ def maintain_positional_index_lsm(
             .distinct()
         ),
         compact=compact_positional_segments,
-        guard_insert=guard_insert,
+        prepare=prepare,
     )
     writer = (
         changes.writeStream.foreachBatch(fold)

@@ -1270,47 +1270,28 @@ def test_maintain_doc_lengths_cdc_update_same_batch(spark, tmp_path):
     assert sorted(map(tuple, dl.collect())) == [(1, 4.0), (2, 2.0)]
 
 
-def test_maintain_positional_lsm_reinsert_after_delete_raises(
-    spark, tmp_path
-):
-    # doc-keyed tombstones net the re-inserted rows too, so the
-    # maintainer must REJECT an insert of a currently-tombstoned id
-    # (review finding: with token-disjoint new text nothing else can
-    # see the corruption and the doc silently vanishes)
-    from esdb_spark.streaming import maintain_positional_index_lsm
+def test_maintain_positional_lsm_reinsert_self_heals(spark, tmp_path):
+    # doc-keyed tombstones net the re-inserted rows too, so a
+    # cross-epoch re-insert cannot simply append (review finding: with
+    # token-disjoint new text the doc silently vanished). The fold
+    # SELF-HEALS: it pre-compacts the tombstones away, then appends —
+    # the common CDC update (delete in N, insert in N+1) just works.
+    from esdb_spark.operators.search import phrase_search_segments
+    from esdb_spark.streaming import read_maintained_index_segments
 
-    src = str(tmp_path / "chg")
-    state = str(tmp_path / "plsm")
-    ckpt = str(tmp_path / "ck")
-    schema = "doc_id int, text string, op string"
     batches = [
         [(7, "alpha beta", "insert"), (8, "keep me", "insert")],
         [(7, "alpha beta", "delete")],
         [(7, "gamma delta", "insert")],  # token-disjoint re-insert
     ]
-    import pytest as _pytest
-
-    for i, batch in enumerate(batches):
-        mode = "overwrite" if i == 0 else "append"
-        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
-            mode
-        ).json(src)
-        stream = spark.readStream.schema(schema).json(src)
-        q = maintain_positional_index_lsm(
-            stream, state, op_col="op", checkpoint=ckpt,
-            query_name=f"ri_{i}",
-        )
-        if i < 2:
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-        else:
-            with _pytest.raises(Exception, match="re-insert of a tomb"):
-                try:
-                    q.processAllAvailable()
-                finally:
-                    q.stop()
+    state = _lsm_feed_positional(spark, tmp_path, batches)
+    live, tomb = read_maintained_index_segments(spark, state)
+    assert not tomb  # the re-insert epoch pre-compacted them away
+    got = phrase_search_segments(live, "gamma delta").collect()
+    assert [r["doc"] for r in got] == [7]
+    assert phrase_search_segments(live, "alpha beta").count() == 0
+    kept = phrase_search_segments(live, "keep me").collect()
+    assert [r["doc"] for r in kept] == [8]
 
 
 def test_maintain_positional_lsm_same_batch_delete_insert_raises(
@@ -1332,8 +1313,9 @@ def test_maintain_positional_lsm_same_batch_delete_insert_raises(
         q.processAllAvailable()
     finally:
         q.stop()
-    # delete + re-insert of doc 7 in ONE batch: the epoch would write
-    # both a live segment and a tombstone that nets it
+    # delete + re-insert of an INDEXED doc in ONE batch: the epoch
+    # would write both a live segment and a tombstone that nets it —
+    # unresolvable with doc-keyed tombstones, so it raises
     spark.createDataFrame(
         [(7, "alpha beta", "delete"), (7, "gamma delta", "insert")],
         schema,
@@ -1344,7 +1326,7 @@ def test_maintain_positional_lsm_same_batch_delete_insert_raises(
         spark.readStream.schema(schema).json(src), state, op_col="op",
         checkpoint=str(tmp_path / "c0"), query_name="sb_1",
     )
-    with _pytest.raises(Exception, match="re-insert of a tomb"):
+    with _pytest.raises(Exception, match="same-batch delete"):
         try:
             q.processAllAvailable()
         finally:
@@ -1398,3 +1380,24 @@ def test_maintain_doc_lengths_dup_insert_of_netted_id_raises(
             q.processAllAvailable()
         finally:
             q.stop()
+
+
+def test_maintain_positional_lsm_ephemeral_doc_nets_absent(spark, tmp_path):
+    # same-batch insert+delete of a BRAND-NEW doc nets to absent (the
+    # maintain_doc_lengths convention) — its only rows are this
+    # epoch's, which its own tombstone subtracts exactly
+    from esdb_spark.operators.search import phrase_search_segments
+    from esdb_spark.streaming import read_maintained_index_segments
+
+    batches = [
+        [(1, "keep this doc", "insert"),
+         (9, "ephemeral fast table", "insert"),
+         (9, "ephemeral fast table", "delete")],
+    ]
+    state = _lsm_feed_positional(spark, tmp_path, batches)
+    live, tomb = read_maintained_index_segments(spark, state)
+    assert phrase_search_segments(
+        live, "fast table", tombstones=tomb or None
+    ).count() == 0
+    got = phrase_search_segments(live, "keep this", tombstones=tomb or None)
+    assert [r["doc"] for r in got.collect()] == [1]
