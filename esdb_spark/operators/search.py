@@ -763,6 +763,85 @@ def _positional_net_rows(
     return out
 
 
+def update_positional_index(
+    index: DataFrame,
+    docs_new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append face of the MERGED positional index — the positional
+    sibling of :func:`update_inverted_index`, completing the batch
+    maintenance symmetry between the two indexes. The flat layout
+    makes this trivially cheap: new documents' rows are simply new
+    (token, doc) rows, so the fold is a pure UNION —
+    ``update(build(old), new) == build(old ∪ new)`` value-for-value
+    (pytest-asserted) with no per-token merge, no full-outer join, and
+    NO shuffle at all, because no row ever spans documents.
+
+    The re-append guard is DOC-LEVEL (a broadcast probe of the index's
+    doc column against the delta's ids, raise in a FILTER): the
+    (token, doc) guard the segment faces use only fires when old and
+    new text share a token — a re-appended doc with disjoint text
+    would otherwise silently serve phrases from BOTH versions (the
+    same hazard class as the positional tombstone ordering bug).
+
+    Scale posture: the delta tokenizes alone; the existing index never
+    re-tokenizes; the guard probe streams the index once with the
+    delta ids broadcast.
+    """
+    delta = build_positional_index(docs_new, text_col, id_col)
+    dup_ids = F.broadcast(
+        docs_new.select(F.col(id_col).alias("doc")).distinct()
+    )
+    marked = (
+        index.join(
+            dup_ids.withColumn("_up_dup", F.lit(True)), "doc", "left"
+        )
+        .filter(
+            F.when(
+                F.col("_up_dup").isNotNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "update_positional_index: delta re-appends a "
+                            "doc already in the index (phrases would "
+                            "serve from both versions): "
+                        ),
+                        F.col("doc").cast("string"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+        .select("token", "doc", "positions")
+    )
+    return marked.unionByName(delta)
+
+
+def delete_from_positional_index(
+    index: DataFrame,
+    removed_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Delete face of the MERGED positional index — the positional
+    sibling of :func:`delete_from_inverted_index`, but cheaper: it
+    takes DOC IDS, not text (occurrences live wholly in the doc's own
+    flat rows, so subtraction is an anti probe — no re-tokenize, no
+    position algebra). ``delete(build(all), removed) ==
+    build(survivors)`` value-for-value (pytest-asserted). Ghost
+    deletes and NULL tombstone ids raise via
+    :func:`_positional_net_rows`' guards (this is the merged-index
+    face, so like compaction it sees every doc and runs the full
+    integrity sweep); duplicate ids WITHIN one removal batch are
+    harmless — they distinct first, the :func:`delete_doc_lengths`
+    convention."""
+    return _positional_net_rows(
+        [index],
+        [removed_ids.select(F.col(id_col).alias("doc")).distinct()],
+        "delete_from_positional_index",
+        ghost_check=True,
+    )
+
+
 def phrase_search_segments(
     segments: list[DataFrame],
     phrase: str,

@@ -2205,6 +2205,39 @@ def docs_phrase_search_segments(spark, sf_dir):
     return phrase_search_segments(segs, "fast table", tombstones=tomb)
 
 
+def docs_phrase_search_maintained(spark, sf_dir):
+    """Phrase search over the MERGED positional index carried through
+    its batch maintenance faces (operators/search.
+    update_positional_index + delete_from_positional_index — the r9
+    completion of the positional/boolean API symmetry): build over the
+    90% of documents with doc_id % 10 != 0, append the rest without
+    re-tokenizing the base (flat rows union — no merge, no shuffle),
+    delete the doc_id % 7 == 0 docs BY ID (no position algebra), then
+    serve. The oracle recomputes the phrase from the surviving corpus,
+    so the gate-grade assertion is
+    phrase(delete(update(build(90%), 10%), removed)) ==
+    phrase_search(survivors) value-hash-exact — the positional twin of
+    docs_inverted_index_updated/_deleted."""
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        delete_from_positional_index,
+        phrase_search_indexed,
+        update_positional_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = delete_from_positional_index(
+        update_positional_index(
+            build_positional_index(
+                docs.filter(F.col("doc_id") % 10 != 0), "text", "doc_id"
+            ),
+            docs.filter(F.col("doc_id") % 10 == 0),
+        ),
+        docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+    )
+    return phrase_search_indexed(idx, "fast table")
+
+
 def docs_hybrid_rrf_maintained(spark, sf_dir):
     """The round-9 capstone: the FULL RAG serving stack answered from
     MAINTAINED state in one row — keyword leg from LSM segments with
@@ -4587,6 +4620,28 @@ _PIPELINE_ORACLES = {
                CAST(min(pos) AS BIGINT) AS first_pos
         FROM hits GROUP BY doc_id ORDER BY doc
     """,
+    # the merged-positional-maintenance oracle recomputes the phrase
+    # from the surviving corpus —
+    # phrase(delete(update(build(90%), 10%), removed)) ==
+    # phrase_search(survivors)
+    "docs_phrase_search_maintained": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOK} AS toks FROM documents
+          WHERE doc_id % 7 != 0
+        ),
+        p AS (
+          SELECT doc_id, unnest(generate_series(0, len(toks) - 2)) AS pos,
+                 toks
+          FROM t WHERE len(toks) >= 2
+        ),
+        hits AS (
+          SELECT doc_id, pos FROM p
+          WHERE toks[pos + 1] = 'fast' AND toks[pos + 2] = 'table'
+        )
+        SELECT doc_id AS doc, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(min(pos) AS BIGINT) AS first_pos
+        FROM hits GROUP BY doc_id ORDER BY doc
+    """,
     # the maintained-stack oracle rebuilds EVERY store from the
     # surviving corpus: keyword ranks from surviving text, vector
     # ranks from int8 MIPS over surviving embeddings (portable codec
@@ -6612,6 +6667,7 @@ def catalog() -> dict[str, Q]:
         ("docs_keyword_search_segments", docs_keyword_search_segments),
         ("docs_phrase_search_indexed", docs_phrase_search_indexed),
         ("docs_phrase_search_segments", docs_phrase_search_segments),
+        ("docs_phrase_search_maintained", docs_phrase_search_maintained),
         ("docs_hybrid_rrf_maintained", docs_hybrid_rrf_maintained),
         ("docs_ann_int8_exact", docs_ann_int8_exact),
         ("doc_token_counts_fixed", doc_token_counts_fixed),

@@ -1139,3 +1139,68 @@ def test_delete_doc_lengths_ghost_and_dup_cannot_cancel(spark):
     with pytest.raises(Exception, match="removed id matches 2"):
         delete_doc_lengths(dl, spark.createDataFrame(
             [(2,)], "doc_id int")).collect()
+
+
+def test_update_positional_index_equals_rebuild(spark, grown_corpus):
+    # flat layout: append face is a pure union — update == rebuild
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        phrase_search_indexed,
+        update_positional_index,
+    )
+
+    old, new, full = grown_corpus
+    updated = update_positional_index(build_positional_index(old), new)
+    want = build_positional_index(full)
+    a = sorted(
+        (r["token"], r["doc"], tuple(r["positions"]))
+        for r in updated.collect()
+    )
+    b = sorted(
+        (r["token"], r["doc"], tuple(r["positions"]))
+        for r in want.collect()
+    )
+    assert a == b and a
+    # and it serves phrases like a fresh build
+    g = sorted(
+        tuple(r) for r in phrase_search_indexed(updated, "spark sort").collect()
+    )
+    w = sorted(
+        tuple(r) for r in phrase_search(full, "spark sort").collect()
+    )
+    assert g == w
+    # DOC-LEVEL re-append guard: a re-appended doc with token-DISJOINT
+    # text must still raise (the (token, doc) guard cannot see it and
+    # phrases would serve from both versions)
+    disjoint = spark.createDataFrame(
+        [(1, "zzz qqq www")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="re-appends a doc"):
+        update_positional_index(
+            build_positional_index(old), disjoint
+        ).collect()
+
+
+def test_delete_from_positional_index_equals_rebuild(spark, grown_corpus):
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        delete_from_positional_index,
+    )
+
+    old, new, full = grown_corpus
+    idx = build_positional_index(full)
+    rm = spark.createDataFrame([(2,), (7,), (7,)], "doc_id int")  # dup ok
+    survivors = full.filter(~F.col("doc_id").isin([2, 7]))
+    got = sorted(
+        (r["token"], r["doc"], tuple(r["positions"]))
+        for r in delete_from_positional_index(idx, rm).collect()
+    )
+    want = sorted(
+        (r["token"], r["doc"], tuple(r["positions"]))
+        for r in build_positional_index(survivors).collect()
+    )
+    assert got == want and got
+    # merged-face delete sees every doc: ghost raises
+    ghost = spark.createDataFrame([(999,)], "doc_id int")
+    with pytest.raises(Exception, match="ghost delete"):
+        delete_from_positional_index(idx, ghost).collect()
