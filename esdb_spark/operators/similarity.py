@@ -1251,23 +1251,39 @@ def ivf_topk_int8_exact(
     key (corpus_scale × integer code dot), ties (score desc, id asc),
     self-matches excluded.
 
-    Scale posture: assignment is a higher-order fold over the literal
-    centroid array INSIDE the projection — no explode, no shuffle, no
-    UDF; the corpus never repartitions. Candidates (corpus rows in
-    probed cells — ~n_probe/n_cells of the corpus) flow into one
-    per-query top-k window; at true scale :func:`ann_topk_int8`'s
-    per-batch pruned mapInPandas is the serving shape — THIS face
-    exists to certify the semantics, and stays honest by sharing them
-    exactly (pytest: full-probe == mips_topk_int8).
+    Scale posture: every dot product is an UNROLLED flat expression
+    (``Σ element_at(code, i) × coeff_i``, balanced Add tree, zero
+    coefficients dropped), assembled as SQL text and parsed with ONE
+    ``F.expr`` per expression — the row's real cost is
+    DATA-INDEPENDENT plan-side overhead, and each choice here is a
+    measured answer to one of its three components (SCALE.md): Column
+    objects cost one py4j round-trip per operator node (~25k RPCs ≈
+    4 s for a 4×64 literal table — SQL strings make that ~0.5 s); HOF
+    ``aggregate``/``zip_with`` lambdas are interpreter-only (never
+    codegen'd) so the unrolled form keeps the hot loop compiled; and
+    planning time grows with the literal tree, which is why the
+    bundled catalog centroids are sparse. Integer addition is
+    order-free, so none of this touches exactness. Assignment happens
+    inside the projection — no explode, no shuffle, no UDF; the
+    corpus never repartitions; vectors must share the centroids'
+    dimension (the fixed-dim corpus contract every int8 face already
+    assumes). Candidates (corpus rows in probed cells —
+    ~n_probe/n_cells of the corpus) flow into one per-query top-k
+    window; at true scale :func:`ann_topk_int8`'s per-batch pruned
+    mapInPandas is the serving shape — THIS face exists to certify
+    the semantics, and stays honest by sharing them exactly (pytest:
+    full-probe == mips_topk_int8).
 
     Returns (query_id, id, dot, score, rank) like the other ANN faces.
     """
     import math
+    from functools import reduce
 
     query_id_col = query_id_col or id_col
     if not centroids:
         raise ValueError("ivf_topk_int8_exact: no centroids")
     n_probe_eff = min(n_probe, len(centroids))
+    dim = len(centroids[0][1])
 
     # pre-quantize the literal centroids in pure Python — the codec is
     # per-op IEEE (abs/max/divide/floor all correctly rounded), so
@@ -1282,37 +1298,56 @@ def ivf_topk_int8_exact(
             for x in vec
         ]
         cent_q.append((int(cell), code, s))
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cell).alias("cell"),
-                F.array(*[F.lit(c).cast("long") for c in code]).alias(
-                    "code"
-                ),
-                F.lit(s).alias("s"),
-            )
+
+    # The expressions below are assembled as SQL STRINGS and parsed
+    # with ONE F.expr call each: building them as Column objects costs
+    # one py4j round-trip per operator node (~25k RPCs ≈ 4 s of pure
+    # gateway chatter for a 4×64 centroid table, cProfile-measured) —
+    # the same plan for free when the JVM parses a string.
+    def _balanced_sum(terms):
+        # pairwise-balanced Add tree (depth log n) instead of the
+        # left-deep chain " + ".join would parse to: Catalyst's
+        # canonicalization/semanticEquals walks are quadratic in chain
+        # DEPTH, measurably slow at 64 terms; integer addition is
+        # association-free so exactness is untouched
+        while len(terms) > 1:
+            terms = [
+                f"({terms[i]} + {terms[i + 1]})"
+                if i + 1 < len(terms)
+                else terms[i]
+                for i in range(0, len(terms), 2)
+            ]
+        return terms[0]
+
+    def _dot_lit_sql(code_col, coeffs):
+        # unrolled Σ element_at(code, i+1) * coeff_i, zero terms
+        # skipped — flat integer arithmetic, codegen-able
+        terms = [
+            f"CAST(element_at({code_col}, {i + 1}) AS BIGINT) * {int(c)}"
+            for i, c in enumerate(coeffs)
+            if c != 0
+        ]
+        return _balanced_sum(terms) if terms else "CAST(0 AS BIGINT)"
+
+    def _dot_col_sql(a, b):
+        # unrolled column×column dot over the shared fixed dimension
+        return _balanced_sum(
+            [
+                f"CAST(element_at({a}, {i + 1}) AS BIGINT) * "
+                f"CAST(element_at({b}, {i + 1}) AS BIGINT)"
+                for i in range(dim)
+            ]
+        )
+
+    def _cell_struct_sqls(code_col):
+        # (score, -cell) structs: max picks the highest score, then
+        # the highest negcell = SMALLEST cell — the tie rule,
+        # engine-portable because struct comparison is lexicographic
+        return [
+            f"named_struct('score', CAST('{s!r}' AS DOUBLE) * "
+            f"{_dot_lit_sql(code_col, code)}, 'negcell', {-cell})"
             for cell, code, s in cent_q
         ]
-    )
-
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    def _scored(code_col):
-        # (score, -cell) structs: array_max picks max score, then max
-        # negcell = MIN cell — the tie rule, engine-portable because
-        # struct comparison is lexicographic everywhere
-        return F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                (c["s"] * _dot(code_col, c["code"])).alias("score"),
-                (-c["cell"]).alias("negcell"),
-            ),
-        )
 
     def _quantized(df, idc, out_id):
         from esdb_spark.operators.quantize import quantize_int8
@@ -1326,15 +1361,18 @@ def ivf_topk_int8_exact(
             scale_col="_iv_s",
         ).select(out_id, "_iv_code", "_iv_s")
 
+    structs = _cell_struct_sqls("_iv_code")
+    best_sql = (
+        f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
+    )
     cq = _quantized(corpus, id_col, "id").withColumn(
-        "cell", -F.array_max(_scored(F.col("_iv_code")))["negcell"]
+        "cell", F.expr(f"-(({best_sql}).negcell)")
     )
     qq = _quantized(queries, query_id_col, "query_id").withColumn(
         "_iv_probes",
-        F.transform(
-            F.slice(F.sort_array(_scored(F.col("_iv_code")), False), 1,
-                    n_probe_eff),
-            lambda sc: -sc["negcell"],
+        F.expr(
+            f"transform(slice(sort_array(array({', '.join(structs)}), "
+            f"false), 1, {n_probe_eff}), sc -> -sc.negcell)"
         ),
     )
     qprobe = qq.select(
@@ -1345,14 +1383,12 @@ def ivf_topk_int8_exact(
     cand = cq.join(F.broadcast(qprobe), "cell").filter(
         F.col("id") != F.col("query_id")
     )
-    # fold the O(dim) integer dot ONCE per candidate and derive the
-    # score from the column — HOF lambdas are not reliably covered by
-    # subexpression elimination, so repeating the aggregate would
-    # double the hot loop (review finding)
+    # compute the O(dim) integer dot ONCE per candidate and derive the
+    # score from the column (no expression-tree duplication)
     scored = cand.select(
         "query_id",
         "id",
-        _dot(F.col("_iv_code"), F.col("_iv_qcode")).alias("dot"),
+        F.expr(_dot_col_sql("_iv_code", "_iv_qcode")).alias("dot"),
         "_iv_s",
     ).select(
         "query_id",

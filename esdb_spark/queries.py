@@ -4728,7 +4728,9 @@ _PIPELINE_ORACLES = {
         WITH cents AS (
           SELECT j AS cell,
                  list_transform(range(0, 64),
-                                i -> ((i * 7 + j * 13) % 19 - 9) / 10.0
+                                i -> CASE WHEN i % 4 = j
+                                     THEN ((i * 7 + j * 13) % 19 - 9) / 10.0
+                                     ELSE 0.0 END
                  ) AS cv
           FROM range(0, 4) t(j)
         ),
@@ -6239,9 +6241,20 @@ def docs_ann_int8(spark, sf_dir):
 
 # literal IVF centroids for the engine-exact ANN row: generated from
 # integer arithmetic + ONE division so the oracle derives bit-identical
-# doubles from the same formula (values in [-0.9, 0.9], dim 64)
+# doubles from the same formula (values in [-0.9, 0.9], dim 64).
+# SPARSE on purpose — each centroid is nonzero only on its own i%4
+# stripe: disjoint supports separate the cells AND shrink the unrolled
+# dot expressions 4× (zero coefficients drop out), which is what keeps
+# the row's one real cost — Catalyst planning time over the literal
+# tree, data-INDEPENDENT — small (SCALE.md)
 _ANN_EXACT_CENTS = [
-    (j, [((i * 7 + j * 13) % 19 - 9) / 10.0 for i in range(64)])
+    (
+        j,
+        [
+            ((i * 7 + j * 13) % 19 - 9) / 10.0 if i % 4 == j else 0.0
+            for i in range(64)
+        ],
+    )
     for j in range(4)
 ]
 

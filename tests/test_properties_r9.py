@@ -1,0 +1,208 @@
+"""Hypothesis property tests for the round-9 operator families — each
+checked against a definitional pure-Python model (the house pattern of
+test_properties.py: small randomized inputs, Spark result == model).
+"""
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# tiny-alphabet corpora so token collisions across docs actually occur
+_doc_text = st.lists(
+    st.sampled_from(["aa", "ab", "ba", "bb", "c"]), min_size=0, max_size=8
+).map(" ".join)
+_corpus = st.lists(_doc_text, min_size=2, max_size=10)
+
+
+def _phrase_model(texts, phrase, keep):
+    """Definitional phrase hits over the kept docs: (doc,
+    n_occurrences, first_pos) in doc order."""
+    words = phrase.split()
+    out = []
+    for doc, t in enumerate(texts):
+        if doc not in keep:
+            continue
+        toks = t.lower().split()
+        hits = [
+            i
+            for i in range(len(toks) - len(words) + 1)
+            if toks[i : i + len(words)] == words
+        ]
+        if hits:
+            out.append((doc, len(hits), hits[0]))
+    return out
+
+
+@given(texts=_corpus, data=st.data())
+@settings(**_SETTINGS)
+def test_positional_segments_serve_survivors(spark, texts, data):
+    # random corpus, random 2-way segment split, random doc-id deletes:
+    # serve(segments ∪ doc-id tombstones) == definitional phrase model
+    # over the survivors, for every 2-gram that occurs anywhere
+    from pyspark.sql import functions as F
+
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        compact_positional_segments,
+        phrase_search_segments,
+    )
+
+    n = len(texts)
+    split = data.draw(st.lists(st.booleans(), min_size=n, max_size=n))
+    # only docs WITH postings are legal tombstone targets: a token-less
+    # doc indexed nothing, so its tombstone is a guaranteed ghost that
+    # compaction's integrity sweep rightly raises on (the streaming
+    # maintainer filters such deletes out for exactly this reason)
+    removable = [i for i in range(n) if texts[i].split()]
+    removed = (
+        set(
+            data.draw(
+                st.lists(
+                    st.sampled_from(removable), max_size=max(0, n - 1),
+                    unique=True,
+                )
+            )
+        )
+        if removable
+        else set()
+    )
+    keep = set(range(n)) - removed
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    ids_a = [i for i in range(n) if split[i]]
+    ids_b = [i for i in range(n) if not split[i]]
+    segs = [
+        build_positional_index(df.filter(F.col("doc_id").isin(ids)))
+        for ids in (ids_a, ids_b)
+        if ids
+    ]
+    if not segs:
+        return
+    tombs = (
+        [spark.createDataFrame([(i,) for i in sorted(removed)], "doc int")]
+        if removed
+        else None
+    )
+    # every distinct 2-gram present in any kept doc, plus one absent
+    grams = set()
+    for i in keep:
+        toks = texts[i].lower().split()
+        grams.update(
+            " ".join(toks[j : j + 2]) for j in range(len(toks) - 1)
+        )
+    for phrase in sorted(grams)[:3] + ["zz zz"]:
+        got = [
+            tuple(r)
+            for r in phrase_search_segments(
+                segs, phrase, tombstones=tombs
+            ).collect()
+        ]
+        want = _phrase_model(texts, phrase, keep)
+        assert got == want, (phrase, got, want)
+    # compaction == flat rebuild over survivors
+    surv = df.filter(F.col("doc_id").isin(sorted(keep)) if keep
+                     else F.lit(False))
+    a = sorted(
+        (r["token"], r["doc"], tuple(r["positions"]))
+        for r in compact_positional_segments(segs, tombs).collect()
+    )
+    b = sorted(
+        (r["token"], r["doc"], tuple(r["positions"]))
+        for r in build_positional_index(surv).collect()
+    )
+    assert a == b
+
+
+@given(texts=_corpus, data=st.data())
+@settings(**_SETTINGS)
+def test_positional_batch_faces_equal_rebuild(spark, texts, data):
+    # update(build(old), new) == build(all); delete(build(all), rm) ==
+    # build(survivors) — the merged-index batch faces
+    from pyspark.sql import functions as F
+
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        delete_from_positional_index,
+        update_positional_index,
+    )
+
+    n = len(texts)
+    cut = data.draw(st.integers(min_value=1, max_value=n))
+    # tombstones target only docs WITH postings (a token-less doc is a
+    # guaranteed ghost — same contract as the serve/compact faces)
+    removable = [i for i in range(n) if texts[i].split()]
+    rm = (
+        set(data.draw(st.lists(st.sampled_from(removable), max_size=n - 1,
+                               unique=True)))
+        if removable
+        else set()
+    )
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    old = df.filter(F.col("doc_id") < cut)
+    new = df.filter(F.col("doc_id") >= cut)
+
+    def key(d):
+        return sorted(
+            (r["token"], r["doc"], tuple(r["positions"]))
+            for r in d.collect()
+        )
+
+    updated = update_positional_index(build_positional_index(old), new)
+    assert key(updated) == key(build_positional_index(df))
+    if rm:
+        surv = df.filter(~F.col("doc_id").isin(sorted(rm)))
+        got = delete_from_positional_index(
+            build_positional_index(df),
+            spark.createDataFrame([(i,) for i in sorted(rm)], "doc_id int"),
+        )
+        assert key(got) == key(build_positional_index(surv))
+
+
+_vec = st.lists(
+    st.floats(
+        min_value=-4.0, max_value=4.0,
+        allow_nan=False, allow_infinity=False, width=32,
+    ),
+    min_size=4, max_size=4,
+)
+
+
+@given(vecs=st.lists(_vec, min_size=3, max_size=8), data=st.data())
+@settings(**_SETTINGS)
+def test_ivf_exact_full_probe_equals_mips_random(spark, vecs, data):
+    # randomized vectors: probing every literal cell must reproduce
+    # mips_topk_int8 value-for-value (codec, dots, ties)
+    from pyspark.sql import functions as F
+
+    from esdb_spark.operators.similarity import (
+        ivf_topk_int8_exact,
+        mips_topk_int8,
+    )
+
+    cents = [
+        (0, [1.0, 0.5, 0.0, -0.25]),
+        (1, [-1.0, 0.25, 0.5, 0.0]),
+        (2, [0.0, -0.5, 1.0, 0.25]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 2)
+    full = ivf_topk_int8_exact(
+        emb, queries, cents, "embedding", "vec_id", k=3, n_probe=3
+    )
+    exact = mips_topk_int8(emb, queries, "embedding", "vec_id", k=3)
+    got = sorted(map(tuple, full.collect()))
+    want = sorted(
+        (r["query_id"], r["id"], r["dot"], r["score"], r["rank"])
+        for r in exact.collect()
+    )
+    assert got == want
