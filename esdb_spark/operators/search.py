@@ -647,8 +647,14 @@ def _positional_net_rows(
     if not segments:
         raise ValueError(f"{caller}: no segments")
     live = None
-    for s in segments:
-        t = s.select("token", "doc", "positions")
+    for i, s in enumerate(segments):
+        # segment provenance tag: the doc-level audit below needs to
+        # know a doc spans MULTIPLE live segments even when the two
+        # versions share no token (the (token, doc) guard is blind to
+        # that — third-review finding)
+        t = s.select("token", "doc", "positions").withColumn(
+            "_pn_seg", F.lit(i)
+        )
         live = t if live is None else live.unionByName(t)
     filt = (
         live.filter(F.col("token").isin(terms)) if terms is not None else live
@@ -699,6 +705,11 @@ def _positional_net_rows(
         .otherwise(F.col("_pn_t").isNull())
     )
     out = joined.filter(keep).select("token", "doc", "positions")
+    if ghost_check:
+        # audit faces also check doc-level segment disjointness —
+        # even with no tombstones in play (a bare re-insert needs no
+        # delete to corrupt the union)
+        out = out.unionByName(_positional_doc_audit(live, caller))
     if tomb is None:
         return out
     doc_type = dict(live.dtypes)["doc"]
@@ -763,6 +774,54 @@ def _positional_net_rows(
     return out
 
 
+def _positional_doc_audit(live: DataFrame, caller: str) -> DataFrame:
+    """Zero-row probe leg raising when any doc spans MORE than one
+    live segment — the DOC-LEVEL re-append audit. The (token, doc)
+    guard only fires when the two versions share a query-touched
+    token; a doc re-inserted with token-DISJOINT text (an update fed
+    as a bare insert) is invisible to it, and its versions would
+    silently merge at compaction (third-review finding). Positional
+    segments are strictly disjoint by contract — the streaming
+    maintainer pre-compacts before any legal re-insert — so >1
+    segment per doc is always corruption here (the BOOLEAN index
+    cannot run this audit: its delete-then-reinsert legitimately
+    holds a doc in two live segments with the tombstone netting the
+    old one; there the per-(token, doc) tf-mismatch guard is the
+    backstop). Runs only on audit faces (compaction / merged delete)
+    — one doc-keyed aggregate over the index, the sweep cost those
+    faces already pay."""
+    multi = (
+        live.groupBy("doc")
+        .agg(F.count_distinct("_pn_seg").alias("_pn_ns"))
+        .filter(F.col("_pn_ns") > 1)
+        .agg(F.count("*").cast("long").alias("_pn_multi"))
+    )
+    doc_type = dict(live.dtypes)["doc"]
+    return multi.select(
+        F.explode(
+            F.when(
+                F.col("_pn_multi") == 0, F.array().cast("array<int>")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"{caller}: doc present in more than one "
+                            "live segment (re-insert without "
+                            "pre-compaction — versions would merge); "
+                            "count: "
+                        ),
+                        F.col("_pn_multi").cast("string"),
+                    )
+                ).cast("array<int>")
+            )
+        ).alias("_g")
+    ).select(
+        F.col("_g").cast("string").alias("token"),
+        F.col("_g").cast(doc_type).alias("doc"),
+        F.array(F.col("_g")).alias("positions"),
+    )
+
+
 def update_positional_index(
     index: DataFrame,
     docs_new: DataFrame,
@@ -784,6 +843,12 @@ def update_positional_index(
     new text share a token — a re-appended doc with disjoint text
     would otherwise silently serve phrases from BOTH versions (the
     same hazard class as the positional tombstone ordering bug).
+    Duplicate ids WITHIN the delta raise too (build's (token, doc)
+    aggregate would silently MERGE both versions' positions into one
+    row — third-review finding; the :func:`update_doc_lengths`
+    contract), as does a NULL delta id (equality-keyed guards and the
+    delete face could never match it) — one delta-bounded aggregate
+    riding the output as a zero-row probe leg.
 
     Scale posture: the delta tokenizes alone; the existing index never
     re-tokenizes; the guard probe streams the index once with the
@@ -814,7 +879,42 @@ def update_positional_index(
         )
         .select("token", "doc", "positions")
     )
-    return marked.unionByName(delta)
+    doc_type = dict(marked.dtypes)["doc"]
+    probe = docs_new.groupBy(F.col(id_col).alias("doc")).agg(
+        F.count("*").alias("_up_c")
+    ).select(
+        F.explode(
+            F.when(
+                F.col("doc").isNull(),
+                F.raise_error(
+                    F.lit(
+                        "update_positional_index: NULL doc id in the "
+                        "delta — equality-keyed guards and the delete "
+                        "face can never match it"
+                    )
+                ).cast("array<int>"),
+            )
+            .when(
+                F.col("_up_c") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "update_positional_index: duplicate doc id "
+                            "within the delta (both versions' positions "
+                            "would merge into one row): "
+                        ),
+                        F.col("doc").cast("string"),
+                    )
+                ).cast("array<int>"),
+            )
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("_g")
+    ).select(
+        F.col("_g").cast("string").alias("token"),
+        F.col("_g").cast(doc_type).alias("doc"),
+        F.array(F.col("_g")).alias("positions"),
+    )
+    return marked.unionByName(delta).unionByName(probe)
 
 
 def delete_from_positional_index(

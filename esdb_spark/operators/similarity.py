@@ -1277,7 +1277,6 @@ def ivf_topk_int8_exact(
     Returns (query_id, id, dot, score, rank) like the other ANN faces.
     """
     import math
-    from functools import reduce
 
     query_id_col = query_id_col or id_col
     if not centroids:

@@ -1114,6 +1114,25 @@ def _lsm_fold(
             )
             ins = batch.filter(F.col(op_col) == "insert")
             rm = batch.filter(F.col(op_col) == "delete")
+        # intra-batch duplicate inserts: build_live's (token, doc)
+        # aggregate would silently MERGE two versions of a doc
+        # delivered in one batch (positions/tf from both texts fused
+        # into one row — third-review finding; update_doc_lengths
+        # raises on exactly this feed shape). One delta-bounded job
+        # per epoch, the prepare-probe precedent.
+        dup = (
+            ins.groupBy(F.col(id_col).alias("_lf_doc"))
+            .agg(F.count("*").alias("_lf_c"))
+            .filter(F.col("_lf_c") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"{caller}: duplicate insert for doc "
+                f"{dup[0]['_lf_doc']} within one batch — the segment "
+                "build would merge both versions into one row"
+            )
         if prepare is not None:
             ins, entries = prepare(spark, ins, rm, entries, epoch_id)
         new_entries = list(entries)
@@ -1415,6 +1434,20 @@ def maintain_positional_index_lsm(
                     for kind, n in entries
                     if kind == "live"
                 ]
+                if not live:
+                    # tombstones with NO live segments means every
+                    # tombstone is a ghost (deletes of never-inserted
+                    # docs) — corrupted feed, fail-stop with the real
+                    # diagnosis instead of compaction's opaque
+                    # "no segments" (third-review finding). Integrity
+                    # violations stop the stream BY DESIGN; only
+                    # legal CDC shapes self-heal.
+                    raise ValueError(
+                        "maintain_positional_index_lsm: state holds "
+                        "only ghost tombstones (deletes of docs no "
+                        "live segment ever held) and the batch "
+                        "re-inserts one of them — the feed is corrupt"
+                    )
                 tomb = [
                     spark.read.parquet(posixpath.join(state_path, n))
                     for kind, n in entries

@@ -1401,3 +1401,72 @@ def test_maintain_positional_lsm_ephemeral_doc_nets_absent(spark, tmp_path):
     ).count() == 0
     got = phrase_search_segments(live, "keep this", tombstones=tomb or None)
     assert [r["doc"] for r in got.collect()] == [1]
+
+
+def test_lsm_maintainers_reject_intra_batch_dup_insert(spark, tmp_path):
+    # third-review: the segment build's aggregate would silently merge
+    # two versions of a doc delivered in ONE batch — both maintainers
+    # must fail the epoch loudly
+    from esdb_spark.streaming import (
+        maintain_inverted_index_lsm,
+        maintain_positional_index_lsm,
+    )
+
+    schema = "doc_id int, text string, op string"
+    for name, fn in [
+        ("bool", maintain_inverted_index_lsm),
+        ("pos", maintain_positional_index_lsm),
+    ]:
+        src = str(tmp_path / f"{name}_chg")
+        spark.createDataFrame(
+            [(5, "fast table", "insert"), (5, "slow table", "insert")],
+            schema,
+        ).coalesce(1).write.mode("overwrite").json(src)
+        q = fn(
+            spark.readStream.schema(schema).json(src),
+            str(tmp_path / f"{name}_st"), op_col="op",
+            checkpoint=str(tmp_path / f"{name}_ck"),
+            query_name=f"dup_{name}",
+        )
+        with pytest.raises(Exception, match="duplicate insert for doc"):
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+
+def test_maintain_positional_lsm_ghost_only_state_diagnosed(
+    spark, tmp_path
+):
+    # epoch 0 is delete-only for never-inserted docs (corrupt feed →
+    # ghost tombstones, no live segment); the re-insert epoch must
+    # fail with the ghost diagnosis, not an opaque "no segments"
+    from esdb_spark.streaming import maintain_positional_index_lsm
+
+    schema = "doc_id int, text string, op string"
+    src = str(tmp_path / "chg")
+    state = str(tmp_path / "st")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(5, "ghost text", "delete")], schema
+    ).coalesce(1).write.mode("overwrite").json(src)
+    q = maintain_positional_index_lsm(
+        spark.readStream.schema(schema).json(src), state, op_col="op",
+        checkpoint=ckpt, query_name="g0",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark.createDataFrame(
+        [(5, "ghost text", "insert")], schema
+    ).coalesce(1).write.mode("append").json(src)
+    q = maintain_positional_index_lsm(
+        spark.readStream.schema(schema).json(src), state, op_col="op",
+        checkpoint=ckpt, query_name="g1",
+    )
+    with pytest.raises(Exception, match="only ghost tombstones"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()

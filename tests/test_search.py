@@ -1204,3 +1204,51 @@ def test_delete_from_positional_index_equals_rebuild(spark, grown_corpus):
     ghost = spark.createDataFrame([(999,)], "doc_id int")
     with pytest.raises(Exception, match="ghost delete"):
         delete_from_positional_index(idx, ghost).collect()
+
+
+def test_update_positional_index_delta_guards(spark, grown_corpus):
+    # third-review: a duplicated doc in one delta would silently merge
+    # both versions' positions into one (token, doc) row; NULL ids can
+    # never be matched again by equality-keyed faces
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        update_positional_index,
+    )
+
+    old, new, _ = grown_corpus
+    idx = build_positional_index(old)
+    dup = spark.createDataFrame(
+        [(20, "fast table"), (20, "slow table")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="duplicate doc id within"):
+        update_positional_index(idx, dup).collect()
+    nulled = spark.createDataFrame(
+        [(None, "fast table")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="NULL doc id in the delta"):
+        update_positional_index(idx, nulled).collect()
+
+
+def test_compact_positional_doc_level_audit(spark):
+    # a doc re-inserted with token-DISJOINT text is invisible to the
+    # (token, doc) guard — the compaction audit must still raise (and
+    # even with no tombstones in play)
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        compact_positional_segments,
+        phrase_search_segments,
+    )
+
+    seg1 = build_positional_index(spark.createDataFrame(
+        [(7, "alpha beta"), (8, "keep me")], "doc_id int, text string"
+    ))
+    seg2 = build_positional_index(spark.createDataFrame(
+        [(7, "gamma delta")], "doc_id int, text string"
+    ))
+    with pytest.raises(Exception, match="more than one live segment"):
+        compact_positional_segments([seg1, seg2]).collect()
+    # the serve face stays O(terms): a query touching only the new
+    # version's tokens cannot see the corruption (by design — the
+    # audit faces own it; auto-compaction surfaces it on cadence)
+    r = phrase_search_segments([seg1, seg2], "gamma delta").collect()
+    assert [x["doc"] for x in r] == [7]
