@@ -942,6 +942,77 @@ def delete_from_positional_index(
     )
 
 
+def proximity_search(
+    index: DataFrame,
+    word_a: str,
+    word_b: str,
+    max_dist: int,
+    k: int | None = None,
+) -> DataFrame:
+    """NEAR-operator retrieval from the flat positional index
+    (:func:`build_positional_index`): documents where ``word_a`` and
+    ``word_b`` occur within ``max_dist`` token positions — the query
+    face between boolean AND (any distance) and phrase (distance
+    exactly 1, ordered) that positional indexes exist to answer.
+    Returns ``(doc, n_pairs, min_dist)`` in doc-ascending order
+    (``k`` caps): the count of qualifying position pairs and the
+    closest distance. With ``word_a == word_b`` pairs are unordered
+    distinct positions (p1 < p2), so "same word twice within d" works.
+
+    Scale posture: both words are literal in-filters on the index
+    scan; positions then explode to (doc, pos, bucket) rows with
+    ``bucket = pos ÷ max_dist`` and the pair join keys on
+    (doc, bucket) with one side replicated to its 3 adjacent buckets —
+    the house interval-join shape — so a document's cost is
+    Σ per-bucket products instead of tf_a × tf_b (for stop-word
+    operands at 100× that product is the wall; bucketing bounds each
+    bucket by max_dist positions). The exact distance predicate
+    filters inside the equi-join; no pair can match twice (the left
+    side keeps its ONE true bucket). Engine-exact end to end —
+    integer positions, integer distances — so catalog rows on this
+    face carry full value-hash oracles.
+    """
+    if max_dist < 1:
+        raise ValueError("proximity_search: max_dist must be >= 1")
+    wa = word_a.lower().strip()
+    wb = word_b.lower().strip()
+    if not wa or not wb:
+        raise ValueError("proximity_search: empty word")
+    a = (
+        index.filter(F.col("token") == wa)
+        .select("doc", F.explode("positions").alias("_px_a"))
+        .withColumn("_px_bk", (F.col("_px_a") / max_dist).cast("long"))
+    )
+    b = (
+        index.filter(F.col("token") == wb)
+        .select("doc", F.explode("positions").alias("_px_b"))
+        .withColumn(
+            "_px_bk",
+            F.explode(
+                F.array(
+                    (F.col("_px_b") / max_dist).cast("long") - 1,
+                    (F.col("_px_b") / max_dist).cast("long"),
+                    (F.col("_px_b") / max_dist).cast("long") + 1,
+                )
+            ),
+        )
+    )
+    pairs = a.join(b, ["doc", "_px_bk"]).filter(
+        F.abs(F.col("_px_a") - F.col("_px_b")) <= max_dist
+    )
+    if wa == wb:
+        pairs = pairs.filter(F.col("_px_a") < F.col("_px_b"))
+    out = pairs.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min(F.abs(F.col("_px_a") - F.col("_px_b")))
+        .cast("long")
+        .alias("min_dist"),
+    )
+    if k is None:
+        return out.orderBy("doc")
+    return out.orderBy("doc").limit(k)
+
+
 def phrase_search_segments(
     segments: list[DataFrame],
     phrase: str,

@@ -2238,6 +2238,27 @@ def docs_phrase_search_maintained(spark, sf_dir):
     return phrase_search_indexed(idx, "fast table")
 
 
+def docs_proximity_search(spark, sf_dir):
+    """NEAR-operator retrieval (operators/search.proximity_search):
+    documents where 'fast' and 'merge' occur within 5 token positions,
+    served from the flat positional index — the query face between
+    boolean AND and exact phrase that positional indexes exist to
+    answer. Engine-exact end to end (integer positions/distances), so
+    the oracle replays pair counting + closest distance from the
+    corpus and the row asserts index-served == corpus-computed
+    value-hash-exact. The serving join buckets positions by max_dist
+    (the interval-join shape), so a document costs per-bucket products
+    instead of tf_a x tf_b."""
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        proximity_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_positional_index(docs, "text", "doc_id")
+    return proximity_search(idx, "fast", "merge", 5)
+
+
 def docs_hybrid_rrf_maintained(spark, sf_dir):
     """The round-9 capstone: the FULL RAG serving stack answered from
     MAINTAINED state in one row — keyword leg from LSM segments with
@@ -4642,6 +4663,26 @@ _PIPELINE_ORACLES = {
                CAST(min(pos) AS BIGINT) AS first_pos
         FROM hits GROUP BY doc_id ORDER BY doc
     """,
+    # the proximity oracle replays NEAR from the corpus: all (fast,
+    # merge) position pairs within 5, count + closest distance per doc
+    "docs_proximity_search": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        p AS (
+          SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+          FROM t WHERE len(toks) >= 1
+        ),
+        w AS (SELECT doc_id, i, toks[i] AS tok FROM p
+              WHERE toks[i] IN ('fast', 'merge')),
+        pairs AS (
+          SELECT a.doc_id, abs(a.i - b.i) AS dist
+          FROM w a JOIN w b
+            ON a.doc_id = b.doc_id AND a.tok = 'fast' AND b.tok = 'merge'
+           AND abs(a.i - b.i) <= 5
+        )
+        SELECT doc_id AS doc, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(min(dist) AS BIGINT) AS min_dist
+        FROM pairs GROUP BY doc_id ORDER BY doc
+    """,
     # the maintained-stack oracle rebuilds EVERY store from the
     # surviving corpus: keyword ranks from surviving text, vector
     # ranks from int8 MIPS over surviving embeddings (portable codec
@@ -6681,6 +6722,7 @@ def catalog() -> dict[str, Q]:
         ("docs_phrase_search_indexed", docs_phrase_search_indexed),
         ("docs_phrase_search_segments", docs_phrase_search_segments),
         ("docs_phrase_search_maintained", docs_phrase_search_maintained),
+        ("docs_proximity_search", docs_proximity_search),
         ("docs_hybrid_rrf_maintained", docs_hybrid_rrf_maintained),
         ("docs_ann_int8_exact", docs_ann_int8_exact),
         ("doc_token_counts_fixed", doc_token_counts_fixed),

@@ -1252,3 +1252,47 @@ def test_compact_positional_doc_level_audit(spark):
     # audit faces own it; auto-compaction surfaces it on cadence)
     r = phrase_search_segments([seg1, seg2], "gamma delta").collect()
     assert [x["doc"] for x in r] == [7]
+
+
+def test_proximity_search_model(spark, corpus):
+    # NEAR semantics vs a definitional model: pairs within max_dist,
+    # unordered-distinct when both words are the same
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        proximity_search,
+    )
+
+    idx = build_positional_index(corpus)
+    texts = {r["doc_id"]: r["text"].lower().split() for r in corpus.collect()}
+
+    def model(w1, w2, d):
+        out = []
+        for doc in sorted(texts):
+            toks = texts[doc]
+            p1 = [i for i, t in enumerate(toks) if t == w1]
+            p2 = [i for i, t in enumerate(toks) if t == w2]
+            if w1 == w2:
+                prs = [(a, b) for a in p1 for b in p2
+                       if a < b and b - a <= d]
+            else:
+                prs = [(a, b) for a in p1 for b in p2 if abs(a - b) <= d]
+            if prs:
+                out.append(
+                    (doc, len(prs), min(abs(a - b) for a, b in prs))
+                )
+        return out
+
+    for w1, w2, d in [
+        ("spark", "tables", 2), ("spark", "tables", 1),
+        ("spark", "spark", 3), ("tables", "data", 5),
+        ("spark", "zzz", 4),
+    ]:
+        got = [tuple(r) for r in proximity_search(idx, w1, w2, d).collect()]
+        assert got == model(w1, w2, d), (w1, w2, d, got)
+    # k caps in doc order; bad args raise
+    top = proximity_search(idx, "spark", "tables", 3, k=1).collect()
+    assert len(top) == 1 and top[0]["doc"] == 1
+    with pytest.raises(ValueError):
+        proximity_search(idx, "spark", "tables", 0)
+    with pytest.raises(ValueError):
+        proximity_search(idx, " ", "tables", 2)
