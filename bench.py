@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "docs_phrase_search_segments",
     "docs_ann_int8_exact",
     "docs_hybrid_rrf_maintained",
+    # NEAR-operator retrieval from the positional index (exact oracle)
+    "docs_proximity_search",
 ]
 
 

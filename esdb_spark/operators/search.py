@@ -1013,6 +1013,37 @@ def proximity_search(
     return out.orderBy("doc").limit(k)
 
 
+def proximity_search_segments(
+    segments: list[DataFrame],
+    word_a: str,
+    word_b: str,
+    max_dist: int,
+    k: int | None = None,
+    tombstones: list[DataFrame] | None = None,
+) -> DataFrame:
+    """:func:`proximity_search` served directly from positional LSM
+    segments AND doc-id tombstones — with this face every positional
+    query shape (phrase, NEAR) answers from maintained state with
+    deletes visible and no compaction on the query path:
+    ``serve(segments ∪ tombstones) == proximity(build(survivors))``
+    exactly. Same netting core, guards, and ordering contract as
+    :func:`phrase_search_segments`; the two-word in-filter lands below
+    the segment union, the tombstone probe broadcasts the delete
+    delta, and the proximity tail is byte-identical to the merged-face
+    operator — the net IS a flat index."""
+    wa = word_a.lower().strip()
+    wb = word_b.lower().strip()
+    if not wa or not wb:
+        raise ValueError("proximity_search_segments: empty word")
+    net = _positional_net_rows(
+        segments,
+        tombstones,
+        "proximity_search_segments",
+        terms=sorted({wa, wb}),
+    )
+    return proximity_search(net, wa, wb, max_dist, k)
+
+
 def phrase_search_segments(
     segments: list[DataFrame],
     phrase: str,

@@ -526,3 +526,21 @@ def test_ivf_exact_corpus_never_shuffles_before_topk(spark):
     assert plan.count("Generate explode") == 1, plan
     assert plan.count("BroadcastHashJoin") == 1, plan
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_proximity_search_plan_shape(spark, tmp_path):
+    # both word in-filters reach the index scan; the pair join is an
+    # equi-join on (doc, bucket) — never a nested-loop/cartesian
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        proximity_search,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p = str(tmp_path / "pidx")
+    build_positional_index(docs, "text", "doc_id").write.parquet(p)
+    idx = spark.read.parquet(p)
+    q = proximity_search(idx, "fast", "merge", 5)
+    plan = physical_plan(q)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert plan.count("PushedFilters: [IsNotNull(token), EqualTo(token") == 2, plan

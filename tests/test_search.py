@@ -1296,3 +1296,35 @@ def test_proximity_search_model(spark, corpus):
         proximity_search(idx, "spark", "tables", 0)
     with pytest.raises(ValueError):
         proximity_search(idx, " ", "tables", 2)
+
+
+def test_proximity_search_segments_serves_deletes(spark, grown_corpus):
+    # NEAR from maintained state: serve(segments ∪ doc-id tombstones)
+    # == proximity over the survivors
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        proximity_search,
+        proximity_search_segments,
+    )
+
+    old, new, full = grown_corpus
+    seg1, seg2 = build_positional_index(old), build_positional_index(new)
+    tomb = spark.createDataFrame([(2,), (7,)], "doc int")
+    survivors = full.filter(~F.col("doc_id").isin([2, 7]))
+    for w1, w2, d in [("spark", "tables", 3), ("spark", "sort", 2),
+                      ("sort", "sort", 4)]:
+        got = [
+            tuple(r)
+            for r in proximity_search_segments(
+                [seg1, seg2], w1, w2, d, tombstones=[tomb]
+            ).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in proximity_search(
+                build_positional_index(survivors), w1, w2, d
+            ).collect()
+        ]
+        assert got == want, (w1, w2, d)
+    with pytest.raises(ValueError):
+        proximity_search_segments([seg1], "", "x", 2)
