@@ -976,8 +976,15 @@ def proximity_search(
         raise ValueError("proximity_search: max_dist must be >= 1")
     wa = word_a.lower().strip()
     wb = word_b.lower().strip()
-    if not wa or not wb:
-        raise ValueError("proximity_search: empty word")
+    if len(wa.split()) != 1 or len(wb.split()) != 1:
+        # a multi-word operand can never match a token — it would
+        # silently return an empty frame indistinguishable from "no
+        # docs match" (review finding); NEAR takes single words, the
+        # phrase faces take phrases
+        raise ValueError(
+            "proximity_search: operands must be single words "
+            "(use phrase_search for multi-word queries)"
+        )
     a = (
         index.filter(F.col("token") == wa)
         .select("doc", F.explode("positions").alias("_px_a"))
@@ -1033,15 +1040,25 @@ def proximity_search_segments(
     operator — the net IS a flat index."""
     wa = word_a.lower().strip()
     wb = word_b.lower().strip()
-    if not wa or not wb:
-        raise ValueError("proximity_search_segments: empty word")
+    if len(wa.split()) != 1 or len(wb.split()) != 1:
+        raise ValueError(
+            "proximity_search_segments: operands must be single words "
+            "(use phrase_search_segments for multi-word queries)"
+        )
     net = _positional_net_rows(
         segments,
         tombstones,
         "proximity_search_segments",
         terms=sorted({wa, wb}),
     )
-    return proximity_search(net, wa, wb, max_dist, k)
+    # the pair join references the net TWICE (one leg per word), and a
+    # plan reference re-executes the whole netting subtree — segment
+    # union, (token, doc) aggregate, tombstone probe — per leg (twice
+    # over the SAME rows when word_a == word_b; review finding).
+    # Materialize it once: the net is ≤ Σ doc_freq(word_a, word_b)
+    # rows, the same bounded posting-list size every serving face
+    # already holds in flight.
+    return proximity_search(net.localCheckpoint(), wa, wb, max_dist, k)
 
 
 def phrase_search_segments(
