@@ -105,6 +105,10 @@ BENCH_QUERIES = [
     "docs_hybrid_rrf_maintained",
     # NEAR-operator retrieval from the positional index (exact oracle)
     "docs_proximity_search",
+    # maintained vector store: exact-assigned LSM segments + id
+    # tombstones served through the assigned/pruned path (the r9
+    # maintenance-matrix completion for ANN)
+    "docs_ann_maintained_exact",
 ]
 
 

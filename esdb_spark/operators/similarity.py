@@ -1038,7 +1038,7 @@ def ann_topk_int8(
 
 
 def ann_store_append(
-    store: DataFrame,
+    store: DataFrame | None,
     new_vectors: DataFrame,
     centroids,
     vec_col: str,
@@ -1064,7 +1064,11 @@ def ann_store_append(
     delta id already present in the store raises via a broadcast SEMI
     probe riding the output as a zero-row union leg — that probe scans
     the store (ids live in every cell), so feeds that guarantee fresh
-    ids can disable it and keep appends O(delta).
+    ids can disable it and keep appends O(delta); with
+    ``guard_overlap=False`` the ``store`` argument may be ``None``
+    (the LSM maintainer's per-epoch segment build, where cross-segment
+    overlap is instead caught structurally: the fold's prepare step
+    raises or pre-compacts, and :func:`compact_ann_segments` audits).
 
     Centroid drift is the cost of the same-centroids contract: cells
     fit on an old corpus mis-bucket a drifted one and recall decays
@@ -1120,6 +1124,12 @@ def ann_store_append(
     ).select("id", "vec", "cell")
     if not guard_overlap:
         return guarded
+    if store is None:
+        raise ValueError(
+            "ann_store_append: guard_overlap=True needs the store to "
+            "probe — pass the store frame, or guard_overlap=False for "
+            "feeds that guarantee fresh ids"
+        )
     dup = store.join(
         F.broadcast(new_vectors.select(F.col(id_col).alias("id")).distinct()),
         "id",
@@ -1219,6 +1229,312 @@ def ann_store_delete(
     return kept.unionByName(probe)
 
 
+def compact_ann_segments(
+    segments: list[DataFrame],
+    tombstones: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Merge ANN LSM segments — subtracting id tombstones — into ONE
+    ``(id, vec, cell)`` store: the compaction face of the vector-store
+    maintenance story (the reference's close-compacts contract,
+    stream/open_stream.go:146-201, the third store after the boolean
+    and positional indexes to get it).
+
+    EXACT by construction: segment rows carry the cell their insert
+    epoch assigned under the store's fixed centroids, and compaction
+    only nets rows — ``compact_ann_segments(segs, tombs) ==
+    kmeans_assign(∪segs − tombs)`` value-for-value under the same
+    centroids (pytest-asserted). Like its index siblings this face is
+    the FULL integrity audit — serving's probed-cell filter only sees
+    what a query touches, so corruption must surface here: an id in
+    more than one live segment raises (re-append without compaction —
+    at serve time a duplicate id silently eats top-k slots), a
+    tombstone id appearing twice raises (double delete), a NULL
+    tombstone id raises (it would be silently dropped by the anti
+    join's inferred isnotnull pushdown and the row would serve
+    forever), and a ghost tombstone (no live segment holds the id)
+    raises via :func:`ann_store_delete`'s per-id count — 0 and >1
+    both fail, so a ghost and a duplicate cannot cancel (the r8
+    per-id-guard rule).
+
+    Scale posture: segments union without shuffling vectors anywhere
+    except the one (id) aggregate this audit IS; the tombstone
+    subtraction is :func:`ann_store_delete`'s broadcast anti probe
+    (the delete delta is the build side). Write the result
+    ``partitionBy("cell")`` to restore the pay-once store's partition
+    pruning. All keep decisions live in FILTERS as ONE CASE whose
+    otherwise IS the predicate (the constraint-propagation house
+    rule).
+    """
+    if not segments:
+        raise ValueError("compact_ann_segments: no segments")
+    live = None
+    for s in segments:
+        t = s.select("id", "vec", F.col("cell").cast("int").alias("cell"))
+        live = t if live is None else live.unionByName(t)
+    per = live.groupBy("id").agg(
+        F.count("*").alias("_ca_n"),
+        # only _ca_n == 1 rows survive the keep CASE, so first() is
+        # deterministic — it is the sole value in every kept group
+        F.first("vec").alias("vec"),
+        F.first("cell").alias("cell"),
+    )
+    folded = per.filter(
+        F.when(
+            F.col("_ca_n") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "compact_ann_segments: id in more than one live "
+                        "segment (re-append without compaction); id: "
+                    ),
+                    F.col("id").cast("string"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    ).select("id", "vec", "cell")
+    if not tombstones:
+        return folded
+    tomb = None
+    for t in tombstones:
+        tt = t.select("id")
+        tomb = tt if tomb is None else tomb.unionByName(tt)
+    rm = tomb.groupBy("id").agg(F.count("*").cast("long").alias("_ca_t"))
+    rm_ok = rm.filter(
+        F.when(
+            F.col("id").isNull(),
+            F.raise_error(
+                F.lit(
+                    "compact_ann_segments: NULL tombstone id — the anti "
+                    "join would silently drop it and the row would "
+                    "serve forever"
+                )
+            ).cast("boolean"),
+        )
+        .when(
+            F.col("_ca_t") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("compact_ann_segments: duplicate tombstone; id: "),
+                    F.col("id").cast("string"),
+                )
+            ).cast("boolean"),
+        )
+        .otherwise(F.lit(True))
+    ).select("id")
+    # ghost / exactly-one-match audit + the anti-join subtraction
+    return ann_store_delete(folded, rm_ok, id_col="id")
+
+
+def ann_search_segments(
+    segments: list[DataFrame],
+    queries: DataFrame,
+    centroids,
+    vec_col: str = "vec",
+    id_col: str = "id",
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str | None = None,
+    tombstones: list[DataFrame] | None = None,
+) -> DataFrame:
+    """:func:`ann_topk_int8` served directly from ANN LSM segments AND
+    id tombstones — approximate vector search answers from maintained
+    state with deletes visible and no compaction on the query path,
+    completing for the vector store what ``keyword_search_segments`` /
+    ``phrase_search_segments`` did for the text indexes:
+    ``serve(segments ∪ tombstones) == ann_topk_int8(survivors)``
+    value-for-value under the same centroids (pytest parity across
+    epoch sequences).
+
+    ``centroids`` must be the fit the segments were assigned under
+    (:func:`ann_topk_int8`'s same-fit contract — enforced there).
+    ``tombstones`` are frames of deleted ids (column ``id``); the
+    netting is the serve-time broadcast ANTI probe inside the probed
+    cells, so partition pruning over cell-partitioned segment dirs is
+    untouched and the delete delta is the build side.
+
+    Serving-vs-audit split (the house division of labor): this face
+    guards what the QUERY can see cheaply — a duplicate id among the
+    returned top-k rows raises at execution time (a re-appended,
+    un-compacted id would silently eat ranks; the guard is a window
+    count over the k·|queries| OUTPUT rows, zero extra shuffle of the
+    store). A duplicate pair straddling the k boundary shows the id
+    once and is invisible here — as is a ghost tombstone in an
+    unprobed cell — and both surface at
+    :func:`compact_ann_segments`, which sees every row. The streaming
+    maintainer (:func:`~esdb_spark.streaming.maintain_ann_store`)
+    prevents both structurally (per-epoch overlap prepare +
+    compaction cadence), so this guard is defense in depth for
+    hand-assembled segment lists.
+
+    Scale posture: segments union lazily; the probed-cell in-filter
+    lands below the union, pruning each segment's cell partitions;
+    the scoring pass stays ONE shuffle-free mapInPandas
+    (:func:`ann_topk_int8`'s shape); the dup guard windows the
+    already-tiny ranked output.
+    """
+    if not segments:
+        raise ValueError("ann_search_segments: no segments")
+    live = None
+    for s in segments:
+        t = s.select("id", "vec", F.col("cell").cast("int").alias("cell"))
+        live = t if live is None else live.unionByName(t)
+    tomb = None
+    for t in tombstones or []:
+        tt = t.select("id")
+        tomb = tt if tomb is None else tomb.unionByName(tt)
+    out = ann_topk_int8(
+        # schema-only reference (assigned path never scans it)
+        live.select(
+            F.col("id").alias(id_col), F.col("vec").alias(vec_col)
+        ),
+        queries,
+        vec_col,
+        id_col,
+        k=k,
+        n_probe=n_probe,
+        query_id_col=query_id_col,
+        centroids=centroids,
+        assigned=live,
+        tombstones=tomb,
+    )
+    wdup = Window.partitionBy("query_id", "id")
+    return (
+        out.withColumn("_as_n", F.count("*").over(wdup))
+        .filter(
+            F.when(
+                F.col("_as_n") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "ann_search_segments: id ranked twice for one "
+                            "query (re-appended without compaction); id: "
+                        ),
+                        F.col("id").cast("string"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+        .drop("_as_n")
+    )
+
+
+def _quantize_centroids_literal(centroids: list) -> list:
+    """Pre-quantize literal ``[(cell, [floats])]`` centroids in pure
+    Python — the codec is per-op IEEE (abs/max/divide/floor all
+    correctly rounded), so these codes are bit-identical to
+    quantize_int8 / any SQL replay. Shared by the exact IVF faces so
+    the serve and assign rows can never drift."""
+    import math
+
+    cent_q = []
+    for cell, vec in centroids:
+        s = max(abs(float(x)) for x in vec) / 127.0
+        code = [
+            int(math.copysign(math.floor(abs(float(x) / s) + 0.5), x))
+            if s > 0
+            else 0
+            for x in vec
+        ]
+        cent_q.append((int(cell), code, s))
+    return cent_q
+
+
+def _balanced_sum_sql(terms: list) -> str:
+    # pairwise-balanced Add tree (depth log n) instead of the
+    # left-deep chain " + ".join would parse to: Catalyst's
+    # canonicalization/semanticEquals walks are quadratic in chain
+    # DEPTH, measurably slow at 64 terms; integer addition is
+    # association-free so exactness is untouched
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})"
+            if i + 1 < len(terms)
+            else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def _dot_lit_sql(code_col: str, coeffs: list) -> str:
+    # unrolled Σ element_at(code, i+1) * coeff_i, zero terms
+    # skipped — flat integer arithmetic, codegen-able
+    terms = [
+        f"CAST(element_at({code_col}, {i + 1}) AS BIGINT) * {int(c)}"
+        for i, c in enumerate(coeffs)
+        if c != 0
+    ]
+    return _balanced_sum_sql(terms) if terms else "CAST(0 AS BIGINT)"
+
+
+def _ivf_cell_struct_sqls(cent_q: list, code_col: str) -> list:
+    # (score, -cell) structs: max picks the highest score, then
+    # the highest negcell = SMALLEST cell — the tie rule,
+    # engine-portable because struct comparison is lexicographic
+    return [
+        f"named_struct('score', CAST('{s!r}' AS DOUBLE) * "
+        f"{_dot_lit_sql(code_col, code)}, 'negcell', {-cell})"
+        for cell, code, s in cent_q
+    ]
+
+
+def ivf_assign_int8_exact(
+    df: DataFrame,
+    centroids: list,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """ENGINE-EXACT cell assignment under LITERAL centroids — the
+    build/append face of the exact IVF pipeline: ``(id, vec, cell)``
+    rows where ``cell`` is the argmax over centroids of
+    ``cent_scale × integer-code-dot`` (ties to the smaller cell id),
+    exactly :func:`ivf_topk_int8_exact`'s assignment arithmetic, so a
+    store of these rows serves through that face's ``assigned`` path
+    and an external engine replays the whole build bit-for-bit (the
+    catalog's maintained-ANN row certifies exactly this). The k-means
+    sibling is ``cluster.kmeans_assign`` (float GEMM argmax — fine
+    in-engine, not SQL-replayable).
+
+    NULL vectors raise — this is a MAINTENANCE face and a store
+    append that silently drops an insert is CDC divergence
+    (:func:`ann_store_append`'s contract; the serving path's
+    drop-corrupt tolerance is for read-only corpora). Assignment
+    happens inside the projection — no explode, no shuffle, no UDF;
+    the frame never repartitions.
+    """
+    from esdb_spark.operators.quantize import quantize_int8
+
+    if not centroids:
+        raise ValueError("ivf_assign_int8_exact: no centroids")
+    cent_q = _quantize_centroids_literal(centroids)
+    structs = _ivf_cell_struct_sqls(cent_q, "_ia_code")
+    best_sql = (
+        f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
+    )
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    guarded = src.filter(
+        F.when(
+            F.col("vec").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "ivf_assign_int8_exact: NULL vector in the "
+                        "delta — a store append that drops an insert "
+                        "is CDC divergence; id: "
+                    ),
+                    F.col("id").cast("string"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    return (
+        quantize_int8(
+            guarded, "vec", out_col="_ia_code", scale_col="_ia_s"
+        )
+        .withColumn("cell", F.expr(f"-(({best_sql}).negcell)"))
+        .select("id", "vec", "cell")
+    )
+
+
 def ivf_topk_int8_exact(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1228,6 +1544,8 @@ def ivf_topk_int8_exact(
     k: int = 10,
     n_probe: int = 2,
     query_id_col: str | None = None,
+    assigned: DataFrame | None = None,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-pruned int8 retrieval with LITERAL centroids and
     column-expression-only plumbing — the ANN family's first fully
@@ -1274,79 +1592,50 @@ def ivf_topk_int8_exact(
     the semantics, and stays honest by sharing them exactly (pytest:
     full-probe == mips_topk_int8).
 
+    The pay-once maintained path: ``assigned`` is an
+    ``(id, vec, cell)`` frame whose cells came from
+    :func:`ivf_assign_int8_exact` under the SAME literal centroids
+    (normally a union of LSM segments, or ``spark.read.parquet`` of a
+    store written ``partitionBy("cell")``) — the corpus-side quantize
+    + assignment are skipped, the probed-cell in-filter prunes the
+    store, and the STORED cell is what serving trusts, which is
+    exactly what lets a catalog row certify maintained state: the
+    oracle recomputes assignment from the surviving corpus, so
+    serve(segments ∪ tombstones) == rebuild(survivors) rides one
+    value hash. ``tombstones`` (a frame of deleted ids, column ``id``
+    or ``id_col``) nets via one broadcast ANTI probe on the store
+    rows — partition pruning untouched, delete delta on the build
+    side. In this path a duplicate id among the returned top-k rows
+    raises (the :func:`ann_search_segments` output guard — a
+    re-appended id silently eats ranks); the base path is left
+    untouched, plan-for-plan.
+
     Returns (query_id, id, dot, score, rank) like the other ANN faces.
     """
-    import math
-
     query_id_col = query_id_col or id_col
     if not centroids:
         raise ValueError("ivf_topk_int8_exact: no centroids")
     n_probe_eff = min(n_probe, len(centroids))
     dim = len(centroids[0][1])
 
-    # pre-quantize the literal centroids in pure Python — the codec is
-    # per-op IEEE (abs/max/divide/floor all correctly rounded), so
-    # these codes are bit-identical to quantize_int8 / any SQL replay
-    cent_q = []
-    for cell, vec in centroids:
-        s = max(abs(float(x)) for x in vec) / 127.0
-        code = [
-            int(math.copysign(math.floor(abs(float(x) / s) + 0.5), x))
-            if s > 0
-            else 0
-            for x in vec
-        ]
-        cent_q.append((int(cell), code, s))
+    cent_q = _quantize_centroids_literal(centroids)
 
     # The expressions below are assembled as SQL STRINGS and parsed
     # with ONE F.expr call each: building them as Column objects costs
     # one py4j round-trip per operator node (~25k RPCs ≈ 4 s of pure
     # gateway chatter for a 4×64 centroid table, cProfile-measured) —
     # the same plan for free when the JVM parses a string.
-    def _balanced_sum(terms):
-        # pairwise-balanced Add tree (depth log n) instead of the
-        # left-deep chain " + ".join would parse to: Catalyst's
-        # canonicalization/semanticEquals walks are quadratic in chain
-        # DEPTH, measurably slow at 64 terms; integer addition is
-        # association-free so exactness is untouched
-        while len(terms) > 1:
-            terms = [
-                f"({terms[i]} + {terms[i + 1]})"
-                if i + 1 < len(terms)
-                else terms[i]
-                for i in range(0, len(terms), 2)
-            ]
-        return terms[0]
-
-    def _dot_lit_sql(code_col, coeffs):
-        # unrolled Σ element_at(code, i+1) * coeff_i, zero terms
-        # skipped — flat integer arithmetic, codegen-able
-        terms = [
-            f"CAST(element_at({code_col}, {i + 1}) AS BIGINT) * {int(c)}"
-            for i, c in enumerate(coeffs)
-            if c != 0
-        ]
-        return _balanced_sum(terms) if terms else "CAST(0 AS BIGINT)"
-
+    # (_balanced_sum_sql / _dot_lit_sql / _ivf_cell_struct_sqls are
+    # module-level so ivf_assign_int8_exact shares them exactly.)
     def _dot_col_sql(a, b):
         # unrolled column×column dot over the shared fixed dimension
-        return _balanced_sum(
+        return _balanced_sum_sql(
             [
                 f"CAST(element_at({a}, {i + 1}) AS BIGINT) * "
                 f"CAST(element_at({b}, {i + 1}) AS BIGINT)"
                 for i in range(dim)
             ]
         )
-
-    def _cell_struct_sqls(code_col):
-        # (score, -cell) structs: max picks the highest score, then
-        # the highest negcell = SMALLEST cell — the tie rule,
-        # engine-portable because struct comparison is lexicographic
-        return [
-            f"named_struct('score', CAST('{s!r}' AS DOUBLE) * "
-            f"{_dot_lit_sql(code_col, code)}, 'negcell', {-cell})"
-            for cell, code, s in cent_q
-        ]
 
     def _quantized(df, idc, out_id):
         from esdb_spark.operators.quantize import quantize_int8
@@ -1360,13 +1649,45 @@ def ivf_topk_int8_exact(
             scale_col="_iv_s",
         ).select(out_id, "_iv_code", "_iv_s")
 
-    structs = _cell_struct_sqls("_iv_code")
+    structs = _ivf_cell_struct_sqls(cent_q, "_iv_code")
     best_sql = (
         f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
     )
-    cq = _quantized(corpus, id_col, "id").withColumn(
-        "cell", F.expr(f"-(({best_sql}).negcell)")
-    )
+    if assigned is not None:
+        from esdb_spark.operators.quantize import quantize_int8
+
+        # maintained store: trust the STORED cell (that trust is the
+        # thing the catalog row's oracle certifies), re-derive only
+        # the codes — the codec is deterministic in vec
+        cq = quantize_int8(
+            assigned.select(
+                "id",
+                F.col("vec").alias("_iv_vec"),
+                F.col("cell").cast("int").alias("cell"),
+            ).filter(F.col("_iv_vec").isNotNull()),
+            "_iv_vec",
+            out_col="_iv_code",
+            scale_col="_iv_s",
+        ).select("id", "cell", "_iv_code", "_iv_s")
+        if tombstones is not None:
+            rm_col = "id" if "id" in tombstones.columns else id_col
+            cq = cq.join(
+                F.broadcast(
+                    tombstones.select(F.col(rm_col).alias("id")).distinct()
+                ),
+                "id",
+                "left_anti",
+            )
+    else:
+        if tombstones is not None:
+            raise ValueError(
+                "ivf_topk_int8_exact: tombstones only apply to the "
+                "`assigned` maintained-store path — for a plain corpus "
+                "filter the rows out instead"
+            )
+        cq = _quantized(corpus, id_col, "id").withColumn(
+            "cell", F.expr(f"-(({best_sql}).negcell)")
+        )
     qq = _quantized(queries, query_id_col, "query_id").withColumn(
         "_iv_probes",
         F.expr(
@@ -1398,9 +1719,35 @@ def ivf_topk_int8_exact(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("id").asc()
     )
-    return scored.withColumn(
+    ranked = scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= k)
+    if assigned is None:
+        return ranked
+    # maintained path only: a duplicate id among the top-k rows means
+    # a re-append without compaction — raise rather than silently eat
+    # ranks (the ann_search_segments output guard; windows the tiny
+    # ranked output, never the store)
+    wdup = Window.partitionBy("query_id", "id")
+    return (
+        ranked.withColumn("_iv_n", F.count("*").over(wdup))
+        .filter(
+            F.when(
+                F.col("_iv_n") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "ivf_topk_int8_exact: id ranked twice for "
+                            "one query (re-appended without "
+                            "compaction); id: "
+                        ),
+                        F.col("id").cast("string"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+        .drop("_iv_n")
+    )
 
 
 def hard_negatives(

@@ -3832,6 +3832,101 @@ def _lpa_oracle_sql(rounds: int) -> str:
 
 
 
+def _ann_exact_oracle_sql(corpus_where: str) -> str:
+    """The engine-exact IVF-int8 oracle, parameterized on the
+    corpus predicate so the base row (full corpus) and the
+    MAINTAINED row (surviving corpus — segments ∪ tombstones on
+    the Spark side) replay the identical pipeline: literal
+    centroids from the same integer formula, portable int8 codec,
+    inner-product cell assignment (ties to the smaller cell),
+    top-2 probes per query, exact in-cell int8 MIPS, per-query
+    top-5. One definition, so the two rows can never drift."""
+    return f"""
+        WITH cents AS (
+          SELECT j AS cell,
+                 list_transform(range(0, 64),
+                                i -> CASE WHEN i % 4 = j
+                                     THEN ((i * 7 + j * 13) % 19 - 9) / 10.0
+                                     ELSE 0.0 END
+                 ) AS cv
+          FROM range(0, 4) t(j)
+        ),
+        cq0 AS (
+          SELECT cell,
+                 list_max(list_transform(cv, x -> abs(x))) / 127.0 AS s,
+                 cv
+          FROM cents
+        ),
+        cq AS (
+          SELECT cell, s,
+                 list_transform(cv, x -> CAST(
+                     sign(x / s) * floor(abs(x / s) + 0.5) AS BIGINT
+                 )) AS code
+          FROM cq0
+        ),
+        emq AS (
+          SELECT vec_id,
+                 coalesce(list_max(list_transform(
+                     embedding, x -> abs(CAST(x AS DOUBLE))
+                 )), 0.0) / 127.0 AS s,
+                 embedding
+          FROM embeddings WHERE {corpus_where}
+        ),
+        emc AS (
+          SELECT vec_id, s,
+                 CASE WHEN s > 0 THEN
+                     list_transform(embedding, x -> CAST(
+                         sign(CAST(x AS DOUBLE) / s)
+                         * floor(abs(CAST(x AS DOUBLE) / s) + 0.5)
+                     AS BIGINT))
+                 ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+                 END AS code
+          FROM emq
+        ),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell, row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY c.s * CAST(list_sum(list_transform(
+                         list_zip(e.code, c.code), p -> p[1] * p[2]
+                     )) AS DOUBLE) DESC, c.cell ASC) AS rk
+            FROM emc e CROSS JOIN cq c
+          ) WHERE rk = 1
+        ),
+        qprobe AS (
+          SELECT vec_id AS qid, cell FROM (
+            SELECT e.vec_id, c.cell, row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY c.s * CAST(list_sum(list_transform(
+                         list_zip(e.code, c.code), p -> p[1] * p[2]
+                     )) AS DOUBLE) DESC, c.cell ASC) AS rk
+            FROM emc e CROSS JOIN cq c WHERE e.vec_id < 3
+          ) WHERE rk <= 2
+        ),
+        cand AS (
+          SELECT p.qid AS query_id, e.vec_id AS id,
+                 CAST(list_sum(list_transform(
+                     list_zip(e.code, q.code), z -> z[1] * z[2]
+                 )) AS BIGINT) AS dot,
+                 e.s * CAST(list_sum(list_transform(
+                     list_zip(e.code, q.code), z -> z[1] * z[2]
+                 )) AS DOUBLE) AS score
+          FROM assign a
+          JOIN emc e ON a.vec_id = e.vec_id
+          JOIN qprobe p ON a.cell = p.cell
+          JOIN emc q ON q.vec_id = p.qid
+          WHERE e.vec_id != p.qid
+        )
+        SELECT query_id, id, dot, score, CAST(rk AS BIGINT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, id ASC) AS rk
+          FROM cand
+        ) WHERE rk <= 5 ORDER BY query_id, rank
+    """
+
+
 _PIPELINE_ORACLES = {
     # integer fixed-point PageRank (graph.pagerank_exact): scale 1e12,
     # damping 17/20, 10 rounds, every division a nonneg bigint
@@ -4765,90 +4860,17 @@ _PIPELINE_ORACLES = {
     # centroids from the same integer formula, portable int8 codec,
     # inner-product cell assignment (ties to the smaller cell), top-2
     # probes per query, exact in-cell int8 MIPS, per-query top-5
-    "docs_ann_int8_exact": f"""
-        WITH cents AS (
-          SELECT j AS cell,
-                 list_transform(range(0, 64),
-                                i -> CASE WHEN i % 4 = j
-                                     THEN ((i * 7 + j * 13) % 19 - 9) / 10.0
-                                     ELSE 0.0 END
-                 ) AS cv
-          FROM range(0, 4) t(j)
-        ),
-        cq0 AS (
-          SELECT cell,
-                 list_max(list_transform(cv, x -> abs(x))) / 127.0 AS s,
-                 cv
-          FROM cents
-        ),
-        cq AS (
-          SELECT cell, s,
-                 list_transform(cv, x -> CAST(
-                     sign(x / s) * floor(abs(x / s) + 0.5) AS BIGINT
-                 )) AS code
-          FROM cq0
-        ),
-        emq AS (
-          SELECT vec_id,
-                 coalesce(list_max(list_transform(
-                     embedding, x -> abs(CAST(x AS DOUBLE))
-                 )), 0.0) / 127.0 AS s,
-                 embedding
-          FROM embeddings WHERE embedding IS NOT NULL
-        ),
-        emc AS (
-          SELECT vec_id, s,
-                 CASE WHEN s > 0 THEN
-                     list_transform(embedding, x -> CAST(
-                         sign(CAST(x AS DOUBLE) / s)
-                         * floor(abs(CAST(x AS DOUBLE) / s) + 0.5)
-                     AS BIGINT))
-                 ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
-                 END AS code
-          FROM emq
-        ),
-        assign AS (
-          SELECT vec_id, cell FROM (
-            SELECT e.vec_id, c.cell, row_number() OVER (
-                     PARTITION BY e.vec_id
-                     ORDER BY c.s * CAST(list_sum(list_transform(
-                         list_zip(e.code, c.code), p -> p[1] * p[2]
-                     )) AS DOUBLE) DESC, c.cell ASC) AS rk
-            FROM emc e CROSS JOIN cq c
-          ) WHERE rk = 1
-        ),
-        qprobe AS (
-          SELECT vec_id AS qid, cell FROM (
-            SELECT e.vec_id, c.cell, row_number() OVER (
-                     PARTITION BY e.vec_id
-                     ORDER BY c.s * CAST(list_sum(list_transform(
-                         list_zip(e.code, c.code), p -> p[1] * p[2]
-                     )) AS DOUBLE) DESC, c.cell ASC) AS rk
-            FROM emc e CROSS JOIN cq c WHERE e.vec_id < 3
-          ) WHERE rk <= 2
-        ),
-        cand AS (
-          SELECT p.qid AS query_id, e.vec_id AS id,
-                 CAST(list_sum(list_transform(
-                     list_zip(e.code, q.code), z -> z[1] * z[2]
-                 )) AS BIGINT) AS dot,
-                 e.s * CAST(list_sum(list_transform(
-                     list_zip(e.code, q.code), z -> z[1] * z[2]
-                 )) AS DOUBLE) AS score
-          FROM assign a
-          JOIN emc e ON a.vec_id = e.vec_id
-          JOIN qprobe p ON a.cell = p.cell
-          JOIN emc q ON q.vec_id = p.qid
-          WHERE e.vec_id != p.qid
-        )
-        SELECT query_id, id, dot, score, CAST(rk AS BIGINT) AS rank
-        FROM (
-          SELECT *, row_number() OVER (
-                   PARTITION BY query_id
-                   ORDER BY score DESC, id ASC) AS rk
-          FROM cand
-        ) WHERE rk <= 5 ORDER BY query_id, rank
-    """,
+    "docs_ann_int8_exact": _ann_exact_oracle_sql(
+        "embedding IS NOT NULL"
+    ),
+    # the MAINTAINED twin: the Spark side serves from exact-assigned
+    # LSM segments minus id tombstones; the oracle rebuilds the same
+    # pipeline from the SURVIVING corpus, so serve(segments ∪
+    # tombstones) == rebuild(survivors) rides one value hash — the
+    # vector-store analog of docs_keyword_search_segments
+    "docs_ann_maintained_exact": _ann_exact_oracle_sql(
+        "embedding IS NOT NULL AND vec_id % 5 != 3"
+    ),
     "docs_hybrid_rrf": f"""
         WITH ex AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
         m AS (SELECT doc_id, token FROM ex
@@ -6321,6 +6343,51 @@ def docs_ann_int8_exact(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def docs_ann_maintained_exact(spark, sf_dir):
+    """MAINTAINED-state ANN with a FULL value-hash oracle — the
+    vector-store analog of `docs_keyword_search_segments`: the store
+    is two exact-assigned LSM segments (operators/similarity.
+    ivf_assign_int8_exact under the same literal centroids as
+    docs_ann_int8_exact — the batch shape maintain_ann_store writes
+    per epoch) plus an id-tombstone frame for the deleted slice, and
+    serving goes through ivf_topk_int8_exact's `assigned` path: the
+    probed-cell filter prunes the STORED cells and the tombstones net
+    as a broadcast anti probe. The oracle rebuilds the identical
+    pipeline from the SURVIVING corpus, so serve(segments ∪
+    tombstones) == rebuild(survivors) rides one value hash — with
+    this row, every serving store (boolean index, positional index,
+    BM25 lengths, vector store) is gate-certified from maintained
+    state. NULL-embedding rows never enter the store (the assign face
+    raises on NULL by contract — a maintained feed validates at
+    ingest), matching the oracle's `embedding IS NOT NULL`."""
+    from esdb_spark.operators.similarity import (
+        ivf_assign_int8_exact,
+        ivf_topk_int8_exact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    seg_a = ivf_assign_int8_exact(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        _ANN_EXACT_CENTS, "embedding", "vec_id",
+    )
+    seg_b = ivf_assign_int8_exact(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        _ANN_EXACT_CENTS, "embedding", "vec_id",
+    )
+    tomb = emb.filter(F.col("vec_id") % 5 == 3).select(
+        F.col("vec_id").alias("id")
+    )
+    queries = emb.filter(
+        (F.col("vec_id") < 3) & (F.col("vec_id") % 5 != 3)
+    )
+    return ivf_topk_int8_exact(
+        emb, queries, _ANN_EXACT_CENTS, "embedding", "vec_id", k=5,
+        n_probe=2, assigned=seg_a.unionByName(seg_b), tombstones=tomb,
+    ).orderBy("query_id", "rank")
+
+
 def embedding_kmeans_docs(spark, sf_dir):
     """Spherical k-means over the embeddings table (operators/cluster):
     per-cluster size + cohesion rollup. Rows-only: centroid fit is
@@ -6725,6 +6792,7 @@ def catalog() -> dict[str, Q]:
         ("docs_proximity_search", docs_proximity_search),
         ("docs_hybrid_rrf_maintained", docs_hybrid_rrf_maintained),
         ("docs_ann_int8_exact", docs_ann_int8_exact),
+        ("docs_ann_maintained_exact", docs_ann_maintained_exact),
         ("doc_token_counts_fixed", doc_token_counts_fixed),
         ("docs_hybrid_rrf3", docs_hybrid_rrf3),
         ("doc_duplicate_spans", doc_duplicate_spans),

@@ -1063,13 +1063,14 @@ def _lsm_fold(
     caller: str,
     op_col: str | None,
     id_col: str,
-    text_col: str,
+    text_col: str | None,
     keep_versions: int,
     compact_above: int,
     build_live,
     build_tombstone,
     compact,
     prepare=None,
+    partition_by: list[str] | None = None,
 ):
     """ONE foreachBatch fold shared by every LSM maintainer (the
     ``_lsm_publish`` one-definition discipline extended to the whole
@@ -1087,6 +1088,12 @@ def _lsm_fold(
       execution-time guards and/or the entry list (the positional
       maintainer's self-healing pre-compaction on re-insert of a
       tombstoned id)
+
+    ``partition_by`` partitions segment/compaction writes by the named
+    columns WHEN the frame has them (the ANN maintainer's
+    cell-partitioned store — live segments carry ``cell``, tombstones
+    are bare ids and write flat), preserving the pay-once store's
+    partition pruning across maintenance.
     """
     from esdb_spark import fs as _fs
 
@@ -1145,8 +1152,22 @@ def _lsm_fold(
             # not-free-on-a-lazy-frame lesson, review finding). An
             # empty dir stays on disk unreferenced until the sweep.
             out = posixpath.join(state_path, dirname)
-            df.write.mode("overwrite").parquet(out)
-            return bool(spark.read.parquet(out).limit(1).count())
+            w = df.write.mode("overwrite")
+            partitioned = partition_by and set(partition_by) <= set(
+                df.columns
+            )
+            if partitioned:
+                w = w.partitionBy(*partition_by)
+            w.parquet(out)
+            # a partitioned write of an EMPTY frame leaves no files and
+            # no partition dirs — schema inference fails on the probe,
+            # so read back under the writer's schema (partition columns
+            # match by name); the empty dir stays unreferenced either
+            # way and manifest readers only ever open non-empty dirs
+            probe = (
+                spark.read.schema(df.schema) if partitioned else spark.read
+            )
+            return bool(probe.parquet(out).limit(1).count())
 
         seg_dir = f"seg-{epoch_id:012d}"
         if write_segment(build_live(ins), seg_dir):
@@ -1167,9 +1188,11 @@ def _lsm_fold(
                 if kind == "tomb"
             ]
             cdir = f"seg-{epoch_id:012d}-c"
-            compact(live, tomb or None).write.mode("overwrite").parquet(
-                posixpath.join(state_path, cdir)
-            )
+            folded = compact(live, tomb or None)
+            cw = folded.write.mode("overwrite")
+            if partition_by and set(partition_by) <= set(folded.columns):
+                cw = cw.partitionBy(*partition_by)
+            cw.parquet(posixpath.join(state_path, cdir))
             new_entries = [("live", cdir)]
         _lsm_publish(
             spark, state_path, epoch_id, new_entries, keep_versions, caller
@@ -1274,7 +1297,11 @@ def read_maintained_index_segments(
     a :func:`maintain_positional_index_lsm` store the same manifest
     protocol applies — serve with ``search.phrase_search_segments``
     and compact with ``search.compact_positional_segments`` (there the
-    tombstone frames carry doc ids, not postings).
+    tombstone frames carry doc ids, not postings); for a
+    :func:`maintain_ann_store` store likewise — serve with
+    ``similarity.ann_search_segments`` (same ``centroids`` the store
+    was built with) and compact with
+    ``similarity.compact_ann_segments`` (tombstones carry ids).
 
     The returned DataFrames are LAZY plans over the manifest's segment
     directories — consume them (or ``localCheckpoint()`` first) while
@@ -1327,6 +1354,161 @@ def read_maintained_index_segments(
         if kind == "tomb"
     ]
     return live, tomb
+
+
+def _id_keyed_prepare(
+    state_path: str,
+    caller: str,
+    id_col: str,
+    key: str,
+    compact_fn,
+    rm_ids,
+    partition_by: list[str] | None = None,
+):
+    """ONE prepare step shared by every maintainer whose tombstones
+    are ID-KEYED (positional index, ANN store — the
+    :func:`_lsm_fold` one-definition discipline extended to the
+    ordering contract those tombstones impose). An id-keyed tombstone
+    nets its id from EVERY segment in the serving union, so a live
+    segment written AFTER a tombstone must never contain that id —
+    the re-inserted rows would be netted too and the row silently
+    vanishes (review finding, reproduced on the positional index when
+    old and new text share no query-touched token; the boolean
+    maintainer needs none of this — its tombstones are content-keyed
+    and cancel only the old rows).
+
+    - CROSS-EPOCH re-insert (the common CDC update: delete in N,
+      insert in N+1) SELF-HEALS: when any insert id sits in a current
+      tombstone, the prior state folds through ``compact_fn`` first
+      (``seg-<epoch>-pre``) — compaction subtracts the tombstones
+      from exactly the segments they were written against, after
+      which this epoch appends against a tombstone-free state. The
+      probe is one delta-bounded broadcast semi count; the compaction
+      is the close-compacts payment the re-insert requires anyway
+      (second-review finding: raising here was a permanent poison
+      pill — the replayed batch re-raised forever and no public API
+      could force the compaction).
+    - Tombstones with NO live segments means every tombstone is a
+      ghost (deletes of never-inserted ids) — corrupted feed,
+      fail-stop with the real diagnosis instead of compaction's
+      opaque "no segments" (third-review finding). Integrity
+      violations stop the stream BY DESIGN; only legal CDC shapes
+      self-heal.
+    - SAME-BATCH delete+insert splits two ways: a BRAND-NEW id nets
+      to absent by construction (its only rows are this epoch's,
+      which its own tombstone subtracts — the
+      :func:`maintain_doc_lengths` convention); an id already in a
+      live segment must raise — one id-keyed tombstone cannot net the
+      old rows without also netting the new ones, so the update must
+      split across two epochs (where the pre-compaction above heals
+      it).
+
+    ``key`` is the tombstone/segment id column name (``doc`` for the
+    positional index, ``id`` for the ANN store); ``rm_ids(rm)``
+    returns the DISTINCT frame of ids the delete batch actually
+    tombstones (the positional maintainer exempts token-less docs);
+    ``partition_by`` keeps the pre-compaction write partitioned like
+    the maintainer's segments.
+    """
+
+    def prepare(spark, ins, rm, entries, epoch_id):
+        tomb_entries = [n for kind, n in entries if kind == "tomb"]
+        if tomb_entries:
+            tomb_ids = None
+            for n in tomb_entries:
+                t = spark.read.parquet(
+                    posixpath.join(state_path, n)
+                ).select(key)
+                tomb_ids = t if tomb_ids is None else tomb_ids.unionByName(t)
+            hit = (
+                ins.select(F.col(id_col).alias(key))
+                .join(F.broadcast(tomb_ids), key, "left_semi")
+                .limit(1)
+                .count()
+            )
+            if hit:
+                live = [
+                    spark.read.parquet(posixpath.join(state_path, n))
+                    for kind, n in entries
+                    if kind == "live"
+                ]
+                if not live:
+                    raise ValueError(
+                        f"{caller}: state holds only ghost tombstones "
+                        f"(deletes of {key}s no live segment ever "
+                        "held) and the batch re-inserts one of them — "
+                        "the feed is corrupt"
+                    )
+                tomb = [
+                    spark.read.parquet(posixpath.join(state_path, n))
+                    for kind, n in entries
+                    if kind == "tomb"
+                ]
+                pre = f"seg-{epoch_id:012d}-pre"
+                # unreferenced by any manifest yet → no reader can hold
+                # it, so a replay's overwrite is safe (same argument as
+                # the epoch's own segment dirs)
+                folded = compact_fn(live, tomb or None)
+                w = folded.write.mode("overwrite")
+                if partition_by and set(partition_by) <= set(
+                    folded.columns
+                ):
+                    w = w.partitionBy(*partition_by)
+                w.parquet(posixpath.join(state_path, pre))
+                entries = [("live", pre)]
+        if rm is not None:
+            both = (
+                ins.select(F.col(id_col).alias(key))
+                .distinct()
+                .join(rm_ids(rm), key, "left_semi")
+            )
+            if both.limit(1).count():
+                live_ids = None
+                for kind, n in entries:
+                    if kind != "live":
+                        continue
+                    d = spark.read.parquet(
+                        posixpath.join(state_path, n)
+                    ).select(key)
+                    live_ids = (
+                        d if live_ids is None else live_ids.unionByName(d)
+                    )
+                if live_ids is not None:
+                    poison = both.join(
+                        live_ids.distinct(), key, "left_semi"
+                    ).select(F.col(key).alias("_pl_tid"))
+                    ins = (
+                        ins.join(
+                            F.broadcast(
+                                poison.withColumn("_pl_bad", F.lit(True))
+                            ),
+                            F.col(id_col) == F.col("_pl_tid"),
+                            "left",
+                        )
+                        .filter(
+                            F.when(
+                                F.col("_pl_bad").isNotNull(),
+                                F.raise_error(
+                                    F.concat(
+                                        F.lit(
+                                            f"{caller}: same-batch "
+                                            "delete+insert of a stored "
+                                            f"{key} — an id-keyed "
+                                            "tombstone would net the "
+                                            "new rows too; split the "
+                                            "update across two epochs; "
+                                            f"{key}: "
+                                        ),
+                                        F.col(id_col).cast("string"),
+                                    )
+                                ).cast("boolean"),
+                            ).otherwise(F.lit(True))
+                        )
+                        .drop("_pl_tid", "_pl_bad")
+                    )
+        return ins, entries
+
+    return prepare
 
 
 def maintain_positional_index_lsm(
@@ -1393,139 +1575,22 @@ def maintain_positional_index_lsm(
 
     _require_keep_versions(keep_versions, "maintain_positional_index_lsm")
 
-    def prepare(spark, ins, rm, entries, epoch_id):
-        # Doc-keyed tombstones impose an ordering contract: a tombstone
-        # nets its doc from EVERY segment in the serving union, so a
-        # live segment written AFTER a tombstone must never contain
-        # that doc — the re-inserted rows would be netted too and the
-        # doc silently vanishes when old and new text share no
-        # query-touched token (review finding, reproduced). The boolean
-        # maintainer needs none of this: its tombstones are
-        # content-keyed (token + tf) and cancel only the old rows.
-        #
-        # CROSS-EPOCH re-insert (the common CDC update: delete in N,
-        # insert in N+1) SELF-HEALS: when any insert id sits in a
-        # current tombstone, fold the prior state through compaction
-        # first (seg-<epoch>-pre) — compaction subtracts the tombstones
-        # from exactly the segments they were written against, after
-        # which this epoch appends against a tombstone-free state. The
-        # probe is one delta-bounded broadcast semi count; the
-        # compaction is the close-compacts payment the re-insert
-        # requires anyway (second-review finding: raising here was a
-        # permanent poison pill — the replayed batch re-raised forever
-        # and no public API could force the compaction).
-        tomb_entries = [n for kind, n in entries if kind == "tomb"]
-        if tomb_entries:
-            tomb_ids = None
-            for n in tomb_entries:
-                t = spark.read.parquet(
-                    posixpath.join(state_path, n)
-                ).select("doc")
-                tomb_ids = t if tomb_ids is None else tomb_ids.unionByName(t)
-            hit = (
-                ins.select(F.col(id_col).alias("doc"))
-                .join(F.broadcast(tomb_ids), "doc", "left_semi")
-                .limit(1)
-                .count()
-            )
-            if hit:
-                live = [
-                    spark.read.parquet(posixpath.join(state_path, n))
-                    for kind, n in entries
-                    if kind == "live"
-                ]
-                if not live:
-                    # tombstones with NO live segments means every
-                    # tombstone is a ghost (deletes of never-inserted
-                    # docs) — corrupted feed, fail-stop with the real
-                    # diagnosis instead of compaction's opaque
-                    # "no segments" (third-review finding). Integrity
-                    # violations stop the stream BY DESIGN; only
-                    # legal CDC shapes self-heal.
-                    raise ValueError(
-                        "maintain_positional_index_lsm: state holds "
-                        "only ghost tombstones (deletes of docs no "
-                        "live segment ever held) and the batch "
-                        "re-inserts one of them — the feed is corrupt"
-                    )
-                tomb = [
-                    spark.read.parquet(posixpath.join(state_path, n))
-                    for kind, n in entries
-                    if kind == "tomb"
-                ]
-                pre = f"seg-{epoch_id:012d}-pre"
-                # unreferenced by any manifest yet → no reader can hold
-                # it, so a replay's overwrite is safe (same argument as
-                # the epoch's own segment dirs)
-                compact_positional_segments(live, tomb or None).write.mode(
-                    "overwrite"
-                ).parquet(posixpath.join(state_path, pre))
-                entries = [("live", pre)]
-        # SAME-BATCH delete+insert splits two ways: a BRAND-NEW doc
-        # nets to absent by construction (its only rows are this
-        # epoch's, which its own tombstone subtracts — the
-        # maintain_doc_lengths convention); a doc already in a live
-        # segment must raise — one doc-keyed tombstone cannot net the
-        # old rows without also netting the new ones, so the update
-        # must split across two epochs (where the pre-compaction above
-        # heals it).
-        if rm is not None:
-            both = (
-                ins.select(F.col(id_col).alias("doc"))
-                .distinct()
-                .join(
-                    rm.filter(F.size(tokens(text_col)) > 0)
-                    .select(F.col(id_col).alias("doc"))
-                    .distinct(),
-                    "doc",
-                    "left_semi",
-                )
-            )
-            if both.limit(1).count():
-                live_docs = None
-                for kind, n in entries:
-                    if kind != "live":
-                        continue
-                    d = spark.read.parquet(
-                        posixpath.join(state_path, n)
-                    ).select("doc")
-                    live_docs = (
-                        d if live_docs is None else live_docs.unionByName(d)
-                    )
-                if live_docs is not None:
-                    poison = both.join(
-                        live_docs.distinct(), "doc", "left_semi"
-                    ).select(F.col("doc").alias("_pl_tdoc"))
-                    ins = (
-                        ins.join(
-                            F.broadcast(
-                                poison.withColumn("_pl_bad", F.lit(True))
-                            ),
-                            F.col(id_col) == F.col("_pl_tdoc"),
-                            "left",
-                        )
-                        .filter(
-                            F.when(
-                                F.col("_pl_bad").isNotNull(),
-                                F.raise_error(
-                                    F.concat(
-                                        F.lit(
-                                            "maintain_positional_index_lsm"
-                                            ": same-batch delete+insert "
-                                            "of an indexed doc — a "
-                                            "doc-keyed tombstone would "
-                                            "net the new rows too; "
-                                            "split the update across "
-                                            "two epochs; doc: "
-                                        ),
-                                        F.col(id_col).cast("string"),
-                                    )
-                                ).cast("boolean"),
-                            ).otherwise(F.lit(True))
-                        )
-                        .drop("_pl_tdoc", "_pl_bad")
-                    )
-        return ins, entries
+    prepare = _id_keyed_prepare(
+        state_path,
+        "maintain_positional_index_lsm",
+        id_col,
+        "doc",
+        compact_positional_segments,
+        # only docs that HAVE postings tombstone (the build_tombstone
+        # rule below) — the same exemption must apply here or a
+        # same-batch delete+insert of a token-less doc would poison a
+        # legal shape
+        rm_ids=lambda rm: (
+            rm.filter(F.size(tokens(text_col)) > 0)
+            .select(F.col(id_col).alias("doc"))
+            .distinct()
+        ),
+    )
 
     fold = _lsm_fold(
         state_path,
@@ -1546,6 +1611,110 @@ def maintain_positional_index_lsm(
         ),
         compact=compact_positional_segments,
         prepare=prepare,
+    )
+    writer = (
+        changes.writeStream.foreachBatch(fold)
+        .queryName(query_name)
+        .outputMode("update")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def maintain_ann_store(
+    changes,
+    state_path: str,
+    centroids,
+    vec_col: str = "vec",
+    id_col: str = "doc_id",
+    op_col: str | None = None,
+    checkpoint: str | None = None,
+    query_name: str = "maintain_ann_store",
+    keep_versions: int = 10,
+    compact_above: int = 16,
+):
+    """The LSM streaming face of the pay-once ANN store — approximate
+    vector search stays maintained under appends AND deletes,
+    completing for the VECTOR store the maintenance matrix the boolean
+    index got in round 8 and the positional index got this round (the
+    reference's append-updates-state + close-compacts discipline,
+    stream/open_stream.go:52-105, 146-201, applied to the third and
+    last serving store). Per-epoch cost is O(delta): insert rows are
+    assigned to cells under the store's FIXED ``centroids``
+    (:func:`~esdb_spark.operators.similarity.ann_store_append`'s
+    guarded assignment — NULL/wrong-dimension vectors and duplicate
+    ids raise; a store append that silently drops an insert is CDC
+    divergence) and written as a live segment ``partitionBy("cell")``
+    so the probed-cell filter keeps pruning partitions across
+    maintenance; delete rows become a tombstone of IDS ONLY (a doc's
+    vector is one row, so subtraction is an anti probe — key-only
+    deletes are legal here, unlike the text indexes where a delete
+    needs the text to decide no-op-ness). Compaction folds everything
+    through
+    :func:`~esdb_spark.operators.similarity.compact_ann_segments`
+    above ``compact_above`` segments (the measured 16-segment knee,
+    SCALE.md).
+
+    The change feed carries ``id_col``, ``vec_col`` and optionally
+    ``op_col`` ∈ {'insert','delete'}; NULL ids raise; ``op_col=None``
+    treats every row as an insert. Id-keyed tombstones impose the
+    shared ordering contract (:func:`_id_keyed_prepare`): a
+    CROSS-EPOCH re-insert (the CDC update shape) SELF-HEALS via
+    pre-compaction; a SAME-BATCH delete+insert of a stored id raises
+    (split it across two epochs); a same-batch insert+delete of a
+    brand-new id nets to absent; a re-insert against ghost-only state
+    fail-stops with the corrupt-feed diagnosis.
+
+    Serving reads the newest committed manifest
+    (:func:`read_maintained_index_segments` — the manifest protocol is
+    shared across all three stores) and answers through
+    ``similarity.ann_search_segments(live, queries, centroids,
+    tombstones=tomb or None)``: deletes are visible immediately, no
+    compaction on the query path, partition pruning intact, and the
+    serving/compaction guards (top-k duplicate, ghost tombstone,
+    cross-segment re-append) apply as-is. CENTROIDS NEVER CHANGE under
+    maintenance — that is the pay-once contract; what drifts is
+    pruning efficiency, not recall (measured, SCALE.md's drift probe),
+    and the re-fit policy there says when to rebuild the store from a
+    fresh fit instead of appending further. Crash safety is the shared
+    :func:`_lsm_publish` temp+rename manifest commit; replays
+    short-circuit on a published epoch.
+    """
+    from esdb_spark.operators.similarity import (
+        ann_store_append,
+        compact_ann_segments,
+    )
+
+    _require_keep_versions(keep_versions, "maintain_ann_store")
+
+    prepare = _id_keyed_prepare(
+        state_path,
+        "maintain_ann_store",
+        id_col,
+        "id",
+        compact_ann_segments,
+        rm_ids=lambda rm: rm.select(F.col(id_col).alias("id")).distinct(),
+        partition_by=["cell"],
+    )
+
+    fold = _lsm_fold(
+        state_path,
+        "maintain_ann_store",
+        op_col,
+        id_col,
+        None,  # no text contract — vec integrity is build_live's guard
+        keep_versions,
+        compact_above,
+        build_live=lambda ins: ann_store_append(
+            None, ins, centroids, vec_col, id_col, guard_overlap=False
+        ),
+        build_tombstone=lambda rm: (
+            rm.select(F.col(id_col).alias("id")).distinct()
+        ),
+        compact=compact_ann_segments,
+        prepare=prepare,
+        partition_by=["cell"],
     )
     writer = (
         changes.writeStream.foreachBatch(fold)

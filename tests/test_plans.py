@@ -544,3 +544,30 @@ def test_proximity_search_plan_shape(spark, tmp_path):
     plan = physical_plan(q)
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert plan.count("PushedFilters: [IsNotNull(token), EqualTo(token") == 2, plan
+
+
+def test_ann_search_segments_plan_pruned_and_anti_broadcast(
+    spark, emb_store, tmp_path
+):
+    # the maintained-store serving shape: the probed-cell in-filter
+    # must prune partitions of EVERY cell-partitioned segment leg, and
+    # the tombstone netting must be a broadcast ANTI probe (delete
+    # delta on the build side) — never a shuffle of the store
+    from esdb_spark.operators.similarity import ann_search_segments
+
+    store, cent = emb_store
+    emb = load_table(spark, SF_DIR, "embeddings")
+    tomb = emb.limit(3).select(F.col("vec_id").alias("id"))
+    q = ann_search_segments(
+        [store], emb.filter(F.col("vec_id") < 3), cent,
+        "embedding", "vec_id", k=5, n_probe=2, tombstones=[tomb],
+    )
+    plan = physical_plan(q)
+    import re as _re
+
+    assert _re.search(
+        r"PartitionFilters: \[[^\]]*cell#\d+[^\]]* IN \(", plan
+    ), plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the store side never exchanges before the scorer
+    assert "InPandas" in plan, plan
