@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     # tombstones served through the assigned/pruned path (the r9
     # maintenance-matrix completion for ANN)
     "docs_ann_maintained_exact",
+    # boolean query language (AND/OR/NOT/parens) — one scan, one
+    # aggregate, the AST as one codegen'd column
+    "docs_boolean_search",
 ]
 
 

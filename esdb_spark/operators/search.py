@@ -2040,3 +2040,267 @@ def keyword_search_indexed(
     if require_all:
         agg = agg.filter(F.col("n_terms_matched") == len(qt))
     return agg.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+
+
+def parse_boolean_query(query: str):
+    """Parse a boolean retrieval query — ``AND`` / ``OR`` / ``NOT`` /
+    parentheses over single-word terms — into a nested-tuple AST:
+    ``("term", t)``, ``("not", node)``, ``("and", [nodes])``,
+    ``("or", [nodes])``. The grammar every search box speaks and the
+    reference's equality-indexed lookups cannot compose
+    (space.go:79-108 serves ONE name:value list per scan):
+
+        expr   := and_e (OR and_e)*
+        and_e  := unary (AND? unary)*      -- adjacency = implicit AND
+        unary  := NOT unary | '(' expr ')' | TERM
+
+    Operator keywords are case-insensitive; terms lowercase through
+    the house tokenizer convention (whitespace words), so the words
+    ``and``/``or``/``not`` themselves are not queryable terms — the
+    standard lucene-syntax tradeoff, documented rather than escaped.
+    Pure Python, runs on the driver once per query; raises ValueError
+    on empty input, unbalanced parens, dangling operators.
+    """
+    import re
+
+    toks = re.findall(r"\(|\)|[^\s()]+", query)
+    if not toks:
+        raise ValueError("parse_boolean_query: empty query")
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def is_op(t, name):
+        return t is not None and t.upper() == name
+
+    def unary():
+        t = peek()
+        if t is None or t == ")" or is_op(t, "AND") or is_op(t, "OR"):
+            raise ValueError(
+                f"parse_boolean_query: expected a term at token {pos}"
+            )
+        if is_op(t, "NOT"):
+            take()
+            return ("not", unary())
+        if t == "(":
+            take()
+            node = expr()
+            if peek() != ")":
+                raise ValueError("parse_boolean_query: unbalanced parens")
+            take()
+            return node
+        return ("term", take().lower())
+
+    def and_e():
+        parts = [unary()]
+        while True:
+            t = peek()
+            if t is None or t == ")" or is_op(t, "OR"):
+                break
+            if is_op(t, "AND"):
+                take()
+            parts.append(unary())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def expr():
+        parts = [and_e()]
+        while is_op(peek(), "OR"):
+            take()
+            parts.append(and_e())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    node = expr()
+    if pos != len(toks):
+        raise ValueError("parse_boolean_query: unbalanced parens")
+    return node
+
+
+def _bool_literals(node) -> list[str]:
+    kind = node[0]
+    if kind == "term":
+        return [node[1]]
+    if kind == "not":
+        return _bool_literals(node[1])
+    return [t for child in node[1] for t in _bool_literals(child)]
+
+
+def _bool_const_eval(node, value: bool) -> bool:
+    """Evaluate the AST with EVERY literal fixed to ``value`` — the
+    driver-side satisfiability probe behind the unbounded-query guard."""
+    kind = node[0]
+    if kind == "term":
+        return value
+    if kind == "not":
+        return not _bool_const_eval(node[1], value)
+    if kind == "and":
+        return all(_bool_const_eval(c, value) for c in node[1])
+    return any(_bool_const_eval(c, value) for c in node[1])
+
+
+def _bool_column(node, flags: dict):
+    kind = node[0]
+    if kind == "term":
+        return flags[node[1]]
+    if kind == "not":
+        return ~_bool_column(node[1], flags)
+    cols = [_bool_column(c, flags) for c in node[1]]
+    out = cols[0]
+    for c in cols[1:]:
+        out = (out & c) if kind == "and" else (out | c)
+    return out
+
+
+def _boolean_eval(
+    matches: DataFrame, node, k: int | None, caller: str
+) -> DataFrame:
+    """Shared tail of every boolean-search face: ``matches`` is the
+    (token, doc) hit stream for the query's literals (duplicates
+    fine), and the output is ``(doc, n_terms_matched)`` for documents
+    satisfying the AST, docs ascending (``k`` caps).
+
+    Design: set algebra COLLAPSES to one aggregate — per-doc presence
+    flags (``max(token = t)`` per literal, map-side combined) and the
+    AST compiled to ONE boolean column over them, evaluated in the
+    same filter. The alternative every textbook plan reaches for —
+    one scan per term + INTERSECT/EXCEPT joins shaped like the query
+    tree — costs a scan and a shuffle PER OPERATOR node; this shape
+    is one scan and one shuffle regardless of query complexity, and
+    Catalyst folds the flag expressions into the aggregate's codegen.
+
+    NOT is evaluated as absence WITHIN the candidate set (docs
+    matching at least one query literal). A query satisfiable with
+    every literal false (``NOT a``, ``b OR NOT a``) would match every
+    document that contains none of the terms — unbounded output the
+    index cannot enumerate — and raises here (the driver-side
+    all-false probe), the same contract search engines ship as
+    "queries cannot be purely negative".
+    """
+    terms = sorted(set(_bool_literals(node)))
+    if _bool_const_eval(node, False):
+        raise ValueError(
+            f"{caller}: query is satisfiable with no term present "
+            "(purely-negative shape) — it would match the entire "
+            "corpus minus the candidates; add a positive clause"
+        )
+    flag_cols = {
+        t: F.max(F.when(F.col("token") == t, True).otherwise(False)).alias(
+            f"_bq_{i}"
+        )
+        for i, t in enumerate(terms)
+    }
+    per_doc = matches.groupBy("doc").agg(
+        *flag_cols.values(),
+        F.count_distinct("token").cast("long").alias("n_terms_matched"),
+    )
+    flags = {t: F.col(f"_bq_{i}") for i, t in enumerate(terms)}
+    out = per_doc.filter(_bool_column(node, flags)).select(
+        "doc", "n_terms_matched"
+    )
+    if k is None:
+        return out.orderBy("doc")
+    return out.orderBy("doc").limit(k)
+
+
+def boolean_search(
+    df: DataFrame,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int | None = None,
+) -> DataFrame:
+    """Boolean-query retrieval over the corpus:
+    ``boolean_search(docs, "(spark OR shuffle) AND tables AND NOT python")``
+    → ``(doc, n_terms_matched)`` for documents whose token sets
+    satisfy the expression (:func:`parse_boolean_query`'s grammar),
+    docs ascending. ``n_terms_matched`` counts the distinct query
+    literals present — the integer relevance hint AND/OR consumers
+    sort on when they want one.
+
+    Engine-exact end to end (set membership + integer count), so
+    catalog rows carry full value-hash oracles.
+
+    Scale posture: ONE corpus scan — the literal in-filter lands under
+    the token explode, the per-doc flag aggregate is map-side
+    combined on O(Σ matching doc_freq) rows, and the whole AST is one
+    codegen'd boolean column (:func:`_boolean_eval`; never a join per
+    operator). The indexed/segment faces
+    (:func:`boolean_search_indexed` / :func:`boolean_search_segments`)
+    skip the scan entirely.
+    """
+    node = parse_boolean_query(query)
+    terms = sorted(set(_bool_literals(node)))
+    matches = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).filter(F.col("token").isin(terms))
+    return _boolean_eval(matches, node, k, "boolean_search")
+
+
+def boolean_search_indexed(
+    index: DataFrame,
+    query: str,
+    k: int | None = None,
+) -> DataFrame:
+    """:func:`boolean_search` served from a PREBUILT inverted index
+    (:func:`build_inverted_index`) — identical output, value-exact
+    (pytest parity). Truncated posting lists raise: a capped list has
+    LOST docs, which silently breaks AND/NOT answers (the
+    :func:`keyword_search_indexed` contract).
+
+    Scale posture: the literal in-filter hits the index scan, the
+    explode fans out only the matching posting lists, then the shared
+    one-aggregate tail."""
+    node = parse_boolean_query(query)
+    terms = sorted(set(_bool_literals(node)))
+    hit = index.filter(F.col("token").isin(terms))
+    guarded = hit.withColumn(
+        "_bi_post",
+        F.when(~F.col("truncated"), F.col("postings")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "boolean_search_indexed: truncated posting list "
+                        "for term: "
+                    ),
+                    F.col("token"),
+                )
+            )
+        ),
+    )
+    matches = guarded.select(
+        "token", F.explode("_bi_post").alias("p")
+    ).select("token", F.col("p.doc").alias("doc"))
+    return _boolean_eval(matches, node, k, "boolean_search_indexed")
+
+
+def boolean_search_segments(
+    segments: list[DataFrame],
+    query: str,
+    k: int | None = None,
+    tombstones: list[DataFrame] | None = None,
+) -> DataFrame:
+    """:func:`boolean_search` served directly from LSM segments AND
+    tombstones — boolean queries answer from maintained state with
+    deletes visible and no compaction on the query path:
+    ``serve(segments ∪ tombstones) == boolean_search(survivors)``
+    exactly (pytest parity; the catalog row's oracle recomputes from
+    the surviving corpus). The literal in-filter lands below the
+    segment union (each scan reads |terms| rows), the sign-algebra
+    net and its integrity guards are :func:`_segment_net_rows`'
+    (corruption the query touches raises; :func:`compact_segments` is
+    the full audit), then the shared one-aggregate tail."""
+    node = parse_boolean_query(query)
+    terms = sorted(set(_bool_literals(node)))
+    net = _segment_net_rows(
+        segments, tombstones, "boolean_search_segments", terms=terms
+    )
+    return _boolean_eval(
+        net.select("token", "doc"), node, k, "boolean_search_segments"
+    )

@@ -1979,6 +1979,58 @@ def docs_keyword_search(spark, sf_dir):
     )
 
 
+def docs_boolean_search(spark, sf_dir):
+    """Boolean QUERY-LANGUAGE retrieval (operators/search.
+    boolean_search): documents satisfying
+    "(spark OR hash) AND data AND NOT merge" — the AND/OR/NOT/parens
+    grammar composed over token membership, which the plain
+    keyword_search faces (all-AND or all-OR) cannot express and the
+    reference's one-list-per-scan equality indexes
+    (space.go:79-108) cannot compose at all. One corpus scan, per-doc
+    presence flags in one map-side-combined aggregate, the whole AST
+    as ONE codegen'd boolean column — never a join per operator node.
+    NOT is absence within the candidate set; purely-negative queries
+    raise. Engine-exact (set membership + integer count)."""
+    from esdb_spark.operators.search import boolean_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boolean_search(
+        docs, "(spark OR hash) AND data AND NOT merge", "text", "doc_id"
+    )
+
+
+def docs_boolean_search_segments(spark, sf_dir):
+    """Boolean query language served from LSM segments WITH tombstone
+    deletes (operators/search.boolean_search_segments): three disjoint
+    append segments + a tombstone segment for the doc_id % 7 == 0
+    docs, answered with no compaction — the literal in-filter lands
+    below the segment union, then the same one-aggregate AST tail as
+    docs_boolean_search. The oracle recomputes from the SURVIVING
+    corpus, so the row asserts serve(segments ∪ tombstones) ==
+    boolean_search(survivors) value-hash-exact — the maintained-state
+    guarantee extended to the composed query grammar."""
+    from esdb_spark.operators.search import (
+        boolean_search_segments,
+        build_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    segs = [
+        build_inverted_index(
+            docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+        )
+        for i in range(3)
+    ]
+    tomb = [
+        build_inverted_index(
+            docs.filter(F.col("doc_id") % 7 == 0), "text", "doc_id"
+        )
+    ]
+    return boolean_search_segments(
+        segs, "(spark OR hash) AND data AND NOT merge", tombstones=tomb
+    )
+
+
 def docs_phrase_search(spark, sf_dir):
     """Exact phrase search (operators/search.phrase_search): documents
     containing the consecutive-token phrase "fast table", with
@@ -4699,6 +4751,47 @@ _PIPELINE_ORACLES = {
     # the segment-serving oracle recomputes the keyword search from
     # the surviving corpus — serve(segments ∪ tombstones) ==
     # keyword_search(build(survivors))
+    # boolean query language: per-doc presence flags + the fixed
+    # expression — set membership and an integer count, engine-exact
+    "docs_boolean_search": f"""
+        WITH ex AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+        m AS (SELECT doc_id, token FROM ex
+              WHERE token IN ('data', 'hash', 'merge', 'spark')),
+        f AS (
+          SELECT doc_id,
+                 bool_or(token = 'spark') AS t_spark,
+                 bool_or(token = 'hash') AS t_hash,
+                 bool_or(token = 'data') AS t_data,
+                 bool_or(token = 'merge') AS t_merge,
+                 CAST(count(DISTINCT token) AS BIGINT) AS n_terms_matched
+          FROM m GROUP BY doc_id
+        )
+        SELECT doc_id AS doc, n_terms_matched FROM f
+        WHERE (t_spark OR t_hash) AND t_data AND NOT t_merge
+        ORDER BY doc
+    """,
+    # the segments-served twin recomputes from the SURVIVING corpus:
+    # serve(segments ∪ tombstones) == boolean_search(survivors)
+    "docs_boolean_search_segments": f"""
+        WITH ex AS (
+          SELECT doc_id, unnest({_TOK}) AS token FROM documents
+          WHERE doc_id % 7 != 0
+        ),
+        m AS (SELECT doc_id, token FROM ex
+              WHERE token IN ('data', 'hash', 'merge', 'spark')),
+        f AS (
+          SELECT doc_id,
+                 bool_or(token = 'spark') AS t_spark,
+                 bool_or(token = 'hash') AS t_hash,
+                 bool_or(token = 'data') AS t_data,
+                 bool_or(token = 'merge') AS t_merge,
+                 CAST(count(DISTINCT token) AS BIGINT) AS n_terms_matched
+          FROM m GROUP BY doc_id
+        )
+        SELECT doc_id AS doc, n_terms_matched FROM f
+        WHERE (t_spark OR t_hash) AND t_data AND NOT t_merge
+        ORDER BY doc
+    """,
     "docs_keyword_search_segments": f"""
         WITH ex AS (
           SELECT doc_id, unnest({_TOK}) AS token FROM documents
@@ -6779,6 +6872,8 @@ def catalog() -> dict[str, Q]:
         ("parts_bought_together", parts_bought_together),
         ("parts_also_bought", parts_also_bought),
         ("docs_keyword_search", docs_keyword_search),
+        ("docs_boolean_search", docs_boolean_search),
+        ("docs_boolean_search_segments", docs_boolean_search_segments),
         ("docs_hybrid_rrf", docs_hybrid_rrf),
         ("docs_phrase_search", docs_phrase_search),
         ("docs_inverted_index", docs_inverted_index),

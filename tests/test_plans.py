@@ -571,3 +571,18 @@ def test_ann_search_segments_plan_pruned_and_anti_broadcast(
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     # the store side never exchanges before the scorer
     assert "InPandas" in plan, plan
+
+
+def test_boolean_search_one_scan_no_joins(spark):
+    # the whole AND/OR/NOT AST must collapse into ONE scan + ONE
+    # aggregate — a join per operator node is the textbook plan this
+    # operator exists to avoid
+    from esdb_spark.operators.search import boolean_search
+
+    docs = load_table(spark, SF_DIR, "documents")
+    q = boolean_search(docs, "(spark OR hash) AND data AND NOT merge")
+    plan = physical_plan(q)
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan and "Cartesian" not in plan, plan
+    # only doc_id + text reach the scan (column pruning)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan

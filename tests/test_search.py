@@ -1328,3 +1328,125 @@ def test_proximity_search_segments_serves_deletes(spark, grown_corpus):
         assert got == want, (w1, w2, d)
     with pytest.raises(ValueError):
         proximity_search_segments([seg1], "", "x", 2)
+
+
+# ---------------------------------------------------------------------------
+# boolean query language (r9): AND/OR/NOT/parens over the three faces
+
+
+@pytest.fixture(scope="module")
+def bool_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark joins tables fast"),
+            (2, "python shuffle tables"),
+            (3, "spark tables python"),
+            (4, "shuffle tables merge"),
+            (5, "spark alone"),
+            (6, "tables only here"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_parse_boolean_query_shapes():
+    from esdb_spark.operators.search import parse_boolean_query as p
+
+    assert p("a") == ("term", "a")
+    assert p("a AND b") == ("and", [("term", "a"), ("term", "b")])
+    assert p("a b") == p("a AND b")  # adjacency = implicit AND
+    # OR binds loosest: a AND b OR c == (a AND b) OR c
+    assert p("a b OR c") == (
+        "or", [("and", [("term", "a"), ("term", "b")]), ("term", "c")]
+    )
+    assert p("NOT a AND b") == (
+        "and", [("not", ("term", "a")), ("term", "b")]
+    )
+    assert p("a AND (b OR c)")[1][1][0] == "or"
+    # operator words are not queryable terms — a lone one is an error
+    for bad in ["", "(a OR b", "a )", "a AND", "NOT", "a OR OR b", "And"]:
+        with pytest.raises(ValueError):
+            p(bad)
+
+
+def test_boolean_search_semantics_and_model(spark, bool_corpus):
+    # cross-check against a pure-Python evaluation over token sets
+    from esdb_spark.operators.search import boolean_search
+
+    rows = [(r["doc_id"], set(r["text"].lower().split()))
+            for r in bool_corpus.collect()]
+
+    def model(pred):
+        return sorted(d for d, toks in rows if pred(toks))
+
+    cases = [
+        ("(spark OR shuffle) AND tables AND NOT python",
+         lambda t: (("spark" in t) or ("shuffle" in t))
+         and ("tables" in t) and ("python" not in t)),
+        ("tables AND NOT (python OR merge)",
+         lambda t: "tables" in t and not ("python" in t or "merge" in t)),
+        ("spark tables", lambda t: "spark" in t and "tables" in t),
+        ("spark OR merge", lambda t: "spark" in t or "merge" in t),
+        ("NOT NOT spark", lambda t: "spark" in t),
+    ]
+    for q, pred in cases:
+        got = [r["doc"] for r in boolean_search(bool_corpus, q).collect()]
+        assert got == model(pred), (q, got, model(pred))
+    # n_terms_matched counts distinct query literals present
+    out = {r["doc"]: r["n_terms_matched"] for r in boolean_search(
+        bool_corpus, "(spark OR shuffle) AND tables AND NOT python"
+    ).collect()}
+    assert out == {1: 2, 4: 2}
+    # k caps in doc-ascending order
+    capped = [r["doc"] for r in boolean_search(
+        bool_corpus, "tables", k=2
+    ).collect()]
+    assert capped == [1, 2]
+
+
+def test_boolean_search_purely_negative_raises(spark, bool_corpus):
+    from esdb_spark.operators.search import boolean_search
+
+    for q in ["NOT python", "a OR NOT b", "NOT (a AND b)"]:
+        with pytest.raises(ValueError, match="purely-negative"):
+            boolean_search(bool_corpus, q)
+
+
+def test_boolean_search_indexed_parity_and_truncation(spark, bool_corpus):
+    from esdb_spark.operators.search import (
+        boolean_search,
+        boolean_search_indexed,
+        build_inverted_index,
+    )
+
+    q = "(spark OR shuffle) AND tables AND NOT python"
+    idx = build_inverted_index(bool_corpus)
+    want = [tuple(r) for r in boolean_search(bool_corpus, q).collect()]
+    got = [tuple(r) for r in boolean_search_indexed(idx, q).collect()]
+    assert got == want and got
+    # a capped index LOSES docs — boolean answers must refuse it
+    capped = build_inverted_index(bool_corpus, max_postings=1)
+    with pytest.raises(Exception, match="truncated posting list"):
+        boolean_search_indexed(capped, q).collect()
+
+
+def test_boolean_search_segments_serves_deletes(spark, bool_corpus):
+    # serve(segments ∪ tombstones) == boolean_search(survivors)
+    from esdb_spark.operators.search import (
+        boolean_search,
+        boolean_search_segments,
+        build_inverted_index,
+    )
+
+    q = "(spark OR shuffle) AND tables AND NOT python"
+    segs = [
+        build_inverted_index(bool_corpus.filter(f"doc_id % 2 = {i}"))
+        for i in range(2)
+    ]
+    tomb = [build_inverted_index(bool_corpus.filter("doc_id = 4"))]
+    survivors = bool_corpus.filter("doc_id != 4")
+    got = [tuple(r) for r in boolean_search_segments(
+        segs, q, tombstones=tomb
+    ).collect()]
+    want = [tuple(r) for r in boolean_search(survivors, q).collect()]
+    assert got == want and got
