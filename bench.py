@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     # boolean query language (AND/OR/NOT/parens) — one scan, one
     # aggregate, the AST as one codegen'd column
     "docs_boolean_search",
+    # the composed grammar (terms + quoted phrases) served from
+    # positional LSM segments with doc-id tombstone deletes
+    "docs_boolean_phrase_positional",
 ]
 
 

@@ -2044,26 +2044,32 @@ def keyword_search_indexed(
 
 def parse_boolean_query(query: str):
     """Parse a boolean retrieval query — ``AND`` / ``OR`` / ``NOT`` /
-    parentheses over single-word terms — into a nested-tuple AST:
-    ``("term", t)``, ``("not", node)``, ``("and", [nodes])``,
-    ``("or", [nodes])``. The grammar every search box speaks and the
-    reference's equality-indexed lookups cannot compose
-    (space.go:79-108 serves ONE name:value list per scan):
+    parentheses over single-word terms and ``"quoted phrases"`` — into
+    a nested-tuple AST: ``("term", t)``, ``("phrase", (w0, w1, ...))``,
+    ``("not", node)``, ``("and", [nodes])``, ``("or", [nodes])``. The
+    grammar every search box speaks and the reference's
+    equality-indexed lookups cannot compose (space.go:79-108 serves
+    ONE name:value list per scan):
 
         expr   := and_e (OR and_e)*
         and_e  := unary (AND? unary)*      -- adjacency = implicit AND
-        unary  := NOT unary | '(' expr ')' | TERM
+        unary  := NOT unary | '(' expr ')' | TERM | '"' WORDS '"'
 
-    Operator keywords are case-insensitive; terms lowercase through
-    the house tokenizer convention (whitespace words), so the words
-    ``and``/``or``/``not`` themselves are not queryable terms — the
-    standard lucene-syntax tradeoff, documented rather than escaped.
-    Pure Python, runs on the driver once per query; raises ValueError
-    on empty input, unbalanced parens, dangling operators.
+    A quoted operand matches as a CONSECUTIVE-token phrase (the
+    :func:`phrase_search` semantics); a one-word quote is just its
+    term; an empty quote raises. Operator keywords are
+    case-insensitive; terms lowercase through the house tokenizer
+    convention (whitespace words), so the words ``and``/``or``/``not``
+    themselves are only queryable QUOTED — the standard lucene-syntax
+    tradeoff. Pure Python, runs on the driver once per query; raises
+    ValueError on empty input, unbalanced parens/quotes, dangling
+    operators.
     """
     import re
 
-    toks = re.findall(r"\(|\)|[^\s()]+", query)
+    if query.count('"') % 2:
+        raise ValueError("parse_boolean_query: unbalanced quote")
+    toks = re.findall(r'"[^"]*"|\(|\)|[^\s()"]+', query)
     if not toks:
         raise ValueError("parse_boolean_query: empty query")
     pos = 0
@@ -2096,6 +2102,13 @@ def parse_boolean_query(query: str):
                 raise ValueError("parse_boolean_query: unbalanced parens")
             take()
             return node
+        if t.startswith('"'):
+            words = tuple(take()[1:-1].lower().split())
+            if not words:
+                raise ValueError("parse_boolean_query: empty phrase")
+            if len(words) == 1:
+                return ("term", words[0])
+            return ("phrase", words)
         return ("term", take().lower())
 
     def and_e():
@@ -2122,20 +2135,48 @@ def parse_boolean_query(query: str):
     return node
 
 
+def _bool_marker(node) -> str:
+    """A literal node's flag key: the term itself, or the phrase's
+    space-joined words — which can never collide with a real token
+    (the tokenizer splits on whitespace, so no token contains one)."""
+    return node[1] if node[0] == "term" else " ".join(node[1])
+
+
 def _bool_literals(node) -> list[str]:
+    """Every literal operand's marker (terms AND phrases)."""
     kind = node[0]
-    if kind == "term":
-        return [node[1]]
+    if kind in ("term", "phrase"):
+        return [_bool_marker(node)]
     if kind == "not":
         return _bool_literals(node[1])
     return [t for child in node[1] for t in _bool_literals(child)]
+
+
+def _bool_phrases(node) -> list[tuple]:
+    kind = node[0]
+    if kind == "phrase":
+        return [node[1]]
+    if kind == "term":
+        return []
+    if kind == "not":
+        return _bool_phrases(node[1])
+    return [p for child in node[1] for p in _bool_phrases(child)]
+
+
+def _bool_words(node) -> list[str]:
+    """Every distinct WORD the query touches (phrase words included) —
+    the literal in-filter the scan needs."""
+    out = set()
+    for m in _bool_literals(node):
+        out.update(m.split())
+    return sorted(out)
 
 
 def _bool_const_eval(node, value: bool) -> bool:
     """Evaluate the AST with EVERY literal fixed to ``value`` — the
     driver-side satisfiability probe behind the unbounded-query guard."""
     kind = node[0]
-    if kind == "term":
+    if kind in ("term", "phrase"):
         return value
     if kind == "not":
         return not _bool_const_eval(node[1], value)
@@ -2146,8 +2187,8 @@ def _bool_const_eval(node, value: bool) -> bool:
 
 def _bool_column(node, flags: dict):
     kind = node[0]
-    if kind == "term":
-        return flags[node[1]]
+    if kind in ("term", "phrase"):
+        return flags[_bool_marker(node)]
     if kind == "not":
         return ~_bool_column(node[1], flags)
     cols = [_bool_column(c, flags) for c in node[1]]
@@ -2155,6 +2196,44 @@ def _bool_column(node, flags: dict):
     for c in cols[1:]:
         out = (out & c) if kind == "and" else (out | c)
     return out
+
+
+def _phrase_marker_rows(ex: DataFrame, phrases: list[tuple]) -> DataFrame:
+    """Per-doc phrase flags as (doc, token=marker) rows from ONE
+    exploded (doc, pos, token) frame: every phrase's words fan out
+    through one broadcast (token → phrase, slot) map (a word shared by
+    two phrases fans to both), candidate starts are ``pos − slot``,
+    and a (doc, phrase, start) holding all n distinct slots is an
+    occurrence — :func:`phrase_search_indexed`'s slot trick
+    generalized to many phrases in one pass. Output rows are distinct
+    per (doc, phrase); the marker contains a space, so it can never
+    collide with a real token in the flag aggregate downstream."""
+    spark = ex.sparkSession
+    rows = [
+        (w, j, " ".join(p), len(p))
+        for p in sorted(set(phrases))
+        for j, w in enumerate(p)
+    ]
+    slot_map = spark.createDataFrame(
+        rows, "token string, _bp_slot int, _bp_ph string, _bp_n int"
+    )
+    starts = (
+        ex.join(F.broadcast(slot_map), "token")
+        .select(
+            "doc",
+            "_bp_ph",
+            "_bp_n",
+            "_bp_slot",
+            (F.col("pos") - F.col("_bp_slot")).alias("_bp_start"),
+        )
+        .filter(F.col("_bp_start") >= 0)
+    )
+    occ = (
+        starts.groupBy("doc", "_bp_ph", "_bp_n", "_bp_start")
+        .agg(F.count_distinct("_bp_slot").alias("_bp_k"))
+        .filter(F.col("_bp_k") == F.col("_bp_n"))
+    )
+    return occ.select("doc", F.col("_bp_ph").alias("token")).distinct()
 
 
 def _boolean_eval(
@@ -2235,11 +2314,20 @@ def boolean_search(
     skip the scan entirely.
     """
     node = parse_boolean_query(query)
-    terms = sorted(set(_bool_literals(node)))
-    matches = df.select(
+    words = _bool_words(node)
+    phrases = _bool_phrases(node)
+    ex = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(tokens(text_col)).alias("token"),
-    ).filter(F.col("token").isin(terms))
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    ).filter(F.col("token").isin(words))
+    terms = sorted(
+        set(_bool_literals(node)) - {" ".join(p) for p in phrases}
+    )
+    matches = ex.filter(F.col("token").isin(terms)).select("doc", "token")
+    if phrases:
+        # quoted operands flag through the same exploded frame — still
+        # ONE corpus scan; the slot map is a broadcast literal
+        matches = matches.unionByName(_phrase_marker_rows(ex, phrases))
     return _boolean_eval(matches, node, k, "boolean_search")
 
 
@@ -2256,8 +2344,16 @@ def boolean_search_indexed(
 
     Scale posture: the literal in-filter hits the index scan, the
     explode fans out only the matching posting lists, then the shared
-    one-aggregate tail."""
+    one-aggregate tail. Quoted phrases need positions the boolean
+    index does not store — they raise here and serve from
+    :func:`boolean_search_positional` instead."""
     node = parse_boolean_query(query)
+    if _bool_phrases(node):
+        raise ValueError(
+            "boolean_search_indexed: the query contains quoted phrases "
+            "— the boolean index stores no positions; serve it with "
+            "boolean_search_positional over a positional index"
+        )
     terms = sorted(set(_bool_literals(node)))
     hit = index.filter(F.col("token").isin(terms))
     guarded = hit.withColumn(
@@ -2295,12 +2391,92 @@ def boolean_search_segments(
     segment union (each scan reads |terms| rows), the sign-algebra
     net and its integrity guards are :func:`_segment_net_rows`'
     (corruption the query touches raises; :func:`compact_segments` is
-    the full audit), then the shared one-aggregate tail."""
+    the full audit), then the shared one-aggregate tail. Quoted
+    phrases raise (no positions in boolean segments) — use
+    :func:`boolean_search_positional_segments`."""
     node = parse_boolean_query(query)
+    if _bool_phrases(node):
+        raise ValueError(
+            "boolean_search_segments: the query contains quoted "
+            "phrases — boolean segments store no positions; serve it "
+            "with boolean_search_positional_segments"
+        )
     terms = sorted(set(_bool_literals(node)))
     net = _segment_net_rows(
         segments, tombstones, "boolean_search_segments", terms=terms
     )
     return _boolean_eval(
         net.select("token", "doc"), node, k, "boolean_search_segments"
+    )
+
+
+def _boolean_eval_positional(
+    flat: DataFrame, node, k: int | None, caller: str
+) -> DataFrame:
+    """Shared tail of the positional boolean faces: ``flat`` is a flat
+    positional frame ``(token, doc, positions)`` already filtered (or
+    filterable) to the query's words; term flags come straight from
+    row presence, phrase flags from ONE positions explode through
+    :func:`_phrase_marker_rows` — both operand kinds served by the
+    same single index scan."""
+    phrases = _bool_phrases(node)
+    terms = sorted(
+        set(_bool_literals(node)) - {" ".join(p) for p in phrases}
+    )
+    matches = flat.filter(F.col("token").isin(terms)).select("doc", "token")
+    if phrases:
+        ex = flat.select(
+            "doc", "token", F.explode("positions").alias("pos")
+        )
+        matches = matches.unionByName(_phrase_marker_rows(ex, phrases))
+    return _boolean_eval(matches, node, k, caller)
+
+
+def boolean_search_positional(
+    index: DataFrame,
+    query: str,
+    k: int | None = None,
+) -> DataFrame:
+    """:func:`boolean_search` — INCLUDING quoted phrase operands —
+    served from a prebuilt FLAT positional index
+    (:func:`build_positional_index`): value-exact with the corpus face
+    (pytest parity). One index scan covers both operand kinds: term
+    flags are row presence, phrase flags explode the matching rows'
+    positions through the multi-phrase slot trick
+    (:func:`_phrase_marker_rows`). This is the face that makes the
+    positional index the UNIVERSAL serving structure — keyword,
+    phrase, NEAR, and now arbitrary boolean compositions of all of
+    them answer from the same maintained state."""
+    node = parse_boolean_query(query)
+    flat = index.filter(F.col("token").isin(_bool_words(node)))
+    return _boolean_eval_positional(
+        flat, node, k, "boolean_search_positional"
+    )
+
+
+def boolean_search_positional_segments(
+    segments: list[DataFrame],
+    query: str,
+    k: int | None = None,
+    tombstones: list[DataFrame] | None = None,
+) -> DataFrame:
+    """:func:`boolean_search_positional` served directly from
+    positional LSM segments AND doc-id tombstones — the composed
+    query grammar (terms, phrases, AND/OR/NOT) answers from maintained
+    state with deletes visible and no compaction on the query path:
+    ``serve(segments ∪ tombstones) == boolean_search(survivors)``
+    exactly. The word in-filter lands below the segment union; the
+    netting core, guards, and ordering contract are
+    :func:`_positional_net_rows`' (the :func:`phrase_search_segments`
+    discipline applies: never pass a post-tombstone re-insert segment
+    — the streaming maintainer pre-compacts)."""
+    node = parse_boolean_query(query)
+    net = _positional_net_rows(
+        segments,
+        tombstones,
+        "boolean_search_positional_segments",
+        terms=_bool_words(node),
+    )
+    return _boolean_eval_positional(
+        net, node, k, "boolean_search_positional_segments"
     )

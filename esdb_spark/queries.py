@@ -2031,6 +2031,60 @@ def docs_boolean_search_segments(spark, sf_dir):
     )
 
 
+def docs_boolean_phrase_search(spark, sf_dir):
+    """Boolean query language with QUOTED PHRASE operands
+    (operators/search.boolean_search): documents satisfying
+    '(spark OR "fast table") AND data AND NOT merge' — consecutive-
+    token phrases compose with terms under AND/OR/NOT in one grammar
+    (lucene-style), which neither the keyword faces nor the plain
+    phrase faces can express alone. Still ONE corpus scan: term flags
+    and phrase starts both derive from the same posexplode, phrases
+    through the multi-phrase slot trick (a broadcast token→(phrase,
+    slot) literal), and the AST stays one codegen'd boolean column.
+    Engine-exact (membership + integer positions + integer count)."""
+    from esdb_spark.operators.search import boolean_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boolean_search(
+        docs, '(spark OR "fast table") AND data AND NOT merge',
+        "text", "doc_id",
+    )
+
+
+def docs_boolean_phrase_positional(spark, sf_dir):
+    """The composed query grammar — terms, quoted phrases, AND/OR/NOT
+    — served from positional LSM segments WITH doc-id tombstone
+    deletes (operators/search.boolean_search_positional_segments):
+    three disjoint flat positional segments, the doc_id % 7 == 0 docs
+    tombstoned by ID, no compaction on the query path. The oracle
+    recomputes from the SURVIVING corpus, so the row asserts
+    serve(segments ∪ tombstones) == boolean_search(survivors)
+    value-hash-exact — the positional index as the UNIVERSAL serving
+    structure: keyword, phrase, NEAR, and arbitrary boolean
+    compositions all answer from the same maintained state."""
+    from esdb_spark.operators.search import (
+        boolean_search_positional_segments,
+        build_positional_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    segs = [
+        build_positional_index(
+            docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+        )
+        for i in range(3)
+    ]
+    tomb = [
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.col("doc_id").alias("doc")
+        )
+    ]
+    return boolean_search_positional_segments(
+        segs, '(spark OR "fast table") AND data AND NOT merge',
+        tombstones=tomb,
+    )
+
+
 def docs_phrase_search(spark, sf_dir):
     """Exact phrase search (operators/search.phrase_search): documents
     containing the consecutive-token phrase "fast table", with
@@ -4770,6 +4824,54 @@ _PIPELINE_ORACLES = {
         WHERE (t_spark OR t_hash) AND t_data AND NOT t_merge
         ORDER BY doc
     """,
+    # quoted phrases compose into the boolean grammar: the phrase flag
+    # replays as a consecutive-token window over the same token list
+    # (the docs_phrase_search shape); n_terms_matched = sum of the
+    # present operand flags (terms + the phrase)
+    "docs_boolean_phrase_search": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        f AS (
+          SELECT doc_id,
+                 list_contains(toks, 'spark') AS t_spark,
+                 list_contains(toks, 'data') AS t_data,
+                 list_contains(toks, 'merge') AS t_merge,
+                 len(list_filter(generate_series(1, len(toks) - 1),
+                     i -> toks[i] = 'fast' AND toks[i + 1] = 'table'
+                 )) > 0 AS t_ph
+          FROM t
+        )
+        SELECT doc_id AS doc,
+               CAST(t_spark::INT + t_data::INT + t_merge::INT
+                    + t_ph::INT AS BIGINT) AS n_terms_matched
+        FROM f
+        WHERE (t_spark OR t_ph) AND t_data AND NOT t_merge
+        ORDER BY doc
+    """,
+    # the positional-segments-served twin recomputes from the
+    # SURVIVING corpus: serve(segments ∪ doc-id tombstones) ==
+    # boolean_search(survivors), phrases included
+    "docs_boolean_phrase_positional": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOK} AS toks FROM documents
+          WHERE doc_id % 7 != 0
+        ),
+        f AS (
+          SELECT doc_id,
+                 list_contains(toks, 'spark') AS t_spark,
+                 list_contains(toks, 'data') AS t_data,
+                 list_contains(toks, 'merge') AS t_merge,
+                 len(list_filter(generate_series(1, len(toks) - 1),
+                     i -> toks[i] = 'fast' AND toks[i + 1] = 'table'
+                 )) > 0 AS t_ph
+          FROM t
+        )
+        SELECT doc_id AS doc,
+               CAST(t_spark::INT + t_data::INT + t_merge::INT
+                    + t_ph::INT AS BIGINT) AS n_terms_matched
+        FROM f
+        WHERE (t_spark OR t_ph) AND t_data AND NOT t_merge
+        ORDER BY doc
+    """,
     # the segments-served twin recomputes from the SURVIVING corpus:
     # serve(segments ∪ tombstones) == boolean_search(survivors)
     "docs_boolean_search_segments": f"""
@@ -6874,6 +6976,8 @@ def catalog() -> dict[str, Q]:
         ("docs_keyword_search", docs_keyword_search),
         ("docs_boolean_search", docs_boolean_search),
         ("docs_boolean_search_segments", docs_boolean_search_segments),
+        ("docs_boolean_phrase_search", docs_boolean_phrase_search),
+        ("docs_boolean_phrase_positional", docs_boolean_phrase_positional),
         ("docs_hybrid_rrf", docs_hybrid_rrf),
         ("docs_phrase_search", docs_phrase_search),
         ("docs_inverted_index", docs_inverted_index),

@@ -1450,3 +1450,103 @@ def test_boolean_search_segments_serves_deletes(spark, bool_corpus):
     ).collect()]
     want = [tuple(r) for r in boolean_search(survivors, q).collect()]
     assert got == want and got
+
+
+def test_parse_boolean_query_phrases():
+    from esdb_spark.operators.search import parse_boolean_query as p
+
+    assert p('"fast table"') == ("phrase", ("fast", "table"))
+    assert p('"spark"') == ("term", "spark")  # one-word quote = term
+    assert p('a AND "b c" OR d') == (
+        "or",
+        [("and", [("term", "a"), ("phrase", ("b", "c"))]), ("term", "d")],
+    )
+    for bad in ['""', '"a', 'a"']:
+        with pytest.raises(ValueError):
+            p(bad)
+
+
+@pytest.fixture(scope="module")
+def phrase_bool_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark joins fast table now"),
+            (2, "python shuffle tables fast"),
+            (3, "spark table fast python"),
+            (4, "the fast table merge"),
+            (5, "spark alone"),
+            (6, "fast table fast table"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_boolean_search_phrase_operands_model(spark, phrase_bool_corpus):
+    # quoted operands match as consecutive-token phrases; cross-check
+    # against a pure-Python model over token lists
+    from esdb_spark.operators.search import boolean_search
+
+    rows = [(r["doc_id"], r["text"].lower().split())
+            for r in phrase_bool_corpus.collect()]
+
+    def has_phrase(toks, words):
+        n = len(words)
+        return any(
+            toks[i:i + n] == list(words) for i in range(len(toks) - n + 1)
+        )
+
+    cases = [
+        ('(spark OR "fast table") AND NOT python',
+         lambda t: ("spark" in t or has_phrase(t, ("fast", "table")))
+         and "python" not in t),
+        ('"fast table" AND merge',
+         lambda t: has_phrase(t, ("fast", "table")) and "merge" in t),
+        ('fast AND "fast table fast"',  # duplicate phrase word + overlap
+         lambda t: "fast" in t and has_phrase(t, ("fast", "table", "fast"))),
+    ]
+    for q, pred in cases:
+        got = [r["doc"] for r in boolean_search(phrase_bool_corpus, q).collect()]
+        want = sorted(d for d, toks in rows if pred(toks))
+        assert got == want, (q, got, want)
+
+
+def test_boolean_positional_faces_parity_and_deletes(
+    spark, phrase_bool_corpus
+):
+    from esdb_spark.operators.search import (
+        boolean_search,
+        boolean_search_positional,
+        boolean_search_positional_segments,
+        build_positional_index,
+    )
+
+    q = '(spark OR "fast table") AND NOT python'
+    want = [tuple(r) for r in boolean_search(phrase_bool_corpus, q).collect()]
+    pidx = build_positional_index(phrase_bool_corpus)
+    got = [tuple(r) for r in boolean_search_positional(pidx, q).collect()]
+    assert got == want and got
+    segs = [
+        build_positional_index(phrase_bool_corpus.filter(f"doc_id % 2 = {i}"))
+        for i in range(2)
+    ]
+    tomb = [spark.createDataFrame([(4,)], "doc int")]
+    survivors = phrase_bool_corpus.filter("doc_id != 4")
+    gs = [tuple(r) for r in boolean_search_positional_segments(
+        segs, q, tombstones=tomb
+    ).collect()]
+    ws = [tuple(r) for r in boolean_search(survivors, q).collect()]
+    assert gs == ws and gs
+
+
+def test_boolean_index_faces_reject_phrases(spark, phrase_bool_corpus):
+    from esdb_spark.operators.search import (
+        boolean_search_indexed,
+        boolean_search_segments,
+        build_inverted_index,
+    )
+
+    idx = build_inverted_index(phrase_bool_corpus)
+    with pytest.raises(ValueError, match="positional"):
+        boolean_search_indexed(idx, 'a AND "b c"')
+    with pytest.raises(ValueError, match="positional"):
+        boolean_search_segments([idx], 'a AND "b c"')
