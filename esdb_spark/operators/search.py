@@ -2480,3 +2480,127 @@ def boolean_search_positional_segments(
     return _boolean_eval_positional(
         net, node, k, "boolean_search_positional_segments"
     )
+
+
+def snippet_extract(
+    df: DataFrame,
+    terms: list[str],
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_snippets_per_doc: int = 3,
+) -> DataFrame:
+    """Keyword-in-context (KWIC) snippet extraction — the result-
+    presentation face of retrieval: for each document matching any
+    query term, the surrounding ``window`` tokens around each hit,
+    ``(doc, pos, snippet)`` with ``snippet`` the space-joined tokens
+    of positions ``[pos − window, pos + window]`` clipped to the
+    document. What a search UI renders under every result, and a
+    capability the reference's byte-payload scans leave entirely to
+    the application (event.go:16-21 — payloads are opaque).
+
+    ``max_snippets_per_doc`` keeps presentation semantics honest at
+    scale: the EARLIEST ``m`` hit positions per document (a
+    deterministic total order), so a stop-word query cannot explode
+    one long document into its full position fan-out. Snippets from
+    overlapping hits are emitted per hit, not merged — merging is a
+    display choice this operator does not impose.
+
+    Scale posture: hit positions aggregate per doc from one tokenize
+    pass (map-side combined, rows bounded by ``m``); only MATCHING
+    documents' text ships through the join that slices windows (inner
+    join on doc — the corpus never shuffles text for non-matching
+    docs); the slice is array arithmetic in the projection, no UDF.
+    Ordering (doc asc, pos asc) is total; engine-exact output, so the
+    catalog row carries a full value hash.
+    """
+    if window < 0:
+        raise ValueError("snippet_extract: window must be >= 0")
+    if max_snippets_per_doc < 1:
+        raise ValueError("snippet_extract: max_snippets_per_doc must be >= 1")
+    qt = _normalize_terms(terms, "snippet_extract")
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    ).filter(F.col("token").isin(qt))
+    hits = ex.groupBy("doc").agg(
+        F.slice(
+            F.sort_array(F.collect_list("pos")), 1, max_snippets_per_doc
+        ).alias("_sn_hits")
+    )
+    toked = df.select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("_sn_toks")
+    )
+    out = (
+        hits.join(toked, "doc")
+        .select(
+            "doc", "_sn_toks", F.explode("_sn_hits").alias("pos")
+        )
+        .select(
+            "doc",
+            F.col("pos").cast("long").alias("pos"),
+            F.array_join(
+                F.slice(
+                    F.col("_sn_toks"),
+                    F.greatest(F.lit(1), F.col("pos") + 1 - window),
+                    (
+                        F.least(
+                            F.size("_sn_toks") - 1, F.col("pos") + window
+                        )
+                        - F.greatest(F.lit(0), F.col("pos") - window)
+                        + 1
+                    ),
+                ),
+                " ",
+            ).alias("snippet"),
+        )
+    )
+    return out.orderBy("doc", "pos")
+
+
+def faceted_counts(
+    df: DataFrame,
+    query: str,
+    facet_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Faceted search counts — the aggregation panel next to every
+    result list: run the boolean ``query``
+    (:func:`parse_boolean_query`'s grammar, quoted phrases included)
+    and count the matching documents per value of each facet column,
+    ``(facet, value, n_docs)`` ordered (facet, n_docs desc, value).
+    NULL facet values count under the value ``NULL`` string — a facet
+    panel that silently drops the unknown bucket misreports the
+    corpus.
+
+    Scale posture: the match set comes from :func:`boolean_search`
+    (one scan, one aggregate); facet columns ride a semi-style inner
+    join keyed on doc (only matching docs ship their facet values),
+    then ONE stack/unpivot + aggregate produces every facet's counts
+    in a single pass — never one job per facet.
+    """
+    if not facet_cols:
+        raise ValueError("faceted_counts: no facet columns")
+    matched = boolean_search(df, query, text_col, id_col).select("doc")
+    faceted = matched.join(
+        df.select(
+            F.col(id_col).alias("doc"),
+            *[F.col(c).cast("string").alias(c) for c in facet_cols],
+        ),
+        "doc",
+    )
+    pairs = ", ".join(
+        f"'{c}', coalesce(`{c}`, 'NULL')" for c in facet_cols
+    )
+    stacked = faceted.select(
+        "doc",
+        F.expr(
+            f"stack({len(facet_cols)}, {pairs}) AS (facet, value)"
+        ),
+    )
+    return (
+        stacked.groupBy("facet", "value")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("facet", F.desc("n_docs"), "value")
+    )

@@ -2085,6 +2085,36 @@ def docs_boolean_phrase_positional(spark, sf_dir):
     )
 
 
+def docs_snippets(spark, sf_dir):
+    """Keyword-in-context snippet extraction (operators/search.
+    snippet_extract) — the result-presentation face: the ±3-token
+    window around each of the first 2 hits of {merge, spark} per
+    matching document. Hit positions aggregate map-side from one
+    tokenize pass; only MATCHING docs ship text through the slicing
+    join; the per-doc cap (earliest positions — a deterministic total
+    order) bounds a stop-word query's fan-out. Engine-exact: integer
+    positions + one array slice + one join."""
+    from esdb_spark.operators.search import snippet_extract
+
+    docs = load_table(spark, sf_dir, "documents")
+    return snippet_extract(
+        docs, ["merge", "spark"], window=3, max_snippets_per_doc=2
+    )
+
+
+def docs_faceted_counts(spark, sf_dir):
+    """Faceted search counts (operators/search.faceted_counts): run
+    the boolean query "spark AND data" and count matching documents
+    per lang and per source in ONE stack/unpivot pass — the
+    aggregation panel next to every result list, never one job per
+    facet. NULL facet values count under 'NULL' (a panel that drops
+    the unknown bucket misreports the corpus)."""
+    from esdb_spark.operators.search import faceted_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return faceted_counts(docs, "spark AND data", ["lang", "source"])
+
+
 def docs_phrase_search(spark, sf_dir):
     """Exact phrase search (operators/search.phrase_search): documents
     containing the consecutive-token phrase "fast table", with
@@ -4824,6 +4854,54 @@ _PIPELINE_ORACLES = {
         WHERE (t_spark OR t_hash) AND t_data AND NOT t_merge
         ORDER BY doc
     """,
+    # KWIC snippets: hit positions from an indexed unnest, per-doc cap
+    # by earliest position, the window as a 1-based inclusive list
+    # slice — all integer/array arithmetic, fully replayable
+    "docs_snippets": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        h0 AS (
+          SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+          FROM t
+        ),
+        h AS (
+          SELECT doc_id, i - 1 AS pos FROM h0
+          WHERE toks[i] IN ('merge', 'spark')
+        ),
+        capped AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, row_number() OVER (
+                     PARTITION BY doc_id ORDER BY pos) AS rk
+            FROM h
+          ) WHERE rk <= 2
+        )
+        SELECT c.doc_id AS doc, CAST(c.pos AS BIGINT) AS pos,
+               array_to_string(
+                 t.toks[greatest(1, c.pos + 1 - 3)
+                        : least(len(t.toks), c.pos + 1 + 3)],
+                 ' ') AS snippet
+        FROM capped c JOIN t ON c.doc_id = t.doc_id
+        ORDER BY doc, pos
+    """,
+    # faceted counts: the boolean match set unpivoted across facet
+    # columns, NULL bucket kept explicit
+    "docs_faceted_counts": f"""
+        WITH t AS (
+          SELECT doc_id, lang, source, {_TOK} AS toks FROM documents
+        ),
+        m AS (
+          SELECT doc_id, lang, source FROM t
+          WHERE list_contains(toks, 'spark')
+            AND list_contains(toks, 'data')
+        ),
+        u AS (
+          SELECT 'lang' AS facet, coalesce(lang, 'NULL') AS value FROM m
+          UNION ALL
+          SELECT 'source' AS facet, coalesce(source, 'NULL') AS value FROM m
+        )
+        SELECT facet, value, CAST(count(*) AS BIGINT) AS n_docs
+        FROM u GROUP BY facet, value
+        ORDER BY facet, n_docs DESC, value
+    """,
     # quoted phrases compose into the boolean grammar: the phrase flag
     # replays as a consecutive-token window over the same token list
     # (the docs_phrase_search shape); n_terms_matched = sum of the
@@ -6978,6 +7056,8 @@ def catalog() -> dict[str, Q]:
         ("docs_boolean_search_segments", docs_boolean_search_segments),
         ("docs_boolean_phrase_search", docs_boolean_phrase_search),
         ("docs_boolean_phrase_positional", docs_boolean_phrase_positional),
+        ("docs_snippets", docs_snippets),
+        ("docs_faceted_counts", docs_faceted_counts),
         ("docs_hybrid_rrf", docs_hybrid_rrf),
         ("docs_phrase_search", docs_phrase_search),
         ("docs_inverted_index", docs_inverted_index),

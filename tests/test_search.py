@@ -1550,3 +1550,57 @@ def test_boolean_index_faces_reject_phrases(spark, phrase_bool_corpus):
         boolean_search_indexed(idx, 'a AND "b c"')
     with pytest.raises(ValueError, match="positional"):
         boolean_search_segments([idx], 'a AND "b c"')
+
+
+def test_snippet_extract_windows_and_cap(spark):
+    from esdb_spark.operators.search import snippet_extract
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta spark gamma delta epsilon"),
+            (2, "spark at start and spark again later spark third spark x"),
+            (3, "no match here"),
+            (4, "tail word spark"),
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = [tuple(r) for r in snippet_extract(docs, ["spark"], window=2).collect()]
+    assert (1, 2, "alpha beta spark gamma delta") in out
+    # start/end clipping
+    assert (2, 0, "spark at start") in out
+    assert (4, 2, "tail word spark") in out
+    # cap keeps the EARLIEST hits (deterministic), 3 by default
+    d2 = [r for r in out if r[0] == 2]
+    assert [r[1] for r in d2] == [0, 4, 7]
+    # non-matching and empty docs never appear
+    assert all(r[0] in (1, 2, 4) for r in out)
+    # total order (doc, pos)
+    assert out == sorted(out, key=lambda r: (r[0], r[1]))
+    with pytest.raises(ValueError):
+        snippet_extract(docs, ["spark"], window=-1)
+    with pytest.raises(ValueError):
+        snippet_extract(docs, ["spark"], max_snippets_per_doc=0)
+
+
+def test_faceted_counts_matches_model(spark):
+    from esdb_spark.operators.search import faceted_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark data here", "en", "a"),
+            (2, "spark data there", "en", "b"),
+            (3, "spark only", "de", "a"),
+            (4, "spark data again", None, "b"),
+        ],
+        "doc_id int, text string, lang string, source string",
+    )
+    got = [tuple(r) for r in faceted_counts(
+        docs, "spark AND data", ["lang", "source"]
+    ).collect()]
+    assert got == [
+        ("lang", "en", 2), ("lang", "NULL", 1),
+        ("source", "b", 2), ("source", "a", 1),
+    ], got
+    with pytest.raises(ValueError):
+        faceted_counts(docs, "spark", [])
