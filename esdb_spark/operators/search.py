@@ -38,6 +38,8 @@ and counts, no floats anywhere.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from esdb_spark.functions import tokens
@@ -2052,18 +2054,23 @@ def parse_boolean_query(query: str):
     ONE name:value list per scan):
 
         expr   := and_e (OR and_e)*
-        and_e  := unary (AND? unary)*      -- adjacency = implicit AND
+        and_e  := prox (AND? prox)*        -- adjacency = implicit AND
+        prox   := unary (NEAR/d unary)?    -- proximity, terms only
         unary  := NOT unary | '(' expr ')' | TERM | '"' WORDS '"'
 
     A quoted operand matches as a CONSECUTIVE-token phrase (the
     :func:`phrase_search` semantics); a one-word quote is just its
-    term; an empty quote raises. Operator keywords are
+    term; an empty quote raises. ``a NEAR/3 b`` matches documents
+    where the two words occur within 3 token positions
+    (:func:`proximity_search` semantics) — operands must be single
+    terms, and NEAR does not chain (its result is a document
+    predicate, not a position set). Operator keywords are
     case-insensitive; terms lowercase through the house tokenizer
     convention (whitespace words), so the words ``and``/``or``/``not``
     themselves are only queryable QUOTED — the standard lucene-syntax
     tradeoff. Pure Python, runs on the driver once per query; raises
     ValueError on empty input, unbalanced parens/quotes, dangling
-    operators.
+    operators, non-term NEAR operands.
     """
     import re
 
@@ -2088,7 +2095,13 @@ def parse_boolean_query(query: str):
 
     def unary():
         t = peek()
-        if t is None or t == ")" or is_op(t, "AND") or is_op(t, "OR"):
+        if (
+            t is None
+            or t == ")"
+            or is_op(t, "AND")
+            or is_op(t, "OR")
+            or re.fullmatch(r"NEAR/\d+", t, re.IGNORECASE)
+        ):
             raise ValueError(
                 f"parse_boolean_query: expected a term at token {pos}"
             )
@@ -2111,15 +2124,34 @@ def parse_boolean_query(query: str):
             return ("phrase", words)
         return ("term", take().lower())
 
+    def prox():
+        left = unary()
+        t = peek()
+        m = re.fullmatch(r"NEAR/(\d+)", t or "", re.IGNORECASE)
+        if not m:
+            return left
+        take()
+        right = unary()
+        if left[0] != "term" or right[0] != "term":
+            raise ValueError(
+                "parse_boolean_query: NEAR operands must be single "
+                "terms (a NEAR result is a document predicate, not a "
+                "position set)"
+            )
+        d = int(m.group(1))
+        if d < 1:
+            raise ValueError("parse_boolean_query: NEAR distance must be >= 1")
+        return ("near", (left[1], right[1], d))
+
     def and_e():
-        parts = [unary()]
+        parts = [prox()]
         while True:
             t = peek()
             if t is None or t == ")" or is_op(t, "OR"):
                 break
             if is_op(t, "AND"):
                 take()
-            parts.append(unary())
+            parts.append(prox())
         return parts[0] if len(parts) == 1 else ("and", parts)
 
     def expr():
@@ -2136,16 +2168,22 @@ def parse_boolean_query(query: str):
 
 
 def _bool_marker(node) -> str:
-    """A literal node's flag key: the term itself, or the phrase's
-    space-joined words — which can never collide with a real token
-    (the tokenizer splits on whitespace, so no token contains one)."""
-    return node[1] if node[0] == "term" else " ".join(node[1])
+    """A literal node's flag key: the term itself, a phrase's
+    space-joined words, or ``"a NEAR/d b"`` — the multi-word markers
+    can never collide with a real token (the tokenizer splits on
+    whitespace, so no token contains a space)."""
+    if node[0] == "term":
+        return node[1]
+    if node[0] == "near":
+        wa, wb, d = node[1]
+        return f"{wa} NEAR/{d} {wb}"
+    return " ".join(node[1])
 
 
 def _bool_literals(node) -> list[str]:
-    """Every literal operand's marker (terms AND phrases)."""
+    """Every literal operand's marker (terms, phrases, NEAR ops)."""
     kind = node[0]
-    if kind in ("term", "phrase"):
+    if kind in ("term", "phrase", "near"):
         return [_bool_marker(node)]
     if kind == "not":
         return _bool_literals(node[1])
@@ -2156,11 +2194,22 @@ def _bool_phrases(node) -> list[tuple]:
     kind = node[0]
     if kind == "phrase":
         return [node[1]]
-    if kind == "term":
+    if kind in ("term", "near"):
         return []
     if kind == "not":
         return _bool_phrases(node[1])
     return [p for child in node[1] for p in _bool_phrases(child)]
+
+
+def _bool_nears(node) -> list[tuple]:
+    kind = node[0]
+    if kind == "near":
+        return [node[1]]
+    if kind in ("term", "phrase"):
+        return []
+    if kind == "not":
+        return _bool_nears(node[1])
+    return [n for child in node[1] for n in _bool_nears(child)]
 
 
 def _bool_words(node) -> list[str]:
@@ -2168,7 +2217,7 @@ def _bool_words(node) -> list[str]:
     the literal in-filter the scan needs."""
     out = set()
     for m in _bool_literals(node):
-        out.update(m.split())
+        out.update(w for w in m.split() if not re.fullmatch(r"NEAR/\d+", w))
     return sorted(out)
 
 
@@ -2176,7 +2225,7 @@ def _bool_const_eval(node, value: bool) -> bool:
     """Evaluate the AST with EVERY literal fixed to ``value`` — the
     driver-side satisfiability probe behind the unbounded-query guard."""
     kind = node[0]
-    if kind in ("term", "phrase"):
+    if kind in ("term", "phrase", "near"):
         return value
     if kind == "not":
         return not _bool_const_eval(node[1], value)
@@ -2187,7 +2236,7 @@ def _bool_const_eval(node, value: bool) -> bool:
 
 def _bool_column(node, flags: dict):
     kind = node[0]
-    if kind in ("term", "phrase"):
+    if kind in ("term", "phrase", "near"):
         return flags[_bool_marker(node)]
     if kind == "not":
         return ~_bool_column(node[1], flags)
@@ -2234,6 +2283,32 @@ def _phrase_marker_rows(ex: DataFrame, phrases: list[tuple]) -> DataFrame:
         .filter(F.col("_bp_k") == F.col("_bp_n"))
     )
     return occ.select("doc", F.col("_bp_ph").alias("token")).distinct()
+
+
+def _near_marker_rows(flat: DataFrame, nears: list[tuple]) -> DataFrame:
+    """Per-doc NEAR flags as (doc, token=marker) rows from a flat
+    positional frame: one :func:`proximity_search` per NEAR operand
+    (each is a two-word in-filter + the bucketed pair join — never
+    tf_a × tf_b), reduced to its doc set. Queries carry few NEAR ops,
+    so the union stays short; the marker contains spaces and a slash,
+    collision-free against real tokens."""
+    nwords = sorted({w for wa, wb, _ in nears for w in (wa, wb)})
+    # the pair join references its input once per leg per operand — a
+    # plan reference re-executes the upstream (index scan or grouped
+    # aggregate) each time (the proximity_search_segments review
+    # finding). Materialize the NEAR words' rows once: bounded by
+    # Σ doc_freq of the operand words, the posting-list size every
+    # serving face already holds in flight.
+    sub = flat.filter(F.col("token").isin(nwords)).localCheckpoint()
+    out = None
+    for wa, wb, d in sorted(set(nears)):
+        marker = f"{wa} NEAR/{d} {wb}"
+        docs = (
+            proximity_search(sub, wa, wb, d)
+            .select("doc", F.lit(marker).alias("token"))
+        )
+        out = docs if out is None else out.unionByName(docs)
+    return out
 
 
 def _boolean_eval(
@@ -2320,14 +2395,27 @@ def boolean_search(
         F.col(id_col).alias("doc"),
         F.posexplode(tokens(text_col)).alias("pos", "token"),
     ).filter(F.col("token").isin(words))
+    nears = _bool_nears(node)
     terms = sorted(
-        set(_bool_literals(node)) - {" ".join(p) for p in phrases}
+        set(_bool_literals(node))
+        - {" ".join(p) for p in phrases}
+        - {f"{wa} NEAR/{d} {wb}" for wa, wb, d in nears}
     )
     matches = ex.filter(F.col("token").isin(terms)).select("doc", "token")
     if phrases:
         # quoted operands flag through the same exploded frame — still
         # ONE corpus scan; the slot map is a broadcast literal
         matches = matches.unionByName(_phrase_marker_rows(ex, phrases))
+    if nears:
+        # NEAR operands need a flat positional frame — build it from
+        # the SAME exploded rows, restricted to the NEAR words
+        nwords = sorted({w for wa, wb, _ in nears for w in (wa, wb)})
+        flat = (
+            ex.filter(F.col("token").isin(nwords))
+            .groupBy("token", "doc")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        )
+        matches = matches.unionByName(_near_marker_rows(flat, nears))
     return _boolean_eval(matches, node, k, "boolean_search")
 
 
@@ -2348,11 +2436,12 @@ def boolean_search_indexed(
     index does not store — they raise here and serve from
     :func:`boolean_search_positional` instead."""
     node = parse_boolean_query(query)
-    if _bool_phrases(node):
+    if _bool_phrases(node) or _bool_nears(node):
         raise ValueError(
             "boolean_search_indexed: the query contains quoted phrases "
-            "— the boolean index stores no positions; serve it with "
-            "boolean_search_positional over a positional index"
+            "or NEAR operands — the boolean index stores no positions; "
+            "serve it with boolean_search_positional over a positional "
+            "index"
         )
     terms = sorted(set(_bool_literals(node)))
     hit = index.filter(F.col("token").isin(terms))
@@ -2395,11 +2484,11 @@ def boolean_search_segments(
     phrases raise (no positions in boolean segments) — use
     :func:`boolean_search_positional_segments`."""
     node = parse_boolean_query(query)
-    if _bool_phrases(node):
+    if _bool_phrases(node) or _bool_nears(node):
         raise ValueError(
             "boolean_search_segments: the query contains quoted "
-            "phrases — boolean segments store no positions; serve it "
-            "with boolean_search_positional_segments"
+            "phrases or NEAR operands — boolean segments store no "
+            "positions; serve it with boolean_search_positional_segments"
         )
     terms = sorted(set(_bool_literals(node)))
     net = _segment_net_rows(
@@ -2420,8 +2509,11 @@ def _boolean_eval_positional(
     :func:`_phrase_marker_rows` — both operand kinds served by the
     same single index scan."""
     phrases = _bool_phrases(node)
+    nears = _bool_nears(node)
     terms = sorted(
-        set(_bool_literals(node)) - {" ".join(p) for p in phrases}
+        set(_bool_literals(node))
+        - {" ".join(p) for p in phrases}
+        - {f"{wa} NEAR/{d} {wb}" for wa, wb, d in nears}
     )
     matches = flat.filter(F.col("token").isin(terms)).select("doc", "token")
     if phrases:
@@ -2429,6 +2521,8 @@ def _boolean_eval_positional(
             "doc", "token", F.explode("positions").alias("pos")
         )
         matches = matches.unionByName(_phrase_marker_rows(ex, phrases))
+    if nears:
+        matches = matches.unionByName(_near_marker_rows(flat, nears))
     return _boolean_eval(matches, node, k, caller)
 
 

@@ -2085,6 +2085,25 @@ def docs_boolean_phrase_positional(spark, sf_dir):
     )
 
 
+def docs_boolean_near_search(spark, sf_dir):
+    """The boolean grammar's NEAR operand (operators/search.
+    boolean_search): documents satisfying
+    '(fast NEAR/4 table) AND data AND NOT merge' — proximity composes
+    with terms under AND/OR/NOT, completing the grammar (terms,
+    quoted phrases, NEAR) over one evaluation core. The NEAR flag
+    derives from the same posexplode as the term flags via the
+    bucketed pair join (a doc costs per-bucket products, never
+    tf_a × tf_b); engine-exact end to end (integer positions and
+    distances)."""
+    from esdb_spark.operators.search import boolean_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boolean_search(
+        docs, "(fast NEAR/4 table) AND data AND NOT merge",
+        "text", "doc_id",
+    )
+
+
 def docs_snippets(spark, sf_dir):
     """Keyword-in-context snippet extraction (operators/search.
     snippet_extract) — the result-presentation face: the ±3-token
@@ -4854,6 +4873,37 @@ _PIPELINE_ORACLES = {
         WHERE (t_spark OR t_hash) AND t_data AND NOT t_merge
         ORDER BY doc
     """,
+    # NEAR composes into the boolean grammar: the proximity flag
+    # replays as an any-pair-within-d self-join over hit positions
+    # (the docs_proximity_search shape)
+    "docs_boolean_near_search": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        p AS (
+          SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+          FROM t WHERE len(toks) >= 1
+        ),
+        w AS (SELECT doc_id, i, toks[i] AS tok FROM p
+              WHERE toks[i] IN ('fast', 'table')),
+        nf AS (
+          SELECT DISTINCT a.doc_id
+          FROM w a JOIN w b
+            ON a.doc_id = b.doc_id AND a.tok = 'fast' AND b.tok = 'table'
+           AND abs(a.i - b.i) <= 4
+        ),
+        f AS (
+          SELECT t.doc_id,
+                 list_contains(toks, 'data') AS t_data,
+                 list_contains(toks, 'merge') AS t_merge,
+                 (nf.doc_id IS NOT NULL) AS t_near
+          FROM t LEFT JOIN nf ON t.doc_id = nf.doc_id
+        )
+        SELECT doc_id AS doc,
+               CAST(t_data::INT + t_merge::INT + t_near::INT
+                    AS BIGINT) AS n_terms_matched
+        FROM f
+        WHERE t_near AND t_data AND NOT t_merge
+        ORDER BY doc
+    """,
     # KWIC snippets: hit positions from an indexed unnest, per-doc cap
     # by earliest position, the window as a 1-based inclusive list
     # slice — all integer/array arithmetic, fully replayable
@@ -7056,6 +7106,7 @@ def catalog() -> dict[str, Q]:
         ("docs_boolean_search_segments", docs_boolean_search_segments),
         ("docs_boolean_phrase_search", docs_boolean_phrase_search),
         ("docs_boolean_phrase_positional", docs_boolean_phrase_positional),
+        ("docs_boolean_near_search", docs_boolean_near_search),
         ("docs_snippets", docs_snippets),
         ("docs_faceted_counts", docs_faceted_counts),
         ("docs_hybrid_rrf", docs_hybrid_rrf),

@@ -1604,3 +1604,64 @@ def test_faceted_counts_matches_model(spark):
     ], got
     with pytest.raises(ValueError):
         faceted_counts(docs, "spark", [])
+
+
+def test_parse_boolean_query_near():
+    from esdb_spark.operators.search import parse_boolean_query as p
+
+    assert p("a NEAR/3 b") == ("near", ("a", "b", 3))
+    assert p("a near/3 b AND c") == (
+        "and", [("near", ("a", "b", 3)), ("term", "c")]
+    )
+    # NEAR binds tighter than AND/OR, operands must be single terms,
+    # distances start at 1, no chaining, no dangling operator
+    for bad in ['"a b" NEAR/2 c', "a NEAR/2 (b OR c)", "a NEAR/0 b",
+                "NEAR/2 a", "a NEAR/2", "a NEAR/2 b NEAR/3 c"]:
+        with pytest.raises(ValueError):
+            p(bad)
+
+
+def test_boolean_near_semantics_and_faces(spark):
+    from esdb_spark.operators.search import (
+        boolean_search,
+        boolean_search_indexed,
+        boolean_search_positional,
+        boolean_search_positional_segments,
+        build_inverted_index,
+        build_positional_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast car then much later a table appears"),  # dist 6
+            (2, "fast table now"),                            # dist 1
+            (3, "table and fast here python"),                # dist 2
+            (4, "spark alone"),
+            (5, "fast alone"),
+        ],
+        "doc_id int, text string",
+    )
+    q = "fast NEAR/3 table AND NOT python"
+    assert [r["doc"] for r in boolean_search(docs, q).collect()] == [2]
+    # NEAR is unordered (|pa - pb| <= d), composes under OR
+    q2 = "(fast NEAR/6 table) OR spark"
+    assert [r["doc"] for r in boolean_search(docs, q2).collect()] == [
+        1, 2, 3, 4,
+    ]
+    pidx = build_positional_index(docs)
+    assert [tuple(r) for r in boolean_search_positional(pidx, q).collect()] \
+        == [tuple(r) for r in boolean_search(docs, q).collect()]
+    segs = [
+        build_positional_index(docs.filter(f"doc_id % 2 = {i}"))
+        for i in range(2)
+    ]
+    tomb = [spark.createDataFrame([(2,)], "doc int")]
+    survivors = docs.filter("doc_id != 2")
+    gs = [tuple(r) for r in boolean_search_positional_segments(
+        segs, q2, tombstones=tomb
+    ).collect()]
+    ws = [tuple(r) for r in boolean_search(survivors, q2).collect()]
+    assert gs == ws and gs
+    # the boolean index stores no positions
+    with pytest.raises(ValueError, match="positional"):
+        boolean_search_indexed(build_inverted_index(docs), q)
