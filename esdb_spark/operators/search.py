@@ -2698,3 +2698,132 @@ def faceted_counts(
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("facet", F.desc("n_docs"), "value")
     )
+
+
+def build_spell_index(
+    vocab: DataFrame,
+    term_col: str = "token",
+    freq_col: str = "term_freq",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Pay-once symmetric-delete spelling index over a vocabulary
+    (the SymSpell scheme :func:`~esdb_spark.operators.linkage.
+    fuzzy_join_levenshtein` already uses for record linkage, applied
+    to query-time "did you mean"): one slim row per
+    ``(vh, token, term_freq)`` where ``vh`` is the md5 of a ≤
+    ``max_dist``-deletion variant of the token. If a query word is
+    within edit distance d of a vocabulary word, deleting ≤ d chars
+    from each lands them on a COMMON variant — so serving is a
+    literal in-filter of the QUERY's own variants against ``vh``,
+    never a vocabulary scan. ``max_dist`` ∈ {1, 2}; build cost is
+    O(L) / O(L²) variant rows per vocab word — the pay-once price,
+    same discipline as the inverted/positional/ANN stores. Persist
+    sorted by ``vh`` for row-group pruning."""
+    from esdb_spark.operators.linkage import _deletion_variants
+
+    if max_dist not in (1, 2):
+        raise ValueError("build_spell_index: max_dist must be 1 or 2")
+    # two selects: aliasing the lowered token AND exploding its
+    # variants in one projection makes the second expression a lateral
+    # reference to the first's output name (shadowing the input
+    # column), which Spark rejects at this nesting depth
+    low = vocab.select(
+        F.lower(F.col(term_col)).alias("token"),
+        F.col(freq_col).cast("long").alias("term_freq"),
+    )
+    return (
+        low.select(
+            "token",
+            "term_freq",
+            F.explode(
+                _deletion_variants(F.col("token"), max_dist)
+            ).alias("_sv"),
+        )
+        .select(F.md5(F.col("_sv")).alias("vh"), "token", "term_freq")
+        .distinct()
+    )
+
+
+def _py_deletion_variants(s: str, d: int) -> set:
+    """Driver-side twin of linkage._deletion_variants for the BOUNDED
+    query word — same semantics (≤ d single-char deletions, original
+    included), pure Python."""
+    vs = {s}
+    for _ in range(d):
+        vs |= {v[:i] + v[i + 1:] for v in list(vs) for i in range(len(v))}
+    return vs
+
+
+def suggest_terms_indexed(
+    spell_index: DataFrame,
+    term: str,
+    max_dist: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """"Did you mean" served from a PREBUILT spelling index
+    (:func:`build_spell_index`): the ``k`` best corrections of
+    ``term`` as ``(token, term_freq, dist)``, ranked (dist asc,
+    term_freq desc, token asc) — closer beats more frequent, the
+    classic suggestion order, total and engine-exact.
+
+    EXACT, not approximate: the symmetric-delete candidates are a
+    superset of every vocab word within ``max_dist`` (the SymSpell
+    guarantee), and each candidate verifies with the real
+    ``levenshtein`` — md5 collisions and over-generated candidates
+    are filtered there, so the index changes COST, never the answer
+    (pytest-asserted against the brute-force scan).
+
+    Scale posture: the query word's own deletion variants are a
+    BOUNDED driver-side set (O(L²) strings for d=2) that becomes a
+    literal in-filter on ``vh`` — pushable to the index scan's row
+    groups — so a suggestion reads O(matching variants) rows of a
+    billion-word vocabulary. Top-k is a TakeOrdered.
+    """
+    import hashlib
+
+    if max_dist not in (1, 2):
+        raise ValueError("suggest_terms_indexed: max_dist must be 1 or 2")
+    q = term.lower().strip()
+    if not q or len(q.split()) != 1:
+        raise ValueError(
+            "suggest_terms_indexed: term must be one non-empty word"
+        )
+    hashes = sorted(
+        hashlib.md5(v.encode("utf-8")).hexdigest()
+        for v in _py_deletion_variants(q, max_dist)
+    )
+    cand = (
+        spell_index.filter(F.col("vh").isin(hashes))
+        .select("token", "term_freq")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("token"), F.lit(q)).cast("long")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .orderBy("dist", F.desc("term_freq"), "token")
+        .limit(k)
+    )
+
+
+def suggest_terms(
+    df: DataFrame,
+    term: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """One-shot "did you mean" from the corpus: build the vocabulary
+    (token → total occurrences) and the symmetric-delete index
+    inline, then serve through :func:`suggest_terms_indexed` — fine
+    for ad-hoc use; a repeated-query workload builds the index once
+    (the pay-once discipline every serving store here follows)."""
+    ex = df.select(F.explode(tokens(text_col)).alias("token"))
+    vocab = ex.groupBy("token").agg(
+        F.count("*").cast("long").alias("term_freq")
+    )
+    return suggest_terms_indexed(
+        build_spell_index(vocab, max_dist=max_dist), term, max_dist, k
+    )

@@ -2085,6 +2085,23 @@ def docs_boolean_phrase_positional(spark, sf_dir):
     )
 
 
+def docs_spell_suggest(spark, sf_dir):
+    """"Did you mean" spelling suggestion (operators/search.
+    suggest_terms): top-5 corrections of the misspelled query word
+    'mrege' from the corpus vocabulary, ranked (distance asc,
+    frequency desc, token asc). The symmetric-delete scheme the
+    linkage family uses for record pairs, turned query-side: the
+    QUERY's own ≤2-deletion variants become a literal in-filter on
+    the index's variant hashes, so a suggestion reads O(matching
+    variants) rows of the vocabulary, never scans it — and the real
+    levenshtein verifies every candidate, so the index changes cost,
+    never the answer (the oracle IS the brute-force scan)."""
+    from esdb_spark.operators.search import suggest_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return suggest_terms(docs, "mrege", "text", "doc_id", max_dist=2, k=5)
+
+
 def docs_boolean_near_search(spark, sf_dir):
     """The boolean grammar's NEAR operand (operators/search.
     boolean_search): documents satisfying
@@ -4873,6 +4890,20 @@ _PIPELINE_ORACLES = {
         WHERE (t_spark OR t_hash) AND t_data AND NOT t_merge
         ORDER BY doc
     """,
+    # "did you mean": the oracle is the brute-force levenshtein scan
+    # the symmetric-delete index must exactly reproduce
+    "docs_spell_suggest": f"""
+        WITH ex AS (SELECT unnest({_TOK}) AS token FROM documents),
+        v AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS term_freq
+          FROM ex GROUP BY token
+        )
+        SELECT token, term_freq,
+               CAST(levenshtein(token, 'mrege') AS BIGINT) AS dist
+        FROM v
+        WHERE levenshtein(token, 'mrege') <= 2
+        ORDER BY dist, term_freq DESC, token LIMIT 5
+    """,
     # NEAR composes into the boolean grammar: the proximity flag
     # replays as an any-pair-within-d self-join over hit positions
     # (the docs_proximity_search shape)
@@ -7107,6 +7138,7 @@ def catalog() -> dict[str, Q]:
         ("docs_boolean_phrase_search", docs_boolean_phrase_search),
         ("docs_boolean_phrase_positional", docs_boolean_phrase_positional),
         ("docs_boolean_near_search", docs_boolean_near_search),
+        ("docs_spell_suggest", docs_spell_suggest),
         ("docs_snippets", docs_snippets),
         ("docs_faceted_counts", docs_faceted_counts),
         ("docs_hybrid_rrf", docs_hybrid_rrf),

@@ -1665,3 +1665,55 @@ def test_boolean_near_semantics_and_faces(spark):
     # the boolean index stores no positions
     with pytest.raises(ValueError, match="positional"):
         boolean_search_indexed(build_inverted_index(docs), q)
+
+
+def test_suggest_terms_exact_vs_bruteforce(spark):
+    # the symmetric-delete index changes COST, never the answer: the
+    # indexed path must equal a brute-force levenshtein scan exactly
+    from esdb_spark.operators.search import (
+        build_spell_index,
+        suggest_terms,
+        suggest_terms_indexed,
+    )
+    from esdb_spark.functions import tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge sort merge join merge"),
+            (2, "marge simpson"),
+            (3, "merg e mergee"),
+            (4, "unrelated words"),
+            (5, "serge and verge"),
+        ],
+        "doc_id int, text string",
+    )
+    ex = docs.select(F.explode(tokens("text")).alias("token"))
+    vocab = ex.groupBy("token").agg(
+        F.count("*").cast("long").alias("term_freq")
+    )
+    for term, d in [("mrege", 2), ("merg", 1), ("MERGE", 2)]:
+        got = [tuple(r) for r in suggest_terms(
+            docs, term, max_dist=d, k=10
+        ).collect()]
+        brute = [tuple(r) for r in vocab.withColumn(
+            "dist",
+            F.levenshtein("token", F.lit(term.lower())).cast("long"),
+        ).filter(f"dist <= {d}").orderBy(
+            "dist", F.desc("term_freq"), "token"
+        ).limit(10).collect()]
+        assert got == brute, (term, got, brute)
+    # ranking: closer beats more frequent ('merge' freq 3 at dist 2
+    # vs 'merg' freq 1 at dist 1 for query 'merg')
+    top = suggest_terms(docs, "merg", max_dist=2, k=1).collect()[0]
+    assert top["token"] == "merg" and top["dist"] == 0
+    # prebuilt-index reuse + normalization
+    idx = build_spell_index(vocab)
+    a = [tuple(r) for r in suggest_terms_indexed(idx, " MrEgE ").collect()]
+    b = [tuple(r) for r in suggest_terms_indexed(idx, "mrege").collect()]
+    assert a == b and a
+    with pytest.raises(ValueError):
+        suggest_terms_indexed(idx, "two words")
+    with pytest.raises(ValueError):
+        suggest_terms_indexed(idx, "x", max_dist=3)
+    with pytest.raises(ValueError):
+        build_spell_index(vocab, max_dist=0)
