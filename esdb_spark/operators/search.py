@@ -2827,3 +2827,101 @@ def suggest_terms(
     return suggest_terms_indexed(
         build_spell_index(vocab, max_dist=max_dist), term, max_dist, k
     )
+
+
+def complete_prefix(
+    vocab: DataFrame,
+    prefix: str,
+    k: int = 10,
+    term_col: str = "token",
+    freq_col: str = "term_freq",
+) -> DataFrame:
+    """Autocomplete: the ``k`` most frequent vocabulary words starting
+    with ``prefix``, ``(token, term_freq)`` ranked (freq desc, token
+    asc) — the search box's third companion next to "did you mean"
+    (:func:`suggest_terms`) and facets (:func:`faceted_counts`).
+
+    Scale posture: ``startswith`` is a sargable range predicate —
+    persist the vocabulary sorted by token and the scan prunes to the
+    prefix's row groups (PushedFilters: StringStartsWith, plan-
+    asserted); top-k is a TakeOrdered. Engine-exact."""
+    p = prefix.lower().strip()
+    if not p:
+        raise ValueError("complete_prefix: empty prefix")
+    return (
+        vocab.select(
+            F.lower(F.col(term_col)).alias("token"),
+            F.col(freq_col).cast("long").alias("term_freq"),
+        )
+        .filter(F.col("token").startswith(p))
+        .orderBy(F.desc("term_freq"), "token")
+        .limit(k)
+    )
+
+
+def more_like_this(
+    df: DataFrame,
+    doc_id,
+    k: int = 10,
+    max_query_terms: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """More-like-this: the ``k`` documents sharing the most of the
+    source document's RAREST terms — the "similar items" panel,
+    lucene's MLT re-expressed engine-exact: the source doc's distinct
+    terms rank by (corpus doc_freq asc, term asc) and the top
+    ``max_query_terms`` become an OR query scored by DISTINCT-term
+    overlap, ``(doc, n_terms_matched)`` ranked (overlap desc, doc
+    asc), source excluded. Rarity-ranked selection is what makes MLT
+    work — common words match everything; integer overlap scoring
+    (not idf sums) is what keeps the row fully value-hash-certifiable.
+
+    Scale posture: ONE tokenize pass feeds both the source-term pick
+    and the match scan (the exploded frame is reused); doc_freq for
+    ONLY the source's terms aggregates from a semi-filtered explode
+    (never a full vocabulary build); the chosen terms come back as a
+    driver-side literal in-filter, so the match side reads
+    O(Σ doc_freq of the query terms) rows. Top-k is a TakeOrdered.
+    """
+    if max_query_terms < 1:
+        raise ValueError("more_like_this: max_query_terms must be >= 1")
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    src_terms = (
+        ex.filter(F.col("doc") == F.lit(doc_id))
+        .select("token")
+        .distinct()
+    )
+    dfreq = (
+        ex.join(F.broadcast(src_terms), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count_distinct("doc").alias("_ml_df"))
+    )
+    picked = [
+        r["token"]
+        for r in dfreq.orderBy("_ml_df", "token")
+        .limit(max_query_terms)
+        .collect()
+    ]
+    if not picked:
+        # token-less or unknown source doc: no terms, no neighbors —
+        # an empty frame with the output schema, never an error (the
+        # panel renders empty, the pipeline keeps moving)
+        return df.sparkSession.createDataFrame(
+            [], "doc long, n_terms_matched long"
+        ).select(
+            F.col("doc").cast(dict(ex.dtypes)["doc"]).alias("doc"),
+            "n_terms_matched",
+        )
+    hits = (
+        ex.filter(F.col("token").isin(picked))
+        .filter(F.col("doc") != F.lit(doc_id))
+        .groupBy("doc")
+        .agg(
+            F.count_distinct("token").cast("long").alias("n_terms_matched")
+        )
+    )
+    return hits.orderBy(F.desc("n_terms_matched"), "doc").limit(k)

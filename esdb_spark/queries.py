@@ -2085,6 +2085,37 @@ def docs_boolean_phrase_positional(spark, sf_dir):
     )
 
 
+def docs_complete_prefix(spark, sf_dir):
+    """Autocomplete (operators/search.complete_prefix): the 10 most
+    frequent corpus words starting with 'ta', ranked (freq desc,
+    token asc). startswith is a sargable range predicate — a
+    token-sorted persisted vocabulary prunes to the prefix's row
+    groups; top-k is a TakeOrdered. Engine-exact."""
+    from esdb_spark.operators.search import complete_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        F.explode(F.expr(
+            "filter(split(lower(trim(text)), '\\\\s+'), t -> t != '')"
+        )).alias("token")
+    ).groupBy("token").agg(F.count("*").cast("long").alias("term_freq"))
+    return complete_prefix(vocab, "ta", k=10)
+
+
+def docs_more_like_this(spark, sf_dir):
+    """More-like-this (operators/search.more_like_this): the 10
+    documents sharing the most of doc 0's five RAREST terms — rarity-
+    ranked term selection (corpus doc_freq asc, term asc) + integer
+    distinct-overlap scoring, lucene's MLT re-expressed engine-exact
+    so the whole row value-hashes. One tokenize pass feeds both the
+    term pick and the match scan; the picked terms return as a
+    driver-side literal in-filter."""
+    from esdb_spark.operators.search import more_like_this
+
+    docs = load_table(spark, sf_dir, "documents")
+    return more_like_this(docs, 0, k=10, max_query_terms=5)
+
+
 def docs_spell_suggest(spark, sf_dir):
     """"Did you mean" spelling suggestion (operators/search.
     suggest_terms): top-5 corrections of the misspelled query word
@@ -4890,6 +4921,38 @@ _PIPELINE_ORACLES = {
         WHERE (t_spark OR t_hash) AND t_data AND NOT t_merge
         ORDER BY doc
     """,
+    # autocomplete: prefix filter over the vocabulary, freq-ranked
+    "docs_complete_prefix": f"""
+        WITH ex AS (SELECT unnest({_TOK}) AS token FROM documents),
+        v AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS term_freq
+          FROM ex GROUP BY token
+        )
+        SELECT token, term_freq FROM v
+        WHERE token LIKE 'ta%'
+        ORDER BY term_freq DESC, token LIMIT 10
+    """,
+    # more-like-this: rank the source doc's terms by corpus doc_freq
+    # (rarest first, ties to the term), pick 5, score candidates by
+    # distinct-term overlap — all integer arithmetic
+    "docs_more_like_this": f"""
+        WITH ex AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+        src AS (SELECT DISTINCT token FROM ex WHERE doc_id = 0),
+        dfq AS (
+          SELECT token, count(DISTINCT doc_id) AS dfc FROM ex
+          WHERE token IN (SELECT token FROM src) GROUP BY token
+        ),
+        picked AS (SELECT token FROM dfq ORDER BY dfc, token LIMIT 5),
+        hits AS (
+          SELECT doc_id,
+                 CAST(count(DISTINCT token) AS BIGINT) AS n_terms_matched
+          FROM ex
+          WHERE token IN (SELECT token FROM picked) AND doc_id != 0
+          GROUP BY doc_id
+        )
+        SELECT doc_id AS doc, n_terms_matched FROM hits
+        ORDER BY n_terms_matched DESC, doc LIMIT 10
+    """,
     # "did you mean": the oracle is the brute-force levenshtein scan
     # the symmetric-delete index must exactly reproduce
     "docs_spell_suggest": f"""
@@ -7139,6 +7202,8 @@ def catalog() -> dict[str, Q]:
         ("docs_boolean_phrase_positional", docs_boolean_phrase_positional),
         ("docs_boolean_near_search", docs_boolean_near_search),
         ("docs_spell_suggest", docs_spell_suggest),
+        ("docs_complete_prefix", docs_complete_prefix),
+        ("docs_more_like_this", docs_more_like_this),
         ("docs_snippets", docs_snippets),
         ("docs_faceted_counts", docs_faceted_counts),
         ("docs_hybrid_rrf", docs_hybrid_rrf),

@@ -1717,3 +1717,49 @@ def test_suggest_terms_exact_vs_bruteforce(spark):
         suggest_terms_indexed(idx, "x", max_dist=3)
     with pytest.raises(ValueError):
         build_spell_index(vocab, max_dist=0)
+
+
+def test_complete_prefix_and_guards(spark):
+    from esdb_spark.operators.search import complete_prefix
+
+    vocab = spark.createDataFrame(
+        [("table", 10), ("tables", 4), ("tab", 4), ("token", 9),
+         ("zebra", 99)],
+        "token string, term_freq long",
+    )
+    got = [tuple(r) for r in complete_prefix(vocab, "ta", k=10).collect()]
+    # freq desc, token asc on ties
+    assert got == [("table", 10), ("tab", 4), ("tables", 4)], got
+    assert complete_prefix(vocab, "TA ", k=1).collect()[0]["token"] == "table"
+    assert complete_prefix(vocab, "zz").count() == 0
+    with pytest.raises(ValueError):
+        complete_prefix(vocab, "  ")
+
+
+def test_more_like_this_rarest_terms_overlap(spark):
+    from esdb_spark.operators.search import more_like_this
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare1 rare2 common zebra"),
+            (2, "rare1 rare2 common"),
+            (3, "rare1 common"),
+            (4, "common only here"),
+            (5, "zebra rare2"),
+        ],
+        "doc_id int, text string",
+    )
+    # doc1's rarest 3 terms = {zebra(df2), rare1(df3), rare2(df3)} —
+    # 'common'(df4) never enters the query, so doc4 cannot match
+    got = [tuple(r) for r in more_like_this(
+        docs, 1, k=5, max_query_terms=3
+    ).collect()]
+    assert got == [(2, 2), (5, 2), (3, 1)], got
+    # unknown / token-less source → empty frame, never an error
+    assert more_like_this(docs, 999).count() == 0
+    empty = spark.createDataFrame(
+        [(7, "")], "doc_id int, text string"
+    )
+    assert more_like_this(docs.unionByName(empty), 7).count() == 0
+    with pytest.raises(ValueError):
+        more_like_this(docs, 1, max_query_terms=0)
