@@ -2571,6 +2571,15 @@ def boolean_search_positional_segments(
         "boolean_search_positional_segments",
         terms=_bool_words(node),
     )
+    if _bool_phrases(node) or _bool_nears(node):
+        # the term leg AND each phrase/NEAR leg consume the net, and a
+        # plan reference re-executes the whole netting subtree —
+        # segment union, (token, doc) aggregate, tombstone probe — per
+        # leg (the proximity_search_segments review finding; measured
+        # 5.3 s → ~2 s on the catalog row). Materialize once: the net
+        # is ≤ Σ doc_freq of the query words, the bounded posting-list
+        # size every serving face already holds in flight.
+        net = net.localCheckpoint()
     return _boolean_eval_positional(
         net, node, k, "boolean_search_positional_segments"
     )

@@ -206,3 +206,99 @@ def test_ivf_exact_full_probe_equals_mips_random(spark, vecs, data):
         for r in exact.collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# boolean query grammar: random ASTs vs a definitional python evaluator
+
+
+def _ast(depth):
+    terms = st.sampled_from(["aa", "ab", "ba", "bb", "c"]).map(
+        lambda t: ("term", t)
+    )
+    phrases = st.tuples(
+        st.sampled_from(["aa", "ab", "ba"]),
+        st.sampled_from(["bb", "c", "aa"]),
+    ).map(lambda p: ("phrase", p))
+    nears = st.tuples(
+        st.sampled_from(["aa", "ab"]),
+        st.sampled_from(["bb", "c"]),
+        st.integers(min_value=1, max_value=3),
+    ).map(lambda n: ("near", n))
+    leaf = st.one_of(terms, phrases, nears)
+    if depth == 0:
+        return leaf
+    sub = _ast(depth - 1)
+    return st.one_of(
+        leaf,
+        sub.map(lambda n: ("not", n)),
+        st.lists(sub, min_size=2, max_size=3).map(lambda ns: ("and", ns)),
+        st.lists(sub, min_size=2, max_size=3).map(lambda ns: ("or", ns)),
+    )
+
+
+def _render(node):
+    kind = node[0]
+    if kind == "term":
+        return node[1]
+    if kind == "phrase":
+        return '"' + " ".join(node[1]) + '"'
+    if kind == "near":
+        wa, wb, d = node[1]
+        return f"({wa} NEAR/{d} {wb})"
+    if kind == "not":
+        return f"NOT ({_render(node[1])})"
+    op = " AND " if kind == "and" else " OR "
+    return "(" + op.join(_render(c) for c in node[1]) + ")"
+
+
+def _py_eval(node, toks):
+    kind = node[0]
+    if kind == "term":
+        return node[1] in toks
+    if kind == "phrase":
+        w = list(node[1])
+        return any(
+            toks[i : i + len(w)] == w for i in range(len(toks) - len(w) + 1)
+        )
+    if kind == "near":
+        wa, wb, d = node[1]
+        pa = [i for i, t in enumerate(toks) if t == wa]
+        pb = [i for i, t in enumerate(toks) if t == wb]
+        if wa == wb:
+            return any(
+                0 < abs(i - j) <= d for i in pa for j in pb if i < j
+            )
+        return any(abs(i - j) <= d for i in pa for j in pb)
+    if kind == "not":
+        return not _py_eval(node[1], toks)
+    if kind == "and":
+        return all(_py_eval(c, toks) for c in node[1])
+    return any(_py_eval(c, toks) for c in node[1])
+
+
+@given(texts=_corpus, node=_ast(2))
+@settings(**_SETTINGS)
+def test_boolean_grammar_matches_python_model(spark, texts, node):
+    from esdb_spark.operators.search import (
+        _bool_const_eval,
+        boolean_search,
+        parse_boolean_query,
+    )
+
+    # purely-negative shapes raise by contract — anchor them with a
+    # positive conjunct instead of discarding the example
+    if _bool_const_eval(node, False):
+        node = ("and", [node, ("term", "aa")])
+    query = _render(node)
+    # round-trip: rendering then parsing yields the same AST (modulo
+    # the one-word-quote normalization, which _render never emits)
+    assert parse_boolean_query(query) == node
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got = [r["doc"] for r in boolean_search(docs, query).collect()]
+    want = sorted(
+        d for d, t in enumerate(texts) if _py_eval(node, t.split())
+    )
+    assert got == want, (query, got, want)
