@@ -7000,7 +7000,16 @@ _GATE_WINDOW = [
     # (dedup_by_cluster_docs demoted past the window in round 3 — same
     # connected-components family as doc_dup_clusters, still locally
     # oracle-verified; its slot showcases the Bloom-membership path)
-    "dedup_incremental_bloom_docs",
+    # (round 9 second curation: dedup_incremental_bloom_docs demoted —
+    # the Bloom-membership path stays catalogued + locally
+    # oracle-verified, the sketch family keeps
+    # event_type_freq_cms_portable in the window and dedup keeps
+    # dedup_events_exact + doc_dup_clusters + dedup_minhash_portable;
+    # its slot certifies MAINTAINED ANN serving: exact-assigned LSM
+    # segments minus id tombstones == rebuild(survivors), the
+    # vector-store analog of docs_keyword_search_segments — with it
+    # every serving store's maintained state is gate-certified)
+    "docs_ann_maintained_exact",
     # (round 9: similarity_topk demoted — brute-force cosine top-k
     # stays catalogued + locally oracle-verified; its slot gives the
     # ANN family its FIRST full value-hash certification: literal
