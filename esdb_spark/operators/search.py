@@ -600,6 +600,7 @@ def _positional_net_rows(
     caller: str,
     terms: list[str] | None = None,
     ghost_check: bool = False,
+    prefixes: list[str] | None = None,
 ) -> DataFrame:
     """Shared core of the positional LSM path: union flat positional
     segments (:func:`build_positional_index` outputs over disjoint
@@ -658,9 +659,13 @@ def _positional_net_rows(
             "_pn_seg", F.lit(i)
         )
         live = t if live is None else live.unionByName(t)
-    filt = (
-        live.filter(F.col("token").isin(terms)) if terms is not None else live
-    )
+    if terms is not None or prefixes:
+        pred = F.col("token").isin(terms or [])
+        for stem in prefixes or []:
+            pred = pred | F.col("token").startswith(stem)
+        filt = live.filter(pred)
+    else:
+        filt = live
     # only _pn_n == 1 rows survive the keep CASE, so first() is
     # deterministic here — it is the sole value in every kept group
     per = filt.groupBy("token", "doc").agg(
@@ -1780,6 +1785,7 @@ def _segment_net_rows(
     tombstones: list[DataFrame] | None,
     caller: str,
     terms: list[str] | None = None,
+    prefixes: list[str] | None = None,
 ) -> DataFrame:
     """Shared core of the LSM segment path: union live segments (+1)
     and tombstone segments (−1), explode postings, and net them per
@@ -1816,8 +1822,14 @@ def _segment_net_rows(
                 "truncated",
             )
         )
-    if terms is not None:
-        tagged = tagged.filter(F.col("token").isin(terms))
+    if terms is not None or prefixes:
+        # the operand predicate lands below the union: a literal
+        # in-filter for the terms OR'd with a sargable startswith per
+        # wildcard stem — both push into every segment leg's scan
+        pred = F.col("token").isin(terms or [])
+        for stem in prefixes or []:
+            pred = pred | F.col("token").startswith(stem)
+        tagged = tagged.filter(pred)
     not_trunc = F.when(
         F.col("truncated"),
         F.raise_error(
@@ -2056,9 +2068,15 @@ def parse_boolean_query(query: str):
         expr   := and_e (OR and_e)*
         and_e  := prox (AND? prox)*        -- adjacency = implicit AND
         prox   := unary (NEAR/d unary)?    -- proximity, terms only
-        unary  := NOT unary | '(' expr ')' | TERM | '"' WORDS '"'
+        unary  := NOT unary | '(' expr ')' | TERM | TERM'*'
+                  | '"' WORDS '"'
 
-    A quoted operand matches as a CONSECUTIVE-token phrase (the
+    An unquoted operand ending in ``*`` is a TRAILING-WILDCARD: it
+    matches documents containing ANY token with that prefix
+    (``spar*`` → spark, sparse, ...); the star is only legal at the
+    end and only unquoted (inside quotes it is a literal character,
+    since whitespace-split tokens may contain anything). A quoted
+    operand matches as a CONSECUTIVE-token phrase (the
     :func:`phrase_search` semantics); a one-word quote is just its
     term; an empty quote raises. ``a NEAR/3 b`` matches documents
     where the two words occur within 3 token positions
@@ -2122,7 +2140,23 @@ def parse_boolean_query(query: str):
             if len(words) == 1:
                 return ("term", words[0])
             return ("phrase", words)
-        return ("term", take().lower())
+        w = take().lower()
+        if w.endswith("*"):
+            stem = w[:-1]
+            if not stem or "*" in stem:
+                raise ValueError(
+                    "parse_boolean_query: a wildcard needs a non-empty "
+                    "stem and exactly one TRAILING star (quote the word "
+                    "to match a literal '*')"
+                )
+            return ("prefix", stem)
+        if "*" in w:
+            raise ValueError(
+                "parse_boolean_query: '*' is only legal at the end of "
+                "a word (trailing wildcard); quote the word to match "
+                "a literal '*'"
+            )
+        return ("term", w)
 
     def prox():
         left = unary()
@@ -2177,13 +2211,17 @@ def _bool_marker(node) -> str:
     if node[0] == "near":
         wa, wb, d = node[1]
         return f"{wa} NEAR/{d} {wb}"
+    if node[0] == "prefix":
+        # the uppercase tag keeps the marker collision-free: every
+        # token-derived value (tokens, phrase words) is lowercased
+        return f"{node[1]} *PREFIX"
     return " ".join(node[1])
 
 
 def _bool_literals(node) -> list[str]:
     """Every literal operand's marker (terms, phrases, NEAR ops)."""
     kind = node[0]
-    if kind in ("term", "phrase", "near"):
+    if kind in ("term", "phrase", "near", "prefix"):
         return [_bool_marker(node)]
     if kind == "not":
         return _bool_literals(node[1])
@@ -2194,7 +2232,7 @@ def _bool_phrases(node) -> list[tuple]:
     kind = node[0]
     if kind == "phrase":
         return [node[1]]
-    if kind in ("term", "near"):
+    if kind in ("term", "near", "prefix"):
         return []
     if kind == "not":
         return _bool_phrases(node[1])
@@ -2205,27 +2243,66 @@ def _bool_nears(node) -> list[tuple]:
     kind = node[0]
     if kind == "near":
         return [node[1]]
-    if kind in ("term", "phrase"):
+    if kind in ("term", "phrase", "prefix"):
         return []
     if kind == "not":
         return _bool_nears(node[1])
     return [n for child in node[1] for n in _bool_nears(child)]
 
 
+def _bool_prefixes(node) -> list[str]:
+    kind = node[0]
+    if kind == "prefix":
+        return [node[1]]
+    if kind in ("term", "phrase", "near"):
+        return []
+    if kind == "not":
+        return _bool_prefixes(node[1])
+    return [p for child in node[1] for p in _bool_prefixes(child)]
+
+
 def _bool_words(node) -> list[str]:
-    """Every distinct WORD the query touches (phrase words included) —
-    the literal in-filter the scan needs."""
-    out = set()
-    for m in _bool_literals(node):
-        out.update(w for w in m.split() if not re.fullmatch(r"NEAR/\d+", w))
-    return sorted(out)
+    """Every distinct literal WORD the query touches (phrase and NEAR
+    words included; wildcard stems excluded — they are range
+    predicates, not equality literals) — the in-filter the scan
+    needs."""
+    kind = node[0]
+    if kind == "term":
+        return [node[1]]
+    if kind == "phrase":
+        return sorted(set(node[1]))
+    if kind == "near":
+        return sorted({node[1][0], node[1][1]})
+    if kind == "prefix":
+        return []
+    if kind == "not":
+        return _bool_words(node[1])
+    return sorted({w for child in node[1] for w in _bool_words(child)})
+
+
+def _token_match_predicate(node):
+    """ONE scan predicate covering every operand kind: a literal
+    in-filter for the query's words OR'd with a sargable startswith
+    per wildcard stem — both push to parquet (In + StringStartsWith),
+    so each face still reads only operand-relevant rows."""
+    words = _bool_words(node)
+    prefixes = sorted(set(_bool_prefixes(node)))
+    pred = None
+    if words:
+        pred = F.col("token").isin(words)
+    for stem in prefixes:
+        c = F.col("token").startswith(stem)
+        pred = c if pred is None else (pred | c)
+    if pred is None:
+        raise ValueError("boolean query has no operands")
+    return pred
 
 
 def _bool_const_eval(node, value: bool) -> bool:
     """Evaluate the AST with EVERY literal fixed to ``value`` — the
     driver-side satisfiability probe behind the unbounded-query guard."""
     kind = node[0]
-    if kind in ("term", "phrase", "near"):
+    if kind in ("term", "phrase", "near", "prefix"):
         return value
     if kind == "not":
         return not _bool_const_eval(node[1], value)
@@ -2236,7 +2313,7 @@ def _bool_const_eval(node, value: bool) -> bool:
 
 def _bool_column(node, flags: dict):
     kind = node[0]
-    if kind in ("term", "phrase", "near"):
+    if kind in ("term", "phrase", "near", "prefix"):
         return flags[_bool_marker(node)]
     if kind == "not":
         return ~_bool_column(node[1], flags)
@@ -2308,6 +2385,23 @@ def _near_marker_rows(flat: DataFrame, nears: list[tuple]) -> DataFrame:
             .select("doc", F.lit(marker).alias("token"))
         )
         out = docs if out is None else out.unionByName(docs)
+    return out
+
+
+def _prefix_marker_rows(src: DataFrame, prefixes: list[str]) -> DataFrame:
+    """Per-doc wildcard flags as (doc, token=marker) rows from any
+    frame carrying (doc, token): one sargable startswith per stem,
+    distinct per doc. The uppercase ``*PREFIX`` tag in the marker is
+    collision-free against token-derived values (all lowercased)."""
+    out = None
+    for stem in sorted(set(prefixes)):
+        rows = (
+            src.filter(F.col("token").startswith(stem))
+            .select("doc")
+            .distinct()
+            .select("doc", F.lit(f"{stem} *PREFIX").alias("token"))
+        )
+        out = rows if out is None else out.unionByName(rows)
     return out
 
 
@@ -2389,17 +2483,18 @@ def boolean_search(
     skip the scan entirely.
     """
     node = parse_boolean_query(query)
-    words = _bool_words(node)
     phrases = _bool_phrases(node)
+    nears = _bool_nears(node)
+    prefixes = _bool_prefixes(node)
     ex = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(tokens(text_col)).alias("pos", "token"),
-    ).filter(F.col("token").isin(words))
-    nears = _bool_nears(node)
+    ).filter(_token_match_predicate(node))
     terms = sorted(
         set(_bool_literals(node))
         - {" ".join(p) for p in phrases}
         - {f"{wa} NEAR/{d} {wb}" for wa, wb, d in nears}
+        - {f"{stem} *PREFIX" for stem in prefixes}
     )
     matches = ex.filter(F.col("token").isin(terms)).select("doc", "token")
     if phrases:
@@ -2416,6 +2511,8 @@ def boolean_search(
             .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
         )
         matches = matches.unionByName(_near_marker_rows(flat, nears))
+    if prefixes:
+        matches = matches.unionByName(_prefix_marker_rows(ex, prefixes))
     return _boolean_eval(matches, node, k, "boolean_search")
 
 
@@ -2430,11 +2527,13 @@ def boolean_search_indexed(
     LOST docs, which silently breaks AND/NOT answers (the
     :func:`keyword_search_indexed` contract).
 
-    Scale posture: the literal in-filter hits the index scan, the
+    Scale posture: the operand predicate (literal in-filter +
+    sargable startswith per wildcard stem) hits the index scan, the
     explode fans out only the matching posting lists, then the shared
-    one-aggregate tail. Quoted phrases need positions the boolean
-    index does not store — they raise here and serve from
-    :func:`boolean_search_positional` instead."""
+    one-aggregate tail. Quoted phrases and NEAR need positions the
+    boolean index does not store — they raise here and serve from
+    :func:`boolean_search_positional` instead; trailing wildcards
+    work on every face (presence needs no positions)."""
     node = parse_boolean_query(query)
     if _bool_phrases(node) or _bool_nears(node):
         raise ValueError(
@@ -2443,8 +2542,11 @@ def boolean_search_indexed(
             "serve it with boolean_search_positional over a positional "
             "index"
         )
-    terms = sorted(set(_bool_literals(node)))
-    hit = index.filter(F.col("token").isin(terms))
+    prefixes = _bool_prefixes(node)
+    terms = sorted(
+        set(_bool_literals(node)) - {f"{p} *PREFIX" for p in prefixes}
+    )
+    hit = index.filter(_token_match_predicate(node))
     guarded = hit.withColumn(
         "_bi_post",
         F.when(~F.col("truncated"), F.col("postings")).otherwise(
@@ -2459,9 +2561,12 @@ def boolean_search_indexed(
             )
         ),
     )
-    matches = guarded.select(
+    ex = guarded.select(
         "token", F.explode("_bi_post").alias("p")
     ).select("token", F.col("p.doc").alias("doc"))
+    matches = ex.filter(F.col("token").isin(terms))
+    if prefixes:
+        matches = matches.unionByName(_prefix_marker_rows(ex, prefixes))
     return _boolean_eval(matches, node, k, "boolean_search_indexed")
 
 
@@ -2490,13 +2595,28 @@ def boolean_search_segments(
             "phrases or NEAR operands — boolean segments store no "
             "positions; serve it with boolean_search_positional_segments"
         )
-    terms = sorted(set(_bool_literals(node)))
+    prefixes = _bool_prefixes(node)
+    terms = sorted(
+        set(_bool_literals(node)) - {f"{p} *PREFIX" for p in prefixes}
+    )
     net = _segment_net_rows(
-        segments, tombstones, "boolean_search_segments", terms=terms
+        segments,
+        tombstones,
+        "boolean_search_segments",
+        terms=terms,
+        prefixes=prefixes or None,
     )
-    return _boolean_eval(
-        net.select("token", "doc"), node, k, "boolean_search_segments"
-    )
+    ex = net.select("token", "doc")
+    if prefixes:
+        # term leg + wildcard legs all consume the net — materialize
+        # it once (the multi-leg rule; bounded by the operands' rows)
+        ex = ex.localCheckpoint()
+        matches = ex.filter(F.col("token").isin(terms)).unionByName(
+            _prefix_marker_rows(ex, prefixes)
+        )
+    else:
+        matches = ex
+    return _boolean_eval(matches, node, k, "boolean_search_segments")
 
 
 def _boolean_eval_positional(
@@ -2510,10 +2630,12 @@ def _boolean_eval_positional(
     same single index scan."""
     phrases = _bool_phrases(node)
     nears = _bool_nears(node)
+    prefixes = _bool_prefixes(node)
     terms = sorted(
         set(_bool_literals(node))
         - {" ".join(p) for p in phrases}
         - {f"{wa} NEAR/{d} {wb}" for wa, wb, d in nears}
+        - {f"{stem} *PREFIX" for stem in prefixes}
     )
     matches = flat.filter(F.col("token").isin(terms)).select("doc", "token")
     if phrases:
@@ -2523,6 +2645,10 @@ def _boolean_eval_positional(
         matches = matches.unionByName(_phrase_marker_rows(ex, phrases))
     if nears:
         matches = matches.unionByName(_near_marker_rows(flat, nears))
+    if prefixes:
+        matches = matches.unionByName(
+            _prefix_marker_rows(flat.select("doc", "token"), prefixes)
+        )
     return _boolean_eval(matches, node, k, caller)
 
 
@@ -2542,7 +2668,13 @@ def boolean_search_positional(
     phrase, NEAR, and now arbitrary boolean compositions of all of
     them answer from the same maintained state."""
     node = parse_boolean_query(query)
-    flat = index.filter(F.col("token").isin(_bool_words(node)))
+    flat = index.filter(_token_match_predicate(node))
+    if _bool_prefixes(node) and (_bool_phrases(node) or _bool_nears(node)
+                                 or _bool_words(node)):
+        # multiple legs consume the filtered scan — cheap to re-read a
+        # pruned parquet, but a localCheckpoint keeps the plan shared
+        # when wildcards multiply the legs
+        flat = flat.localCheckpoint()
     return _boolean_eval_positional(
         flat, node, k, "boolean_search_positional"
     )
@@ -2570,8 +2702,9 @@ def boolean_search_positional_segments(
         tombstones,
         "boolean_search_positional_segments",
         terms=_bool_words(node),
+        prefixes=_bool_prefixes(node) or None,
     )
-    if _bool_phrases(node) or _bool_nears(node):
+    if _bool_phrases(node) or _bool_nears(node) or _bool_prefixes(node):
         # the term leg AND each phrase/NEAR leg consume the net, and a
         # plan reference re-executes the whole netting subtree —
         # segment union, (token, doc) aggregate, tombstone probe — per

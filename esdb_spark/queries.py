@@ -2085,6 +2085,24 @@ def docs_boolean_phrase_positional(spark, sf_dir):
     )
 
 
+def docs_boolean_wildcard_search(spark, sf_dir):
+    """Trailing-wildcard operands in the boolean grammar
+    (operators/search.boolean_search): documents satisfying
+    'ta* AND merge AND NOT python' — a wildcard matches any token
+    with the prefix, flagged once per doc however many tokens hit.
+    The wildcard is a SARGABLE startswith OR'd into the scan's
+    operand predicate (In + StringStartsWith both push down), so
+    every face — corpus, boolean index, boolean segments, positional,
+    positional segments — serves it without positions and without a
+    vocabulary scan. Engine-exact (set membership + integer count)."""
+    from esdb_spark.operators.search import boolean_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boolean_search(
+        docs, "ta* AND merge AND NOT python", "text", "doc_id"
+    )
+
+
 def docs_complete_prefix(spark, sf_dir):
     """Autocomplete (operators/search.complete_prefix): the 10 most
     frequent corpus words starting with 'ta', ranked (freq desc,
@@ -4921,6 +4939,24 @@ _PIPELINE_ORACLES = {
         WHERE (t_spark OR t_hash) AND t_data AND NOT t_merge
         ORDER BY doc
     """,
+    # trailing wildcard in the boolean grammar: the prefix flag is one
+    # bool_or over a LIKE — one flag per doc however many tokens hit
+    "docs_boolean_wildcard_search": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        f AS (
+          SELECT doc_id,
+                 len(list_filter(toks, x -> x LIKE 'ta%')) > 0 AS t_ta,
+                 list_contains(toks, 'merge') AS t_merge,
+                 list_contains(toks, 'python') AS t_python
+          FROM t
+        )
+        SELECT doc_id AS doc,
+               CAST(t_ta::INT + t_merge::INT + t_python::INT
+                    AS BIGINT) AS n_terms_matched
+        FROM f
+        WHERE t_ta AND t_merge AND NOT t_python
+        ORDER BY doc
+    """,
     # autocomplete: prefix filter over the vocabulary, freq-ranked
     "docs_complete_prefix": f"""
         WITH ex AS (SELECT unnest({_TOK}) AS token FROM documents),
@@ -7211,6 +7247,7 @@ def catalog() -> dict[str, Q]:
         ("docs_boolean_phrase_positional", docs_boolean_phrase_positional),
         ("docs_boolean_near_search", docs_boolean_near_search),
         ("docs_spell_suggest", docs_spell_suggest),
+        ("docs_boolean_wildcard_search", docs_boolean_wildcard_search),
         ("docs_complete_prefix", docs_complete_prefix),
         ("docs_more_like_this", docs_more_like_this),
         ("docs_snippets", docs_snippets),

@@ -1763,3 +1763,65 @@ def test_more_like_this_rarest_terms_overlap(spark):
     assert more_like_this(docs.unionByName(empty), 7).count() == 0
     with pytest.raises(ValueError):
         more_like_this(docs, 1, max_query_terms=0)
+
+
+def test_boolean_wildcard_all_faces(spark):
+    from esdb_spark.operators.search import (
+        boolean_search,
+        boolean_search_indexed,
+        boolean_search_positional,
+        boolean_search_positional_segments,
+        boolean_search_segments,
+        build_inverted_index,
+        build_positional_index,
+        parse_boolean_query,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark sparkle sprint data"),
+            (2, "sparse data merge"),
+            (3, "spun data"),
+            (4, "spark only"),
+            (5, "data alone"),
+        ],
+        "doc_id int, text string",
+    )
+    q = "spar* AND data AND NOT merge"
+    want = [tuple(r) for r in boolean_search(docs, q).collect()]
+    assert want == [(1, 2)]  # one marker per wildcard, however many hits
+    assert [tuple(r) for r in boolean_search_indexed(
+        build_inverted_index(docs), q
+    ).collect()] == want
+    bsegs = [
+        build_inverted_index(docs.filter(f"doc_id % 2 = {i}"))
+        for i in range(2)
+    ]
+    assert [tuple(r) for r in boolean_search_segments(
+        bsegs, q
+    ).collect()] == want
+    pidx = build_positional_index(docs)
+    assert [tuple(r) for r in boolean_search_positional(
+        pidx, q
+    ).collect()] == want
+    psegs = [
+        build_positional_index(docs.filter(f"doc_id % 2 = {i}"))
+        for i in range(2)
+    ]
+    tomb = [spark.createDataFrame([(1,)], "doc int")]
+    survivors = docs.filter("doc_id != 1")
+    gs = [tuple(r) for r in boolean_search_positional_segments(
+        psegs, "spar* AND data", tombstones=tomb
+    ).collect()]
+    ws = [tuple(r) for r in boolean_search(survivors, "spar* AND data").collect()]
+    assert gs == ws and gs
+    # wildcards compose with phrases and NEAR
+    q2 = 'spar* OR "data merge" OR (spun NEAR/2 data)'
+    assert [r["doc"] for r in boolean_search(docs, q2).collect()] == \
+        [r["doc"] for r in boolean_search_positional(pidx, q2).collect()] \
+        == [1, 2, 3, 4]
+    # parser: star only trailing, only unquoted; quoted star = literal
+    assert parse_boolean_query('"spar*"') == ("term", "spar*")
+    for bad in ["*", "sp*rk", "**", "a*b"]:
+        with pytest.raises(ValueError):
+            parse_boolean_query(bad)
