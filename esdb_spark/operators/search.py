@@ -2069,8 +2069,14 @@ def parse_boolean_query(query: str):
         and_e  := prox (AND? prox)*        -- adjacency = implicit AND
         prox   := unary (NEAR/d unary)?    -- proximity, terms only
         unary  := NOT unary | '(' expr ')' | TERM | TERM'*'
-                  | '"' WORDS '"'
+                  | FIELD':'VALUE | '"' WORDS '"'
 
+    An unquoted ``field:value`` operand is FIELD-SCOPED: it matches
+    documents whose metadata column ``field`` equals ``value``
+    (case-insensitive string compare) — structured predicates compose
+    with text predicates in one expression (``lang:en AND spark* AND
+    NOT "fast table"``). Only the corpus face can serve it (indexes
+    carry no metadata); quote a word to match a literal colon token.
     An unquoted operand ending in ``*`` is a TRAILING-WILDCARD: it
     matches documents containing ANY token with that prefix
     (``spar*`` → spark, sparse, ...); the star is only legal at the
@@ -2141,6 +2147,15 @@ def parse_boolean_query(query: str):
                 return ("term", words[0])
             return ("phrase", words)
         w = take().lower()
+        if ":" in w and not w.startswith(":"):
+            field, _, value = w.partition(":")
+            if not value or "*" in w:
+                raise ValueError(
+                    "parse_boolean_query: field operand must be "
+                    "field:value with a non-empty value and no "
+                    "wildcard (quote the word to match a literal ':')"
+                )
+            return ("field", (field, value))
         if w.endswith("*"):
             stem = w[:-1]
             if not stem or "*" in stem:
@@ -2215,13 +2230,16 @@ def _bool_marker(node) -> str:
         # the uppercase tag keeps the marker collision-free: every
         # token-derived value (tokens, phrase words) is lowercased
         return f"{node[1]} *PREFIX"
+    if node[0] == "field":
+        f_, v = node[1]
+        return f"{f_}:{v} FIELD"
     return " ".join(node[1])
 
 
 def _bool_literals(node) -> list[str]:
     """Every literal operand's marker (terms, phrases, NEAR ops)."""
     kind = node[0]
-    if kind in ("term", "phrase", "near", "prefix"):
+    if kind in ("term", "phrase", "near", "prefix", "field"):
         return [_bool_marker(node)]
     if kind == "not":
         return _bool_literals(node[1])
@@ -2232,7 +2250,7 @@ def _bool_phrases(node) -> list[tuple]:
     kind = node[0]
     if kind == "phrase":
         return [node[1]]
-    if kind in ("term", "near", "prefix"):
+    if kind in ("term", "near", "prefix", "field"):
         return []
     if kind == "not":
         return _bool_phrases(node[1])
@@ -2243,7 +2261,7 @@ def _bool_nears(node) -> list[tuple]:
     kind = node[0]
     if kind == "near":
         return [node[1]]
-    if kind in ("term", "phrase", "prefix"):
+    if kind in ("term", "phrase", "prefix", "field"):
         return []
     if kind == "not":
         return _bool_nears(node[1])
@@ -2254,11 +2272,22 @@ def _bool_prefixes(node) -> list[str]:
     kind = node[0]
     if kind == "prefix":
         return [node[1]]
-    if kind in ("term", "phrase", "near"):
+    if kind in ("term", "phrase", "near", "field"):
         return []
     if kind == "not":
         return _bool_prefixes(node[1])
     return [p for child in node[1] for p in _bool_prefixes(child)]
+
+
+def _bool_fields(node) -> list[tuple]:
+    kind = node[0]
+    if kind == "field":
+        return [node[1]]
+    if kind in ("term", "phrase", "near", "prefix"):
+        return []
+    if kind == "not":
+        return _bool_fields(node[1])
+    return [f for child in node[1] for f in _bool_fields(child)]
 
 
 def _bool_words(node) -> list[str]:
@@ -2273,7 +2302,7 @@ def _bool_words(node) -> list[str]:
         return sorted(set(node[1]))
     if kind == "near":
         return sorted({node[1][0], node[1][1]})
-    if kind == "prefix":
+    if kind in ("prefix", "field"):
         return []
     if kind == "not":
         return _bool_words(node[1])
@@ -2293,8 +2322,8 @@ def _token_match_predicate(node):
     for stem in prefixes:
         c = F.col("token").startswith(stem)
         pred = c if pred is None else (pred | c)
-    if pred is None:
-        raise ValueError("boolean query has no operands")
+    # None = the query has no TOKEN operands (field-only queries on
+    # the corpus face) — callers skip the token legs entirely
     return pred
 
 
@@ -2302,7 +2331,7 @@ def _bool_const_eval(node, value: bool) -> bool:
     """Evaluate the AST with EVERY literal fixed to ``value`` — the
     driver-side satisfiability probe behind the unbounded-query guard."""
     kind = node[0]
-    if kind in ("term", "phrase", "near", "prefix"):
+    if kind in ("term", "phrase", "near", "prefix", "field"):
         return value
     if kind == "not":
         return not _bool_const_eval(node[1], value)
@@ -2313,7 +2342,7 @@ def _bool_const_eval(node, value: bool) -> bool:
 
 def _bool_column(node, flags: dict):
     kind = node[0]
-    if kind in ("term", "phrase", "near", "prefix"):
+    if kind in ("term", "phrase", "near", "prefix", "field"):
         return flags[_bool_marker(node)]
     if kind == "not":
         return ~_bool_column(node[1], flags)
@@ -2486,17 +2515,35 @@ def boolean_search(
     phrases = _bool_phrases(node)
     nears = _bool_nears(node)
     prefixes = _bool_prefixes(node)
+    fields = _bool_fields(node)
+    for f_, _v in fields:
+        if f_ not in df.columns:
+            raise ValueError(
+                f"boolean_search: field operand '{f_}:' names no "
+                "column of the corpus frame"
+            )
+    pred = _token_match_predicate(node)
     ex = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(tokens(text_col)).alias("pos", "token"),
-    ).filter(_token_match_predicate(node))
+    )
+    if pred is not None:
+        ex = ex.filter(pred)
     terms = sorted(
         set(_bool_literals(node))
         - {" ".join(p) for p in phrases}
         - {f"{wa} NEAR/{d} {wb}" for wa, wb, d in nears}
         - {f"{stem} *PREFIX" for stem in prefixes}
+        - {f"{f_}:{v} FIELD" for f_, v in fields}
     )
-    matches = ex.filter(F.col("token").isin(terms)).select("doc", "token")
+    matches = (
+        ex.filter(F.col("token").isin(terms)).select("doc", "token")
+        if pred is not None
+        else df.sparkSession.createDataFrame(
+            [], "token string"
+        ).crossJoin(df.select(F.col(id_col).alias("doc")).limit(0))
+        .select("doc", "token")
+    )
     if phrases:
         # quoted operands flag through the same exploded frame — still
         # ONE corpus scan; the slot map is a broadcast literal
@@ -2513,6 +2560,20 @@ def boolean_search(
         matches = matches.unionByName(_near_marker_rows(flat, nears))
     if prefixes:
         matches = matches.unionByName(_prefix_marker_rows(ex, prefixes))
+    for f_, v in sorted(set(fields)):
+        # metadata flags come straight off the corpus columns — one
+        # projection-level predicate per operand, no tokenize at all
+        # (NULL values compare unequal and simply stay unflagged)
+        rows = (
+            df.filter(
+                F.lower(F.col(f_).cast("string")) == F.lit(v)
+            )
+            .select(
+                F.col(id_col).alias("doc"),
+                F.lit(f"{f_}:{v} FIELD").alias("token"),
+            )
+        )
+        matches = matches.unionByName(rows)
     return _boolean_eval(matches, node, k, "boolean_search")
 
 
@@ -2542,11 +2603,17 @@ def boolean_search_indexed(
             "serve it with boolean_search_positional over a positional "
             "index"
         )
+    if _bool_fields(node):
+        raise ValueError(
+            "boolean_search_indexed: field operands need the corpus "
+            "frame's metadata columns — serve field-scoped queries "
+            "with boolean_search over the corpus"
+        )
     prefixes = _bool_prefixes(node)
     terms = sorted(
         set(_bool_literals(node)) - {f"{p} *PREFIX" for p in prefixes}
     )
-    hit = index.filter(_token_match_predicate(node))
+    hit = index.filter(_token_match_predicate(node))  # fields raised above
     guarded = hit.withColumn(
         "_bi_post",
         F.when(~F.col("truncated"), F.col("postings")).otherwise(
@@ -2595,6 +2662,12 @@ def boolean_search_segments(
             "phrases or NEAR operands — boolean segments store no "
             "positions; serve it with boolean_search_positional_segments"
         )
+    if _bool_fields(node):
+        raise ValueError(
+            "boolean_search_segments: field operands need the corpus "
+            "frame's metadata columns — serve field-scoped queries "
+            "with boolean_search over the corpus"
+        )
     prefixes = _bool_prefixes(node)
     terms = sorted(
         set(_bool_literals(node)) - {f"{p} *PREFIX" for p in prefixes}
@@ -2628,6 +2701,12 @@ def _boolean_eval_positional(
     row presence, phrase flags from ONE positions explode through
     :func:`_phrase_marker_rows` — both operand kinds served by the
     same single index scan."""
+    if _bool_fields(node):
+        raise ValueError(
+            f"{caller}: field operands need the corpus frame's "
+            "metadata columns — serve field-scoped queries with "
+            "boolean_search over the corpus"
+        )
     phrases = _bool_phrases(node)
     nears = _bool_nears(node)
     prefixes = _bool_prefixes(node)
@@ -2668,7 +2747,10 @@ def boolean_search_positional(
     phrase, NEAR, and now arbitrary boolean compositions of all of
     them answer from the same maintained state."""
     node = parse_boolean_query(query)
-    flat = index.filter(_token_match_predicate(node))
+    pred = _token_match_predicate(node)
+    # pred is None only for field-only queries, which the shared tail
+    # rejects with the proper diagnosis — don't crash on filter(None)
+    flat = index.filter(pred) if pred is not None else index
     if _bool_prefixes(node) and (_bool_phrases(node) or _bool_nears(node)
                                  or _bool_words(node)):
         # multiple legs consume the filtered scan — cheap to re-read a

@@ -2085,6 +2085,24 @@ def docs_boolean_phrase_positional(spark, sf_dir):
     )
 
 
+def docs_field_scoped_search(spark, sf_dir):
+    """Field-scoped operands in the boolean grammar (operators/search.
+    boolean_search): documents satisfying
+    'lang:en AND spark AND NOT merge' — structured metadata predicates
+    compose with text predicates in ONE expression, the
+    filter-plus-search shape every corpus query tool needs (and the
+    reference's opaque payloads cannot express at all, event.go:16-21).
+    The field flag is a projection-level equality on the metadata
+    column (case-insensitive, NULL stays unflagged) — no tokenize, no
+    extra scan legs beyond one per field operand. Engine-exact."""
+    from esdb_spark.operators.search import boolean_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boolean_search(
+        docs, "lang:en AND spark AND NOT merge", "text", "doc_id"
+    )
+
+
 def docs_boolean_wildcard_search(spark, sf_dir):
     """Trailing-wildcard operands in the boolean grammar
     (operators/search.boolean_search): documents satisfying
@@ -4939,6 +4957,26 @@ _PIPELINE_ORACLES = {
         WHERE (t_spark OR t_hash) AND t_data AND NOT t_merge
         ORDER BY doc
     """,
+    # field-scoped operand: the metadata flag is a case-insensitive
+    # column equality (NULL unflagged), composed with the text flags
+    "docs_field_scoped_search": f"""
+        WITH t AS (
+          SELECT doc_id, lang, {_TOK} AS toks FROM documents
+        ),
+        f AS (
+          SELECT doc_id,
+                 coalesce(lower(lang) = 'en', false) AS t_lang,
+                 list_contains(toks, 'spark') AS t_spark,
+                 list_contains(toks, 'merge') AS t_merge
+          FROM t
+        )
+        SELECT doc_id AS doc,
+               CAST(t_lang::INT + t_spark::INT + t_merge::INT
+                    AS BIGINT) AS n_terms_matched
+        FROM f
+        WHERE t_lang AND t_spark AND NOT t_merge
+        ORDER BY doc
+    """,
     # trailing wildcard in the boolean grammar: the prefix flag is one
     # bool_or over a LIKE — one flag per doc however many tokens hit
     "docs_boolean_wildcard_search": f"""
@@ -7248,6 +7286,7 @@ def catalog() -> dict[str, Q]:
         ("docs_boolean_near_search", docs_boolean_near_search),
         ("docs_spell_suggest", docs_spell_suggest),
         ("docs_boolean_wildcard_search", docs_boolean_wildcard_search),
+        ("docs_field_scoped_search", docs_field_scoped_search),
         ("docs_complete_prefix", docs_complete_prefix),
         ("docs_more_like_this", docs_more_like_this),
         ("docs_snippets", docs_snippets),

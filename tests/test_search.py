@@ -1825,3 +1825,57 @@ def test_boolean_wildcard_all_faces(spark):
     for bad in ["*", "sp*rk", "**", "a*b"]:
         with pytest.raises(ValueError):
             parse_boolean_query(bad)
+
+
+def test_boolean_field_operands(spark):
+    from esdb_spark.operators.search import (
+        boolean_search,
+        boolean_search_indexed,
+        boolean_search_positional,
+        build_inverted_index,
+        build_positional_index,
+        parse_boolean_query,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark data here", "en", "a"),
+            (2, "spark data there", "EN", "b"),   # value compare is ci
+            (3, "spark merge", "de", "a"),
+            (4, "no hits", "en", "b"),
+            (5, "spark data", None, "b"),          # NULL stays unflagged
+        ],
+        "doc_id int, text string, lang string, source string",
+    )
+    assert parse_boolean_query("lang:en AND x") == (
+        "and", [("field", ("lang", "en")), ("term", "x")]
+    )
+    got = [tuple(r) for r in boolean_search(
+        docs, "lang:en AND spark AND NOT merge"
+    ).collect()]
+    assert got == [(1, 2), (2, 2)], got
+    # field-only and field-OR-text queries
+    assert [r["doc"] for r in boolean_search(docs, "lang:en").collect()] \
+        == [1, 2, 4]
+    assert [r["doc"] for r in boolean_search(
+        docs, "source:a OR merge"
+    ).collect()] == [1, 3]
+    # composes with wildcards and phrases
+    assert [r["doc"] for r in boolean_search(
+        docs, 'lang:en AND (spar* OR "no hits")'
+    ).collect()] == [1, 2, 4]
+    # guards: unknown field; non-corpus faces; purely-negative; parse
+    with pytest.raises(ValueError, match="names no column"):
+        boolean_search(docs, "bogus:x AND spark")
+    with pytest.raises(ValueError, match="corpus"):
+        boolean_search_indexed(build_inverted_index(docs), "lang:en AND x")
+    with pytest.raises(ValueError, match="corpus"):
+        boolean_search_positional(
+            build_positional_index(docs), "lang:en AND x"
+        )
+    with pytest.raises(ValueError, match="purely-negative"):
+        boolean_search(docs, "NOT lang:en")
+    with pytest.raises(ValueError):
+        parse_boolean_query("lang: AND x")  # empty value
+    # quoted colon stays a literal term
+    assert parse_boolean_query('"lang:en"') == ("term", "lang:en")
