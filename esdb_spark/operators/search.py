@@ -3149,3 +3149,107 @@ def more_like_this(
         )
     )
     return hits.orderBy(F.desc("n_terms_matched"), "doc").limit(k)
+
+
+def search_page(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The RESULT PAGE in one query — the composition every search
+    serving stack renders: run the full boolean grammar
+    (:func:`parse_boolean_query` — terms, quoted phrases, NEAR/d,
+    trailing wildcards, field:value), rank matches by integer
+    relevance (distinct operands matched desc, doc asc — a total
+    order, so the page is deterministic and value-hash-certifiable),
+    keep the top ``k``, and attach a KWIC snippet per result:
+    ``(rank, doc, n_terms_matched, first_pos, snippet)`` where
+    ``first_pos`` is the earliest hit of any query word (term, phrase
+    word, NEAR word, or wildcard match) and ``snippet`` the ±
+    ``window`` tokens around it. A match with no token hits (a
+    field-only query) gets the LEADING snippet (``first_pos`` 0) —
+    the standard fallback when nothing highlights.
+
+    Scale posture: the match set is :func:`boolean_search`'s one
+    scan + one aggregate; ranking is a TakeOrdered over (count, doc);
+    ONLY the page's k documents ship text through the snippet join
+    (first-hit positions aggregate map-side from the same scan shape,
+    then a broadcast of the k-row page drives both joins). Engine-
+    exact end to end.
+    """
+    if window < 0:
+        raise ValueError("search_page: window must be >= 0")
+    node = parse_boolean_query(query)
+    matched = boolean_search(df, query, text_col, id_col)
+    page = (
+        matched.orderBy(F.desc("n_terms_matched"), "doc")
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.orderBy(F.desc("n_terms_matched"), "doc")
+            )
+            .cast("long"),
+        )
+    )
+    pred = _token_match_predicate(node)
+    toked = df.select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("_sp_toks")
+    ).join(F.broadcast(page.select("doc")), "doc")
+    if pred is not None:
+        first = (
+            df.select(
+                F.col(id_col).alias("doc"),
+                F.posexplode(tokens(text_col)).alias("pos", "token"),
+            )
+            .join(F.broadcast(page.select("doc")), "doc")
+            .filter(pred)
+            .groupBy("doc")
+            .agg(F.min("pos").cast("long").alias("first_pos"))
+        )
+    else:
+        first = page.select(
+            "doc", F.lit(0).cast("long").alias("first_pos")
+        )
+    out = (
+        page.join(toked, "doc")
+        .join(first, "doc", "left")
+        .select(
+            "rank",
+            "doc",
+            "n_terms_matched",
+            F.coalesce(F.col("first_pos"), F.lit(0).cast("long")).alias(
+                "first_pos"
+            ),
+            F.array_join(
+                F.slice(
+                    F.col("_sp_toks"),
+                    F.greatest(
+                        F.lit(1),
+                        F.coalesce(F.col("first_pos"), F.lit(0))
+                        + 1
+                        - window,
+                    ),
+                    (
+                        F.least(
+                            F.size("_sp_toks") - 1,
+                            F.coalesce(F.col("first_pos"), F.lit(0))
+                            + window,
+                        )
+                        - F.greatest(
+                            F.lit(0),
+                            F.coalesce(F.col("first_pos"), F.lit(0))
+                            - window,
+                        )
+                        + 1
+                    ),
+                ),
+                " ",
+            ).alias("snippet"),
+        )
+    )
+    return out.orderBy("rank")

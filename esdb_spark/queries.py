@@ -2085,6 +2085,23 @@ def docs_boolean_phrase_positional(spark, sf_dir):
     )
 
 
+def docs_search_page(spark, sf_dir):
+    """The result page in ONE query (operators/search.search_page):
+    boolean-grammar match ('ta* AND merge AND NOT python'), integer
+    relevance rank (operands matched desc, doc asc — total order),
+    top-10, and a ±3-token KWIC snippet around each result's first
+    hit. Only the page's 10 docs ship text through the snippet join;
+    the match set is the one-scan boolean core; the rank is a
+    TakeOrdered. The whole page — ranks, positions, snippets — rides
+    one value hash."""
+    from esdb_spark.operators.search import search_page
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_page(
+        docs, "ta* AND merge AND NOT python", k=10, window=3
+    )
+
+
 def docs_field_scoped_search(spark, sf_dir):
     """Field-scoped operands in the boolean grammar (operators/search.
     boolean_search): documents satisfying
@@ -4957,6 +4974,52 @@ _PIPELINE_ORACLES = {
         WHERE (t_spark OR t_hash) AND t_data AND NOT t_merge
         ORDER BY doc
     """,
+    # the result page: boolean match -> total-order rank -> top-k ->
+    # first-hit KWIC window, all integer/array arithmetic; the hit
+    # predicate mirrors the Spark scan predicate exactly (wildcard
+    # LIKE + the query's literal words)
+    "docs_search_page": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        f AS (
+          SELECT doc_id, toks,
+                 len(list_filter(toks, x -> x LIKE 'ta%')) > 0 AS t_ta,
+                 list_contains(toks, 'merge') AS t_merge,
+                 list_contains(toks, 'python') AS t_python
+          FROM t
+        ),
+        m AS (
+          SELECT doc_id, toks,
+                 CAST(t_ta::INT + t_merge::INT + t_python::INT
+                      AS BIGINT) AS n_terms_matched
+          FROM f WHERE t_ta AND t_merge AND NOT t_python
+        ),
+        page AS (
+          SELECT doc_id, toks, n_terms_matched,
+                 CAST(row_number() OVER (
+                     ORDER BY n_terms_matched DESC, doc_id
+                 ) AS BIGINT) AS rank
+          FROM m QUALIFY rank <= 10
+        ),
+        hit AS (
+          SELECT doc_id, CAST(min(i) - 1 AS BIGINT) AS first_pos
+          FROM (
+            SELECT doc_id, unnest(generate_series(1, len(toks))) AS i,
+                   toks
+            FROM page
+          )
+          WHERE toks[i] LIKE 'ta%' OR toks[i] IN ('merge', 'python')
+          GROUP BY doc_id
+        )
+        SELECT p.rank, p.doc_id AS doc, p.n_terms_matched,
+               coalesce(h.first_pos, 0) AS first_pos,
+               array_to_string(
+                 p.toks[greatest(1, coalesce(h.first_pos, 0) + 1 - 3)
+                        : least(len(p.toks),
+                                coalesce(h.first_pos, 0) + 1 + 3)],
+                 ' ') AS snippet
+        FROM page p LEFT JOIN hit h ON p.doc_id = h.doc_id
+        ORDER BY p.rank
+    """,
     # field-scoped operand: the metadata flag is a case-insensitive
     # column equality (NULL unflagged), composed with the text flags
     "docs_field_scoped_search": f"""
@@ -7287,6 +7350,7 @@ def catalog() -> dict[str, Q]:
         ("docs_spell_suggest", docs_spell_suggest),
         ("docs_boolean_wildcard_search", docs_boolean_wildcard_search),
         ("docs_field_scoped_search", docs_field_scoped_search),
+        ("docs_search_page", docs_search_page),
         ("docs_complete_prefix", docs_complete_prefix),
         ("docs_more_like_this", docs_more_like_this),
         ("docs_snippets", docs_snippets),

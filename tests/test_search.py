@@ -1879,3 +1879,33 @@ def test_boolean_field_operands(spark):
         parse_boolean_query("lang: AND x")  # empty value
     # quoted colon stays a literal term
     assert parse_boolean_query('"lang:en"') == ("term", "lang:en")
+
+
+def test_search_page_ranking_and_snippets(spark):
+    from esdb_spark.operators.search import search_page
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa bbb spark ccc ddd", "en"),
+            (2, "spark spark data xxx", "en"),
+            (3, "no match here", "de"),
+            (4, "data then spark", "en"),
+            (5, "data only doc", "en"),
+        ],
+        "doc_id int, text string, lang string",
+    )
+    out = [tuple(r) for r in search_page(
+        docs, "spark OR data", k=3, window=1
+    ).collect()]
+    # rank by (operands matched desc, doc asc); k caps; snippet is the
+    # ±window tokens around the FIRST hit of any query word
+    assert [r[:3] for r in out] == [(1, 2, 2), (2, 4, 2), (3, 1, 1)]
+    assert out[2][3] == 2 and out[2][4] == "bbb spark ccc"
+    assert out[1][4] == "data then"  # end-clipped window
+    # field-only queries fall back to the leading snippet
+    fo = [tuple(r) for r in search_page(
+        docs, "lang:de", k=2, window=2
+    ).collect()]
+    assert fo == [(1, 3, 1, 0, "no match here")]
+    with pytest.raises(ValueError):
+        search_page(docs, "spark", window=-1)
