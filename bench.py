@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     # the composed grammar (terms + quoted phrases) served from
     # positional LSM segments with doc-id tombstone deletes
     "docs_boolean_phrase_positional",
+    # the one-query result page: boolean match -> rank -> top-k ->
+    # first-hit snippets (only the page's k docs ship text)
+    "docs_search_page",
 ]
 
 

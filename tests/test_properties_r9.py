@@ -225,7 +225,10 @@ def _ast(depth):
         st.sampled_from(["bb", "c"]),
         st.integers(min_value=1, max_value=3),
     ).map(lambda n: ("near", n))
-    leaf = st.one_of(terms, phrases, nears)
+    prefixes = st.sampled_from(["a", "b", "aa"]).map(
+        lambda stem: ("prefix", stem)
+    )
+    leaf = st.one_of(terms, phrases, nears, prefixes)
     if depth == 0:
         return leaf
     sub = _ast(depth - 1)
@@ -246,6 +249,8 @@ def _render(node):
     if kind == "near":
         wa, wb, d = node[1]
         return f"({wa} NEAR/{d} {wb})"
+    if kind == "prefix":
+        return node[1] + "*"
     if kind == "not":
         return f"NOT ({_render(node[1])})"
     op = " AND " if kind == "and" else " OR "
@@ -261,6 +266,8 @@ def _py_eval(node, toks):
         return any(
             toks[i : i + len(w)] == w for i in range(len(toks) - len(w) + 1)
         )
+    if kind == "prefix":
+        return any(t.startswith(node[1]) for t in toks)
     if kind == "near":
         wa, wb, d = node[1]
         pa = [i for i, t in enumerate(toks) if t == wa]
