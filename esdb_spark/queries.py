@@ -2186,6 +2186,46 @@ def docs_spell_suggest(spark, sf_dir):
     return suggest_terms(docs, "mrege", "text", "doc_id", max_dist=2, k=5)
 
 
+def docs_spell_suggest_maintained(spark, sf_dir):
+    """"Did you mean" served from MAINTAINED state (operators/search.
+    suggest_terms_indexed over a vocabulary derived from positional
+    LSM segments minus doc-id tombstones): the corpus is three
+    positional segments, the doc_id % 7 == 0 docs are deleted, the
+    surviving vocabulary comes from positional_index_stats over the
+    compacted net, and the SymSpell index builds on that — so the
+    search-box surface tracks deletes too (a deleted document's
+    last-copy words must stop being suggested). The oracle is the
+    brute-force levenshtein scan over the SURVIVING corpus's
+    vocabulary: serve(segments ∪ tombstones) == suggest(survivors)
+    in one value hash."""
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        build_spell_index,
+        compact_positional_segments,
+        positional_index_stats,
+        suggest_terms_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    segs = [
+        build_positional_index(
+            docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+        )
+        for i in range(3)
+    ]
+    tomb = [
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.col("doc_id").alias("doc")
+        )
+    ]
+    vocab = positional_index_stats(
+        compact_positional_segments(segs, tomb)
+    ).select("token", "term_freq")
+    return suggest_terms_indexed(
+        build_spell_index(vocab), "mrege", max_dist=2, k=5
+    )
+
+
 def docs_boolean_near_search(spark, sf_dir):
     """The boolean grammar's NEAR operand (operators/search.
     boolean_search): documents satisfying
@@ -4974,6 +5014,24 @@ _PIPELINE_ORACLES = {
         WHERE (t_spark OR t_hash) AND t_data AND NOT t_merge
         ORDER BY doc
     """,
+    # the maintained twin: the same brute-force levenshtein scan over
+    # the SURVIVING corpus's vocabulary (docs deleted from the
+    # positional store stop contributing suggestions)
+    "docs_spell_suggest_maintained": f"""
+        WITH ex AS (
+          SELECT unnest({_TOK}) AS token FROM documents
+          WHERE doc_id % 7 != 0
+        ),
+        v AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS term_freq
+          FROM ex GROUP BY token
+        )
+        SELECT token, term_freq,
+               CAST(levenshtein(token, 'mrege') AS BIGINT) AS dist
+        FROM v
+        WHERE levenshtein(token, 'mrege') <= 2
+        ORDER BY dist, term_freq DESC, token LIMIT 5
+    """,
     # the result page: boolean match -> total-order rank -> top-k ->
     # first-hit KWIC window, all integer/array arithmetic; the hit
     # predicate mirrors the Spark scan predicate exactly (wildcard
@@ -7348,6 +7406,7 @@ def catalog() -> dict[str, Q]:
         ("docs_boolean_phrase_positional", docs_boolean_phrase_positional),
         ("docs_boolean_near_search", docs_boolean_near_search),
         ("docs_spell_suggest", docs_spell_suggest),
+        ("docs_spell_suggest_maintained", docs_spell_suggest_maintained),
         ("docs_boolean_wildcard_search", docs_boolean_wildcard_search),
         ("docs_field_scoped_search", docs_field_scoped_search),
         ("docs_search_page", docs_search_page),
