@@ -2096,8 +2096,6 @@ def parse_boolean_query(query: str):
     ValueError on empty input, unbalanced parens/quotes, dangling
     operators, non-term NEAR operands.
     """
-    import re
-
     if query.count('"') % 2:
         raise ValueError("parse_boolean_query: unbalanced quote")
     toks = re.findall(r'"[^"]*"|\(|\)|[^\s()"]+', query)
@@ -2146,16 +2144,20 @@ def parse_boolean_query(query: str):
             if len(words) == 1:
                 return ("term", words[0])
             return ("phrase", words)
-        w = take().lower()
-        if ":" in w and not w.startswith(":"):
-            field, _, value = w.partition(":")
-            if not value or "*" in w:
+        raw = take()
+        w = raw.lower()
+        if ":" in raw and not raw.startswith(":"):
+            # field names keep their ORIGINAL case (metadata columns
+            # may be capitalized; resolution against df.columns is
+            # case-insensitive at the face) — only the VALUE lowercases
+            field, _, value = raw.partition(":")
+            if not value or "*" in raw:
                 raise ValueError(
                     "parse_boolean_query: field operand must be "
                     "field:value with a non-empty value and no "
                     "wildcard (quote the word to match a literal ':')"
                 )
-            return ("field", (field, value))
+            return ("field", (field, value.lower()))
         if w.endswith("*"):
             stem = w[:-1]
             if not stem or "*" in stem:
@@ -2214,6 +2216,20 @@ def parse_boolean_query(query: str):
     if pos != len(toks):
         raise ValueError("parse_boolean_query: unbalanced parens")
     return node
+
+
+def _check_not_purely_negative(node, caller: str) -> None:
+    """Driver-side, before ANY job runs: a query satisfiable with
+    every literal false would match the whole corpus minus the
+    candidates — reject it for free instead of after an eager
+    materialization (review finding: the positional-segments face
+    paid a full netting localCheckpoint job before raising)."""
+    if _bool_const_eval(node, False):
+        raise ValueError(
+            f"{caller}: query is satisfiable with no term present "
+            "(purely-negative shape) — it would match the entire "
+            "corpus minus the candidates; add a positive clause"
+        )
 
 
 def _bool_marker(node) -> str:
@@ -2512,16 +2528,31 @@ def boolean_search(
     skip the scan entirely.
     """
     node = parse_boolean_query(query)
+    _check_not_purely_negative(node, "boolean_search")
     phrases = _bool_phrases(node)
     nears = _bool_nears(node)
     prefixes = _bool_prefixes(node)
     fields = _bool_fields(node)
+    # case-insensitive field resolution (Spark's own default): the
+    # operand's spelling maps to the actual column name; ambiguity
+    # (two columns differing only by case) raises like Spark would
+    by_ci: dict = {}
+    for c in df.columns:
+        by_ci.setdefault(c.lower(), []).append(c)
+    resolved = {}
     for f_, _v in fields:
-        if f_ not in df.columns:
+        cands = [f_] if f_ in df.columns else by_ci.get(f_.lower(), [])
+        if not cands:
             raise ValueError(
                 f"boolean_search: field operand '{f_}:' names no "
                 "column of the corpus frame"
             )
+        if len(cands) > 1:
+            raise ValueError(
+                f"boolean_search: field operand '{f_}:' is ambiguous "
+                f"among columns {cands}"
+            )
+        resolved[f_] = cands[0]
     pred = _token_match_predicate(node)
     ex = df.select(
         F.col(id_col).alias("doc"),
@@ -2529,6 +2560,18 @@ def boolean_search(
     )
     if pred is not None:
         ex = ex.filter(pred)
+    # legs that reference ex: the term filter (always present when any
+    # token operand exists), plus one each for phrases/NEAR/wildcards
+    token_legs = (
+        1 + int(bool(phrases)) + int(bool(nears)) + int(bool(prefixes))
+    )
+    if pred is not None and token_legs > 1:
+        # every token leg re-references the posexplode subtree, and a
+        # plan reference re-executes it — a 3-operand-kind query would
+        # tokenize the corpus three times (review finding; the
+        # SCALE.md multi-leg rule). The filtered explode is bounded by
+        # the operands' matching rows — materialize it once.
+        ex = ex.localCheckpoint()
     terms = sorted(
         set(_bool_literals(node))
         - {" ".join(p) for p in phrases}
@@ -2566,7 +2609,7 @@ def boolean_search(
         # (NULL values compare unequal and simply stay unflagged)
         rows = (
             df.filter(
-                F.lower(F.col(f_).cast("string")) == F.lit(v)
+                F.lower(F.col(resolved[f_]).cast("string")) == F.lit(v)
             )
             .select(
                 F.col(id_col).alias("doc"),
@@ -2596,6 +2639,7 @@ def boolean_search_indexed(
     :func:`boolean_search_positional` instead; trailing wildcards
     work on every face (presence needs no positions)."""
     node = parse_boolean_query(query)
+    _check_not_purely_negative(node, "boolean_search_indexed")
     if _bool_phrases(node) or _bool_nears(node):
         raise ValueError(
             "boolean_search_indexed: the query contains quoted phrases "
@@ -2656,6 +2700,7 @@ def boolean_search_segments(
     phrases raise (no positions in boolean segments) — use
     :func:`boolean_search_positional_segments`."""
     node = parse_boolean_query(query)
+    _check_not_purely_negative(node, "boolean_search_segments")
     if _bool_phrases(node) or _bool_nears(node):
         raise ValueError(
             "boolean_search_segments: the query contains quoted "
@@ -2747,6 +2792,7 @@ def boolean_search_positional(
     phrase, NEAR, and now arbitrary boolean compositions of all of
     them answer from the same maintained state."""
     node = parse_boolean_query(query)
+    _check_not_purely_negative(node, "boolean_search_positional")
     pred = _token_match_predicate(node)
     # pred is None only for field-only queries, which the shared tail
     # rejects with the proper diagnosis — don't crash on filter(None)
@@ -2779,6 +2825,9 @@ def boolean_search_positional_segments(
     discipline applies: never pass a post-tombstone re-insert segment
     — the streaming maintainer pre-compacts)."""
     node = parse_boolean_query(query)
+    _check_not_purely_negative(
+        node, "boolean_search_positional_segments"
+    )
     net = _positional_net_rows(
         segments,
         tombstones,
@@ -2797,6 +2846,26 @@ def boolean_search_positional_segments(
         net = net.localCheckpoint()
     return _boolean_eval_positional(
         net, node, k, "boolean_search_positional_segments"
+    )
+
+
+def _kwic_snippet_col(toks_col, pos_col, window: int):
+    """The ±window token slice around a 0-based hit position, as one
+    column expression — ONE definition shared by snippet_extract and
+    search_page so the clipping arithmetic can never drift (review
+    finding: search_page carried a drifted copy that re-coalesced the
+    position three extra times)."""
+    return F.array_join(
+        F.slice(
+            toks_col,
+            F.greatest(F.lit(1), pos_col + 1 - window),
+            (
+                F.least(F.size(toks_col) - 1, pos_col + window)
+                - F.greatest(F.lit(0), pos_col - window)
+                + 1
+            ),
+        ),
+        " ",
     )
 
 
@@ -2837,6 +2906,16 @@ def snippet_extract(
     if max_snippets_per_doc < 1:
         raise ValueError("snippet_extract: max_snippets_per_doc must be >= 1")
     qt = _normalize_terms(terms, "snippet_extract")
+    for t in qt:
+        if len(t.split()) != 1:
+            # a multi-word "term" can never match a whitespace token —
+            # it would silently return an empty frame indistinguishable
+            # from "no hits" (the proximity_search review finding,
+            # reintroduced here and re-fixed)
+            raise ValueError(
+                "snippet_extract: terms must be single words "
+                f"(got: {t!r}); use phrase faces for phrases"
+            )
     ex = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(tokens(text_col)).alias("pos", "token"),
@@ -2857,19 +2936,8 @@ def snippet_extract(
         .select(
             "doc",
             F.col("pos").cast("long").alias("pos"),
-            F.array_join(
-                F.slice(
-                    F.col("_sn_toks"),
-                    F.greatest(F.lit(1), F.col("pos") + 1 - window),
-                    (
-                        F.least(
-                            F.size("_sn_toks") - 1, F.col("pos") + window
-                        )
-                        - F.greatest(F.lit(0), F.col("pos") - window)
-                        + 1
-                    ),
-                ),
-                " ",
+            _kwic_snippet_col(
+                F.col("_sn_toks"), F.col("pos"), window
             ).alias("snippet"),
         )
     )
@@ -2900,25 +2968,34 @@ def faceted_counts(
     """
     if not facet_cols:
         raise ValueError("faceted_counts: no facet columns")
-    matched = boolean_search(df, query, text_col, id_col).select("doc")
+    matched = boolean_search(df, query, text_col, id_col).select(
+        F.col("doc").alias("_fc_doc")
+    )
+    # a reserved join key ("doc" may itself be a facet column) and a
+    # pure-Column unpivot (an f-string stack() would mis-parse facet
+    # names containing quotes/backticks) — review findings
     faceted = matched.join(
         df.select(
-            F.col(id_col).alias("doc"),
-            *[F.col(c).cast("string").alias(c) for c in facet_cols],
+            F.col(id_col).alias("_fc_doc"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("facet"),
+                            F.coalesce(
+                                F.col(c).cast("string"), F.lit("NULL")
+                            ).alias("value"),
+                        )
+                        for c in facet_cols
+                    ]
+                )
+            ).alias("_fc_pair"),
         ),
-        "doc",
-    )
-    pairs = ", ".join(
-        f"'{c}', coalesce(`{c}`, 'NULL')" for c in facet_cols
-    )
-    stacked = faceted.select(
-        "doc",
-        F.expr(
-            f"stack({len(facet_cols)}, {pairs}) AS (facet, value)"
-        ),
+        "_fc_doc",
     )
     return (
-        stacked.groupBy("facet", "value")
+        faceted.select("_fc_pair.facet", "_fc_pair.value")
+        .groupBy("facet", "value")
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("facet", F.desc("n_docs"), "value")
     )
@@ -3101,47 +3178,53 @@ def more_like_this(
     work — common words match everything; integer overlap scoring
     (not idf sums) is what keeps the row fully value-hash-certifiable.
 
-    Scale posture: ONE tokenize pass feeds both the source-term pick
-    and the match scan (the exploded frame is reused); doc_freq for
-    ONLY the source's terms aggregates from a semi-filtered explode
-    (never a full vocabulary build); the chosen terms come back as a
-    driver-side literal in-filter, so the match side reads
-    O(Σ doc_freq of the query terms) rows. Top-k is a TakeOrdered.
+    Scale posture: the source document's terms come from ONE
+    id-pushed point lookup (a pruned scan, tokenized driver-side —
+    the term set is bounded by one document's length); the corpus
+    then tokenizes ONCE — the (token, doc) rows matching the source's
+    terms materialize as a bounded intermediate that feeds BOTH the
+    rarity ranking and the overlap scan (a plan reference would
+    re-execute the full tokenize per consumer — review finding, the
+    multi-leg rule); the chosen terms come back as a driver-side
+    literal in-filter, so the match side reads O(Σ doc_freq of the
+    query terms) rows. Top-k is a TakeOrdered.
     """
     if max_query_terms < 1:
         raise ValueError("more_like_this: max_query_terms must be >= 1")
-    ex = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(tokens(text_col)).alias("token"),
+    doc_type = dict(df.select(F.col(id_col)).dtypes)[id_col]
+    src_row = (
+        df.filter(F.col(id_col) == F.lit(doc_id))
+        .select(tokens(text_col).alias("_ml_toks"))
+        .first()
     )
-    src_terms = (
-        ex.filter(F.col("doc") == F.lit(doc_id))
-        .select("token")
-        .distinct()
-    )
-    dfreq = (
-        ex.join(F.broadcast(src_terms), "token", "left_semi")
-        .groupBy("token")
-        .agg(F.count_distinct("doc").alias("_ml_df"))
-    )
-    picked = [
-        r["token"]
-        for r in dfreq.orderBy("_ml_df", "token")
-        .limit(max_query_terms)
-        .collect()
-    ]
-    if not picked:
+    src_terms = sorted(set(src_row["_ml_toks"])) if src_row else []
+    if not src_terms:
         # token-less or unknown source doc: no terms, no neighbors —
         # an empty frame with the output schema, never an error (the
         # panel renders empty, the pipeline keeps moving)
         return df.sparkSession.createDataFrame(
             [], "doc long, n_terms_matched long"
         ).select(
-            F.col("doc").cast(dict(ex.dtypes)["doc"]).alias("doc"),
-            "n_terms_matched",
+            F.col("doc").cast(doc_type).alias("doc"), "n_terms_matched"
         )
+    cand = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        .filter(F.col("token").isin(src_terms))
+        .localCheckpoint()
+    )
+    picked = [
+        r["token"]
+        for r in cand.groupBy("token")
+        .agg(F.count_distinct("doc").alias("_ml_df"))
+        .orderBy("_ml_df", "token")
+        .limit(max_query_terms)
+        .collect()
+    ]
     hits = (
-        ex.filter(F.col("token").isin(picked))
+        cand.filter(F.col("token").isin(picked))
         .filter(F.col("doc") != F.lit(doc_id))
         .groupBy("doc")
         .agg(
@@ -3183,6 +3266,7 @@ def search_page(
     if window < 0:
         raise ValueError("search_page: window must be >= 0")
     node = parse_boolean_query(query)
+    _check_not_purely_negative(node, "search_page")
     matched = boolean_search(df, query, text_col, id_col)
     page = (
         matched.orderBy(F.desc("n_terms_matched"), "doc")
@@ -3195,6 +3279,11 @@ def search_page(
             )
             .cast("long"),
         )
+        # THREE legs reference the page (snippet join + two broadcast
+        # probes) and a plan reference re-executes the whole boolean
+        # match per leg — k rows, materialize once (review finding;
+        # the multi-leg rule)
+        .localCheckpoint()
     )
     pred = _token_match_predicate(node)
     toked = df.select(
@@ -3225,30 +3314,10 @@ def search_page(
             F.coalesce(F.col("first_pos"), F.lit(0).cast("long")).alias(
                 "first_pos"
             ),
-            F.array_join(
-                F.slice(
-                    F.col("_sp_toks"),
-                    F.greatest(
-                        F.lit(1),
-                        F.coalesce(F.col("first_pos"), F.lit(0))
-                        + 1
-                        - window,
-                    ),
-                    (
-                        F.least(
-                            F.size("_sp_toks") - 1,
-                            F.coalesce(F.col("first_pos"), F.lit(0))
-                            + window,
-                        )
-                        - F.greatest(
-                            F.lit(0),
-                            F.coalesce(F.col("first_pos"), F.lit(0))
-                            - window,
-                        )
-                        + 1
-                    ),
-                ),
-                " ",
+            _kwic_snippet_col(
+                F.col("_sp_toks"),
+                F.coalesce(F.col("first_pos"), F.lit(0)),
+                window,
             ).alias("snippet"),
         )
     )

@@ -1909,3 +1909,35 @@ def test_search_page_ranking_and_snippets(spark):
     assert fo == [(1, 3, 1, 0, "no match here")]
     with pytest.raises(ValueError):
         search_page(docs, "spark", window=-1)
+
+
+def test_review_fixes_field_case_facet_doc_and_snippet_guard(spark):
+    # review findings: (a) uppercase metadata columns are field-
+    # queryable (case-insensitive resolution, like Spark's own);
+    # (b) a facet column named 'doc' doesn't collide with the join
+    # key; (c) a multi-word snippet term raises instead of silently
+    # returning empty
+    from esdb_spark.operators.search import (
+        boolean_search,
+        faceted_counts,
+        snippet_extract,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark data", "en"), (2, "spark merge", "de")],
+        "doc_id int, text string, Lang string",
+    )
+    got = [r["doc"] for r in boolean_search(docs, "lang:en AND spark").collect()]
+    assert got == [1], got
+    got2 = [r["doc"] for r in boolean_search(docs, "Lang:EN AND spark").collect()]
+    assert got2 == [1], got2
+
+    docs2 = spark.createDataFrame(
+        [(1, "spark x", "a"), (2, "spark y", "b")],
+        "doc_id int, text string, doc string",
+    )
+    fc = [tuple(r) for r in faceted_counts(docs2, "spark", ["doc"]).collect()]
+    assert fc == [("doc", "a", 1), ("doc", "b", 1)], fc
+
+    with pytest.raises(ValueError, match="single words"):
+        snippet_extract(docs, ["fast table"])
