@@ -1229,6 +1229,36 @@ def ann_store_delete(
     return kept.unionByName(probe)
 
 
+def _dup_rank_guard(out: DataFrame, caller: str) -> DataFrame:
+    """The maintained-serving output guard — a duplicate id among one
+    query's returned top-k rows raises (a re-appended, un-compacted id
+    silently eats ranks). ONE definition shared by
+    :func:`ann_search_segments` and :func:`ivf_topk_int8_exact`'s
+    assigned path (review finding: two drifting copies). Windows the
+    tiny ranked output, never the store; the k-boundary-straddle blind
+    spot is documented at the faces and audited by
+    :func:`compact_ann_segments`."""
+    wdup = Window.partitionBy("query_id", "id")
+    return (
+        out.withColumn("_dr_n", F.count("*").over(wdup))
+        .filter(
+            F.when(
+                F.col("_dr_n") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"{caller}: id ranked twice for one query "
+                            "(re-appended without compaction); id: "
+                        ),
+                        F.col("id").cast("string"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+        .drop("_dr_n")
+    )
+
+
 def compact_ann_segments(
     segments: list[DataFrame],
     tombstones: list[DataFrame] | None = None,
@@ -1280,6 +1310,20 @@ def compact_ann_segments(
     )
     folded = per.filter(
         F.when(
+            F.col("id").isNull(),
+            # the audit face sees every row: a NULL-id live row would
+            # survive every compaction and could never be tombstoned
+            # (NULL tombstone ids are themselves rejected) — eating
+            # top-k slots forever (review finding)
+            F.raise_error(
+                F.lit(
+                    "compact_ann_segments: NULL id in a live segment — "
+                    "equality-keyed guards and the delete face can "
+                    "never match it"
+                )
+            ).cast("boolean"),
+        )
+        .when(
             F.col("_ca_n") > 1,
             F.raise_error(
                 F.concat(
@@ -1290,7 +1334,8 @@ def compact_ann_segments(
                     F.col("id").cast("string"),
                 )
             ).cast("boolean"),
-        ).otherwise(F.lit(True))
+        )
+        .otherwise(F.lit(True))
     ).select("id", "vec", "cell")
     if not tombstones:
         return folded
@@ -1397,25 +1442,7 @@ def ann_search_segments(
         assigned=live,
         tombstones=tomb,
     )
-    wdup = Window.partitionBy("query_id", "id")
-    return (
-        out.withColumn("_as_n", F.count("*").over(wdup))
-        .filter(
-            F.when(
-                F.col("_as_n") > 1,
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "ann_search_segments: id ranked twice for one "
-                            "query (re-appended without compaction); id: "
-                        ),
-                        F.col("id").cast("string"),
-                    )
-                ).cast("boolean"),
-            ).otherwise(F.lit(True))
-        )
-        .drop("_as_n")
-    )
+    return _dup_rank_guard(out, "ann_search_segments")
 
 
 def _quantize_centroids_literal(centroids: list) -> list:
@@ -1510,16 +1537,23 @@ def ivf_assign_int8_exact(
     best_sql = (
         f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
     )
+    dim = len(centroids[0][1])
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     guarded = src.filter(
         F.when(
-            F.col("vec").isNull(),
+            F.col("vec").isNull() | (F.size("vec") != dim),
+            # wrong-dimension is as corrupt as NULL: an over-long
+            # vector would quantize under a scale dominated by the
+            # tail the assignment dot never reads and mis-bucket
+            # silently; a short one would abort with an opaque
+            # element_at error (review finding, reproduced)
             F.raise_error(
                 F.concat(
                     F.lit(
-                        "ivf_assign_int8_exact: NULL vector in the "
-                        "delta — a store append that drops an insert "
-                        "is CDC divergence; id: "
+                        "ivf_assign_int8_exact: NULL or wrong-"
+                        f"dimension vector (centroids are {dim}-d) in "
+                        "the delta — a store append that drops an "
+                        "insert is CDC divergence; id: "
                     ),
                     F.col("id").cast("string"),
                 )
@@ -1724,30 +1758,9 @@ def ivf_topk_int8_exact(
     ).filter(F.col("rank") <= k)
     if assigned is None:
         return ranked
-    # maintained path only: a duplicate id among the top-k rows means
-    # a re-append without compaction — raise rather than silently eat
-    # ranks (the ann_search_segments output guard; windows the tiny
-    # ranked output, never the store)
-    wdup = Window.partitionBy("query_id", "id")
-    return (
-        ranked.withColumn("_iv_n", F.count("*").over(wdup))
-        .filter(
-            F.when(
-                F.col("_iv_n") > 1,
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "ivf_topk_int8_exact: id ranked twice for "
-                            "one query (re-appended without "
-                            "compaction); id: "
-                        ),
-                        F.col("id").cast("string"),
-                    )
-                ).cast("boolean"),
-            ).otherwise(F.lit(True))
-        )
-        .drop("_iv_n")
-    )
+    # maintained path only: the shared output guard (a duplicate id
+    # among the top-k means a re-append without compaction)
+    return _dup_rank_guard(ranked, "ivf_topk_int8_exact")
 
 
 def hard_negatives(

@@ -1058,6 +1058,31 @@ def _lsm_publish(
     _lsm_sweep(spark, state_path, keep_versions)
 
 
+def _write_state_dir(spark, df, out: str, partition_by) -> bool:
+    """Write a fold/segment frame to ``out`` (partitioned by
+    ``partition_by`` when the frame has those columns) and return
+    whether it holds rows — ONE definition for every LSM write
+    (review finding: the partitioned-write-plus-emptiness logic had
+    drifted into three copies and two of them shipped without the
+    empty-frame handling, leaving manifests referencing dirs no
+    reader could infer a schema from). The emptiness probe reads back
+    under the WRITER's schema (a partitioned write of an empty frame
+    leaves no files at all); an empty PARTITIONED result is rewritten
+    flat so the dir stays schema-readable if a manifest references it
+    (a compaction that deletes everything is legal state, and the
+    unpartitioned folds have always referenced their empty output)."""
+    w = df.write.mode("overwrite")
+    partitioned = partition_by and set(partition_by) <= set(df.columns)
+    if partitioned:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out)
+    probe = spark.read.schema(df.schema) if partitioned else spark.read
+    non_empty = bool(probe.parquet(out).limit(1).count())
+    if partitioned and not non_empty:
+        df.write.mode("overwrite").parquet(out)
+    return non_empty
+
+
 def _lsm_fold(
     state_path: str,
     caller: str,
@@ -1152,22 +1177,7 @@ def _lsm_fold(
             # not-free-on-a-lazy-frame lesson, review finding). An
             # empty dir stays on disk unreferenced until the sweep.
             out = posixpath.join(state_path, dirname)
-            w = df.write.mode("overwrite")
-            partitioned = partition_by and set(partition_by) <= set(
-                df.columns
-            )
-            if partitioned:
-                w = w.partitionBy(*partition_by)
-            w.parquet(out)
-            # a partitioned write of an EMPTY frame leaves no files and
-            # no partition dirs — schema inference fails on the probe,
-            # so read back under the writer's schema (partition columns
-            # match by name); the empty dir stays unreferenced either
-            # way and manifest readers only ever open non-empty dirs
-            probe = (
-                spark.read.schema(df.schema) if partitioned else spark.read
-            )
-            return bool(probe.parquet(out).limit(1).count())
+            return _write_state_dir(spark, df, out, partition_by)
 
         seg_dir = f"seg-{epoch_id:012d}"
         if write_segment(build_live(ins), seg_dir):
@@ -1188,11 +1198,14 @@ def _lsm_fold(
                 if kind == "tomb"
             ]
             cdir = f"seg-{epoch_id:012d}-c"
-            folded = compact(live, tomb or None)
-            cw = folded.write.mode("overwrite")
-            if partition_by and set(partition_by) <= set(folded.columns):
-                cw = cw.partitionBy(*partition_by)
-            cw.parquet(posixpath.join(state_path, cdir))
+            _write_state_dir(
+                spark,
+                compact(live, tomb or None),
+                posixpath.join(state_path, cdir),
+                partition_by,
+            )
+            # referenced even when EMPTY (delete-everything is legal
+            # state; the helper leaves an empty dir schema-readable)
             new_entries = [("live", cdir)]
         _lsm_publish(
             spark, state_path, epoch_id, new_entries, keep_versions, caller
@@ -1447,14 +1460,17 @@ def _id_keyed_prepare(
                 pre = f"seg-{epoch_id:012d}-pre"
                 # unreferenced by any manifest yet → no reader can hold
                 # it, so a replay's overwrite is safe (same argument as
-                # the epoch's own segment dirs)
-                folded = compact_fn(live, tomb or None)
-                w = folded.write.mode("overwrite")
-                if partition_by and set(partition_by) <= set(
-                    folded.columns
-                ):
-                    w = w.partitionBy(*partition_by)
-                w.parquet(posixpath.join(state_path, pre))
+                # the epoch's own segment dirs); referenced even when
+                # the fold nets to EMPTY (a lone insert-delete-reinsert
+                # id folds its prior state to zero rows — review
+                # finding, reproduced: the empty partitioned dir was
+                # unreadable and poisoned every later serve)
+                _write_state_dir(
+                    spark,
+                    compact_fn(live, tomb or None),
+                    posixpath.join(state_path, pre),
+                    partition_by,
+                )
                 entries = [("live", pre)]
         if rm is not None:
             both = (
@@ -1681,12 +1697,37 @@ def maintain_ann_store(
     :func:`_lsm_publish` temp+rename manifest commit; replays
     short-circuit on a published epoch.
     """
-    from esdb_spark.operators.similarity import (
-        ann_store_append,
-        compact_ann_segments,
-    )
+    from esdb_spark.operators.cluster import kmeans_assign
+    from esdb_spark.operators.similarity import compact_ann_segments
 
     _require_keep_versions(keep_versions, "maintain_ann_store")
+
+    def build_live(ins):
+        # a projection-level guard, NOT ann_store_append's aggregate:
+        # the fold's duplicate-insert probe has already guaranteed one
+        # row per id and _op_guard raised on NULL ids, so re-grouping
+        # the delta here would add a second shuffling aggregation to
+        # every insert epoch for an unreachable arm (review finding).
+        # What remains per-row: kmeans_assign marks NULL/wrong-dim
+        # vectors with a NULL cell — a store append that silently
+        # drops an insert is CDC divergence, so it raises.
+        assigned = kmeans_assign(ins, centroids, vec_col, id_col,
+                                 keep_vec=True)
+        return assigned.filter(
+            F.when(
+                F.col("cluster").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "maintain_ann_store: NULL or wrong-"
+                            "dimension vector in the delta "
+                            "(kmeans_assign marked it corrupt); id: "
+                        ),
+                        F.col("id").cast("string"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        ).select("id", "vec", F.col("cluster").cast("int").alias("cell"))
 
     prepare = _id_keyed_prepare(
         state_path,
@@ -1706,9 +1747,7 @@ def maintain_ann_store(
         None,  # no text contract — vec integrity is build_live's guard
         keep_versions,
         compact_above,
-        build_live=lambda ins: ann_store_append(
-            None, ins, centroids, vec_col, id_col, guard_overlap=False
-        ),
+        build_live=build_live,
         build_tombstone=lambda rm: (
             rm.select(F.col(id_col).alias("id")).distinct()
         ),

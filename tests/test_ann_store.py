@@ -323,5 +323,77 @@ def test_ivf_exact_maintained_parity_and_guards(spark):
     nulvec = spark.createDataFrame(
         [(1, None)], "id int, vec array<double>"
     )
-    with pytest.raises(Exception, match="NULL vector"):
+    with pytest.raises(Exception, match="NULL or wrong-dimension"):
         ivf_assign_int8_exact(nulvec, cents, "vec", "id").collect()
+
+
+def test_maintain_ann_store_fold_to_empty_stays_readable(spark, tmp_path):
+    # review finding (reproduced): a pre-compaction or compaction that
+    # nets to ZERO rows used to write an empty partitionBy(cell) dir —
+    # no files, no schema — and every later read of the store failed.
+    # (A) lone insert->delete->reinsert: the self-heal pre-compaction
+    # folds the prior state to empty
+    from esdb_spark.operators.similarity import ann_search_segments
+    from esdb_spark.streaming import read_maintained_index_segments
+
+    state = _feed_ann(
+        spark, tmp_path,
+        [[(5, _vec(5), "insert")],
+         [(5, _vec(5), "delete")],
+         [(5, _vec(5), "insert")]],
+        name="empty_pre",
+    )
+    live, tomb = read_maintained_index_segments(spark, state)
+    assert not tomb
+    queries = spark.createDataFrame(
+        [(99, _vec(5))], "doc_id int, vec array<double>"
+    )
+    got = ann_search_segments(
+        live, queries, CENTS, "vec", "doc_id", k=1, n_probe=4
+    ).collect()
+    assert [r["id"] for r in got] == [5]
+    # (B) delete-everything crossing compact_above: the folded store is
+    # legally EMPTY and must stay schema-readable and serve empty
+    state2 = _feed_ann(
+        spark, tmp_path,
+        [[(1, _vec(1), "insert"), (2, _vec(2), "insert")],
+         [(1, _vec(1), "delete")],
+         [(2, _vec(2), "delete")]],
+        compact_above=1,
+        name="empty_all",
+    )
+    live2, tomb2 = read_maintained_index_segments(spark, state2)
+    assert len(live2) == 1 and not tomb2
+    assert live2[0].count() == 0
+    assert ann_search_segments(
+        live2, queries, CENTS, "vec", "doc_id", k=3, n_probe=4
+    ).count() == 0
+
+
+def test_ivf_assign_wrong_dimension_raises(spark):
+    # review finding (reproduced): an over-long vector was silently
+    # mis-bucketed (its ignored tail dominated the int8 scale); a
+    # short one aborted with an opaque element_at error
+    from esdb_spark.operators.similarity import ivf_assign_int8_exact
+
+    cents = [(j, [1.0 if i == j else 0.0 for i in range(4)])
+             for j in range(2)]
+    for bad in ([0.1] * 6, [0.1] * 2):
+        df = spark.createDataFrame(
+            [(1, bad)], "id int, vec array<double>"
+        )
+        with pytest.raises(Exception, match="wrong-dimension"):
+            ivf_assign_int8_exact(df, cents, "vec", "id").collect()
+
+
+def test_compact_ann_segments_null_live_id_raises(spark):
+    # review finding: a NULL-id live row survived every compaction and
+    # could never be tombstoned — the audit face must raise
+    from esdb_spark.operators.similarity import compact_ann_segments
+
+    seg = spark.createDataFrame(
+        [(None, _vec(1), 0), (2, _vec(2), 1)],
+        "id int, vec array<double>, cell int",
+    )
+    with pytest.raises(Exception, match="NULL id in a live segment"):
+        compact_ann_segments([seg]).collect()
