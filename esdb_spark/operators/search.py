@@ -660,10 +660,8 @@ def _positional_net_rows(
         )
         live = t if live is None else live.unionByName(t)
     if terms is not None or prefixes:
-        pred = F.col("token").isin(terms or [])
-        for stem in prefixes or []:
-            pred = pred | F.col("token").startswith(stem)
-        filt = live.filter(pred)
+        pred = _operand_predicate(terms or [], prefixes)
+        filt = live.filter(pred if pred is not None else F.lit(False))
     else:
         filt = live
     # only _pn_n == 1 rows survive the keep CASE, so first() is
@@ -1823,13 +1821,13 @@ def _segment_net_rows(
             )
         )
     if terms is not None or prefixes:
-        # the operand predicate lands below the union: a literal
-        # in-filter for the terms OR'd with a sargable startswith per
-        # wildcard stem — both push into every segment leg's scan
-        pred = F.col("token").isin(terms or [])
-        for stem in prefixes or []:
-            pred = pred | F.col("token").startswith(stem)
-        tagged = tagged.filter(pred)
+        # the operand predicate lands below the union and pushes into
+        # every segment leg's scan (shared builder; terms may be an
+        # empty list meaning "no term matches anything")
+        pred = _operand_predicate(terms or [], prefixes)
+        tagged = tagged.filter(
+            pred if pred is not None else F.lit(False)
+        )
     not_trunc = F.when(
         F.col("truncated"),
         F.raise_error(
@@ -2325,22 +2323,25 @@ def _bool_words(node) -> list[str]:
     return sorted({w for child in node[1] for w in _bool_words(child)})
 
 
-def _token_match_predicate(node):
-    """ONE scan predicate covering every operand kind: a literal
-    in-filter for the query's words OR'd with a sargable startswith
-    per wildcard stem — both push to parquet (In + StringStartsWith),
-    so each face still reads only operand-relevant rows."""
-    words = _bool_words(node)
-    prefixes = sorted(set(_bool_prefixes(node)))
+def _operand_predicate(terms, prefixes):
+    """The scan predicate for a (terms, prefixes) operand set: a
+    literal in-filter OR'd with a sargable startswith per wildcard
+    stem — both push to parquet (In + StringStartsWith). ONE
+    definition shared by the corpus faces and both segment nets
+    (third-review finding: three drifting copies). None when both are
+    empty (field-only queries) — callers skip the token legs."""
     pred = None
-    if words:
-        pred = F.col("token").isin(words)
-    for stem in prefixes:
+    if terms:
+        pred = F.col("token").isin(sorted(terms))
+    for stem in sorted(set(prefixes or [])):
         c = F.col("token").startswith(stem)
         pred = c if pred is None else (pred | c)
-    # None = the query has no TOKEN operands (field-only queries on
-    # the corpus face) — callers skip the token legs entirely
     return pred
+
+
+def _token_match_predicate(node):
+    """:func:`_operand_predicate` over every word the query touches."""
+    return _operand_predicate(_bool_words(node), _bool_prefixes(node))
 
 
 def _bool_const_eval(node, value: bool) -> bool:
@@ -2560,10 +2561,23 @@ def boolean_search(
     )
     if pred is not None:
         ex = ex.filter(pred)
-    # legs that reference ex: the term filter (always present when any
-    # token operand exists), plus one each for phrases/NEAR/wildcards
+    terms = sorted(
+        set(_bool_literals(node))
+        - {" ".join(p) for p in phrases}
+        - {f"{wa} NEAR/{d} {wb}" for wa, wb, d in nears}
+        - {f"{stem} *PREFIX" for stem in prefixes}
+        - {f"{f_}:{v} FIELD" for f_, v in fields}
+    )
+    # legs that actually consume ex: the term filter only when term
+    # literals exist (isin([]) folds to false and prunes — counting it
+    # unconditionally forced a useless checkpoint job onto every
+    # single-operand wildcard/phrase query, third-review finding),
+    # plus one each for phrases/NEAR/wildcards
     token_legs = (
-        1 + int(bool(phrases)) + int(bool(nears)) + int(bool(prefixes))
+        int(bool(terms))
+        + int(bool(phrases))
+        + int(bool(nears))
+        + int(bool(prefixes))
     )
     if pred is not None and token_legs > 1:
         # every token leg re-references the posexplode subtree, and a
@@ -2572,13 +2586,6 @@ def boolean_search(
         # SCALE.md multi-leg rule). The filtered explode is bounded by
         # the operands' matching rows — materialize it once.
         ex = ex.localCheckpoint()
-    terms = sorted(
-        set(_bool_literals(node))
-        - {" ".join(p) for p in phrases}
-        - {f"{wa} NEAR/{d} {wb}" for wa, wb, d in nears}
-        - {f"{stem} *PREFIX" for stem in prefixes}
-        - {f"{f_}:{v} FIELD" for f_, v in fields}
-    )
     matches = (
         ex.filter(F.col("token").isin(terms)).select("doc", "token")
         if pred is not None
@@ -2793,6 +2800,15 @@ def boolean_search_positional(
     them answer from the same maintained state."""
     node = parse_boolean_query(query)
     _check_not_purely_negative(node, "boolean_search_positional")
+    if _bool_fields(node):
+        # reject BEFORE any job — the shared tail also checks, but by
+        # then an eager materialization may already have run
+        # (third-review finding, the wasted-job-before-raise pattern)
+        raise ValueError(
+            "boolean_search_positional: field operands need the "
+            "corpus frame's metadata columns — serve field-scoped "
+            "queries with boolean_search over the corpus"
+        )
     pred = _token_match_predicate(node)
     # pred is None only for field-only queries, which the shared tail
     # rejects with the proper diagnosis — don't crash on filter(None)
@@ -2828,6 +2844,12 @@ def boolean_search_positional_segments(
     _check_not_purely_negative(
         node, "boolean_search_positional_segments"
     )
+    if _bool_fields(node):
+        raise ValueError(
+            "boolean_search_positional_segments: field operands need "
+            "the corpus frame's metadata columns — serve field-scoped "
+            "queries with boolean_search over the corpus"
+        )
     net = _positional_net_rows(
         segments,
         tombstones,
@@ -3197,7 +3219,12 @@ def more_like_this(
         .select(tokens(text_col).alias("_ml_toks"))
         .first()
     )
-    src_terms = sorted(set(src_row["_ml_toks"])) if src_row else []
+    # tokens() of NULL text is NULL, not an empty array — a NULL-text
+    # source doc must hit the empty-panel path, never a driver
+    # TypeError (third-review finding)
+    src_terms = (
+        sorted(set(src_row["_ml_toks"] or [])) if src_row else []
+    )
     if not src_terms:
         # token-less or unknown source doc: no terms, no neighbors —
         # an empty frame with the output schema, never an error (the

@@ -1079,7 +1079,12 @@ def _write_state_dir(spark, df, out: str, partition_by) -> bool:
     probe = spark.read.schema(df.schema) if partitioned else spark.read
     non_empty = bool(probe.parquet(out).limit(1).count())
     if partitioned and not non_empty:
-        df.write.mode("overwrite").parquet(out)
+        # schema-only empty frame: rewriting from `df` would re-execute
+        # the whole fold plan a second time just to produce zero rows
+        # (third-review finding)
+        spark.createDataFrame([], df.schema).write.mode(
+            "overwrite"
+        ).parquet(out)
     return non_empty
 
 
@@ -1715,6 +1720,21 @@ def maintain_ann_store(
                                  keep_vec=True)
         return assigned.filter(
             F.when(
+                F.col("id").isNull(),
+                # with op_col=None the _op_guard never runs, so the
+                # NULL-id ingest guard must live HERE (third-review
+                # finding: a NULL-id row would serve forever — no
+                # tombstone can match it — and poison the first
+                # compaction's audit on every replay)
+                F.raise_error(
+                    F.lit(
+                        "maintain_ann_store: NULL id in the change "
+                        "feed — equality-keyed guards and the delete "
+                        "face can never match it"
+                    )
+                ).cast("boolean"),
+            )
+            .when(
                 F.col("cluster").isNull(),
                 F.raise_error(
                     F.concat(
@@ -1726,7 +1746,8 @@ def maintain_ann_store(
                         F.col("id").cast("string"),
                     )
                 ).cast("boolean"),
-            ).otherwise(F.lit(True))
+            )
+            .otherwise(F.lit(True))
         ).select("id", "vec", F.col("cluster").cast("int").alias("cell"))
 
     prepare = _id_keyed_prepare(

@@ -397,3 +397,26 @@ def test_compact_ann_segments_null_live_id_raises(spark):
     )
     with pytest.raises(Exception, match="NULL id in a live segment"):
         compact_ann_segments([seg]).collect()
+
+
+def test_maintain_ann_store_null_id_raises_without_op_col(spark, tmp_path):
+    # third-review finding: with op_col=None the _op_guard never runs,
+    # so build_live itself must raise on NULL ids (a NULL-id row would
+    # serve forever and poison the first compaction's audit)
+    from esdb_spark.streaming import maintain_ann_store
+
+    src = str(tmp_path / "nid_src")
+    schema = "doc_id int, vec array<double>"
+    spark.createDataFrame(
+        [(None, _vec(1)), (2, _vec(2))], schema
+    ).coalesce(1).write.mode("overwrite").json(src)
+    q = maintain_ann_store(
+        spark.readStream.schema(schema).json(src),
+        str(tmp_path / "nid_st"), CENTS,
+        checkpoint=str(tmp_path / "nid_ck"), query_name="nid",
+    )
+    with pytest.raises(Exception, match="NULL id in the change feed"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()

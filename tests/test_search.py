@@ -1941,3 +1941,14 @@ def test_review_fixes_field_case_facet_doc_and_snippet_guard(spark):
 
     with pytest.raises(ValueError, match="single words"):
         snippet_extract(docs, ["fast table"])
+
+
+def test_more_like_this_null_text_source_is_empty(spark):
+    # third-review finding: a NULL-text source doc must hit the
+    # empty-panel path, not a driver TypeError
+    from esdb_spark.operators.search import more_like_this
+
+    docs = spark.createDataFrame(
+        [(1, "spark data"), (2, None)], "doc_id int, text string"
+    )
+    assert more_like_this(docs, 2).count() == 0
