@@ -2589,10 +2589,11 @@ def boolean_search(
     matches = (
         ex.filter(F.col("token").isin(terms)).select("doc", "token")
         if pred is not None
+        # field-only query: a typed empty seed the field legs union
+        # onto (no token operands exist to match)
         else df.sparkSession.createDataFrame(
-            [], "token string"
-        ).crossJoin(df.select(F.col(id_col).alias("doc")).limit(0))
-        .select("doc", "token")
+            [], f"doc {dict(df.dtypes)[id_col]}, token string"
+        )
     )
     if phrases:
         # quoted operands flag through the same exploded frame — still
