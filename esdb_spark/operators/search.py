@@ -2216,6 +2216,19 @@ def parse_boolean_query(query: str):
     return node
 
 
+def _reject_field_operands(node, caller: str) -> None:
+    """Driver-side, before ANY job runs: field operands need the
+    corpus frame's metadata columns, which no index face carries —
+    ONE definition for the five faces that reject them (fourth-review
+    finding: five drifting copies of the message)."""
+    if _bool_fields(node):
+        raise ValueError(
+            f"{caller}: field operands need the corpus frame's "
+            "metadata columns — serve field-scoped queries with "
+            "boolean_search over the corpus"
+        )
+
+
 def _check_not_purely_negative(node, caller: str) -> None:
     """Driver-side, before ANY job runs: a query satisfiable with
     every literal false would match the whole corpus minus the
@@ -2569,15 +2582,16 @@ def boolean_search(
         - {f"{f_}:{v} FIELD" for f_, v in fields}
     )
     # legs that actually consume ex: the term filter only when term
-    # literals exist (isin([]) folds to false and prunes — counting it
-    # unconditionally forced a useless checkpoint job onto every
-    # single-operand wildcard/phrase query, third-review finding),
-    # plus one each for phrases/NEAR/wildcards
+    # literals exist (isin([]) folds to false and prunes), one for all
+    # phrases (one slot-map join), one for all NEARs (materialized
+    # net), and one PER wildcard stem (_prefix_marker_rows builds a
+    # separate startswith leg per stem — fourth-review finding: a
+    # two-stem wildcard-only query re-tokenized the corpus per stem)
     token_legs = (
         int(bool(terms))
         + int(bool(phrases))
         + int(bool(nears))
-        + int(bool(prefixes))
+        + len(set(prefixes))
     )
     if pred is not None and token_legs > 1:
         # every token leg re-references the posexplode subtree, and a
@@ -2589,11 +2603,11 @@ def boolean_search(
     matches = (
         ex.filter(F.col("token").isin(terms)).select("doc", "token")
         if pred is not None
-        # field-only query: a typed empty seed the field legs union
-        # onto (no token operands exist to match)
-        else df.sparkSession.createDataFrame(
-            [], f"doc {dict(df.dtypes)[id_col]}, token string"
-        )
+        # field-only query: an empty seed the field legs union onto —
+        # typed by ex itself (a dict(df.dtypes)[id_col] lookup is
+        # case-SENSITIVE where Spark's own resolution is not,
+        # fourth-review finding)
+        else ex.select("doc", "token").limit(0)
     )
     if phrases:
         # quoted operands flag through the same exploded frame — still
@@ -2655,12 +2669,7 @@ def boolean_search_indexed(
             "serve it with boolean_search_positional over a positional "
             "index"
         )
-    if _bool_fields(node):
-        raise ValueError(
-            "boolean_search_indexed: field operands need the corpus "
-            "frame's metadata columns — serve field-scoped queries "
-            "with boolean_search over the corpus"
-        )
+    _reject_field_operands(node, "boolean_search_indexed")
     prefixes = _bool_prefixes(node)
     terms = sorted(
         set(_bool_literals(node)) - {f"{p} *PREFIX" for p in prefixes}
@@ -2715,12 +2724,7 @@ def boolean_search_segments(
             "phrases or NEAR operands — boolean segments store no "
             "positions; serve it with boolean_search_positional_segments"
         )
-    if _bool_fields(node):
-        raise ValueError(
-            "boolean_search_segments: field operands need the corpus "
-            "frame's metadata columns — serve field-scoped queries "
-            "with boolean_search over the corpus"
-        )
+    _reject_field_operands(node, "boolean_search_segments")
     prefixes = _bool_prefixes(node)
     terms = sorted(
         set(_bool_literals(node)) - {f"{p} *PREFIX" for p in prefixes}
@@ -2754,12 +2758,7 @@ def _boolean_eval_positional(
     row presence, phrase flags from ONE positions explode through
     :func:`_phrase_marker_rows` — both operand kinds served by the
     same single index scan."""
-    if _bool_fields(node):
-        raise ValueError(
-            f"{caller}: field operands need the corpus frame's "
-            "metadata columns — serve field-scoped queries with "
-            "boolean_search over the corpus"
-        )
+    _reject_field_operands(node, caller)  # backstop; faces hoist it
     phrases = _bool_phrases(node)
     nears = _bool_nears(node)
     prefixes = _bool_prefixes(node)
@@ -2801,24 +2800,19 @@ def boolean_search_positional(
     them answer from the same maintained state."""
     node = parse_boolean_query(query)
     _check_not_purely_negative(node, "boolean_search_positional")
-    if _bool_fields(node):
-        # reject BEFORE any job — the shared tail also checks, but by
-        # then an eager materialization may already have run
-        # (third-review finding, the wasted-job-before-raise pattern)
-        raise ValueError(
-            "boolean_search_positional: field operands need the "
-            "corpus frame's metadata columns — serve field-scoped "
-            "queries with boolean_search over the corpus"
-        )
+    _reject_field_operands(node, "boolean_search_positional")
     pred = _token_match_predicate(node)
-    # pred is None only for field-only queries, which the shared tail
-    # rejects with the proper diagnosis — don't crash on filter(None)
     flat = index.filter(pred) if pred is not None else index
-    if _bool_prefixes(node) and (_bool_phrases(node) or _bool_nears(node)
-                                 or _bool_words(node)):
+    legs = (
+        int(bool(_bool_words(node)))
+        + int(bool(_bool_phrases(node)))
+        + int(bool(_bool_nears(node)))
+        + len(set(_bool_prefixes(node)))
+    )
+    if legs > 1:
         # multiple legs consume the filtered scan — cheap to re-read a
-        # pruned parquet, but a localCheckpoint keeps the plan shared
-        # when wildcards multiply the legs
+        # pruned parquet, but a localCheckpoint keeps the plan shared;
+        # one leg PER wildcard stem (the corpus face's counting rule)
         flat = flat.localCheckpoint()
     return _boolean_eval_positional(
         flat, node, k, "boolean_search_positional"
@@ -2845,12 +2839,9 @@ def boolean_search_positional_segments(
     _check_not_purely_negative(
         node, "boolean_search_positional_segments"
     )
-    if _bool_fields(node):
-        raise ValueError(
-            "boolean_search_positional_segments: field operands need "
-            "the corpus frame's metadata columns — serve field-scoped "
-            "queries with boolean_search over the corpus"
-        )
+    _reject_field_operands(
+        node, "boolean_search_positional_segments"
+    )
     net = _positional_net_rows(
         segments,
         tombstones,

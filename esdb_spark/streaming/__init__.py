@@ -1151,23 +1151,34 @@ def _lsm_fold(
             )
             ins = batch.filter(F.col(op_col) == "insert")
             rm = batch.filter(F.col(op_col) == "delete")
-        # intra-batch duplicate inserts: build_live's (token, doc)
+        # intra-batch duplicate inserts AND NULL ids, one delta-bounded
+        # job (the prepare-probe precedent): build_live's (token, doc)
         # aggregate would silently MERGE two versions of a doc
-        # delivered in one batch (positions/tf from both texts fused
-        # into one row — third-review finding; update_doc_lengths
-        # raises on exactly this feed shape). One delta-bounded job
-        # per epoch, the prepare-probe precedent.
-        dup = (
+        # delivered in one batch (third-review finding), and with
+        # op_col=None the _op_guard never runs, so a NULL-id insert
+        # would otherwise land in a segment where no tombstone can
+        # ever match it and the compaction audit poisons every replay
+        # (fourth-review finding — the guard belongs HERE, covering
+        # all three maintainers, not per-maintainer; it also keeps a
+        # two-NULL batch diagnosed as corrupt feed rather than as a
+        # "duplicate insert for doc None")
+        bad = (
             ins.groupBy(F.col(id_col).alias("_lf_doc"))
             .agg(F.count("*").alias("_lf_c"))
-            .filter(F.col("_lf_c") > 1)
+            .filter(F.col("_lf_doc").isNull() | (F.col("_lf_c") > 1))
             .limit(1)
             .collect()
         )
-        if dup:
+        if bad:
+            if bad[0]["_lf_doc"] is None:
+                raise ValueError(
+                    f"{caller}: NULL {id_col} in the change feed — "
+                    "equality-keyed guards and the delete face can "
+                    "never match it"
+                )
             raise ValueError(
                 f"{caller}: duplicate insert for doc "
-                f"{dup[0]['_lf_doc']} within one batch — the segment "
+                f"{bad[0]['_lf_doc']} within one batch — the segment "
                 "build would merge both versions into one row"
             )
         if prepare is not None:

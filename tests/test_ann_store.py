@@ -415,7 +415,7 @@ def test_maintain_ann_store_null_id_raises_without_op_col(spark, tmp_path):
         str(tmp_path / "nid_st"), CENTS,
         checkpoint=str(tmp_path / "nid_ck"), query_name="nid",
     )
-    with pytest.raises(Exception, match="NULL id in the change feed"):
+    with pytest.raises(Exception, match="NULL doc_id in the change"):
         try:
             q.processAllAvailable()
         finally:

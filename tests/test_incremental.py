@@ -1470,3 +1470,51 @@ def test_maintain_positional_lsm_ghost_only_state_diagnosed(
             q.processAllAvailable()
         finally:
             q.stop()
+
+
+def test_lsm_maintainers_null_id_without_op_col_raises(spark, tmp_path):
+    # fourth-review finding: with op_col=None the change-feed guard
+    # never runs, so the SHARED fold probe must catch NULL ids for all
+    # three maintainers (a NULL-id row is permanently undeletable and
+    # poisons the first compaction audit); two NULLs in one batch must
+    # diagnose as corrupt feed, not as "duplicate insert for doc None"
+    from esdb_spark.streaming import (
+        maintain_inverted_index_lsm,
+        maintain_positional_index_lsm,
+    )
+
+    schema = "doc_id int, text string"
+    for name, fn in [
+        ("bool", maintain_inverted_index_lsm),
+        ("pos", maintain_positional_index_lsm),
+    ]:
+        src = str(tmp_path / f"{name}_nsrc")
+        spark.createDataFrame(
+            [(None, "ghost text"), (1, "fine")], schema
+        ).coalesce(1).write.mode("overwrite").json(src)
+        q = fn(
+            spark.readStream.schema(schema).json(src),
+            str(tmp_path / f"{name}_nst"),
+            checkpoint=str(tmp_path / f"{name}_nck"),
+            query_name=f"null_{name}",
+        )
+        with pytest.raises(Exception, match="NULL doc_id in the change"):
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+    # two NULL-id rows in ONE batch: the corrupt-feed diagnosis wins
+    src = str(tmp_path / "two_nsrc")
+    spark.createDataFrame(
+        [(None, "a"), (None, "b")], schema
+    ).coalesce(1).write.mode("overwrite").json(src)
+    q = maintain_inverted_index_lsm(
+        spark.readStream.schema(schema).json(src),
+        str(tmp_path / "two_nst"),
+        checkpoint=str(tmp_path / "two_nck"), query_name="null2",
+    )
+    with pytest.raises(Exception, match="NULL doc_id in the change"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
