@@ -2692,9 +2692,17 @@ def boolean_search_indexed(
     ex = guarded.select(
         "token", F.explode("_bi_post").alias("p")
     ).select("token", F.col("p.doc").alias("doc"))
-    matches = ex.filter(F.col("token").isin(terms))
     if prefixes:
-        matches = matches.unionByName(_prefix_marker_rows(ex, prefixes))
+        # the term leg AND one leg per wildcard stem consume ex, and a
+        # plan reference re-executes the guarded scan + explode per leg
+        # (r9 ADVICE — the multi-leg rule, applied on every other
+        # boolean face). Bounded by the operands' posting rows.
+        ex = ex.localCheckpoint()
+        matches = ex.filter(F.col("token").isin(terms)).unionByName(
+            _prefix_marker_rows(ex, prefixes)
+        )
+    else:
+        matches = ex.filter(F.col("token").isin(terms))
     return _boolean_eval(matches, node, k, "boolean_search_indexed")
 
 
@@ -3205,7 +3213,12 @@ def more_like_this(
     """
     if max_query_terms < 1:
         raise ValueError("more_like_this: max_query_terms must be >= 1")
-    doc_type = dict(df.select(F.col(id_col)).dtypes)[id_col]
+    # the selected frame's actual schema, NOT a name-keyed dict lookup:
+    # dict(dtypes)[id_col] is case-SENSITIVE where Spark's own column
+    # resolution is not, so a case-mismatched id_col would KeyError
+    # before any work runs (r9 ADVICE — the same pitfall the boolean
+    # face's empty seed fixed)
+    doc_type = df.select(F.col(id_col)).dtypes[0][1]
     src_row = (
         df.filter(F.col(id_col) == F.lit(doc_id))
         .select(tokens(text_col).alias("_ml_toks"))

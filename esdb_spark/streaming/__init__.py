@@ -1673,11 +1673,14 @@ def maintain_ann_store(
     reference's append-updates-state + close-compacts discipline,
     stream/open_stream.go:52-105, 146-201, applied to the third and
     last serving store). Per-epoch cost is O(delta): insert rows are
-    assigned to cells under the store's FIXED ``centroids``
-    (:func:`~esdb_spark.operators.similarity.ann_store_append`'s
-    guarded assignment — NULL/wrong-dimension vectors and duplicate
-    ids raise; a store append that silently drops an insert is CDC
-    divergence) and written as a live segment ``partitionBy("cell")``
+    assigned to cells under the store's FIXED ``centroids`` via
+    ``kmeans_assign`` with
+    :func:`~esdb_spark.operators.similarity.ann_store_append`-
+    equivalent projection-level guards — NULL ids and NULL/wrong-
+    dimension vectors raise (a store append that silently drops an
+    insert is CDC divergence); duplicate ids are caught by the fold's
+    own delta probe, so the append face's aggregate never re-runs
+    here — and written as a live segment ``partitionBy("cell")``
     so the probed-cell filter keeps pruning partitions across
     maintenance; delete rows become a tombstone of IDS ONLY (a doc's
     vector is one row, so subtraction is an anti probe — key-only
