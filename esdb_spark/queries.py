@@ -2287,30 +2287,47 @@ def docs_phrase_search(spark, sf_dir):
     )
 
 
+def _probe_index_rows(idx, probe):
+    """Shared projection of the three inverted-index catalog rows:
+    fold a FLAT index's rows for a bounded probe vocabulary back into
+    the (token, doc_freq, term_freq, postings_str) display shape the
+    oracles hash — the collect_list here is bounded by the probe
+    terms' matching docs at the catalog row's scale, a display
+    concern, never the stored layout (which is flat precisely so no
+    such row ever materializes during build/compaction)."""
+    return (
+        idx.filter(F.col("token").isin(probe))
+        .groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("doc_freq"),
+            F.sum("tf").cast("long").alias("term_freq"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("doc"), F.col("tf")))
+                    ),
+                    lambda p: F.concat_ws(":", p["doc"], p["tf"]),
+                ),
+            ).alias("postings_str"),
+        )
+        .orderBy("token")
+    )
+
+
 def docs_inverted_index(spark, sf_dir):
-    """Inverted-index build (operators/search.build_inverted_index)
-    restricted to a fixed probe vocabulary; posting lists surface as a
+    """Inverted-index build (operators/search.build_inverted_index —
+    the FLAT (token, doc, tf) layout, so no per-token megarow ever
+    builds) restricted to a fixed probe vocabulary; rows fold to a
     'doc:tf' string (sorted by doc id) so the cross-engine value hash
-    covers the full list content."""
+    covers the full posting content."""
     from esdb_spark.operators.search import build_inverted_index
 
     docs = load_table(spark, sf_dir, "documents")
-    probe = ["spark", "window", "sort", "batch"]
-    idx = build_inverted_index(docs, "text", "doc_id").filter(
-        F.col("token").isin(probe)
+    return _probe_index_rows(
+        build_inverted_index(docs, "text", "doc_id"),
+        ["spark", "window", "sort", "batch"],
     )
-    return idx.select(
-        "token",
-        "doc_freq",
-        "term_freq",
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.col("postings"),
-                lambda p: F.concat_ws(":", p["doc"], p["tf"]),
-            ),
-        ).alias("postings_str"),
-    ).orderBy("token")
 
 
 def docs_inverted_index_updated(spark, sf_dir):
@@ -2321,7 +2338,9 @@ def docs_inverted_index_updated(spark, sf_dir):
     append-without-rebuild contract (stream/open_stream.go:52-105)
     for the text index. The oracle rebuilds from the FULL corpus, so
     the gate asserts update(build(old), delta) == build(all)
-    value-hash-exact. Same probe-vocabulary projection as
+    value-hash-exact. Under the flat layout (round 10) the append is
+    a UNION plus a broadcast re-ingestion guard — the state never
+    shuffles. Same probe-vocabulary projection as
     docs_inverted_index."""
     from esdb_spark.operators.search import (
         build_inverted_index,
@@ -2333,19 +2352,8 @@ def docs_inverted_index_updated(spark, sf_dir):
     delta = docs.filter(F.col("doc_id") % 10 == 0)
     idx = update_inverted_index(
         build_inverted_index(old, "text", "doc_id"), delta, "text", "doc_id"
-    ).filter(F.col("token").isin(["spark", "window", "sort", "batch"]))
-    return idx.select(
-        "token",
-        "doc_freq",
-        "term_freq",
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.col("postings"),
-                lambda p: F.concat_ws(":", p["doc"], p["tf"]),
-            ),
-        ).alias("postings_str"),
-    ).orderBy("token")
+    )
+    return _probe_index_rows(idx, ["spark", "window", "sort", "batch"])
 
 
 def docs_inverted_index_deleted(spark, sf_dir):
@@ -2365,19 +2373,8 @@ def docs_inverted_index_deleted(spark, sf_dir):
     removed = docs.filter(F.col("doc_id") % 10 == 0)
     idx = delete_from_inverted_index(
         build_inverted_index(docs, "text", "doc_id"), removed, "text", "doc_id"
-    ).filter(F.col("token").isin(["spark", "window", "sort", "batch"]))
-    return idx.select(
-        "token",
-        "doc_freq",
-        "term_freq",
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.col("postings"),
-                lambda p: F.concat_ws(":", p["doc"], p["tf"]),
-            ),
-        ).alias("postings_str"),
-    ).orderBy("token")
+    )
+    return _probe_index_rows(idx, ["spark", "window", "sort", "batch"])
 
 
 def docs_phrase_search_indexed(spark, sf_dir):
@@ -7183,14 +7180,16 @@ _GATE_WINDOW = [
     # PageRank family with the integer fixed-point exact variant)
     "dedup_events_exact",
     "events_user_graph_pagerank",
-    # (round 9: dedup_embedding_docs demoted — embedding-similarity
-    # stays gate-certified by docs_ann_int8_exact below and the hybrid
-    # rows' int8-MIPS legs, and the near-dup family keeps four window
-    # rows; it stays catalogued + locally oracle-verified. Its slot
-    # carries the r8-verdict ask: index-served phrase search, whose
-    # oracle recomputes the hits from the corpus so the gate asserts
-    # index-served == corpus-computed value-hash-exact)
-    "docs_phrase_search_indexed",
+    # (round 10, the r9 verdict's #1 ask: docs_phrase_search_indexed
+    # demoted — index-served phrases stay gate-certified by
+    # docs_boolean_phrase_positional below, which serves the same
+    # phrase semantics from the SAME flat positional rows through the
+    # full query grammar, plus maintained LSM state and tombstones on
+    # top; it stays catalogued + locally oracle-verified. Its slot
+    # carries the boolean query grammar served from maintained
+    # positional state: one row certifies the parser, the one-scan
+    # evaluator, AND the maintained serving path)
+    "docs_boolean_phrase_positional",
     "doc_dup_clusters",
     # (dedup_by_cluster_docs demoted past the window in round 3 — same
     # connected-components family as doc_dup_clusters, still locally
@@ -7205,12 +7204,16 @@ _GATE_WINDOW = [
     # vector-store analog of docs_keyword_search_segments — with it
     # every serving store's maintained state is gate-certified)
     "docs_ann_maintained_exact",
-    # (round 9: similarity_topk demoted — brute-force cosine top-k
-    # stays catalogued + locally oracle-verified; its slot gives the
-    # ANN family its FIRST full value-hash certification: literal
-    # centroids make probe + quantize + dot + top-k all
-    # SQL-replayable, the r8 verdict's ask #5)
-    "docs_ann_int8_exact",
+    # (round 10, the r9 verdict's #1 ask: docs_ann_int8_exact demoted
+    # — the int8 ANN codec stays gate-certified TWICE over:
+    # docs_ann_maintained_exact above serves the same exact-assigned
+    # int8 path from maintained state, and docs_hybrid_rrf_maintained
+    # replays the quantizer bit-for-bit in its oracle; it stays
+    # catalogued + locally oracle-verified. Its slot carries the
+    # search-box capstone: the one-query RESULT PAGE — full grammar
+    # match + integer relevance rank + first-hit KWIC snippet — whose
+    # oracle replays rank, positions, and the snippet slice in SQL)
+    "docs_search_page",
     # (round 9: docs_hybrid_rrf demoted for its own MAINTAINED face —
     # same legs, same exact fusion, but every store now carried
     # through its append+delete maintenance faces and the oracle

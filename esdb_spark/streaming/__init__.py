@@ -630,7 +630,6 @@ def maintain_inverted_index(
     checkpoint: str | None = None,
     query_name: str = "maintain_inverted_index",
     keep_versions: int = 10,
-    max_postings: int | None = None,
     guard_overlap: bool = True,
 ):
     """Streaming face of ``search.update_inverted_index``: keep a text
@@ -666,12 +665,10 @@ def maintain_inverted_index(
         spark = batch_df.sparkSession
         prev = _newest_state_before(spark, state_path, epoch_id)
         if prev is None:
-            new_state = build_inverted_index(
-                batch_df, text_col, id_col, max_postings
-            )
+            new_state = build_inverted_index(batch_df, text_col, id_col)
         else:
             new_state = update_inverted_index(
-                prev, batch_df, text_col, id_col, max_postings,
+                prev, batch_df, text_col, id_col,
                 guard_overlap=guard_overlap,
             )
         _commit_state_version(
@@ -1642,6 +1639,99 @@ def maintain_positional_index_lsm(
             .distinct()
         ),
         compact=compact_positional_segments,
+        prepare=prepare,
+    )
+    writer = (
+        changes.writeStream.foreachBatch(fold)
+        .queryName(query_name)
+        .outputMode("update")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def maintain_stored_fields(
+    changes,
+    state_path: str,
+    cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    op_col: str | None = None,
+    checkpoint: str | None = None,
+    query_name: str = "maintain_stored_fields",
+    keep_versions: int = 10,
+    compact_above: int = 16,
+):
+    """The LSM streaming face of the STORED-FIELDS store
+    (:mod:`~esdb_spark.operators.storedfields`) — the reference's
+    core competence, serving stored payloads by index
+    (space.go:62-108), kept maintained under appends AND deletes as
+    the FOURTH store on the shared fold (boolean index, positional
+    index, ANN store, and now the payloads themselves). With it the
+    whole search stack — boolean/phrase/NEAR matching, ``field:value``
+    operands, KWIC snippets, the result page — serves without ever
+    re-scanning the corpus frame.
+
+    Per-epoch cost is O(delta): insert rows become a live segment
+    (``build_stored_fields`` over just the batch — one row per doc,
+    ``cols`` defaulting to every non-id column of the feed minus
+    ``op_col``); delete rows become a tombstone of IDS ONLY (a doc is
+    one row — key-only deletes are legal here, like the ANN store).
+    Compaction folds everything through
+    ``storedfields.compact_stored_segments`` above ``compact_above``
+    segments (the measured 16-segment knee, SCALE.md).
+
+    Id-keyed tombstones impose the shared ordering contract
+    (:func:`_id_keyed_prepare`): a CROSS-EPOCH re-insert (the CDC
+    update shape) SELF-HEALS via pre-compaction; a SAME-BATCH
+    delete+insert of a stored id raises (split it across two epochs);
+    a same-batch insert+delete of a brand-new id nets to absent; a
+    re-insert against ghost-only state fail-stops.
+
+    Serving reads the newest committed manifest
+    (:func:`read_maintained_index_segments` — the manifest protocol
+    is shared across all four stores) and answers through
+    ``storedfields.stored_fields_segments(live, tombstones=tomb or
+    None, ids=page_ids)`` — a page fetch reads O(k) rows per segment;
+    deletes are visible immediately. Crash safety is the shared
+    :func:`_lsm_publish` temp+rename manifest commit; replays
+    short-circuit on a published epoch.
+    """
+    from esdb_spark.operators.storedfields import (
+        build_stored_fields,
+        compact_stored_segments,
+    )
+
+    _require_keep_versions(keep_versions, "maintain_stored_fields")
+
+    def build_live(ins):
+        names = cols if cols is not None else [
+            c for c in ins.columns if c not in (id_col, op_col)
+        ]
+        return build_stored_fields(ins, id_col, names)
+
+    prepare = _id_keyed_prepare(
+        state_path,
+        "maintain_stored_fields",
+        id_col,
+        "doc",
+        compact_stored_segments,
+        rm_ids=lambda rm: rm.select(F.col(id_col).alias("doc")).distinct(),
+    )
+
+    fold = _lsm_fold(
+        state_path,
+        "maintain_stored_fields",
+        op_col,
+        id_col,
+        None,  # deletes are key-only — no text contract
+        keep_versions,
+        compact_above,
+        build_live=build_live,
+        build_tombstone=lambda rm: (
+            rm.select(F.col(id_col).alias("doc")).distinct()
+        ),
+        compact=compact_stored_segments,
         prepare=prepare,
     )
     writer = (

@@ -542,11 +542,9 @@ def test_maintain_inverted_index_streaming(spark, tmp_path):
     )
 
     def key(df):
+        # flat (token, doc, tf) layout (round 10)
         return sorted(
-            (r["token"], r["doc_freq"], r["term_freq"],
-             tuple((p["doc"], p["tf"]) for p in r["postings"]),
-             r["truncated"])
-            for r in df.collect()
+            (r["token"], r["doc"], r["tf"]) for r in df.collect()
         )
 
     assert key(got) == key(want)
@@ -794,10 +792,9 @@ def test_maintain_index_lsm_compaction_folds_tombstones(spark, tmp_path):
     )
 
     def key(df):
+        # flat (token, doc, tf) layout (round 10)
         return sorted(
-            (r["token"], r["doc_freq"], r["term_freq"],
-             tuple((p["doc"], p["tf"]) for p in r["postings"]))
-            for r in df.collect()
+            (r["token"], r["doc"], r["tf"]) for r in df.collect()
         )
 
     assert key(live[0]) == key(build_inverted_index(survivors))

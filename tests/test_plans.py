@@ -416,6 +416,61 @@ def test_segment_serving_pushes_term_filter_into_every_leg(spark, tmp_path):
     assert has_top_k(q)
 
 
+def test_flat_index_serving_has_no_explode(spark, tmp_path):
+    # the r10 flat layout's plan contract: index-served keyword and
+    # boolean search consume (token, doc, tf) rows directly — zero
+    # Generate (explode) nodes anywhere in the serving plan (the
+    # nested layout exploded postings per query), and the term
+    # in-filter still reaches the scan
+    from esdb_spark.operators.search import (
+        boolean_search_indexed,
+        build_inverted_index,
+        keyword_search_indexed,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p = str(tmp_path / "flatidx")
+    build_inverted_index(docs, "text", "doc_id").write.parquet(p)
+    idx = spark.read.parquet(p)
+    for q in (
+        keyword_search_indexed(idx, ["spark", "hash"], k=10,
+                               require_all=False),
+        boolean_search_indexed(idx, "spark AND NOT hash"),
+    ):
+        plan = physical_plan(q)
+        assert "Generate" not in plan, plan
+        assert "PushedFilters: [In(token" in plan, plan
+
+
+def test_flat_index_update_state_never_shuffles(spark, tmp_path):
+    # the r10 append face: union + broadcast re-ingestion probe — the
+    # INDEX side must reach the output without an exchange of its own
+    # (the update_doc_lengths shape); pre-r10 this was a full-outer
+    # SortMergeJoin of the whole index per delta
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        update_inverted_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p = str(tmp_path / "flatidx2")
+    build_inverted_index(
+        docs.filter(F.col("doc_id") % 10 != 0), "text", "doc_id"
+    ).write.parquet(p)
+    idx = spark.read.parquet(p)
+    out = update_inverted_index(
+        idx, docs.filter(F.col("doc_id") % 10 == 0), "text", "doc_id"
+    )
+    plan = physical_plan(out)
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    # the stored index never hash-partitions; the only exchanges
+    # belong to the delta's own build aggregate
+    assert "hashpartitioning(token#" not in plan.split(
+        "BroadcastHashJoin"
+    )[0], plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_delete_doc_lengths_state_never_shuffles(spark):
     # the anti+semi probes broadcast the removal batch; the lengths
     # table must reach both joins without an exchange of its own —

@@ -32,10 +32,11 @@ def _build_model(texts, keep=None):
 
 
 def _idx_dict(df):
-    return {
-        r["token"]: [(p["doc"], p["tf"]) for p in r["postings"]]
-        for r in df.collect()
-    }
+    # flat (token, doc, tf) layout (round 10): fold rows per token
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["token"], []).append((r["doc"], r["tf"]))
+    return {tok: sorted(v) for tok, v in out.items()}
 
 
 @settings(**_SETTINGS)

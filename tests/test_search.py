@@ -27,32 +27,63 @@ def corpus(spark):
     )
 
 
-def test_inverted_index_counts_and_postings(spark, corpus):
-    idx = {
-        r["token"]: r for r in build_inverted_index(corpus).collect()
+def test_inverted_index_flat_rows_and_stats(spark, corpus):
+    # the FLAT (token, doc, tf) layout (round 10) + the |vocab|-row
+    # stats face — no per-token posting array exists anywhere
+    from esdb_spark.operators.search import inverted_index_stats
+
+    idx = build_inverted_index(corpus)
+    assert idx.columns == ["token", "doc", "tf"]
+    spark_rows = sorted(
+        (r["doc"], r["tf"])
+        for r in idx.filter(F.col("token") == "spark").collect()
+    )
+    assert spark_rows == [(1, 1), (2, 2), (4, 1)]
+    st = {
+        r["token"]: (r["doc_freq"], r["term_freq"])
+        for r in inverted_index_stats(idx).collect()
     }
-    assert idx["spark"]["doc_freq"] == 3
-    assert idx["spark"]["term_freq"] == 4
-    assert [(p["doc"], p["tf"]) for p in idx["spark"]["postings"]] == [
-        (1, 1), (2, 2), (4, 1),
-    ]
-    assert idx["tables"]["doc_freq"] == 3
-    assert not idx["spark"]["truncated"]
-    assert "" not in idx  # blank doc contributes nothing
+    assert st["spark"] == (3, 4)
+    assert st["tables"][0] == 3
+    assert "" not in st  # blank doc contributes nothing
 
 
-def test_inverted_index_max_postings_keeps_top_tf(spark, corpus):
-    idx = {
-        r["token"]: r
-        for r in build_inverted_index(corpus, max_postings=2).collect()
-    }
+def test_cap_postings_keeps_top_tf_and_marks(spark, corpus):
+    from esdb_spark.operators.search import cap_postings
+
+    cap = cap_postings(build_inverted_index(corpus), 2)
     # spark: tf=2 in doc 2 beats tf=1 docs; tie (docs 1,4) → smaller id
-    assert [(p["doc"], p["tf"]) for p in idx["spark"]["postings"]] == [
-        (1, 1), (2, 2),
-    ]
-    assert idx["spark"]["truncated"]
-    assert idx["spark"]["doc_freq"] == 3  # exact despite the cap
-    assert not idx["shuffle"]["truncated"]
+    spark_rows = sorted(
+        (r["doc"], r["tf"], r["truncated"])
+        for r in cap.filter(F.col("token") == "spark").collect()
+    )
+    assert spark_rows == [(1, 1, True), (2, 2, True)]
+    # an under-cap token survives unmarked
+    assert [
+        r["truncated"]
+        for r in cap.filter(F.col("token") == "shuffle").collect()
+    ] == [False]
+
+
+def test_cap_postings_is_not_maintainable_state(spark, corpus):
+    # the cut is a serving view: maintenance and stats faces refuse it
+    from esdb_spark.operators.search import (
+        cap_postings,
+        delete_from_inverted_index,
+        inverted_index_stats,
+        update_inverted_index,
+    )
+
+    cap = cap_postings(build_inverted_index(corpus), 1)
+    delta = spark.createDataFrame(
+        [(9, "fresh words")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="capped"):
+        update_inverted_index(cap, delta).collect()
+    with pytest.raises(Exception, match="capped"):
+        delete_from_inverted_index(cap, delta).collect()
+    with pytest.raises(Exception, match="capped"):
+        inverted_index_stats(cap).collect()
 
 
 def test_keyword_search_and_or(spark, corpus):
@@ -232,11 +263,12 @@ def test_keyword_search_indexed_matches_corpus_search(spark, corpus):
 def test_keyword_search_indexed_rejects_truncated(spark, corpus):
     from esdb_spark.operators.search import (
         build_inverted_index,
+        cap_postings,
         keyword_search_indexed,
     )
 
-    capped = build_inverted_index(corpus, max_postings=1)
-    with pytest.raises(Exception):
+    capped = cap_postings(build_inverted_index(corpus), 1)
+    with pytest.raises(Exception, match="capped"):
         keyword_search_indexed(capped, ["spark"]).collect()
 
 
@@ -271,16 +303,8 @@ def test_bm25_null_text_counts_as_zero_length(spark):
 
 
 def _idx_rows(df):
-    return sorted(
-        (
-            r["token"],
-            r["doc_freq"],
-            r["term_freq"],
-            tuple((p["doc"], p["tf"]) for p in r["postings"]),
-            r["truncated"],
-        )
-        for r in df.collect()
-    )
+    # flat (token, doc, tf) layout (round 10)
+    return sorted((r["token"], r["doc"], r["tf"]) for r in df.collect())
 
 
 @pytest.fixture(scope="module")
@@ -310,17 +334,22 @@ def test_update_inverted_index_equals_rebuild(spark, grown_corpus):
     assert _idx_rows(updated) == _idx_rows(build_inverted_index(full))
 
 
-def test_update_inverted_index_capped_equals_capped_rebuild(
-    spark, grown_corpus
-):
-    from esdb_spark.operators.search import update_inverted_index
+def test_cap_of_updated_equals_cap_of_rebuild(spark, grown_corpus):
+    # the serving-cut discipline under maintenance: maintain the flat
+    # UNCAPPED state, cap at serve time — cap(update(old, new)) ==
+    # cap(build(full)) value-for-value, truncated marker included
+    from esdb_spark.operators.search import (
+        cap_postings,
+        update_inverted_index,
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
 
     old, new, full = grown_corpus
-    updated = update_inverted_index(
-        build_inverted_index(old, max_postings=2), new, max_postings=2
-    )
-    assert _idx_rows(updated) == _idx_rows(
-        build_inverted_index(full, max_postings=2)
+    updated = update_inverted_index(build_inverted_index(old), new)
+    assert rows(cap_postings(updated, 2)) == rows(
+        cap_postings(build_inverted_index(full), 2)
     )
 
 
@@ -335,11 +364,14 @@ def test_update_inverted_index_rejects_reingested_doc(spark, grown_corpus):
         update_inverted_index(build_inverted_index(old), dup).collect()
 
 
-def test_update_inverted_index_truncated_needs_cap(spark, grown_corpus):
-    from esdb_spark.operators.search import update_inverted_index
+def test_update_inverted_index_rejects_capped_input(spark, grown_corpus):
+    from esdb_spark.operators.search import (
+        cap_postings,
+        update_inverted_index,
+    )
 
     old, new, _ = grown_corpus
-    capped = build_inverted_index(old, max_postings=1)
+    capped = cap_postings(build_inverted_index(old), 1)
     with pytest.raises(Exception, match="truncated"):
         update_inverted_index(capped, new).collect()
 
@@ -356,22 +388,32 @@ def test_delete_from_inverted_index_equals_rebuild(spark, grown_corpus):
 def test_delete_from_inverted_index_integrity_raises(spark, grown_corpus):
     from esdb_spark.operators.search import delete_from_inverted_index
 
+    from esdb_spark.operators.search import cap_postings
+
     old, _, full = grown_corpus
     idx = build_inverted_index(full)
     # a doc the index never had (id 99 shares token 'spark')
     ghost = spark.createDataFrame(
         [(99, "spark ghost")], "doc_id int, text string"
     )
-    with pytest.raises(Exception, match="do not match"):
+    with pytest.raises(Exception, match="does not match"):
         delete_from_inverted_index(idx, ghost).collect()
+    # a doc the index never had under ANY of its tokens — the flat
+    # layout's per-(token, doc) audit catches it too (the pre-flat
+    # face could only reconcile shared tokens)
+    alien = spark.createDataFrame(
+        [(99, "zzqq nonsense")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="does not match"):
+        delete_from_inverted_index(idx, alien).collect()
     # same doc id, different text (tf drift on shared token 'spark')
     drift = spark.createDataFrame(
         [(2, "spark shuffle")], "doc_id int, text string"
     )
-    with pytest.raises(Exception, match="do not match"):
+    with pytest.raises(Exception, match="does not match"):
         delete_from_inverted_index(idx, drift).collect()
-    # truncated rows cannot be maintained under deletes
-    capped = build_inverted_index(full, max_postings=1)
+    # capped frames cannot be maintained under deletes
+    capped = cap_postings(idx, 1)
     victim = spark.createDataFrame(
         [(2, "spark spark shuffle")], "doc_id int, text string"
     )
@@ -481,35 +523,46 @@ def test_update_inverted_index_guard_overlap_off(spark, grown_corpus):
     assert _idx_rows(updated) == _idx_rows(build_inverted_index(full))
 
 
-def test_update_inverted_index_raising_cap_raises(spark):
-    # built with cap 2, updated with cap 3: entries beyond the old cap
-    # were already dropped — silently returning a short "top 3" would
-    # be wrong, so the mismatch must raise (review finding). Needs a
-    # token whose doc_freq exceeds the cap so truncation actually fires
-    from esdb_spark.operators.search import update_inverted_index
+def test_cap_postings_tightening_and_stats_serving(spark):
+    # tightening a cut is exact: cap(cap(idx, 3), 2)-equivalent state
+    # never exists — cuts always derive from the flat state, so any
+    # cap equals a from-scratch cap of the same state. Ranked serving
+    # over a cut opts in via PRE-cap stats (bm25_search_indexed).
+    from esdb_spark.operators.search import (
+        bm25_search_indexed,
+        build_doc_lengths,
+        cap_postings,
+        inverted_index_stats,
+    )
 
     base_rows = [(i, "common word" + str(i % 2)) for i in range(1, 5)]
-    delta_rows = [(9, "common fresh")]
-    old = spark.createDataFrame(base_rows, "doc_id int, text string")
-    new = spark.createDataFrame(delta_rows, "doc_id int, text string")
-    full = spark.createDataFrame(
-        base_rows + delta_rows, "doc_id int, text string"
+    full = spark.createDataFrame(base_rows, "doc_id int, text string")
+    idx = build_inverted_index(full)
+    cap2 = cap_postings(idx, 2)
+    # the cut keeps per-token top-2 by (tf desc, doc asc): 'common'
+    # has 4 tf-1 docs → docs 1, 2 survive, marked truncated
+    got = sorted(
+        (r["doc"], r["truncated"])
+        for r in cap2.filter(F.col("token") == "common").collect()
     )
-    capped = build_inverted_index(old, max_postings=2)
-    with pytest.raises(Exception, match="exceeds the cap"):
-        update_inverted_index(capped, new, max_postings=3).collect()
-    # TIGHTENING is exact: cap 3 -> cap 2 equals a from-scratch cap-2
-    # build (dropped entries rank strictly below kept ones)
-    loose = build_inverted_index(old, max_postings=3)
-    tightened = update_inverted_index(loose, new, max_postings=2)
-    assert _idx_rows(tightened) == _idx_rows(
-        build_inverted_index(full, max_postings=2)
-    )
-    # same cap round-trips exactly
-    same = update_inverted_index(capped, new, max_postings=2)
-    assert _idx_rows(same) == _idx_rows(
-        build_inverted_index(full, max_postings=2)
-    )
+    assert got == [(1, True), (2, True)]
+    # ranked serve over the cut with exact PRE-cap stats: df stays the
+    # corpus truth (4), so surviving docs score exactly as they do on
+    # the uncapped index
+    stats = inverted_index_stats(idx)
+    dl = build_doc_lengths(full)
+    cut = {
+        r["doc"]: r["bm25"]
+        for r in bm25_search_indexed(
+            cap2, dl, ["common"], k=10, stats=stats
+        ).collect()
+    }
+    exact = {
+        r["doc"]: r["bm25"]
+        for r in bm25_search_indexed(idx, dl, ["common"], k=10).collect()
+    }
+    assert set(cut) == {1, 2}  # the cut's survivors only
+    assert all(cut[d] == exact[d] for d in cut)  # identical scores
 
 
 def test_fixed_merge_token_stats_rejects_bad_merges(spark):
@@ -547,15 +600,15 @@ def test_index_guards_survive_column_pruning(spark, grown_corpus):
     )
     with pytest.raises(Exception, match="re-ingests"):
         update_inverted_index(build_inverted_index(old), dup).select(
-            "token", "doc_freq"
+            "token"
         ).collect()
     ghost = spark.createDataFrame(
         [(99, "spark ghost")], "doc_id int, text string"
     )
-    with pytest.raises(Exception, match="do not match"):
+    with pytest.raises(Exception, match="does not match"):
         delete_from_inverted_index(
             build_inverted_index(full), ghost
-        ).select("token", "doc_freq").collect()
+        ).select("token").collect()
 
 
 def test_bm25_indexed_bitwise_parity_with_corpus_search(spark, corpus):
@@ -584,10 +637,12 @@ def test_bm25_indexed_truncated_raises(spark, corpus):
     from esdb_spark.operators.search import (
         bm25_search_indexed,
         build_doc_lengths,
+        cap_postings,
     )
 
-    capped = build_inverted_index(corpus, max_postings=1)
+    capped = cap_postings(build_inverted_index(corpus), 1)
     dl = build_doc_lengths(corpus)
+    # without PRE-cap stats, the exact contract holds: capped raises
     with pytest.raises(Exception, match="truncated"):
         bm25_search_indexed(capped, dl, ["spark"]).collect()
 
@@ -1425,8 +1480,10 @@ def test_boolean_search_indexed_parity_and_truncation(spark, bool_corpus):
     got = [tuple(r) for r in boolean_search_indexed(idx, q).collect()]
     assert got == want and got
     # a capped index LOSES docs — boolean answers must refuse it
-    capped = build_inverted_index(bool_corpus, max_postings=1)
-    with pytest.raises(Exception, match="truncated posting list"):
+    from esdb_spark.operators.search import cap_postings
+
+    capped = cap_postings(idx, 1)
+    with pytest.raises(Exception, match="truncated"):
         boolean_search_indexed(capped, q).collect()
 
 
