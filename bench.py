@@ -98,11 +98,11 @@ BENCH_QUERIES = [
     "docs_phrase_search_indexed",
     # round-9 additions: phrase served from positional LSM segments
     # with doc-id tombstone deletes; the engine-exact literal-centroid
-    # ANN pipeline; the full maintained-state RAG stack (keyword
-    # segments + maintained int8 store + maintained lengths, exact RRF)
+    # ANN pipeline. (The full maintained-state RAG stack moved to the
+    # staged build/serve split below — r9 verdict: the rebuild-in-row
+    # variance made the combined number unjudgeable.)
     "docs_phrase_search_segments",
     "docs_ann_int8_exact",
-    "docs_hybrid_rrf_maintained",
     # NEAR-operator retrieval from the positional index (exact oracle)
     "docs_proximity_search",
     # maintained vector store: exact-assigned LSM segments + id
@@ -146,6 +146,114 @@ def bench_ingest(spark, sf_dir: str) -> float:
     return dt
 
 
+def stage_hybrid_stores(spark, sf_dir: str, tmp: str) -> float:
+    """Pay-once staging of the maintained-hybrid row's three stores
+    (the r9 verdict's bench-shape fix: `docs_hybrid_rrf_maintained`
+    rebuilt three stores inline PER INVOCATION, so its median swung
+    2.98–7.8 s across runs — a number that measured build variance,
+    not serving). This mirrors the catalog row's build half exactly
+    (same splits, same quantizer, same maintenance faces) and writes
+    the stores to parquet once per bench session; the serve half is
+    timed separately over the staged state, which is also the shape a
+    real deployment runs (stores are maintained continuously, queries
+    only ever pay serving)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from esdb_spark.operators.cluster import kmeans_assign, kmeans_fit
+    from esdb_spark.operators.search import (
+        build_doc_lengths,
+        build_inverted_index,
+        delete_doc_lengths,
+        update_doc_lengths,
+    )
+    from esdb_spark.operators.similarity import ann_store_append
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    for i in range(3):
+        build_inverted_index(
+            docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, f"seg{i}"))
+    build_inverted_index(
+        docs.filter(F.col("doc_id") % 7 == 0), "text", "doc_id"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "tomb"))
+    old_e = emb.filter(F.col("vec_id") % 10 != 0)
+    growth = emb.filter(F.col("vec_id") % 10 == 0)
+    c_in = old_e.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cent = kmeans_fit(c_in, "vec", "id", 8, iters=10, seed=42)
+    store = (
+        kmeans_assign(c_in, cent, "vec", "id", keep_vec=True)
+        .filter(F.col("cluster").isNotNull())
+        .select("id", "vec", F.col("cluster").cast("int").alias("cell"))
+    )
+    grown = store.unionByName(
+        ann_store_append(store, growth, cent, "embedding", "vec_id")
+    )
+    grown.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(tmp, "store")
+    )
+    lengths = delete_doc_lengths(
+        update_doc_lengths(
+            build_doc_lengths(docs.filter(F.col("doc_id") % 10 != 0)),
+            docs.filter(F.col("doc_id") % 10 == 0),
+        ),
+        docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+    )
+    lengths.write.mode("overwrite").parquet(os.path.join(tmp, "lengths"))
+    np.save(os.path.join(tmp, "cent.npy"), cent)
+    return time.perf_counter() - t0
+
+
+def hybrid_rrf_maintained_serve(spark, sf_dir: str, tmp: str):
+    """The catalog row's SERVING half over the staged stores — the
+    legs and fusion are identical to queries.docs_hybrid_rrf_maintained,
+    with every store read from parquet instead of rebuilt inline."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from esdb_spark.operators.search import (
+        keyword_search_segments,
+        rrf_fuse_exact,
+        with_rank,
+    )
+    from esdb_spark.operators.similarity import ann_topk_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    segs = [
+        spark.read.parquet(os.path.join(tmp, f"seg{i}")) for i in range(3)
+    ]
+    tomb = [spark.read.parquet(os.path.join(tmp, "tomb"))]
+    kw = with_rank(
+        keyword_search_segments(
+            segs, ["spark", "hash", "merge"], k=50, tombstones=tomb
+        ).withColumnRenamed("doc", "doc_id"),
+        [F.desc("score"), F.asc("doc_id")],
+    )
+    cent = np.load(os.path.join(tmp, "cent.npy"))
+    grown = spark.read.parquet(os.path.join(tmp, "store"))
+    removed = emb.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("id")
+    )
+    vec = ann_topk_int8(
+        emb, emb.filter(F.col("vec_id") == 0), "embedding", "vec_id",
+        k=50, n_centroids=8, n_probe=8, centroids=cent, assigned=grown,
+        tombstones=removed,
+    ).select(F.col("id").alias("doc_id"), F.col("rank").cast("long"))
+    fused = rrf_fuse_exact([kw, vec], "doc_id", k=20, c=60)
+    lengths = spark.read.parquet(os.path.join(tmp, "lengths"))
+    return (
+        fused.join(
+            lengths.withColumnRenamed("doc", "doc_id"), "doc_id", "left"
+        )
+        .select("doc_id", "n_lists", "rrf", "dl")
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="esdb_spark_bench")
@@ -177,6 +285,26 @@ def main() -> None:
         # drop the cold first run (per-query codegen/JIT) so the spread
         # field measures steady-state variance, not warm-up
         record(name, samples[1:])
+
+    # the maintained-hybrid split: stores stage ONCE (pay-once — that
+    # is a deployment's real shape and the r9 bench-variance fix),
+    # recorded as the _build row; the serve half is then median-of-5
+    # like every other query, so its spread measures the environment,
+    # not rebuild noise
+    staged = tempfile.mkdtemp(prefix="esdb_bench_stores_")
+    try:
+        record(
+            "docs_hybrid_rrf_maintained_build",
+            [stage_hybrid_stores(spark, sf_dir, staged)],
+        )
+        samples = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            hybrid_rrf_maintained_serve(spark, sf_dir, staged).count()
+            samples.append(time.perf_counter() - t0)
+        record("docs_hybrid_rrf_maintained_serve", samples[1:])
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
 
     # the write path pays one-time JIT/codegen on its first run
     # (measured 2.8s cold vs 0.7s warm at sf0.1) — warm up once, then

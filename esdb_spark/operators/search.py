@@ -1973,15 +1973,26 @@ def parse_boolean_query(query: str):
         expr   := and_e (OR and_e)*
         and_e  := prox (AND? prox)*        -- adjacency = implicit AND
         prox   := unary (NEAR/d unary)?    -- proximity, terms only
-        unary  := NOT unary | '(' expr ')' | TERM | TERM'*'
-                  | FIELD':'VALUE | '"' WORDS '"'
+        unary  := NOT unary | '(' expr ')' | TERM | TERM'*' | TERM'~'d
+                  | FIELD':'VALUE | FIELD':[' LO TO HI ']'
+                  | '"' WORDS '"'
 
     An unquoted ``field:value`` operand is FIELD-SCOPED: it matches
     documents whose metadata column ``field`` equals ``value``
     (case-insensitive string compare) — structured predicates compose
     with text predicates in one expression (``lang:en AND spark* AND
-    NOT "fast table"``). Only the corpus face can serve it (indexes
-    carry no metadata); quote a word to match a literal colon token.
+    NOT "fast table"``). ``field:[lo TO hi]`` is a FIELD RANGE
+    (inclusive both ends, the lucene syntax): numeric columns compare
+    numerically (non-numeric bounds raise at the serving face),
+    string columns lexicographically case-insensitive. Field operands
+    serve on the corpus face, or on any index face given a ``fields``
+    metadata frame (the stored-fields store); quote a word to match a
+    literal colon token. ``term~d`` (d ∈ {1, 2}) is a FUZZY term: it
+    matches documents containing ANY token within levenshtein
+    distance d of the term — EXACT (every qualifying token counts,
+    verified by real edit distance), served by a levenshtein leg on
+    the corpus face or by SymSpell candidate expansion
+    (:func:`expand_fuzzy_operands`) on the index faces.
     An unquoted operand ending in ``*`` is a TRAILING-WILDCARD: it
     matches documents containing ANY token with that prefix
     (``spar*`` → spark, sparse, ...); the star is only legal at the
@@ -2051,6 +2062,30 @@ def parse_boolean_query(query: str):
             return ("phrase", words)
         raw = take()
         w = raw.lower()
+        if ":[" in raw and not raw.startswith(":"):
+            # field range spans tokens ('price:[10', 'TO', '20]') —
+            # gather to the closing bracket, then parse the lucene form
+            parts = [raw]
+            while not parts[-1].endswith("]"):
+                nxt = peek()
+                if nxt is None or nxt in ("(", ")") or nxt.startswith('"'):
+                    raise ValueError(
+                        "parse_boolean_query: unterminated field range "
+                        "(expected field:[lo TO hi])"
+                    )
+                parts.append(take())
+            m = re.fullmatch(
+                r"(.+?):\[(\S+) TO (\S+)\]", " ".join(parts), re.IGNORECASE
+            )
+            if not m:
+                raise ValueError(
+                    "parse_boolean_query: malformed field range "
+                    "(expected field:[lo TO hi])"
+                )
+            field, lo, hi = m.group(1), m.group(2), m.group(3)
+            # bounds lowercase like field values (string ranges compare
+            # case-insensitively; numeric bounds are case-free)
+            return ("frange", (field, lo.lower(), hi.lower()))
         if ":" in raw and not raw.startswith(":"):
             # field names keep their ORIGINAL case (metadata columns
             # may be capitalized; resolution against df.columns is
@@ -2072,6 +2107,22 @@ def parse_boolean_query(query: str):
                     "to match a literal '*')"
                 )
             return ("prefix", stem)
+        fz = re.fullmatch(r"(.+?)~(\d*)", w)
+        if fz:
+            stem, d = fz.group(1), fz.group(2)
+            dist = int(d) if d else 2  # bare 'term~' = lucene default
+            if dist not in (1, 2):
+                raise ValueError(
+                    "parse_boolean_query: fuzzy distance must be 1 or 2 "
+                    "(term~1 / term~2 / term~)"
+                )
+            if "~" in stem or "*" in stem:
+                raise ValueError(
+                    "parse_boolean_query: a fuzzy operand needs one "
+                    "trailing '~' (quote the word to match a literal "
+                    "'~')"
+                )
+            return ("fuzzy", (stem, dist))
         if "*" in w:
             raise ValueError(
                 "parse_boolean_query: '*' is only legal at the end of "
@@ -2130,9 +2181,9 @@ def _reject_field_operands(node, caller: str) -> None:
     (fourth-review finding: five drifting copies of the message).
     Since round 10 every index face ACCEPTS a ``fields`` frame (the
     stored-fields store or any doc-keyed metadata table), so this
-    fires only when the query has field operands and none was
+    fires only when the query has field/range operands and none was
     passed."""
-    if _bool_fields(node):
+    if _bool_fields(node) or _bool_franges(node):
         raise ValueError(
             f"{caller}: field operands need metadata columns — pass "
             "fields= (a doc-keyed metadata frame, e.g. the maintained "
@@ -2194,6 +2245,19 @@ def _field_marker_rows(
     return out
 
 
+def _reject_fuzzy_operands(node, caller: str) -> None:
+    """Driver-side, before ANY job runs: an index face cannot run
+    levenshtein over its whole token column (O(index rows) compute at
+    100 TB) — fuzzy operands there need the SymSpell candidate
+    expansion, which needs a spell index."""
+    if _bool_fuzzies(node):
+        raise ValueError(
+            f"{caller}: fuzzy operands need candidate expansion — "
+            "pass spell_index= (build_spell_index over the index "
+            "vocabulary) or serve with boolean_search over the corpus"
+        )
+
+
 def _check_not_purely_negative(node, caller: str) -> None:
     """Driver-side, before ANY job runs: a query satisfiable with
     every literal false would match the whole corpus minus the
@@ -2225,13 +2289,39 @@ def _bool_marker(node) -> str:
     if node[0] == "field":
         f_, v = node[1]
         return f"{f_}:{v} FIELD"
+    if node[0] == "frange":
+        f_, lo, hi = node[1]
+        return f"{f_}:{lo} {hi} RANGE"
+    if node[0] == "fuzzy":
+        stem, d = node[1]
+        return f"{stem}~{d} FUZZY"
     return " ".join(node[1])
 
 
+#: every leaf node kind of the boolean AST — keep the traversal
+#: helpers in lockstep when the grammar grows (round-10 review: five
+#: hand-maintained exclusion lists drifted one grammar change apart)
+_BOOL_LEAVES = ("term", "phrase", "near", "prefix", "field", "frange",
+                "fuzzy")
+
+
+def _bool_collect(node, kind: str) -> list:
+    """All payloads of leaf ``kind`` in the AST, in traversal order."""
+    k = node[0]
+    if k == kind:
+        return [node[1]]
+    if k in _BOOL_LEAVES:
+        return []
+    if k == "not":
+        return _bool_collect(node[1], kind)
+    return [x for child in node[1] for x in _bool_collect(child, kind)]
+
+
 def _bool_literals(node) -> list[str]:
-    """Every literal operand's marker (terms, phrases, NEAR ops)."""
+    """Every literal operand's marker (terms, phrases, NEAR ops,
+    wildcards, fields, ranges, fuzzies)."""
     kind = node[0]
-    if kind in ("term", "phrase", "near", "prefix", "field"):
+    if kind in _BOOL_LEAVES:
         return [_bool_marker(node)]
     if kind == "not":
         return _bool_literals(node[1])
@@ -2239,54 +2329,34 @@ def _bool_literals(node) -> list[str]:
 
 
 def _bool_phrases(node) -> list[tuple]:
-    kind = node[0]
-    if kind == "phrase":
-        return [node[1]]
-    if kind in ("term", "near", "prefix", "field"):
-        return []
-    if kind == "not":
-        return _bool_phrases(node[1])
-    return [p for child in node[1] for p in _bool_phrases(child)]
+    return _bool_collect(node, "phrase")
 
 
 def _bool_nears(node) -> list[tuple]:
-    kind = node[0]
-    if kind == "near":
-        return [node[1]]
-    if kind in ("term", "phrase", "prefix", "field"):
-        return []
-    if kind == "not":
-        return _bool_nears(node[1])
-    return [n for child in node[1] for n in _bool_nears(child)]
+    return _bool_collect(node, "near")
 
 
 def _bool_prefixes(node) -> list[str]:
-    kind = node[0]
-    if kind == "prefix":
-        return [node[1]]
-    if kind in ("term", "phrase", "near", "field"):
-        return []
-    if kind == "not":
-        return _bool_prefixes(node[1])
-    return [p for child in node[1] for p in _bool_prefixes(child)]
+    return _bool_collect(node, "prefix")
 
 
 def _bool_fields(node) -> list[tuple]:
-    kind = node[0]
-    if kind == "field":
-        return [node[1]]
-    if kind in ("term", "phrase", "near", "prefix"):
-        return []
-    if kind == "not":
-        return _bool_fields(node[1])
-    return [f for child in node[1] for f in _bool_fields(child)]
+    return _bool_collect(node, "field")
+
+
+def _bool_franges(node) -> list[tuple]:
+    return _bool_collect(node, "frange")
+
+
+def _bool_fuzzies(node) -> list[tuple]:
+    return _bool_collect(node, "fuzzy")
 
 
 def _bool_words(node) -> list[str]:
     """Every distinct literal WORD the query touches (phrase and NEAR
-    words included; wildcard stems excluded — they are range
-    predicates, not equality literals) — the in-filter the scan
-    needs."""
+    words included; wildcard stems and fuzzy stems excluded — they are
+    range/distance predicates, not equality literals) — the in-filter
+    the scan needs."""
     kind = node[0]
     if kind == "term":
         return [node[1]]
@@ -2294,39 +2364,158 @@ def _bool_words(node) -> list[str]:
         return sorted(set(node[1]))
     if kind == "near":
         return sorted({node[1][0], node[1][1]})
-    if kind in ("prefix", "field"):
+    if kind in _BOOL_LEAVES:
         return []
     if kind == "not":
         return _bool_words(node[1])
     return sorted({w for child in node[1] for w in _bool_words(child)})
 
 
-def _operand_predicate(terms, prefixes):
-    """The scan predicate for a (terms, prefixes) operand set: a
-    literal in-filter OR'd with a sargable startswith per wildcard
-    stem — both push to parquet (In + StringStartsWith). ONE
-    definition shared by the corpus faces and both segment nets
-    (third-review finding: three drifting copies). None when both are
-    empty (field-only queries) — callers skip the token legs."""
+def _operand_predicate(terms, prefixes, fuzzies=None):
+    """The scan predicate for a (terms, prefixes[, fuzzies]) operand
+    set: a literal in-filter OR'd with a sargable startswith per
+    wildcard stem — both push to parquet (In + StringStartsWith) —
+    and, on the CORPUS face only, a ``levenshtein(token, stem) <= d``
+    disjunct per fuzzy operand (exact by definition; not sargable,
+    which is fine on a face that tokenizes the corpus anyway — index
+    faces expand fuzzies to a candidate in-filter instead,
+    :func:`expand_fuzzy_operands`). ONE definition shared by the
+    corpus faces and both segment nets (third-review finding: three
+    drifting copies). None when all are empty (field-only queries) —
+    callers skip the token legs."""
     pred = None
     if terms:
         pred = F.col("token").isin(sorted(terms))
     for stem in sorted(set(prefixes or [])):
         c = F.col("token").startswith(stem)
         pred = c if pred is None else (pred | c)
+    for stem, d in sorted(set(fuzzies or [])):
+        c = F.levenshtein(F.col("token"), F.lit(stem)) <= d
+        pred = c if pred is None else (pred | c)
     return pred
 
 
-def _token_match_predicate(node):
-    """:func:`_operand_predicate` over every word the query touches."""
-    return _operand_predicate(_bool_words(node), _bool_prefixes(node))
+def _token_match_predicate(node, with_fuzzies: bool = False):
+    """:func:`_operand_predicate` over every word the query touches.
+    ``with_fuzzies`` adds the levenshtein disjuncts — corpus faces
+    only (index faces serve fuzzies via candidate expansion)."""
+    return _operand_predicate(
+        _bool_words(node),
+        _bool_prefixes(node),
+        _bool_fuzzies(node) if with_fuzzies else None,
+    )
+
+
+def expand_fuzzy_operands(
+    spell_index: DataFrame, fuzzies, caller: str = "expand_fuzzy_operands"
+) -> dict:
+    """Driver-side SymSpell expansion of fuzzy operands for the index
+    faces: each ``(stem, d)`` becomes the EXACT list of vocabulary
+    tokens within levenshtein distance d — the symmetric-delete
+    candidates (a guaranteed superset, the
+    :func:`build_spell_index` contract) verified with the real edit
+    distance, collected driver-side (bounded by the query word's
+    deletion-variant buckets, the :func:`suggest_terms_indexed`
+    argument), returned as ``{marker: [tokens]}``. The candidates then
+    ride the scan as a literal in-filter — sargable, so a fuzzy query
+    on a billion-token index reads O(candidates) rows instead of
+    running levenshtein over the whole token column."""
+    import hashlib
+
+    out = {}
+    for stem, d in sorted(set(fuzzies)):
+        if d not in (1, 2):
+            raise ValueError(f"{caller}: fuzzy distance must be 1 or 2")
+        hashes = sorted(
+            hashlib.md5(v.encode("utf-8")).hexdigest()
+            for v in _py_deletion_variants(stem, d)
+        )
+        cand = (
+            spell_index.filter(F.col("vh").isin(hashes))
+            .select("token")
+            .distinct()
+            .filter(F.levenshtein(F.col("token"), F.lit(stem)) <= d)
+        )
+        out[f"{stem}~{d} FUZZY"] = sorted(
+            r["token"] for r in cand.collect()
+        )
+    return out
+
+
+def _fuzzy_marker_rows(src: DataFrame, cand_map: dict) -> DataFrame:
+    """Per-doc fuzzy flags as (doc, token=marker) rows from any frame
+    carrying (doc, token): one candidate in-filter per operand,
+    distinct per doc — the index faces' fuzzy leg (corpus faces flag
+    straight off the levenshtein predicate instead). An operand with
+    NO candidates still needs its flag column downstream, so it
+    contributes an empty leg."""
+    out = None
+    for marker, cands in sorted(cand_map.items()):
+        rows = (
+            src.filter(F.col("token").isin(cands))
+            .select("doc")
+            .distinct()
+            .select("doc", F.lit(marker).alias("token"))
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
+def _frange_marker_rows(
+    fields_frame: DataFrame, franges, caller: str, doc_col: str = "doc"
+) -> DataFrame:
+    """Per-doc field-RANGE flags as (doc, token=marker) rows from a
+    doc-keyed metadata frame — the range sibling of
+    :func:`_field_marker_rows`: numeric columns compare numerically
+    (non-numeric bounds raise driver-side, BEFORE any job — a silent
+    NULL cast would turn a typo'd bound into an empty range), string
+    columns lexicographically case-insensitive, other atomic types by
+    literal cast. Inclusive both ends (the lucene ``[lo TO hi]``
+    contract); NULL values stay unflagged."""
+    resolved = _resolve_field_columns(
+        [c for c in fields_frame.columns if c != doc_col],
+        [(f_, None) for f_, _lo, _hi in franges],
+        caller,
+    )
+    types = dict(fields_frame.dtypes)
+    out = None
+    for f_, lo, hi in sorted(set(franges)):
+        col = resolved[f_]
+        dtype = types[col]
+        if dtype.startswith(
+            ("int", "bigint", "smallint", "tinyint", "float", "double",
+             "decimal")
+        ):
+            try:
+                float(lo), float(hi)
+            except ValueError:
+                raise ValueError(
+                    f"{caller}: field range on numeric column "
+                    f"{col!r} needs numeric bounds, got "
+                    f"[{lo} TO {hi}]"
+                ) from None
+            pred = F.col(col).between(
+                F.lit(lo).cast(dtype), F.lit(hi).cast(dtype)
+            )
+        elif dtype == "string":
+            pred = F.lower(F.col(col)).between(F.lit(lo), F.lit(hi))
+        else:
+            pred = F.col(col).between(
+                F.lit(lo).cast(dtype), F.lit(hi).cast(dtype)
+            )
+        rows = fields_frame.filter(pred).select(
+            F.col(doc_col).alias("doc"),
+            F.lit(f"{f_}:{lo} {hi} RANGE").alias("token"),
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out
 
 
 def _bool_const_eval(node, value: bool) -> bool:
     """Evaluate the AST with EVERY literal fixed to ``value`` — the
     driver-side satisfiability probe behind the unbounded-query guard."""
     kind = node[0]
-    if kind in ("term", "phrase", "near", "prefix", "field"):
+    if kind in _BOOL_LEAVES:
         return value
     if kind == "not":
         return not _bool_const_eval(node[1], value)
@@ -2337,7 +2526,7 @@ def _bool_const_eval(node, value: bool) -> bool:
 
 def _bool_column(node, flags: dict):
     kind = node[0]
-    if kind in ("term", "phrase", "near", "prefix", "field"):
+    if kind in _BOOL_LEAVES:
         return flags[_bool_marker(node)]
     if kind == "not":
         return ~_bool_column(node[1], flags)
@@ -2512,15 +2701,17 @@ def boolean_search(
     nears = _bool_nears(node)
     prefixes = _bool_prefixes(node)
     fields = _bool_fields(node)
-    if fields:
+    franges = _bool_franges(node)
+    fuzzies = _bool_fuzzies(node)
+    if fields or franges:
         # resolve driver-side BEFORE any job runs (shared helper; the
         # corpus frame's id column is the doc key, never a field)
         _resolve_field_columns(
             [c for c in df.columns if c != id_col],
-            fields,
+            list(fields) + [(f_, None) for f_, _lo, _hi in franges],
             "boolean_search",
         )
-    pred = _token_match_predicate(node)
+    pred = _token_match_predicate(node, with_fuzzies=True)
     ex = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(tokens(text_col)).alias("pos", "token"),
@@ -2533,18 +2724,22 @@ def boolean_search(
         - {f"{wa} NEAR/{d} {wb}" for wa, wb, d in nears}
         - {f"{stem} *PREFIX" for stem in prefixes}
         - {f"{f_}:{v} FIELD" for f_, v in fields}
+        - {f"{f_}:{lo} {hi} RANGE" for f_, lo, hi in franges}
+        - {f"{stem}~{d} FUZZY" for stem, d in fuzzies}
     )
     # legs that actually consume ex: the term filter only when term
     # literals exist (isin([]) folds to false and prunes), one for all
     # phrases (one slot-map join), one for all NEARs (materialized
-    # net), and one PER wildcard stem (_prefix_marker_rows builds a
+    # net), one PER wildcard stem (_prefix_marker_rows builds a
     # separate startswith leg per stem — fourth-review finding: a
-    # two-stem wildcard-only query re-tokenized the corpus per stem)
+    # two-stem wildcard-only query re-tokenized the corpus per stem),
+    # and one PER fuzzy operand (a levenshtein leg each)
     token_legs = (
         int(bool(terms))
         + int(bool(phrases))
         + int(bool(nears))
         + len(set(prefixes))
+        + len(set(fuzzies))
     )
     if pred is not None and token_legs > 1:
         # every token leg re-references the posexplode subtree, and a
@@ -2578,12 +2773,29 @@ def boolean_search(
         matches = matches.unionByName(_near_marker_rows(flat, nears))
     if prefixes:
         matches = matches.unionByName(_prefix_marker_rows(ex, prefixes))
+    for stem, d in sorted(set(fuzzies)):
+        # fuzzy flags ride the SAME filtered scan: the levenshtein
+        # disjunct is already in the scan predicate, so this leg just
+        # re-verifies the distance on the surviving rows
+        rows = (
+            ex.filter(F.levenshtein(F.col("token"), F.lit(stem)) <= d)
+            .select("doc")
+            .distinct()
+            .select("doc", F.lit(f"{stem}~{d} FUZZY").alias("token"))
+        )
+        matches = matches.unionByName(rows)
     if fields:
         # metadata flags come straight off the corpus columns — one
         # projection-level predicate per operand, no tokenize at all
         # (shared field leg; the id column is the doc key)
         matches = matches.unionByName(
             _field_marker_rows(df, fields, "boolean_search", doc_col=id_col)
+        )
+    if franges:
+        matches = matches.unionByName(
+            _frange_marker_rows(
+                df, franges, "boolean_search", doc_col=id_col
+            )
         )
     return _boolean_eval(matches, node, k, "boolean_search")
 
@@ -2593,6 +2805,7 @@ def boolean_search_indexed(
     query: str,
     k: int | None = None,
     fields: DataFrame | None = None,
+    spell_index: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`boolean_search` served from a PREBUILT flat inverted
     index (:func:`build_inverted_index`) — identical output,
@@ -2610,7 +2823,11 @@ def boolean_search_indexed(
     doc-keyed metadata frame, e.g. the maintained stored-fields store
     (:mod:`~esdb_spark.operators.storedfields`) — serves
     ``field:value`` operands without the corpus (round 10; without
-    it, field operands raise)."""
+    it, field and range operands raise); ``spell_index`` (a
+    :func:`build_spell_index` over the index vocabulary) serves
+    ``term~d`` fuzzy operands as a SymSpell-expanded candidate
+    in-filter (:func:`expand_fuzzy_operands` — sargable, never a
+    levenshtein sweep of the token column)."""
     node = parse_boolean_query(query)
     _check_not_purely_negative(node, "boolean_search_indexed")
     if _bool_phrases(node) or _bool_nears(node):
@@ -2621,15 +2838,32 @@ def boolean_search_indexed(
             "index"
         )
     fops = _bool_fields(node)
-    if fops and fields is None:
+    franges = _bool_franges(node)
+    if (fops or franges) and fields is None:
         _reject_field_operands(node, "boolean_search_indexed")
+    fuzzies = _bool_fuzzies(node)
+    if fuzzies and spell_index is None:
+        _reject_fuzzy_operands(node, "boolean_search_indexed")
+    cand_map = (
+        expand_fuzzy_operands(
+            spell_index, fuzzies, "boolean_search_indexed"
+        )
+        if fuzzies
+        else {}
+    )
     prefixes = _bool_prefixes(node)
     terms = sorted(
         set(_bool_literals(node))
         - {f"{p} *PREFIX" for p in prefixes}
         - {f"{f_}:{v} FIELD" for f_, v in fops}
+        - {f"{f_}:{lo} {hi} RANGE" for f_, lo, hi in franges}
+        - {f"{stem}~{d} FUZZY" for stem, d in fuzzies}
     )
-    pred = _token_match_predicate(node)
+    scan_terms = sorted(
+        set(_bool_words(node))
+        | {c for cands in cand_map.values() for c in cands}
+    )
+    pred = _operand_predicate(scan_terms, prefixes)
     ex = (
         _guard_not_truncated(
             index.filter(pred), "boolean_search_indexed"
@@ -2639,20 +2873,27 @@ def boolean_search_indexed(
         # onto (the corpus face's convention)
         else index.select("token", "doc").limit(0)
     )
-    if prefixes:
-        # the term leg AND one leg per wildcard stem consume ex, and a
-        # plan reference re-executes the guarded scan per leg (r9
-        # ADVICE — the multi-leg rule, applied on every other boolean
-        # face). Bounded by the operands' matching rows.
+    token_legs = (
+        int(bool(terms)) + len(set(prefixes)) + len(cand_map)
+    )
+    if token_legs > 1:
+        # every token leg re-references the guarded scan, and a plan
+        # reference re-executes it per leg (r9 ADVICE — the multi-leg
+        # rule, applied on every other boolean face). Bounded by the
+        # operands' matching rows.
         ex = ex.localCheckpoint()
-        matches = ex.filter(F.col("token").isin(terms)).unionByName(
-            _prefix_marker_rows(ex, prefixes)
-        )
-    else:
-        matches = ex.filter(F.col("token").isin(terms))
+    matches = ex.filter(F.col("token").isin(terms))
+    if prefixes:
+        matches = matches.unionByName(_prefix_marker_rows(ex, prefixes))
+    if cand_map:
+        matches = matches.unionByName(_fuzzy_marker_rows(ex, cand_map))
     if fops:
         matches = matches.unionByName(
             _field_marker_rows(fields, fops, "boolean_search_indexed")
+        )
+    if franges:
+        matches = matches.unionByName(
+            _frange_marker_rows(fields, franges, "boolean_search_indexed")
         )
     return _boolean_eval(matches, node, k, "boolean_search_indexed")
 
@@ -2663,6 +2904,7 @@ def boolean_search_segments(
     k: int | None = None,
     tombstones: list[DataFrame] | None = None,
     fields: DataFrame | None = None,
+    spell_index: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`boolean_search` served directly from LSM segments AND
     tombstones — boolean queries answer from maintained state with
@@ -2688,34 +2930,56 @@ def boolean_search_segments(
             "positions; serve it with boolean_search_positional_segments"
         )
     fops = _bool_fields(node)
-    if fops and fields is None:
+    franges = _bool_franges(node)
+    if (fops or franges) and fields is None:
         _reject_field_operands(node, "boolean_search_segments")
+    fuzzies = _bool_fuzzies(node)
+    if fuzzies and spell_index is None:
+        _reject_fuzzy_operands(node, "boolean_search_segments")
+    cand_map = (
+        expand_fuzzy_operands(
+            spell_index, fuzzies, "boolean_search_segments"
+        )
+        if fuzzies
+        else {}
+    )
     prefixes = _bool_prefixes(node)
     terms = sorted(
         set(_bool_literals(node))
         - {f"{p} *PREFIX" for p in prefixes}
         - {f"{f_}:{v} FIELD" for f_, v in fops}
+        - {f"{f_}:{lo} {hi} RANGE" for f_, lo, hi in franges}
+        - {f"{stem}~{d} FUZZY" for stem, d in fuzzies}
+    )
+    scan_terms = sorted(
+        set(terms) | {c for cands in cand_map.values() for c in cands}
     )
     net = _segment_net_rows(
         segments,
         tombstones,
         "boolean_search_segments",
-        terms=terms,
+        terms=scan_terms,
         prefixes=prefixes or None,
     )
     ex = net.select("token", "doc")
-    if prefixes:
-        # term leg + wildcard legs all consume the net — materialize
-        # it once (the multi-leg rule; bounded by the operands' rows)
+    if len(cand_map) + len(set(prefixes)) + int(bool(terms)) > 1:
+        # every token leg consumes the net — materialize it once (the
+        # multi-leg rule; bounded by the operands' rows)
         ex = ex.localCheckpoint()
-        matches = ex.filter(F.col("token").isin(terms)).unionByName(
-            _prefix_marker_rows(ex, prefixes)
-        )
-    else:
-        matches = ex
+    matches = ex.filter(F.col("token").isin(terms))
+    if prefixes:
+        matches = matches.unionByName(_prefix_marker_rows(ex, prefixes))
+    if cand_map:
+        matches = matches.unionByName(_fuzzy_marker_rows(ex, cand_map))
     if fops:
         matches = matches.unionByName(
             _field_marker_rows(fields, fops, "boolean_search_segments")
+        )
+    if franges:
+        matches = matches.unionByName(
+            _frange_marker_rows(
+                fields, franges, "boolean_search_segments"
+            )
         )
     return _boolean_eval(matches, node, k, "boolean_search_segments")
 
@@ -2726,6 +2990,7 @@ def _boolean_eval_positional(
     k: int | None,
     caller: str,
     fields: DataFrame | None = None,
+    cand_map: dict | None = None,
 ) -> DataFrame:
     """Shared tail of the positional boolean faces: ``flat`` is a flat
     positional frame ``(token, doc, positions)`` already filtered (or
@@ -2733,11 +2998,17 @@ def _boolean_eval_positional(
     row presence, phrase flags from ONE positions explode through
     :func:`_phrase_marker_rows` — both operand kinds served by the
     same single index scan. ``fields`` (a doc-keyed metadata frame —
-    the stored-fields store) serves ``field:value`` operands; without
-    it they raise (backstop; faces hoist the check)."""
+    the stored-fields store) serves ``field:value`` and range
+    operands; ``cand_map`` (the face's
+    :func:`expand_fuzzy_operands` result) serves fuzzies — without
+    them those operands raise (backstop; faces hoist the checks)."""
     fops = _bool_fields(node)
-    if fops and fields is None:
+    franges = _bool_franges(node)
+    if (fops or franges) and fields is None:
         _reject_field_operands(node, caller)
+    fuzzies = _bool_fuzzies(node)
+    if fuzzies and cand_map is None:
+        _reject_fuzzy_operands(node, caller)
     phrases = _bool_phrases(node)
     nears = _bool_nears(node)
     prefixes = _bool_prefixes(node)
@@ -2747,6 +3018,8 @@ def _boolean_eval_positional(
         - {f"{wa} NEAR/{d} {wb}" for wa, wb, d in nears}
         - {f"{stem} *PREFIX" for stem in prefixes}
         - {f"{f_}:{v} FIELD" for f_, v in fops}
+        - {f"{f_}:{lo} {hi} RANGE" for f_, lo, hi in franges}
+        - {f"{stem}~{d} FUZZY" for stem, d in fuzzies}
     )
     matches = flat.filter(F.col("token").isin(terms)).select("doc", "token")
     if phrases:
@@ -2760,9 +3033,17 @@ def _boolean_eval_positional(
         matches = matches.unionByName(
             _prefix_marker_rows(flat.select("doc", "token"), prefixes)
         )
+    if cand_map:
+        matches = matches.unionByName(
+            _fuzzy_marker_rows(flat.select("doc", "token"), cand_map)
+        )
     if fops:
         matches = matches.unionByName(
             _field_marker_rows(fields, fops, caller)
+        )
+    if franges:
+        matches = matches.unionByName(
+            _frange_marker_rows(fields, franges, caller)
         )
     return _boolean_eval(matches, node, k, caller)
 
@@ -2772,6 +3053,7 @@ def boolean_search_positional(
     query: str,
     k: int | None = None,
     fields: DataFrame | None = None,
+    spell_index: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`boolean_search` — INCLUDING quoted phrase operands —
     served from a prebuilt FLAT positional index
@@ -2788,9 +3070,25 @@ def boolean_search_positional(
     operands raise)."""
     node = parse_boolean_query(query)
     _check_not_purely_negative(node, "boolean_search_positional")
-    if _bool_fields(node) and fields is None:
+    if (_bool_fields(node) or _bool_franges(node)) and fields is None:
         _reject_field_operands(node, "boolean_search_positional")
-    pred = _token_match_predicate(node)
+    fuzzies = _bool_fuzzies(node)
+    if fuzzies and spell_index is None:
+        _reject_fuzzy_operands(node, "boolean_search_positional")
+    cand_map = (
+        expand_fuzzy_operands(
+            spell_index, fuzzies, "boolean_search_positional"
+        )
+        if fuzzies
+        else {}
+    )
+    pred = _operand_predicate(
+        sorted(
+            set(_bool_words(node))
+            | {c for cands in cand_map.values() for c in cands}
+        ),
+        _bool_prefixes(node),
+    )
     # field-only query: an empty typed seed (filtering the whole
     # index through isin([]) would be semantically identical, but the
     # explicit limit(0) keeps the plan a zero-row scan)
@@ -2800,6 +3098,7 @@ def boolean_search_positional(
         + int(bool(_bool_phrases(node)))
         + int(bool(_bool_nears(node)))
         + len(set(_bool_prefixes(node)))
+        + len(cand_map)
     )
     if legs > 1:
         # multiple legs consume the filtered scan — cheap to re-read a
@@ -2807,7 +3106,8 @@ def boolean_search_positional(
         # one leg PER wildcard stem (the corpus face's counting rule)
         flat = flat.localCheckpoint()
     return _boolean_eval_positional(
-        flat, node, k, "boolean_search_positional", fields=fields
+        flat, node, k, "boolean_search_positional", fields=fields,
+        cand_map=cand_map or None,
     )
 
 
@@ -2817,6 +3117,7 @@ def boolean_search_positional_segments(
     k: int | None = None,
     tombstones: list[DataFrame] | None = None,
     fields: DataFrame | None = None,
+    spell_index: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`boolean_search_positional` served directly from
     positional LSM segments AND doc-id tombstones — the composed
@@ -2835,18 +3136,34 @@ def boolean_search_positional_segments(
     _check_not_purely_negative(
         node, "boolean_search_positional_segments"
     )
-    if _bool_fields(node) and fields is None:
+    if (_bool_fields(node) or _bool_franges(node)) and fields is None:
         _reject_field_operands(
             node, "boolean_search_positional_segments"
         )
+    fuzzies = _bool_fuzzies(node)
+    if fuzzies and spell_index is None:
+        _reject_fuzzy_operands(
+            node, "boolean_search_positional_segments"
+        )
+    cand_map = (
+        expand_fuzzy_operands(
+            spell_index, fuzzies, "boolean_search_positional_segments"
+        )
+        if fuzzies
+        else {}
+    )
     net = _positional_net_rows(
         segments,
         tombstones,
         "boolean_search_positional_segments",
-        terms=_bool_words(node),
+        terms=sorted(
+            set(_bool_words(node))
+            | {c for cands in cand_map.values() for c in cands}
+        ),
         prefixes=_bool_prefixes(node) or None,
     )
-    if _bool_phrases(node) or _bool_nears(node) or _bool_prefixes(node):
+    if (_bool_phrases(node) or _bool_nears(node) or _bool_prefixes(node)
+            or cand_map):
         # the term leg AND each phrase/NEAR leg consume the net, and a
         # plan reference re-executes the whole netting subtree —
         # segment union, (token, doc) aggregate, tombstone probe — per
@@ -2856,7 +3173,8 @@ def boolean_search_positional_segments(
         # size every serving face already holds in flight.
         net = net.localCheckpoint()
     return _boolean_eval_positional(
-        net, node, k, "boolean_search_positional_segments", fields=fields
+        net, node, k, "boolean_search_positional_segments",
+        fields=fields, cand_map=cand_map or None,
     )
 
 
@@ -3306,7 +3624,9 @@ def search_page(
         # the multi-leg rule)
         .localCheckpoint()
     )
-    pred = _token_match_predicate(node)
+    # fuzzy-matched tokens count as hits for first_pos (the corpus
+    # face serves fuzzies via the levenshtein disjunct)
+    pred = _token_match_predicate(node, with_fuzzies=True)
     toked = df.select(
         F.col(id_col).alias("doc"), tokens(text_col).alias("_sp_toks")
     ).join(F.broadcast(page.select("doc")), "doc")

@@ -2102,6 +2102,149 @@ def docs_search_page(spark, sf_dir):
     )
 
 
+def docs_stored_fields_maintained(spark, sf_dir):
+    """The stored-fields store (operators/storedfields — the
+    reference's stored-payload competence, space.go:62-108) carried
+    through its batch maintenance faces: build over the 90% of
+    documents with doc_id % 10 != 0, append the rest WITHOUT touching
+    the base (union + broadcast re-append guard — the state never
+    shuffles), then delete the doc_id % 7 == 0 docs by id (broadcast
+    anti + per-id ghost/dup audit). The oracle rebuilds the store from
+    the SURVIVING corpus, so the gate-grade assertion is
+    delete(update(build(90%), 10%), removed) == build(survivors)
+    value-hash-exact — with it all FOUR serving stores (boolean index,
+    positional index, ANN store, stored payloads) have maintained-state
+    certification."""
+    from esdb_spark.operators.storedfields import (
+        build_stored_fields,
+        delete_stored_fields,
+        update_stored_fields,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["text", "lang", "source"]
+    store = delete_stored_fields(
+        update_stored_fields(
+            build_stored_fields(
+                docs.filter(F.col("doc_id") % 10 != 0), "doc_id", cols
+            ),
+            docs.filter(F.col("doc_id") % 10 == 0),
+            "doc_id",
+            cols,
+        ),
+        docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+    )
+    return store.orderBy("doc")
+
+
+def docs_search_page_maintained(spark, sf_dir):
+    """The result page served ENTIRELY from maintained state
+    (operators/search.search_page_maintained — the round-10 completion
+    of the search stack's corpus independence): the grammar match
+    ('lang:en AND ta* AND merge AND NOT python' — a field operand
+    composed with a wildcard and terms) comes from three positional
+    LSM segments minus the doc_id % 7 == 0 doc-id tombstones;
+    field:value resolution AND the KWIC snippet text come from the
+    stored-fields store served from its own segments minus the same
+    tombstones — the corpus frame is never read at serve time. The
+    oracle recomputes the whole page (rank, first hit, snippet slice)
+    from the SURVIVING corpus, so one value hash certifies the match,
+    the rank order, the stored-payload fetch, and the maintained
+    state of both stores at once."""
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        search_page_maintained,
+    )
+    from esdb_spark.operators.storedfields import (
+        build_stored_fields,
+        stored_fields_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    psegs = [
+        build_positional_index(
+            docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+        )
+        for i in range(3)
+    ]
+    tomb = [
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.col("doc_id").alias("doc")
+        )
+    ]
+    ssegs = [
+        build_stored_fields(
+            docs.filter(F.col("doc_id") % 3 == i),
+            "doc_id",
+            ["text", "lang", "source"],
+        )
+        for i in range(3)
+    ]
+    stored = stored_fields_segments(ssegs, tomb)
+    return search_page_maintained(
+        psegs,
+        stored,
+        "lang:en AND ta* AND merge AND NOT python",
+        k=10,
+        window=3,
+        tombstones=tomb,
+    )
+
+
+def docs_field_scoped_search_segments(spark, sf_dir):
+    """Field-scoped boolean search served from MAINTAINED state
+    (operators/search.boolean_search_segments with fields= — the
+    round-10 closure of the field-operand gap: before the
+    stored-fields store, every index face raised on field:value):
+    'lang:en AND spark AND NOT merge' answered from three boolean LSM
+    segments minus a tombstone segment, with the field flag resolved
+    against the stored-fields store served from its own segments minus
+    the same doc-id deletes. The oracle recomputes from the surviving
+    corpus: serve(index segments ∪ tombstones, stored fields) ==
+    boolean_search(survivors) value-hash-exact."""
+    from esdb_spark.operators.search import (
+        boolean_search_segments,
+        build_inverted_index,
+    )
+    from esdb_spark.operators.storedfields import (
+        build_stored_fields,
+        stored_fields_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    segs = [
+        build_inverted_index(
+            docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+        )
+        for i in range(3)
+    ]
+    tomb = [
+        build_inverted_index(
+            docs.filter(F.col("doc_id") % 7 == 0), "text", "doc_id"
+        )
+    ]
+    ssegs = [
+        build_stored_fields(
+            docs.filter(F.col("doc_id") % 3 == i),
+            "doc_id",
+            ["lang", "source"],
+        )
+        for i in range(3)
+    ]
+    stomb = [
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.col("doc_id").alias("doc")
+        )
+    ]
+    fields = stored_fields_segments(ssegs, stomb)
+    return boolean_search_segments(
+        segs,
+        "lang:en AND spark AND NOT merge",
+        tombstones=tomb,
+        fields=fields,
+    )
+
+
 def docs_field_scoped_search(spark, sf_dir):
     """Field-scoped operands in the boolean grammar (operators/search.
     boolean_search): documents satisfying
@@ -2117,6 +2260,63 @@ def docs_field_scoped_search(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return boolean_search(
         docs, "lang:en AND spark AND NOT merge", "text", "doc_id"
+    )
+
+
+def docs_fuzzy_search(spark, sf_dir):
+    """Fuzzy operands in the boolean grammar (operators/search.
+    boolean_search): documents satisfying 'merge~1 AND spark' — a
+    fuzzy term matches any token within levenshtein distance d,
+    EXACTLY (every qualifying token counts, verified by real edit
+    distance), composed with plain terms under the one-aggregate
+    evaluator. On the corpus face the distance predicate rides the
+    same single tokenize scan as the other operands; the oracle
+    replays levenshtein in DuckDB, so the row is value-hash-exact."""
+    from esdb_spark.operators.search import boolean_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boolean_search(docs, "merge~1 AND spark", "text", "doc_id")
+
+
+def docs_fuzzy_search_indexed(spark, sf_dir):
+    """Fuzzy operands served from the INDEX faces via SymSpell
+    candidate expansion (operators/search.expand_fuzzy_operands +
+    boolean_search_indexed): the spell index built over the flat
+    index's vocabulary turns 'merge~1' into the exact list of vocab
+    tokens within distance 1 (symmetric-delete superset, verified
+    with real levenshtein, collected driver-side) — a sargable
+    candidate in-filter, never a levenshtein sweep of the token
+    column. The oracle replays the corpus-face levenshtein semantics
+    in DuckDB, so one value hash certifies expansion == edit-distance
+    truth."""
+    from esdb_spark.operators.search import (
+        boolean_search_indexed,
+        build_inverted_index,
+        build_spell_index,
+        inverted_index_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs, "text", "doc_id")
+    sp = build_spell_index(inverted_index_stats(idx))
+    return boolean_search_indexed(
+        idx, "merge~1 AND spark", spell_index=sp
+    )
+
+
+def docs_field_range_search(spark, sf_dir):
+    """Field-RANGE operands in the boolean grammar (operators/search.
+    boolean_search): documents satisfying
+    'n_chars:[200 TO 400] AND spark' — the lucene-style inclusive
+    range on a numeric metadata column composes with text predicates
+    in one expression; numeric bounds validate driver-side (a typo'd
+    bound raises instead of silently matching nothing). Engine-exact:
+    integer comparison + integer counts."""
+    from esdb_spark.operators.search import boolean_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boolean_search(
+        docs, "n_chars:[200 TO 400] AND spark", "text", "doc_id"
     )
 
 
@@ -5075,6 +5275,83 @@ _PIPELINE_ORACLES = {
         FROM page p LEFT JOIN hit h ON p.doc_id = h.doc_id
         ORDER BY p.rank
     """,
+    # the stored-fields store rebuilt from the surviving corpus —
+    # update/delete faces must net to exactly this
+    "docs_stored_fields_maintained": """
+        SELECT doc_id AS doc, text, lang, source FROM documents
+        WHERE doc_id % 7 != 0 ORDER BY doc
+    """,
+    # the maintained result page: the docs_search_page replay over the
+    # SURVIVORS with the field flag composed in (field operands add a
+    # match flag but never a token hit, so the first-pos predicate
+    # stays words-only)
+    "docs_search_page_maintained": f"""
+        WITH t AS (
+          SELECT doc_id, lang, {_TOK} AS toks FROM documents
+          WHERE doc_id % 7 != 0
+        ),
+        f AS (
+          SELECT doc_id, toks,
+                 coalesce(lower(lang) = 'en', false) AS t_lang,
+                 len(list_filter(toks, x -> x LIKE 'ta%')) > 0 AS t_ta,
+                 list_contains(toks, 'merge') AS t_merge,
+                 list_contains(toks, 'python') AS t_python
+          FROM t
+        ),
+        m AS (
+          SELECT doc_id, toks,
+                 CAST(t_lang::INT + t_ta::INT + t_merge::INT
+                      + t_python::INT AS BIGINT) AS n_terms_matched
+          FROM f WHERE t_lang AND t_ta AND t_merge AND NOT t_python
+        ),
+        page AS (
+          SELECT doc_id, toks, n_terms_matched,
+                 CAST(row_number() OVER (
+                     ORDER BY n_terms_matched DESC, doc_id
+                 ) AS BIGINT) AS rank
+          FROM m QUALIFY rank <= 10
+        ),
+        hit AS (
+          SELECT doc_id, CAST(min(i) - 1 AS BIGINT) AS first_pos
+          FROM (
+            SELECT doc_id, unnest(generate_series(1, len(toks))) AS i,
+                   toks
+            FROM page
+          )
+          WHERE toks[i] LIKE 'ta%' OR toks[i] IN ('merge', 'python')
+          GROUP BY doc_id
+        )
+        SELECT p.rank, p.doc_id AS doc, p.n_terms_matched,
+               coalesce(h.first_pos, 0) AS first_pos,
+               array_to_string(
+                 p.toks[greatest(1, coalesce(h.first_pos, 0) + 1 - 3)
+                        : least(len(p.toks),
+                                coalesce(h.first_pos, 0) + 1 + 3)],
+                 ' ') AS snippet
+        FROM page p LEFT JOIN hit h ON p.doc_id = h.doc_id
+        ORDER BY p.rank
+    """,
+    # field-scoped search over maintained state: the
+    # docs_field_scoped_search replay restricted to the survivors
+    "docs_field_scoped_search_segments": f"""
+        WITH t AS (
+          SELECT doc_id, lang, {_TOK} AS toks FROM documents
+          WHERE doc_id % 7 != 0
+        ),
+        f AS (
+          SELECT doc_id,
+                 coalesce(lower(lang) = 'en', false) AS t_lang,
+                 list_contains(toks, 'spark') AS t_spark,
+                 list_contains(toks, 'merge') AS t_merge
+          FROM t
+        )
+        SELECT doc_id AS doc,
+               CAST(t_lang::INT + t_spark::INT + t_merge::INT
+                    AS BIGINT) AS n_terms_matched
+        FROM f
+        WHERE t_lang AND t_spark AND NOT t_merge
+        ORDER BY doc
+    """,
     # field-scoped operand: the metadata flag is a case-insensitive
     # column equality (NULL unflagged), composed with the text flags
     "docs_field_scoped_search": f"""
@@ -5093,6 +5370,57 @@ _PIPELINE_ORACLES = {
                     AS BIGINT) AS n_terms_matched
         FROM f
         WHERE t_lang AND t_spark AND NOT t_merge
+        ORDER BY doc
+    """,
+    # fuzzy operand: the flag is "any token within levenshtein d" —
+    # DuckDB's levenshtein replays the distance truth directly (both
+    # the corpus face's predicate and the SymSpell expansion must
+    # equal it)
+    "docs_fuzzy_search": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        f AS (
+          SELECT doc_id,
+                 len(list_filter(toks, x -> levenshtein(x, 'merge') <= 1))
+                   > 0 AS t_fz,
+                 list_contains(toks, 'spark') AS t_spark
+          FROM t
+        )
+        SELECT doc_id AS doc,
+               CAST(t_fz::INT + t_spark::INT AS BIGINT)
+                 AS n_terms_matched
+        FROM f WHERE t_fz AND t_spark
+        ORDER BY doc
+    """,
+    "docs_fuzzy_search_indexed": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        f AS (
+          SELECT doc_id,
+                 len(list_filter(toks, x -> levenshtein(x, 'merge') <= 1))
+                   > 0 AS t_fz,
+                 list_contains(toks, 'spark') AS t_spark
+          FROM t
+        )
+        SELECT doc_id AS doc,
+               CAST(t_fz::INT + t_spark::INT AS BIGINT)
+                 AS n_terms_matched
+        FROM f WHERE t_fz AND t_spark
+        ORDER BY doc
+    """,
+    # field range: inclusive numeric BETWEEN on the metadata column
+    "docs_field_range_search": f"""
+        WITH t AS (
+          SELECT doc_id, n_chars, {_TOK} AS toks FROM documents
+        ),
+        f AS (
+          SELECT doc_id,
+                 coalesce(n_chars BETWEEN 200 AND 400, false) AS t_rng,
+                 list_contains(toks, 'spark') AS t_spark
+          FROM t
+        )
+        SELECT doc_id AS doc,
+               CAST(t_rng::INT + t_spark::INT AS BIGINT)
+                 AS n_terms_matched
+        FROM f WHERE t_rng AND t_spark
         ORDER BY doc
     """,
     # trailing wildcard in the boolean grammar: the prefix flag is one
@@ -7411,8 +7739,15 @@ def catalog() -> dict[str, Q]:
         ("docs_spell_suggest", docs_spell_suggest),
         ("docs_spell_suggest_maintained", docs_spell_suggest_maintained),
         ("docs_boolean_wildcard_search", docs_boolean_wildcard_search),
+        ("docs_fuzzy_search", docs_fuzzy_search),
+        ("docs_fuzzy_search_indexed", docs_fuzzy_search_indexed),
+        ("docs_field_range_search", docs_field_range_search),
         ("docs_field_scoped_search", docs_field_scoped_search),
+        ("docs_field_scoped_search_segments",
+         docs_field_scoped_search_segments),
         ("docs_search_page", docs_search_page),
+        ("docs_search_page_maintained", docs_search_page_maintained),
+        ("docs_stored_fields_maintained", docs_stored_fields_maintained),
         ("docs_complete_prefix", docs_complete_prefix),
         ("docs_more_like_this", docs_more_like_this),
         ("docs_snippets", docs_snippets),

@@ -228,7 +228,11 @@ def _ast(depth):
     prefixes = st.sampled_from(["a", "b", "aa"]).map(
         lambda stem: ("prefix", stem)
     )
-    leaf = st.one_of(terms, phrases, nears, prefixes)
+    fuzzies = st.tuples(
+        st.sampled_from(["aa", "ab", "cc"]),
+        st.integers(min_value=1, max_value=2),
+    ).map(lambda f: ("fuzzy", f))
+    leaf = st.one_of(terms, phrases, nears, prefixes, fuzzies)
     if depth == 0:
         return leaf
     sub = _ast(depth - 1)
@@ -251,10 +255,28 @@ def _render(node):
         return f"({wa} NEAR/{d} {wb})"
     if kind == "prefix":
         return node[1] + "*"
+    if kind == "fuzzy":
+        return f"{node[1][0]}~{node[1][1]}"
     if kind == "not":
         return f"NOT ({_render(node[1])})"
     op = " AND " if kind == "and" else " OR "
     return "(" + op.join(_render(c) for c in node[1]) + ")"
+
+
+def _py_lev(a, b):
+    """Definitional Levenshtein (full DP) — the fuzzy operand's model."""
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[n]
 
 
 def _py_eval(node, toks):
@@ -268,6 +290,9 @@ def _py_eval(node, toks):
         )
     if kind == "prefix":
         return any(t.startswith(node[1]) for t in toks)
+    if kind == "fuzzy":
+        stem, d = node[1]
+        return any(_py_lev(t, stem) <= d for t in toks)
     if kind == "near":
         wa, wb, d = node[1]
         pa = [i for i, t in enumerate(toks) if t == wa]

@@ -2009,3 +2009,130 @@ def test_more_like_this_null_text_source_is_empty(spark):
         [(1, "spark data"), (2, None)], "doc_id int, text string"
     )
     assert more_like_this(docs, 2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round 10: fuzzy operands + field ranges in the boolean grammar
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fz_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark data here", "en", 10),
+            (2, "sprak data there", "EN", 25),  # lev 2 from 'spark'
+            (3, "spork merge", "de", 30),       # lev 1 from 'spark'
+            (4, "no hits", "en", 45),
+            (5, "spark data", None, 50),
+        ],
+        "doc_id int, text string, lang string, n int",
+    )
+
+
+def test_parse_fuzzy_and_range_operands(spark):
+    from esdb_spark.operators.search import parse_boolean_query
+
+    assert parse_boolean_query("sprak~1") == ("fuzzy", ("sprak", 1))
+    assert parse_boolean_query("sprak~") == ("fuzzy", ("sprak", 2))
+    assert parse_boolean_query("n:[200 TO 400]") == (
+        "frange", ("n", "200", "400"),
+    )
+    # string bounds lowercase like field values; TO is case-insensitive
+    assert parse_boolean_query("lang:[aa to BB]") == (
+        "frange", ("lang", "aa", "bb"),
+    )
+    with pytest.raises(ValueError, match="1 or 2"):
+        parse_boolean_query("x~3")
+    with pytest.raises(ValueError, match="unterminated"):
+        parse_boolean_query("price:[3 TO")
+    with pytest.raises(ValueError, match="malformed"):
+        parse_boolean_query("price:[3 4]")
+    # a mid-word tilde with no digit suffix stays a literal term
+    assert parse_boolean_query("a~b") == ("term", "a~b")
+
+
+def test_fuzzy_search_corpus_exact_levenshtein(spark, fz_docs):
+    from esdb_spark.operators.search import boolean_search
+
+    # spark~1: spark (docs 1, 5) + spork (doc 3, one substitution);
+    # sprak is distance 2 (an adjacent swap costs two edits in plain
+    # levenshtein — this grammar is not Damerau)
+    got = [r["doc"] for r in boolean_search(fz_docs, "spark~1").collect()]
+    assert got == [1, 3, 5]
+    got2 = [r["doc"] for r in boolean_search(fz_docs, "spark~2").collect()]
+    assert got2 == [1, 2, 3, 5]
+    got3 = [
+        r["doc"]
+        for r in boolean_search(fz_docs, "spark~1 AND NOT merge").collect()
+    ]
+    assert got3 == [1, 5]
+
+
+def test_field_range_operands_corpus(spark, fz_docs):
+    from esdb_spark.operators.search import boolean_search
+
+    got = [
+        r["doc"]
+        for r in boolean_search(fz_docs, "n:[20 TO 45] AND data").collect()
+    ]
+    assert got == [2]
+    # string ranges compare lexicographically, case-insensitive; NULL
+    # stays unflagged
+    got2 = [
+        r["doc"] for r in boolean_search(fz_docs, "lang:[de TO en]").collect()
+    ]
+    assert got2 == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="numeric"):
+        boolean_search(fz_docs, "n:[aa TO bb]")
+
+
+def test_fuzzy_and_range_serve_on_index_faces(spark, fz_docs):
+    from esdb_spark.operators.search import (
+        boolean_search,
+        boolean_search_indexed,
+        boolean_search_positional,
+        boolean_search_positional_segments,
+        boolean_search_segments,
+        build_inverted_index,
+        build_positional_index,
+        build_spell_index,
+        expand_fuzzy_operands,
+        inverted_index_stats,
+    )
+    from esdb_spark.operators.storedfields import build_stored_fields
+
+    idx = build_inverted_index(fz_docs)
+    sp = build_spell_index(inverted_index_stats(idx))
+    meta = build_stored_fields(fz_docs, cols=["lang", "n"])
+    # SymSpell expansion equals the levenshtein truth over the vocab
+    cm = expand_fuzzy_operands(sp, [("spark", 1)])
+    assert cm == {"spark~1 FUZZY": ["spark", "spork"]}
+    q = "spark~1 AND n:[5 TO 49] AND NOT merge"
+    want = [tuple(r) for r in boolean_search(fz_docs, q).collect()]
+    assert want
+    isegs = [
+        build_inverted_index(fz_docs.filter(f"doc_id % 2 = {i}"))
+        for i in range(2)
+    ]
+    psegs = [
+        build_positional_index(fz_docs.filter(f"doc_id % 2 = {i}"))
+        for i in range(2)
+    ]
+    faces = [
+        boolean_search_indexed(idx, q, fields=meta, spell_index=sp),
+        boolean_search_positional(
+            build_positional_index(fz_docs), q, fields=meta, spell_index=sp
+        ),
+        boolean_search_segments(isegs, q, fields=meta, spell_index=sp),
+        boolean_search_positional_segments(
+            psegs, q, fields=meta, spell_index=sp
+        ),
+    ]
+    for got in faces:
+        assert [tuple(r) for r in got.collect()] == want
+    # rejects: fuzzy without a spell index, range without fields
+    with pytest.raises(ValueError, match="spell_index"):
+        boolean_search_indexed(idx, "spark~1")
+    with pytest.raises(ValueError, match="metadata"):
+        boolean_search_indexed(idx, "n:[1 TO 2]")
