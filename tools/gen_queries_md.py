@@ -95,6 +95,10 @@ ROWS_ONLY_ANCHORS = {
     "twin: seeded-RNG centroid fit)",
     "docs_bm25_topk": "exact twin `docs_keyword_search` (gate) + "
     "bitwise Python-model pin in test_search.py",
+    "docs_search_page_bm25": "exact twin `docs_search_page` (gate; "
+    "rank mechanics + snippet slice value-hashed under integer "
+    "relevance); scores pinned to bm25_search_indexed and snippets to "
+    "the stored text in test_search.py",
     "docs_bm25_maintained": "exact twins `docs_doc_lengths_maintained` "
     "(the maintained state) and `docs_keyword_search_segments` "
     "(integer-scored serving); bit-exact vs the from-corpus path in "
