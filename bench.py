@@ -118,6 +118,15 @@ BENCH_QUERIES = [
     # the one-query result page: boolean match -> rank -> top-k ->
     # first-hit snippets (only the page's k docs ship text)
     "docs_search_page",
+    # round-10 additions: the fuzzy-operand corpus face (levenshtein
+    # disjunct riding the one tokenize scan), field-scoped boolean
+    # search from maintained segments + the stored-fields store, the
+    # stored-fields store carried through its batch maintenance faces,
+    # and the result page served entirely from maintained state
+    "docs_fuzzy_search",
+    "docs_field_scoped_search_segments",
+    "docs_stored_fields_maintained",
+    "docs_search_page_maintained",
 ]
 
 

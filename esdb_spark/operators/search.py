@@ -3330,6 +3330,146 @@ def faceted_counts(
     )
 
 
+def faceted_counts_maintained(
+    segments: list[DataFrame],
+    stored: DataFrame,
+    query: str,
+    facet_cols: list[str],
+    tombstones: list[DataFrame] | None = None,
+    spell_index: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`faceted_counts` served ENTIRELY from maintained state:
+    the boolean match (full grammar — phrases, NEAR, wildcards,
+    field/range operands, fuzzies with a spell index) comes from
+    positional LSM ``segments`` minus doc-id ``tombstones``; facet
+    values come from the ``stored`` stored-fields serving frame — the
+    corpus frame is never read. Identical output shape and semantics
+    to the corpus face over the survivors (pytest parity; the catalog
+    row's oracle recomputes from the surviving corpus). A matched doc
+    missing from ``stored`` raises (index/payload divergence — a
+    silently under-counted facet panel misreports the corpus).
+
+    Scale posture: the match is the one-scan segment-net evaluator;
+    only MATCHING docs ship facet values (inner join keyed on doc);
+    ONE unpivot + aggregate produces every facet's counts."""
+    if not facet_cols:
+        raise ValueError("faceted_counts_maintained: no facet columns")
+    matched = boolean_search_positional_segments(
+        segments, query, tombstones=tombstones, fields=stored,
+        spell_index=spell_index,
+    ).select(F.col("doc").alias("_fc_doc"))
+    meta = stored.select(
+        F.col("doc").alias("_fc_doc"),
+        F.lit(True).alias("_fc_here"),
+        *[F.col(c) for c in facet_cols],
+    )
+    joined = matched.join(meta, "_fc_doc", "left").filter(
+        F.when(
+            F.col("_fc_here").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "faceted_counts_maintained: matched doc missing "
+                        "from the stored-fields store (index and payload "
+                        "store have diverged); doc: "
+                    ),
+                    F.col("_fc_doc").cast("string"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    faceted = joined.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("facet"),
+                        F.coalesce(
+                            F.col(c).cast("string"), F.lit("NULL")
+                        ).alias("value"),
+                    )
+                    for c in facet_cols
+                ]
+            )
+        ).alias("_fc_pair")
+    )
+    return (
+        faceted.select("_fc_pair.facet", "_fc_pair.value")
+        .groupBy("facet", "value")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("facet", F.desc("n_docs"), "value")
+    )
+
+
+def more_like_this_maintained(
+    segments: list[DataFrame],
+    stored: DataFrame,
+    doc_id,
+    k: int = 10,
+    max_query_terms: int = 10,
+    tombstones: list[DataFrame] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`more_like_this` served ENTIRELY from maintained state —
+    the round-10 closure of MLT's corpus dependency (the source doc's
+    text used to require a corpus scan): the source document's terms
+    come from ONE id lookup of the ``stored`` stored-fields frame
+    (tokenized driver-side — bounded by one document's length); term
+    rarity AND the overlap scan come from boolean-index LSM
+    ``segments`` minus ``tombstones``, netted once and reused by both
+    legs (the multi-leg rule). Identical output shape, tie-breaks, and
+    values as the corpus face over the survivors (pytest parity; the
+    catalog row's oracle recomputes from the surviving corpus). A
+    token-less or unknown source doc returns an empty panel, the
+    corpus face's convention.
+
+    Scale posture: the source fetch is an id-pruned stored-store
+    lookup; the net reads O(Σ doc_freq of the source's terms) rows —
+    no corpus tokenize anywhere; the picked terms come back as a
+    driver-side literal in-filter over the ALREADY-MATERIALIZED net;
+    top-k is a TakeOrdered."""
+    if max_query_terms < 1:
+        raise ValueError(
+            "more_like_this_maintained: max_query_terms must be >= 1"
+        )
+    doc_type = stored.select("doc").dtypes[0][1]
+    src_row = (
+        stored.filter(F.col("doc") == F.lit(doc_id))
+        .select(tokens(text_col).alias("_ml_toks"))
+        .first()
+    )
+    src_terms = (
+        sorted(set(src_row["_ml_toks"] or [])) if src_row else []
+    )
+    if not src_terms:
+        return stored.sparkSession.createDataFrame(
+            [], "doc long, n_terms_matched long"
+        ).select(
+            F.col("doc").cast(doc_type).alias("doc"), "n_terms_matched"
+        )
+    net = _segment_net_rows(
+        segments, tombstones, "more_like_this_maintained",
+        terms=src_terms,
+    ).localCheckpoint()
+    picked = [
+        r["token"]
+        for r in net.groupBy("token")
+        .agg(F.count_distinct("doc").alias("_ml_df"))
+        .orderBy("_ml_df", "token")
+        .limit(max_query_terms)
+        .collect()
+    ]
+    hits = (
+        net.filter(F.col("token").isin(picked))
+        .filter(F.col("doc") != F.lit(doc_id))
+        .groupBy("doc")
+        .agg(
+            F.count_distinct("token").cast("long").alias("n_terms_matched")
+        )
+    )
+    return hits.orderBy(F.desc("n_terms_matched"), "doc").limit(k)
+
+
 def build_spell_index(
     vocab: DataFrame,
     term_col: str = "token",
@@ -3806,11 +3946,35 @@ def search_page_maintained(
     """
     if window < 0:
         raise ValueError("search_page_maintained: window must be >= 0")
+    if not segments:
+        raise ValueError("search_page_maintained: no segments")
     node = parse_boolean_query(query)
     _check_not_purely_negative(node, "search_page_maintained")
-    matched = boolean_search_positional_segments(
-        segments, query, tombstones=tombstones, fields=stored
-    )
+    # fuzzy operands need candidate expansion this face does not carry
+    # (serve fuzzy pages from the corpus face for now)
+    _reject_fuzzy_operands(node, "search_page_maintained")
+    pred = _token_match_predicate(node)
+    if pred is not None:
+        # ONE netting of the segments feeds BOTH the match evaluation
+        # and the first-hit positions (the multi-leg rule — calling
+        # the segments face and then re-netting for positions would
+        # execute the union + tombstone probe twice per page)
+        net = _positional_net_rows(
+            segments,
+            tombstones,
+            "search_page_maintained",
+            terms=_bool_words(node),
+            prefixes=_bool_prefixes(node) or None,
+        ).localCheckpoint()
+        matched = _boolean_eval_positional(
+            net, node, None, "search_page_maintained", fields=stored
+        )
+    else:
+        net = None
+        matched = _boolean_eval_positional(
+            segments[0].limit(0), node, None, "search_page_maintained",
+            fields=stored,
+        )
     page = (
         matched.orderBy(F.desc("n_terms_matched"), "doc")
         .limit(k)
@@ -3824,15 +3988,7 @@ def search_page_maintained(
         # output) — k rows, materialize once (the multi-leg rule)
         .localCheckpoint()
     )
-    pred = _token_match_predicate(node)
-    if pred is not None:
-        net = _positional_net_rows(
-            segments,
-            tombstones,
-            "search_page_maintained",
-            terms=_bool_words(node),
-            prefixes=_bool_prefixes(node) or None,
-        )
+    if net is not None:
         first = (
             net.join(F.broadcast(page.select("doc")), "doc")
             .groupBy("doc")

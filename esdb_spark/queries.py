@@ -2475,6 +2475,102 @@ def docs_faceted_counts(spark, sf_dir):
     return faceted_counts(docs, "spark AND data", ["lang", "source"])
 
 
+def docs_more_like_this_maintained(spark, sf_dir):
+    """More-like-this served ENTIRELY from maintained state
+    (operators/search.more_like_this_maintained — the round-10 closure
+    of MLT's corpus dependency): the source document's terms come from
+    one id lookup of the stored-fields store (served from its segments
+    minus doc-id tombstones), term rarity and the overlap scan from
+    three boolean-index LSM segments minus a tombstone segment — the
+    corpus frame is never read at serve time. The oracle recomputes
+    lucene-style MLT (rarest-5 of the source's terms, distinct-term
+    overlap, the exact tie-breaks) from the SURVIVING corpus, so one
+    value hash certifies the maintained stores AND the serving
+    composition."""
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        more_like_this_maintained,
+    )
+    from esdb_spark.operators.storedfields import (
+        build_stored_fields,
+        stored_fields_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    segs = [
+        build_inverted_index(
+            docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+        )
+        for i in range(3)
+    ]
+    tomb = [
+        build_inverted_index(
+            docs.filter(F.col("doc_id") % 7 == 0), "text", "doc_id"
+        )
+    ]
+    ssegs = [
+        build_stored_fields(
+            docs.filter(F.col("doc_id") % 3 == i), "doc_id", ["text"]
+        )
+        for i in range(3)
+    ]
+    stomb = [
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.col("doc_id").alias("doc")
+        )
+    ]
+    stored = stored_fields_segments(ssegs, stomb)
+    return more_like_this_maintained(
+        segs, stored, 1, k=10, max_query_terms=5, tombstones=tomb
+    )
+
+
+def docs_faceted_counts_maintained(spark, sf_dir):
+    """Faceted search counts served ENTIRELY from maintained state
+    (operators/search.faceted_counts_maintained): the boolean match
+    from three positional LSM segments minus doc-id tombstones, facet
+    values from the stored-fields store served from its own segments
+    minus the same deletes — the result page's aggregation panel with
+    zero corpus reads. The oracle recomputes the match and the unpivot
+    from the SURVIVING corpus (NULL buckets kept explicit), so the row
+    asserts serve(two maintained stores) == faceted_counts(survivors)
+    value-hash-exact."""
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        faceted_counts_maintained,
+    )
+    from esdb_spark.operators.storedfields import (
+        build_stored_fields,
+        stored_fields_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    psegs = [
+        build_positional_index(
+            docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+        )
+        for i in range(3)
+    ]
+    tomb = [
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.col("doc_id").alias("doc")
+        )
+    ]
+    ssegs = [
+        build_stored_fields(
+            docs.filter(F.col("doc_id") % 3 == i),
+            "doc_id",
+            ["lang", "source"],
+        )
+        for i in range(3)
+    ]
+    stored = stored_fields_segments(ssegs, tomb)
+    return faceted_counts_maintained(
+        psegs, stored, "spark AND data", ["lang", "source"],
+        tombstones=tomb,
+    )
+
+
 def docs_phrase_search(spark, sf_dir):
     """Exact phrase search (operators/search.phrase_search): documents
     containing the consecutive-token phrase "fast table", with
@@ -5500,6 +5596,50 @@ _PIPELINE_ORACLES = {
         SELECT doc_id AS doc, n_terms_matched FROM hits
         ORDER BY n_terms_matched DESC, doc LIMIT 10
     """,
+    # the maintained MLT twin: the identical lucene-style replay over
+    # the SURVIVING corpus, source doc 1
+    "docs_more_like_this_maintained": f"""
+        WITH ex AS (
+          SELECT doc_id, unnest({_TOK}) AS token FROM documents
+          WHERE doc_id % 7 != 0
+        ),
+        src AS (SELECT DISTINCT token FROM ex WHERE doc_id = 1),
+        dfq AS (
+          SELECT token, count(DISTINCT doc_id) AS dfc FROM ex
+          WHERE token IN (SELECT token FROM src) GROUP BY token
+        ),
+        picked AS (SELECT token FROM dfq ORDER BY dfc, token LIMIT 5),
+        hits AS (
+          SELECT doc_id,
+                 CAST(count(DISTINCT token) AS BIGINT) AS n_terms_matched
+          FROM ex
+          WHERE token IN (SELECT token FROM picked) AND doc_id != 1
+          GROUP BY doc_id
+        )
+        SELECT doc_id AS doc, n_terms_matched FROM hits
+        ORDER BY n_terms_matched DESC, doc LIMIT 10
+    """,
+    # the maintained facets twin: the identical unpivot replay over
+    # the SURVIVING corpus
+    "docs_faceted_counts_maintained": f"""
+        WITH t AS (
+          SELECT doc_id, lang, source, {_TOK} AS toks FROM documents
+          WHERE doc_id % 7 != 0
+        ),
+        m AS (
+          SELECT doc_id, lang, source FROM t
+          WHERE list_contains(toks, 'spark')
+            AND list_contains(toks, 'data')
+        ),
+        u AS (
+          SELECT 'lang' AS facet, coalesce(lang, 'NULL') AS value FROM m
+          UNION ALL
+          SELECT 'source' AS facet, coalesce(source, 'NULL') AS value FROM m
+        )
+        SELECT facet, value, CAST(count(*) AS BIGINT) AS n_docs
+        FROM u GROUP BY facet, value
+        ORDER BY facet, n_docs DESC, value
+    """,
     # "did you mean": the oracle is the brute-force levenshtein scan
     # the symmetric-delete index must exactly reproduce
     "docs_spell_suggest": f"""
@@ -7566,9 +7706,17 @@ _GATE_WINDOW = [
     # replays the quantizer bit-for-bit in its oracle; it stays
     # catalogued + locally oracle-verified. Its slot carries the
     # search-box capstone: the one-query RESULT PAGE — full grammar
-    # match + integer relevance rank + first-hit KWIC snippet — whose
-    # oracle replays rank, positions, and the snippet slice in SQL)
-    "docs_search_page",
+    # match + integer relevance rank + first-hit KWIC snippet. The
+    # round-10 second curation upgraded the slot to the MAINTAINED
+    # page: same rank/position/snippet oracle replay, but the match
+    # serves from positional LSM segments minus doc-id tombstones, a
+    # field operand resolves against the stored-fields store, and the
+    # snippet text comes from that store served from its own segments
+    # — one row certifies the page mechanics AND the round-10
+    # stored-payload store from maintained state; the corpus-face
+    # docs_search_page stays catalogued + locally oracle-verified,
+    # its mechanics covered by this stronger sibling)
+    "docs_search_page_maintained",
     # (round 9: docs_hybrid_rrf demoted for its own MAINTAINED face —
     # same legs, same exact fusion, but every store now carried
     # through its append+delete maintenance faces and the oracle
@@ -7777,6 +7925,8 @@ def catalog() -> dict[str, Q]:
         ("docs_stored_fields_maintained", docs_stored_fields_maintained),
         ("docs_complete_prefix", docs_complete_prefix),
         ("docs_more_like_this", docs_more_like_this),
+        ("docs_more_like_this_maintained", docs_more_like_this_maintained),
+        ("docs_faceted_counts_maintained", docs_faceted_counts_maintained),
         ("docs_snippets", docs_snippets),
         ("docs_faceted_counts", docs_faceted_counts),
         ("docs_hybrid_rrf", docs_hybrid_rrf),

@@ -471,6 +471,72 @@ def test_flat_index_update_state_never_shuffles(spark, tmp_path):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_fuzzy_expansion_stays_sargable(spark, tmp_path):
+    # the index-face fuzzy contract: SymSpell candidates ride the scan
+    # as a literal In-filter (pushed to parquet) — NO levenshtein
+    # appears anywhere in the index scan's plan (a levenshtein
+    # disjunct would sweep the corpus-sized token column)
+    from esdb_spark.operators.search import (
+        boolean_search_indexed,
+        build_inverted_index,
+        build_spell_index,
+        inverted_index_stats,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p = str(tmp_path / "fzidx")
+    build_inverted_index(docs, "text", "doc_id").write.parquet(p)
+    idx = spark.read.parquet(p)
+    sp = build_spell_index(inverted_index_stats(idx))
+    # single-leg query so the scan is visible (a multi-leg query
+    # localCheckpoints the filtered scan, which the plan then shows as
+    # an ExistingRDD — the pushdown happened on the materializing job)
+    q = boolean_search_indexed(idx, "merge~1", spell_index=sp)
+    plan = physical_plan(q)
+    # one candidate collapses In to EqualTo — either way it's a pushed
+    # literal predicate on token
+    import re as _re
+
+    assert _re.search(
+        r"PushedFilters: \[[^\]]*(In|EqualTo)\(token", plan
+    ), plan
+    assert "levenshtein" not in plan.lower(), plan
+    # the multi-leg shape keeps levenshtein out of the plan too (the
+    # candidates are literals either way)
+    q2 = boolean_search_indexed(idx, "merge~1 AND spark", spell_index=sp)
+    assert "levenshtein" not in physical_plan(q2).lower()
+
+
+def test_stored_fields_bounded_fetch_plan(spark, tmp_path):
+    # the stored-fields serving contract: an ids-bounded fetch reads
+    # each segment through a broadcast semi of the requested ids —
+    # the store never sort-merge-joins, and the tombstone net is a
+    # broadcast anti
+    from esdb_spark.operators.storedfields import (
+        build_stored_fields,
+        stored_fields_segments,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"sf{i}")
+        build_stored_fields(
+            docs.filter(F.col("doc_id") % 2 == i), "doc_id",
+            ["text", "lang"],
+        ).write.parquet(p)
+        paths.append(p)
+    segs = [spark.read.parquet(p) for p in paths]
+    tomb = [docs.limit(5).select(F.col("doc_id").alias("doc"))]
+    ids = docs.limit(3).select(F.col("doc_id").alias("doc"))
+    out = stored_fields_segments(segs, tomb, ids=ids)
+    plan = physical_plan(out)
+    assert "SortMergeJoin" not in plan, plan
+    # ≥2 broadcast semis (one per segment via the union) + the anti
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "LeftAnti" in plan, plan
+
+
 def test_delete_doc_lengths_state_never_shuffles(spark):
     # the anti+semi probes broadcast the removal batch; the lengths
     # table must reach both joins without an exchange of its own —

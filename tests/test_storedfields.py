@@ -280,3 +280,83 @@ def test_maintain_stored_fields_epoch_parity(spark, tmp_path):
     served = stored_fields_segments(live, tomb or None)
     got = sorted((r["doc"], r["text"]) for r in served.collect())
     assert (3, "tables return") in got and len(got) == 4
+
+
+def test_more_like_this_and_facets_maintained_parity(spark):
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        build_positional_index,
+        faceted_counts,
+        faceted_counts_maintained,
+        more_like_this,
+        more_like_this_maintained,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # rare-but-shared terms so MLT has real neighbors: apple
+            # (docs 1, 2) and banana (docs 1, 3) are the rarest of
+            # doc 1's terms
+            (1, "spark data apple banana", "en"),
+            (2, "spark data apple", "en"),
+            (3, "spark merge banana data", "de"),
+            (4, "unrelated words entirely", None),
+            (5, "spark data gone", "en"),  # deleted below
+        ],
+        "doc_id int, text string, lang string",
+    )
+    surv = docs.filter("doc_id != 5")
+    tomb_ids = [docs.filter("doc_id = 5").select(
+        F.col("doc_id").alias("doc"))]
+    ssegs = [
+        build_stored_fields(docs.filter(f"doc_id % 2 = {i}"))
+        for i in range(2)
+    ]
+    stored = stored_fields_segments(ssegs, tomb_ids)
+    # MLT: boolean-index segments + content tombstone
+    isegs = [
+        build_inverted_index(docs.filter(f"doc_id % 2 = {i}"))
+        for i in range(2)
+    ]
+    itomb = [build_inverted_index(docs.filter("doc_id = 5"))]
+    got = [
+        tuple(r)
+        for r in more_like_this_maintained(
+            isegs, stored, 1, k=5, max_query_terms=3, tombstones=itomb
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in more_like_this(
+            surv, 1, k=5, max_query_terms=3
+        ).collect()
+    ]
+    assert got == want and got
+    # unknown / deleted source doc -> empty panel, never an error
+    assert more_like_this_maintained(
+        isegs, stored, 5, tombstones=itomb
+    ).count() == 0
+    # facets: positional segments + doc-id tombstone, values from the
+    # stored store; NULL bucket kept explicit
+    psegs = [
+        build_positional_index(docs.filter(f"doc_id % 2 = {i}"))
+        for i in range(2)
+    ]
+    gotf = [
+        tuple(r)
+        for r in faceted_counts_maintained(
+            psegs, stored, "spark AND data", ["lang"],
+            tombstones=tomb_ids,
+        ).collect()
+    ]
+    wantf = [
+        tuple(r)
+        for r in faceted_counts(surv, "spark AND data", ["lang"]).collect()
+    ]
+    assert gotf == wantf and ("lang", "NULL", 1) not in gotf
+    # a matched doc missing from the stored store raises
+    with pytest.raises(Exception, match="diverged"):
+        faceted_counts_maintained(
+            psegs, stored.filter("doc != 2"), "spark AND data",
+            ["lang"], tombstones=tomb_ids,
+        ).collect()
