@@ -2426,6 +2426,7 @@ def expand_fuzzy_operands(
     for stem, d in sorted(set(fuzzies)):
         if d not in (1, 2):
             raise ValueError(f"{caller}: fuzzy distance must be 1 or 2")
+        _check_spell_index_depth(spell_index, d, caller)
         hashes = sorted(
             hashlib.md5(v.encode("utf-8")).hexdigest()
             for v in _py_deletion_variants(stem, d)
@@ -3488,7 +3489,17 @@ def build_spell_index(
     never a vocabulary scan. ``max_dist`` ∈ {1, 2}; build cost is
     O(L) / O(L²) variant rows per vocab word — the pay-once price,
     same discipline as the inverted/positional/ANN stores. Persist
-    sorted by ``vh`` for row-group pruning."""
+    sorted by ``vh`` for row-group pruning.
+
+    The index RECORDS its build distance (a constant ``max_dist``
+    column — one RLE byte per row): serving a distance LARGER than
+    the build distance would silently MISS candidates (the
+    symmetric-delete superset guarantee needs variants of BOTH sides
+    to depth d), so :func:`suggest_terms_indexed` and
+    :func:`expand_fuzzy_operands` verify it driver-side and raise —
+    an incomplete "did you mean" is a wrong answer, not a slow one
+    (r10 hardening; indexes persisted before it lack the column and
+    are trusted as built with d=2, the old default)."""
     from esdb_spark.operators.linkage import _deletion_variants
 
     if max_dist not in (1, 2):
@@ -3511,7 +3522,29 @@ def build_spell_index(
         )
         .select(F.md5(F.col("_sv")).alias("vh"), "token", "term_freq")
         .distinct()
+        .withColumn("max_dist", F.lit(max_dist).cast("int"))
     )
+
+
+def _check_spell_index_depth(spell_index: DataFrame, d: int, caller: str):
+    """Driver-side, one-row probe: the queried distance must not
+    exceed the index's recorded build distance — a deeper query
+    silently misses every candidate whose common variant needs more
+    deletions than the index stored. Indexes without the column
+    (pre-r10) are trusted as built with the old default (2). d == 1
+    can never exceed a legal build distance, so only d == 2 pays the
+    one-row probe (trivial on a persisted index; one extra pass of
+    the build plan on an inline ad-hoc one)."""
+    if d <= 1 or "max_dist" not in spell_index.columns:
+        return
+    row = spell_index.select("max_dist").first()
+    if row is not None and row["max_dist"] < d:
+        raise ValueError(
+            f"{caller}: queried distance {d} exceeds the spell index's "
+            f"build max_dist {row['max_dist']} — candidates would be "
+            "silently incomplete; rebuild the index with max_dist >= "
+            f"{d}"
+        )
 
 
 def _py_deletion_variants(s: str, d: int) -> set:
@@ -3553,6 +3586,7 @@ def suggest_terms_indexed(
 
     if max_dist not in (1, 2):
         raise ValueError("suggest_terms_indexed: max_dist must be 1 or 2")
+    _check_spell_index_depth(spell_index, max_dist, "suggest_terms_indexed")
     q = term.lower().strip()
     if not q or len(q.split()) != 1:
         raise ValueError(

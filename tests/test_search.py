@@ -2177,3 +2177,55 @@ def test_search_page_bm25_scores_and_snippets(spark):
         search_page_bm25(
             idx, dl, stored.filter("doc != 2"), ["spark", "data"], k=3
         ).collect()
+
+
+def test_spell_index_depth_mismatch_raises(spark):
+    # r10 hardening: querying distance 2 against a d=1-built index
+    # would silently MISS candidates (the symmetric-delete superset
+    # needs both sides' variants to depth d) — an incomplete "did you
+    # mean" is a wrong answer, so it raises driver-side
+    from esdb_spark.functions import tokens
+    from esdb_spark.operators.search import (
+        boolean_search_indexed,
+        build_inverted_index,
+        build_spell_index,
+        suggest_terms_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "merge sort"), (2, "marge simpson")],
+        "doc_id int, text string",
+    )
+    ex = docs.select(F.explode(tokens("text")).alias("token"))
+    vocab = ex.groupBy("token").agg(
+        F.count("*").cast("long").alias("term_freq")
+    )
+    shallow = build_spell_index(vocab, max_dist=1)
+    with pytest.raises(ValueError, match="exceeds the spell index"):
+        suggest_terms_indexed(shallow, "mrege", max_dist=2)
+    # d=1 against a d=1 index stays legal
+    assert suggest_terms_indexed(shallow, "merg", max_dist=1).count() > 0
+    # the grammar's fuzzy expansion hits the same guard
+    idx = build_inverted_index(docs)
+    with pytest.raises(ValueError, match="exceeds the spell index"):
+        boolean_search_indexed(idx, "mrege~2", spell_index=shallow)
+    # a pre-r10 index (no max_dist column) is trusted as built deep
+    legacy = shallow.drop("max_dist")
+    assert suggest_terms_indexed(legacy, "mrege", max_dist=2) is not None
+
+
+def test_search_page_serves_fuzzy_operands(spark):
+    # the corpus page composes with fuzzy terms end to end: the match
+    # comes from the levenshtein disjunct and first_pos counts
+    # fuzzy-matched tokens as hits
+    from esdb_spark.operators.search import search_page
+
+    docs = spark.createDataFrame(
+        [(1, "aaa spork bbb"), (2, "no match"), (3, "spark here")],
+        "doc_id int, text string",
+    )
+    out = [tuple(r) for r in search_page(
+        docs, "spark~1", k=5, window=1
+    ).collect()]
+    assert [r[1] for r in out] == [1, 3]
+    assert out[0][3] == 1 and out[0][4] == "aaa spork bbb"
