@@ -248,10 +248,23 @@ def _stored_net(
         r = t.select("doc")
         rm = r if rm is None else rm.unionByName(r)
     if ids is not None:
-        want = F.broadcast(ids.select("doc").distinct())
-        live = live.join(want, "doc", "left_semi")
-        if rm is not None:
-            rm = rm.join(want, "doc", "left_semi")
+        if isinstance(ids, (list, tuple, set)):
+            # driver-bounded id list (the page shape): a LITERAL
+            # in-filter lands below the union and pushes into every
+            # segment scan's parquet row groups (PushedFilters: In) —
+            # a DataFrame semi keeps rows out of flight but cannot
+            # prune the scan itself (joins don't push down; measured
+            # 2.13 vs 2.56 s at 200k docs — the probe that prompted
+            # this path)
+            wanted = sorted(set(ids))
+            live = live.filter(F.col("doc").isin(wanted))
+            if rm is not None:
+                rm = rm.filter(F.col("doc").isin(wanted))
+        else:
+            want = F.broadcast(ids.select("doc").distinct())
+            live = live.join(want, "doc", "left_semi")
+            if rm is not None:
+                rm = rm.join(want, "doc", "left_semi")
     # per-doc multiplicity guard on the touched rows: window count
     # (keeps every stored column through the guard without a
     # first()-per-column aggregate)
@@ -330,17 +343,21 @@ def _stored_net(
 def stored_fields_segments(
     segments: list[DataFrame],
     tombstones: list[DataFrame] | None = None,
-    ids: DataFrame | None = None,
+    ids=None,
 ) -> DataFrame:
     """Serve the store from LSM segments + doc-id tombstones — no
     compaction on the fetch path: ``serve(segments ∪ tombstones) ==
     build_stored_fields(survivors)`` value-for-value
     (pytest-asserted; the catalog row's oracle rebuilds from the
-    surviving corpus). Pass ``ids`` (a frame with a ``doc`` column —
-    a result page, typically k rows) to bound every segment scan to a
-    broadcast semi of the requested documents; integrity guards fire
-    for corruption the fetch TOUCHES (ghost tombstones whose ids you
-    never ask for are :func:`compact_stored_segments`' job)."""
+    surviving corpus). ``ids`` bounds the fetch to the requested
+    documents — pass a PYTHON LIST for a driver-bounded page (a
+    literal in-filter that pushes into every segment scan's row
+    groups: the store persisted sorted by doc reads O(k) rows per
+    segment), or a DataFrame with a ``doc`` column when the id set is
+    itself distributed (a broadcast semi — zero shuffle of the store,
+    but the scan is not pruned). Integrity guards fire for corruption
+    the fetch TOUCHES (ghost tombstones whose ids you never ask for
+    are :func:`compact_stored_segments`' job)."""
     return _stored_net(
         segments, tombstones, "stored_fields_segments", ids, audit=False
     )

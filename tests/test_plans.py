@@ -535,6 +535,13 @@ def test_stored_fields_bounded_fetch_plan(spark, tmp_path):
     # ≥2 broadcast semis (one per segment via the union) + the anti
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "LeftAnti" in plan, plan
+    # the literal tier (a driver-side id LIST — the page shape) must
+    # push into every segment scan's row groups (r10 probe: 0.82 s vs
+    # the semi's 2.19 s at 200k docs — joins don't prune scans)
+    out2 = stored_fields_segments(segs, tomb, ids=[1, 2, 3])
+    plan2 = physical_plan(out2)
+    assert plan2.count("PushedFilters: [In(doc") == 2, plan2
+    assert "SortMergeJoin" not in plan2, plan2
 
 
 def test_delete_doc_lengths_state_never_shuffles(spark):

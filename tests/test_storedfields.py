@@ -95,6 +95,9 @@ def test_segments_serve_and_compact_equal_rebuild(spark, fdocs):
     ids = spark.createDataFrame([(2,), (4,)], "doc int")
     got = stored_fields_segments(segs, tomb, ids=ids)
     assert sorted(r["doc"] for r in got.collect()) == [2, 4]
+    # the literal tier (driver-side id list) serves identically
+    got2 = stored_fields_segments(segs, tomb, ids=[2, 4])
+    assert _rows(got2) == _rows(got)
 
 
 def test_segment_guards_raise(spark, fdocs):
@@ -360,3 +363,45 @@ def test_more_like_this_and_facets_maintained_parity(spark):
             psegs, stored.filter("doc != 2"), "spark AND data",
             ["lang"], tombstones=tomb_ids,
         ).collect()
+
+
+def test_stored_fields_random_maintenance_property(spark):
+    # house property pattern: random append/delete splits through the
+    # batch faces == build(survivors), value-for-value
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n=st.integers(min_value=1, max_value=12),
+        split=st.integers(min_value=0, max_value=11),
+        rm_mask=st.integers(min_value=0, max_value=4095),
+    )
+    def prop(n, split, rm_mask):
+        rows = [(i, f"text {i}", f"l{i % 3}") for i in range(n)]
+        docs = spark.createDataFrame(
+            rows, "doc_id int, text string, lang string"
+        )
+        old = docs.filter(F.col("doc_id") <= split)
+        new = docs.filter(F.col("doc_id") > split)
+        removed = docs.filter(
+            F.col("doc_id").isin(
+                [i for i in range(n) if (rm_mask >> i) & 1]
+            )
+        )
+        state = build_stored_fields(old)
+        if new.count():
+            state = update_stored_fields(state, new)
+        rm_ids = [i for i in range(n) if (rm_mask >> i) & 1]
+        if rm_ids:
+            state = delete_stored_fields(state, removed.select("doc_id"))
+        survivors = build_stored_fields(
+            docs.filter(~F.col("doc_id").isin(rm_ids) if rm_ids
+                        else F.lit(True))
+        )
+        assert _rows(state) == _rows(survivors)
+
+    prop()
