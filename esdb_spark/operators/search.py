@@ -3747,6 +3747,35 @@ def more_like_this(
     return hits.orderBy(F.desc("n_terms_matched"), "doc").limit(k)
 
 
+def _page_after_filter(matched: DataFrame, after, caller: str) -> DataFrame:
+    """Keyset pagination of a result page — the reference's
+    continuation-cursor concept (stream/stream.go:36: resume an
+    iteration from an opaque offset) applied to search: ``after`` is
+    the LAST row of the previous page as ``(n_terms_matched, doc)``,
+    and the next page is everything strictly after it under the
+    page's total order (relevance desc, doc asc). Keyset, not
+    OFFSET: an OFFSET page re-ranks and skips N rows per request —
+    O(N) per page and inconsistent under concurrent updates — while
+    the keyset predicate composes with the match aggregate and costs
+    the same as page one."""
+    if after is None:
+        return matched
+    try:
+        a_n, a_doc = after
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"{caller}: after must be the previous page's last "
+            "(n_terms_matched, doc) pair"
+        ) from None
+    return matched.filter(
+        (F.col("n_terms_matched") < F.lit(a_n))
+        | (
+            (F.col("n_terms_matched") == F.lit(a_n))
+            & (F.col("doc") > F.lit(a_doc))
+        )
+    )
+
+
 def search_page(
     df: DataFrame,
     query: str,
@@ -3754,6 +3783,7 @@ def search_page(
     window: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    after=None,
 ) -> DataFrame:
     """The RESULT PAGE in one query — the composition every search
     serving stack renders: run the full boolean grammar
@@ -3767,7 +3797,11 @@ def search_page(
     word, NEAR word, or wildcard match) and ``snippet`` the ±
     ``window`` tokens around it. A match with no token hits (a
     field-only query) gets the LEADING snippet (``first_pos`` 0) —
-    the standard fallback when nothing highlights.
+    the standard fallback when nothing highlights. ``after`` pages:
+    pass the previous page's last ``(n_terms_matched, doc)`` and the
+    next k results under the same total order return (KEYSET, the
+    reference's continuation-cursor concept — stream/stream.go:36 —
+    never an O(N-skipped) OFFSET; ``rank`` restarts at 1 per page).
 
     Scale posture: the match set is :func:`boolean_search`'s one
     scan + one aggregate; ranking is a TakeOrdered over (count, doc);
@@ -3780,7 +3814,9 @@ def search_page(
         raise ValueError("search_page: window must be >= 0")
     node = parse_boolean_query(query)
     _check_not_purely_negative(node, "search_page")
-    matched = boolean_search(df, query, text_col, id_col)
+    matched = _page_after_filter(
+        boolean_search(df, query, text_col, id_col), after, "search_page"
+    )
     page = (
         matched.orderBy(F.desc("n_terms_matched"), "doc")
         .limit(k)
@@ -3889,13 +3925,14 @@ def search_page_bm25(
         # THREE legs reference the page — k rows, materialize once
         .localCheckpoint()
     )
-    toked = (
-        stored.select(
-            "doc",
-            tokens(text_col).alias("_sb_toks"),
-            F.lit(True).alias("_sb_here"),
-        )
-        .join(F.broadcast(page.select("doc")), "doc")
+    # literal page-id pushdown into the stored-store scan (the r10
+    # probe lesson — the page is k materialized rows, so the collect
+    # is driver-bounded by construction)
+    page_ids = [r["doc"] for r in page.select("doc").collect()]
+    toked = stored.filter(F.col("doc").isin(page_ids)).select(
+        "doc",
+        tokens(text_col).alias("_sb_toks"),
+        F.lit(True).alias("_sb_here"),
     )
     first = (
         toked.select(
@@ -3949,6 +3986,7 @@ def search_page_maintained(
     window: int = 3,
     tombstones: list[DataFrame] | None = None,
     text_col: str = "text",
+    after=None,
 ) -> DataFrame:
     """:func:`search_page` served ENTIRELY from maintained state — the
     round-10 completion of the search stack's corpus independence:
@@ -3969,7 +4007,8 @@ def search_page_maintained(
     A page doc MISSING from ``stored`` raises at execution time — the
     index and the payload store have diverged (a silently shorter
     page is how serving bugs ship); field-only queries fall back to
-    the leading snippet, the corpus face's convention.
+    the leading snippet, the corpus face's convention; ``after``
+    pages by keyset exactly like :func:`search_page`.
 
     Scale posture: the match is the one-scan segment-net evaluator;
     ranking is a TakeOrdered; ONLY the page's k documents ship text —
@@ -4009,6 +4048,7 @@ def search_page_maintained(
             segments[0].limit(0), node, None, "search_page_maintained",
             fields=stored,
         )
+    matched = _page_after_filter(matched, after, "search_page_maintained")
     page = (
         matched.orderBy(F.desc("n_terms_matched"), "doc")
         .limit(k)
@@ -4022,9 +4062,16 @@ def search_page_maintained(
         # output) — k rows, materialize once (the multi-leg rule)
         .localCheckpoint()
     )
+    # the page is k MATERIALIZED rows — collect its ids (driver-
+    # bounded by construction, the MLT term-pick argument) and push
+    # them as a LITERAL in-filter: on a parquet-served stored store
+    # the In(doc) predicate prunes row groups, where the broadcast
+    # join it replaces read every segment in full (the r10
+    # stored-fields probe: 0.82 s literal vs 2.19 s semi at 200k docs)
+    page_ids = [r["doc"] for r in page.select("doc").collect()]
     if net is not None:
         first = (
-            net.join(F.broadcast(page.select("doc")), "doc")
+            net.filter(F.col("doc").isin(page_ids))
             .groupBy("doc")
             .agg(
                 F.min(F.array_min("positions")).cast("long").alias(
@@ -4034,13 +4081,10 @@ def search_page_maintained(
         )
     else:
         first = page.select("doc", F.lit(0).cast("long").alias("first_pos"))
-    toked = (
-        stored.select(
-            "doc",
-            tokens(text_col).alias("_sp_toks"),
-            F.lit(True).alias("_sp_here"),
-        )
-        .join(F.broadcast(page.select("doc")), "doc")
+    toked = stored.filter(F.col("doc").isin(page_ids)).select(
+        "doc",
+        tokens(text_col).alias("_sp_toks"),
+        F.lit(True).alias("_sp_here"),
     )
     out = (
         page.join(toked, "doc", "left")

@@ -2191,6 +2191,32 @@ def docs_search_page_maintained(spark, sf_dir):
     )
 
 
+def docs_search_page_cursor(spark, sf_dir):
+    """Keyset pagination of the result page (operators/search.
+    search_page with after= — the reference's continuation-cursor
+    concept, stream/stream.go:36, applied to search): run page 1 of
+    'ta* AND merge AND NOT python', take its last (n_terms_matched,
+    doc) as the cursor, and return PAGE 2 — the next 10 results under
+    the same total order, ranks restarting at 1. Keyset, never
+    OFFSET: the predicate composes with the match aggregate, so page
+    N costs the same as page 1 and stays consistent under concurrent
+    updates. The oracle replays the GLOBAL rank and slices rows
+    11–20, so the row asserts cursor-paged == globally-ranked
+    value-hash-exact (snippets and positions included)."""
+    from esdb_spark.operators.search import search_page
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = "ta* AND merge AND NOT python"
+    page1 = search_page(docs, q, k=10, window=3).collect()
+    if not page1:
+        return search_page(docs, q, k=10, window=3)
+    last = page1[-1]
+    return search_page(
+        docs, q, k=10, window=3,
+        after=(last["n_terms_matched"], last["doc"]),
+    )
+
+
 def docs_field_scoped_search_segments(spark, sf_dir):
     """Field-scoped boolean search served from MAINTAINED state
     (operators/search.boolean_search_segments with fields= — the
@@ -5398,6 +5424,53 @@ _PIPELINE_ORACLES = {
         FROM page p LEFT JOIN hit h ON p.doc_id = h.doc_id
         ORDER BY p.rank
     """,
+    # keyset page 2 == rows 11-20 of the GLOBAL ranking with the rank
+    # renumbered per page — the oracle replays the global order and
+    # slices, so the cursor predicate must land exactly on the suffix
+    "docs_search_page_cursor": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        f AS (
+          SELECT doc_id, toks,
+                 len(list_filter(toks, x -> x LIKE 'ta%')) > 0 AS t_ta,
+                 list_contains(toks, 'merge') AS t_merge,
+                 list_contains(toks, 'python') AS t_python
+          FROM t
+        ),
+        m AS (
+          SELECT doc_id, toks,
+                 CAST(t_ta::INT + t_merge::INT + t_python::INT
+                      AS BIGINT) AS n_terms_matched
+          FROM f WHERE t_ta AND t_merge AND NOT t_python
+        ),
+        page AS (
+          SELECT doc_id, toks, n_terms_matched,
+                 CAST(row_number() OVER (
+                     ORDER BY n_terms_matched DESC, doc_id
+                 ) - 10 AS BIGINT) AS rank
+          FROM m QUALIFY row_number() OVER (
+                     ORDER BY n_terms_matched DESC, doc_id
+                 ) BETWEEN 11 AND 20
+        ),
+        hit AS (
+          SELECT doc_id, CAST(min(i) - 1 AS BIGINT) AS first_pos
+          FROM (
+            SELECT doc_id, unnest(generate_series(1, len(toks))) AS i,
+                   toks
+            FROM page
+          )
+          WHERE toks[i] LIKE 'ta%' OR toks[i] IN ('merge', 'python')
+          GROUP BY doc_id
+        )
+        SELECT p.rank, p.doc_id AS doc, p.n_terms_matched,
+               coalesce(h.first_pos, 0) AS first_pos,
+               array_to_string(
+                 p.toks[greatest(1, coalesce(h.first_pos, 0) + 1 - 3)
+                        : least(len(p.toks),
+                                coalesce(h.first_pos, 0) + 1 + 3)],
+                 ' ') AS snippet
+        FROM page p LEFT JOIN hit h ON p.doc_id = h.doc_id
+        ORDER BY p.rank
+    """,
     # the stored-fields store rebuilt from the surviving corpus —
     # update/delete faces must net to exactly this
     "docs_stored_fields_maintained": """
@@ -7921,6 +7994,7 @@ def catalog() -> dict[str, Q]:
         ("docs_field_scoped_search_segments",
          docs_field_scoped_search_segments),
         ("docs_search_page", docs_search_page),
+        ("docs_search_page_cursor", docs_search_page_cursor),
         ("docs_search_page_maintained", docs_search_page_maintained),
         ("docs_stored_fields_maintained", docs_stored_fields_maintained),
         ("docs_complete_prefix", docs_complete_prefix),

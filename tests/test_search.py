@@ -2229,3 +2229,35 @@ def test_search_page_serves_fuzzy_operands(spark):
     ).collect()]
     assert [r[1] for r in out] == [1, 3]
     assert out[0][3] == 1 and out[0][4] == "aaa spork bbb"
+
+
+def test_search_page_keyset_pagination(spark):
+    # page 2 via the (n_terms_matched, doc) cursor == rows k+1..2k of
+    # the global order with ranks restarting at 1; an exhausted cursor
+    # returns an empty page; a malformed cursor raises
+    from esdb_spark.operators.search import search_page
+
+    docs = spark.createDataFrame(
+        [(i, "tango merge" + (" tango" if i % 2 else ""))
+         for i in range(1, 8)],
+        "doc_id int, text string",
+    )
+    q = "ta* AND merge"
+    full = search_page(docs, q, k=7, window=1).collect()
+    p1 = search_page(docs, q, k=3, window=1).collect()
+    last = p1[-1]
+    p2 = search_page(
+        docs, q, k=3, window=1,
+        after=(last["n_terms_matched"], last["doc"]),
+    ).collect()
+    assert [tuple(r)[1:] for r in p1 + p2] == [
+        tuple(r)[1:] for r in full[:6]
+    ]
+    assert [r["rank"] for r in p2] == [1, 2, 3]
+    end = search_page(
+        docs, q, k=3, window=1,
+        after=(full[-1]["n_terms_matched"], full[-1]["doc"]),
+    )
+    assert end.count() == 0
+    with pytest.raises(ValueError, match="after"):
+        search_page(docs, q, after=(1,))
