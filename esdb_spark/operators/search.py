@@ -1975,7 +1975,7 @@ def parse_boolean_query(query: str):
         prox   := unary (NEAR/d unary)?    -- proximity, terms only
         unary  := NOT unary | '(' expr ')' | TERM | TERM'*' | TERM'~'d
                   | FIELD':'VALUE | FIELD':[' LO TO HI ']'
-                  | '"' WORDS '"'
+                  | '"' WORDS '"' | '"' WORDS '"' '~'s
 
     An unquoted ``field:value`` operand is FIELD-SCOPED: it matches
     documents whose metadata column ``field`` equals ``value``
@@ -1993,6 +1993,13 @@ def parse_boolean_query(query: str):
     verified by real edit distance), served by a levenshtein leg on
     the corpus face or by SymSpell candidate expansion
     (:func:`expand_fuzzy_operands`) on the index faces.
+    ``"w1 w2"~s`` is a SLOPPY PHRASE: the words must appear IN ORDER
+    at increasing positions spanning at most (n-1)+s token positions
+    (s = 0 is the exact phrase; order-preserving by contract —
+    lucene's move-based slop also accepts transpositions and is a
+    different, less replayable algebra); served by the corpus and
+    positional faces (the boolean index stores no positions, so its
+    faces raise).
     An unquoted operand ending in ``*`` is a TRAILING-WILDCARD: it
     matches documents containing ANY token with that prefix
     (``spar*`` → spark, sparse, ...); the star is only legal at the
@@ -2057,6 +2064,19 @@ def parse_boolean_query(query: str):
             words = tuple(take()[1:-1].lower().split())
             if not words:
                 raise ValueError("parse_boolean_query: empty phrase")
+            nxt = peek()
+            m_sl = re.fullmatch(r"~(\d+)", nxt or "")
+            if m_sl:
+                # sloppy phrase: '"w1 w2"~s' — words in ORDER within a
+                # window of (n-1)+s positions (s=0 = exact phrase;
+                # NOTE: order-preserving, not lucene's move-based slop)
+                take()
+                if len(words) < 2:
+                    raise ValueError(
+                        "parse_boolean_query: a sloppy phrase needs at "
+                        "least two words (a one-word slop is a term)"
+                    )
+                return ("slop", (words, int(m_sl.group(1))))
             if len(words) == 1:
                 return ("term", words[0])
             return ("phrase", words)
@@ -2295,6 +2315,9 @@ def _bool_marker(node) -> str:
     if node[0] == "fuzzy":
         stem, d = node[1]
         return f"{stem}~{d} FUZZY"
+    if node[0] == "slop":
+        words, s = node[1]
+        return f"{' '.join(words)} ~{s} SLOP"
     return " ".join(node[1])
 
 
@@ -2302,7 +2325,7 @@ def _bool_marker(node) -> str:
 #: helpers in lockstep when the grammar grows (round-10 review: five
 #: hand-maintained exclusion lists drifted one grammar change apart)
 _BOOL_LEAVES = ("term", "phrase", "near", "prefix", "field", "frange",
-                "fuzzy")
+                "fuzzy", "slop")
 
 
 def _bool_collect(node, kind: str) -> list:
@@ -2352,6 +2375,10 @@ def _bool_fuzzies(node) -> list[tuple]:
     return _bool_collect(node, "fuzzy")
 
 
+def _bool_slops(node) -> list[tuple]:
+    return _bool_collect(node, "slop")
+
+
 def _bool_words(node) -> list[str]:
     """Every distinct literal WORD the query touches (phrase and NEAR
     words included; wildcard stems and fuzzy stems excluded — they are
@@ -2362,6 +2389,8 @@ def _bool_words(node) -> list[str]:
         return [node[1]]
     if kind == "phrase":
         return sorted(set(node[1]))
+    if kind == "slop":
+        return sorted(set(node[1][0]))
     if kind == "near":
         return sorted({node[1][0], node[1][1]})
     if kind in _BOOL_LEAVES:
@@ -2602,6 +2631,53 @@ def _near_marker_rows(flat: DataFrame, nears: list[tuple]) -> DataFrame:
     return out
 
 
+def _slop_marker_rows(ex: DataFrame, slops: list[tuple]) -> DataFrame:
+    """Per-doc SLOPPY-PHRASE flags as (doc, token=marker) rows from an
+    exploded (doc, pos, token) frame already filtered to the query's
+    words: a sloppy phrase matches when its words appear IN ORDER at
+    strictly increasing positions spanning at most (n−1)+s — an
+    ordered chain join, word by word, with the window bound applied at
+    every step so dead-end chains prune early. (Order-preserving
+    semantics by contract; lucene's move-based slop, which also
+    accepts transpositions, is a different and less replayable
+    algebra.)
+
+    Scale posture: each step joins the surviving chains against one
+    word's positions per doc — chains are window-bounded by the p1
+    constraint, but a slop phrase of STOP WORDS degrades toward
+    per-doc tf products (the naive-NEAR cost class; NEAR's bucketed
+    interval join is the structural fix and could be ported if sloppy
+    stop-word phrases become a real workload)."""
+    out = None
+    for words, s in sorted(set(slops)):
+        marker = f"{' '.join(words)} ~{s} SLOP"
+        bound = len(words) - 1 + s
+        cur = ex.filter(F.col("token") == words[0]).select(
+            "doc",
+            F.col("pos").alias("_sl_p1"),
+            F.col("pos").alias("_sl_prev"),
+        )
+        for w in words[1:]:
+            nxt = ex.filter(F.col("token") == w).select(
+                "doc", F.col("pos").alias("_sl_pi")
+            )
+            cur = (
+                cur.join(nxt, "doc")
+                .filter(
+                    (F.col("_sl_pi") > F.col("_sl_prev"))
+                    & (F.col("_sl_pi") - F.col("_sl_p1") <= bound)
+                )
+                .select(
+                    "doc", "_sl_p1", F.col("_sl_pi").alias("_sl_prev")
+                )
+            )
+        rows = cur.select("doc").distinct().select(
+            "doc", F.lit(marker).alias("token")
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
 def _prefix_marker_rows(src: DataFrame, prefixes: list[str]) -> DataFrame:
     """Per-doc wildcard flags as (doc, token=marker) rows from any
     frame carrying (doc, token): one sargable startswith per stem,
@@ -2704,6 +2780,7 @@ def boolean_search(
     fields = _bool_fields(node)
     franges = _bool_franges(node)
     fuzzies = _bool_fuzzies(node)
+    slops = _bool_slops(node)
     if fields or franges:
         # resolve driver-side BEFORE any job runs (shared helper; the
         # corpus frame's id column is the doc key, never a field)
@@ -2727,6 +2804,7 @@ def boolean_search(
         - {f"{f_}:{v} FIELD" for f_, v in fields}
         - {f"{f_}:{lo} {hi} RANGE" for f_, lo, hi in franges}
         - {f"{stem}~{d} FUZZY" for stem, d in fuzzies}
+        - {f"{' '.join(w)} ~{s} SLOP" for w, s in slops}
     )
     # legs that actually consume ex: the term filter only when term
     # literals exist (isin([]) folds to false and prunes), one for all
@@ -2734,13 +2812,15 @@ def boolean_search(
     # net), one PER wildcard stem (_prefix_marker_rows builds a
     # separate startswith leg per stem — fourth-review finding: a
     # two-stem wildcard-only query re-tokenized the corpus per stem),
-    # and one PER fuzzy operand (a levenshtein leg each)
+    # one PER fuzzy operand (a levenshtein leg each), and each sloppy
+    # phrase's chain references ex once per word
     token_legs = (
         int(bool(terms))
         + int(bool(phrases))
         + int(bool(nears))
         + len(set(prefixes))
         + len(set(fuzzies))
+        + sum(len(w) for w, _s in set(slops))
     )
     if pred is not None and token_legs > 1:
         # every token leg re-references the posexplode subtree, and a
@@ -2762,6 +2842,8 @@ def boolean_search(
         # quoted operands flag through the same exploded frame — still
         # ONE corpus scan; the slot map is a broadcast literal
         matches = matches.unionByName(_phrase_marker_rows(ex, phrases))
+    if slops:
+        matches = matches.unionByName(_slop_marker_rows(ex, slops))
     if nears:
         # NEAR operands need a flat positional frame — build it from
         # the SAME exploded rows, restricted to the NEAR words
@@ -2831,7 +2913,7 @@ def boolean_search_indexed(
     levenshtein sweep of the token column)."""
     node = parse_boolean_query(query)
     _check_not_purely_negative(node, "boolean_search_indexed")
-    if _bool_phrases(node) or _bool_nears(node):
+    if _bool_phrases(node) or _bool_nears(node) or _bool_slops(node):
         raise ValueError(
             "boolean_search_indexed: the query contains quoted phrases "
             "or NEAR operands — the boolean index stores no positions; "
@@ -2924,7 +3006,7 @@ def boolean_search_segments(
     10; without it, field operands raise)."""
     node = parse_boolean_query(query)
     _check_not_purely_negative(node, "boolean_search_segments")
-    if _bool_phrases(node) or _bool_nears(node):
+    if _bool_phrases(node) or _bool_nears(node) or _bool_slops(node):
         raise ValueError(
             "boolean_search_segments: the query contains quoted "
             "phrases or NEAR operands — boolean segments store no "
@@ -3013,6 +3095,7 @@ def _boolean_eval_positional(
     phrases = _bool_phrases(node)
     nears = _bool_nears(node)
     prefixes = _bool_prefixes(node)
+    slops = _bool_slops(node)
     terms = sorted(
         set(_bool_literals(node))
         - {" ".join(p) for p in phrases}
@@ -3021,13 +3104,17 @@ def _boolean_eval_positional(
         - {f"{f_}:{v} FIELD" for f_, v in fops}
         - {f"{f_}:{lo} {hi} RANGE" for f_, lo, hi in franges}
         - {f"{stem}~{d} FUZZY" for stem, d in fuzzies}
+        - {f"{' '.join(w)} ~{s} SLOP" for w, s in slops}
     )
     matches = flat.filter(F.col("token").isin(terms)).select("doc", "token")
-    if phrases:
+    if phrases or slops:
         ex = flat.select(
             "doc", "token", F.explode("positions").alias("pos")
         )
-        matches = matches.unionByName(_phrase_marker_rows(ex, phrases))
+        if phrases:
+            matches = matches.unionByName(_phrase_marker_rows(ex, phrases))
+        if slops:
+            matches = matches.unionByName(_slop_marker_rows(ex, slops))
     if nears:
         matches = matches.unionByName(_near_marker_rows(flat, nears))
     if prefixes:
@@ -3098,6 +3185,7 @@ def boolean_search_positional(
         int(bool(_bool_words(node)))
         + int(bool(_bool_phrases(node)))
         + int(bool(_bool_nears(node)))
+        + int(bool(_bool_slops(node)))
         + len(set(_bool_prefixes(node)))
         + len(cand_map)
     )
@@ -3164,7 +3252,7 @@ def boolean_search_positional_segments(
         prefixes=_bool_prefixes(node) or None,
     )
     if (_bool_phrases(node) or _bool_nears(node) or _bool_prefixes(node)
-            or cand_map):
+            or _bool_slops(node) or cand_map):
         # the term leg AND each phrase/NEAR leg consume the net, and a
         # plan reference re-executes the whole netting subtree —
         # segment union, (token, doc) aggregate, tombstone probe — per

@@ -2289,6 +2289,24 @@ def docs_field_scoped_search(spark, sf_dir):
     )
 
 
+def docs_sloppy_phrase_search(spark, sf_dir):
+    """Sloppy phrases in the boolean grammar (operators/search.
+    boolean_search): documents satisfying '"fast table"~2 AND data' —
+    the phrase's words in ORDER at increasing positions spanning at
+    most (n−1)+s tokens (order-preserving by contract; lucene's
+    move-based slop is a different algebra), composed with terms under
+    the one-aggregate evaluator. The flag derives from an ordered
+    chain join over the same single tokenize scan; engine-exact
+    (integer positions), so the oracle replays the ordered
+    pair-within-window join in DuckDB."""
+    from esdb_spark.operators.search import boolean_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boolean_search(
+        docs, '"fast table"~2 AND data', "text", "doc_id"
+    )
+
+
 def docs_fuzzy_search(spark, sf_dir):
     """Fuzzy operands in the boolean grammar (operators/search.
     boolean_search): documents satisfying 'merge~1 AND spark' — a
@@ -5568,6 +5586,34 @@ _PIPELINE_ORACLES = {
         WHERE t_lang AND t_spark AND NOT t_merge
         ORDER BY doc
     """,
+    # sloppy phrase: ordered pair within (n-1)+s positions — the NEAR
+    # oracle's self-join shape with the order constraint added
+    "docs_sloppy_phrase_search": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        p AS (
+          SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+          FROM t WHERE len(toks) >= 1
+        ),
+        w AS (SELECT doc_id, i, toks[i] AS tok FROM p
+              WHERE toks[i] IN ('fast', 'table')),
+        sl AS (
+          SELECT DISTINCT a.doc_id
+          FROM w a JOIN w b
+            ON a.doc_id = b.doc_id AND a.tok = 'fast' AND b.tok = 'table'
+           AND b.i > a.i AND b.i - a.i <= 3
+        ),
+        f AS (
+          SELECT t.doc_id,
+                 list_contains(toks, 'data') AS t_data,
+                 (sl.doc_id IS NOT NULL) AS t_sl
+          FROM t LEFT JOIN sl ON t.doc_id = sl.doc_id
+        )
+        SELECT doc_id AS doc,
+               CAST(t_sl::INT + t_data::INT AS BIGINT) AS n_terms_matched
+        FROM f
+        WHERE t_sl AND t_data
+        ORDER BY doc
+    """,
     # fuzzy operand: the flag is "any token within levenshtein d" —
     # DuckDB's levenshtein replays the distance truth directly (both
     # the corpus face's predicate and the SymSpell expansion must
@@ -7987,6 +8033,7 @@ def catalog() -> dict[str, Q]:
         ("docs_spell_suggest", docs_spell_suggest),
         ("docs_spell_suggest_maintained", docs_spell_suggest_maintained),
         ("docs_boolean_wildcard_search", docs_boolean_wildcard_search),
+        ("docs_sloppy_phrase_search", docs_sloppy_phrase_search),
         ("docs_fuzzy_search", docs_fuzzy_search),
         ("docs_fuzzy_search_indexed", docs_fuzzy_search_indexed),
         ("docs_field_range_search", docs_field_range_search),

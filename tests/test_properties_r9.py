@@ -232,7 +232,14 @@ def _ast(depth):
         st.sampled_from(["aa", "ab", "cc"]),
         st.integers(min_value=1, max_value=2),
     ).map(lambda f: ("fuzzy", f))
-    leaf = st.one_of(terms, phrases, nears, prefixes, fuzzies)
+    slops = st.tuples(
+        st.tuples(
+            st.sampled_from(["aa", "ab", "ba"]),
+            st.sampled_from(["bb", "c", "aa"]),
+        ),
+        st.integers(min_value=0, max_value=2),
+    ).map(lambda x: ("slop", x))
+    leaf = st.one_of(terms, phrases, nears, prefixes, fuzzies, slops)
     if depth == 0:
         return leaf
     sub = _ast(depth - 1)
@@ -257,6 +264,9 @@ def _render(node):
         return node[1] + "*"
     if kind == "fuzzy":
         return f"{node[1][0]}~{node[1][1]}"
+    if kind == "slop":
+        words, s = node[1]
+        return '"' + " ".join(words) + f'"~{s}'
     if kind == "not":
         return f"NOT ({_render(node[1])})"
     op = " AND " if kind == "and" else " OR "
@@ -293,6 +303,29 @@ def _py_eval(node, toks):
     if kind == "fuzzy":
         stem, d = node[1]
         return any(_py_lev(t, stem) <= d for t in toks)
+    if kind == "slop":
+        # ordered chain within (n-1)+s: from each start, greedily take
+        # each next word's EARLIEST position after the previous one
+        # (earliest maximizes remaining slack, so greedy is complete)
+        words, s = node[1]
+        bound = len(words) - 1 + s
+        for p1, t in enumerate(toks):
+            if t != words[0]:
+                continue
+            prev, ok = p1, True
+            for w in words[1:]:
+                nxt = next(
+                    (i for i in range(prev + 1, min(len(toks), p1 + bound + 1))
+                     if toks[i] == w),
+                    None,
+                )
+                if nxt is None:
+                    ok = False
+                    break
+                prev = nxt
+            if ok:
+                return True
+        return False
     if kind == "near":
         wa, wb, d = node[1]
         pa = [i for i, t in enumerate(toks) if t == wa]

@@ -2261,3 +2261,57 @@ def test_search_page_keyset_pagination(spark):
     assert end.count() == 0
     with pytest.raises(ValueError, match="after"):
         search_page(docs, q, after=(1,))
+
+
+def test_sloppy_phrase_semantics_and_faces(spark):
+    # "fast data"~s: words IN ORDER within (n-1)+s positions;
+    # order-preserving (never matches reversed); duplicate words
+    # chain; s=0 equals the exact phrase; positional faces are
+    # value-exact with the corpus face; the boolean index raises
+    from esdb_spark.operators.search import (
+        boolean_search,
+        boolean_search_indexed,
+        boolean_search_positional,
+        boolean_search_positional_segments,
+        build_inverted_index,
+        build_positional_index,
+        parse_boolean_query,
+    )
+
+    assert parse_boolean_query('"fast data"~2') == (
+        "slop", (("fast", "data"), 2),
+    )
+    with pytest.raises(ValueError, match="at least two"):
+        parse_boolean_query('"one"~2')
+    docs = spark.createDataFrame(
+        [
+            (1, "fast big data here"),
+            (2, "fast data"),
+            (3, "data comes fast"),   # reversed: never matches
+            (4, "fast x y z data"),   # span 4: needs s >= 3
+            (5, "fast fast data"),
+        ],
+        "doc_id int, text string",
+    )
+    for s, want in [(0, [2, 5]), (1, [1, 2, 5]), (3, [1, 2, 4, 5])]:
+        got = [
+            r["doc"]
+            for r in boolean_search(docs, f'"fast data"~{s}').collect()
+        ]
+        assert got == want, (s, got)
+    pidx = build_positional_index(docs)
+    psegs = [
+        build_positional_index(docs.filter(f"doc_id % 2 = {i}"))
+        for i in range(2)
+    ]
+    q = '"fast data"~1 AND NOT here'
+    want = [tuple(r) for r in boolean_search(docs, q).collect()]
+    assert [
+        tuple(r) for r in boolean_search_positional(pidx, q).collect()
+    ] == want
+    assert [
+        tuple(r)
+        for r in boolean_search_positional_segments(psegs, q).collect()
+    ] == want
+    with pytest.raises(ValueError, match="positions"):
+        boolean_search_indexed(build_inverted_index(docs), '"fast data"~1')
