@@ -2519,6 +2519,39 @@ def docs_faceted_counts(spark, sf_dir):
     return faceted_counts(docs, "spark AND data", ["lang", "source"])
 
 
+def docs_complete_prefix_maintained(spark, sf_dir):
+    """Autocomplete served from MAINTAINED state (operators/search.
+    complete_prefix over inverted_index_stats of the compacted boolean
+    LSM segments minus a tombstone segment): the vocabulary tracks
+    deletes — a deleted document's last-copy words stop completing —
+    and the round-10 FLAT index makes the stats face one
+    map-side-combined aggregate over (token, doc, tf) rows. The oracle
+    recomputes the prefix ranking from the SURVIVING corpus, so the
+    row asserts complete(stats(compact(segments ∪ tombstones))) ==
+    complete(vocab(survivors)) value-hash-exact."""
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        compact_segments,
+        complete_prefix,
+        inverted_index_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    segs = [
+        build_inverted_index(
+            docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+        )
+        for i in range(3)
+    ]
+    tomb = [
+        build_inverted_index(
+            docs.filter(F.col("doc_id") % 7 == 0), "text", "doc_id"
+        )
+    ]
+    vocab = inverted_index_stats(compact_segments(segs, tomb))
+    return complete_prefix(vocab, "ta", k=10)
+
+
 def docs_more_like_this_maintained(spark, sf_dir):
     """More-like-this served ENTIRELY from maintained state
     (operators/search.more_like_this_maintained — the round-10 closure
@@ -5683,6 +5716,21 @@ _PIPELINE_ORACLES = {
         WHERE t_ta AND t_merge AND NOT t_python
         ORDER BY doc
     """,
+    # the maintained autocomplete twin: the same prefix ranking over
+    # the SURVIVING corpus's vocabulary
+    "docs_complete_prefix_maintained": f"""
+        WITH ex AS (
+          SELECT unnest({_TOK}) AS token FROM documents
+          WHERE doc_id % 7 != 0
+        ),
+        v AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS term_freq
+          FROM ex GROUP BY token
+        )
+        SELECT token, term_freq FROM v
+        WHERE token LIKE 'ta%'
+        ORDER BY term_freq DESC, token LIMIT 10
+    """,
     # autocomplete: prefix filter over the vocabulary, freq-ranked
     "docs_complete_prefix": f"""
         WITH ex AS (SELECT unnest({_TOK}) AS token FROM documents),
@@ -8045,6 +8093,7 @@ def catalog() -> dict[str, Q]:
         ("docs_search_page_maintained", docs_search_page_maintained),
         ("docs_stored_fields_maintained", docs_stored_fields_maintained),
         ("docs_complete_prefix", docs_complete_prefix),
+        ("docs_complete_prefix_maintained", docs_complete_prefix_maintained),
         ("docs_more_like_this", docs_more_like_this),
         ("docs_more_like_this_maintained", docs_more_like_this_maintained),
         ("docs_faceted_counts_maintained", docs_faceted_counts_maintained),
