@@ -2642,15 +2642,27 @@ def _slop_marker_rows(ex: DataFrame, slops: list[tuple]) -> DataFrame:
     accepts transpositions, is a different and less replayable
     algebra.)
 
-    Scale posture: each step joins the surviving chains against one
-    word's positions per doc — chains are window-bounded by the p1
-    constraint, but a slop phrase of STOP WORDS degrades toward
-    per-doc tf products (the naive-NEAR cost class; NEAR's bucketed
-    interval join is the structural fix and could be ported if sloppy
-    stop-word phrases become a real workload)."""
+    Scale posture (the round-10 ``weak``, fixed round 11): each step
+    is NEAR's bucketed interval join, not a per-doc join-on-doc. A
+    surviving chain needs ``prev < pi <= p1 + bound <= prev + bound``,
+    so the next position lives within ``bound`` of the chain's tail:
+    bucket both sides by ``pos ÷ bound``, keep the chain's ONE true
+    bucket on the left, replicate each candidate position to its 2
+    feasible buckets on the right, and the per-doc step cost drops
+    from chains × tf to Σ per-bucket products (each bucket holds at
+    most ``bound`` distinct positions). On top, an existence-dominance
+    prune: the marker only needs SOME full chain per doc, and for a
+    fixed tail position the chain with the LARGEST start dominates
+    (every later window constraint ``pi − p1 <= bound`` is loosest),
+    so each step folds to ``(doc, tail) → max(p1)`` — chains per doc
+    never exceed the current word's tf. A two-stop-word slop phrase at
+    tf≈10³/doc is now linear-ish in tf, not tf² (measured A/B in
+    SCALE.md round-11 notes; ``tools/slop_ab.py``)."""
     out = None
     for words, s in sorted(set(slops)):
         marker = f"{' '.join(words)} ~{s} SLOP"
+        # parse_boolean_query enforces >= 2 words, so bound >= 1 and
+        # the bucket divisor is never zero
         bound = len(words) - 1 + s
         cur = ex.filter(F.col("token") == words[0]).select(
             "doc",
@@ -2658,18 +2670,23 @@ def _slop_marker_rows(ex: DataFrame, slops: list[tuple]) -> DataFrame:
             F.col("pos").alias("_sl_prev"),
         )
         for w in words[1:]:
-            nxt = ex.filter(F.col("token") == w).select(
-                "doc", F.col("pos").alias("_sl_pi")
+            bk = (F.col("_sl_pi") / bound).cast("long")
+            nxt = (
+                ex.filter(F.col("token") == w)
+                .select("doc", F.col("pos").alias("_sl_pi"))
+                .withColumn("_sl_bk", F.explode(F.array(bk - 1, bk)))
             )
             cur = (
-                cur.join(nxt, "doc")
+                cur.withColumn(
+                    "_sl_bk", (F.col("_sl_prev") / bound).cast("long")
+                )
+                .join(nxt, ["doc", "_sl_bk"])
                 .filter(
                     (F.col("_sl_pi") > F.col("_sl_prev"))
                     & (F.col("_sl_pi") - F.col("_sl_p1") <= bound)
                 )
-                .select(
-                    "doc", "_sl_p1", F.col("_sl_pi").alias("_sl_prev")
-                )
+                .groupBy("doc", F.col("_sl_pi").alias("_sl_prev"))
+                .agg(F.max("_sl_p1").alias("_sl_p1"))
             )
         rows = cur.select("doc").distinct().select(
             "doc", F.lit(marker).alias("token")
@@ -4075,13 +4092,15 @@ def search_page_maintained(
     tombstones: list[DataFrame] | None = None,
     text_col: str = "text",
     after=None,
+    spell_index: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`search_page` served ENTIRELY from maintained state — the
     round-10 completion of the search stack's corpus independence:
     the boolean-grammar match (terms, quoted phrases, NEAR/d,
-    wildcards) comes from positional LSM ``segments`` minus doc-id
-    ``tombstones``, ``field:value`` operands and the KWIC snippet text
-    come from ``stored`` — the stored-fields store's serving frame
+    wildcards, ``~d`` fuzzies) comes from positional LSM ``segments``
+    minus doc-id ``tombstones``, ``field:value`` operands and the KWIC
+    snippet text come from ``stored`` — the stored-fields store's
+    serving frame
     (:func:`~esdb_spark.operators.storedfields.stored_fields_segments`
     output, or a compacted store), carrying ``doc``, ``text_col``, and
     any metadata columns. The reference's whole competence is serving
@@ -4096,7 +4115,15 @@ def search_page_maintained(
     index and the payload store have diverged (a silently shorter
     page is how serving bugs ship); field-only queries fall back to
     the leading snippet, the corpus face's convention; ``after``
-    pages by keyset exactly like :func:`search_page`.
+    pages by keyset exactly like :func:`search_page`. ``spell_index``
+    (a :func:`build_spell_index` frame over the index vocabulary)
+    serves ``~d`` fuzzy operands via SymSpell candidate expansion
+    (:func:`expand_fuzzy_operands`, the
+    :func:`boolean_search_positional_segments` wiring — round 11):
+    the candidate tokens ride the ONE net in-filter, so the match,
+    the first-hit position, and the snippet all honor fuzzy hits,
+    exactly like the corpus face's levenshtein disjunct. Without it,
+    fuzzy operands raise.
 
     Scale posture: the match is the one-scan segment-net evaluator;
     ranking is a TakeOrdered; ONLY the page's k documents ship text —
@@ -4111,11 +4138,25 @@ def search_page_maintained(
         raise ValueError("search_page_maintained: no segments")
     node = parse_boolean_query(query)
     _check_not_purely_negative(node, "search_page_maintained")
-    # fuzzy operands need candidate expansion this face does not carry
-    # (serve fuzzy pages from the corpus face for now)
-    _reject_fuzzy_operands(node, "search_page_maintained")
-    pred = _token_match_predicate(node)
-    if pred is not None:
+    fuzzies = _bool_fuzzies(node)
+    if fuzzies and spell_index is None:
+        _reject_fuzzy_operands(node, "search_page_maintained")
+    cand_map = (
+        expand_fuzzy_operands(
+            spell_index, fuzzies, "search_page_maintained"
+        )
+        if fuzzies
+        else {}
+    )
+    # fuzzy candidates are query words for every downstream purpose:
+    # they ride the net's in-filter (sargable) and their positions
+    # count for the first hit, the corpus face's convention
+    terms = sorted(
+        set(_bool_words(node))
+        | {c for cands in cand_map.values() for c in cands}
+    )
+    prefixes = _bool_prefixes(node)
+    if terms or prefixes:
         # ONE netting of the segments feeds BOTH the match evaluation
         # and the first-hit positions (the multi-leg rule — calling
         # the segments face and then re-netting for positions would
@@ -4124,17 +4165,18 @@ def search_page_maintained(
             segments,
             tombstones,
             "search_page_maintained",
-            terms=_bool_words(node),
-            prefixes=_bool_prefixes(node) or None,
+            terms=terms,
+            prefixes=prefixes or None,
         ).localCheckpoint()
         matched = _boolean_eval_positional(
-            net, node, None, "search_page_maintained", fields=stored
+            net, node, None, "search_page_maintained", fields=stored,
+            cand_map=cand_map or None,
         )
     else:
         net = None
         matched = _boolean_eval_positional(
             segments[0].limit(0), node, None, "search_page_maintained",
-            fields=stored,
+            fields=stored, cand_map=cand_map or None,
         )
     matched = _page_after_filter(matched, after, "search_page_maintained")
     page = (
