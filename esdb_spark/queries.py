@@ -2537,6 +2537,39 @@ def docs_spell_suggest_maintained(spark, sf_dir):
     )
 
 
+def events_payload_search(spark, sf_dir):
+    """The SEARCH STACK over the §2 EVENT data model (round 11, the
+    r10 verdict's #6 ask): every other search row runs on the
+    documents table, but the reference's real payloads are EVENTS —
+    JSON data blobs served by (space, grouping) scans
+    (example_test.go:16-115; event.go:16-21). This row ties §2.7 back
+    to §2: events map through the canonical esdb schema
+    (space=event_type, grouping=user_id, data=props — the
+    _events_as_esdb mapping) and each event textualizes as
+    'space u<grouping> k<payload.k>' — get_json_object pulling the
+    payload field, exactly how a deployment would index url/title
+    fields out of event JSON. The full boolean grammar then runs over
+    it: 'purchase AND k4* AND NOT u3' — term + trailing wildcard +
+    negation — meaning "purchase events whose payload k starts with 4,
+    excluding user 3", served by operators/search.boolean_search's
+    one-scan one-aggregate core with the event_id as the doc key.
+    Engine-exact (set membership + integer count); the oracle replays
+    the same textualization and flags in DuckDB."""
+    from esdb_spark.operators.search import boolean_search
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.col("event_id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.col("event_type"),
+            F.concat(F.lit("u"), F.col("user_id").cast("string")),
+            F.concat(F.lit("k"), F.get_json_object("props", "$.k")),
+        ).alias("text"),
+    )
+    return boolean_search(df, "purchase AND k4* AND NOT u3")
+
+
 def docs_suggest_maintained(spark, sf_dir):
     """"Did you mean" served from the MAINTAINED SPELL STORE
     (operators/search.suggest_terms_segments — round 11, the r10
@@ -5559,6 +5592,34 @@ _PIPELINE_ORACLES = {
         WHERE levenshtein(token, 'mrege') <= 2
         ORDER BY dist, term_freq DESC, token LIMIT 5
     """,
+    # the boolean grammar over event payloads: the same textualization
+    # (space, u<grouping>, k<payload field>) and flags replayed on the
+    # events table — ties the §2.7 search stack to the §2 data model
+    "events_payload_search": """
+        WITH t AS (
+          SELECT event_id AS doc,
+                 list_filter(
+                   regexp_split_to_array(
+                     lower(trim(concat_ws(' ', event_type,
+                       'u' || CAST(user_id AS VARCHAR),
+                       'k' || json_extract_string(props, '$.k')))),
+                     '\\s+'),
+                   x -> x != '') AS toks
+          FROM events
+        ),
+        f AS (
+          SELECT doc,
+                 list_contains(toks, 'purchase') AS t_p,
+                 len(list_filter(toks, x -> x LIKE 'k4%')) > 0 AS t_k,
+                 list_contains(toks, 'u3') AS t_u
+          FROM t
+        )
+        SELECT doc,
+               CAST(t_p::INT + t_k::INT + t_u::INT AS BIGINT)
+                 AS n_terms_matched
+        FROM f WHERE t_p AND t_k AND NOT t_u
+        ORDER BY doc
+    """,
     # same survivor-vocabulary truth for the maintained SPELL STORE
     # row (the variant rows as LSM state; round 11)
     "docs_suggest_maintained": f"""
@@ -8287,6 +8348,7 @@ def catalog() -> dict[str, Q]:
         ("docs_spell_suggest", docs_spell_suggest),
         ("docs_spell_suggest_maintained", docs_spell_suggest_maintained),
         ("docs_suggest_maintained", docs_suggest_maintained),
+        ("events_payload_search", events_payload_search),
         ("docs_boolean_wildcard_search", docs_boolean_wildcard_search),
         ("docs_sloppy_phrase_search", docs_sloppy_phrase_search),
         ("docs_fuzzy_search", docs_fuzzy_search),
