@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     "docs_fuzzy_search",
     "docs_field_scoped_search_segments",
     "docs_stored_fields_maintained",
+    # round 11: the boolean grammar over event payloads (ties the
+    # search stack to the §2 data model; inline corpus-face scan)
+    "events_payload_search",
     # NOTE (round 11, r10 verdict "What's wrong #2"): the three other
     # maintained gate rows — docs_ann_maintained_exact,
     # docs_boolean_phrase_positional, docs_search_page_maintained —
@@ -324,6 +327,59 @@ def stage_gate_stores(spark, sf_dir: str, tmp: str) -> dict[str, float]:
         F.col("vec_id").alias("id")
     ).write.mode("overwrite").parquet(os.path.join(tmp, "atomb"))
     builds["ann_exact"] = time.perf_counter() - t0
+
+    # round 11: the maintained SPELL STORE (catalog row
+    # docs_suggest_maintained's three-epoch protocol — bulk build,
+    # append upsert with pre-compaction, delete with dead-token
+    # tombstones) + the max_dist=1 spell index the fuzzy page serves
+    # its ~1 operand from
+    from esdb_spark.functions import tokens
+    from esdb_spark.operators.search import (
+        build_spell_index,
+        compact_spell_segments,
+        positional_index_stats,
+        spell_index_upserts,
+        spell_segments_vocab,
+    )
+
+    def vocab(d):
+        return (
+            d.select(F.explode(tokens("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").cast("long").alias("term_freq"))
+        )
+
+    t0 = time.perf_counter()
+    v0 = vocab(docs.filter(F.col("doc_id") % 10 != 0))
+    seg0 = build_spell_index(v0)
+    r1, t1 = spell_index_upserts(v0, vocab(docs.filter(F.col("doc_id") % 10 == 0)))
+    seg_p = compact_spell_segments([seg0], [t1])
+    seg1 = build_spell_index(r1)
+    r2, t2 = spell_index_upserts(
+        spell_segments_vocab([seg_p, seg1]),
+        vocab(docs.filter(F.col("doc_id") % 7 == 0)),
+        remove=True,
+    )
+    t2_re = t2.join(r2.select("token"), "token", "left_semi")
+    compact_spell_segments([seg_p, seg1], [t2_re]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "spseg0"))
+    build_spell_index(r2).write.mode("overwrite").parquet(
+        os.path.join(tmp, "spseg1")
+    )
+    t2.join(r2.select("token"), "token", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "sptomb"))
+    psegs = [
+        spark.read.parquet(os.path.join(tmp, f"pseg{i}")) for i in range(3)
+    ]
+    build_spell_index(
+        positional_index_stats(
+            psegs[0].unionByName(psegs[1]).unionByName(psegs[2])
+        ).select("token", "term_freq"),
+        max_dist=1,
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "spidx1"))
+    builds["spell"] = time.perf_counter() - t0
     return builds
 
 
@@ -393,10 +449,57 @@ def ann_maintained_exact_serve(spark, sf_dir: str, tmp: str):
     ).orderBy("query_id", "rank")
 
 
+def suggest_maintained_serve(spark, sf_dir: str, tmp: str):
+    """queries.docs_suggest_maintained's SERVING half over the staged
+    spell segments + dead-token tombstones — no re-expansion, the vh
+    in-filter prunes every segment scan."""
+    from esdb_spark.operators.search import suggest_terms_segments
+
+    segs = [
+        spark.read.parquet(os.path.join(tmp, f"spseg{i}")) for i in range(2)
+    ]
+    tomb = [spark.read.parquet(os.path.join(tmp, "sptomb"))]
+    return suggest_terms_segments(
+        segs, "mrege", max_dist=2, k=5, tombstones=tomb
+    )
+
+
+def search_page_fuzzy_maintained_serve(spark, sf_dir: str, tmp: str):
+    """queries.docs_search_page_fuzzy_maintained's SERVING half: the
+    maintained page with a ~1 operand expanded through the staged
+    spell index (driver-side SymSpell, then the one net in-filter)."""
+    from esdb_spark.operators.search import search_page_maintained
+    from esdb_spark.operators.storedfields import stored_fields_segments
+
+    psegs = [
+        spark.read.parquet(os.path.join(tmp, f"pseg{i}")) for i in range(3)
+    ]
+    tomb = [spark.read.parquet(os.path.join(tmp, "ptomb"))]
+    ssegs = [
+        spark.read.parquet(os.path.join(tmp, f"sseg{i}")) for i in range(3)
+    ]
+    sp = spark.read.parquet(os.path.join(tmp, "spidx1"))
+    stored = stored_fields_segments(ssegs, tomb)
+    return search_page_maintained(
+        psegs,
+        stored,
+        "merge~1 AND lang:en AND NOT python",
+        k=10,
+        window=3,
+        tombstones=tomb,
+        spell_index=sp,
+    )
+
+
 STAGED_SERVES = [
     ("docs_boolean_phrase_positional_serve", boolean_phrase_positional_serve),
     ("docs_search_page_maintained_serve", search_page_maintained_serve),
     ("docs_ann_maintained_exact_serve", ann_maintained_exact_serve),
+    ("docs_suggest_maintained_serve", suggest_maintained_serve),
+    (
+        "docs_search_page_fuzzy_maintained_serve",
+        search_page_fuzzy_maintained_serve,
+    ),
 ]
 
 

@@ -714,3 +714,41 @@ def test_boolean_search_one_scan_no_joins(spark):
     assert "Join" not in plan and "Cartesian" not in plan, plan
     # only doc_id + text reach the scan (column pruning)
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_spell_store_serving_pushes_vh_filter(spark, tmp_path):
+    # the maintained spell store's serving contract (round 11): the
+    # query word's deletion variants land as a literal In(vh) pushed
+    # into EVERY segment scan (below the union AND the disjointness
+    # window), the token tombstone nets as a broadcast ANTI, and no
+    # SortMergeJoin appears (the NULL-tombstone guard's zero-row probe
+    # leg contributes one literal-array explode — that is not a
+    # re-expansion of the store)
+    from esdb_spark.functions import tokens as _tokens
+    from esdb_spark.operators.search import (
+        build_spell_index,
+        suggest_terms_segments,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("term_freq"))
+    )
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"spell{i}")
+        build_spell_index(vocab.filter(F.crc32("token") % 2 == i)).write.parquet(p)
+        paths.append(p)
+    segs = [spark.read.parquet(p) for p in paths]
+    tomb = [
+        spark.createDataFrame([("merge",)], "token string")
+    ]
+    q = suggest_terms_segments(segs, "mrege", max_dist=2, tombstones=tomb)
+    plan = physical_plan(q)
+    import re as _re
+
+    assert len(_re.findall(r"PushedFilters: \[[^\]]*In\(vh", plan)) == 2, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
