@@ -355,9 +355,12 @@ def stage_gate_stores(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     r1, t1 = spell_index_upserts(v0, vocab(docs.filter(F.col("doc_id") % 10 == 0)))
     seg_p = compact_spell_segments([seg0], [t1])
     seg1 = build_spell_index(r1)
+    dead_v = vocab(docs.filter(F.col("doc_id") % 7 == 0))
     r2, t2 = spell_index_upserts(
-        spell_segments_vocab([seg_p, seg1]),
-        vocab(docs.filter(F.col("doc_id") % 7 == 0)),
+        spell_segments_vocab(
+            [seg_p, seg1], tokens=dead_v.select("token")
+        ),
+        dead_v,
         remove=True,
     )
     t2_re = t2.join(r2.select("token"), "token", "left_semi")

@@ -3744,6 +3744,7 @@ def _spell_net(
     caller: str,
     vhs: list[str] | None = None,
     audit: bool = False,
+    tokens_bound: DataFrame | None = None,
 ) -> DataFrame:
     """Shared LSM net of the MAINTAINED SPELL STORE (round 11 — the
     r10 verdict's "What's missing #2"): union live spell segments
@@ -3755,12 +3756,15 @@ def _spell_net(
     variants via a literal in-filter that lands BELOW the union —
     sargable per segment, so a suggestion reads O(matching variants)
     rows of the store and the multiplicity guard's window runs over
-    touched rows only. ``audit`` adds the ghost-tombstone sweep
-    (compaction's job). A (vh, token) row live in MORE than one
-    segment raises when touched — within a segment variant rows are
-    distinct by construction, so multiplicity means the same token
-    was re-inserted without pre-compaction (an upsert is the
-    cross-epoch tombstone + re-insert shape)."""
+    touched rows only; ``tokens_bound`` (the maintenance path — a
+    frame with a ``token`` column) bounds the legs to a DELTA's
+    tokens via a broadcast semi, so the per-epoch upsert never
+    shuffles the store through the guard window. ``audit`` adds the
+    ghost-tombstone sweep (compaction's job). A (vh, token) row live
+    in MORE than one segment raises when touched — within a segment
+    variant rows are distinct by construction, so multiplicity means
+    the same token was re-inserted without pre-compaction (an upsert
+    is the cross-epoch tombstone + re-insert shape)."""
     from esdb_spark.operators.storedfields import _stored_probe_leg
 
     if not segments:
@@ -3774,6 +3778,11 @@ def _spell_net(
         rm = r if rm is None else rm.unionByName(r)
     if vhs is not None:
         live = live.filter(F.col("vh").isin(sorted(set(vhs))))
+    if tokens_bound is not None:
+        want = F.broadcast(tokens_bound.select("token").distinct())
+        live = live.join(want, "token", "left_semi")
+        if rm is not None:
+            rm = rm.join(want, "token", "left_semi")
     w = Window.partitionBy("vh", "token")
     guarded = (
         live.withColumn("_sp_n", F.count("*").over(w))
@@ -3867,8 +3876,12 @@ def spell_index_upserts(
     the store from the corpus forever.
 
     Scale posture: everything is bounded by the DELTA's distinct
-    tokens — the live-vocab join is an equi-join on token (broadcast
-    the delta side when small); no face ever rescans the full store.
+    tokens — the live side is first semi-bounded to the delta's
+    tokens (one broadcast semi: the store scans once, never
+    shuffles), then the freq join broadcasts the now-delta-sized live
+    rows; no face ever shuffles the full store. Pass
+    :func:`spell_segments_vocab` with ``tokens=`` the delta frame to
+    push the same bound below the store's own guard window.
     """
     delta = (
         delta_vocab.select(
@@ -3880,8 +3893,8 @@ def spell_index_upserts(
     )
     cur = live_vocab.select(
         "token", F.col("term_freq").cast("long").alias("_su_cur")
-    )
-    joined = delta.join(cur, "token", "left").filter(
+    ).join(F.broadcast(delta.select("token")), "token", "left_semi")
+    joined = delta.join(F.broadcast(cur), "token", "left").filter(
         F.when(
             F.col("token").isNull(),
             F.raise_error(
@@ -3923,13 +3936,21 @@ def spell_index_upserts(
 def spell_segments_vocab(
     segments: list[DataFrame],
     tombstones: list[DataFrame] | None = None,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """The maintained spell store's live ``(token, term_freq)`` view —
     what :func:`spell_index_upserts` joins deltas against and what
     autocomplete/did-you-mean rank by. One row per live token (the
-    variant rows of a token all carry its one frequency)."""
+    variant rows of a token all carry its one frequency). ``tokens``
+    (a frame with a ``token`` column — the maintenance path's delta)
+    bounds the view to the touched tokens BELOW the disjointness
+    window via a broadcast semi, so a per-epoch upsert reads the
+    store once and never shuffles it."""
     return (
-        _spell_net(segments, tombstones, "spell_segments_vocab")
+        _spell_net(
+            segments, tombstones, "spell_segments_vocab",
+            tokens_bound=tokens,
+        )
         .select("token", "term_freq")
         .distinct()
     )

@@ -2621,8 +2621,13 @@ def docs_suggest_maintained(spark, sf_dir):
     seg1 = build_spell_index(r1)
     # delete epoch: alive-but-decremented tokens re-insert (their old
     # rows pre-compact out); dead tokens stay as serving tombstones
+    dead_v = vocab(dead)
     r2, t2 = spell_index_upserts(
-        spell_segments_vocab([seg_p, seg1]), vocab(dead), remove=True
+        spell_segments_vocab(
+            [seg_p, seg1], tokens=dead_v.select("token")
+        ),
+        dead_v,
+        remove=True,
     )
     t2_re = t2.join(r2.select("token"), "token", "left_semi")
     t2_dead = t2.join(r2.select("token"), "token", "left_anti")
