@@ -3956,6 +3956,24 @@ def spell_segments_vocab(
     )
 
 
+def spell_index_segments(
+    segments: list[DataFrame],
+    tombstones: list[DataFrame] | None = None,
+) -> DataFrame:
+    """The maintained spell store's netted SERVING VIEW — a frame in
+    :func:`build_spell_index`'s shape, so it plugs into every
+    ``spell_index=`` socket (:func:`expand_fuzzy_operands` and all the
+    boolean faces' fuzzy operands, :func:`suggest_terms_indexed`): a
+    maintained deployment passes this instead of rebuilding the
+    expansion. Stays O(touched rows) at serve time even though the
+    net carries the disjointness window: the window partitions by
+    (vh, token), so a consumer's ``vh`` in-filter is a
+    partition-column predicate Catalyst pushes BELOW the window and
+    into every segment scan (plan-probed; the same argument as the
+    tombstone anti join's left-side pushdown)."""
+    return _spell_net(segments, tombstones, "spell_index_segments")
+
+
 def suggest_terms_segments(
     segments: list[DataFrame],
     term: str,

@@ -2495,3 +2495,41 @@ def test_maintain_spell_index_epoch_parity(spark, tmp_path):
         ).collect()
     ]
     assert got == want and got[0][0] == "merge" and got[0][1] == 5
+
+
+def test_spell_index_segments_plugs_into_fuzzy_faces(spark):
+    # the netted store view is a drop-in spell_index: fuzzy operands
+    # on the index faces expand from maintained state and equal the
+    # corpus face's levenshtein truth over the survivors
+    from esdb_spark.operators.search import (
+        boolean_search,
+        boolean_search_indexed,
+        build_inverted_index,
+        build_spell_index,
+        spell_index_segments,
+        suggest_terms_indexed,
+        suggest_terms_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "merge spark data"), (2, "marge table"), (3, "spork fast")],
+        "doc_id int, text string",
+    )
+    v = _vocab(docs)
+    segs = [
+        build_spell_index(v.filter(F.crc32("token") % 2 == i))
+        for i in range(2)
+    ]
+    sp = spell_index_segments(segs)
+    idx = build_inverted_index(docs)
+    q = "merge~1 AND spark"
+    got = [
+        tuple(r)
+        for r in boolean_search_indexed(idx, q, spell_index=sp).collect()
+    ]
+    want = [tuple(r) for r in boolean_search(docs, q).collect()]
+    assert got == want and got
+    # suggest through the generic socket == the dedicated segments face
+    a = [tuple(r) for r in suggest_terms_indexed(sp, "mrege").collect()]
+    b = [tuple(r) for r in suggest_terms_segments(segs, "mrege").collect()]
+    assert a == b and a
