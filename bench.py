@@ -350,12 +350,15 @@ def stage_gate_stores(spark, sf_dir: str, tmp: str) -> dict[str, float]:
         )
 
     t0 = time.perf_counter()
-    v0 = vocab(docs.filter(F.col("doc_id") % 10 != 0))
+    # multi-leg localCheckpoints (see queries.docs_suggest_maintained)
+    v0 = vocab(docs.filter(F.col("doc_id") % 10 != 0)).localCheckpoint()
     seg0 = build_spell_index(v0)
-    r1, t1 = spell_index_upserts(v0, vocab(docs.filter(F.col("doc_id") % 10 == 0)))
-    seg_p = compact_spell_segments([seg0], [t1])
-    seg1 = build_spell_index(r1)
-    dead_v = vocab(docs.filter(F.col("doc_id") % 7 == 0))
+    r1, t1 = spell_index_upserts(
+        v0, vocab(docs.filter(F.col("doc_id") % 10 == 0))
+    )
+    seg_p = compact_spell_segments([seg0], [t1]).localCheckpoint()
+    seg1 = build_spell_index(r1).localCheckpoint()
+    dead_v = vocab(docs.filter(F.col("doc_id") % 7 == 0)).localCheckpoint()
     r2, t2 = spell_index_upserts(
         spell_segments_vocab(
             [seg_p, seg1], tokens=dead_v.select("token")
@@ -363,6 +366,7 @@ def stage_gate_stores(spark, sf_dir: str, tmp: str) -> dict[str, float]:
         dead_v,
         remove=True,
     )
+    r2, t2 = r2.localCheckpoint(), t2.localCheckpoint()
     t2_re = t2.join(r2.select("token"), "token", "left_semi")
     compact_spell_segments([seg_p, seg1], [t2_re]).write.mode(
         "overwrite"

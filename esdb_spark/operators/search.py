@@ -3779,10 +3779,20 @@ def _spell_net(
     if vhs is not None:
         live = live.filter(F.col("vh").isin(sorted(set(vhs))))
     if tokens_bound is not None:
-        want = F.broadcast(tokens_bound.select("token").distinct())
-        live = live.join(want, "token", "left_semi")
-        if rm is not None:
-            rm = rm.join(want, "token", "left_semi")
+        if isinstance(tokens_bound, (list, tuple, set)):
+            # driver-bounded token list: a LITERAL in-filter lands
+            # below the union and prunes every segment scan's row
+            # groups (the stored-fields ids= lesson — a DataFrame semi
+            # keeps rows out of flight but cannot prune the scan)
+            wanted = sorted(set(tokens_bound))
+            live = live.filter(F.col("token").isin(wanted))
+            if rm is not None:
+                rm = rm.filter(F.col("token").isin(wanted))
+        else:
+            want = F.broadcast(tokens_bound.select("token").distinct())
+            live = live.join(want, "token", "left_semi")
+            if rm is not None:
+                rm = rm.join(want, "token", "left_semi")
     w = Window.partitionBy("vh", "token")
     guarded = (
         live.withColumn("_sp_n", F.count("*").over(w))
@@ -3936,16 +3946,18 @@ def spell_index_upserts(
 def spell_segments_vocab(
     segments: list[DataFrame],
     tombstones: list[DataFrame] | None = None,
-    tokens: DataFrame | None = None,
+    tokens=None,
 ) -> DataFrame:
     """The maintained spell store's live ``(token, term_freq)`` view —
     what :func:`spell_index_upserts` joins deltas against and what
     autocomplete/did-you-mean rank by. One row per live token (the
     variant rows of a token all carry its one frequency). ``tokens``
-    (a frame with a ``token`` column — the maintenance path's delta)
     bounds the view to the touched tokens BELOW the disjointness
-    window via a broadcast semi, so a per-epoch upsert reads the
-    store once and never shuffles it."""
+    window: pass a PYTHON LIST for a driver-bounded delta (a literal
+    in-filter that prunes every segment scan's row groups — the
+    stored-fields ``ids=`` lesson) or a frame with a ``token`` column
+    when the delta is distributed (a broadcast semi — the store never
+    shuffles, but the scan is not pruned)."""
     return (
         _spell_net(
             segments, tombstones, "spell_segments_vocab",

@@ -2612,16 +2612,21 @@ def docs_suggest_maintained(spark, sf_dir):
     base = docs.filter(F.col("doc_id") % 10 != 0)
     grow = docs.filter(F.col("doc_id") % 10 == 0)
     dead = docs.filter(F.col("doc_id") % 7 == 0)
-    v0 = vocab(base)
+    # the multi-leg rule: v0 feeds seg0 AND the upsert join; seg_p and
+    # seg1 feed the vocab view AND the final compact; r2 feeds both
+    # tombstone splits AND its segment — a plan reference re-executes
+    # the whole upstream per leg (measured: the un-cut build staged in
+    # 24 s at sf0.1, dominated by re-execution, not work)
+    v0 = vocab(base).localCheckpoint()
     seg0 = build_spell_index(v0)
     # append epoch: upsert = tombstone + cross-epoch re-insert, which
     # pre-compacts the prior state (the _id_keyed_prepare contract)
     r1, t1 = spell_index_upserts(v0, vocab(grow))
-    seg_p = compact_spell_segments([seg0], [t1])
-    seg1 = build_spell_index(r1)
+    seg_p = compact_spell_segments([seg0], [t1]).localCheckpoint()
+    seg1 = build_spell_index(r1).localCheckpoint()
     # delete epoch: alive-but-decremented tokens re-insert (their old
     # rows pre-compact out); dead tokens stay as serving tombstones
-    dead_v = vocab(dead)
+    dead_v = vocab(dead).localCheckpoint()
     r2, t2 = spell_index_upserts(
         spell_segments_vocab(
             [seg_p, seg1], tokens=dead_v.select("token")
@@ -2629,6 +2634,7 @@ def docs_suggest_maintained(spark, sf_dir):
         dead_v,
         remove=True,
     )
+    r2, t2 = r2.localCheckpoint(), t2.localCheckpoint()
     t2_re = t2.join(r2.select("token"), "token", "left_semi")
     t2_dead = t2.join(r2.select("token"), "token", "left_anti")
     seg_c = compact_spell_segments([seg_p, seg1], [t2_re])

@@ -752,3 +752,38 @@ def test_spell_store_serving_pushes_vh_filter(spark, tmp_path):
     assert len(_re.findall(r"PushedFilters: \[[^\]]*In\(vh", plan)) == 2, plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_spell_vocab_literal_token_bound_prunes_scans(spark, tmp_path):
+    # the maintenance path's k-bounded tier: a PYTHON-LIST tokens=
+    # bound lands as a literal In(token) below the union AND the guard
+    # window, pruning every segment scan's row groups; the frame tier
+    # stays a broadcast semi (values equal either way)
+    from esdb_spark.functions import tokens as _tokens
+    from esdb_spark.operators.search import (
+        build_spell_index,
+        spell_segments_vocab,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("term_freq"))
+    )
+    for i in range(2):
+        build_spell_index(
+            vocab.filter(F.crc32("token") % 2 == i)
+        ).write.parquet(str(tmp_path / f"sv{i}"))
+    segs = [spark.read.parquet(str(tmp_path / f"sv{i}")) for i in range(2)]
+    lit = spell_segments_vocab(segs, tokens=["merge", "spark"])
+    plan = physical_plan(lit)
+    import re as _re
+
+    assert len(_re.findall(r"PushedFilters: \[[^\]]*In\(token", plan)) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    want = spark.createDataFrame([("merge",), ("spark",)], "token string")
+    frame = spell_segments_vocab(segs, tokens=want)
+    assert sorted(map(tuple, lit.collect())) == sorted(
+        map(tuple, frame.collect())
+    )
