@@ -1321,6 +1321,54 @@ def ann_store_stats(
     )
 
 
+def refit_ann_store(
+    segments: list[DataFrame],
+    tombstones: list[DataFrame] | None = None,
+    k: int = 16,
+    n_probe: int = 2,
+    iters: int = 20,
+    seed: int = 42,
+    fit_sample: int = 100_000,
+):
+    """The RE-FIT ACTION the drift signal points at (round 11 —
+    :func:`ann_store_stats` computes WHEN to re-fit, this face does
+    it): fold the live state (segments − id tombstones), fit FRESH
+    centroids on the surviving vectors, re-assign every row, and
+    return ``(store, centroids, baseline_share)`` — the new
+    cell-partitioned store to persist, the centroids to pin next to
+    it, and the fit-time top-``n_probe`` occupancy share to persist
+    as the NEXT drift baseline (close the loop: the returned share is
+    exactly what a later ``ann_store_stats(grown, n_probe,
+    baseline_share=...)`` compares against).
+
+    EAGER by contract (the fit samples now, the share computes now) —
+    a re-fit is the pay-once rebuild the policy amortizes, not a
+    serving-path step. Recall is unchanged by drift (assignment and
+    probing share the centroids — the SCALE.md drift probe); what the
+    re-fit restores is PRUNING, so the caller persists the store
+    ``partitionBy("cell")`` like the original build.
+
+    Scale posture: the fold is one pass (broadcast anti); the fit is
+    a bounded hash-sample (``fit_sample``); assignment is the
+    shuffle-free broadcast-GEMM face; the live fold and the new store
+    are localCheckpointed once each (multi-leg rule — fit + assign
+    reference the fold, share + caller reference the store)."""
+    from esdb_spark.operators.cluster import kmeans_assign, kmeans_fit
+
+    live = compact_ann_segments(segments, tombstones).localCheckpoint()
+    src = live.select("id", "vec")
+    cent = kmeans_fit(
+        src, "vec", "id", k, iters=iters, seed=seed, fit_sample=fit_sample
+    )
+    store = (
+        kmeans_assign(src, cent, "vec", "id", keep_vec=True)
+        .select("id", "vec", F.col("cluster").cast("int").alias("cell"))
+        .localCheckpoint()
+    )
+    share = ann_store_stats(store, n_probe).first()["top_share"]
+    return store, cent, share
+
+
 def compact_ann_segments(
     segments: list[DataFrame],
     tombstones: list[DataFrame] | None = None,

@@ -461,3 +461,68 @@ def test_ann_store_stats_drift_trigger(spark):
     assert abs(ok["share_ratio"] - 1.0) < 1e-9 and not ok["refit"]
     with pytest.raises(ValueError, match="n_probe"):
         ann_store_stats(base, 0)
+
+
+def test_refit_ann_store_restores_pruning_and_keeps_answers(spark):
+    # round 11: the ACTION the drift signal points at. A store fit on
+    # axis-0/axis-1 vectors grows with a drifted clump between the
+    # centroids but nearer axis 0 (all landing in that one old cell); refit_ann_store re-fits on the
+    # live fold, the new baseline share drops back toward uniform, and
+    # full-probe serving answers are IDENTICAL before and after (a
+    # re-fit moves cell walls, never neighbors).
+    import numpy as np
+
+    from esdb_spark.operators.similarity import (
+        ann_search_segments,
+        ann_store_stats,
+        compact_ann_segments,
+        refit_ann_store,
+    )
+    from esdb_spark.operators.cluster import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(7)
+
+    def vecs(center, n, start_id):
+        pts = rng.normal(0, 0.05, (n, 4)) + np.array(center)
+        return [(start_id + i, [float(x) for x in pts[i]]) for i in range(n)]
+
+    base_rows = vecs([1, 0, 0, 0], 40, 0) + vecs([0, 1, 0, 0], 40, 100)
+    drift_rows = vecs([0.9, 0.45, 0, 0], 80, 1000)
+    base = spark.createDataFrame(base_rows, "id int, vec array<double>")
+    drift = spark.createDataFrame(drift_rows, "id int, vec array<double>")
+    cent0 = kmeans_fit(base, "vec", "id", 2, iters=10, seed=1)
+    seg0 = kmeans_assign(base, cent0, "vec", "id", keep_vec=True).select(
+        "id", "vec", F.col("cluster").cast("int").alias("cell")
+    )
+    seg1 = kmeans_assign(drift, cent0, "vec", "id", keep_vec=True).select(
+        "id", "vec", F.col("cluster").cast("int").alias("cell")
+    )
+    tomb = [base.limit(5).select("id")]
+    fit_share = ann_store_stats(seg0, n_probe=1).first()["top_share"]
+    grown_share = ann_store_stats(
+        seg0.unionByName(seg1), n_probe=1
+    ).first()["top_share"]
+    assert grown_share > fit_share  # the drifted clump concentrates
+    store, cent, share = refit_ann_store(
+        [seg0, seg1], tomb, k=3, n_probe=1, iters=10, seed=1
+    )
+    assert share < grown_share  # pruning restored
+    # exactly the live ids survive, every row has a cell
+    live = compact_ann_segments([seg0, seg1], tomb)
+    assert sorted(r["id"] for r in store.select("id").collect()) == sorted(
+        r["id"] for r in live.select("id").collect()
+    )
+    assert store.filter(F.col("cell").isNull()).count() == 0
+    # serving equivalence at full probe: old state/centroids vs the
+    # refit store/centroids return the same neighbors
+    q = base.limit(3).select(F.col("id").alias("vec_id"),
+                             F.col("vec").alias("embedding"))
+    old = ann_search_segments(
+        [seg0, seg1], q, cent0, "embedding", "vec_id", k=5,
+        n_probe=len(cent0), tombstones=tomb,
+    )
+    new = ann_search_segments(
+        [store], q, cent, "embedding", "vec_id", k=5, n_probe=len(cent),
+    )
+    assert sorted(map(tuple, old.select("query_id", "id", "rank").collect())) \
+        == sorted(map(tuple, new.select("query_id", "id", "rank").collect()))
