@@ -120,8 +120,10 @@ BENCH_QUERIES = [
     "docs_field_scoped_search_segments",
     "docs_stored_fields_maintained",
     # round 11: the boolean grammar over event payloads (ties the
-    # search stack to the §2 data model; inline corpus-face scan)
+    # search stack to the §2 data model; inline corpus-face scan) and
+    # the regex operand served via vocabulary expansion
     "events_payload_search",
+    "docs_regex_search_indexed",
     # NOTE (round 11, r10 verdict "What's wrong #2"): the three other
     # maintained gate rows — docs_ann_maintained_exact,
     # docs_boolean_phrase_positional, docs_search_page_maintained —

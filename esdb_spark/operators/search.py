@@ -2082,6 +2082,24 @@ def parse_boolean_query(query: str):
             return ("phrase", words)
         raw = take()
         w = raw.lower()
+        if raw.startswith("/") and raw.endswith("/") and len(raw) > 2:
+            # regex operand: /pattern/ matches any WHOLE token (the
+            # lucene regexp convention — fully anchored). The pattern
+            # is kept VERBATIM (tokens are lowercased, so an
+            # uppercase-only pattern simply matches nothing); syntax
+            # validates driver-side so a typo raises before any job.
+            # Portability contract: stick to the common
+            # Java/RE2/Python subset (literals . [] * + ? | () {m,n})
+            # — that is what the oracle replay certifies.
+            pat = raw[1:-1]
+            try:
+                re.compile(pat)
+            except re.error as exc:
+                raise ValueError(
+                    f"parse_boolean_query: invalid regex operand "
+                    f"/{pat}/: {exc}"
+                ) from None
+            return ("regex", pat)
         if ":[" in raw and not raw.startswith(":"):
             # field range spans tokens ('price:[10', 'TO', '20]') —
             # gather to the closing bracket, then parse the lucene form
@@ -2278,6 +2296,23 @@ def _reject_fuzzy_operands(node, caller: str) -> None:
         )
 
 
+def _reject_regex_operands(node, caller: str) -> None:
+    """Driver-side, before ANY job runs: an index face cannot run a
+    regex over its whole token column (posting-sized, O(index rows)
+    at 100 TB) — regex operands there need vocabulary-candidate
+    expansion (the lucene convention: a regexp query intersects the
+    TERM DICTIONARY, never the postings), which needs a vocabulary
+    frame."""
+    if _bool_regexes(node):
+        raise ValueError(
+            f"{caller}: regex operands need vocabulary-candidate "
+            "expansion — pass vocab= (inverted_index_stats /"
+            " positional_index_stats output, or the maintained "
+            "spell store's spell_segments_vocab view) or serve with "
+            "boolean_search over the corpus"
+        )
+
+
 def _check_not_purely_negative(node, caller: str) -> None:
     """Driver-side, before ANY job runs: a query satisfiable with
     every literal false would match the whole corpus minus the
@@ -2318,6 +2353,10 @@ def _bool_marker(node) -> str:
     if node[0] == "slop":
         words, s = node[1]
         return f"{' '.join(words)} ~{s} SLOP"
+    if node[0] == "regex":
+        # the slashes + uppercase tag keep it collision-free (no
+        # token contains a space; token-derived values lowercase)
+        return f"/{node[1]}/ REGEX"
     return " ".join(node[1])
 
 
@@ -2325,7 +2364,7 @@ def _bool_marker(node) -> str:
 #: helpers in lockstep when the grammar grows (round-10 review: five
 #: hand-maintained exclusion lists drifted one grammar change apart)
 _BOOL_LEAVES = ("term", "phrase", "near", "prefix", "field", "frange",
-                "fuzzy", "slop")
+                "fuzzy", "slop", "regex")
 
 
 def _bool_collect(node, kind: str) -> list:
@@ -2379,6 +2418,10 @@ def _bool_slops(node) -> list[tuple]:
     return _bool_collect(node, "slop")
 
 
+def _bool_regexes(node) -> list[str]:
+    return _bool_collect(node, "regex")
+
+
 def _bool_words(node) -> list[str]:
     """Every distinct literal WORD the query touches (phrase and NEAR
     words included; wildcard stems and fuzzy stems excluded — they are
@@ -2400,7 +2443,7 @@ def _bool_words(node) -> list[str]:
     return sorted({w for child in node[1] for w in _bool_words(child)})
 
 
-def _operand_predicate(terms, prefixes, fuzzies=None):
+def _operand_predicate(terms, prefixes, fuzzies=None, regexes=None):
     """The scan predicate for a (terms, prefixes[, fuzzies]) operand
     set: a literal in-filter OR'd with a sargable startswith per
     wildcard stem — both push to parquet (In + StringStartsWith) —
@@ -2421,17 +2464,23 @@ def _operand_predicate(terms, prefixes, fuzzies=None):
     for stem, d in sorted(set(fuzzies or [])):
         c = F.levenshtein(F.col("token"), F.lit(stem)) <= d
         pred = c if pred is None else (pred | c)
+    for pat in sorted(set(regexes or [])):
+        # anchored: the lucene regexp convention (whole-token match)
+        c = F.col("token").rlike(f"^(?:{pat})$")
+        pred = c if pred is None else (pred | c)
     return pred
 
 
 def _token_match_predicate(node, with_fuzzies: bool = False):
     """:func:`_operand_predicate` over every word the query touches.
-    ``with_fuzzies`` adds the levenshtein disjuncts — corpus faces
-    only (index faces serve fuzzies via candidate expansion)."""
+    ``with_fuzzies`` adds the levenshtein AND anchored-regex disjuncts
+    — corpus faces only (index faces serve both operand kinds via
+    candidate expansion)."""
     return _operand_predicate(
         _bool_words(node),
         _bool_prefixes(node),
         _bool_fuzzies(node) if with_fuzzies else None,
+        _bool_regexes(node) if with_fuzzies else None,
     )
 
 
@@ -2469,6 +2518,47 @@ def expand_fuzzy_operands(
         out[f"{stem}~{d} FUZZY"] = sorted(
             r["token"] for r in cand.collect()
         )
+    return out
+
+
+def expand_regex_operands(
+    vocab: DataFrame,
+    regexes,
+    caller: str = "expand_regex_operands",
+    max_candidates: int = 20_000,
+) -> dict:
+    """Driver-side VOCABULARY expansion of regex operands for the
+    index faces — the lucene discipline (a regexp query runs against
+    the term dictionary, never the postings): each pattern becomes
+    the exact list of vocabulary tokens it fully matches, collected
+    driver-side and served as a literal in-filter — sargable, so a
+    regex query on a billion-token index reads O(candidates) posting
+    rows instead of running the automaton over the token column.
+    ``vocab`` is any frame with a ``token`` column
+    (:func:`inverted_index_stats` / :func:`positional_index_stats`
+    output, or the maintained store's :func:`spell_segments_vocab`
+    view). A pattern matching more than ``max_candidates`` distinct
+    tokens raises — at that selectivity the query IS a scan, and a
+    silent million-literal in-filter would stall the driver (the
+    bounded-collect rule every driver-side face follows)."""
+    out = {}
+    for pat in sorted(set(regexes)):
+        cand = (
+            vocab.select("token")
+            .distinct()
+            .filter(F.col("token").rlike(f"^(?:{pat})$"))
+        )
+        toks = [
+            r["token"] for r in cand.limit(max_candidates + 1).collect()
+        ]
+        if len(toks) > max_candidates:
+            raise ValueError(
+                f"{caller}: regex /{pat}/ matches more than "
+                f"{max_candidates} vocabulary tokens — that is a "
+                "scan, not a dictionary lookup; tighten the pattern "
+                "or serve from the corpus face"
+            )
+        out[f"/{pat}/ REGEX"] = sorted(toks)
     return out
 
 
@@ -2798,6 +2888,7 @@ def boolean_search(
     franges = _bool_franges(node)
     fuzzies = _bool_fuzzies(node)
     slops = _bool_slops(node)
+    regexes = _bool_regexes(node)
     if fields or franges:
         # resolve driver-side BEFORE any job runs (shared helper; the
         # corpus frame's id column is the doc key, never a field)
@@ -2822,6 +2913,7 @@ def boolean_search(
         - {f"{f_}:{lo} {hi} RANGE" for f_, lo, hi in franges}
         - {f"{stem}~{d} FUZZY" for stem, d in fuzzies}
         - {f"{' '.join(w)} ~{s} SLOP" for w, s in slops}
+        - {f"/{p}/ REGEX" for p in regexes}
     )
     # legs that actually consume ex: the term filter only when term
     # literals exist (isin([]) folds to false and prunes), one for all
@@ -2837,6 +2929,7 @@ def boolean_search(
         + int(bool(nears))
         + len(set(prefixes))
         + len(set(fuzzies))
+        + len(set(regexes))
         + sum(len(w) for w, _s in set(slops))
     )
     if pred is not None and token_legs > 1:
@@ -2884,6 +2977,17 @@ def boolean_search(
             .select("doc", F.lit(f"{stem}~{d} FUZZY").alias("token"))
         )
         matches = matches.unionByName(rows)
+    for pat in sorted(set(regexes)):
+        # regex flags ride the SAME filtered scan: the anchored rlike
+        # disjunct is already in the scan predicate, so this leg just
+        # re-verifies the pattern on the surviving rows
+        rows = (
+            ex.filter(F.col("token").rlike(f"^(?:{pat})$"))
+            .select("doc")
+            .distinct()
+            .select("doc", F.lit(f"/{pat}/ REGEX").alias("token"))
+        )
+        matches = matches.unionByName(rows)
     if fields:
         # metadata flags come straight off the corpus columns — one
         # projection-level predicate per operand, no tokenize at all
@@ -2906,6 +3010,7 @@ def boolean_search_indexed(
     k: int | None = None,
     fields: DataFrame | None = None,
     spell_index: DataFrame | None = None,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`boolean_search` served from a PREBUILT flat inverted
     index (:func:`build_inverted_index`) — identical output,
@@ -2944,6 +3049,9 @@ def boolean_search_indexed(
     fuzzies = _bool_fuzzies(node)
     if fuzzies and spell_index is None:
         _reject_fuzzy_operands(node, "boolean_search_indexed")
+    regexes = _bool_regexes(node)
+    if regexes and vocab is None:
+        _reject_regex_operands(node, "boolean_search_indexed")
     cand_map = (
         expand_fuzzy_operands(
             spell_index, fuzzies, "boolean_search_indexed"
@@ -2951,6 +3059,10 @@ def boolean_search_indexed(
         if fuzzies
         else {}
     )
+    if regexes:
+        cand_map.update(
+            expand_regex_operands(vocab, regexes, "boolean_search_indexed")
+        )
     prefixes = _bool_prefixes(node)
     terms = sorted(
         set(_bool_literals(node))
@@ -2958,6 +3070,7 @@ def boolean_search_indexed(
         - {f"{f_}:{v} FIELD" for f_, v in fops}
         - {f"{f_}:{lo} {hi} RANGE" for f_, lo, hi in franges}
         - {f"{stem}~{d} FUZZY" for stem, d in fuzzies}
+        - {f"/{p}/ REGEX" for p in regexes}
     )
     scan_terms = sorted(
         set(_bool_words(node))
@@ -3005,6 +3118,7 @@ def boolean_search_segments(
     tombstones: list[DataFrame] | None = None,
     fields: DataFrame | None = None,
     spell_index: DataFrame | None = None,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`boolean_search` served directly from LSM segments AND
     tombstones — boolean queries answer from maintained state with
@@ -3036,6 +3150,9 @@ def boolean_search_segments(
     fuzzies = _bool_fuzzies(node)
     if fuzzies and spell_index is None:
         _reject_fuzzy_operands(node, "boolean_search_segments")
+    regexes = _bool_regexes(node)
+    if regexes and vocab is None:
+        _reject_regex_operands(node, "boolean_search_segments")
     cand_map = (
         expand_fuzzy_operands(
             spell_index, fuzzies, "boolean_search_segments"
@@ -3043,6 +3160,12 @@ def boolean_search_segments(
         if fuzzies
         else {}
     )
+    if regexes:
+        cand_map.update(
+            expand_regex_operands(
+                vocab, regexes, "boolean_search_segments"
+            )
+        )
     prefixes = _bool_prefixes(node)
     terms = sorted(
         set(_bool_literals(node))
@@ -3050,6 +3173,7 @@ def boolean_search_segments(
         - {f"{f_}:{v} FIELD" for f_, v in fops}
         - {f"{f_}:{lo} {hi} RANGE" for f_, lo, hi in franges}
         - {f"{stem}~{d} FUZZY" for stem, d in fuzzies}
+        - {f"/{p}/ REGEX" for p in regexes}
     )
     scan_terms = sorted(
         set(terms) | {c for cands in cand_map.values() for c in cands}
@@ -3109,6 +3233,9 @@ def _boolean_eval_positional(
     fuzzies = _bool_fuzzies(node)
     if fuzzies and cand_map is None:
         _reject_fuzzy_operands(node, caller)
+    regexes = _bool_regexes(node)
+    if regexes and cand_map is None:
+        _reject_regex_operands(node, caller)
     phrases = _bool_phrases(node)
     nears = _bool_nears(node)
     prefixes = _bool_prefixes(node)
@@ -3122,6 +3249,7 @@ def _boolean_eval_positional(
         - {f"{f_}:{lo} {hi} RANGE" for f_, lo, hi in franges}
         - {f"{stem}~{d} FUZZY" for stem, d in fuzzies}
         - {f"{' '.join(w)} ~{s} SLOP" for w, s in slops}
+        - {f"/{p}/ REGEX" for p in regexes}
     )
     matches = flat.filter(F.col("token").isin(terms)).select("doc", "token")
     if phrases or slops:
@@ -3159,6 +3287,7 @@ def boolean_search_positional(
     k: int | None = None,
     fields: DataFrame | None = None,
     spell_index: DataFrame | None = None,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`boolean_search` — INCLUDING quoted phrase operands —
     served from a prebuilt FLAT positional index
@@ -3180,6 +3309,9 @@ def boolean_search_positional(
     fuzzies = _bool_fuzzies(node)
     if fuzzies and spell_index is None:
         _reject_fuzzy_operands(node, "boolean_search_positional")
+    regexes = _bool_regexes(node)
+    if regexes and vocab is None:
+        _reject_regex_operands(node, "boolean_search_positional")
     cand_map = (
         expand_fuzzy_operands(
             spell_index, fuzzies, "boolean_search_positional"
@@ -3187,6 +3319,12 @@ def boolean_search_positional(
         if fuzzies
         else {}
     )
+    if regexes:
+        cand_map.update(
+            expand_regex_operands(
+                vocab, regexes, "boolean_search_positional"
+            )
+        )
     pred = _operand_predicate(
         sorted(
             set(_bool_words(node))
@@ -3224,6 +3362,7 @@ def boolean_search_positional_segments(
     tombstones: list[DataFrame] | None = None,
     fields: DataFrame | None = None,
     spell_index: DataFrame | None = None,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`boolean_search_positional` served directly from
     positional LSM segments AND doc-id tombstones — the composed
@@ -3251,6 +3390,11 @@ def boolean_search_positional_segments(
         _reject_fuzzy_operands(
             node, "boolean_search_positional_segments"
         )
+    regexes = _bool_regexes(node)
+    if regexes and vocab is None:
+        _reject_regex_operands(
+            node, "boolean_search_positional_segments"
+        )
     cand_map = (
         expand_fuzzy_operands(
             spell_index, fuzzies, "boolean_search_positional_segments"
@@ -3258,6 +3402,12 @@ def boolean_search_positional_segments(
         if fuzzies
         else {}
     )
+    if regexes:
+        cand_map.update(
+            expand_regex_operands(
+                vocab, regexes, "boolean_search_positional_segments"
+            )
+        )
     net = _positional_net_rows(
         segments,
         tombstones,
@@ -4459,6 +4609,12 @@ def search_page_maintained(
         raise ValueError("search_page_maintained: no segments")
     node = parse_boolean_query(query)
     _check_not_purely_negative(node, "search_page_maintained")
+    # regex operands are unconditional rejects here (not merely
+    # cand_map-gated: a fuzzy operand's cand_map would mask the
+    # backstop and the regex flag would silently never match) — the
+    # corpus page serves them; wire vocab= expansion if maintained
+    # regex pages become a workload
+    _reject_regex_operands(node, "search_page_maintained")
     fuzzies = _bool_fuzzies(node)
     if fuzzies and spell_index is None:
         _reject_fuzzy_operands(node, "search_page_maintained")

@@ -2415,6 +2415,48 @@ def docs_fuzzy_search_indexed(spark, sf_dir):
     )
 
 
+def docs_regex_search(spark, sf_dir):
+    """REGEX operands in the boolean grammar (round 11 — the last
+    lucene operand family: term, phrase, prefix, fuzzy, field, range,
+    NEAR, slop, and now /pattern/): documents satisfying
+    '/m[ae]rge[sd]?/ AND spark' — a fully-anchored whole-token regex
+    (the lucene regexp convention) composed with a term. The corpus
+    face rides the anchored rlike disjunct on the ONE tokenize scan;
+    syntax validates driver-side. Engine-exact: the pattern sticks to
+    the Java/RE2 common subset, so DuckDB's regexp_full_match replays
+    it bit-for-bit."""
+    from esdb_spark.operators.search import boolean_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boolean_search(docs, "/m[ae]rge[sd]?/ AND spark")
+
+
+def docs_regex_search_indexed(spark, sf_dir):
+    """Regex operands served from the INDEX faces via VOCABULARY
+    expansion (operators/search.expand_regex_operands +
+    boolean_search_indexed with vocab= — the lucene discipline: a
+    regexp query intersects the TERM DICTIONARY, never the postings):
+    the pattern matches against the index's distinct tokens
+    (vocabulary-sized, with a bounded-candidates guard), and the
+    matching tokens ride the scan as a sargable literal in-filter —
+    a regex query on a billion-token index reads O(candidates)
+    posting rows. The oracle replays the corpus-face regex truth in
+    DuckDB, so one value hash certifies dictionary expansion ==
+    whole-token regex semantics."""
+    from esdb_spark.operators.search import (
+        boolean_search_indexed,
+        build_inverted_index,
+        inverted_index_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs, "text", "doc_id")
+    return boolean_search_indexed(
+        idx, "/m[ae]rge[sd]?/ AND spark",
+        vocab=inverted_index_stats(idx),
+    )
+
+
 def docs_field_range_search(spark, sf_dir):
     """Field-RANGE operands in the boolean grammar (operators/search.
     boolean_search): documents satisfying
@@ -5935,6 +5977,26 @@ _PIPELINE_ORACLES = {
         FROM f WHERE t_fz AND t_spark
         ORDER BY doc
     """,
+    # regex operand: the flag is "any token fully matches" — DuckDB's
+    # regexp_full_match replays the anchored whole-token semantics
+    # (both the corpus rlike disjunct and the vocabulary expansion
+    # must equal it)
+    "docs_regex_search": f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        f AS (
+          SELECT doc_id,
+                 len(list_filter(
+                   toks, x -> regexp_full_match(x, 'm[ae]rge[sd]?')))
+                   > 0 AS t_re,
+                 list_contains(toks, 'spark') AS t_spark
+          FROM t
+        )
+        SELECT doc_id AS doc,
+               CAST(t_re::INT + t_spark::INT AS BIGINT)
+                 AS n_terms_matched
+        FROM f WHERE t_re AND t_spark
+        ORDER BY doc
+    """,
     "docs_fuzzy_search_indexed": f"""
         WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
         f AS (
@@ -7389,6 +7451,9 @@ _PIPELINE_ORACLES = {
 # the incremental-CMS row's oracle is the SAME full-data rebuild:
 # merge(cms(A), cms(B)) == cms(A ∪ B) is the linear-sketch invariant
 # the row exists to assert
+_PIPELINE_ORACLES["docs_regex_search_indexed"] = _PIPELINE_ORACLES[
+    "docs_regex_search"
+]
 _PIPELINE_ORACLES["event_type_freq_cms_incremental"] = _PIPELINE_ORACLES[
     "event_type_freq_cms_portable"
 ]
@@ -8364,6 +8429,8 @@ def catalog() -> dict[str, Q]:
         ("docs_sloppy_phrase_search", docs_sloppy_phrase_search),
         ("docs_fuzzy_search", docs_fuzzy_search),
         ("docs_fuzzy_search_indexed", docs_fuzzy_search_indexed),
+        ("docs_regex_search", docs_regex_search),
+        ("docs_regex_search_indexed", docs_regex_search_indexed),
         ("docs_field_range_search", docs_field_range_search),
         ("docs_field_scoped_search", docs_field_scoped_search),
         ("docs_field_scoped_search_segments",

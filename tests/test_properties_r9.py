@@ -239,7 +239,14 @@ def _ast(depth):
         ),
         st.integers(min_value=0, max_value=2),
     ).map(lambda x: ("slop", x))
-    leaf = st.one_of(terms, phrases, nears, prefixes, fuzzies, slops)
+    # the engine-portable regex subset (Java rlike == RE2 == Python re
+    # on these), fully anchored by contract
+    regexes = st.sampled_from(["a+", "a.", "aa|bb", "[ab]b", "b{2}"]).map(
+        lambda p: ("regex", p)
+    )
+    leaf = st.one_of(
+        terms, phrases, nears, prefixes, fuzzies, slops, regexes
+    )
     if depth == 0:
         return leaf
     sub = _ast(depth - 1)
@@ -267,6 +274,8 @@ def _render(node):
     if kind == "slop":
         words, s = node[1]
         return '"' + " ".join(words) + f'"~{s}'
+    if kind == "regex":
+        return f"/{node[1]}/"
     if kind == "not":
         return f"NOT ({_render(node[1])})"
     op = " AND " if kind == "and" else " OR "
@@ -303,6 +312,10 @@ def _py_eval(node, toks):
     if kind == "fuzzy":
         stem, d = node[1]
         return any(_py_lev(t, stem) <= d for t in toks)
+    if kind == "regex":
+        import re as _re
+
+        return any(_re.fullmatch(node[1], t) for t in toks)
     if kind == "slop":
         # ordered chain within (n-1)+s: from each start, greedily take
         # each next word's EARLIEST position after the previous one

@@ -2533,3 +2533,86 @@ def test_spell_index_segments_plugs_into_fuzzy_faces(spark):
     a = [tuple(r) for r in suggest_terms_indexed(sp, "mrege").collect()]
     b = [tuple(r) for r in suggest_terms_segments(segs, "mrege").collect()]
     assert a == b and a
+
+
+def test_regex_operand_all_faces_and_guards(spark):
+    # round 11: /pattern/ — fully-anchored whole-token regex. The
+    # corpus face rides the anchored rlike disjunct; index faces
+    # expand against the VOCABULARY (never the postings) and serve
+    # candidates as a literal in-filter; every face value-equals the
+    # corpus truth; no vocab / over-broad patterns / bad syntax raise
+    from esdb_spark.operators.search import (
+        boolean_search,
+        boolean_search_indexed,
+        boolean_search_positional,
+        boolean_search_positional_segments,
+        boolean_search_segments,
+        build_inverted_index,
+        build_positional_index,
+        expand_regex_operands,
+        inverted_index_stats,
+        parse_boolean_query,
+        search_page,
+        search_page_maintained,
+    )
+    from esdb_spark.operators.storedfields import (
+        build_stored_fields,
+        stored_fields_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge spark data"),
+            (2, "marge table here"),
+            (3, "spork fast"),
+            (4, "merge merge spark"),
+            (5, "no hits at all"),
+        ],
+        "doc_id int, text string",
+    )
+    assert parse_boolean_query("/m[ae]rge/") == ("regex", "m[ae]rge")
+    with pytest.raises(ValueError, match="invalid regex"):
+        parse_boolean_query("/[bad/")
+    q = "/m[ae]rge/ AND spark"
+    want = [tuple(r) for r in boolean_search(docs, q).collect()]
+    assert want == [(1, 2), (4, 2)]
+    idx = build_inverted_index(docs)
+    vocab = inverted_index_stats(idx)
+    assert expand_regex_operands(vocab, ["m[ae]rge"]) == {
+        "/m[ae]rge/ REGEX": ["marge", "merge"]
+    }
+    pidx = build_positional_index(docs)
+    isegs = [
+        build_inverted_index(docs.filter(f"doc_id % 2 = {i}"))
+        for i in range(2)
+    ]
+    psegs = [
+        build_positional_index(docs.filter(f"doc_id % 2 = {i}"))
+        for i in range(2)
+    ]
+    for got in [
+        boolean_search_indexed(idx, q, vocab=vocab),
+        boolean_search_positional(pidx, q, vocab=vocab),
+        boolean_search_segments(isegs, q, vocab=vocab),
+        boolean_search_positional_segments(psegs, q, vocab=vocab),
+    ]:
+        assert [tuple(r) for r in got.collect()] == want
+    # the corpus page serves regex: match, rank, AND the first hit
+    page = [
+        tuple(r)
+        for r in search_page(docs, "/sp.rk?/ OR data", k=5, window=1)
+        .collect()
+    ]
+    assert [p[1] for p in page] == [1, 3, 4]
+    assert page[1][3] == 0 and page[1][4] == "spork fast"
+    # guards: vocab-less index faces, the candidate cap, the
+    # maintained page's unconditional reject
+    with pytest.raises(ValueError, match="vocabulary-candidate"):
+        boolean_search_indexed(idx, q)
+    with pytest.raises(ValueError, match="more than 3 vocabulary"):
+        expand_regex_operands(vocab, [".*"], max_candidates=3)
+    stored = stored_fields_segments(
+        [build_stored_fields(docs)], None
+    )
+    with pytest.raises(ValueError, match="vocabulary-candidate"):
+        search_page_maintained([pidx], stored, q)
