@@ -4564,6 +4564,7 @@ def search_page_maintained(
     text_col: str = "text",
     after=None,
     spell_index: DataFrame | None = None,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`search_page` served ENTIRELY from maintained state — the
     round-10 completion of the search stack's corpus independence:
@@ -4594,7 +4595,10 @@ def search_page_maintained(
     the candidate tokens ride the ONE net in-filter, so the match,
     the first-hit position, and the snippet all honor fuzzy hits,
     exactly like the corpus face's levenshtein disjunct. Without it,
-    fuzzy operands raise.
+    fuzzy operands raise. ``vocab`` serves ``/regex/`` operands the
+    same way (:func:`expand_regex_operands` — term-dictionary
+    expansion, the lucene discipline); without it, regex operands
+    raise.
 
     Scale posture: the match is the one-scan segment-net evaluator;
     ranking is a TakeOrdered; ONLY the page's k documents ship text —
@@ -4609,15 +4613,15 @@ def search_page_maintained(
         raise ValueError("search_page_maintained: no segments")
     node = parse_boolean_query(query)
     _check_not_purely_negative(node, "search_page_maintained")
-    # regex operands are unconditional rejects here (not merely
-    # cand_map-gated: a fuzzy operand's cand_map would mask the
-    # backstop and the regex flag would silently never match) — the
-    # corpus page serves them; wire vocab= expansion if maintained
-    # regex pages become a workload
-    _reject_regex_operands(node, "search_page_maintained")
     fuzzies = _bool_fuzzies(node)
     if fuzzies and spell_index is None:
         _reject_fuzzy_operands(node, "search_page_maintained")
+    # unconditional when vocab is absent (not merely cand_map-gated: a
+    # fuzzy operand's cand_map would mask the backstop and the regex
+    # flag would silently never match)
+    regexes = _bool_regexes(node)
+    if regexes and vocab is None:
+        _reject_regex_operands(node, "search_page_maintained")
     cand_map = (
         expand_fuzzy_operands(
             spell_index, fuzzies, "search_page_maintained"
@@ -4625,6 +4629,12 @@ def search_page_maintained(
         if fuzzies
         else {}
     )
+    if regexes:
+        cand_map.update(
+            expand_regex_operands(
+                vocab, regexes, "search_page_maintained"
+            )
+        )
     # fuzzy candidates are query words for every downstream purpose:
     # they ride the net's in-filter (sargable) and their positions
     # count for the first hit, the corpus face's convention

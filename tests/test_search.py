@@ -2614,5 +2614,32 @@ def test_regex_operand_all_faces_and_guards(spark):
     stored = stored_fields_segments(
         [build_stored_fields(docs)], None
     )
+    # the maintained page serves regex through vocab= (value-equal to
+    # the corpus page); without vocab it raises — unconditionally,
+    # even when a fuzzy operand supplies a cand_map
+    from esdb_spark.operators.search import (
+        build_spell_index,
+        positional_index_stats,
+    )
+
+    want_page = [
+        tuple(r)
+        for r in search_page(docs, q, k=5, window=1).collect()
+    ]
+    got_page = [
+        tuple(r)
+        for r in search_page_maintained(
+            [pidx], stored, q, k=5, window=1,
+            vocab=positional_index_stats(pidx),
+        ).collect()
+    ]
+    assert got_page == want_page and got_page
     with pytest.raises(ValueError, match="vocabulary-candidate"):
         search_page_maintained([pidx], stored, q)
+    sp = build_spell_index(
+        positional_index_stats(pidx).select("token", "term_freq")
+    )
+    with pytest.raises(ValueError, match="vocabulary-candidate"):
+        search_page_maintained(
+            [pidx], stored, "/m[ae]rge/ AND spark~1", spell_index=sp
+        )
