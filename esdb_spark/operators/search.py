@@ -2021,7 +2021,13 @@ def parse_boolean_query(query: str):
     """
     if query.count('"') % 2:
         raise ValueError("parse_boolean_query: unbalanced quote")
-    toks = re.findall(r'"[^"]*"|\(|\)|[^\s()"]+', query)
+    # '/.../' lexes as ONE lexeme AHEAD of the paren split so a regex
+    # containing group parens ('/a(b|c)d/') survives the lexer intact
+    # (greedy-then-backtrack = longest run of non-space chars that
+    # still ends in '/'); a token STARTING with '/' that the regex
+    # alternative did not capture is an unterminated regex and raises
+    # in unary() rather than silently re-parsing as ordinary terms.
+    toks = re.findall(r'"[^"]*"|/[^\s]*/|\(|\)|[^\s()"]+', query)
     if not toks:
         raise ValueError("parse_boolean_query: empty query")
     pos = 0
@@ -2088,9 +2094,15 @@ def parse_boolean_query(query: str):
             # is kept VERBATIM (tokens are lowercased, so an
             # uppercase-only pattern simply matches nothing); syntax
             # validates driver-side so a typo raises before any job.
-            # Portability contract: stick to the common
-            # Java/RE2/Python subset (literals . [] * + ? | () {m,n})
-            # — that is what the oracle replay certifies.
+            # Portability contract ENFORCED here: execution is Java
+            # regex (rlike), the oracle is DuckDB RE2, validation is
+            # Python re — the intersection excludes lookaround, named
+            # groups, inline flags, atomic/possessive groups (all the
+            # '(?...' constructs) and backreferences (RE2 has none),
+            # so those REJECT driver-side instead of escaping the
+            # check and failing at executor time or diverging from
+            # the oracle. What remains (literals . [] * + ? | ()
+            # {m,n} \d \w \s \b alternation) agrees across all three.
             pat = raw[1:-1]
             try:
                 re.compile(pat)
@@ -2099,7 +2111,30 @@ def parse_boolean_query(query: str):
                     f"parse_boolean_query: invalid regex operand "
                     f"/{pat}/: {exc}"
                 ) from None
+            if re.search(r"\(\?", pat):
+                raise ValueError(
+                    f"parse_boolean_query: regex operand /{pat}/ uses "
+                    "a '(?...)' construct (lookaround / named group / "
+                    "inline flag) outside the portable Java/RE2/Python "
+                    "subset — rewrite with plain groups"
+                )
+            if re.search(r"(?<!\\)(?:\\\\)*\\[1-9]", pat):
+                raise ValueError(
+                    f"parse_boolean_query: regex operand /{pat}/ uses "
+                    "a backreference, which RE2 (the oracle engine) "
+                    "does not support — outside the portable subset"
+                )
             return ("regex", pat)
+        if raw.startswith("/"):
+            # the '/.../'-lexeme alternative did not capture this, so
+            # there is no closing slash in the same whitespace run —
+            # an unterminated regex; raising beats silently treating
+            # '/a(b' as a term (quote the token for a literal slash)
+            raise ValueError(
+                f"parse_boolean_query: unterminated regex operand "
+                f"{raw!r} (expected /pattern/; quote the token to "
+                "match a literal leading '/')"
+            )
         if ":[" in raw and not raw.startswith(":"):
             # field range spans tokens ('price:[10', 'TO', '20]') —
             # gather to the closing bracket, then parse the lucene form

@@ -241,9 +241,12 @@ def _ast(depth):
     ).map(lambda x: ("slop", x))
     # the engine-portable regex subset (Java rlike == RE2 == Python re
     # on these), fully anchored by contract
-    regexes = st.sampled_from(["a+", "a.", "aa|bb", "[ab]b", "b{2}"]).map(
-        lambda p: ("regex", p)
-    )
+    # parenthesized groups included deliberately: the lexer must keep
+    # '/a(b|c)/' one lexeme, not split it on the grammar parens (the
+    # r11 advice finding — regression-guarded here)
+    regexes = st.sampled_from(
+        ["a+", "a.", "aa|bb", "[ab]b", "b{2}", "a(b|c)", "(aa)+", "a(b)?c"]
+    ).map(lambda p: ("regex", p))
     leaf = st.one_of(
         terms, phrases, nears, prefixes, fuzzies, slops, regexes
     )

@@ -2643,3 +2643,40 @@ def test_regex_operand_all_faces_and_guards(spark):
         search_page_maintained(
             [pidx], stored, "/m[ae]rge/ AND spark~1", spell_index=sp
         )
+
+
+def test_regex_lexeme_survives_parens_and_subset_enforced():
+    # r11 advice: the lexer split '/a(b|c)d/' on the grammar parens
+    # and silently re-parsed the pieces as terms. '/.../' is now ONE
+    # lexeme ahead of the paren split; unterminated '/'-leading tokens
+    # raise; and the portable Java/RE2/Python subset is ENFORCED
+    # driver-side ('(?...' constructs and backreferences reject).
+    from esdb_spark.operators.search import parse_boolean_query as p
+
+    assert p("/a(b|c)d/") == ("regex", "a(b|c)d")
+    assert p("(/a.c/)") == ("regex", "a.c")
+    assert p("(/ab+/ OR x) AND NOT y") == (
+        "and",
+        [
+            ("or", [("regex", "ab+"), ("term", "x")]),
+            ("not", ("term", "y")),
+        ],
+    )
+    # grammar parens adjacent to the lexeme still close correctly
+    assert p("NOT (/a(b)c/)") == ("not", ("regex", "a(b)c"))
+    with pytest.raises(ValueError, match="unterminated regex"):
+        p("/a(b")
+    with pytest.raises(ValueError, match="unterminated regex"):
+        p("/abc AND x")
+    with pytest.raises(ValueError, match="invalid regex"):
+        p("/a)b/")
+    with pytest.raises(ValueError, match=r"\(\?\.\.\."):
+        p("/a(?=b)c/")
+    with pytest.raises(ValueError, match=r"\(\?\.\.\."):
+        p("/(?i)abc/")
+    with pytest.raises(ValueError, match="backreference"):
+        p(r"/(a)\1/")
+    # an ESCAPED backslash before a digit is NOT a backreference
+    assert p(r"/a\\1/") == ("regex", r"a\\1")
+    # quoted tokens still match literal slashes (no regex lexing)
+    assert p('"/usr/bin"') == ("term", "/usr/bin")
