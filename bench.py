@@ -94,8 +94,9 @@ BENCH_QUERIES = [
     # quantized vector-serving shape)
     "docs_keyword_search_segments",
     "docs_ann_int8",
-    # index-served exact phrase search (positional index built inline)
-    "docs_phrase_search_indexed",
+    # (round 12, r11 verdict "What's wrong #3": docs_phrase_search_indexed
+    # moved to the staged build/serve split — its inline
+    # build_positional_index dominated the timed body)
     # round-9 additions: phrase served from positional LSM segments
     # with doc-id tombstone deletes; the engine-exact literal-centroid
     # ANN pipeline. (The full maintained-state RAG stack moved to the
@@ -120,10 +121,13 @@ BENCH_QUERIES = [
     "docs_field_scoped_search_segments",
     "docs_stored_fields_maintained",
     # round 11: the boolean grammar over event payloads (ties the
-    # search stack to the §2 data model; inline corpus-face scan) and
-    # the regex operand served via vocabulary expansion
+    # search stack to the §2 data model; inline corpus-face scan)
     "events_payload_search",
-    "docs_regex_search_indexed",
+    # (round 12: docs_regex_search_indexed moved to the staged
+    # build/serve split with the other two `_indexed` rows — its
+    # inline build_inverted_index + stats dominated the timed body;
+    # serve rows: docs_{phrase,fuzzy,regex}_search_indexed_serve,
+    # build row: plain_index_build)
     # NOTE (round 11, r10 verdict "What's wrong #2"): the three other
     # maintained gate rows — docs_ann_maintained_exact,
     # docs_boolean_phrase_positional, docs_search_page_maintained —
@@ -341,7 +345,7 @@ def stage_gate_stores(spark, sf_dir: str, tmp: str) -> dict[str, float]:
         compact_spell_segments,
         positional_index_stats,
         spell_index_upserts,
-        spell_segments_vocab,
+        spell_index_upserts_bounded,
     )
 
     def vocab(d):
@@ -361,12 +365,8 @@ def stage_gate_stores(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     seg_p = compact_spell_segments([seg0], [t1]).localCheckpoint()
     seg1 = build_spell_index(r1).localCheckpoint()
     dead_v = vocab(docs.filter(F.col("doc_id") % 7 == 0)).localCheckpoint()
-    r2, t2 = spell_index_upserts(
-        spell_segments_vocab(
-            [seg_p, seg1], tokens=dead_v.select("token")
-        ),
-        dead_v,
-        remove=True,
+    r2, t2 = spell_index_upserts_bounded(
+        [seg_p, seg1], None, dead_v, remove=True
     )
     r2, t2 = r2.localCheckpoint(), t2.localCheckpoint()
     t2_re = t2.join(r2.select("token"), "token", "left_semi")
@@ -389,6 +389,39 @@ def stage_gate_stores(spark, sf_dir: str, tmp: str) -> dict[str, float]:
         max_dist=1,
     ).write.mode("overwrite").parquet(os.path.join(tmp, "spidx1"))
     builds["spell"] = time.perf_counter() - t0
+
+    # round 12 (r11 verdict "What's wrong #3"): the PAY-ONCE PLAIN
+    # INDEX the non-maintained `_indexed` rows rebuilt inline per
+    # timed invocation — docs_phrase_search_indexed re-ran
+    # build_positional_index, docs_fuzzy/regex_search_indexed re-ran
+    # build_inverted_index (+ spell index / vocab stats) inside the
+    # timed body, so their medians measured build variance, not
+    # serving. Staged once here: the full-corpus positional index
+    # (phrase serve), the full-corpus flat inverted index (fuzzy +
+    # regex serves), its vocabulary stats (regex term-dictionary
+    # expansion), and the SymSpell index over that vocabulary (fuzzy
+    # candidate expansion). Catalog rows unchanged — they stay the
+    # correctness gate.
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        inverted_index_stats,
+    )
+
+    t0 = time.perf_counter()
+    build_positional_index(docs, "text", "doc_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "pidx_full"))
+    build_inverted_index(docs, "text", "doc_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "fidx_full"))
+    fvocab = inverted_index_stats(
+        spark.read.parquet(os.path.join(tmp, "fidx_full"))
+    ).localCheckpoint()
+    fvocab.write.mode("overwrite").parquet(os.path.join(tmp, "fvocab"))
+    build_spell_index(fvocab.select("token", "term_freq")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "fspell"))
+    builds["plain_index_build"] = time.perf_counter() - t0
     return builds
 
 
@@ -500,6 +533,41 @@ def search_page_fuzzy_maintained_serve(spark, sf_dir: str, tmp: str):
     )
 
 
+def phrase_search_indexed_serve(spark, sf_dir: str, tmp: str):
+    """queries.docs_phrase_search_indexed's SERVING half over the
+    staged full-corpus positional index — same phrase, same
+    position-fold plan, build paid once in plain_index_build."""
+    from esdb_spark.operators.search import phrase_search_indexed
+
+    idx = spark.read.parquet(os.path.join(tmp, "pidx_full"))
+    return phrase_search_indexed(idx, "fast table")
+
+
+def fuzzy_search_indexed_serve(spark, sf_dir: str, tmp: str):
+    """queries.docs_fuzzy_search_indexed's SERVING half: SymSpell
+    expansion reads the staged spell index, the candidates ride the
+    staged flat index as the sargable in-filter."""
+    from esdb_spark.operators.search import boolean_search_indexed
+
+    idx = spark.read.parquet(os.path.join(tmp, "fidx_full"))
+    sp = spark.read.parquet(os.path.join(tmp, "fspell"))
+    return boolean_search_indexed(idx, "merge~1 AND spark", spell_index=sp)
+
+
+def regex_search_indexed_serve(spark, sf_dir: str, tmp: str):
+    """queries.docs_regex_search_indexed's SERVING half: the pattern
+    expands against the staged vocabulary stats (term-dictionary
+    discipline), the matching tokens ride the staged flat index as a
+    literal in-filter."""
+    from esdb_spark.operators.search import boolean_search_indexed
+
+    idx = spark.read.parquet(os.path.join(tmp, "fidx_full"))
+    vocab = spark.read.parquet(os.path.join(tmp, "fvocab"))
+    return boolean_search_indexed(
+        idx, "/m[ae]rge[sd]?/ AND spark", vocab=vocab
+    )
+
+
 STAGED_SERVES = [
     ("docs_boolean_phrase_positional_serve", boolean_phrase_positional_serve),
     ("docs_search_page_maintained_serve", search_page_maintained_serve),
@@ -509,6 +577,11 @@ STAGED_SERVES = [
         "docs_search_page_fuzzy_maintained_serve",
         search_page_fuzzy_maintained_serve,
     ),
+    # round 12: the `_indexed` rows' serves over the staged pay-once
+    # plain index (their builds live in plain_index_build)
+    ("docs_phrase_search_indexed_serve", phrase_search_indexed_serve),
+    ("docs_fuzzy_search_indexed_serve", fuzzy_search_indexed_serve),
+    ("docs_regex_search_indexed_serve", regex_search_indexed_serve),
 ]
 
 
@@ -571,7 +644,13 @@ def main() -> None:
     try:
         builds = stage_gate_stores(spark, sf_dir, staged)
         for fam, sec in builds.items():
-            record(f"maintained_{fam}_build", [sec])
+            # maintained store families record as maintained_*_build;
+            # the plain-index family already carries its full row name
+            record(
+                fam if fam.endswith("_build")
+                else f"maintained_{fam}_build",
+                [sec],
+            )
         for name, serve in STAGED_SERVES:
             samples = []
             for _ in range(6):
@@ -610,27 +689,53 @@ def main() -> None:
         load = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load = None
-    # key order puts the headline total LAST: the driver's artifact
-    # captures a bounded TAIL of stdout, and the r6 run truncated from
-    # the front — a value printed first survives only in /tmp. With
-    # value/total at the end, even a front-truncated tail still reads
-    # `..., "calibration_sec": c, "value": N, "total": N}`.
-    print(
-        json.dumps(
-            {
-                "metric": "esdb_spark headline queries wall-clock",
-                "unit": "sec",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "queries": timings,
-                "spread": spread,
-                "loadavg": load,
-                "cpus": os.cpu_count(),
-                "calibration_sec": round(cal, 4),
-                "value": total,
-                "total": total,
-            }
-        )
-    )
+    artifact = {
+        "metric": "esdb_spark headline queries wall-clock",
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": timings,
+        "spread": spread,
+        "loadavg": load,
+        "cpus": os.cpu_count(),
+        "calibration_sec": round(cal, 4),
+        "value": total,
+        "total": total,
+    }
+    # the driver's BENCH_r*.json keeps only a ~2000-char TAIL of stdout
+    # and parses its last line; the r11 full line (~5.5 KB with both
+    # per-query dicts) overflowed that window and every median was
+    # lost ("parsed": null). Three-tier fix: (1) the FULL artifact
+    # (4-decimal medians + spread + loadavg + calibration) always
+    # lands on disk where the end-of-round commit picks it up; (2) the
+    # full line still prints for humans/tee; (3) stdout ENDS with a
+    # compact line (2-decimal medians, tight separators) sized to the
+    # tail window, shedding optional fields first and single-sample
+    # _build rows second if the catalog outgrows the window — served
+    # medians are the adjudication signal, builds stay in the file.
+    os.makedirs("benchmarks", exist_ok=True)
+    with open("benchmarks/bench_latest.json", "w") as fh:
+        json.dump(artifact, fh, indent=2)
+    print(json.dumps(artifact))
+
+    def compact_line(drop_metric=False, drop_builds=False) -> str:
+        q = {
+            k: round(v, 2)
+            for k, v in timings.items()
+            if not (drop_builds and k.endswith("_build"))
+        }
+        out = {} if drop_metric else {"metric": artifact["metric"]}
+        out.update(unit="sec", sf=artifact["sf"], queries=q)
+        if drop_builds:
+            out["builds_in"] = "benchmarks/bench_latest.json"
+        out.update(value=total, total=total)
+        return json.dumps(out, separators=(",", ":"))
+
+    line = compact_line()
+    if len(line) > 1950:
+        line = compact_line(drop_metric=True)
+    if len(line) > 1950:
+        line = compact_line(drop_metric=True, drop_builds=True)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -100,7 +100,19 @@ def main():
         r.count(), t.count()
 
     c = _med(upsert)
-    print(f"delta-bounded upsert (2k tokens): {c:.2f}s")
+    print(f"frame-tier upsert (2k tokens, semi-bounded scan): {c:.2f}s")
+
+    # round 12 (r11 verdict #5): the literal In(token) tier — the
+    # delta's tokens collect driver-side and prune every segment
+    # scan's row groups instead of merely bounding rows in flight
+    from esdb_spark.operators.search import spell_index_upserts_bounded
+
+    def upsert_bounded():
+        r, t = spell_index_upserts_bounded(segs, tomb, delta)
+        r.count(), t.count()
+
+    d = _med(upsert_bounded)
+    print(f"literal-tier upsert (2k tokens, In(token) pruned): {d:.2f}s")
     spark.stop()
 
 

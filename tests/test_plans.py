@@ -787,3 +787,64 @@ def test_spell_vocab_literal_token_bound_prunes_scans(spark, tmp_path):
     assert sorted(map(tuple, lit.collect())) == sorted(
         map(tuple, frame.collect())
     )
+
+
+def test_spell_upsert_bounded_pushes_token_filter(spark, tmp_path):
+    # round 12 (r11 verdict #5): the UPSERT path auto-tiers its live
+    # view — a driver-sized delta collects its distinct tokens and
+    # the literal In(token) lands below the segment union, so every
+    # parquet segment scan on the upsert path prunes row groups (the
+    # frame tier only kept rows out of flight); no SortMergeJoin
+    # anywhere, and the tier choice never changes the (rows, tomb)
+    # answer
+    from esdb_spark.functions import tokens as _tokens
+    from esdb_spark.operators.search import (
+        build_spell_index,
+        spell_index_upserts,
+        spell_index_upserts_bounded,
+        spell_segments_vocab,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("term_freq"))
+    )
+    for i in range(2):
+        build_spell_index(
+            vocab.filter(F.crc32("token") % 2 == i)
+        ).write.parquet(str(tmp_path / f"su{i}"))
+    segs = [spark.read.parquet(str(tmp_path / f"su{i}")) for i in range(2)]
+    delta = spark.createDataFrame(
+        [("merge", 2), ("spark", 1)], "token string, term_freq long"
+    )
+    rows, tomb = spell_index_upserts_bounded(segs, None, delta)
+    import re as _re
+
+    for leg in (rows, tomb):
+        plan = physical_plan(leg)
+        assert (
+            len(_re.findall(r"PushedFilters: \[[^\]]*In\(token", plan)) == 2
+        ), plan
+        assert "SortMergeJoin" not in plan, plan
+    # same answer as the un-tiered frame path
+    f_rows, f_tomb = spell_index_upserts(
+        spell_segments_vocab(segs, tokens=delta.select("token")), delta
+    )
+    assert sorted(map(tuple, rows.collect())) == sorted(
+        map(tuple, f_rows.collect())
+    )
+    assert sorted(map(tuple, tomb.collect())) == sorted(
+        map(tuple, f_tomb.collect())
+    )
+    # past the cap the frame tier serves unchanged (values equal)
+    b_rows, b_tomb = spell_index_upserts_bounded(
+        segs, None, delta, max_literal_tokens=1
+    )
+    assert sorted(map(tuple, b_rows.collect())) == sorted(
+        map(tuple, f_rows.collect())
+    )
+    assert sorted(map(tuple, b_tomb.collect())) == sorted(
+        map(tuple, f_tomb.collect())
+    )

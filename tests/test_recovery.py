@@ -88,3 +88,99 @@ def test_fs_read_text_roundtrip(spark, tmp_path):
     # non-trivial content and re-write
     fs.touch(spark, p, "päyload-βytes\n")
     assert fs.read_text(spark, p) == "päyload-βytes\n"
+
+
+def test_maintain_spell_index_kill_and_replay_short_circuits(
+    spark, tmp_path
+):
+    """Round 12 (r11 verdict #6): the FIFTH store is crash-safe by
+    TEST, not by inheritance. Two-phase kill: (a) an epoch's segments
+    land but the manifest publish dies mid-write (the orphaned
+    ``.tmp`` a crash between touch and rename leaves) — readers must
+    not see the torn manifest as committed state; (b) a replay from a
+    fresh checkpoint must SHORT-CIRCUIT on the already-published
+    epoch (no in-place rewrite of referenced segment dirs under
+    readers) and then publish the next epoch OVER the orphan."""
+    import glob
+    import os
+
+    from esdb_spark.operators.search import suggest_terms_segments
+    from esdb_spark.streaming import (
+        maintain_spell_index,
+        read_maintained_index_segments,
+    )
+
+    src = str(tmp_path / "chg")
+    state = str(tmp_path / "spell")
+    schema = "token string, term_freq long, op string"
+    spark.createDataFrame(
+        [("merge", 3, "insert"), ("spark", 2, "insert")], schema
+    ).coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema(schema).json(src)
+    q = maintain_spell_index(
+        stream, state, op_col="op", checkpoint=str(tmp_path / "ck0"),
+        query_name="spk0",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    seg_files = sorted(glob.glob(os.path.join(state, "*", "*.parquet")))
+    mtimes = {f: os.path.getmtime(f) for f in seg_files}
+    assert mtimes
+    # (a) crash mid-publish of the NEXT epoch: the .tmp manifest is
+    # orphaned (touch ran, rename never did) — it must be invisible
+    # to readers (the isdigit() listing check)
+    orphan = os.path.join(state, "manifest-000000000001.tmp")
+    with open(orphan, "w") as fh:
+        fh.write("live seg-torn\n")
+    live, tomb = read_maintained_index_segments(spark, state)
+    got = [
+        tuple(r)
+        for r in suggest_terms_segments(
+            live, "mrege", max_dist=2, k=5, tombstones=tomb or None
+        ).collect()
+    ]
+    assert got and got[0][0] == "merge"
+    # (b) replay from a fresh checkpoint: epoch 0 is published, so
+    # the fold must skip the recompute — referenced segment parquet
+    # untouched
+    stream = spark.readStream.schema(schema).json(src)
+    q = maintain_spell_index(
+        stream, state, op_col="op", checkpoint=str(tmp_path / "ck1"),
+        query_name="spk1",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    after = {f: os.path.getmtime(f) for f in seg_files}
+    assert after == mtimes
+    # the next REAL epoch (a delete) publishes over the orphan's
+    # epoch id and serving reflects the tombstone immediately
+    spark.createDataFrame(
+        [("merge", 0, "delete")], schema
+    ).coalesce(1).write.mode("append").json(src)
+    stream = spark.readStream.schema(schema).json(src)
+    q = maintain_spell_index(
+        stream, state, op_col="op", checkpoint=str(tmp_path / "ck1"),
+        query_name="spk2",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    live, tomb = read_maintained_index_segments(spark, state)
+    # the dead token stops being suggested...
+    gone = suggest_terms_segments(
+        live, "mrege", max_dist=2, k=5, tombstones=tomb or None
+    ).collect()
+    assert all(r["token"] != "merge" for r in gone)
+    # ...while the surviving token still serves
+    kept = [
+        tuple(r)
+        for r in suggest_terms_segments(
+            live, "sprak", max_dist=2, k=5, tombstones=tomb or None
+        ).collect()
+    ]
+    assert kept and kept[0][0] == "spark"
