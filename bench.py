@@ -407,6 +407,27 @@ def stage_gate_stores(spark, sf_dir: str, tmp: str) -> dict[str, float]:
         inverted_index_stats,
     )
 
+    # round 12: the maintained page over EVENTS (catalog row
+    # events_search_page_maintained) — the same splits/tombstones over
+    # the event-payload textualization, staged once like the docs page
+    from esdb_spark.queries import _events_textualized
+
+    txt = _events_textualized(spark, sf_dir)
+    t0 = time.perf_counter()
+    for i in range(3):
+        build_positional_index(
+            txt.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, f"epseg{i}"))
+        build_stored_fields(
+            txt.filter(F.col("doc_id") % 3 == i),
+            "doc_id",
+            ["text", "event_type"],
+        ).write.mode("overwrite").parquet(os.path.join(tmp, f"esseg{i}"))
+    txt.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("doc")
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "eptomb"))
+    builds["events_page"] = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     build_positional_index(docs, "text", "doc_id").write.mode(
         "overwrite"
@@ -533,6 +554,32 @@ def search_page_fuzzy_maintained_serve(spark, sf_dir: str, tmp: str):
     )
 
 
+def events_search_page_maintained_serve(spark, sf_dir: str, tmp: str):
+    """queries.events_search_page_maintained's SERVING half over the
+    staged event-payload positional + stored-fields segments — the
+    reference's stored-payload-by-index competence served from
+    maintained state over its own data model."""
+    from esdb_spark.operators.search import search_page_maintained
+    from esdb_spark.operators.storedfields import stored_fields_segments
+
+    psegs = [
+        spark.read.parquet(os.path.join(tmp, f"epseg{i}")) for i in range(3)
+    ]
+    tomb = [spark.read.parquet(os.path.join(tmp, "eptomb"))]
+    ssegs = [
+        spark.read.parquet(os.path.join(tmp, f"esseg{i}")) for i in range(3)
+    ]
+    stored = stored_fields_segments(ssegs, tomb)
+    return search_page_maintained(
+        psegs,
+        stored,
+        "event_type:purchase AND k4* AND NOT u3",
+        k=10,
+        window=3,
+        tombstones=tomb,
+    )
+
+
 def phrase_search_indexed_serve(spark, sf_dir: str, tmp: str):
     """queries.docs_phrase_search_indexed's SERVING half over the
     staged full-corpus positional index — same phrase, same
@@ -576,6 +623,11 @@ STAGED_SERVES = [
     (
         "docs_search_page_fuzzy_maintained_serve",
         search_page_fuzzy_maintained_serve,
+    ),
+    # round 12: the maintained page over events
+    (
+        "events_search_page_maintained_serve",
+        events_search_page_maintained_serve,
     ),
     # round 12: the `_indexed` rows' serves over the staged pay-once
     # plain index (their builds live in plain_index_build)

@@ -102,17 +102,47 @@ def main():
     c = _med(upsert)
     print(f"frame-tier upsert (2k tokens, semi-bounded scan): {c:.2f}s")
 
-    # round 12 (r11 verdict #5): the literal In(token) tier — the
-    # delta's tokens collect driver-side and prune every segment
-    # scan's row groups instead of merely bounding rows in flight
+    # round 12 (r11 verdict #5): the literal In(token) tier. The
+    # crossover is MEASURED (SCALE.md): literal wins/ties below ~1k
+    # delta tokens, loses past a few thousand (planning cost + parquet
+    # refusing to point-push big In-lists) — so the auto-tier face
+    # must fall back to the frame tier at this 2k delta, and a small
+    # delta must engage the literal tier and beat the frame tier.
     from esdb_spark.operators.search import spell_index_upserts_bounded
 
-    def upsert_bounded():
+    def upsert_auto():
         r, t = spell_index_upserts_bounded(segs, tomb, delta)
         r.count(), t.count()
 
-    d = _med(upsert_bounded)
-    print(f"literal-tier upsert (2k tokens, In(token) pruned): {d:.2f}s")
+    d = _med(upsert_auto)
+    print(f"auto-tier upsert (2k tokens -> frame fallback): {d:.2f}s")
+
+    def upsert_forced_literal():
+        r, t = spell_index_upserts_bounded(
+            segs, tomb, delta, max_literal_tokens=100_000
+        )
+        r.count(), t.count()
+
+    e = _med(upsert_forced_literal)
+    print(f"forced-literal upsert (2k tokens, past crossover): {e:.2f}s")
+
+    small = vocab.filter(F.crc32("token") % 1000 == 13).select(
+        "token", "term_freq"
+    ).localCheckpoint()
+    live_s = spell_segments_vocab(segs, tomb, tokens=small.select("token"))
+
+    def small_frame():
+        r, t = spell_index_upserts(live_s, small)
+        r.count(), t.count()
+
+    def small_auto():
+        r, t = spell_index_upserts_bounded(segs, tomb, small)
+        r.count(), t.count()
+
+    f = _med(small_frame)
+    g = _med(small_auto)
+    print(f"frame-tier upsert (~200 tokens): {f:.2f}s")
+    print(f"auto-tier upsert (~200 tokens -> literal In(token)): {g:.2f}s")
     spark.stop()
 
 

@@ -4133,7 +4133,7 @@ def spell_index_upserts_bounded(
     tombstones: list[DataFrame] | None,
     delta_vocab: DataFrame,
     remove: bool = False,
-    max_literal_tokens: int = 65536,
+    max_literal_tokens: int = 1024,
 ) -> tuple:
     """:func:`spell_index_upserts` with the live view AUTO-TIERED to
     the delta (round 12, the r11 verdict's #5 ask — the builder's own
@@ -4144,14 +4144,19 @@ def spell_index_upserts_bounded(
     LITERAL ``tokens=`` tier of :func:`spell_segments_vocab`: an
     ``In(token)`` in-filter lands BELOW the segment union, so every
     segment scan PRUNES row groups instead of merely
-    broadcast-semi-bounding rows in flight — the live-side cost drops
-    from O(store scan) to O(matching row groups) per epoch (measured:
-    benchmarks/spell_probe.py's upsert A/B, SCALE.md). Past the cap
-    the delta is not driver-sized and the frame tier (broadcast semi,
-    un-pruned scan, still un-shuffled) serves unchanged — the tier
-    choice changes COST, never the ``(rows, tombstones)`` answer,
-    because :func:`spell_index_upserts` re-bounds the live side to
-    the delta's tokens either way.
+    broadcast-semi-bounding rows in flight (plan-asserted in
+    test_plans.py). The cap is MEASURED, not guessed (SCALE.md
+    round-12): at probe scale (200k-token store) the tiers tie —
+    the pruning win is structural, scaling with store BYTES skipped
+    per epoch, the stored-fields ``ids=`` lesson — but past a few
+    thousand literals the tier loses outright (a many-thousand-
+    literal ``In`` costs more in planning than its pruning recovers,
+    and parquet stops point-pushing large In-lists), so past the cap
+    the frame tier (broadcast semi, un-pruned scan, still
+    un-shuffled) serves unchanged. The tier choice changes COST,
+    never the ``(rows, tombstones)`` answer, because
+    :func:`spell_index_upserts` re-bounds the live side to the
+    delta's tokens either way.
 
     Tokens lowercase before collection to match the store's stored
     form (``spell_index_upserts`` lowers its delta the same way).
