@@ -2663,10 +2663,25 @@ def events_search_page_maintained(spark, sf_dir):
     scan (at 100 TB the segments are incremental micro-batch state,
     streaming/maintain_positional_index); serving is one segment-net
     scan + a TakeOrdered; only the page's k events ship text."""
-    from esdb_spark.operators.search import (
-        build_positional_index,
-        search_page_maintained,
+    from esdb_spark.operators.search import search_page_maintained
+
+    psegs, stored, tomb = _events_page_state(spark, sf_dir)
+    return search_page_maintained(
+        psegs,
+        stored,
+        "event_type:purchase AND k4* AND NOT u3",
+        k=10,
+        window=3,
+        tombstones=tomb,
     )
+
+
+def _events_page_state(spark, sf_dir):
+    """The events maintained page's LSM state (shared by the page row
+    and its cursor row): three positional + three stored-fields
+    segments over the event_id % 3 splits of the textualized events,
+    event_id % 7 == 0 tombstones."""
+    from esdb_spark.operators.search import build_positional_index
     from esdb_spark.operators.storedfields import (
         build_stored_fields,
         stored_fields_segments,
@@ -2692,14 +2707,36 @@ def events_search_page_maintained(spark, sf_dir):
         )
         for i in range(3)
     ]
-    stored = stored_fields_segments(ssegs, tomb)
+    return psegs, stored_fields_segments(ssegs, tomb), tomb
+
+
+def events_search_page_maintained_cursor(spark, sf_dir):
+    """Keyset pagination of the EVENTS maintained page (round 12 —
+    the reference's continuation-cursor concept, stream/stream.go:36,
+    composed with the maintained serving stack over its own data
+    model): run page 1 of 'event_type:purchase AND k4* AND NOT u3'
+    from the positional + stored-fields LSM state, take its last
+    (n_terms_matched, doc) as the cursor, and return PAGE 2 — the
+    next 10 events under the same total order, ranks restarting at 1.
+    Keyset, never OFFSET: page N costs page 1. The oracle replays the
+    GLOBAL ranking over the surviving events and slices rows 11–20,
+    so one hash asserts cursor-paged == globally-ranked through the
+    maintained stores."""
+    from esdb_spark.operators.search import search_page_maintained
+
+    psegs, stored, tomb = _events_page_state(spark, sf_dir)
+    q = "event_type:purchase AND k4* AND NOT u3"
+    page1 = search_page_maintained(
+        psegs, stored, q, k=10, window=3, tombstones=tomb
+    ).collect()
+    if not page1:
+        return search_page_maintained(
+            psegs, stored, q, k=10, window=3, tombstones=tomb
+        )
+    last = page1[-1]
     return search_page_maintained(
-        psegs,
-        stored,
-        "event_type:purchase AND k4* AND NOT u3",
-        k=10,
-        window=3,
-        tombstones=tomb,
+        psegs, stored, q, k=10, window=3, tombstones=tomb,
+        after=(last["n_terms_matched"], last["doc"]),
     )
 
 
@@ -5870,6 +5907,63 @@ _PIPELINE_ORACLES = {
         FROM page p LEFT JOIN hit h ON p.doc = h.doc
         ORDER BY p.rank
     """,
+    # keyset page 2 of the events maintained page: rows 11-20 of the
+    # GLOBAL ranking over the survivors, rank renumbered per page
+    "events_search_page_maintained_cursor": """
+        WITH t AS (
+          SELECT event_id AS doc, event_type,
+                 list_filter(
+                   regexp_split_to_array(
+                     lower(trim(concat_ws(' ', event_type,
+                       'u' || CAST(user_id AS VARCHAR),
+                       'k' || json_extract_string(props, '$.k')))),
+                     '\\s+'),
+                   x -> x != '') AS toks
+          FROM events
+          WHERE event_id % 7 != 0
+        ),
+        f AS (
+          SELECT doc, toks,
+                 coalesce(lower(event_type) = 'purchase', false) AS t_f,
+                 len(list_filter(toks, x -> x LIKE 'k4%')) > 0 AS t_k,
+                 list_contains(toks, 'u3') AS t_u
+          FROM t
+        ),
+        m AS (
+          SELECT doc, toks,
+                 CAST(t_f::INT + t_k::INT + t_u::INT
+                      AS BIGINT) AS n_terms_matched
+          FROM f WHERE t_f AND t_k AND NOT t_u
+        ),
+        page AS (
+          SELECT doc, toks, n_terms_matched,
+                 CAST(row_number() OVER (
+                     ORDER BY n_terms_matched DESC, doc
+                 ) - 10 AS BIGINT) AS rank
+          FROM m QUALIFY row_number() OVER (
+                     ORDER BY n_terms_matched DESC, doc
+                 ) BETWEEN 11 AND 20
+        ),
+        hit AS (
+          SELECT doc, CAST(min(i) - 1 AS BIGINT) AS first_pos
+          FROM (
+            SELECT doc, unnest(generate_series(1, len(toks))) AS i,
+                   toks
+            FROM page
+          )
+          WHERE toks[i] LIKE 'k4%' OR toks[i] = 'u3'
+          GROUP BY doc
+        )
+        SELECT p.rank, p.doc, p.n_terms_matched,
+               coalesce(h.first_pos, 0) AS first_pos,
+               array_to_string(
+                 p.toks[greatest(1, coalesce(h.first_pos, 0) + 1 - 3)
+                        : least(len(p.toks),
+                                coalesce(h.first_pos, 0) + 1 + 3)],
+                 ' ') AS snippet
+        FROM page p LEFT JOIN hit h ON p.doc = h.doc
+        ORDER BY p.rank
+    """,
     # same survivor-vocabulary truth for the maintained SPELL STORE
     # row (the variant rows as LSM state; round 11)
     "docs_suggest_maintained": f"""
@@ -8697,6 +8791,10 @@ def catalog() -> dict[str, Q]:
         ("docs_suggest_maintained", docs_suggest_maintained),
         ("events_payload_search", events_payload_search),
         ("events_search_page_maintained", events_search_page_maintained),
+        (
+            "events_search_page_maintained_cursor",
+            events_search_page_maintained_cursor,
+        ),
         ("docs_boolean_wildcard_search", docs_boolean_wildcard_search),
         ("docs_sloppy_phrase_search", docs_sloppy_phrase_search),
         ("docs_fuzzy_search", docs_fuzzy_search),
