@@ -536,3 +536,85 @@ def test_two_phase_append_partial_promote_resumes(spark, tmp_path):
     rows = st.df.collect()
     assert len(rows) == 8
     assert sorted(r["seq"] for r in rows) == list(range(8))
+
+
+def test_events_page_served_from_streamed_stores(spark, tmp_path):
+    """Round 12: the events maintained page end-to-end through the
+    STREAMING maintainers — event-payload CDC (insert epoch, then a
+    delete epoch) folds into the positional and stored-fields LSM
+    stores via their streaming faces, and search_page_maintained over
+    the streamed state equals the corpus-face page over the surviving
+    textualized events. The batch catalog row
+    (events_search_page_maintained) certifies the same serve from
+    batch-built segments; this test certifies the stores ARRIVE at
+    that state through foreachBatch epochs."""
+    from pyspark.sql import functions as F
+
+    from esdb_spark.operators.search import (
+        search_page,
+        search_page_maintained,
+    )
+    from esdb_spark.operators.storedfields import stored_fields_segments
+    from esdb_spark.queries import _events_textualized
+    from esdb_spark.streaming import (
+        maintain_positional_index_lsm,
+        maintain_stored_fields,
+        read_maintained_index_segments,
+    )
+
+    txt = _events_textualized(spark, "/root/testdata/sf0.001")
+    src = str(tmp_path / "chg")
+    pstate, sstate = str(tmp_path / "pos"), str(tmp_path / "sf")
+    pck, sck = str(tmp_path / "pck"), str(tmp_path / "sck")
+    schema = "doc_id bigint, text string, event_type string, op string"
+    epochs = [
+        txt.withColumn("op", F.lit("insert")),
+        txt.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "op", F.lit("delete")
+        ),
+    ]
+    for i, ep in enumerate(epochs):
+        mode = "overwrite" if i == 0 else "append"
+        ep.coalesce(1).write.mode(mode).json(src)
+        for maint, state, ck in (
+            (
+                lambda s: maintain_positional_index_lsm(
+                    s, pstate, op_col="op", checkpoint=pck,
+                    query_name=f"evp_{i}",
+                ),
+                pstate,
+                pck,
+            ),
+            (
+                lambda s: maintain_stored_fields(
+                    s, sstate, cols=["text", "event_type"], op_col="op",
+                    checkpoint=sck, query_name=f"evs_{i}",
+                ),
+                sstate,
+                sck,
+            ),
+        ):
+            stream = spark.readStream.schema(schema).json(src)
+            q = maint(stream)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+    plive, ptomb = read_maintained_index_segments(spark, pstate)
+    slive, stomb = read_maintained_index_segments(spark, sstate)
+    stored = stored_fields_segments(slive, stomb or None)
+    query = "event_type:purchase AND k4* AND NOT u3"
+    got = [
+        tuple(r)
+        for r in search_page_maintained(
+            plive, stored, query, k=10, window=3,
+            tombstones=ptomb or None,
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in search_page(
+            txt.filter(F.col("doc_id") % 7 != 0), query, k=10, window=3
+        ).collect()
+    ]
+    assert got == want and got
