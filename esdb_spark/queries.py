@@ -2710,6 +2710,45 @@ def _events_page_state(spark, sf_dir):
     return psegs, stored_fields_segments(ssegs, tomb), tomb
 
 
+def events_search_page_fuzzy_maintained(spark, sf_dir):
+    """The EVENTS maintained page with a FUZZY operand (round 12 —
+    typo-tolerant search over event payloads without the corpus
+    face): 'purchas~1 AND k4* AND NOT u3' — the ~1 operand expands
+    driver-side through the SymSpell index built over the event
+    segments' OWN vocabulary (positional_index_stats over the
+    segment union — the store is self-describing, no corpus read),
+    the candidates ride the ONE positional-segment net so the match,
+    first-hit position, and snippet all honor fuzzy hits; the
+    structural event_type metadata and snippet text serve from the
+    stored-fields store. The oracle replays the page from the
+    SURVIVING events with DuckDB levenshtein, so one value hash
+    certifies SymSpell expansion == edit-distance truth through the
+    whole page pipeline over the reference's own data model."""
+    from esdb_spark.operators.search import (
+        build_spell_index,
+        positional_index_stats,
+        search_page_maintained,
+    )
+
+    psegs, stored, tomb = _events_page_state(spark, sf_dir)
+    # segment-union vocabulary: a superset of the survivors' —
+    # candidates occurring only in tombstoned events match no netted
+    # rows, so the page is unchanged (the docs fuzzy-page argument)
+    vocab = positional_index_stats(
+        psegs[0].unionByName(psegs[1]).unionByName(psegs[2])
+    ).select("token", "term_freq")
+    sp = build_spell_index(vocab, max_dist=1)
+    return search_page_maintained(
+        psegs,
+        stored,
+        "purchas~1 AND k4* AND NOT u3",
+        k=10,
+        window=3,
+        tombstones=tomb,
+        spell_index=sp,
+    )
+
+
 def events_search_page_maintained_cursor(spark, sf_dir):
     """Keyset pagination of the EVENTS maintained page (round 12 —
     the reference's continuation-cursor concept, stream/stream.go:36,
@@ -3525,6 +3564,75 @@ def docs_hybrid_rrf_grammar(spark, sf_dir):
     vec = (
         mips_topk_int8(
             emb, emb.filter(F.col("vec_id") == 0), "embedding", "vec_id", k=50
+        )
+        .select(F.col("id").alias("doc_id"), F.col("rank").cast("long"))
+    )
+    return rrf_fuse([kw, vec], "doc_id", k=20, c=60)
+
+
+def docs_hybrid_rrf_grammar_segments(spark, sf_dir):
+    """The grammar-composed hybrid with its keyword leg served from
+    MAINTAINED LSM STATE (round 12 — the docs_hybrid_rrf_grammar
+    sibling, one step further: the r11 verdict asked for regex +
+    fuzzy through RRF; this row runs that keyword leg from positional
+    segments minus tombstones, with BOTH expansions fed by the
+    segments' own vocabulary): '/m[ae]rge[sd]?/ OR spark~1' answered
+    by boolean_search_positional_segments over the doc_id % 3 splits
+    minus the doc_id % 7 == 0 tombstones — the regex expands against
+    positional_index_stats of the segment union (the term-dictionary
+    discipline), the fuzzy through a SymSpell index on the same
+    vocabulary, both riding the one net in-filter — ranked
+    (matched desc, doc asc) top-50 and fused with the int8-MIPS
+    vector leg over the SAME survivor set (vec_id % 7 != 0, query
+    vec 1). Engine-exact throughout (set membership, int8 codec, two
+    IEEE RRF terms); the oracle replays the keyword truth with
+    regexp_full_match + levenshtein over the surviving corpus and the
+    quantizer bit-for-bit, so one hash certifies the full grammar
+    served from maintained state THROUGH the fusion."""
+    from esdb_spark.operators.search import (
+        boolean_search_positional_segments,
+        build_positional_index,
+        build_spell_index,
+        positional_index_stats,
+        rrf_fuse,
+        with_rank,
+    )
+    from esdb_spark.operators.similarity import mips_topk_int8
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    psegs = [
+        build_positional_index(
+            docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+        )
+        for i in range(3)
+    ]
+    tomb = [
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.col("doc_id").alias("doc")
+        )
+    ]
+    vocab = positional_index_stats(
+        psegs[0].unionByName(psegs[1]).unionByName(psegs[2])
+    ).select("token", "term_freq")
+    sp = build_spell_index(vocab, max_dist=1)
+    kw = with_rank(
+        boolean_search_positional_segments(
+            psegs,
+            "/m[ae]rge[sd]?/ OR spark~1",
+            tombstones=tomb,
+            vocab=vocab,
+            spell_index=sp,
+        )
+        .orderBy(F.desc("n_terms_matched"), F.asc("doc"))
+        .limit(50),
+        [F.desc("n_terms_matched"), F.asc("doc")],
+    ).withColumnRenamed("doc", "doc_id")
+    surv = emb.filter(F.col("vec_id") % 7 != 0)
+    vec = (
+        mips_topk_int8(
+            surv, surv.filter(F.col("vec_id") == 1), "embedding",
+            "vec_id", k=50,
         )
         .select(F.col("id").alias("doc_id"), F.col("rank").cast("long"))
     )
@@ -5907,6 +6015,65 @@ _PIPELINE_ORACLES = {
         FROM page p LEFT JOIN hit h ON p.doc = h.doc
         ORDER BY p.rank
     """,
+    # the events maintained page with a ~1 operand: the page replay
+    # from surviving events with the fuzzy flag (and the first-hit
+    # predicate) as DuckDB levenshtein — SymSpell expansion over the
+    # segments' own vocabulary == edit-distance truth
+    "events_search_page_fuzzy_maintained": """
+        WITH t AS (
+          SELECT event_id AS doc, event_type,
+                 list_filter(
+                   regexp_split_to_array(
+                     lower(trim(concat_ws(' ', event_type,
+                       'u' || CAST(user_id AS VARCHAR),
+                       'k' || json_extract_string(props, '$.k')))),
+                     '\\s+'),
+                   x -> x != '') AS toks
+          FROM events
+          WHERE event_id % 7 != 0
+        ),
+        f AS (
+          SELECT doc, toks,
+                 len(list_filter(toks,
+                     x -> levenshtein(x, 'purchas') <= 1)) > 0 AS t_fz,
+                 len(list_filter(toks, x -> x LIKE 'k4%')) > 0 AS t_k,
+                 list_contains(toks, 'u3') AS t_u
+          FROM t
+        ),
+        m AS (
+          SELECT doc, toks,
+                 CAST(t_fz::INT + t_k::INT + t_u::INT
+                      AS BIGINT) AS n_terms_matched
+          FROM f WHERE t_fz AND t_k AND NOT t_u
+        ),
+        page AS (
+          SELECT doc, toks, n_terms_matched,
+                 CAST(row_number() OVER (
+                     ORDER BY n_terms_matched DESC, doc
+                 ) AS BIGINT) AS rank
+          FROM m QUALIFY rank <= 10
+        ),
+        hit AS (
+          SELECT doc, CAST(min(i) - 1 AS BIGINT) AS first_pos
+          FROM (
+            SELECT doc, unnest(generate_series(1, len(toks))) AS i,
+                   toks
+            FROM page
+          )
+          WHERE levenshtein(toks[i], 'purchas') <= 1
+             OR toks[i] LIKE 'k4%' OR toks[i] = 'u3'
+          GROUP BY doc
+        )
+        SELECT p.rank, p.doc, p.n_terms_matched,
+               coalesce(h.first_pos, 0) AS first_pos,
+               array_to_string(
+                 p.toks[greatest(1, coalesce(h.first_pos, 0) + 1 - 3)
+                        : least(len(p.toks),
+                                coalesce(h.first_pos, 0) + 1 + 3)],
+                 ' ') AS snippet
+        FROM page p LEFT JOIN hit h ON p.doc = h.doc
+        ORDER BY p.rank
+    """,
     # keyset page 2 of the events maintained page: rows 11-20 of the
     # GLOBAL ranking over the survivors, rank renumbered per page
     "events_search_page_maintained_cursor": """
@@ -6872,6 +7039,72 @@ _PIPELINE_ORACLES = {
                      c.vec_id ASC) AS rk
             FROM emc c
             JOIN emc q ON q.vec_id = 0 AND c.vec_id != q.vec_id
+          ) WHERE rk <= 50
+        )
+        SELECT doc_id,
+               CAST((kwr.rk IS NOT NULL)::INT + (vr.rk IS NOT NULL)::INT
+                    AS BIGINT) AS n_lists,
+               coalesce(1.0 / (60.0 + kwr.rk::DOUBLE), 0.0)
+                 + coalesce(1.0 / (60.0 + vr.rk::DOUBLE), 0.0) AS rrf
+        FROM kwr FULL OUTER JOIN vr USING (doc_id)
+        ORDER BY rrf DESC, doc_id ASC LIMIT 20
+    """,
+    # the grammar hybrid from maintained state: keyword truth over the
+    # SURVIVORS (doc_id % 7 != 0) with regexp_full_match + levenshtein;
+    # vector leg over the surviving embeddings, query vec 1
+    "docs_hybrid_rrf_grammar_segments": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOK} AS toks FROM documents
+          WHERE doc_id % 7 != 0
+        ),
+        f AS (
+          SELECT doc_id,
+                 len(list_filter(toks,
+                     x -> regexp_full_match(x, 'm[ae]rge[sd]?'))) > 0
+                   AS t_re,
+                 len(list_filter(toks,
+                     x -> levenshtein(x, 'spark') <= 1)) > 0 AS t_fz
+          FROM t
+        ),
+        kw AS (
+          SELECT doc_id,
+                 CAST(t_re::INT + t_fz::INT AS BIGINT) AS score
+          FROM f WHERE t_re OR t_fz
+        ),
+        kwr AS (
+          SELECT doc_id, row_number() OVER (
+                   ORDER BY score DESC, doc_id ASC) AS rk
+          FROM kw QUALIFY rk <= 50
+        ),
+        emq AS (
+          SELECT vec_id,
+                 coalesce(list_max(list_transform(
+                     embedding, x -> abs(CAST(x AS DOUBLE))
+                 )), 0.0) / 127.0 AS s,
+                 embedding
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND vec_id % 7 != 0
+        ),
+        emc AS (
+          SELECT vec_id, s,
+                 CASE WHEN s > 0 THEN
+                     list_transform(embedding, x -> CAST(
+                         sign(CAST(x AS DOUBLE) / s)
+                         * floor(abs(CAST(x AS DOUBLE) / s) + 0.5)
+                     AS BIGINT))
+                 ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+                 END AS code
+          FROM emq
+        ),
+        vr AS (
+          SELECT doc_id, rk FROM (
+            SELECT c.vec_id AS doc_id, row_number() OVER (
+                     ORDER BY c.s * CAST(list_sum(list_transform(
+                         list_zip(c.code, q.code), p -> p[1] * p[2]
+                     )) AS DOUBLE) DESC,
+                     c.vec_id ASC) AS rk
+            FROM emc c
+            JOIN emc q ON q.vec_id = 1 AND c.vec_id != q.vec_id
           ) WHERE rk <= 50
         )
         SELECT doc_id,
@@ -8792,6 +9025,10 @@ def catalog() -> dict[str, Q]:
         ("events_payload_search", events_payload_search),
         ("events_search_page_maintained", events_search_page_maintained),
         (
+            "events_search_page_fuzzy_maintained",
+            events_search_page_fuzzy_maintained,
+        ),
+        (
             "events_search_page_maintained_cursor",
             events_search_page_maintained_cursor,
         ),
@@ -8822,6 +9059,10 @@ def catalog() -> dict[str, Q]:
         ("docs_faceted_counts", docs_faceted_counts),
         ("docs_hybrid_rrf", docs_hybrid_rrf),
         ("docs_hybrid_rrf_grammar", docs_hybrid_rrf_grammar),
+        (
+            "docs_hybrid_rrf_grammar_segments",
+            docs_hybrid_rrf_grammar_segments,
+        ),
         ("docs_phrase_search", docs_phrase_search),
         ("docs_inverted_index", docs_inverted_index),
         ("docs_inverted_index_updated", docs_inverted_index_updated),
