@@ -2710,6 +2710,60 @@ def _events_page_state(spark, sf_dir):
     return psegs, stored_fields_segments(ssegs, tomb), tomb
 
 
+def events_suggest_maintained(spark, sf_dir):
+    """The MAINTAINED SPELL STORE over the EVENT vocabulary (round 12
+    — the fifth LSM store tied to the §2 data model the way the page
+    rows tie the other four): the textualized event payloads'
+    vocabulary runs the full three-epoch protocol — bulk-build the
+    event_id % 10 != 0 tokens' spell segment, APPEND the rest
+    (spell_index_upserts: tombstone + pre-compacted re-insert),
+    DELETE the event_id % 7 == 0 events' tokens through the
+    auto-tiered bounded face (driver-sized event vocabularies take
+    the literal In(token) tier) — then "did you mean" answers for the
+    typo'd event term 'purchse' from segments ∪ tombstones with NO
+    re-expansion. The oracle is brute levenshtein over the SURVIVING
+    events' vocabulary in DuckDB: one hash certifies the upsert
+    algebra, the folds, the tombstones, and SymSpell completeness
+    over event-payload text."""
+    from esdb_spark.functions import tokens
+    from esdb_spark.operators.search import (
+        build_spell_index,
+        compact_spell_segments,
+        spell_index_upserts,
+        spell_index_upserts_bounded,
+        suggest_terms_segments,
+    )
+
+    txt = _events_textualized(spark, sf_dir)
+
+    def vocab(d):
+        return (
+            d.select(F.explode(tokens("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").cast("long").alias("term_freq"))
+        )
+
+    v0 = vocab(txt.filter(F.col("doc_id") % 10 != 0)).localCheckpoint()
+    seg0 = build_spell_index(v0)
+    r1, t1 = spell_index_upserts(
+        v0, vocab(txt.filter(F.col("doc_id") % 10 == 0))
+    )
+    seg_p = compact_spell_segments([seg0], [t1]).localCheckpoint()
+    seg1 = build_spell_index(r1).localCheckpoint()
+    dead_v = vocab(txt.filter(F.col("doc_id") % 7 == 0)).localCheckpoint()
+    r2, t2 = spell_index_upserts_bounded(
+        [seg_p, seg1], None, dead_v, remove=True
+    )
+    r2, t2 = r2.localCheckpoint(), t2.localCheckpoint()
+    t2_re = t2.join(r2.select("token"), "token", "left_semi")
+    t2_dead = t2.join(r2.select("token"), "token", "left_anti")
+    seg_c = compact_spell_segments([seg_p, seg1], [t2_re])
+    seg2 = build_spell_index(r2)
+    return suggest_terms_segments(
+        [seg_c, seg2], "purchse", max_dist=2, k=5, tombstones=[t2_dead]
+    )
+
+
 def events_search_page_fuzzy_maintained(spark, sf_dir):
     """The EVENTS maintained page with a FUZZY operand (round 12 —
     typo-tolerant search over event payloads without the corpus
@@ -6015,6 +6069,30 @@ _PIPELINE_ORACLES = {
         FROM page p LEFT JOIN hit h ON p.doc = h.doc
         ORDER BY p.rank
     """,
+    # the maintained spell store over the EVENT vocabulary: brute
+    # levenshtein over the surviving events' tokens is the suggest
+    # truth the three-epoch LSM protocol must reproduce
+    "events_suggest_maintained": """
+        WITH ex AS (
+          SELECT unnest(list_filter(
+                   regexp_split_to_array(
+                     lower(trim(concat_ws(' ', event_type,
+                       'u' || CAST(user_id AS VARCHAR),
+                       'k' || json_extract_string(props, '$.k')))),
+                     '\\s+'),
+                   x -> x != '')) AS token
+          FROM events WHERE event_id % 7 != 0
+        ),
+        v AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS term_freq
+          FROM ex GROUP BY token
+        )
+        SELECT token, term_freq,
+               CAST(levenshtein(token, 'purchse') AS BIGINT) AS dist
+        FROM v
+        WHERE levenshtein(token, 'purchse') <= 2
+        ORDER BY dist, term_freq DESC, token LIMIT 5
+    """,
     # the events maintained page with a ~1 operand: the page replay
     # from surviving events with the fuzzy flag (and the first-hit
     # predicate) as DuckDB levenshtein — SymSpell expansion over the
@@ -9024,6 +9102,7 @@ def catalog() -> dict[str, Q]:
         ("docs_suggest_maintained", docs_suggest_maintained),
         ("events_payload_search", events_payload_search),
         ("events_search_page_maintained", events_search_page_maintained),
+        ("events_suggest_maintained", events_suggest_maintained),
         (
             "events_search_page_fuzzy_maintained",
             events_search_page_fuzzy_maintained,
