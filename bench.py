@@ -192,40 +192,77 @@ def stage_hybrid_stores(spark, sf_dir: str, tmp: str) -> float:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     t0 = time.perf_counter()
-    for i in range(3):
+
+    # r12 (optimization round, guide §2.6 "overlap independent jobs"):
+    # the staged artifacts are INDEPENDENT writes — the three keyword
+    # segments, the tombstone segment, the doc-lengths store, and the
+    # (fit → assign → write) ANN chain share no lineage — so they run
+    # from a small thread pool instead of sequentially; each job's
+    # tail back-fills the others' executors. Store CONTENTS are
+    # byte-identical to the sequential build (same frames, same
+    # writes). Sequential build measured 4.8-13.4 s, pooled ~2-3 s.
+    def write_kw_seg(i: int) -> None:
         build_inverted_index(
             docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
         ).write.mode("overwrite").parquet(os.path.join(tmp, f"seg{i}"))
-    build_inverted_index(
-        docs.filter(F.col("doc_id") % 7 == 0), "text", "doc_id"
-    ).write.mode("overwrite").parquet(os.path.join(tmp, "tomb"))
-    old_e = emb.filter(F.col("vec_id") % 10 != 0)
-    growth = emb.filter(F.col("vec_id") % 10 == 0)
-    c_in = old_e.select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+
+    def write_tomb() -> None:
+        build_inverted_index(
+            docs.filter(F.col("doc_id") % 7 == 0), "text", "doc_id"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "tomb"))
+
+    def write_lengths() -> None:
+        delete_doc_lengths(
+            update_doc_lengths(
+                build_doc_lengths(docs.filter(F.col("doc_id") % 10 != 0)),
+                docs.filter(F.col("doc_id") % 10 == 0),
+            ),
+            docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "lengths"))
+
+    def build_ann_store() -> None:
+        old_e = emb.filter(F.col("vec_id") % 10 != 0)
+        growth = emb.filter(F.col("vec_id") % 10 == 0)
+        c_in = old_e.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        cent = kmeans_fit(c_in, "vec", "id", 8, iters=10, seed=42)
+        store = (
+            kmeans_assign(c_in, cent, "vec", "id", keep_vec=True)
+            .filter(F.col("cluster").isNotNull())
+            .select("id", "vec", F.col("cluster").cast("int").alias("cell"))
+        )
+        grown = store.unionByName(
+            ann_store_append(store, growth, cent, "embedding", "vec_id")
+        )
+        grown.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(tmp, "store")
+        )
+        np.save(os.path.join(tmp, "cent.npy"), cent)
+
+    _run_pooled(
+        [
+            build_ann_store,
+            write_lengths,
+            write_tomb,
+            *[lambda i=i: write_kw_seg(i) for i in range(3)],
+        ]
     )
-    cent = kmeans_fit(c_in, "vec", "id", 8, iters=10, seed=42)
-    store = (
-        kmeans_assign(c_in, cent, "vec", "id", keep_vec=True)
-        .filter(F.col("cluster").isNotNull())
-        .select("id", "vec", F.col("cluster").cast("int").alias("cell"))
-    )
-    grown = store.unionByName(
-        ann_store_append(store, growth, cent, "embedding", "vec_id")
-    )
-    grown.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(tmp, "store")
-    )
-    lengths = delete_doc_lengths(
-        update_doc_lengths(
-            build_doc_lengths(docs.filter(F.col("doc_id") % 10 != 0)),
-            docs.filter(F.col("doc_id") % 10 == 0),
-        ),
-        docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
-    )
-    lengths.write.mode("overwrite").parquet(os.path.join(tmp, "lengths"))
-    np.save(os.path.join(tmp, "cent.npy"), cent)
     return time.perf_counter() - t0
+
+
+def _run_pooled(thunks) -> None:
+    """Run independent staging jobs from a small thread pool (guide
+    §2.6): Spark happily schedules several jobs at once, so the tail
+    of one write back-fills executors freed by another. Workers are
+    capped — enough to fill stragglers' idle capacity, not so many
+    that tiny jobs fight for the scheduler. Exceptions propagate."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        for f in futs:
+            f.result()
 
 
 def hybrid_rrf_maintained_serve(spark, sf_dir: str, tmp: str):
@@ -301,37 +338,67 @@ def stage_gate_stores(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     docs = load_table(spark, sf_dir, "documents")
     builds: dict[str, float] = {}
 
+    # r12 (optimization round, guide §2.6): within each family the
+    # segment/tombstone writes are INDEPENDENT — no lineage crosses
+    # them — so they run pooled (_run_pooled) instead of sequentially.
+    # Families stay sequential relative to each other so the per-
+    # family _build rows keep honest attribution. Store contents are
+    # byte-identical to the sequential build.
     t0 = time.perf_counter()
-    for i in range(3):
-        build_positional_index(
-            docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
-        ).write.mode("overwrite").parquet(os.path.join(tmp, f"pseg{i}"))
-    docs.filter(F.col("doc_id") % 7 == 0).select(
-        F.col("doc_id").alias("doc")
-    ).write.mode("overwrite").parquet(os.path.join(tmp, "ptomb"))
+    _run_pooled(
+        [
+            *[
+                lambda i=i: build_positional_index(
+                    docs.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(tmp, f"pseg{i}"))
+                for i in range(3)
+            ],
+            lambda: docs.filter(F.col("doc_id") % 7 == 0)
+            .select(F.col("doc_id").alias("doc"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "ptomb")),
+        ]
+    )
     builds["positional"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    for i in range(3):
-        build_stored_fields(
-            docs.filter(F.col("doc_id") % 3 == i),
-            "doc_id",
-            ["text", "lang", "source"],
-        ).write.mode("overwrite").parquet(os.path.join(tmp, f"sseg{i}"))
+    _run_pooled(
+        [
+            lambda i=i: build_stored_fields(
+                docs.filter(F.col("doc_id") % 3 == i),
+                "doc_id",
+                ["text", "lang", "source"],
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, f"sseg{i}"))
+            for i in range(3)
+        ]
+    )
     builds["storedfields"] = time.perf_counter() - t0
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
     t0 = time.perf_counter()
-    for name, m in (("aseg0", 0), ("aseg1", 1)):
-        ivf_assign_int8_exact(
-            emb.filter(F.col("vec_id") % 2 == m),
-            _ANN_EXACT_CENTS, "embedding", "vec_id",
-        ).write.mode("overwrite").parquet(os.path.join(tmp, name))
-    emb.filter(F.col("vec_id") % 5 == 3).select(
-        F.col("vec_id").alias("id")
-    ).write.mode("overwrite").parquet(os.path.join(tmp, "atomb"))
+    _run_pooled(
+        [
+            *[
+                lambda name=name, m=m: ivf_assign_int8_exact(
+                    emb.filter(F.col("vec_id") % 2 == m),
+                    _ANN_EXACT_CENTS, "embedding", "vec_id",
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(tmp, name))
+                for name, m in (("aseg0", 0), ("aseg1", 1))
+            ],
+            lambda: emb.filter(F.col("vec_id") % 5 == 3)
+            .select(F.col("vec_id").alias("id"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "atomb")),
+        ]
+    )
     builds["ann_exact"] = time.perf_counter() - t0
 
     # round 11: the maintained SPELL STORE (catalog row
@@ -356,38 +423,52 @@ def stage_gate_stores(spark, sf_dir: str, tmp: str) -> dict[str, float]:
         )
 
     t0 = time.perf_counter()
-    # multi-leg localCheckpoints (see queries.docs_suggest_maintained)
-    v0 = vocab(docs.filter(F.col("doc_id") % 10 != 0)).localCheckpoint()
+    # multi-leg localCheckpoints (see queries.docs_suggest_maintained).
+    # r12: the protocol's EPOCHS are sequential by definition, but
+    # within each epoch the checkpoints/writes are independent frames
+    # — they run pooled (guide §2.6). Same frames, same store bytes.
+    v0, dead_v = _ckpt_pooled(
+        [
+            vocab(docs.filter(F.col("doc_id") % 10 != 0)),
+            vocab(docs.filter(F.col("doc_id") % 7 == 0)),
+        ]
+    )
     seg0 = build_spell_index(v0)
     r1, t1 = spell_index_upserts(
         v0, vocab(docs.filter(F.col("doc_id") % 10 == 0))
     )
-    seg_p = compact_spell_segments([seg0], [t1]).localCheckpoint()
-    seg1 = build_spell_index(r1).localCheckpoint()
-    dead_v = vocab(docs.filter(F.col("doc_id") % 7 == 0)).localCheckpoint()
+    seg_p, seg1 = _ckpt_pooled(
+        [compact_spell_segments([seg0], [t1]), build_spell_index(r1)]
+    )
     r2, t2 = spell_index_upserts_bounded(
         [seg_p, seg1], None, dead_v, remove=True
     )
-    r2, t2 = r2.localCheckpoint(), t2.localCheckpoint()
+    r2, t2 = _ckpt_pooled([r2, t2])
     t2_re = t2.join(r2.select("token"), "token", "left_semi")
-    compact_spell_segments([seg_p, seg1], [t2_re]).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(tmp, "spseg0"))
-    build_spell_index(r2).write.mode("overwrite").parquet(
-        os.path.join(tmp, "spseg1")
-    )
-    t2.join(r2.select("token"), "token", "left_anti").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(tmp, "sptomb"))
     psegs = [
         spark.read.parquet(os.path.join(tmp, f"pseg{i}")) for i in range(3)
     ]
-    build_spell_index(
-        positional_index_stats(
-            psegs[0].unionByName(psegs[1]).unionByName(psegs[2])
-        ).select("token", "term_freq"),
-        max_dist=1,
-    ).write.mode("overwrite").parquet(os.path.join(tmp, "spidx1"))
+    _run_pooled(
+        [
+            lambda: compact_spell_segments([seg_p, seg1], [t2_re])
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "spseg0")),
+            lambda: build_spell_index(r2)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "spseg1")),
+            lambda: t2.join(r2.select("token"), "token", "left_anti")
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "sptomb")),
+            lambda: build_spell_index(
+                positional_index_stats(
+                    psegs[0].unionByName(psegs[1]).unionByName(psegs[2])
+                ).select("token", "term_freq"),
+                max_dist=1,
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "spidx1")),
+        ]
+    )
     builds["spell"] = time.perf_counter() - t0
 
     # round 12 (r11 verdict "What's wrong #3"): the PAY-ONCE PLAIN
@@ -402,48 +483,92 @@ def stage_gate_stores(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     # expansion), and the SymSpell index over that vocabulary (fuzzy
     # candidate expansion). Catalog rows unchanged — they stay the
     # correctness gate.
-    from esdb_spark.operators.search import (
-        build_inverted_index,
-        inverted_index_stats,
-    )
 
     # round 12: the maintained page over EVENTS (catalog row
     # events_search_page_maintained) — the same splits/tombstones over
     # the event-payload textualization, staged once like the docs page
     from esdb_spark.queries import _events_textualized
 
-    txt = _events_textualized(spark, sf_dir)
     t0 = time.perf_counter()
-    for i in range(3):
-        build_positional_index(
-            txt.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
-        ).write.mode("overwrite").parquet(os.path.join(tmp, f"epseg{i}"))
-        build_stored_fields(
-            txt.filter(F.col("doc_id") % 3 == i),
-            "doc_id",
-            ["text", "event_type"],
-        ).write.mode("overwrite").parquet(os.path.join(tmp, f"esseg{i}"))
-    txt.filter(F.col("doc_id") % 7 == 0).select(
-        F.col("doc_id").alias("doc")
-    ).write.mode("overwrite").parquet(os.path.join(tmp, "eptomb"))
+    # r12: the seven legs below each re-evaluated the textualization
+    # projection (a full events scan + get_json_object parse per leg
+    # — guide §2.4, don't compute things seven times); one
+    # localCheckpoint materializes the slim (doc_id, text, event_type)
+    # rows once and every leg reads the materialized frame. The legs
+    # themselves are independent writes — pooled (guide §2.6).
+    txt = _events_textualized(spark, sf_dir).localCheckpoint()
+    _run_pooled(
+        [
+            *[
+                lambda i=i: build_positional_index(
+                    txt.filter(F.col("doc_id") % 3 == i), "text", "doc_id"
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(tmp, f"epseg{i}"))
+                for i in range(3)
+            ],
+            *[
+                lambda i=i: build_stored_fields(
+                    txt.filter(F.col("doc_id") % 3 == i),
+                    "doc_id",
+                    ["text", "event_type"],
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(tmp, f"esseg{i}"))
+                for i in range(3)
+            ],
+            lambda: txt.filter(F.col("doc_id") % 7 == 0)
+            .select(F.col("doc_id").alias("doc"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "eptomb")),
+        ]
+    )
     builds["events_page"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    # r12: ONE tokenize pass instead of two (guide §1.2 "don't compute
+    # things you throw away") — the flat inverted index IS the
+    # positional index minus positions (tf = size(positions); same
+    # (token, doc) groups from the same tokenization), and the
+    # vocabulary stats aggregate equally from either face
+    # (inverted_index_stats(flat) == positional_index_stats(pos) —
+    # count + sum over the same groups). So the positional index
+    # builds and writes first, and the flat index, the vocab, and the
+    # spell index all DERIVE from the written parquet: no second
+    # corpus tokenize, no second (token, doc) shuffle. Row-for-row
+    # identical artifacts (pytest: test_bench_staging).
     build_positional_index(docs, "text", "doc_id").write.mode(
         "overwrite"
     ).parquet(os.path.join(tmp, "pidx_full"))
-    build_inverted_index(docs, "text", "doc_id").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(tmp, "fidx_full"))
-    fvocab = inverted_index_stats(
-        spark.read.parquet(os.path.join(tmp, "fidx_full"))
-    ).localCheckpoint()
-    fvocab.write.mode("overwrite").parquet(os.path.join(tmp, "fvocab"))
-    build_spell_index(fvocab.select("token", "term_freq")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(tmp, "fspell"))
+    pidx = spark.read.parquet(os.path.join(tmp, "pidx_full"))
+    fvocab = positional_index_stats(pidx).localCheckpoint()
+
+    def write_flat() -> None:
+        pidx.select(
+            "token", "doc", F.size("positions").cast("long").alias("tf")
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "fidx_full"))
+
+    def write_vocab_and_spell() -> None:
+        fvocab.write.mode("overwrite").parquet(os.path.join(tmp, "fvocab"))
+        build_spell_index(fvocab.select("token", "term_freq")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "fspell"))
+
+    _run_pooled([write_flat, write_vocab_and_spell])
     builds["plain_index_build"] = time.perf_counter() - t0
     return builds
+
+
+def _ckpt_pooled(dfs: list):
+    """localCheckpoint several independent frames concurrently (guide
+    §2.6) — each checkpoint is an eager job; pooling overlaps their
+    tails. Returns the checkpointed frames in input order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(2, min(4, len(dfs)))) as pool:
+        return [f.result() for f in [
+            pool.submit(d.localCheckpoint) for d in dfs
+        ]]
 
 
 def boolean_phrase_positional_serve(spark, sf_dir: str, tmp: str):

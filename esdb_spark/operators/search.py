@@ -47,6 +47,22 @@ from esdb_spark.functions import tokens
 
 
 
+def _all_leaf_relations(dfs: list[DataFrame]) -> bool:
+    """True when every frame is a bare LEAF relation (e.g.
+    ``spark.read.parquet`` of a persisted segment) — the shape where
+    re-reading a pruned scan beats materializing an intermediate.
+    Frames with any lineage above the leaf (inline index builds,
+    filters, unions) return False so multi-leg consumers keep the
+    materialize-once rule. Conservative on errors."""
+    try:
+        return all(
+            d._jdf.queryExecution().analyzed().children().isEmpty()
+            for d in dfs
+        )
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect; be safe
+        return False
+
+
 def _normalize_terms(terms: list[str], caller: str) -> list[str]:
     """Shared query-term normalization: lowercase, dedupe, drop blank
     terms (tokens() never emits empty strings, so they can never
@@ -3802,6 +3818,16 @@ def build_spell_index(
         F.lower(F.col(term_col)).alias("token"),
         F.col(freq_col).cast("long").alias("term_freq"),
     )
+    # No .distinct(): _deletion_variants dedupes within each token
+    # (array_union / array_distinct), and a vocabulary is one row per
+    # token by contract (every caller passes a groupBy(token) result),
+    # so (vh, token) rows are already unique — the distinct was a pure
+    # extra shuffle of the whole variant fan-out before every segment
+    # write (r12 A/B at sf0.1: 0.75 s vs 0.56 s warm per build, and
+    # one fewer job per epoch). linkage.fuzzy_join_levenshtein KEEPS
+    # its no-op distinct deliberately — there the exchange feeds a
+    # self-join and was measured faster; here the output feeds parquet
+    # writes and in-filter serves, where the exchange is pure cost.
     return (
         low.select(
             "token",
@@ -3811,7 +3837,6 @@ def build_spell_index(
             ).alias("_sv"),
         )
         .select(F.md5(F.col("_sv")).alias("vh"), "token", "term_freq")
-        .distinct()
         .withColumn("max_dist", F.lit(max_dist).cast("int"))
     )
 
@@ -4480,36 +4505,42 @@ def search_page(
     matched = _page_after_filter(
         boolean_search(df, query, text_col, id_col), after, "search_page"
     )
-    page = (
-        matched.orderBy(F.desc("n_terms_matched"), "doc")
-        .limit(k)
-        .withColumn(
-            "rank",
-            F.row_number()
-            .over(
-                Window.orderBy(F.desc("n_terms_matched"), "doc")
-            )
-            .cast("long"),
-        )
-        # THREE legs reference the page (snippet join + two broadcast
-        # probes) and a plan reference re-executes the whole boolean
-        # match per leg — k rows, materialize once (review finding;
-        # the multi-leg rule)
-        .localCheckpoint()
+    # r12 (optimization round): ONE TakeOrdered collect replaces the
+    # old orderBy → limit → row_number window → localCheckpoint →
+    # per-leg broadcast probes (two jobs became one): rank IS the
+    # position in the total order (n_terms_matched desc, doc asc; doc
+    # unique ⇒ total), computed driver-side, and the k-row page
+    # re-enters the plan as a literal local relation. The page docs
+    # push into the snippet/first-hit legs as a LITERAL in-filter —
+    # sargable on a parquet corpus where the broadcast join it
+    # replaces could not prune the scan. Identical values and types
+    # (pytest parity; the catalog row's oracle re-ranks the page).
+    page_rows = (
+        matched.orderBy(F.desc("n_terms_matched"), "doc").limit(k).collect()
     )
+    from pyspark.sql import types as _T
+
+    page = df.sparkSession.createDataFrame(
+        [(*tuple(r), i + 1) for i, r in enumerate(page_rows)],
+        _T.StructType(
+            list(matched.schema.fields)
+            + [_T.StructField("rank", _T.LongType())]
+        ),
+    )
+    page_ids = [r["doc"] for r in page_rows]
     # fuzzy-matched tokens count as hits for first_pos (the corpus
     # face serves fuzzies via the levenshtein disjunct)
     pred = _token_match_predicate(node, with_fuzzies=True)
     toked = df.select(
         F.col(id_col).alias("doc"), tokens(text_col).alias("_sp_toks")
-    ).join(F.broadcast(page.select("doc")), "doc")
+    ).filter(F.col("doc").isin(page_ids))
     if pred is not None:
         first = (
             df.select(
                 F.col(id_col).alias("doc"),
                 F.posexplode(tokens(text_col)).alias("pos", "token"),
             )
-            .join(F.broadcast(page.select("doc")), "doc")
+            .filter(F.col("doc").isin(page_ids))
             .filter(pred)
             .groupBy("doc")
             .agg(F.min("pos").cast("long").alias("first_pos"))
@@ -4519,8 +4550,12 @@ def search_page(
             "doc", F.lit(0).cast("long").alias("first_pos")
         )
     out = (
-        page.join(toked, "doc")
-        .join(first, "doc", "left")
+        # the literal page frame is RDD-backed (createDataFrame), so
+        # Catalyst has no size stats anywhere in these joins — hint
+        # the k-row-bounded build sides explicitly or they fall back
+        # to sort-merge (left-outer joins can only build on the right)
+        page.join(F.broadcast(toked), "doc")
+        .join(F.broadcast(first), "doc", "left")
         .select(
             "rank",
             "doc",
@@ -4731,17 +4766,26 @@ def search_page_maintained(
     )
     prefixes = _bool_prefixes(node)
     if terms or prefixes:
-        # ONE netting of the segments feeds BOTH the match evaluation
-        # and the first-hit positions (the multi-leg rule — calling
-        # the segments face and then re-netting for positions would
-        # execute the union + tombstone probe twice per page)
+        # ONE netting expression feeds BOTH the match evaluation and
+        # the first-hit positions. r12: on PARQUET-BACKED segments
+        # (every leaf-relation segment — the deployment shape) the net
+        # is no longer localCheckpointed: each leg re-reads a scan
+        # PRUNED by the terms in-filter (sargable, the whole point of
+        # the maintained store), so re-deriving the O(matching-rows)
+        # net per leg is cheaper than a synchronous materialize job
+        # (interleaved A/B at sf0.1: ckpt 2.12/1.73 s vs lazy
+        # 1.85/1.62 s per serve; identical results). INLINE-built
+        # segments keep the multi-leg materialize — there a leg
+        # re-derivation would re-run the whole index build.
         net = _positional_net_rows(
             segments,
             tombstones,
             "search_page_maintained",
             terms=terms,
             prefixes=prefixes or None,
-        ).localCheckpoint()
+        )
+        if not _all_leaf_relations(segments):
+            net = net.localCheckpoint()
         matched = _boolean_eval_positional(
             net, node, None, "search_page_maintained", fields=stored,
             cand_map=cand_map or None,
@@ -4753,26 +4797,34 @@ def search_page_maintained(
             fields=stored, cand_map=cand_map or None,
         )
     matched = _page_after_filter(matched, after, "search_page_maintained")
-    page = (
-        matched.orderBy(F.desc("n_terms_matched"), "doc")
-        .limit(k)
-        .withColumn(
-            "rank",
-            F.row_number()
-            .over(Window.orderBy(F.desc("n_terms_matched"), "doc"))
-            .cast("long"),
-        )
-        # THREE legs reference the page (first-hit net, stored join,
-        # output) — k rows, materialize once (the multi-leg rule)
-        .localCheckpoint()
+    # r12 (optimization round): the page is k driver-bounded rows by
+    # construction, so ONE TakeOrdered collect materializes it — the
+    # old shape (orderBy → limit → row_number window → localCheckpoint
+    # job → separate ids collect) paid two sequential jobs for the
+    # same k rows. rank IS the position in the total order
+    # (n_terms_matched desc, doc asc; doc unique ⇒ total), computed
+    # driver-side; the k rows re-enter the plan as a literal local
+    # relation — the same broadcast-sized side every downstream join
+    # already consumed, with identical values and column types
+    # (measured ~0.4 s/serve at sf0.1; pytest parity + the catalog
+    # row's oracle pin the outputs).
+    page_rows = (
+        matched.orderBy(F.desc("n_terms_matched"), "doc").limit(k).collect()
     )
-    # the page is k MATERIALIZED rows — collect its ids (driver-
-    # bounded by construction, the MLT term-pick argument) and push
-    # them as a LITERAL in-filter: on a parquet-served stored store
-    # the In(doc) predicate prunes row groups, where the broadcast
-    # join it replaces read every segment in full (the r10
+    from pyspark.sql import types as _T
+
+    page = segments[0].sparkSession.createDataFrame(
+        [(*tuple(r), i + 1) for i, r in enumerate(page_rows)],
+        _T.StructType(
+            list(matched.schema.fields)
+            + [_T.StructField("rank", _T.LongType())]
+        ),
+    )
+    # the page ids push as a LITERAL in-filter: on a parquet-served
+    # stored store the In(doc) predicate prunes row groups, where a
+    # broadcast join would read every segment in full (the r10
     # stored-fields probe: 0.82 s literal vs 2.19 s semi at 200k docs)
-    page_ids = [r["doc"] for r in page.select("doc").collect()]
+    page_ids = [r["doc"] for r in page_rows]
     if net is not None:
         first = (
             net.filter(F.col("doc").isin(page_ids))
@@ -4791,7 +4843,11 @@ def search_page_maintained(
         F.lit(True).alias("_sp_here"),
     )
     out = (
-        page.join(toked, "doc", "left")
+        # the literal page frame is RDD-backed (createDataFrame), so
+        # Catalyst has no size stats anywhere in these joins — hint
+        # the k-row-bounded build sides explicitly or they fall back
+        # to sort-merge (left-outer joins can only build on the right)
+        page.join(F.broadcast(toked), "doc", "left")
         .filter(
             F.when(
                 F.col("_sp_here").isNull(),
@@ -4807,7 +4863,7 @@ def search_page_maintained(
                 ).cast("boolean"),
             ).otherwise(F.lit(True))
         )
-        .join(first, "doc", "left")
+        .join(F.broadcast(first), "doc", "left")
         .select(
             "rank",
             "doc",

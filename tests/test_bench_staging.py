@@ -1,0 +1,127 @@
+"""Round-12 optimization guards: the bench's staged stores must stay
+row-identical to the direct builds they replaced.
+
+The r12 optimization round restructured ``bench.stage_gate_stores``:
+independent segment writes run pooled (guide §2.6), the events
+textualization materializes once, and the plain-index family derives
+the flat inverted index + vocabulary stats from the written
+positional index instead of tokenizing the corpus a second time
+(tf = size(positions)). These tests pin the equivalences so a future
+edit cannot silently diverge the staged serving state from the
+catalog rows' inline builds.
+
+``build_spell_index`` also dropped its frame-wide ``.distinct()``
+(a data no-op: deletion variants are deduped per token and a
+vocabulary is one row per token by contract) — pinned here too.
+"""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_flat_index_derives_from_positional(spark):
+    """tf == size(positions) row-for-row: deriving the flat index
+    from the positional one (one tokenize pass) is exact."""
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        build_positional_index,
+    )
+    from esdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    flat = build_inverted_index(docs, "text", "doc_id")
+    derived = build_positional_index(docs, "text", "doc_id").select(
+        "token", "doc", F.size("positions").cast("long").alias("tf")
+    )
+    assert _rows(flat, ["token", "doc", "tf"]) == _rows(
+        derived, ["token", "doc", "tf"]
+    )
+
+
+def test_vocab_stats_equal_across_faces(spark):
+    """inverted_index_stats(flat) == positional_index_stats(pos):
+    the staged fvocab may aggregate from either face."""
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        build_positional_index,
+        inverted_index_stats,
+        positional_index_stats,
+    )
+    from esdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = inverted_index_stats(build_inverted_index(docs, "text", "doc_id"))
+    b = positional_index_stats(build_positional_index(docs, "text", "doc_id"))
+    cols = ["token", "doc_freq", "term_freq"]
+    assert _rows(a, cols) == _rows(b, cols)
+
+
+def test_spell_index_rows_already_distinct(spark):
+    """build_spell_index without the frame-wide distinct emits the
+    same row set: per-token deletion variants are deduped inside
+    _deletion_variants, and a vocabulary is one row per token."""
+    from esdb_spark.functions import tokens
+    from esdb_spark.operators.search import build_spell_index
+    from esdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("term_freq"))
+    )
+    for d in (1, 2):
+        idx = build_spell_index(vocab, max_dist=d)
+        n = idx.count()
+        assert idx.distinct().count() == n
+        # and per (vh, token) uniqueness specifically — the invariant
+        # _spell_net's multiplicity guard relies on within a segment
+        assert (
+            idx.groupBy("vh", "token").count().filter("count > 1").count()
+            == 0
+        )
+
+
+def test_stage_gate_stores_artifacts_match_direct_builds(spark, tmp_path):
+    """The pooled staging writes the exact artifacts the sequential
+    staging wrote: spot-check the derived plain-index family and one
+    positional segment against direct builds."""
+    import bench as B
+    from esdb_spark.operators.search import (
+        build_inverted_index,
+        build_positional_index,
+        inverted_index_stats,
+    )
+    from esdb_spark.sources.tables import load_table
+
+    tmp = str(tmp_path / "staged")
+    os.makedirs(tmp, exist_ok=True)
+    B.stage_gate_stores(spark, SF_DIR, tmp)
+    docs = load_table(spark, SF_DIR, "documents")
+
+    fidx = spark.read.parquet(os.path.join(tmp, "fidx_full"))
+    direct = build_inverted_index(docs, "text", "doc_id")
+    cols = ["token", "doc", "tf"]
+    assert _rows(fidx, cols) == _rows(direct, cols)
+
+    fvocab = spark.read.parquet(os.path.join(tmp, "fvocab"))
+    dvocab = inverted_index_stats(direct)
+    vcols = ["token", "doc_freq", "term_freq"]
+    assert _rows(fvocab, vcols) == _rows(dvocab, vcols)
+
+    pseg1 = spark.read.parquet(os.path.join(tmp, "pseg1"))
+    dseg1 = build_positional_index(
+        docs.filter(F.col("doc_id") % 3 == 1), "text", "doc_id"
+    )
+    pcols = ["token", "doc", "positions"]
+    assert _rows(pseg1, pcols) == _rows(dseg1, pcols)
