@@ -40,6 +40,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _ckpt_pooled(dfs: list):
+    """localCheckpoint independent frames CONCURRENTLY (a small thread
+    pool; Spark schedules the jobs side by side and each job's tail
+    back-fills the other's executors) — two structural frames that
+    derive from the same checkpointed parent but not from each other
+    need not serialize their materialization. Returns the
+    checkpointed frames in input order; exceptions propagate."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, max(2, len(dfs)))) as pool:
+        return [
+            f.result()
+            for f in [pool.submit(d.localCheckpoint) for d in dfs]
+        ]
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -90,27 +106,25 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    # renamed projections: nodes/outdeg/contribs all derive from `e`,
-    # and Spark rejects the resulting self-join column references as
-    # ambiguous unless the lineages carry distinct names.
-    # outdeg is LOOP-INVARIANT but aggregates the full edge list —
-    # checkpoint it once (node-sized) so no round re-scans the edges
-    # to recount degrees (round 4: on a 17.8M-edge similarity graph
-    # this aggregation dominated every round).
-    outdeg = (
-        e.groupBy("src")
-        .agg(F.count("*").alias("outdeg"))
-        .select(F.col("src").alias("_d_src"), "outdeg")
-        .localCheckpoint()
+    # nodes and outdeg both derive from the checkpointed edge list and
+    # are independent of each other — their checkpoints run POOLED
+    # (r12, guide §2.6): two concurrent jobs instead of two sequential
+    # driver actions. renamed projections: nodes/outdeg/contribs all
+    # derive from `e`, and Spark rejects the resulting self-join
+    # column references as ambiguous unless the lineages carry
+    # distinct names. outdeg is LOOP-INVARIANT but aggregates the full
+    # edge list — checkpoint it once (node-sized) so no round re-scans
+    # the edges to recount degrees (round 4: on a 17.8M-edge
+    # similarity graph this aggregation dominated every round).
+    nodes, outdeg = _ckpt_pooled(
+        [
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct(),
+            e.groupBy("src")
+            .agg(F.count("*").alias("outdeg"))
+            .select(F.col("src").alias("_d_src"), "outdeg"),
+        ]
     )
     e2 = e.select(F.col("src").alias("_e_src"), F.col("dst").alias("_e_dst"))
     # WHICH nodes are dangling is a structural fact — compute the set
@@ -124,11 +138,34 @@ def pagerank(
     #     per-round aggregate over the (small, checkpointed) dangling
     #     id set joined to ranks — mass changes per round even though
     #     the set does not.
+    # r12: ONE aggregate answers both structural questions — the node
+    # count (for 1/n) and whether any node lacks out-edges — replacing
+    # three sequential driver actions (nodes.count, dangling
+    # checkpoint, limit(1).count); the dangling id SET only
+    # materializes when it is non-empty (the per-round mass aggregate
+    # is the only consumer). Dangling-free graphs — every symmetric
+    # similarity graph — now pay two pre-loop actions total.
+    stats = (
+        nodes.join(outdeg, F.col("id") == F.col("_d_src"), "left")
+        .agg(
+            F.count("*").alias("_pr_n"),
+            F.coalesce(
+                F.sum(F.when(F.col("outdeg").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("_pr_nd"),
+        )
+        .first()
+    )
+    n = stats["_pr_n"]
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    has_dangling = stats["_pr_nd"] > 0
     dangling_ids = (
         nodes.join(outdeg, F.col("id") == F.col("_d_src"), "left_anti")
         .localCheckpoint()
+        if has_dangling
+        else None
     )
-    has_dangling = dangling_ids.limit(1).count() > 0
     # The contribution join's cheap side is NODE-sized (rank ⋈ outdeg,
     # ~24 B/row) while the edge side can be arbitrarily large — and a
     # checkpointed edge list has no partitioning stats, so Catalyst
@@ -236,24 +273,34 @@ def pagerank_exact(
         .distinct()
         .localCheckpoint()
     )
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint()
+    # r12: nodes/outdeg checkpoints pooled, and ONE aggregate answers
+    # the node count + dangling check (same restructure as pagerank —
+    # three sequential pre-loop driver actions became one).
+    nodes, outdeg = _ckpt_pooled(
+        [
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct(),
+            e.groupBy("src")
+            .agg(F.count("*").alias("outdeg"))
+            .select(F.col("src").alias("_d_src"), "outdeg"),
+        ]
     )
-    n = nodes.count()
+    stats = (
+        nodes.join(outdeg, F.col("id") == F.col("_d_src"), "left")
+        .agg(
+            F.count("*").alias("_pr_n"),
+            F.coalesce(
+                F.sum(F.when(F.col("outdeg").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("_pr_nd"),
+        )
+        .first()
+    )
+    n = stats["_pr_n"]
     if n == 0:
         return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
-    outdeg = (
-        e.groupBy("src")
-        .agg(F.count("*").alias("outdeg"))
-        .select(F.col("src").alias("_d_src"), "outdeg")
-        .localCheckpoint()
-    )
-    if nodes.join(
-        outdeg, F.col("id") == F.col("_d_src"), "left_anti"
-    ).limit(1).count() > 0:
+    if stats["_pr_nd"] > 0:
         raise ValueError(
             "pagerank_exact: graph has dangling nodes (no out-edges) — "
             "symmetrize it or use pagerank()"

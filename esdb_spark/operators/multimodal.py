@@ -39,6 +39,14 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
+# r12 (optimization round): every extractor below runs a per-row
+# Python decode inside mapInPandas — an under-parallelized input
+# (one small parquet file -> one partition -> ONE core decodes the
+# whole batch) serializes the entire Python stage. _spread_small_input
+# widens such inputs to the default parallelism before the Python
+# boundary and is a no-op at scale (input already >= cores partitions).
+from esdb_spark.operators.dedup import _spread_small_input
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -219,7 +227,9 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.select("media_id", "content").mapInPandas(op, out_schema)
+    return _spread_small_input(
+        df.select("media_id", "content")
+    ).mapInPandas(op, out_schema)
 
 
 def fake_decode_meta(content: bytes) -> tuple[int, int]:
@@ -283,7 +293,9 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.select("media_id", "kind", "content").mapInPandas(
+    return _spread_small_input(
+        df.select("media_id", "kind", "content")
+    ).mapInPandas(
         op, out_schema
     )
 
@@ -348,11 +360,13 @@ def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
                 out["content"].append(content)
             yield pd.DataFrame(out)
 
-    return df.select(
-        "media_id",
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"),
-        "content",
+    return _spread_small_input(
+        df.select(
+            "media_id",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            "content",
+        )
     ).mapInPandas(op, out_schema)
 
 
@@ -391,8 +405,12 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                     rows["frame"].append(content[lo:hi])
             yield pd.DataFrame(rows)
 
-    return df.select(
-        "media_id", "content", F.col("meta.duration_ms").alias("duration_ms")
+    return _spread_small_input(
+        df.select(
+            "media_id",
+            "content",
+            F.col("meta.duration_ms").alias("duration_ms"),
+        )
     ).mapInPandas(op, out_schema)
 
 
@@ -466,7 +484,9 @@ def extract_audio_signal_features(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.select("media_id", "content").mapInPandas(op, out_schema)
+    return _spread_small_input(
+        df.select("media_id", "content")
+    ).mapInPandas(op, out_schema)
 
 
 def _wav_pcm16(content: bytes):
@@ -673,7 +693,9 @@ def extract_video_meta(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.select("media_id", "content").mapInPandas(op, out_schema)
+    return _spread_small_input(
+        df.select("media_id", "content")
+    ).mapInPandas(op, out_schema)
 
 
 # Adam7 interlace passes: (x0, y0, dx, dy) per PNG spec §8.2
@@ -965,7 +987,9 @@ def extract_image_pixel_features(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.select("media_id", "content").mapInPandas(op, out_schema)
+    return _spread_small_input(
+        df.select("media_id", "content")
+    ).mapInPandas(op, out_schema)
 
 
 def encode_png(img, interlace: bool = False) -> bytes:

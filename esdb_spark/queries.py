@@ -33,6 +33,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from esdb_spark.db import Db
 from esdb_spark.functions import epoch_us
+# r12: the synthetic media constructors run pure-Python codecs inside
+# mapInPandas over a tiny (doc_id) projection that arrives as ONE
+# parquet partition — spread it so the encode work uses every core
+# (no-op at scale; see operators/multimodal.py)
+from esdb_spark.operators.dedup import _spread_small_input
 from esdb_spark.sources.tables import load_table
 
 
@@ -4469,7 +4474,7 @@ def multimodal_pixel_stats(spark, sf_dir):
                 {"media_id": pdf["doc_id"], "content": out}
             )
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _spread_small_input(docs.select("doc_id")).mapInPandas(
         make_png,
         T.StructType(
             [
@@ -4528,7 +4533,7 @@ def multimodal_jpeg_stats(spark, sf_dir):
                 out.append(encode_jpeg(img, progressive=bool(did % 2)))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": out})
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _spread_small_input(docs.select("doc_id")).mapInPandas(
         make_jpeg,
         T.StructType(
             [
@@ -4582,7 +4587,7 @@ def multimodal_video_meta(spark, sf_dir):
             ]
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": out})
 
-    media = docs.select("doc_id").mapInPandas(
+    media = _spread_small_input(docs.select("doc_id")).mapInPandas(
         make_mp4,
         T.StructType(
             [
@@ -4645,7 +4650,7 @@ def multimodal_audio_spectral(spark, sf_dir):
             )
 
     return (
-        docs.select("doc_id")
+        _spread_small_input(docs.select("doc_id"))
         .mapInPandas(
             make_and_analyze,
             T.StructType(
