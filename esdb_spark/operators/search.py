@@ -3140,11 +3140,13 @@ def boolean_search_indexed(
     token_legs = (
         int(bool(terms)) + len(set(prefixes)) + len(cand_map)
     )
-    if token_legs > 1:
+    if token_legs > 1 and not _all_leaf_relations([index]):
         # every token leg re-references the guarded scan, and a plan
         # reference re-executes it per leg (r9 ADVICE — the multi-leg
         # rule, applied on every other boolean face). Bounded by the
-        # operands' matching rows.
+        # operands' matching rows. A leaf-relation (parquet-backed)
+        # index skips the materialize (r12): each leg re-reads the
+        # scan with the operand in-filter pushed down.
         ex = ex.localCheckpoint()
     matches = ex.filter(F.col("token").isin(terms))
     if prefixes:
@@ -3395,10 +3397,13 @@ def boolean_search_positional(
         + len(set(_bool_prefixes(node)))
         + len(cand_map)
     )
-    if legs > 1:
-        # multiple legs consume the filtered scan — cheap to re-read a
-        # pruned parquet, but a localCheckpoint keeps the plan shared;
-        # one leg PER wildcard stem (the corpus face's counting rule)
+    if legs > 1 and not _all_leaf_relations([index]):
+        # multiple legs consume the filtered scan; on anything but a
+        # bare parquet-backed index a localCheckpoint keeps the plan
+        # shared (one leg PER wildcard stem — the corpus face's
+        # counting rule). A leaf-relation index skips it (r12): each
+        # leg re-reads the scan with the terms in-filter pushed down,
+        # cheaper than a synchronous materialize job.
         flat = flat.localCheckpoint()
     return _boolean_eval_positional(
         flat, node, k, "boolean_search_positional", fields=fields,
@@ -3477,8 +3482,12 @@ def boolean_search_positional_segments(
         # leg (the proximity_search_segments review finding; measured
         # 5.3 s → ~2 s on the catalog row). Materialize once: the net
         # is ≤ Σ doc_freq of the query words, the bounded posting-list
-        # size every serving face already holds in flight.
-        net = net.localCheckpoint()
+        # size every serving face already holds in flight. r12: on
+        # PARQUET-BACKED segments (leaf relations) the re-derivation
+        # is a terms-pruned scan, cheaper than the materialize job —
+        # skip the checkpoint there (the search_page_maintained rule).
+        if not _all_leaf_relations(segments):
+            net = net.localCheckpoint()
     return _boolean_eval_positional(
         net, node, k, "boolean_search_positional_segments",
         fields=fields, cand_map=cand_map or None,
