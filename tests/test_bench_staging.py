@@ -125,3 +125,42 @@ def test_stage_gate_stores_artifacts_match_direct_builds(spark, tmp_path):
     )
     pcols = ["token", "doc", "positions"]
     assert _rows(pseg1, pcols) == _rows(dseg1, pcols)
+
+
+def test_bench_rows_superset_of_prior_rounds():
+    """The bench contract forbids removing or renaming `queries` rows
+    across rounds (the driver diffs them). Assert the emitted row-name
+    set is a strict superset of every committed round-11 artifact —
+    the round-12 build/serve splits ADD `_serve`/`_build` rows, they
+    must never drop the original inline rows."""
+    import json
+
+    import bench as B
+
+    emitted = set(B.BENCH_QUERIES)
+    emitted.update(name for name, _ in B.STAGED_SERVES)
+    emitted.update(
+        {
+            "docs_hybrid_rrf_maintained_build",
+            "docs_hybrid_rrf_maintained_serve",
+            "bulk_ingest",
+        }
+    )
+    # gate-store build rows: stage_gate_stores families record as
+    # maintained_<fam>_build (or their literal name if already *_build)
+    emitted.update(
+        {
+            "maintained_spell_build",
+            "maintained_positional_build",
+            "maintained_storedfields_build",
+            "maintained_ann_exact_build",
+            "maintained_events_page_build",
+            "plain_index_build",
+        }
+    )
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for artifact in ("bench_r11_idle.json", "bench_r11_second_run.json"):
+        with open(os.path.join(here, "benchmarks", artifact)) as fh:
+            prior = set(json.load(fh)["queries"])
+        missing = prior - emitted
+        assert not missing, f"{artifact}: bench rows removed: {missing}"
