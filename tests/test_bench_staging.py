@@ -164,3 +164,35 @@ def test_bench_rows_superset_of_prior_rounds():
             prior = set(json.load(fh)["queries"])
         missing = prior - emitted
         assert not missing, f"{artifact}: bench rows removed: {missing}"
+
+
+def test_bench_tail_line_fits_driver_window():
+    """The driver parses the LAST stdout line out of a 2000-byte tail
+    (r11's full line overflowed it → parsed:null). The tail line built
+    from the current 71-row artifact must fit AND keep every contract
+    key, `metric` included."""
+    import json
+
+    import bench as B
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    art = json.load(
+        open(
+            os.path.join(
+                here,
+                "benchmarks",
+                "bench_r12_post_opt_run6_contended.json",
+            )
+        )
+    )
+    line = B.tail_line(
+        art["queries"], art["total"], art["sf"], art["metric"]
+    )
+    assert len(line) <= 1990, len(line)
+    parsed = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed, key
+    assert parsed["unit"] == "sec"
+    # every served (non-build) row must survive the shedding
+    served = {k for k in art["queries"] if not k.endswith("_build")}
+    assert served <= set(parsed["queries"])
