@@ -543,7 +543,11 @@ def stage_gate_stores(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     # builds and writes first, and the flat index, the vocab, and the
     # spell index all DERIVE from the written parquet: no second
     # corpus tokenize, no second (token, doc) shuffle. Row-for-row
-    # identical artifacts (pytest: test_bench_staging).
+    # identical artifacts (pytest: test_bench_staging). r13: the
+    # derivation is the library operator search.derive_flat_index
+    # (r12 verdict ask #3 — it was bench-local before).
+    from esdb_spark.operators.search import derive_flat_index
+
     build_positional_index(docs, "text", "doc_id").write.mode(
         "overwrite"
     ).parquet(os.path.join(tmp, "pidx_full"))
@@ -551,9 +555,9 @@ def stage_gate_stores(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     fvocab = positional_index_stats(pidx).localCheckpoint()
 
     def write_flat() -> None:
-        pidx.select(
-            "token", "doc", F.size("positions").cast("long").alias("tf")
-        ).write.mode("overwrite").parquet(os.path.join(tmp, "fidx_full"))
+        derive_flat_index(pidx).write.mode("overwrite").parquet(
+            os.path.join(tmp, "fidx_full")
+        )
 
     def write_vocab_and_spell() -> None:
         fvocab.write.mode("overwrite").parquet(os.path.join(tmp, "fvocab"))
@@ -770,7 +774,8 @@ STAGED_SERVES = [
 
 
 def tail_line(
-    timings: dict[str, float], total: float, sf, metric: str
+    timings: dict[str, float], total: float, sf, metric: str,
+    cal: float | None = None,
 ) -> str:
     """The bench's LAST stdout line, sized for the driver's 2000-byte
     stdout tail (its parser reads the final line; r11's full ~5.5 KB
@@ -779,16 +784,34 @@ def tail_line(
     shed the duplicate total + builds pointer + metric verbosity
     BEFORE the metric key itself; single-sample _build rows shed
     first — served medians are the adjudication signal and the full
-    artifact always lands in benchmarks/bench_latest.json."""
+    artifact always lands in benchmarks/bench_latest.json.
 
-    def compact(metric_val=None, drop_builds=False, slim=False) -> str:
+    ``cal`` (r13, the r12 verdict's ask): the run's calibration-query
+    median rides the tail line (~12 chars) so the driver's committed
+    artifact self-identifies a degraded window without the full file.
+    It is diagnostic context, shed only in the very last tier.
+
+    The final tiers TRUNCATE the queries map (most-expensive rows
+    kept — the adjudication signal) so the line is guaranteed to fit
+    even if the catalog outgrows every shedding step (r12 ADVICE: the
+    old tier loop could return an oversized last line)."""
+
+    def compact(
+        metric_val=None, drop_builds=False, slim=False, max_rows=None,
+        drop_cal=False,
+    ) -> str:
         q = {
             k: round(v, 2)
             for k, v in timings.items()
             if not (drop_builds and k.endswith("_build"))
         }
+        if max_rows is not None and len(q) > max_rows:
+            keep = sorted(q, key=lambda k: q[k], reverse=True)[:max_rows]
+            q = {k: q[k] for k in keep}
         out = {} if metric_val is None else {"metric": metric_val}
         out.update(unit="sec", sf=sf, queries=q)
+        if cal is not None and not drop_cal:
+            out["cal"] = round(cal, 3)
         if drop_builds and not slim:
             out["builds_in"] = "benchmarks/bench_latest.json"
         out["value"] = total
@@ -796,13 +819,23 @@ def tail_line(
             out["total"] = total
         return json.dumps(out, separators=(",", ":"))
 
-    for tier in (
+    tiers = [
         dict(metric_val=metric),
         dict(metric_val=metric, drop_builds=True),
         dict(metric_val=metric, drop_builds=True, slim=True),
         dict(metric_val="esdb_spark", drop_builds=True, slim=True),
         dict(metric_val=None, drop_builds=True, slim=True),
-    ):
+        *[
+            dict(metric_val=None, drop_builds=True, slim=True, max_rows=n)
+            for n in (48, 32, 16, 8, 0)
+        ],
+        # absolute floor: contract keys only — always fits
+        dict(
+            metric_val=None, drop_builds=True, slim=True, max_rows=0,
+            drop_cal=True,
+        ),
+    ]
+    for tier in tiers:
         line = compact(**tier)
         if len(line) <= 1990:
             break
@@ -941,7 +974,11 @@ def main() -> None:
         json.dump(artifact, fh, indent=2)
     print(json.dumps(artifact))
 
-    print(tail_line(timings, total, artifact["sf"], artifact["metric"]))
+    print(
+        tail_line(
+            timings, total, artifact["sf"], artifact["metric"], cal=cal
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -58,6 +58,8 @@ def cooccurrence_pairs(
     eager Spark job at plan-build time; lazy composition (the
     driver-gate contract) stays the default.
     """
+    from esdb_spark.operators.dedup import _estimated_input_bytes
+
     basket = df.select(
         F.col(group_col).alias("_co_g"), F.col(item_col).alias("_co_i")
     ).distinct()
@@ -70,6 +72,23 @@ def cooccurrence_pairs(
             .filter(F.col("_co_sz") <= max_basket)
             .drop("_co_sz")
         )
+    # r13 (r12 verdict ask #5): FIVE legs consume `basket` — both
+    # sides of the pair self-join, the item supports, and the group
+    # total — and the r12 driver bench showed the scan+distinct
+    # subtree executing once PER LEG (plans/r13/parts_bought_together
+    # _before.txt: five Scan parquet + distinct chains; exchange reuse
+    # did not fire). The multi-leg materialize-once rule (the
+    # dedup/search discipline): one LAZY localCheckpoint bounds the
+    # corpus distinct to ONE execution; blocks release with the result.
+    # A checkpointed frame carries no size stats, so the downstream
+    # joins would all fall back to sort-merge — explicit broadcasts
+    # are gated on the INPUT's free Catalyst size estimate (the
+    # dedup_simhash posture): the broadcast sides are the distinct
+    # basket (≤ input rows, two scalars each) and the |items|-row
+    # supports. Bigger inputs keep the shuffle plans — at 100 TB the
+    # self-join and support joins shuffle by construction.
+    basket = basket.localCheckpoint(eager=False)
+    small = _estimated_input_bytes(df) <= 32 << 20
     if guard_basket is not None:
         per_group = basket.groupBy("_co_g").agg(
             F.count("*").cast("long").alias("_co_s")
@@ -100,6 +119,8 @@ def cooccurrence_pairs(
     )
     left = basket.select("_co_g", F.col("_co_i").alias("item_a"))
     right = basket.select("_co_g", F.col("_co_i").alias("item_b"))
+    if small:
+        right = F.broadcast(right)
     pairs = (
         left.join(right, "_co_g")
         .filter(F.col("item_a") < F.col("item_b"))
@@ -116,6 +137,8 @@ def cooccurrence_pairs(
     sb = support.select(
         F.col("_co_i").alias("item_b"), F.col("_co_n").alias("n_b")
     )
+    if small:  # |items| rows of two scalars — same bound as the self-join
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     return (
         pairs.join(sa, "item_a")
         .join(sb, "item_b")

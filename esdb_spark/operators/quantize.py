@@ -61,7 +61,11 @@ def quantize_int8(
     # unchanged: transform/array_max/signum/floor parse to the
     # identical Catalyst expressions (test_quantize.py + the
     # oracle-gated int8 rows pin the outputs).
-    v, sc = f"`{vec_col}`", f"`{scale_col}`"
+    # backtick-quote the identifiers with backticks escaped (`` ` `` →
+    # ```` `` ````) so a column name containing a backtick parses as a
+    # name instead of breaking out of the quoting (r12 ADVICE)
+    v = f"`{vec_col.replace('`', '``')}`"
+    sc = f"`{scale_col.replace('`', '``')}`"
     # all-NULL-element vectors: array_max skips NULLs and returns NULL
     # — coalesce so they get scale 0 / zero codes like zero vectors
     scale = F.expr(

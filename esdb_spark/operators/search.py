@@ -118,6 +118,30 @@ def build_inverted_index(
     )
 
 
+def derive_flat_index(positional: DataFrame) -> DataFrame:
+    """FLAT inverted index derived from a positional index
+    (:func:`build_positional_index` output or a persisted positional
+    segment): row-for-row identical to :func:`build_inverted_index`
+    over the same corpus — the flat face IS the positional face minus
+    positions, with ``tf = size(positions)`` (both aggregate the same
+    (token, doc) groups from the same tokenization).
+
+    Why this exists (r12 verdict ask #3, guide §1.2 "don't compute
+    things you throw away"): a deployment that maintains BOTH faces —
+    positional for phrase/NEAR, flat for boolean/BM25 — should pay ONE
+    corpus tokenize and ONE (token, doc) shuffle, not two. Build the
+    positional index, persist it, and derive the flat face from the
+    persisted rows: a pure projection, no shuffle, no second corpus
+    scan. Vocabulary stats aggregate equally from either face
+    (``inverted_index_stats(derive_flat_index(p)) ==
+    positional_index_stats(p)``). Row identity is pinned by
+    tests/test_bench_staging.py; the bench's ``plain_index_build``
+    stages exactly this way."""
+    return positional.select(
+        "token", "doc", F.size("positions").cast("long").alias("tf")
+    )
+
+
 def inverted_index_stats(index: DataFrame) -> DataFrame:
     """Per-token corpus stats over a flat inverted index
     (:func:`build_inverted_index`): ``(token, doc_freq, term_freq)`` —
@@ -3486,7 +3510,10 @@ def boolean_search_positional_segments(
         # PARQUET-BACKED segments (leaf relations) the re-derivation
         # is a terms-pruned scan, cheaper than the materialize job —
         # skip the checkpoint there (the search_page_maintained rule).
-        if not _all_leaf_relations(segments):
+        # Tombstones fold into the net too — they must be leaves as
+        # well or a derived tombstone frame re-executes per leg when
+        # the checkpoint is skipped (r12 ADVICE).
+        if not _all_leaf_relations([*segments, *(tombstones or [])]):
             net = net.localCheckpoint()
     return _boolean_eval_positional(
         net, node, k, "boolean_search_positional_segments",
@@ -3837,6 +3864,14 @@ def build_spell_index(
     # its no-op distinct deliberately — there the exchange feeds a
     # self-join and was measured faster; here the output feeds parquet
     # writes and in-filter serves, where the exchange is pure cost.
+    # CONTRACT (r12 ADVICE): because this function lowercases
+    # term_col itself, the vocabulary must be unique POST-lowercasing
+    # — rows differing only by case (e.g. 'The' and 'the') would emit
+    # duplicate (vh, token) rows that _spell_net's multiplicity guard
+    # rejects at serve time (loudly, not silently). Every in-repo
+    # vocabulary comes from tokens() (already lowercase) so this holds
+    # by construction; external callers with cased vocabularies must
+    # groupBy(lower(token)) first.
     return (
         low.select(
             "token",
@@ -4533,7 +4568,10 @@ def search_page(
         [(*tuple(r), i + 1) for i, r in enumerate(page_rows)],
         _T.StructType(
             list(matched.schema.fields)
-            + [_T.StructField("rank", _T.LongType())]
+            # nullable=False: rank is always assigned (enumerate), and
+            # the pre-r12 row_number() column was non-nullable — keep
+            # the schema stable for strict-merge consumers (r12 ADVICE)
+            + [_T.StructField("rank", _T.LongType(), False)]
         ),
     )
     page_ids = [r["doc"] for r in page_rows]
@@ -4793,7 +4831,10 @@ def search_page_maintained(
             terms=terms,
             prefixes=prefixes or None,
         )
-        if not _all_leaf_relations(segments):
+        # tombstones fold into the net too — include them in the leaf
+        # check or a derived tombstone frame re-executes per leg when
+        # the checkpoint is skipped (r12 ADVICE)
+        if not _all_leaf_relations([*segments, *(tombstones or [])]):
             net = net.localCheckpoint()
         matched = _boolean_eval_positional(
             net, node, None, "search_page_maintained", fields=stored,
@@ -4826,7 +4867,9 @@ def search_page_maintained(
         [(*tuple(r), i + 1) for i, r in enumerate(page_rows)],
         _T.StructType(
             list(matched.schema.fields)
-            + [_T.StructField("rank", _T.LongType())]
+            # nullable=False — same schema-stability rationale as
+            # search_page (r12 ADVICE)
+            + [_T.StructField("rank", _T.LongType(), False)]
         ),
     )
     # the page ids push as a LITERAL in-filter: on a parquet-served

@@ -51,11 +51,29 @@ def event_transitions(
     w = Window.partitionBy(entity_col).orderBy(
         *[F.col(c).asc() for c in [ts_col, *tiebreaks]]
     )
-    nxt = df.select(
-        F.col(state_col).alias("state"),
-        F.lead(state_col).over(w).alias("next_state"),
-        (F.lead(ts_col).over(w) - F.col(ts_col)).alias("_sq_gap"),
-    ).filter(F.col("next_state").isNotNull())
+    # r13 (guide §2.3 "project before the exchange"): aliasing
+    # state_col BELOW the window made Catalyst ship the state string
+    # TWICE through the per-entity hash exchange (once as `state`,
+    # once as the lead's input — r12 plan read: Project [event_type AS
+    # state, event_type, user_id, ts_us, event_id] feeding the
+    # Exchange). Compute the window first over an explicit slim
+    # projection, alias after: the exchange carries one copy of the
+    # state column. Same window, same rows, same output schema.
+    keep: list[str] = []
+    for c in [entity_col, ts_col, state_col, *tiebreaks]:
+        if c not in keep:
+            keep.append(c)
+    nxt = (
+        df.select(*keep)
+        .withColumn("_sq_next", F.lead(state_col).over(w))
+        .withColumn("_sq_gap", F.lead(ts_col).over(w) - F.col(ts_col))
+        .filter(F.col("_sq_next").isNotNull())
+        .select(
+            F.col(state_col).alias("state"),
+            F.col("_sq_next").alias("next_state"),
+            "_sq_gap",
+        )
+    )
     if max_gap is not None:
         nxt = nxt.filter(F.col("_sq_gap") <= max_gap)
     counts = nxt.groupBy("state", "next_state").agg(

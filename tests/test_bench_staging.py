@@ -35,14 +35,13 @@ def test_flat_index_derives_from_positional(spark):
     from esdb_spark.operators.search import (
         build_inverted_index,
         build_positional_index,
+        derive_flat_index,
     )
     from esdb_spark.sources.tables import load_table
 
     docs = load_table(spark, SF_DIR, "documents")
     flat = build_inverted_index(docs, "text", "doc_id")
-    derived = build_positional_index(docs, "text", "doc_id").select(
-        "token", "doc", F.size("positions").cast("long").alias("tf")
-    )
+    derived = derive_flat_index(build_positional_index(docs, "text", "doc_id"))
     assert _rows(flat, ["token", "doc", "tf"]) == _rows(
         derived, ["token", "doc", "tf"]
     )
@@ -186,13 +185,42 @@ def test_bench_tail_line_fits_driver_window():
         )
     )
     line = B.tail_line(
-        art["queries"], art["total"], art["sf"], art["metric"]
+        art["queries"], art["total"], art["sf"], art["metric"],
+        cal=0.0782,
     )
     assert len(line) <= 1990, len(line)
     parsed = json.loads(line)
     for key in ("metric", "value", "unit", "queries", "sf"):
         assert key in parsed, key
     assert parsed["unit"] == "sec"
+    # r13 (r12 verdict ask #2): the calibration median rides the tail
+    # line so a driver artifact self-identifies a degraded window
+    assert parsed["cal"] == 0.078
     # every served (non-build) row must survive the shedding
     served = {k for k in art["queries"] if not k.endswith("_build")}
     assert served <= set(parsed["queries"])
+
+
+def test_bench_tail_line_fits_even_with_huge_catalog():
+    """r12 ADVICE: the old tier loop returned its slimmest line even
+    when that still overflowed 1990 bytes. The truncation tiers must
+    guarantee a fit for ANY row count, keeping the most expensive rows
+    (the adjudication signal) and the contract keys."""
+    import json
+
+    import bench as B
+
+    timings = {
+        f"some_very_long_query_name_row_{i:04d}": float(i) for i in range(500)
+    }
+    line = B.tail_line(timings, 123.4, 0.1, "esdb_spark headline", cal=0.08)
+    assert len(line) <= 1990, len(line)
+    parsed = json.loads(line)
+    for key in ("value", "unit", "queries", "sf"):
+        assert key in parsed, key
+    assert parsed["value"] == 123.4
+    # the surviving rows are the most expensive ones
+    kept = set(parsed["queries"])
+    dropped = [v for k, v in timings.items() if k not in kept]
+    if kept and dropped:
+        assert min(parsed["queries"].values()) >= max(dropped) - 1e-9

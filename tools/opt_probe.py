@@ -31,7 +31,8 @@ from esdb_spark.queries import catalog
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--plans-suffix", default=None,
-                    help="write plans/r12/<row>_<suffix>.txt")
+                    help="write <plans-dir>/<row>_<suffix>.txt")
+    ap.add_argument("--plans-dir", default="plans/r13")
     ap.add_argument("--rows", required=True)
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--sf", default=os.environ.get(
@@ -61,6 +62,16 @@ def main() -> int:
                   flush=True)
         return staged_dir
 
+    def calibrate() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 20_000_000, 1, 8).selectExpr(
+            "sum(id * 3 % 7) as s"
+        ).collect()
+        return time.perf_counter() - t0
+
+    cal0 = sorted(calibrate() for _ in range(5))[2]
+    print(json.dumps({"calibration_sec_start": round(cal0, 4)}), flush=True)
+
     results = {}
     for name in rows:
         if name in staged_map:
@@ -79,13 +90,17 @@ def main() -> int:
             import io
             from contextlib import redirect_stdout
 
-            os.makedirs("plans/r12", exist_ok=True)
+            os.makedirs(args.plans_dir, exist_ok=True)
             df = fn()
             buf = io.StringIO()
             with redirect_stdout(buf):
                 df.explain("formatted")
-            with open(f"plans/r12/{name}_{args.plans_suffix}.txt", "w") as fh:
+            with open(
+                f"{args.plans_dir}/{name}_{args.plans_suffix}.txt", "w"
+            ) as fh:
                 fh.write(buf.getvalue())
+        if args.runs < 1:  # plans-only probe
+            continue
         samples = []
         for _ in range(args.runs + 1):
             t0 = time.perf_counter()
@@ -101,7 +116,9 @@ def main() -> int:
         print(json.dumps({name: results[name]}), flush=True)
         spark.sparkContext.setJobDescription(None)
 
+    cal1 = sorted(calibrate() for _ in range(5))[2]
     line = json.dumps({"sf": args.sf, "runs": args.runs, "rows": results,
+                       "cal_start": round(cal0, 4), "cal_end": round(cal1, 4),
                        "loadavg": [round(x, 2) for x in os.getloadavg()]})
     print(line)
     if args.out:
