@@ -192,15 +192,25 @@ def pagerank(
             # without a per-round driver action even on graphs WITH
             # dangling nodes (the crossJoin is the repo's standard
             # broadcast one-row shape)
+            dng = F.broadcast(dangling_ids) if broadcast_ranks else dangling_ids
             mass = (
-                ranks.join(dangling_ids, "id", "left_semi")
+                ranks.join(dng, "id", "left_semi")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_pr_mass"))
             )
             base_col = F.lit((1.0 - damping) / n) + F.lit(damping / n) * F.col("_pr_mass")
         # contribution pass: INNER join ranks→outdeg→edges (dangling
         # nodes have no out-edges, so the inner join drops them — the
-        # old left-join + isNotNull filter in one)
-        rank_deg = ranks.join(outdeg, F.col("id") == F.col("_d_src"))
+        # old left-join + isNotNull filter in one). Under the ≤5M-node
+        # guard every node-sized frame in the round is broadcastable,
+        # so ALL three per-round node-frame joins take broadcast hints
+        # (r13: the lineage-less checkpoints have no stats, so Catalyst
+        # sort-merge-joined ranks⋈outdeg and nodes⋈contribs — three
+        # node-sized shuffle exchanges + sorts per round; the
+        # loop-invariant outdeg broadcast is built once per fused job
+        # via exchange reuse). Above the guard SMJ stays — nothing here
+        # is local-core-count tuned.
+        od = F.broadcast(outdeg) if broadcast_ranks else outdeg
+        rank_deg = ranks.join(od, F.col("id") == F.col("_d_src"))
         if broadcast_ranks:
             rank_deg = F.broadcast(rank_deg)
         contribs = (
@@ -212,7 +222,11 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("in_mass"))
         )
-        nxt = nodes.join(contribs, "id", "left")
+        nxt = nodes.join(
+            F.broadcast(contribs) if broadcast_ranks else contribs,
+            "id",
+            "left",
+        )
         if has_dangling:
             nxt = nxt.crossJoin(F.broadcast(mass))
             base = base_col
@@ -312,7 +326,13 @@ def pagerank_exact(
         "rank_scaled", F.lit(scale // n).cast("long")
     )
     for _ in range(iters):
-        rank_deg = ranks.join(outdeg, F.col("id") == F.col("_d_src"))
+        # same r13 broadcast posture as pagerank(): under the ≤5M-node
+        # guard the stats-less checkpointed node frames would SMJ —
+        # hint outdeg (loop-invariant, broadcast reused per fused job)
+        # and contribs below so each round keeps ONE shuffle (the
+        # map-side-combined contribution aggregate)
+        od = F.broadcast(outdeg) if broadcast_ranks else outdeg
+        rank_deg = ranks.join(od, F.col("id") == F.col("_d_src"))
         if broadcast_ranks:
             rank_deg = F.broadcast(rank_deg)
         # `div`, NOT floor(a / b): long / long is a DOUBLE division in
@@ -330,7 +350,11 @@ def pagerank_exact(
             .agg(F.sum("c").alias("in_mass"))
         )
         ranks = (
-            nodes.join(contribs, "id", "left")
+            nodes.join(
+                F.broadcast(contribs) if broadcast_ranks else contribs,
+                "id",
+                "left",
+            )
             .select(
                 "id",
                 F.expr(
